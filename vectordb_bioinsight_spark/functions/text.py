@@ -1,0 +1,86 @@
+"""Text kernels — tokenizer, stopwords, quality features, fingerprints.
+
+Tokenizer semantics match the reference's BM25 tokenizer exactly
+(backend/app/core/embeddings.py:175-182): lowercase, alphanumeric runs
+(``\\b[a-z0-9]+\\b``), keep tokens with length > 2. Everything is a JVM-side
+expression (split + higher-order filter) — the tokenize of a 100 TB corpus is
+an embarrassingly parallel projection with no Python involved.
+
+The paired ``*_DUCKDB`` templates generate byte-identical results in DuckDB so
+text operators are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal deterministic English stopword list (engine-owned; the reference
+#: carries its own ad-hoc list at backend/app/utils/trend_analyzer.py:216-230).
+STOPWORDS = (
+    "the and for are but not you all can had her was one our out day get has him "
+    "his how man new now old see two way who boy did its let put say she too use "
+    "that with have this will your from they know want been good much some time "
+    "very when come here just like long make many more only over such take than "
+    "them well were what"
+).split()
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str, min_len: int = 3) -> Column:
+    """array<string> of lowercase alnum tokens with length >= min_len."""
+    return F.filter(
+        F.split(F.lower(_c(col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+
+
+def tokenize_duckdb(expr: str, min_len: int = 3) -> str:
+    """DuckDB expression producing the identical token array."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'), "
+        f"t -> length(t) >= {min_len})"
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-token count — the cheap 'token counting' primitive."""
+    return F.size(F.filter(F.split(_c(col), "\\s+"), lambda t: F.length(t) > 0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space (quality signal)."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, "[a-z0-9A-Z ]", "")
+    return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'), for MinHash / Jaccard.
+
+    Built from the token array with ``transform`` over index positions —
+    stays JVM-side.
+    """
+    toks = tokenize(_c(col))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def shingles_duckdb(toks_expr: str, n: int = 3) -> str:
+    """DuckDB expression matching :func:`shingles`, given a token-array
+    expression (1-based list indexing). Use with a CTE that computes the token
+    array once: ``SELECT {shingles_duckdb('toks')} FROM (SELECT {tokenize_duckdb('text')} AS toks ...)``.
+    """
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN length({toks_expr}) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(range(1, length({toks_expr}) - {n - 1} + 1), i -> {parts}) END"
+    )

@@ -1,0 +1,72 @@
+"""Vector math kernels over ``array<float/double>`` columns.
+
+All JVM-side higher-order functions (``zip_with`` + ``aggregate``) — no Python
+in the hot path, so brute-force kNN / similarity joins stay inside whole-stage
+codegen. Reference semantics: cosine over chunk/paper embeddings
+(backend/app/core/vector_store.py:603-606; backend/app/core/recommender.py:418-429).
+
+At 100 TB these kernels run inside a shuffle-free ``mapPartitions``-equivalent
+projection; the expensive part of kNN is the candidate generation (see
+operators/vector.py), never the kernel itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ — sequential fold, deterministic (matches numpy/DuckDB order)."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """dot(a,b) / (|a|·|b|) — the reference's similarity metric
+    (vector_store.py:603-606)."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def array_mean_long(df, group_cols, vec_col: str, pos_col: str = "pos", val_col: str = "avg_val"):
+    """Element-wise mean of vectors per group, in LONG form (group, pos, mean).
+
+    Reference A5: per-paper mean embedding ``np.mean(chunk_embeddings, axis=0)``
+    (vector_store.py:508-536). Long output keeps the result relational (and
+    oracle-checkable); re-assemble with collect_list over an ordered window
+    only at a bounded export boundary.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return (
+        df.select(*group_cols, F.posexplode(F.col(vec_col)).alias(pos_col, "_v"))
+        .groupBy(*group_cols, pos_col)
+        .agg(F.avg(F.col("_v").cast("double")).alias(val_col))
+    )

@@ -1,0 +1,119 @@
+"""BM25 sparse retrieval as a relational subplan — SURVEY.md §4.3(2).
+
+The reference keeps a pickled in-memory ``BM25Okapi`` index rebuilt from
+scratch on every ingest (backend/app/core/embeddings.py:162-232,
+vector_store.py:195-209). The engine re-expresses the index as three derived
+DataFrames:
+
+    postings(term, doc_id, tf)      — explode + groupBy
+    doc_stats(doc_id, dl)           — tokens per doc
+    corpus_stats(n_docs, avgdl)     — 1 row, broadcast
+
+Scoring a query is then: query terms ⨝ postings ⨝ df-per-term, with the
+rank_bm25-compatible Okapi formula as a column expression:
+
+    idf(t)  = ln((N - df + 0.5)/(df + 0.5) + 1)
+    s(d,t)  = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale: postings build is one shuffle on term; incremental append = union new
+postings + re-aggregate (fixes the reference's full-rebuild). Query scoring
+touches only the posting lists of the query's terms (predicate pushdown on
+``term``), so cost is independent of corpus size for selective terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.text import tokenize
+
+K1_DEFAULT = 1.5
+B_DEFAULT = 0.75
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """postings(doc_id, term, tf) from a document table."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc_stats(doc_id, dl) — token count per doc (post-tokenizer)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_scores(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    query_terms: list[str],
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Score every doc containing >= 1 query term. Output (doc_id, score).
+
+    All statistics (N, avgdl, df) are computed from the inputs — the operator
+    is a pure function of its tables, so the same call works on a streamed-in
+    incremental corpus. ``df`` per term and the 1-row corpus stats broadcast.
+    """
+    spark = postings.sparkSession
+    qt = spark.createDataFrame([(t,) for t in query_terms], ["term"]).distinct()
+    corpus = doc_stats.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    term_df = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(term_df), "term")
+        .join(doc_stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("term_score"), 6).alias("score"))
+
+
+def bm25_topk(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """End-to-end BM25 search over a raw document table (build + score + top-k).
+
+    Tie-break on doc_id for a total order (hash-stable top-k).
+    """
+    from vectordb_bioinsight_spark.functions.text import STOPWORDS  # local to avoid cycle
+
+    terms = [t for t in _tokenize_py(query) if t not in STOPWORDS]
+    postings = build_postings(documents, id_col, text_col)
+    stats = doc_lengths(documents, id_col, text_col)
+    scores = bm25_scores(postings, stats, terms)
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _tokenize_py(text: str, min_len: int = 3) -> list[str]:
+    """Driver-side twin of functions.text.tokenize (for query strings)."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= min_len]

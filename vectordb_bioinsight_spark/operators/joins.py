@@ -1,0 +1,163 @@
+"""Join operators — SURVEY.md §2.3.
+
+Dimension joins broadcast explicitly; the as-of join is a Spark-native
+composition (union + last-value window) that avoids the naive
+range-cross-join, which would be quadratic per key at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    fallback: dict[str, str] | None = None,
+) -> DataFrame:
+    """J1: dimension lookup join with fallback-to-self semantics.
+
+    Reference: gene-ID -> symbol mapping with fallback to the raw id
+    (agent1_deg.py:109-166). ``fallback={"symbol": "gene_id"}`` produces
+    ``coalesce(symbol, gene_id) AS symbol``. Explicit ``broadcast()`` — all
+    engine dimensions are KB-MB scale, and a broadcast hash join keeps the
+    fact table shuffle-free at any scale.
+    """
+    out = fact.join(F.broadcast(dim), on, "left")
+    for col, src in (fallback or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), F.col(src)))
+    return out
+
+
+def membership_flags(
+    fact: DataFrame,
+    key: str,
+    sets: dict[str, DataFrame],
+) -> DataFrame:
+    """J3: set-membership flags against N dimension tables in one pass.
+
+    Reference: COSMIC/OncoKB/TME membership (agent4_validation.py:98-129).
+    Instead of N semi-joins (N shuffles), union the dimensions into one
+    ``(key, source)`` table, broadcast it, and pivot flags out of a single
+    left join — one broadcast join total.
+    """
+    tagged = None
+    for name, dim in sets.items():
+        t = dim.select(F.col(dim.columns[0]).alias(key)).withColumn("_src", F.lit(name))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    flags = tagged.groupBy(key).agg(F.collect_set("_src").alias("_srcs"))
+    out = fact.join(F.broadcast(flags), key, "left")
+    for name in sets:
+        out = out.withColumn(f"in_{name}", F.coalesce(F.array_contains("_srcs", name), F.lit(False)))
+    return out.drop("_srcs")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (direction=backward).
+
+    SURVEY §2.3 'Absent' — declared engine capability. Implementation is the
+    scalable union-and-carry pattern: tag both sides, union, sort within key
+    by (ts, side), and carry the last right value forward with
+    ``last(ignorenulls=True)``. One shuffle on the key, O(n log n) per key —
+    versus the naive inequality join which Spark would execute as a
+    broadcast-nested-loop (quadratic).
+
+    Ties: a right row at exactly left_ts IS visible (<=), enforced by sorting
+    the right-side tag before the left at equal timestamps.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c) for c in value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    lcols = [c for c in lt.columns if c not in ("_ts", "_side")]
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    rt_full = rt
+    for c in lcols:
+        if c not in rt_full.columns:
+            rt_full = rt_full.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    unioned = lt.select(*lcols, *value_cols, "_ts", "_side").unionByName(
+        rt_full.select(*lcols, *value_cols, "_ts", "_side")
+    )
+    w = Window.partitionBy(on).orderBy(F.col("_ts"), F.col("_side")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned
+    for c in value_cols:
+        carried = carried.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).drop("_ts", "_side")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Range join (point-in-interval) via bucketing: explode each interval to
+    its covered buckets, equi-join on bucket, then re-check the predicate.
+    Turns a nested-loop inequality join into a hash join — the standard
+    scale-out trick when intervals are short relative to the domain.
+    """
+    lb = left.withColumn("_bkt", F.floor(F.col(left_point) / bucket_width).cast("long"))
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor(F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    on = ["_bkt", *extra_on]
+    return (
+        lb.join(rb, on)
+        .filter((F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) <= F.col(right_hi)))
+        .drop("_bkt")
+    )
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    item_col: str,
+    context_col: str,
+    min_weight: int = 1,
+) -> DataFrame:
+    """J7: co-occurrence self-join — items sharing a context become weighted
+    edges (keyword pairs weighted by shared papers, graph.py:352-368).
+
+    Output: (item1, item2, weight) with item1 < item2 (upper triangle).
+    Scale: shuffle on context; hot contexts are the skew risk — AQE skew-join
+    handles moderate skew, and callers should cap context fan-out first
+    (e.g. top-N items per context) exactly like the reference caps inputs.
+    """
+    a = df.select(F.col(context_col).alias("_ctx"), F.col(item_col).alias("item1")).distinct()
+    b = df.select(F.col(context_col).alias("_ctx"), F.col(item_col).alias("item2")).distinct()
+    return (
+        a.join(b, "_ctx")
+        .filter(F.col("item1") < F.col("item2"))
+        .groupBy("item1", "item2")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

@@ -1,0 +1,88 @@
+"""Relational core operators — SURVEY.md §2.2/§2.4/§2.6/§2.7.
+
+These are thin, well-typed wrappers that keep plans declarative; their value
+is the enforced discipline (deterministic top-k tie-breaks, aliased outputs,
+map-side-combinable aggregates), not cleverness. Catalyst provides pushdown,
+pruning, and join selection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int, tiebreak: Sequence[Column] = ()) -> DataFrame:
+    """Deterministic global top-k.
+
+    Reference W1: ``sorted(...)[:k]`` / ``nlargest`` (vector_store.py:354,
+    agent2_network.py:129-132). Spark compiles ``orderBy().limit(k)`` to
+    ``TakeOrderedAndProject`` — per-partition heap + driver merge, no global
+    sort shuffle, which is exactly the scalable physical plan for top-k.
+
+    ``tiebreak`` columns MUST make the ordering total: a top-k whose k-th and
+    (k+1)-th rows compare equal is nondeterministic across engines and breaks
+    hash-matching (and reproducibility at scale).
+    """
+    return df.orderBy(*order_by, *tiebreak).limit(k)
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str]) -> DataFrame:
+    """A15 exact dedup via groupBy-on-key (NOT dropDuplicates).
+
+    ``dropDuplicates`` keeps an arbitrary row per key — nondeterministic under
+    parallelism. For engine semantics we keep the row with the minimal struct
+    of the remaining columns, i.e. a deterministic representative, via
+    ``min_by`` on a canonical ordering column chosen by the caller's first
+    subset column. Reference: unique papers keyed by title
+    (vector_store.py:446-459).
+    """
+    other = [c for c in df.columns if c not in subset]
+    if not other:
+        return df.distinct()
+    agg = [F.min(c).alias(c) for c in other]
+    return df.groupBy(*subset).agg(*agg)
+
+
+def count_distinct_exact(df: DataFrame, cols: Sequence[str], alias: str = "n_distinct") -> DataFrame:
+    return df.agg(F.countDistinct(*[F.col(c) for c in cols]).alias(alias))
+
+
+def conditional_counts(df: DataFrame, group_cols: Sequence[str], conditions: dict[str, Column]) -> DataFrame:
+    """A12: ``sum(when(cond, 1))`` conditional aggregation — one shuffle for
+    any number of flags (agent4_validation.py:540-546)."""
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name) for name, cond in conditions.items()]
+    return df.groupBy(*group_cols).agg(*aggs) if group_cols else df.agg(*aggs)
+
+
+def filter_by_group_sum(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_sum: float,
+) -> DataFrame:
+    """F3: keep rows whose group-total >= min_sum (low-count gene filter,
+    agent1_deg.py:193-195). Implemented as agg + broadcast-able semi-join so
+    the fact table is scanned once and never collected."""
+    keep = df.groupBy(group_col).agg(F.sum(value_col).alias("_s")).filter(F.col("_s") >= min_sum)
+    return df.join(keep.select(group_col), group_col, "left_semi")
+
+
+def prevalence_filter(
+    df: DataFrame,
+    group_col: str,
+    sample_col: str,
+    value_col: str,
+    min_value: float,
+    min_fraction: float,
+) -> DataFrame:
+    """F4: keep groups where value >= min_value in >= min_fraction of samples
+    (ml/preprocessor.py:76-90). Single conditional aggregation + semi-join."""
+    stats = df.groupBy(group_col).agg(
+        F.sum(F.when(F.col(value_col) >= min_value, 1).otherwise(0)).alias("_hits"),
+        F.countDistinct(sample_col).alias("_n"),
+    )
+    keep = stats.filter(F.col("_hits") >= F.col("_n") * min_fraction)
+    return df.join(keep.select(group_col), group_col, "left_semi")

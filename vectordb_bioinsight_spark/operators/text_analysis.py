@@ -1,0 +1,100 @@
+"""Text-analysis operators — BASELINE extension (LLM-data-pipeline ops).
+
+Language-ID heuristic, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table. All pure column
+expressions — a 100 TB corpus pass is an embarrassingly parallel projection
+with predicate/column pruning intact (only ``doc_id, text`` are read).
+
+Reference analogs: junk-content predicate (backend/app/core/text_splitter.py:
+17-52, 123-179), keyword tokenize + stopword discipline
+(backend/app/utils/trend_analyzer.py:216-230).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+from vectordb_bioinsight_spark.functions.text import STOPWORDS, punct_ratio, token_count, tokenize
+
+#: Tiny per-language stopword profiles for the n-gram/stopword language
+#: heuristic. Deterministic and SQL-expressible; a real model would be a
+#: broadcast dimension table with the same join shape.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "for", "with", "that"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("los", "las", "que", "una", "por"),
+    "fr": ("les", "des", "une", "est", "pour"),
+}
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char/quality statistics.
+
+    Output: (doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len,
+    punct_ratio, stopword_ratio, quality_score). All ratios rounded 6 dp.
+    quality_score is a deterministic [0,1] heuristic: penalize very short
+    docs, high punctuation, low stopword incidence — the reference's junk
+    heuristics re-expressed as a score.
+    """
+    toks = tokenize(F.col(text_col))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    stop_ratio = F.when(n_tok > 0, n_sw.cast("double") / n_tok).otherwise(F.lit(0.0))
+    avg_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    pr = punct_ratio(F.col(text_col))
+    quality = (
+        F.least(n_tok.cast("double") / 20.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language heuristic. Output (doc_id, lang_pred, lang_hits).
+
+    Picks the language whose profile words occur most often (ties broken by
+    lexicographically-last language code — a total, deterministic order).
+    ``unknown`` when nothing hits.
+    """
+    toks = tokenize(F.col(text_col), min_len=2)
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in words]), t))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    # Struct comparison is field-by-field: desc sort gives max hits, then
+    # lexicographically-last lang on ties — a total order.
+    best = F.sort_array(F.array(*scores), asc=False).getItem(0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("unknown")).alias("lang_pred"),
+        best.getField("hits").cast("long").alias("lang_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint: portable 64-bit hash of the normalized token
+    stream (case/punct-insensitive content identity — 'rolling hash' family).
+
+    Output (doc_id, fp). Two docs with identical token streams share fp.
+    """
+    normalized = F.concat_ws(" ", tokenize(F.col(text_col)))
+    return df.select(F.col(id_col).alias("doc_id"), portable_hash64(normalized).alias("fp"))

@@ -1,0 +1,71 @@
+"""Corpus/trend analytics — SURVEY.md A6/A7/A8 + streaming batch twin.
+
+Reference: papers-per-year histograms and keyword trend classification
+(backend/app/utils/trend_analyzer.py:144-282): split the year range at its
+midpoint, compare recent vs older keyword counts, label emerging (>2x),
+declining (<0.5x), else stable.
+
+Engine shape: one tokenise+explode pass, two filtered aggregations expressed
+as a single conditional aggregation (no second scan), a when-ladder label.
+Fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.text import STOPWORDS, tokenize
+
+
+def keyword_frequencies(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 20,
+    drop_stopwords: bool = True,
+) -> DataFrame:
+    """A7: top-N token frequencies. Output (word, n) ordered desc, word asc
+    tiebreak (total order for hash-stable top-N)."""
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    if drop_stopwords:
+        sw = F.array(*[F.lit(s) for s in STOPWORDS])
+        words = words.filter(~F.array_contains(sw, F.col("word")))
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(top_n)
+    )
+
+
+def histogram_by_bucket(df: DataFrame, bucket: Column, name: str = "bucket") -> DataFrame:
+    """A6: counts per bucket (papers-per-year / events-per-day)."""
+    return df.groupBy(bucket.alias(name)).agg(F.count("*").cast("long").alias("n"))
+
+
+def trend_classification(
+    df: DataFrame,
+    key_col: str,
+    time_col: Column,
+    split_point,
+    emerging_ratio: float = 2.0,
+    declining_ratio: float = 0.5,
+) -> DataFrame:
+    """A8: emerging/declining/stable per key.
+
+    recent = count where time >= split_point, older = count before it — one
+    conditional aggregation (single shuffle). Ratio guards division by zero
+    the way the reference does: older==0 & recent>0 -> emerging.
+    Output (key, older_n, recent_n, trend).
+    """
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.when(time_col < split_point, 1).otherwise(0)).cast("long").alias("older_n"),
+        F.sum(F.when(time_col >= split_point, 1).otherwise(0)).cast("long").alias("recent_n"),
+    )
+    trend = (
+        F.when((F.col("older_n") == 0) & (F.col("recent_n") > 0), F.lit("emerging"))
+        .when(F.col("recent_n") > F.col("older_n") * emerging_ratio, F.lit("emerging"))
+        .when(F.col("recent_n") < F.col("older_n") * declining_ratio, F.lit("declining"))
+        .otherwise(F.lit("stable"))
+    )
+    return agg.withColumn("trend", trend)

@@ -1,0 +1,141 @@
+"""Vector search operators — SURVEY.md §2.9 (V3, J5, A5) + BASELINE ANN extension.
+
+Brute-force kNN is the correctness baseline: a broadcast query vector, a
+JVM-side cosine/L2 expression, and ``TakeOrderedAndProject`` — per-partition
+heaps, no global sort, scans the corpus once. That plan is already optimal for
+one-off exact kNN at any scale (you cannot beat a single scan without an
+index).
+
+The scale path is LSH bucketing (random hyperplane signs — the classic SimHash
+-for-cosine family): signatures are a pure projection, candidate generation is
+an equi-join on (band, bucket), and exact re-scoring touches only candidates.
+Hyperplanes are derived deterministically from the portable hash so results
+are reproducible across runs/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.vector import cosine_similarity, dot_product, l2_distance
+
+
+def knn_brute_force(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k nearest neighbours to one query vector.
+
+    Output (id, score) — score rounded to 6 dp, ordered best-first with id
+    tie-break. Reference V3: Chroma ``collection.query`` (vector_store.py:272-299).
+    """
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    if metric == "cosine":
+        score = cosine_similarity(F.col(vec_col), qv)
+        order = [F.desc("score"), F.asc(id_col)]
+    elif metric == "dot":
+        score = dot_product(F.col(vec_col), qv)
+        order = [F.desc("score"), F.asc(id_col)]
+    elif metric == "l2":
+        score = l2_distance(F.col(vec_col), qv)
+        order = [F.asc("score"), F.asc(id_col)]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        vectors.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
+def similarity_self_join(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """J5/near-dup: all-pairs cosine over a vector table, upper triangle.
+
+    Without ``block_col`` this is a true cross join — correct but quadratic;
+    callers at scale pass a blocking key (e.g. an LSH band from
+    ``lsh_assign_buckets``) that turns it into an equi-join.
+    Output (id1, id2, cosine) rounded 6 dp.
+    """
+    a = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+    b = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
+    if block_col is not None:
+        a = a.join(vectors.select(F.col(id_col).alias("id1"), F.col(block_col).alias("_blk")), "id1")
+        b = b.join(vectors.select(F.col(id_col).alias("id2"), F.col(block_col).alias("_blk")), "id2")
+        joined = a.join(b, "_blk").drop("_blk")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def lsh_assign_buckets(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (deterministic, seeded).
+
+    Hyperplane coefficients come from a seeded driver-side RNG and are inlined
+    as literals — a tiny broadcast, reproducible everywhere. Bucket = integer
+    whose bit j is sign(v·p_j). Vectors in the same bucket are cosine-close
+    with high probability; use as ``block_col`` for similarity_self_join or
+    group-by for IVF-style search.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        pv = F.array(*[F.lit(x) for x in p])
+        bucket = bucket + F.when(dot_product(F.col(vec_col), pv) >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return vectors.withColumn("bucket", bucket)
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN: score only vectors in the query's LSH bucket.
+
+    Falls back to nothing-found if the bucket is empty (callers widen with
+    multi-probe by lowering num_planes). The physical plan is a pushed-down
+    equality filter on the bucket column + TakeOrdered — at scale, bucket
+    becomes a partition key and the scan prunes to one partition.
+    """
+    bucketed = lsh_assign_buckets(vectors, id_col, vec_col, dim, num_planes, seed)
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+    qb = 0
+    for j, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qb |= 1 << j
+    return knn_brute_force(bucketed.filter(F.col("bucket") == qb), id_col, vec_col, query_vec, k)

@@ -1,0 +1,97 @@
+"""Window / ranking operators — SURVEY.md §2.5.
+
+Scale note: every function here takes explicit partition keys. An
+unpartitioned window (single global sort) is only ever used where the input is
+provably bounded (e.g. ranked top-k candidate sets, <= fetch_k rows); for
+corpus-wide normalization we compute the aggregate separately and broadcast-join
+it back instead of using an empty ``partitionBy`` — identical semantics, no
+single-reducer bottleneck at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rank_rows(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    partition_by: Sequence[str] = (),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """W2: dense 1-based rank assignment via row_number (requires a total
+    order — include a tiebreak key). Reference: enumerate(sorted(results))
+    (precision_search.py:226-229)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by) if partition_by else Window.orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def flag_top_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    flag_col: str = "is_top",
+) -> DataFrame:
+    """W4: flag first k rows per group (hub flag, agent2_network.py:286-290)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(flag_col, (F.row_number().over(w) <= k))
+
+
+def max_normalize(df: DataFrame, cols: Sequence[str], suffix: str = "_norm") -> DataFrame:
+    """W5: normalize columns by their global max (agent2_network.py:270-284).
+
+    Implemented as a 1-row aggregate cross-joined back (broadcast) — NOT an
+    unpartitioned window, so it scales: the agg is map-side combinable and the
+    join side is one row.
+    """
+    maxes = df.agg(*[F.max(F.col(c)).alias(f"_max_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(maxes))
+    for c in cols:
+        out = out.withColumn(c + suffix, F.when(F.col(f"_max_{c}") != 0, F.col(c) / F.col(f"_max_{c}")).otherwise(F.lit(0.0)))
+    return out.drop(*[f"_max_{c}" for c in cols])
+
+
+def percent_composition(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    count_col: str,
+    pct_col: str = "pct",
+) -> DataFrame:
+    """W7: count / sum(count) within partition (cluster composition,
+    singlecell/agent2_cluster.py:499-515)."""
+    w = Window.partitionBy(*partition_by)
+    return df.withColumn(pct_col, F.col(count_col) / F.sum(count_col).over(w))
+
+
+def running_aggregate(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Running sum over an ordered frame (engine capability beyond the
+    reference — SURVEY §2.5 'Absent')."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def lag_delta(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    delta_col: str = "delta",
+) -> DataFrame:
+    """lag/lead delta (week-over-week change semantics,
+    bio-daily-briefing/src/trend_analyzer.py:34-66)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(delta_col, F.col(value_col) - F.lag(value_col).over(w))

@@ -1,0 +1,75 @@
+"""The full query catalog: name -> (spark callable, DuckDB oracle SQL | None).
+
+This is the driver-facing surface (__spark_entry__.py re-exports it) and the
+engine's own regression suite: every SURVEY.md §2 operator family implemented
+so far has at least one entry here, and every entry with an oracle is
+hash-matched against DuckDB at sf0.01 by the driver (and at sf0.001 by
+tests/test_oracle_parity.py locally).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vectordb_bioinsight_spark.plans import catalog_events as ev
+from vectordb_bioinsight_spark.plans import catalog_relational as rel
+from vectordb_bioinsight_spark.plans import catalog_text as tx
+from vectordb_bioinsight_spark.plans import catalog_vector as vec
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (query fn, oracle SQL or None for rows-only checks)
+CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    # --- relational core (TPC-H-shaped) ---
+    "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
+    "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
+    "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
+    "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
+    "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
+    "first_order_per_customer": (rel.q_first_order_per_customer, rel.SQL_FIRST_ORDER_PER_CUSTOMER),
+    "supplier_nation_lookup": (rel.q_supplier_nation_lookup, rel.SQL_SUPPLIER_NATION_LOOKUP),
+    "lineitem_flags": (rel.q_lineitem_flags, rel.SQL_LINEITEM_FLAGS),
+    "customer_running_total": (rel.q_customer_running_total, rel.SQL_CUSTOMER_RUNNING_TOTAL),
+    "order_gap_days": (rel.q_order_gap_days, rel.SQL_ORDER_GAP_DAYS),
+    "customers_without_orders": (rel.q_customers_without_orders, rel.SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "part_price_spread": (rel.q_part_price_spread, rel.SQL_PART_PRICE_SPREAD),
+    "quantity_share_ppm": (rel.q_quantity_share_ppm, rel.SQL_QUANTITY_SHARE_PPM),
+    "minmax_acctbal": (rel.q_minmax_acctbal, rel.SQL_MINMAX_ACCTBAL),
+    "recency_score": (rel.q_recency_score, rel.SQL_RECENCY_SCORE),
+    "orders_per_month": (rel.q_orders_per_month, rel.SQL_ORDERS_PER_MONTH),
+    # --- events / windows / stats ---
+    "daily_event_counts": (ev.q_daily_event_counts, ev.SQL_DAILY_EVENT_COUNTS),
+    "event_share_per_day": (ev.q_event_share_per_day, ev.SQL_EVENT_SHARE_PER_DAY),
+    "event_trends": (ev.q_event_trends, ev.SQL_EVENT_TRENDS),
+    "signup_before_purchase": (ev.q_signup_before_purchase, ev.SQL_SIGNUP_BEFORE_PURCHASE),
+    "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
+    "bh_adjust": (ev.q_bh_adjust, ev.SQL_BH_ADJUST),
+    "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
+    # --- text analysis & dedup ---
+    "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
+    "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
+    "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
+    "fingerprint": (tx.q_fingerprint, tx.SQL_FINGERPRINT),
+    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
+    "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
+    "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
+    "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
+    "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
+    "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
+    # --- vector / retrieval core ---
+    "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
+    "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
+    "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
+    "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
+    "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in CATALOG.items() if sql is not None}

@@ -1,0 +1,195 @@
+"""Events & statistics query catalog — SURVEY.md §2.5 windows, A3/A4 stats,
+A6/A8 trends, plus the as-of/range join capabilities, on the driver's
+``events`` table. Each query paired with its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.joins import asof_join
+from vectordb_bioinsight_spark.operators.stats import bh_adjust, group_moments
+from vectordb_bioinsight_spark.operators.trends import trend_classification
+from vectordb_bioinsight_spark.operators.windows import percent_composition
+from vectordb_bioinsight_spark.functions.stats import welch_t
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+SPLIT_TS = "2024-01-16"
+
+
+def q_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: counts per (day, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+
+
+SQL_DAILY_EVENT_COUNTS = """
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, count(*) AS n, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_share_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: percent composition of event types within each day."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    out = percent_composition(counts, ["day"], "n", "pct")
+    return out.select("day", "event_type", "n", F.round("pct", 6).alias("pct"))
+
+
+SQL_EVENT_SHARE_PER_DAY = """
+WITH counts AS (
+  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n, round(n / sum(n) OVER (PARTITION BY day)::DOUBLE, 6) AS pct
+FROM counts
+"""
+
+
+def q_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: emerging/declining/stable per event_type, split at mid-month
+    (trend_analyzer.py:232-282 ratio rules)."""
+    ev = load_table(spark, sf_dir, "events")
+    return trend_classification(ev, "event_type", F.col("ts"), F.lit(SPLIT_TS).cast("timestamp"))
+
+
+SQL_EVENT_TRENDS = f"""
+WITH agg AS (
+  SELECT event_type AS key,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '{SPLIT_TS}' THEN 1 ELSE 0 END) AS BIGINT) AS older_n,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN 1 ELSE 0 END) AS BIGINT) AS recent_n
+  FROM events GROUP BY 1
+)
+SELECT key, older_n, recent_n,
+       CASE WHEN older_n = 0 AND recent_n > 0 THEN 'emerging'
+            WHEN recent_n > older_n * 2.0 THEN 'emerging'
+            WHEN recent_n < older_n * 0.5 THEN 'declining'
+            ELSE 'stable' END AS trend
+FROM agg
+"""
+
+
+def q_signup_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase matched to the user's latest
+    signup at-or-before it. SURVEY §2.3 'Absent' capability; implemented as
+    the scalable union-and-carry composition, oracled by DuckDB's native
+    ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases,
+        signups.withColumn("sts", F.col("signup_ts")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="sts",
+        value_cols=["signup_ts"],
+    )
+    return out.select("event_id", "user_id", "signup_ts")
+
+
+SQL_SIGNUP_BEFORE_PURCHASE = """
+SELECT p.event_id, p.user_id, s.ts AS signup_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def q_welch_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Welch t statistic per event_type — first half of the month vs the
+    second. Moments in one conditional aggregation; t is closed-form
+    (agent1_deg.py:390-414 semantics, JVM-side)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "half", F.when(F.col("ts") < F.lit(SPLIT_TS).cast("timestamp"), "a").otherwise("b")
+    )
+    m = group_moments(ev, ["event_type"], "half", "value", "a", "b")
+    out = m.withColumn(
+        "t_stat", welch_t(F.col("mean_a"), F.col("var_a"), F.col("n_a"), F.col("mean_b"), F.col("var_b"), F.col("n_b"))
+    )
+    return out.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+    )
+
+
+SQL_WELCH_HALVES = f"""
+WITH m AS (
+  SELECT event_type,
+         avg(CASE WHEN ts <  TIMESTAMP '{SPLIT_TS}' THEN value END) AS mean_a,
+         var_samp(CASE WHEN ts <  TIMESTAMP '{SPLIT_TS}' THEN value END) AS var_a,
+         count(CASE WHEN ts <  TIMESTAMP '{SPLIT_TS}' THEN value END)::DOUBLE AS n_a,
+         avg(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN value END) AS mean_b,
+         var_samp(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN value END) AS var_b,
+         count(CASE WHEN ts >= TIMESTAMP '{SPLIT_TS}' THEN value END)::DOUBLE AS n_b
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat
+FROM m
+"""
+
+
+def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: BH-FDR over a deterministic pseudo-p column ((event_id*37) mod
+    1000 / 1000) — exercises the double-window reverse-cummin implementation
+    including tie groups (multipletests 'fdr_bh' parity)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (((F.col("event_id") * 37) % 1000) / 1000.0).alias("pvalue")
+    )
+    out = bh_adjust(ev, "pvalue", "padj")
+    return out.select("event_id", F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj"))
+
+
+SQL_BH_ADJUST = """
+WITH p AS (
+  SELECT event_id, ((event_id * 37) % 1000) / 1000.0 AS pvalue FROM events
+), ranked AS (
+  SELECT event_id, pvalue,
+         row_number() OVER (ORDER BY pvalue ASC) AS rnk,
+         count(*) OVER () AS n
+  FROM p
+), raw AS (
+  SELECT event_id, pvalue, pvalue * n::DOUBLE / rnk AS raw, rnk FROM ranked
+)
+SELECT event_id, round(pvalue, 6) AS pvalue,
+       round(least(min(raw) OVER (ORDER BY pvalue DESC, rnk DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS padj
+FROM raw
+"""
+
+
+def q_user_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered window: event sequence number and running value sum —
+    the per-entity stateful-scan shape that becomes a keyed stream at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.round(F.sum("value").over(wsum), 4).alias("running_value"),
+    )
+
+
+SQL_USER_EVENT_WINDOW_STATS = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""

@@ -1,0 +1,267 @@
+"""Text-analysis & dedup query catalog — BASELINE's LLM-data-pipeline
+extensions on the ``documents`` table, every one oracle-checkable thanks to
+the portable md5-derived hash (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.text import STOPWORDS, tokenize_duckdb
+from vectordb_bioinsight_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+from vectordb_bioinsight_spark.operators.text_analysis import fingerprint, language_id, text_stats
+from vectordb_bioinsight_spark.operators.trends import keyword_frequencies
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_TOK3 = tokenize_duckdb("text")
+_TOK2 = tokenize_duckdb("text", min_len=2)
+_SHINGLE3 = (
+    "CASE WHEN length(tk) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, length(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END"
+)
+
+
+def q_keyword_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: top-20 non-stopword token frequencies (trend_analyzer.py:216-230)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_frequencies(docs, "text", top_n=20)
+
+
+SQL_KEYWORD_TOPN = f"""
+WITH words AS (
+  SELECT unnest({_TOK3}) AS word FROM documents
+)
+SELECT word, count(*) AS n FROM words
+WHERE NOT list_contains({_SW_SQL}, word)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/quality statistics (junk-filter semantics of
+    text_splitter.py:17-52 re-expressed as a deterministic score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs, "doc_id", "text")
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOK3} AS tk,
+         length(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+         length(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g'))::DOUBLE / length(text) AS pr
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         n_ws_tokens AS n_tokens,
+         length(list_distinct(tk)) AS n_distinct_tokens,
+         CASE WHEN length(tk) > 0
+              THEN list_sum(list_transform(tk, t -> length(t)))::DOUBLE / length(tk)
+              ELSE 0.0 END AS avg_token_len,
+         pr,
+         CASE WHEN length(tk) > 0
+              THEN length(list_filter(tk, t -> list_contains({_SW_SQL}, t)))::DOUBLE / length(tk)
+              ELSE 0.0 END AS sr,
+         length(tk) AS n_tok
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
+       round(least(n_tok / 20.0, 1.0) * 0.4
+             + (1.0 - least(pr * 5.0, 1.0)) * 0.3
+             + least(sr * 4.0, 1.0) * 0.3, 6) AS quality_score
+FROM feat
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language heuristic per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs, "doc_id", "text")
+
+
+SQL_LANGUAGE_ID = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK2} AS tk FROM documents
+), hits AS (
+  SELECT doc_id, 'de' AS lang,
+         length(list_filter(tk, t -> list_contains(['der','die','und','das','ein'], t))) AS h FROM toks
+  UNION ALL
+  SELECT doc_id, 'en', length(list_filter(tk, t -> list_contains(['the','and','for','with','that'], t))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'es', length(list_filter(tk, t -> list_contains(['los','las','que','una','por'], t))) FROM toks
+  UNION ALL
+  SELECT doc_id, 'fr', length(list_filter(tk, t -> list_contains(['les','des','une','est','pour'], t))) FROM toks
+), ranked AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+  FROM hits
+)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'unknown' END AS lang_pred, CAST(h AS BIGINT) AS lang_hits
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable content fingerprint of the normalized token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       (('0x' || substr(md5(array_to_string({_TOK3}, ' ')), 1, 15))::BIGINT) AS fp
+FROM documents
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over a normalized key — here the first-10-token
+    prefix (boilerplate-prefix duplicates), so the operator is exercised on
+    a corpus whose full texts are unique."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 3)
+    keyed = docs.withColumn("_prefix", F.concat_ws(" ", F.slice(toks, 1, 10)))
+    return exact_duplicates(keyed, "doc_id", "_prefix")
+
+
+SQL_EXACT_DUP_GROUPS = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(array_to_string(({_TOK3})[1:10], ' ')), 1, 15))::BIGINT) AS content_hash
+  FROM documents
+)
+SELECT content_hash, count(*) AS n_docs, list_sort(list(doc_id)) AS doc_ids
+FROM keyed GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 salted portable hashes over 3-shingles), long form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM toks, unnest({_SHINGLE3}) AS u(s)
+), salted AS (
+  SELECT doc_id, r.range AS h_idx,
+         (('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS hv
+  FROM sh, range(8) r
+)
+SELECT doc_id, h_idx, min(hv) AS min_hash FROM salted GROUP BY 1, 2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (distinct-token votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK3})) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hv FROM toks
+), votes AS (
+  SELECT doc_id, r.range AS bit,
+         CASE WHEN (hv & (1::BIGINT << r.range)) != 0 THEN 1 ELSE -1 END AS vote,
+         (1::BIGINT << r.range) AS weight
+  FROM hashed, range(16) r
+), bitvals AS (
+  SELECT doc_id, bit, CASE WHEN sum(vote) > 0 THEN max(weight) ELSE 0 END AS bitval
+  FROM votes GROUP BY 1, 2
+)
+SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bitvals GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (jaccard >= 0.1), generated via the
+    shared-shingle join (no cross product)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.1)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM toks, unnest({_SHINGLE3}) AS u(s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_size
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(s1.n_sh + s2.n_sh - inter_size AS BIGINT) AS union_size,
+       round(inter_size::DOUBLE / (s1.n_sh + s2.n_sh - inter_size), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE round(inter_size::DOUBLE / (s1.n_sh + s2.n_sh - inter_size), 6) >= 0.1
+"""
+
+
+def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: word co-occurrence edges — pairs of length>=4 tokens sharing a
+    document, weight = number of shared docs (graph.py:352-368 semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: F.length(t) >= 4
+        ))).alias("word")
+    )
+    return cooccurrence_edges(pairs, "word", "doc_id", min_weight=50)
+
+
+SQL_WORD_COOCCURRENCE = """
+WITH dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          t -> length(t) >= 4)) AS word
+    FROM documents
+  )
+)
+SELECT a.word AS item1, b.word AS item2, count(*) AS weight
+FROM dw a JOIN dw b USING (doc_id)
+WHERE a.word < b.word
+GROUP BY 1, 2 HAVING count(*) >= 50
+"""
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-source corpus stats (chunk counts by section semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+SQL_SOURCE_STATS = """
+SELECT source, count(*) AS n_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY source
+"""

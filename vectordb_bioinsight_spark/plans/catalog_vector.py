@@ -1,0 +1,205 @@
+"""Vector / retrieval query catalog — SURVEY.md §2.9 (the VectorDB core) on
+the driver's ``embeddings`` + ``documents`` tables (doc_id ≡ vec_id).
+
+The hybrid-search flagship mirrors the reference's §3.1 lifecycle as ONE lazy
+DataFrame DAG: dense arm (brute-force cosine kNN) + sparse arm (BM25 subplan)
+→ RRF full-outer fusion → normalized top-k. No imperative staging — Catalyst
+sees the whole plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.text import tokenize_duckdb
+from vectordb_bioinsight_spark.functions.vector import array_mean_long
+from vectordb_bioinsight_spark.operators.bm25 import bm25_topk
+from vectordb_bioinsight_spark.operators.fusion import rrf_fuse
+from vectordb_bioinsight_spark.operators.vector import knn_brute_force
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+QUERY_VEC_ID = 0
+HYBRID_QUERY_TEXT = "merge join filter"
+_TOK3 = tokenize_duckdb("text")
+
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    """Fetch the query vector once per sf_dir (a query *parameter*, not a
+    distributed read — one row via pushed-down vec_id filter)."""
+    key = f"{sf_dir}:{vec_id}"
+    if key not in _QUERY_VEC_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        _QUERY_VEC_CACHE[key] = [float(x) for x in row[0]]
+    return _QUERY_VEC_CACHE[key]
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: exact brute-force cosine top-10 to the vec_id=0 query vector.
+    Physical plan: single scan + TakeOrderedAndProject (per-partition heaps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    out = knn_brute_force(emb, "vec_id", "embedding", qv, k=10, metric="cosine")
+    return out.withColumnRenamed("score", "cosine")
+
+
+SQL_KNN_COSINE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+), sums AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 (L2 metric — Chroma's default distance, vector_store.py:272-299)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    out = knn_brute_force(emb, "vec_id", "embedding", qv, k=10, metric="l2")
+    return out.withColumnRenamed("score", "l2_dist")
+
+
+SQL_KNN_L2 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+), sums AS (
+  SELECT vec_id, sum((x - y) * (x - y)) AS ss FROM pairs GROUP BY 1
+)
+SELECT vec_id, round(sqrt(ss), 6) AS l2_dist
+FROM sums ORDER BY l2_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: element-wise mean embedding per label, long form (label, pos, avg_val)
+    — per-paper mean-embedding semantics (vector_store.py:508-536)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = array_mean_long(emb, ["label"], "embedding")
+    return out.select(
+        "label", F.col("pos").cast("long").alias("pos"), F.round("avg_val", 6).alias("avg_val")
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(gs - 1 AS BIGINT) AS pos, round(avg(v), 6) AS avg_val
+FROM (
+  SELECT label, unnest(embedding)::DOUBLE AS v, generate_subscripts(embedding, 1) AS gs
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: BM25 Okapi top-10 as a relational subplan (postings ⨝ stats ⨝ query
+    terms), rank_bm25-compatible scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", HYBRID_QUERY_TEXT, k=10)
+
+
+def _sql_bm25_scores(limit: int) -> str:
+    terms = ", ".join(f"'{t}'" for t in HYBRID_QUERY_TEXT.split())
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), postings AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+), ds AS (
+  SELECT doc_id, length(tk) AS dl FROM toks
+), corpus AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM ds
+), qt AS (
+  SELECT unnest([{terms}]) AS term
+), tdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM postings JOIN qt USING (term) GROUP BY 1
+), scored AS (
+  SELECT p.doc_id,
+         ln((c.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+         * (p.tf * 2.5) / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS ts
+  FROM postings p JOIN tdf t USING (term) JOIN ds d USING (doc_id), corpus c
+)
+SELECT doc_id, round(sum(ts), 6) AS score FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id ASC LIMIT {limit}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25_scores(10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 flagship: hybrid search — dense cosine arm + BM25 arm, RRF-fused
+    with the reference's weights/constant (0.6 dense / 0.4 sparse, k=60,
+    normalize to 0-100; vector_store.py:301-387, config.py:157-158).
+
+    One lazy DAG: two bounded arms (fetch_k=50) → window rank → full-outer
+    join → score expression → top-10.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    dense = knn_brute_force(emb, "vec_id", "embedding", qv, k=50, metric="cosine").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    sparse = bm25_topk(docs, "doc_id", "text", HYBRID_QUERY_TEXT, k=50)
+    fused = rrf_fuse(
+        {"dense": dense, "sparse": sparse},
+        id_col="doc_id",
+        score_col="score",
+        weights={"dense": 0.6, "sparse": 0.4},
+        rrf_k=60,
+        normalize=True,
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+def _sql_hybrid_rrf() -> str:
+    dense_arm = f"""
+  SELECT vec_id AS doc_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS score
+  FROM (
+    SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+    FROM (
+      SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+      FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    ) GROUP BY 1
+  ) ORDER BY score DESC, doc_id ASC LIMIT 50
+"""
+    sparse_arm = _sql_bm25_scores(50)
+    return f"""
+WITH dense AS ({dense_arm}),
+sparse AS ({sparse_arm}),
+dr AS (
+  SELECT doc_id, 0.6 / (60.0 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS c_dense
+  FROM dense
+), sr AS (
+  SELECT doc_id, 0.4 / (60.0 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS c_sparse
+  FROM sparse
+), fused AS (
+  SELECT coalesce(dr.doc_id, sr.doc_id) AS doc_id,
+         coalesce(c_dense, 0.0) + coalesce(c_sparse, 0.0) AS rrf_raw
+  FROM dr FULL OUTER JOIN sr ON dr.doc_id = sr.doc_id
+)
+SELECT doc_id, round(rrf_raw / (SELECT max(rrf_raw) FROM fused) * 100.0, 6) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL_HYBRID_RRF = _sql_hybrid_rrf()

@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (single JVM); the configs below are chosen
+so the same code degrades gracefully to a 1000-executor cluster: AQE enabled
+(runtime broadcast/skew re-planning), Arrow on (pandas UDF hot paths), and
+shuffle partitions sized to cores locally (a cluster deployment overrides
+``spark.sql.shuffle.partitions`` / relies on AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "vectordb_bioinsight_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    AQE is on so that at scale: small post-filter sides auto-broadcast, skewed
+    shuffle partitions split (hub genes / hot terms are the classic skew case,
+    SURVEY.md §4.2), and tiny partitions coalesce.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

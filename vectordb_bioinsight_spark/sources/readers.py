@@ -1,0 +1,132 @@
+"""Readers — SURVEY.md §2.1.
+
+S1  CSV/TSV scan with delimiter sniff   (reference: rnaseq_pipeline/utils/base_agent.py:73-112)
+S2  Parquet collection scan             (reference: backend/app/core/vector_store.py:200-209)
+S5  VCF scan via text + regex           (reference: rnaseq_pipeline/agents/agent_variant.py:414-517)
+S6  MAF scan (TSV, fixed columns)       (reference: rnaseq_pipeline/agents/agent_variant.py:518-581)
+
+Design: every scan stays a declarative ``spark.read`` so Catalyst gets
+predicate pushdown / column pruning / partition pruning for free. The sniffing
+layer only peeks at the first KB of one file on the driver — it never forces a
+full read.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables in the driver-provided TPC-H-ish testdata (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2: parquet scan of one testdata table (column-pruned / filter-pushed).
+
+    The ``events`` table carries TIMESTAMP(NANOS) — a parquet type Spark's
+    vectorized reader rejects. We read nanos as long (legacy conf) and rebuild
+    a microsecond timestamp JVM-side: ``timestamp_micros(ns div 1000)``,
+    matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast (floor to micros).
+    """
+    df = None
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _ = df.schema  # force schema resolution to surface nanos errors
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer `div` — float division would lose precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load several testdata tables at once (lazy — no IO until an action)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def sniff_delimiter(path: str, sample_bytes: int = 4096) -> str:
+    """Delimiter sniff mirroring the reference's tab/comma/Sniffer fallback
+    (base_agent.py:73-112): prefer tab if present in the header line, else
+    comma, else csv.Sniffer.
+    """
+    with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        head = fh.read(sample_bytes)
+    first_line = head.splitlines()[0] if head else ""
+    if "\t" in first_line:
+        return "\t"
+    if "," in first_line:
+        return ","
+    try:
+        return _csv.Sniffer().sniff(head).delimiter
+    except Exception:
+        return ","
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+) -> DataFrame:
+    """S1: CSV/TSV scan with delimiter sniffing.
+
+    With an explicit ``schema`` the scan is single-pass; without one we let
+    Spark infer (two passes — acceptable for small dimension uploads, which is
+    the only place the reference uses sniffing).
+    """
+    sep = sniff_delimiter(path)
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_vcf(spark: SparkSession, path: str) -> DataFrame:
+    """S5: VCF scan — text source + regex/split extraction, fully JVM-side.
+
+    Mirrors the reference parse (agent_variant.py:414-517): skip ``##``/``#``
+    headers, split the 8 fixed columns, keep INFO as a raw string column that
+    downstream ops pick apart with ``regexp_extract``.
+    """
+    lines = spark.read.text(path)
+    data = lines.filter(~F.col("value").startswith("#"))
+    parts = F.split(F.col("value"), "\t")
+    return data.select(
+        parts.getItem(0).alias("chromosome"),
+        parts.getItem(1).cast("long").alias("position"),
+        parts.getItem(2).alias("variant_id"),
+        parts.getItem(3).alias("ref"),
+        parts.getItem(4).alias("alt"),
+        parts.getItem(5).alias("qual"),
+        parts.getItem(6).alias("filter"),
+        parts.getItem(7).alias("info"),
+    )
+
+
+def read_maf(spark: SparkSession, path: str) -> DataFrame:
+    """S6: MAF scan — plain TSV with a header (agent_variant.py:518-581)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .csv(path)
+    )
