@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side result transfer) so timings reflect the distributed plan, not
+collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+#: Headline suite: one representative per operator family, weighted toward
+#: the scale-relevant paths (joins/aggs/windows/text/vector).
+HEADLINE = [
+    "pricing_summary",
+    "top_brand_revenue",
+    "first_order_per_customer",
+    "user_event_window_stats",
+    "signup_before_purchase",
+    "bh_adjust",
+    "keyword_topn",
+    "text_stats",
+    "minhash_signatures",
+    "simhash",
+    "bm25_topk",
+    "knn_cosine",
+    "hybrid_rrf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from vectordb_bioinsight_spark.plans.catalog import CATALOG
+    from vectordb_bioinsight_spark.session import get_session
+
+    spark = get_session("bench", cpus=cpus)
+
+    # JVM/codegen warmup on the smallest table so q1 isn't charged for startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = CATALOG[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

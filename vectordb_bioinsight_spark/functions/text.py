@@ -58,13 +58,10 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings ('w1 w2 w3'), for MinHash / Jaccard.
-
-    Built from the token array with ``transform`` over index positions —
-    stays JVM-side.
-    """
-    toks = tokenize(_c(col))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles from a precomputed token-array column (use this when the
+    token array is already a named column — avoids re-evaluating the
+    tokenizer regex once per referenced position)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array()).otherwise(
         F.transform(
@@ -72,6 +69,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3'), for MinHash / Jaccard.
+
+    Built from the token array with ``transform`` over index positions —
+    stays JVM-side.
+    """
+    return shingles_from_tokens(tokenize(_c(col)), n)
 
 
 def shingles_duckdb(toks_expr: str, n: int = 3) -> str:

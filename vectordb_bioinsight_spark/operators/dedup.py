@@ -54,17 +54,17 @@ def minhash_signatures(
     Long form keeps banding a plain groupBy (no wide row needed) and matches
     the oracle's SQL shape. Docs with fewer tokens than the shingle size have
     no signature (dropped — nothing to near-match on).
+
+    Physical plan: ONE shingle scan; all ``num_hashes`` mins as parallel
+    aggregates of one groupBy (map-side combinable); unpivot to long via
+    ``stack`` — no per-hash union re-scan (which would cost num_hashes
+    corpus passes).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")).distinct()
-    per_hash = None
-    for i in range(num_hashes):
-        h = sh.select(
-            F.col(id_col),
-            F.lit(i).cast("long").alias("h_idx"),
-            salted_hash64(F.col("shingle"), i).alias("hv"),
-        )
-        per_hash = h if per_hash is None else per_hash.unionByName(h)
-    return per_hash.groupBy(id_col, "h_idx").agg(F.min("hv").alias("min_hash"))
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    stack_args = ", ".join(f"CAST({i} AS BIGINT), mh_{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (h_idx, min_hash)"
+    )
 
 
 def minhash_signatures_wide(
@@ -80,7 +80,13 @@ def minhash_signatures_wide(
     shingles: each hash is a ``min(salted_hash)`` aggregate. This is the
     production path (the long-form variant exists for oracle symmetry).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")).distinct()
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens, tokenize
+
+    sh = (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        .distinct()
+    )
     aggs = [F.min(salted_hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -136,7 +142,13 @@ def ngram_jaccard_pairs(
     Output: (doc1, doc2, inter_size, union_size, jaccard), jaccard rounded to
     6 dp for cross-engine hash stability.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")).distinct()
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
+
+    sh = (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc1"), "shingle")
     b = sh.select(F.col(id_col).alias("doc2"), "shingle")
@@ -162,30 +174,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """SimHash fingerprint per document (token-level, unweighted).
 
     bit_j(doc) = 1 iff sum over distinct tokens t of sign((H(t)>>j)&1) > 0.
-    Pure expression pipeline: tokenize -> explode -> per-(doc,bit) vote agg ->
-    reassemble integer. Output (doc_id, simhash). Near-dup = small Hamming
-    distance; pairing via band-join on bit slices mirrors lsh_candidate_pairs.
+
+    Physical plan: tokenize+hash scan, then ONE groupBy(doc) where each bit's
+    vote total is a conditional aggregate (1 << j is a Python literal —
+    exact integer arithmetic, no column-valued shifts), then a pure
+    projection reassembles the integer. One shuffle total; no per-bit row
+    explosion (which would multiply the shuffle by ``bits``).
+    Output (doc_id, simhash). Near-dup = small Hamming distance; pairing via
+    band-join on bit slices mirrors lsh_candidate_pairs.
     """
     toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
     hashed = toks.withColumn("hv", portable_hash64(F.col("tok")))
-    # One struct per bit position with its vote and weight; 1 << j is a Python
-    # literal so no column-valued shift is needed (exact integer arithmetic).
-    bit_structs = F.array(
+    votes = hashed.groupBy(id_col).agg(
         *[
-            F.struct(
-                F.lit(j).alias("bit"),
-                F.when(F.col("hv").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1).alias("vote"),
-                F.lit(1 << j).cast("long").alias("weight"),
-            )
+            F.sum(F.when(F.col("hv").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"_v_{j}")
             for j in range(bits)
         ]
     )
-    votes = hashed.select(F.col(id_col), F.explode(bit_structs).alias("b")).select(
-        F.col(id_col), F.col("b.bit").alias("bit"), F.col("b.vote").alias("vote"), F.col("b.weight").alias("weight")
-    )
-    bitvals = (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"), F.max("weight").alias("weight"))
-        .withColumn("bitval", F.when(F.col("v") > 0, F.col("weight")).otherwise(F.lit(0).cast("long")))
-    )
-    return bitvals.groupBy(id_col).agg(F.sum("bitval").cast("long").alias("simhash"))
+    total = None
+    for j in range(bits):
+        bitval = F.when(F.col(f"_v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        total = bitval if total is None else total + bitval
+    return votes.select(F.col(id_col), total.alias("simhash"))

@@ -34,9 +34,16 @@ def knn_brute_force(
     Output (id, score) — score rounded to 6 dp, ordered best-first with id
     tie-break. Reference V3: Chroma ``collection.query`` (vector_store.py:272-299).
     """
+    import math
+
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query norm is a constant — compute it driver-side (same left-fold sum
+    # as the column kernel) instead of re-folding the literal array per row
+    q_norm = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
     if metric == "cosine":
-        score = cosine_similarity(F.col(vec_col), qv)
+        score = dot_product(F.col(vec_col), qv) / (l2_norm(F.col(vec_col)) * F.lit(q_norm))
         order = [F.desc("score"), F.asc(id_col)]
     elif metric == "dot":
         score = dot_product(F.col(vec_col), qv)

@@ -123,7 +123,9 @@ WITH toks AS (
   SELECT doc_id, tok AS term, count(*) AS tf
   FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
 ), ds AS (
-  SELECT doc_id, length(tk) AS dl FROM toks
+  -- corpus stats over docs with >= 1 token (engine spec: empty docs carry
+  -- no BM25 mass and drop out of the single-pass aggregate)
+  SELECT doc_id, length(tk) AS dl FROM toks WHERE length(tk) > 0
 ), corpus AS (
   SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM ds
 ), qt AS (
