@@ -1,0 +1,123 @@
+"""Unit tests for operator edge cases not covered by the oracle-parity suite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures_wide,
+    ngram_jaccard_pairs,
+)
+from vectordb_bioinsight_spark.operators.joins import asof_join, range_join_bucketed
+from vectordb_bioinsight_spark.operators.relational import dedup_exact, prevalence_filter, top_k
+from vectordb_bioinsight_spark.operators.stats import bh_adjust
+from vectordb_bioinsight_spark.operators.vector import knn_brute_force, knn_lsh
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102), (3, 7, 103)], ["k", "t", "lid"]
+    ).select("k", F.col("t").alias("lt"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 6, "c")], ["k", "t", "v"]
+    ).select("k", F.col("t").alias("rt"), "v")
+    out = asof_join(left, right, on="k", left_ts="lt", right_ts="rt", value_cols=["v"])
+    got = {r["lid"]: r["v"] for r in out.collect()}
+    # equal timestamp IS visible (<=); no match -> null; later right ignored
+    assert got == {100: "a", 101: "b", 102: None, 103: None}
+
+
+def test_bh_adjust_matches_statsmodels(spark):
+    try:
+        from statsmodels.stats.multitest import multipletests
+    except ImportError:
+        pytest.skip("statsmodels not installed")
+    pvals = [0.01, 0.02, 0.02, 0.9, 0.004, 0.5, 0.02]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pvals)], ["i", "pvalue"])
+    got = {r["i"]: r["padj"] for r in bh_adjust(df).collect()}
+    _, want, _, _ = multipletests(pvals, method="fdr_bh")
+    for i, w in enumerate(want):
+        assert math.isclose(got[i], w, rel_tol=1e-12), (i, got[i], w)
+
+
+def test_topk_deterministic_under_ties(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(100)], ["id", "score"])
+    out1 = [r["id"] for r in top_k(df, [F.desc("score")], 5, [F.asc("id")]).collect()]
+    out2 = [r["id"] for r in top_k(df.repartition(7), [F.desc("score")], 5, [F.asc("id")]).collect()]
+    assert out1 == out2 == [0, 1, 2, 3, 4]
+
+
+def test_dedup_exact_deterministic_representative(spark):
+    df = spark.createDataFrame(
+        [("k1", 5, "z"), ("k1", 3, "a"), ("k2", 9, "m")], ["key", "n", "s"]
+    )
+    out = {r["key"]: (r["n"], r["s"]) for r in dedup_exact(df, ["key"]).collect()}
+    assert out == {"k1": (3, "a"), "k2": (9, "m")}
+
+
+def test_prevalence_filter(spark):
+    rows = [("g1", f"s{i}", 10) for i in range(8)] + [("g1", "s8", 0), ("g1", "s9", 0)]
+    rows += [("g2", f"s{i}", 10 if i < 3 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["gene", "sample", "count"])
+    kept = prevalence_filter(df, "gene", "sample", "count", min_value=1, min_fraction=0.5)
+    assert {r["gene"] for r in kept.select("gene").distinct().collect()} == {"g1"}
+
+
+def test_range_join_bucketed(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], ["pid", "x"])
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 12.0, 30.0)], ["iid", "lo", "hi"]
+    )
+    out = range_join_bucketed(points, intervals, "x", "lo", "hi", bucket_width=8.0)
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 20), (3, 20)]
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    near = base.replace("runs", "walks")
+    far = "completely different words about spark queries and columnar analytics engines"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    sig = minhash_signatures_wide(df, "doc_id", "text", num_hashes=16)
+    pairs = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(sig, "doc_id", 16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_with_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g z"), (3, "q w e r t y u i")],
+        ["doc_id", "text"],
+    )
+    # min_len=3 tokenizer drops 1-char tokens; use 3+-char words instead
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=2, min_jaccard=0.3)
+    got = {(r["doc1"], r["doc2"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert all(p == (1, 2) for p in got)
+
+
+def test_knn_lsh_subset_of_bruteforce_bucket(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = vecs[0][1]
+    exact = [r["vec_id"] for r in knn_brute_force(df, "vec_id", "embedding", q, k=5).collect()]
+    approx = [r["vec_id"] for r in knn_lsh(df, "vec_id", "embedding", q, dim, k=5, num_planes=4).collect()]
+    assert exact[0] == 0  # self is nearest under cosine
+    assert 0 in approx  # query's own bucket contains itself
+    assert len(approx) <= 5

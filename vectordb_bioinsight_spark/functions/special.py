@@ -1,0 +1,100 @@
+"""Special functions in pure numpy (this environment has no scipy).
+
+Regularized incomplete beta via the Lentz continued-fraction method
+(classical algorithm, e.g. Numerical Recipes §6.4 / DLMF 8.17), vectorized
+with numpy; accurate to ~1e-12 for the (a, b) ranges statistics needs.
+Used by the pandas-UDF tier for exact Student-t p-values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_ITER = 300
+_EPS = 3e-14
+_FPMIN = 1e-300
+
+
+def _betacf(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < _FPMIN, _FPMIN, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, _MAX_ITER + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < _FPMIN, _FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < _FPMIN, _FPMIN, c)
+        d = 1.0 / d
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < _FPMIN, _FPMIN, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < _FPMIN, _FPMIN, c)
+        d = 1.0 / d
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < _EPS):
+            break
+    return h
+
+
+def betainc_reg(a, b, x):
+    """Regularized incomplete beta I_x(a, b), vectorized."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    x = np.asarray(x, dtype=float)
+    a, b, x = np.broadcast_arrays(a, b, x)
+    out = np.empty_like(x)
+    ln_beta = (
+        np.vectorize(_lgamma)(a) + np.vectorize(_lgamma)(b) - np.vectorize(_lgamma)(a + b)
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ln_bt = a * np.log(np.clip(x, 1e-320, None)) + b * np.log(
+            np.clip(1.0 - x, 1e-320, None)
+        ) - ln_beta
+    bt = np.where((x <= 0.0) | (x >= 1.0), 0.0, np.exp(ln_bt))
+    use_direct = x < (a + 1.0) / (a + b + 2.0)
+    # direct branch
+    xd = np.where(use_direct, x, 0.5)
+    direct = bt * _betacf(a, b, xd) / a
+    # symmetric branch
+    xs = np.where(use_direct, 0.5, 1.0 - x)
+    symm = 1.0 - bt * _betacf(b, a, xs) / b
+    out = np.where(use_direct, direct, symm)
+    out = np.where(x <= 0.0, 0.0, out)
+    out = np.where(x >= 1.0, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def _lgamma(v: float) -> float:
+    import math
+
+    return math.lgamma(v)
+
+
+def t_sf(t, df):
+    """Student-t survival function P(T > t), vectorized (scipy.stats.t.sf
+    parity to ~1e-12)."""
+    t = np.asarray(t, dtype=float)
+    df = np.asarray(df, dtype=float)
+    x = df / (df + t * t)
+    tail = 0.5 * betainc_reg(df / 2.0, 0.5, x)
+    return np.where(t >= 0, tail, 1.0 - tail)
+
+
+def t_pvalue_two_sided(t, df):
+    """2 * sf(|t|) with the reference's NaN -> 1.0 discipline
+    (agent1_deg.py:390-414)."""
+    t = np.asarray(t, dtype=float)
+    df = np.asarray(df, dtype=float)
+    p = 2.0 * t_sf(np.abs(t), df)
+    return np.nan_to_num(np.clip(p, 0.0, 1.0), nan=1.0)

@@ -48,24 +48,27 @@ def welch_ttest(
 ) -> DataFrame:
     """Welch t-test columns (t_stat, df, pvalue) appended to a moments table.
 
-    ``exact_pvalues=True`` uses a scipy pandas UDF (two-sided t.sf) on the
-    aggregated table; False uses the JVM-side normal approximation.
-    Reference A3: per-gene scipy.stats.ttest_ind (agent1_deg.py:390-414),
-    NaN -> 1.0.
+    ``exact_pvalues=True`` uses an Arrow-batched pandas UDF computing the
+    exact Student-t two-sided p (regularized incomplete beta, pure numpy —
+    functions/special.py) on the aggregated table; False uses the JVM-side
+    normal approximation. Reference A3: per-gene scipy.stats.ttest_ind
+    (agent1_deg.py:390-414), NaN -> 1.0.
     """
     out = moments.withColumn(
         "t_stat", welch_t(F.col("mean_a"), F.col("var_a"), F.col("n_a"), F.col("mean_b"), F.col("var_b"), F.col("n_b"))
     ).withColumn("df", welch_df(F.col("var_a"), F.col("n_a"), F.col("var_b"), F.col("n_b")))
     if exact_pvalues:
+        from vectordb_bioinsight_spark.session import ensure_package_on_executors
+
+        ensure_package_on_executors(moments.sparkSession)
+
         @F.pandas_udf(T.DoubleType())
         def _t_sf2(t, df):  # type: ignore[no-untyped-def]
-            from scipy import stats as _st
-            import numpy as np
-
-            p = 2.0 * _st.t.sf(np.abs(t.to_numpy()), df.to_numpy())
             import pandas as pd
 
-            return pd.Series(np.nan_to_num(p, nan=1.0))
+            from vectordb_bioinsight_spark.functions.special import t_pvalue_two_sided
+
+            return pd.Series(t_pvalue_two_sided(t.to_numpy(), df.to_numpy()))
 
         out = out.withColumn("pvalue", _t_sf2(F.col("t_stat"), F.col("df")))
     else:

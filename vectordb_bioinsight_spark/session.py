@@ -40,3 +40,28 @@ def get_session(app_name: str = "vectordb_bioinsight_spark", cpus: int | None = 
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_PKG_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Python workers don't inherit driver-side ``sys.path`` mutations, so UDFs
+    that import from this package (the pandas-UDF stats tier) need the
+    package distributed explicitly. Idempotent per SparkContext; works on a
+    real cluster exactly as in local mode.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PKG_SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = os.path.join(tempfile.gettempdir(), "vectordb_bioinsight_spark_pkg")
+    zip_path = shutil.make_archive(staging, "zip", os.path.dirname(pkg_dir), os.path.basename(pkg_dir))
+    sc.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
