@@ -1,0 +1,106 @@
+"""Numpy/scipy oracles for the network operators (SURVEY M2-M4) — the
+iterative pieces (power-method eigenvector centrality) that have no single-SQL
+DuckDB twin are exact-checked here instead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.network import (
+    correlation_edges,
+    correlation_pvalues,
+    degree_centrality,
+    eigenvector_centrality,
+    hub_scores,
+)
+
+EDGES = [
+    ("a", "b", 0.9),
+    ("a", "c", 0.8),
+    ("b", "c", 0.7),
+    ("c", "d", 0.6),
+    ("d", "e", 0.95),
+]
+
+
+@pytest.fixture(scope="module")
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, ["entity1", "entity2", "corr"])
+
+
+def _numpy_eig(edges, weighted=False, max_iter=20):
+    nodes = sorted({u for e in edges for u in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v, w in edges:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = abs(w) if weighted else 1.0
+    x = np.full(len(nodes), 1.0 / np.sqrt(len(nodes)))
+    for _ in range(max_iter):
+        x = A @ x
+        x = x / np.linalg.norm(x)
+    return dict(zip(nodes, x))
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_eigenvector_centrality_matches_numpy(spark, edges_df, weighted):
+    got = {
+        r["entity"]: r["eig_centrality"]
+        for r in eigenvector_centrality(
+            edges_df, weight_col="corr" if weighted else None
+        ).collect()
+    }
+    want = _numpy_eig(EDGES, weighted=weighted)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_degree_centrality(spark, edges_df):
+    got = {r["entity"]: r["degree"] for r in degree_centrality(edges_df).collect()}
+    assert got == {"a": 2, "b": 2, "c": 3, "d": 2, "e": 1}
+
+
+def test_hub_scores_ranking(spark, edges_df):
+    rows = hub_scores(edges_df, top_k_hubs=2).orderBy(F.desc("hub_score")).collect()
+    # c has max degree and max eigenvector centrality -> hub_score 1.0, rank 1
+    assert rows[0]["entity"] == "c"
+    assert rows[0]["hub_score"] == pytest.approx(1.0)
+    assert sum(r["is_hub"] for r in rows) == 2
+    # every node present exactly once
+    assert sorted(r["entity"] for r in rows) == ["a", "b", "c", "d", "e"]
+
+
+def test_correlation_edges_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    n_ent, n_dim = 6, 12
+    X = rng.normal(size=(n_ent, n_dim))
+    X[1] = X[0] * 2 + rng.normal(scale=0.01, size=n_dim)  # planted high corr
+    rows = [
+        (f"e{i}", f"d{j}", float(X[i, j])) for i in range(n_ent) for j in range(n_dim)
+    ]
+    prof = spark.createDataFrame(rows, ["entity", "dim", "value"])
+    got = {
+        (r["entity1"], r["entity2"]): r["corr"]
+        for r in correlation_edges(prof, "entity", "dim", "value", min_abs_corr=0.0).collect()
+    }
+    C = np.corrcoef(X)
+    assert len(got) == n_ent * (n_ent - 1) // 2
+    for (a, b), r in got.items():
+        i, j = int(a[1:]), int(b[1:])
+        assert r == pytest.approx(round(C[i, j], 6), abs=1e-6)
+    assert got[("e0", "e1")] > 0.99
+
+
+def test_correlation_pvalues_matches_scipy(spark):
+    scipy_stats = pytest.importorskip("scipy.stats")
+    rows = [("a", "b", 10, 0.8), ("a", "c", 25, -0.4), ("b", "c", 50, 0.1)]
+    edges = spark.createDataFrame(rows, ["entity1", "entity2", "n_dims", "corr"])
+    got = correlation_pvalues(edges).collect()
+    for r in got:
+        n, rr = r["n_dims"], r["corr"]
+        t = rr * np.sqrt((n - 2) / (1 - rr * rr))
+        p = 2 * scipy_stats.t.sf(abs(t), n - 2)
+        assert r["t_stat"] == pytest.approx(t, rel=1e-9)
+        assert r["pvalue"] == pytest.approx(p, rel=1e-6)

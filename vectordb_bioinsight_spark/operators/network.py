@@ -1,0 +1,173 @@
+"""Co-expression network operators — SURVEY.md M2/M3/M4.
+
+Reference: gene-gene correlation matrix -> threshold -> edge list
+(agent2_network.py:115-205; vectorized variant ml/network_enhancer.py:64-182),
+then centralities (agent2_network.py:207-255) and a composite hub score
+(:257-295).
+
+Spark shape:
+* **correlation_edges** — long-format profiles (entity, dim, value) are
+  pivoted per-pair via a self-join on ``dim`` with per-pair moment
+  aggregation: corr(x,y) from Σx, Σy, Σxy, Σx², Σy², n — ONE shuffle on dim,
+  one on the pair key, no wide matrix ever materialized (wide genes×samples
+  at 100 TB is exactly what SURVEY §7.2 forbids). Entity count is capped by
+  the caller (the reference caps at 1000 genes) — the pair fan-out is
+  quadratic in entities, never in samples.
+* **degree_centrality** — plain aggregation over edges.
+* **eigenvector_centrality** — power iteration as iterative joins (bounded
+  iterations, normalized each step); the Spark-native analog of the
+  reference's networkx call.
+* **hub_scores** — max-normalized weighted blend (0.5 deg + 0.5 eig here;
+  the reference blends 4 metrics incl. betweenness, which it computes on
+  graphs capped to 1000 nodes — at that size exact betweenness belongs
+  driver-side, SURVEY §4.3(6)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def correlation_edges(
+    profiles: DataFrame,
+    entity_col: str,
+    dim_col: str,
+    value_col: str,
+    min_abs_corr: float = 0.6,
+) -> DataFrame:
+    """Pairwise Pearson correlation between entity profiles, upper triangle.
+
+    Input: long (entity, dim, value). Output: (entity1, entity2, n_dims,
+    corr) with corr rounded 6 dp, |corr| >= min_abs_corr. Pairs correlate
+    over their SHARED dims (inner join on dim).
+    """
+    a = profiles.select(
+        F.col(entity_col).alias("entity1"), F.col(dim_col).alias("_d"), F.col(value_col).alias("_x")
+    )
+    b = profiles.select(
+        F.col(entity_col).alias("entity2"), F.col(dim_col).alias("_d"), F.col(value_col).alias("_y")
+    )
+    paired = a.join(b, "_d").filter(F.col("entity1") < F.col("entity2"))
+    stats = paired.groupBy("entity1", "entity2").agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.corr("_x", "_y").alias("_r"),
+    )
+    return (
+        stats
+        # zero-variance profiles: Spark corr yields NaN (and Spark orders NaN
+        # ABOVE any number, so a bare >= filter would keep it); DuckDB yields
+        # NULL. Drop both explicitly for cross-engine determinism.
+        .filter(F.col("_r").isNotNull() & ~F.isnan(F.col("_r")))
+        .withColumn("corr", F.round(F.col("_r"), 6))
+        .filter(F.abs(F.col("corr")) >= min_abs_corr)
+        .select("entity1", "entity2", "n_dims", "corr")
+    )
+
+
+def correlation_pvalues(edges: DataFrame, corr_col: str = "corr", n_col: str = "n_dims") -> DataFrame:
+    """Append the correlation t-statistic and exact two-sided p-value
+    (t = r*sqrt((n-2)/(1-r^2)), network_enhancer.py:139-147) via the numpy
+    special-function UDF tier."""
+    from pyspark.sql import types as T
+
+    from vectordb_bioinsight_spark.functions.stats import corr_t_stat
+    from vectordb_bioinsight_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(edges.sparkSession)
+
+    @F.pandas_udf(T.DoubleType())
+    def _p(t, df):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from vectordb_bioinsight_spark.functions.special import t_pvalue_two_sided
+
+        return pd.Series(t_pvalue_two_sided(t.to_numpy(), df.to_numpy()))
+
+    out = edges.withColumn("t_stat", corr_t_stat(F.col(corr_col), F.col(n_col)))
+    return out.withColumn("pvalue", _p(F.col("t_stat"), (F.col(n_col) - 2).cast("double")))
+
+
+def degree_centrality(edges: DataFrame) -> DataFrame:
+    """Degree per node from an (entity1, entity2) edge list (M3-degree;
+    agent2_network.py:207-220). Output (entity, degree)."""
+    both = edges.select(F.col("entity1").alias("entity")).unionByName(
+        edges.select(F.col("entity2").alias("entity"))
+    )
+    return both.groupBy("entity").agg(F.count("*").cast("long").alias("degree"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    max_iter: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Eigenvector centrality by power iteration over iterative joins.
+
+    Each step: score'(v) = Σ_{u~v} w(u,v)·score(u), then L2-normalize.
+    Deterministic (fixed iteration count, fixed init 1/√n). The edge list is
+    symmetrized internally. Output (entity, eig_centrality) rounded 6 dp.
+
+    Scale: each iteration is one shuffle on entity; for the reference's
+    capped graphs (<=1000 nodes) this is driver-trivial, but the same code
+    runs unchanged on a billion-edge graph.
+    """
+    sym = (
+        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"),
+                     (F.col(weight_col) if weight_col else F.lit(1.0)).alias("w"))
+        .unionByName(
+            edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst"),
+                         (F.col(weight_col) if weight_col else F.lit(1.0)).alias("w"))
+        )
+    )
+    sym = sym.withColumn("w", F.abs(F.col("w")))
+    sym = sym.localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    n = nodes.count()
+    scores = nodes.withColumn("score", F.lit(1.0 / (n ** 0.5)))
+    for _ in range(max_iter):
+        contrib = (
+            sym.join(scores.withColumnRenamed("entity", "src"), "src")
+            .groupBy(F.col("dst").alias("entity"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("raw"))
+        )
+        norm = contrib.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("_n"))
+        scores = (
+            contrib.crossJoin(F.broadcast(norm))
+            .select("entity", (F.col("raw") / F.col("_n")).alias("score"))
+        )
+        # `scores` references `contrib` TWICE (values + norm), so the plan
+        # tree doubles per iteration — without truncation Catalyst faces a
+        # 2^max_iter plan. Materialize + cut lineage each step (on a real
+        # cluster: checkpoint to reliable storage instead).
+        scores = scores.localCheckpoint(eager=True)
+    return scores.select("entity", F.round("score", 6).alias("eig_centrality"))
+
+
+def hub_scores(
+    edges: DataFrame,
+    top_k_hubs: int = 20,
+) -> DataFrame:
+    """M4 composite hub score: max-normalized degree and eigenvector blended
+    (0.5/0.5), top-k flagged ``is_hub`` (agent2_network.py:257-295 semantics
+    with the distributed-friendly metric subset).
+
+    Output: (entity, degree, eig_centrality, hub_score, is_hub).
+    """
+    from vectordb_bioinsight_spark.operators.windows import max_normalize
+
+    deg = degree_centrality(edges)
+    eig = eigenvector_centrality(edges)
+    joined = deg.join(eig, "entity", "outer").na.fill({"degree": 0, "eig_centrality": 0.0})
+    normed = max_normalize(joined, ["degree", "eig_centrality"])
+    scored = normed.withColumn(
+        "hub_score",
+        F.round(0.5 * F.col("degree_norm") + 0.5 * F.col("eig_centrality_norm"), 6),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("hub_score"), F.asc("entity"))
+    return (
+        scored.withColumn("is_hub", F.row_number().over(w) <= top_k_hubs)
+        .select("entity", "degree", "eig_centrality", "hub_score", "is_hub")
+    )

@@ -74,13 +74,13 @@ def similarity_self_join(
     ``lsh_assign_buckets``) that turns it into an equi-join.
     Output (id1, id2, cosine) rounded 6 dp.
     """
-    a = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-    b = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
     if block_col is not None:
-        a = a.join(vectors.select(F.col(id_col).alias("id1"), F.col(block_col).alias("_blk")), "id1")
-        b = b.join(vectors.select(F.col(id_col).alias("id2"), F.col(block_col).alias("_blk")), "id2")
+        a = vectors.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+        b = vectors.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
         joined = a.join(b, "_blk").drop("_blk")
     else:
+        a = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
+        b = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
         joined = a.crossJoin(b)
     return (
         joined.filter(F.col("id1") < F.col("id2"))

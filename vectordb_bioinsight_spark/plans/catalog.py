@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vectordb_bioinsight_spark.plans import catalog_events as ev
+from vectordb_bioinsight_spark.plans import catalog_network as net
 from vectordb_bioinsight_spark.plans import catalog_relational as rel
 from vectordb_bioinsight_spark.plans import catalog_text as tx
 from vectordb_bioinsight_spark.plans import catalog_vector as vec
@@ -64,6 +65,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
     "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
     "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
+    # --- network / ML-adjacent / scalar extensions ---
+    "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
+    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only check
+    "median_order_value": (net.q_median_order_value, net.SQL_MEDIAN_ORDER_VALUE),
+    "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),
+    "sessionize": (net.q_sessionize, net.SQL_SESSIONIZE),
+    "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
 }
 
 

@@ -1,0 +1,170 @@
+"""Network / ML-adjacent / scalar-function catalog additions: correlation
+networks (M2), centralities (M3, rows-only), exact percentiles, JSON
+extraction, sessionization, and blocked embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.network import (
+    correlation_edges,
+    eigenvector_centrality,
+    hub_scores,
+)
+from vectordb_bioinsight_spark.operators.vector import similarity_self_join
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+N_CORR_PARTS = 20
+
+
+def _part_month_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly quantity profile for the top-N parts by total quantity
+    (deterministic cap — mirrors the reference's 1000-gene cap, logged by
+    being explicit in the plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .orderBy(F.desc("_tq"), F.asc("l_partkey"))
+        .limit(N_CORR_PARTS)
+        .select("l_partkey")
+    )
+    return (
+        li.join(F.broadcast(top), "l_partkey")
+        .groupBy("l_partkey", F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+
+
+def q_part_correlation_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: correlation network over part demand profiles — the gene
+    co-expression build re-expressed (agent2_network.py:115-205): long
+    profiles, pairwise Pearson over shared months, threshold on |r|."""
+    prof = _part_month_profiles(spark, sf_dir)
+    edges = correlation_edges(prof, "l_partkey", "month", "qty", min_abs_corr=0.4)
+    return edges.withColumnRenamed("entity1", "part1").withColumnRenamed("entity2", "part2")
+
+
+SQL_PART_CORRELATION_NETWORK = f"""
+WITH top_parts AS (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+  ORDER BY sum(l_quantity) DESC, l_partkey ASC LIMIT {N_CORR_PARTS}
+), prof AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month, sum(l_quantity) AS qty
+  FROM lineitem JOIN top_parts USING (l_partkey)
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+         count(*) AS n_dims, corr(a.qty, b.qty) AS r
+  FROM prof a JOIN prof b ON a.month = b.month
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part1, part2, n_dims, round(r, 6) AS corr
+FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
+"""
+
+
+def q_hub_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3+M4 (rows-only check): degree + eigenvector centrality + composite
+    hub score over the part correlation network. Power iteration is an
+    iterative-join algorithm with no single-SQL equivalent — the driver
+    records the weaker rows/schema check; exact parity is covered by
+    tests/test_network.py against a numpy oracle."""
+    prof = _part_month_profiles(spark, sf_dir)
+    edges = correlation_edges(prof, "l_partkey", "month", "qty", min_abs_corr=0.4)
+    return hub_scores(edges, top_k_hubs=5)
+
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (A9 pseudobulk-median semantics,
+    singlecell/agent5_cnv_ml.py:187-241) — linear-interpolation median +
+    p90, matching DuckDB quantile_cont."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_MEDIAN_ORDER_VALUE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON codec: extract a typed field from the events JSON props
+    column (to_json/from_json family)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    ).filter(F.col("k_val") > 50)
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k_val
+FROM events WHERE json_extract_string(props, '$.k')::BIGINT > 50
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gap detection: a new session starts after a >1h
+    silence per user; session_id = running count of session starts. The
+    batch twin of stream session windows (SURVEY §2.11), pure window algebra.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 3600 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("_new", is_new)
+        .withColumn("session_id", F.sum("_new").over(wsum).cast("long"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS is_new,
+         ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, event_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (BASELINE dedup
+    extension): the all-pairs cosine join restricted to a blocking key so it
+    is an equi-join, not a cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity_self_join(emb, "vec_id", "embedding", min_cosine=0.25, block_col="label")
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+), sums AS (
+  SELECT id1, id2, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM (SELECT id1, id2, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM p)
+  GROUP BY 1, 2
+)
+SELECT id1, id2, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
+FROM sums WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.25
+"""
