@@ -1,0 +1,116 @@
+"""Scoring ladders (V8/M8) and the UDF p-value tiers (Wilcoxon normal
+approximation, hypergeometric enrichment) against exact closed forms."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.scoring import (
+    blend_scores,
+    checklist_score,
+    ladder_score,
+    rerank_blend,
+)
+from vectordb_bioinsight_spark.operators.stats import (
+    enrichment_contingency,
+    enrichment_pvalues,
+    wilcoxon_pvalues,
+    wilcoxon_rank_sum,
+)
+
+
+def test_ladder_score_highest_threshold_wins(spark):
+    df = spark.range(1).select(
+        ladder_score(F.lit(350.0), [(200.0, 10.0), (300.0, 20.0)]).alias("hi"),
+        ladder_score(F.lit(250.0), [(200.0, 10.0), (300.0, 20.0)]).alias("mid"),
+        ladder_score(F.lit(50.0), [(200.0, 10.0), (300.0, 20.0)]).alias("lo"),
+    )
+    row = df.first()
+    assert (row["hi"], row["mid"], row["lo"]) == (20.0, 10.0, 0.0)
+
+
+def test_checklist_and_blend(spark):
+    df = spark.createDataFrame([(1, 5.0, 100.0), (2, 0.0, 50.0), (3, 10.0, 0.0)], ["id", "a", "b"])
+    out = blend_scores(df, {"a": 0.6, "b": 0.4}, minmax_normalize=True)
+    got = {r["id"]: r["blended_score"] for r in out.collect()}
+    # a in [0,10] -> id1=0.5, b in [0,100] -> id1=1.0 => 0.6*0.5+0.4*1.0
+    assert got[1] == pytest.approx(0.7)
+    assert got[3] == pytest.approx(0.6)
+    flags = df.select(checklist_score([(F.col("a") > 1, 2.0), (F.col("b") > 60, 1.5)]).alias("s"))
+    # id1: a>1 and b>60 -> 3.5; id2: neither -> 0; id3: a>1 only -> 2.0
+    assert [r["s"] for r in flags.orderBy("s").collect()] == [0.0, 2.0, 3.5]
+
+
+def test_rerank_blend_resorts(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, 0.1), (2, 0.5, 0.9), (3, 0.1, 0.5)], ["id", "orig", "rerank"]
+    )
+    out = rerank_blend(df, "orig", "rerank", orig_weight=0.3, top_k=2, order_tiebreak=["id"])
+    ids = [r["id"] for r in out.collect()]
+    # normalized blends: id1=0.3, id2=0.85, id3=0.35 -> rerank dominates
+    assert ids == [2, 3]
+
+
+def _wilcoxon_exact(values_a, values_b):
+    """Closed-form tie-corrected z (the operator's spec)."""
+    allv = sorted(values_a + values_b)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    n_a, n_b = len(values_a), len(values_b)
+    n = n_a + n_b
+    r_a = sum(ranks[v] for v in values_a)
+    u = r_a - n_a * (n_a + 1) / 2.0
+    from collections import Counter
+
+    tie_sum = sum(t**3 - t for t in Counter(allv).values())
+    var = n_a * n_b / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    return u, (u - n_a * n_b / 2.0) / math.sqrt(var)
+
+
+def test_wilcoxon_rank_sum_exact(spark):
+    a = [1.0, 3.0, 5.0, 5.0, 9.0]
+    b = [2.0, 4.0, 5.0, 8.0]
+    rows = [("g", 1, v) for v in a] + [("g", 0, v) for v in b]
+    df = spark.createDataFrame(rows, ["key", "grp", "val"])
+    out = wilcoxon_rank_sum(df, ["key"], "grp", "val").collect()
+    assert len(out) == 1
+    u, z = _wilcoxon_exact(a, b)
+    assert out[0]["u_stat"] == pytest.approx(round(u, 4))
+    assert out[0]["z"] == pytest.approx(round(z, 6), abs=1e-6)
+    withp = wilcoxon_pvalues(wilcoxon_rank_sum(df, ["key"], "grp", "val")).first()
+    want_p = 2 * 0.5 * math.erfc(abs(z) / math.sqrt(2))
+    assert withp["pvalue"] == pytest.approx(want_p, rel=1e-5)
+
+
+def test_wilcoxon_drops_degenerate_keys(spark):
+    rows = [("one_group", 1, 1.0), ("one_group", 1, 2.0),
+            ("all_tied", 1, 3.0), ("all_tied", 0, 3.0)]
+    df = spark.createDataFrame(rows, ["key", "grp", "val"])
+    assert wilcoxon_rank_sum(df, ["key"], "grp", "val").count() == 0
+
+
+def test_enrichment_pvalues_exact(spark):
+    from math import comb
+
+    rows = (
+        [("s1", True)] * 8 + [("s1", False)] * 2
+        + [("s2", True)] * 2 + [("s2", False)] * 18
+    )
+    df = spark.createDataFrame(rows, ["grp", "flag"])
+    out = {r["grp"]: r for r in enrichment_pvalues(enrichment_contingency(df, "grp", "flag")).collect()}
+    N, n = 30, 10
+    for g, K in [("s1", 10), ("s2", 20)]:
+        k = out[g]["overlap"]
+        want = sum(comb(K, j) * comb(N - K, n - j) for j in range(k, min(K, n) + 1)) / comb(N, n)
+        assert out[g]["pvalue"] == pytest.approx(want, rel=1e-10)
+    assert out["s1"]["fold_enrichment"] == pytest.approx(round((8 / 10) / (10 / 30), 6))

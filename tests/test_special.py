@@ -52,3 +52,33 @@ def test_two_sided_p_properties():
     assert p[3] < 0.001
     assert p[4] == 1.0  # NaN -> 1.0 discipline
     assert ((p >= 0) & (p <= 1)).all()
+
+
+def test_normal_sf_reference_values():
+    import math
+
+    from vectordb_bioinsight_spark.functions.special import normal_sf
+
+    # exact via erfc identity; anchor points from the standard normal table
+    for z, want in [(0.0, 0.5), (1.959963984540054, 0.025), (-1.0, 0.8413447460685429)]:
+        assert np.isclose(float(normal_sf(z)), want, rtol=1e-12), (z, want)
+
+
+def test_hypergeom_sf_matches_exact_comb():
+    """Exact oracle: integer arithmetic with math.comb (no precision loss)."""
+    from math import comb
+
+    from vectordb_bioinsight_spark.functions.special import hypergeom_sf
+
+    def exact_sf(k, N, K, n):
+        hi = min(K, n)
+        if k >= hi:
+            return 0.0
+        return sum(comb(K, j) * comb(N - K, n - j) for j in range(k + 1, hi + 1)) / comb(N, n)
+
+    cases = [(3, 50, 10, 12), (0, 100, 5, 10), (9, 20, 10, 10), (10, 20, 10, 10),
+             (5, 1000, 40, 100), (-1, 30, 7, 9), (2, 10, 3, 4)]
+    for k, N, K, n in cases:
+        got = float(hypergeom_sf(k, N, K, n))
+        want = exact_sf(k, N, K, n)
+        assert np.isclose(got, want, rtol=1e-10, atol=1e-15), (k, N, K, n, got, want)

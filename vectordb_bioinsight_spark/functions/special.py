@@ -98,3 +98,47 @@ def t_pvalue_two_sided(t, df):
     df = np.asarray(df, dtype=float)
     p = 2.0 * t_sf(np.abs(t), df)
     return np.nan_to_num(np.clip(p, 0.0, 1.0), nan=1.0)
+
+
+def normal_sf(z):
+    """Standard-normal survival function P(Z > z) via erfc, vectorized
+    (scipy.stats.norm.sf parity to machine precision)."""
+    import math
+
+    z = np.asarray(z, dtype=float)
+    return 0.5 * np.vectorize(math.erfc)(z / math.sqrt(2.0))
+
+
+def _log_comb(n, k):
+    """log C(n, k) via lgamma, vectorized; -inf outside 0 <= k <= n."""
+    n = np.asarray(n, dtype=float)
+    k = np.asarray(k, dtype=float)
+    lg = np.vectorize(_lgamma)
+    with np.errstate(invalid="ignore"):
+        out = lg(n + 1.0) - lg(k + 1.0) - lg(n - k + 1.0)
+    return np.where((k < 0) | (k > n), -np.inf, out)
+
+
+def hypergeom_sf(k, N, K, n):
+    """P(X > k) for X ~ Hypergeometric(N population, K successes, n draws) —
+    the enrichment tail probability (Fisher one-sided; SURVEY M7,
+    agent3_pathway.py:148-202 semantics). Vectorized; exact to ~1e-12 via
+    lgamma log-pmf summation over the (bounded) upper tail."""
+    k = np.asarray(k, dtype=float)
+    N = np.asarray(N, dtype=float)
+    K = np.asarray(K, dtype=float)
+    n = np.asarray(n, dtype=float)
+    k, N, K, n = np.broadcast_arrays(k, N, K, n)
+    out = np.zeros_like(k)
+    denom = _log_comb(N, n)
+    for i in np.ndindex(k.shape):
+        lo = int(max(k[i] + 1, 0))
+        hi = int(min(K[i], n[i]))
+        if lo > hi:
+            out[i] = 0.0
+            continue
+        js = np.arange(lo, hi + 1, dtype=float)
+        logp = _log_comb(K[i], js) + _log_comb(N[i] - K[i], n[i] - js) - denom[i]
+        m = logp.max()
+        out[i] = float(np.exp(m) * np.exp(logp - m).sum())
+    return np.clip(out, 0.0, 1.0)

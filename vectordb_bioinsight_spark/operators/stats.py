@@ -145,3 +145,156 @@ def cpm_normalize(
         .withColumn(out_col, F.col(value_col).cast("double") / F.col("_total") * 1e6)
         .drop("_total")
     )
+
+
+def wilcoxon_rank_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """M11 marker test: per-key two-group Wilcoxon / Mann-Whitney rank-sum
+    with tie correction — the distributed closed form of scanpy's
+    ``rank_genes_groups(method='wilcoxon')`` (agent_singlecell.py:2139-2225).
+
+    ``group_col`` must be boolean-like (1 = group A membership). Average ranks
+    come from ``rank() + (tie_count - 1)/2`` window arithmetic; the tie term
+    ``Σ(t³-t)`` is a second tiny aggregation on (key, value). No wide pivot,
+    two shuffles total, both on the key — scales to any number of keys.
+
+    Output: (key..., n_a, n_b, u_stat, z) with
+      U = R_a - n_a(n_a+1)/2,  z = (U - n_a·n_b/2) / sqrt(var_tie).
+    Keys with an empty group or zero variance (all values tied) are dropped.
+    p-values: ``wilcoxon_pvalues``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col).cast("int")
+    w_order = Window.partitionBy(*key_cols).orderBy(v.asc())
+    w_tie = Window.partitionBy(*key_cols, v)
+    ranked = df.select(
+        *key_cols,
+        g.alias("_g"),
+        v.alias("_v"),
+        (F.rank().over(w_order) + (F.count("*").over(w_tie) - F.lit(1)) / 2.0).alias("_r"),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_g").cast("double").alias("n_a"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_r"))).alias("_r_a"),
+    )
+    ties = (
+        ranked.groupBy(*key_cols, "_v")
+        .agg(F.count("*").cast("double").alias("_t"))
+        .groupBy(*key_cols)
+        .agg(F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie_sum"))
+    )
+    j = agg.join(ties, list(key_cols))
+    n, n_a = F.col("_n"), F.col("n_a")
+    n_b = n - n_a
+    u = F.col("_r_a") - n_a * (n_a + 1.0) / 2.0
+    var = n_a * n_b / 12.0 * ((n + 1.0) - F.col("_tie_sum") / (n * (n - 1.0)))
+    z = (u - n_a * n_b / 2.0) / F.sqrt(var)
+    return (
+        j.filter((n_a > 0) & (n_b > 0) & (var > 0))
+        .select(
+            *key_cols,
+            n_a.cast("long").alias("n_a"),
+            n_b.cast("long").alias("n_b"),
+            F.round(u, 4).alias("u_stat"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def wilcoxon_pvalues(df: DataFrame, z_col: str = "z") -> DataFrame:
+    """Two-sided normal p-value 2·Φ̄(|z|) for the rank-sum z (the large-sample
+    approximation scanpy itself uses), via the numpy special-function tier."""
+    from vectordb_bioinsight_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(df.sparkSession)
+
+    @F.pandas_udf(T.DoubleType())
+    def _p(z):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        from vectordb_bioinsight_spark.functions.special import normal_sf
+
+        return pd.Series(np.clip(2.0 * normal_sf(np.abs(z.to_numpy())), 0.0, 1.0))
+
+    return df.withColumn("pvalue", _p(F.col(z_col)))
+
+
+def enrichment_contingency(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """M7 enrichment contingency per group (gene-set ≡ group, DEG-list ≡ flag;
+    agent3_pathway.py:148-202 re-expressed): population N, draws n (flagged
+    rows), per-group K, overlap k, and fold enrichment (k/n)/(K/N).
+
+    ONE pass over the fact table (conditional agg) + a broadcast of the
+    two global totals. p-values: ``enrichment_pvalues``.
+    """
+    g = F.col(flag_col).cast("int")
+    # NOTE: Spark resolves column names case-insensitively by default, so the
+    # textbook k/K/n/N naming would be self-ambiguous — use explicit names.
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("set_size"),
+        F.sum(g).cast("long").alias("overlap"),
+    )
+    totals = df.agg(
+        F.count("*").cast("long").alias("pop_size"),
+        F.sum(g).cast("long").alias("n_draws"),
+    )
+    out = per_group.crossJoin(F.broadcast(totals))
+    fold = (F.col("overlap") / F.col("n_draws")) / (F.col("set_size") / F.col("pop_size"))
+    return out.select(
+        group_col,
+        "overlap",
+        "set_size",
+        "n_draws",
+        "pop_size",
+        F.round(fold, 6).alias("fold_enrichment"),
+    )
+
+
+def enrichment_pvalues(contingency: DataFrame) -> DataFrame:
+    """Hypergeometric over-representation p-value P(X >= k) appended to an
+    ``enrichment_contingency`` table (Fisher one-sided — Enrichr's test)."""
+    from vectordb_bioinsight_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(contingency.sparkSession)
+
+    @F.pandas_udf(T.DoubleType())
+    def _p(k, N, K, n):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from vectordb_bioinsight_spark.functions.special import hypergeom_sf
+
+        # P(X >= k) = P(X > k-1)
+        return pd.Series(
+            hypergeom_sf(k.to_numpy() - 1, N.to_numpy(), K.to_numpy(), n.to_numpy())
+        )
+
+    return contingency.withColumn(
+        "pvalue",
+        _p(F.col("overlap"), F.col("pop_size"), F.col("set_size"), F.col("n_draws")),
+    )
+
+
+def variance_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """A13 highly-variable-gene selection: per-key sample variance, top-k
+    (preprocessor.py:102-106 ``var(axis=1).nlargest``). One agg +
+    TakeOrderedAndProject. Ties broken by key for determinism."""
+    out = df.groupBy(*key_cols).agg(
+        F.round(F.var_samp(F.col(value_col).cast("double")), 4).alias("variance"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    return out.orderBy(F.desc("variance"), *[F.asc(c) for c in key_cols]).limit(k)

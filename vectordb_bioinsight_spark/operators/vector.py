@@ -146,3 +146,82 @@ def knn_lsh(
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qb |= 1 << j
     return knn_brute_force(bucketed.filter(F.col("bucket") == qb), id_col, vec_col, query_vec, k)
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id_col: str,
+    cand_id_col: str,
+    vec_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Batch exact kNN: top-k candidates per query row (query set ⨯ corpus).
+
+    The query side is broadcast (query batches are small by construction —
+    the reference never scores more than a rerank pool at once); the corpus
+    side streams through one scan, and the per-query top-k is a window over
+    the (bounded) query key. Self-matches (same id) are excluded.
+
+    Output (query_id, cand_id, score, rank), best-first per query.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(cand_id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
+    if metric == "cosine":
+        score = cosine_similarity(F.col("_cv"), F.col("_qv"))
+        order = [F.desc("score"), F.asc("cand_id")]
+    elif metric == "l2":
+        score = l2_distance(F.col("_cv"), F.col("_qv"))
+        order = [F.asc("score"), F.asc("cand_id")]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.select("query_id", "cand_id", F.round(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id_col: str,
+    cand_id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """M10 capability analog: k-NN majority-vote classifier over an embedding
+    corpus — deterministic (vote count desc, summed cosine desc, label asc),
+    so it is exactly reproducible in ANSI SQL, unlike a trained model.
+
+    Output (query_id, predicted_label, votes, vote_score).
+    """
+    from pyspark.sql import Window
+
+    neigh = knn_join(queries, candidates, query_id_col, cand_id_col, vec_col, k=k, metric="cosine")
+    labeled = neigh.join(
+        candidates.select(F.col(cand_id_col).alias("cand_id"), F.col(label_col).alias("_lbl")),
+        "cand_id",
+    )
+    votes = labeled.groupBy("query_id", "_lbl").agg(
+        F.count("*").cast("long").alias("votes"),
+        F.round(F.sum("score"), 6).alias("vote_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("vote_score"), F.asc("_lbl")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_lbl").alias("predicted_label"), "votes", "vote_score")
+    )

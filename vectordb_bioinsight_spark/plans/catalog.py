@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_network as net
 from vectordb_bioinsight_spark.plans import catalog_relational as rel
+from vectordb_bioinsight_spark.plans import catalog_stats as st
 from vectordb_bioinsight_spark.plans import catalog_text as tx
 from vectordb_bioinsight_spark.plans import catalog_vector as vec
 
@@ -72,6 +73,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),
     "sessionize": (net.q_sessionize, net.SQL_SESSIONIZE),
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
+    # --- stats / scoring / classification ---
+    "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
+    "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
 }
 
 

@@ -1,0 +1,172 @@
+"""Stats / scoring / classification catalog additions: Wilcoxon rank-sum
+markers (M11), hypergeometric enrichment contingency (M7), rule-ladder
+document scoring (V8/V9/M8/W8), k-NN majority-vote classification (M10
+analog), and highly-variable selection (A13)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.scoring import checklist_score, ladder_score
+from vectordb_bioinsight_spark.operators.stats import (
+    enrichment_contingency,
+    variance_topk,
+    wilcoxon_rank_sum,
+)
+from vectordb_bioinsight_spark.operators.vector import knn_classify
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+def q_wilcoxon_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 rank-genes-groups analog: per part-brand Wilcoxon rank-sum of
+    extended price, returned (R) vs not — tie-corrected z from window ranks
+    (agent_singlecell.py:2139-2225 semantics, distributed closed form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+    df = df.select("p_brand", "l_extendedprice", (F.col("l_returnflag") == "R").alias("is_ret"))
+    return wilcoxon_rank_sum(df, ["p_brand"], "is_ret", "l_extendedprice")
+
+
+SQL_WILCOXON_BRAND_PRICE = """
+WITH li AS (
+  SELECT p.p_brand, l.l_extendedprice AS v,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), ranked AS (
+  SELECT p_brand, v, g,
+         rank() OVER (PARTITION BY p_brand ORDER BY v ASC)
+           + (count(*) OVER (PARTITION BY p_brand, v) - 1) / 2.0 AS r
+  FROM li
+), agg AS (
+  SELECT p_brand, count(*)::DOUBLE AS n, sum(g)::DOUBLE AS n_a,
+         sum(CASE WHEN g = 1 THEN r END) AS r_a
+  FROM ranked GROUP BY 1
+), ties AS (
+  SELECT p_brand, sum(t * t * t - t) AS tie_sum
+  FROM (SELECT p_brand, v, count(*)::DOUBLE AS t FROM li GROUP BY 1, 2)
+  GROUP BY 1
+), stats AS (
+  SELECT a.p_brand, a.n, a.n_a, (a.n - a.n_a) AS n_b,
+         a.r_a - a.n_a * (a.n_a + 1.0) / 2.0 AS u,
+         a.n_a * (a.n - a.n_a) / 12.0
+           * ((a.n + 1.0) - t.tie_sum / (a.n * (a.n - 1.0))) AS var
+  FROM agg a JOIN ties t USING (p_brand)
+)
+SELECT p_brand, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(u, 4) AS u_stat,
+       round((u - n_a * n_b / 2.0) / sqrt(var), 6) AS z
+FROM stats WHERE n_a > 0 AND n_b > 0 AND var > 0
+"""
+
+
+def q_brand_discount_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 over-representation contingency per brand: is a brand enriched
+    among deep-discounted lineitems? (k, K, n, N, fold) — the Enrichr
+    contingency re-expressed (agent3_pathway.py:148-202); the hypergeometric
+    tail p is the ``enrichment_pvalues`` UDF tier (numpy-oracle-tested)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey)
+    df = df.select("p_brand", (F.col("l_discount") >= 0.08).alias("deep"))
+    return enrichment_contingency(df, "p_brand", "deep")
+
+
+SQL_BRAND_DISCOUNT_ENRICHMENT = """
+WITH li AS (
+  SELECT p.p_brand, CASE WHEN l.l_discount >= 0.08 THEN 1 ELSE 0 END AS f
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), per_group AS (
+  SELECT p_brand, count(*)::BIGINT AS set_size, sum(f)::BIGINT AS overlap
+  FROM li GROUP BY 1
+), totals AS (
+  SELECT count(*)::BIGINT AS pop_size, sum(f)::BIGINT AS n_draws FROM li
+)
+SELECT p_brand, overlap, set_size, n_draws, pop_size,
+       round((overlap::DOUBLE / n_draws) / (set_size::DOUBLE / pop_size), 6) AS fold_enrichment
+FROM per_group, totals
+"""
+
+
+def q_doc_rule_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8/M8/W8: deterministic rule-ladder quality score per document —
+    length ladder + language/keyword/source checklist, pure JVM expressions
+    (core_paper_reranker.py:193-453 + agent4_validation.py:405-524 pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    length_pts = ladder_score(F.col("n_chars"), [(200.0, 10.0), (300.0, 20.0)])
+    checklist = checklist_score(
+        [
+            (F.col("lang") == "en", 15.0),
+            (F.col("text").contains("vector"), 10.0),
+            (F.col("source").isin("src0", "src1", "src2"), 5.0),
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        F.round(length_pts + checklist, 4).alias("quality_points"),
+    )
+
+
+SQL_DOC_RULE_SCORES = """
+SELECT doc_id,
+       round(
+         (CASE WHEN n_chars >= 300 THEN 20.0 WHEN n_chars >= 200 THEN 10.0 ELSE 0.0 END)
+         + (CASE WHEN lang = 'en' THEN 15.0 ELSE 0.0 END)
+         + (CASE WHEN text LIKE '%vector%' THEN 10.0 ELSE 0.0 END)
+         + (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5.0 ELSE 0.0 END)
+       , 4) AS quality_points
+FROM documents
+"""
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 capability analog: 5-NN majority-vote label prediction for the 20
+    query vectors vec_id % 25 == 0, against the full corpus (self excluded).
+    Deterministic tie-breaks make it hash-matchable, unlike a trained model."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return knn_classify(queries, emb, "vec_id", "vec_id", "embedding", "label", k=5)
+
+
+SQL_KNN_CLASSIFY = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS cand_id, e.label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, cand_id, label,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2, 3
+), scored AS (
+  SELECT query_id, cand_id, label, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id ASC) AS rn
+  FROM sums
+), votes AS (
+  SELECT query_id, label, count(*)::BIGINT AS votes, round(sum(score), 6) AS vote_score
+  FROM scored WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT query_id, label AS predicted_label, votes, vote_score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, vote_score DESC, label ASC) AS pick
+  FROM votes
+) WHERE pick = 1
+"""
+
+
+def q_hvg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 HVG selection analog: top-20 parts by sample variance of their
+    per-order quantities (preprocessor.py:102-106 var(axis=1).nlargest)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return variance_topk(li.select(F.col("l_partkey"), "l_quantity"), ["l_partkey"], "l_quantity", k=20)
+
+
+SQL_HVG_PARTS = """
+SELECT l_partkey, round(var_samp(l_quantity), 4) AS variance, count(*)::BIGINT AS n_obs
+FROM lineitem GROUP BY 1
+ORDER BY variance DESC, l_partkey ASC LIMIT 20
+"""
