@@ -1,0 +1,116 @@
+"""Multimodal payload plumbing (schema/batch/determinism) and the
+format-sniffing sources (S1 CSV/TSV, S5 VCF, S6 MAF)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    fake_feature,
+    frame_sample,
+)
+from vectordb_bioinsight_spark.sources.readers import (
+    read_csv_sniffed,
+    read_maf,
+    read_vcf,
+    sniff_delimiter,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(1, "hello world"), (2, "x" * 600), (3, "a")]
+    df = spark.createDataFrame(rows, ["id", "txt"])
+    return attach_payload(df, "id", "txt")
+
+
+def test_media_schema_and_payload_bytes(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,payload:binary,meta:map<string,string>>"
+    )
+    row = media.filter(F.col("media_id") == 1).first()
+    assert bytes(row["payload"]) == b"hello world"
+    assert row["meta"]["orig_col"] == "txt"
+
+
+def test_extract_features_deterministic_md5(media):
+    out = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    digest = hashlib.md5(b"hello world").hexdigest()
+    assert out[1]["payload_md5"] == digest
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["feature"] == fake_feature(b"hello world", 4)
+    assert all(0.0 <= v <= 1.0 for v in out[2]["feature"])
+
+
+def test_extract_features_dim_bounds(media):
+    with pytest.raises(ValueError):
+        extract_features(media, dim=17)
+
+
+def test_frame_sample_chunking(spark, media):
+    frames = frame_sample(media, frame_bytes=256, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # 600 bytes -> frames 0,1,2 -> sampled 0,2 ; frame 2 has 600-512=88 bytes
+    f2 = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f2] == [0, 2]
+    assert [len(bytes(r["frame"])) for r in f2] == [256, 88]
+    # 11 bytes and 1 byte -> single frame 0
+    assert [r["frame_idx"] for r in by_id[1]] == [0]
+    assert len(bytes(by_id[3][0]["frame"])) == 1
+
+
+def test_sniff_and_read_csv_tsv(spark, tmp_path):
+    tsv = tmp_path / "m.tsv"
+    tsv.write_text("gene_id\tsample\tcount\ng1\ts1\t5\ng2\ts1\t7\n")
+    csvf = tmp_path / "m.csv"
+    csvf.write_text("gene_id,sample,count\ng1,s1,5\ng2,s1,7\n")
+    assert sniff_delimiter(str(tsv)) == "\t"
+    assert sniff_delimiter(str(csvf)) == ","
+    for p in (tsv, csvf):
+        df = read_csv_sniffed(spark, str(p))
+        assert df.columns == ["gene_id", "sample", "count"]
+        assert df.count() == 2
+        assert df.filter(F.col("gene_id") == "g2").first()["count"] == 7
+
+
+VCF_TEXT = """##fileformat=VCFv4.2
+##INFO=<ID=DP,Number=1,Type=Integer>
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+chr1\t12345\trs1\tA\tT\t50\tPASS\tDP=100;AF=0.5
+chr2\t999\t.\tG\tC,GA\t.\tq10\tDP=7
+"""
+
+
+def test_read_vcf(spark, tmp_path):
+    p = tmp_path / "v.vcf"
+    p.write_text(VCF_TEXT)
+    df = read_vcf(spark, str(p))
+    rows = {r["variant_id"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["rs1"]["chromosome"] == "chr1"
+    assert rows["rs1"]["position"] == 12345
+    assert rows["rs1"]["info"] == "DP=100;AF=0.5"
+    # INFO field extraction downstream via regexp (the reference's parse)
+    dp = df.select(
+        F.regexp_extract("info", r"DP=(\d+)", 1).cast("int").alias("dp")
+    ).collect()
+    assert sorted(r["dp"] for r in dp) == [7, 100]
+
+
+def test_read_maf(spark, tmp_path):
+    p = tmp_path / "m.maf"
+    p.write_text(
+        "Hugo_Symbol\tChromosome\tStart_Position\tVariant_Classification\n"
+        "TP53\t17\t7577120\tMissense_Mutation\n"
+        "KRAS\t12\t25398284\tNonsense_Mutation\n"
+    )
+    df = read_maf(spark, str(p))
+    assert df.count() == 2
+    assert df.filter(F.col("Hugo_Symbol") == "TP53").first()["Start_Position"] == 7577120

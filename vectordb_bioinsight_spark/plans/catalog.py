@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vectordb_bioinsight_spark.plans import catalog_events as ev
+from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
 from vectordb_bioinsight_spark.plans import catalog_network as net
 from vectordb_bioinsight_spark.plans import catalog_relational as rel
 from vectordb_bioinsight_spark.plans import catalog_stats as st
@@ -79,6 +80,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
     "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
     "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    # --- multimodal payload plumbing ---
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
 }
 
 
