@@ -1,0 +1,148 @@
+"""Single-cell pipeline operators — SURVEY.md M9/M11/M12, A9, F8, W7.
+
+The reference's scanpy pipeline (agent_singlecell.py:746-930;
+singlecell/agent1_qc.py:242-350) runs on an in-memory AnnData matrix. The
+engine keeps the matrix in LONG form (cell_id, gene_id, count) — the wide
+cells×genes pivot is exactly what SURVEY §7.2 forbids at scale — and each
+scanpy step becomes one or two shuffles:
+
+* ``cell_qc_metrics`` / ``apply_qc_filters`` — per-cell aggregates + chained
+  filters (F8, agent1_qc.py:318-350): n_genes, total counts, pct of counts in
+  a flagged gene set (the mito-% analog via prefix match).
+* ``normalize_total_log1p`` — scanpy ``normalize_total(target_sum) -> log1p``
+  (agent_singlecell.py:746-930): per-cell total (one agg, broadcast back),
+  scale to target, log1p.
+* ``size_factors_median_of_ratios`` — DESeq2's median-of-ratios (M1 portable
+  core, agent1_deg.py:168-345): per-gene geometric mean over samples, then
+  per-sample exact median of count/geomean ratios.
+* ``pseudobulk`` — A9 (singlecell/agent5_cnv_ml.py:187-241): sum/mean/median
+  per gene across cells.
+
+All pure DataFrame ops — no UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cell_qc_metrics(
+    long_counts: DataFrame,
+    cell_col: str = "cell_id",
+    gene_col: str = "gene_id",
+    value_col: str = "count",
+    flagged_gene_predicate: Column | None = None,
+) -> DataFrame:
+    """Per-cell QC aggregates in ONE pass: n_genes (nonzero), total_counts,
+    pct_flagged (share of counts in genes matching the predicate — the
+    mito-'MT-' prefix analog, agent1_qc.py:296-300).
+    Output: (cell, n_genes, total_counts, pct_flagged)."""
+    v = F.col(value_col).cast("double")
+    flagged = (
+        F.when(flagged_gene_predicate, v).otherwise(F.lit(0.0))
+        if flagged_gene_predicate is not None
+        else F.lit(0.0)
+    )
+    return long_counts.groupBy(F.col(cell_col).alias("cell_id")).agg(
+        F.count(F.when(v > 0, 1)).cast("long").alias("n_genes"),
+        F.sum(v).alias("total_counts"),
+        F.round(
+            F.coalesce(F.sum(flagged) / F.nullif(F.sum(v), F.lit(0.0)), F.lit(0.0)) * 100.0, 6
+        ).alias("pct_flagged"),
+    )
+
+
+def apply_qc_filters(
+    long_counts: DataFrame,
+    qc: DataFrame,
+    min_genes: int = 200,
+    max_genes: int | None = None,
+    min_counts: float = 500.0,
+    max_pct_flagged: float = 20.0,
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """F8: keep cells passing all QC gates; semi-join back to the long matrix
+    (broadcast when the surviving-cell list is small)."""
+    keep = qc.filter(
+        (F.col("n_genes") >= min_genes)
+        & (F.col("total_counts") >= min_counts)
+        & (F.col("pct_flagged") <= max_pct_flagged)
+    )
+    if max_genes is not None:
+        keep = keep.filter(F.col("n_genes") <= max_genes)
+    return long_counts.join(
+        keep.select(F.col("cell_id").alias(cell_col)), cell_col, "left_semi"
+    )
+
+
+def normalize_total_log1p(
+    long_counts: DataFrame,
+    cell_col: str = "cell_id",
+    value_col: str = "count",
+    target_sum: float = 1e4,
+    out_col: str = "lognorm",
+) -> DataFrame:
+    """scanpy normalize_total(target_sum) + log1p in long form: one agg for
+    per-cell totals, broadcast join back, expression arithmetic."""
+    totals = long_counts.groupBy(cell_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_total")
+    )
+    return (
+        long_counts.join(F.broadcast(totals), cell_col)
+        .withColumn(
+            out_col,
+            F.log1p(F.col(value_col).cast("double") / F.col("_total") * target_sum),
+        )
+        .drop("_total")
+    )
+
+
+def size_factors_median_of_ratios(
+    long_counts: DataFrame,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene_id",
+    value_col: str = "count",
+) -> DataFrame:
+    """M1 portable core — DESeq2 median-of-ratios size factors:
+
+    1. per-gene geometric mean over samples where count > 0 for ALL samples
+       (genes with any zero are excluded, matching DESeq2's log-based mean);
+    2. per-sample exact median (linear interpolation) of count/geomean.
+
+    Output: (sample, size_factor). Two shuffles (gene agg, sample agg).
+    """
+    v = F.col(value_col).cast("double")
+    n_samples = long_counts.select(sample_col).distinct().count()
+    geo = (
+        long_counts.filter(v > 0)
+        .groupBy(gene_col)
+        .agg(
+            F.count("*").alias("_n_nonzero"),
+            F.exp(F.avg(F.log(v))).alias("_geomean"),
+        )
+        .filter(F.col("_n_nonzero") == n_samples)
+        .select(gene_col, "_geomean")
+    )
+    ratios = long_counts.join(geo, gene_col).select(
+        sample_col, (v / F.col("_geomean")).alias("_ratio")
+    )
+    return ratios.groupBy(sample_col).agg(
+        F.round(F.percentile("_ratio", F.lit(0.5)), 6).alias("size_factor")
+    )
+
+
+def pseudobulk(
+    long_counts: DataFrame,
+    gene_col: str = "gene_id",
+    value_col: str = "count",
+) -> DataFrame:
+    """A9: per-gene sum / mean / exact median across cells
+    (singlecell/agent5_cnv_ml.py:187-241)."""
+    v = F.col(value_col).cast("double")
+    return long_counts.groupBy(gene_col).agg(
+        F.sum(v).alias("total"),
+        F.round(F.avg(v), 6).alias("mean"),
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("median"),
+        F.count("*").cast("long").alias("n_cells"),
+    )

@@ -17,6 +17,7 @@ from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
 from vectordb_bioinsight_spark.plans import catalog_network as net
 from vectordb_bioinsight_spark.plans import catalog_relational as rel
+from vectordb_bioinsight_spark.plans import catalog_singlecell as sc
 from vectordb_bioinsight_spark.plans import catalog_stats as st
 from vectordb_bioinsight_spark.plans import catalog_text as tx
 from vectordb_bioinsight_spark.plans import catalog_vector as vec
@@ -83,6 +84,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- multimodal payload plumbing ---
     "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    # --- single-cell analogs + remaining retrieval scorers ---
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
 }
 
 

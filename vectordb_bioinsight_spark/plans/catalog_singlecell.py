@@ -1,0 +1,176 @@
+"""Single-cell analog catalog entries over the driver tables: cell ≡ user /
+sample ≡ order-priority, gene ≡ event-type / part. Same operators, same
+shapes, oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.singlecell import (
+    cell_qc_metrics,
+    normalize_total_log1p,
+    pseudobulk,
+    size_factors_median_of_ratios,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+def q_user_qc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/M12 QC metrics per 'cell' (user): n distinct positive event types,
+    total value, % of value in 'error' events (the mito-% analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    long = ev.select(
+        F.col("user_id").alias("cell_id"),
+        F.col("event_type").alias("gene_id"),
+        F.col("value").alias("count"),
+    )
+    return cell_qc_metrics(
+        long, flagged_gene_predicate=F.col("gene_id") == "error"
+    ).withColumnRenamed("cell_id", "user_id")
+
+
+SQL_USER_QC_STATS = """
+SELECT user_id,
+       count(CASE WHEN value > 0 THEN 1 END)::BIGINT AS n_genes,
+       sum(value) AS total_counts,
+       round(coalesce(
+         sum(CASE WHEN event_type = 'error' THEN value ELSE 0 END)
+           / nullif(sum(value), 0), 0) * 100.0, 6) AS pct_flagged
+FROM events GROUP BY 1
+"""
+
+
+def q_lognorm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9/M11 normalize_total(1e4) -> log1p per user over event values."""
+    ev = load_table(spark, sf_dir, "events")
+    long = ev.select("event_id", F.col("user_id").alias("cell_id"), F.col("value").alias("count"))
+    out = normalize_total_log1p(long)
+    return out.select("event_id", F.round("lognorm", 6).alias("lognorm"))
+
+
+SQL_LOGNORM_EVENTS = """
+SELECT event_id,
+       round(ln(1.0 + value / sum(value) OVER (PARTITION BY user_id) * 10000.0), 6) AS lognorm
+FROM events
+"""
+
+
+def q_priority_size_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 portable core: DESeq2 median-of-ratios size factors, sample ≡
+    order priority, gene ≡ part, count ≡ total quantity. Genes with a zero
+    in any sample drop out, matching DESeq2's log-mean discipline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    long = (
+        li.join(orders.select("o_orderkey", "o_orderpriority"), li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("gene_id"),
+            F.col("o_orderpriority").alias("sample_id"),
+        )
+        .agg(F.sum("l_quantity").alias("count"))
+    )
+    return size_factors_median_of_ratios(long).withColumnRenamed("sample_id", "o_orderpriority")
+
+
+SQL_PRIORITY_SIZE_FACTORS = """
+WITH long AS (
+  SELECT l_partkey AS gene_id, o_orderpriority AS sample_id, sum(l_quantity) AS cnt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), n_samp AS (SELECT count(DISTINCT sample_id) AS ns FROM long),
+geo AS (
+  SELECT gene_id, exp(avg(ln(cnt))) AS geomean
+  FROM long WHERE cnt > 0 GROUP BY 1
+  HAVING count(*) = (SELECT ns FROM n_samp)
+)
+SELECT sample_id AS o_orderpriority,
+       round(quantile_cont(cnt / geomean, 0.5), 6) AS size_factor
+FROM long JOIN geo USING (gene_id)
+GROUP BY 1
+"""
+
+
+def q_pseudobulk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 pseudobulk: per-gene (part) sum/mean/exact-median/count over all
+    'cells' (lineitems)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(F.col("l_partkey").alias("gene_id"), F.col("l_quantity").alias("count"))
+    return pseudobulk(long).withColumnRenamed("gene_id", "l_partkey")
+
+
+SQL_PSEUDOBULK_PARTS = """
+SELECT l_partkey, sum(l_quantity) AS total,
+       round(avg(l_quantity), 6) AS mean,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median,
+       count(*)::BIGINT AS n_cells
+FROM lineitem GROUP BY 1
+"""
+
+
+LENS_RULES = {
+    "overview": ("table", "scan", "row"),
+    "trend": ("stream", "window", "batch"),
+    "mechanism": ("join", "merge", "hash"),
+    "clinical": ("query", "filter", "sort"),
+}
+
+
+def q_lens_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12 lens classification: 4-way keyword-rule scores over document text,
+    argmax label with deterministic tie-break (score desc, lens name asc) —
+    lens_classifier.py:122-487 as pure expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(F.when(F.col("text").contains(kw), 1).otherwise(0) for kw in kws).alias(f"_s_{lens}")
+            for lens, kws in LENS_RULES.items()
+        ],
+    )
+    # argmax via array of structs sorted desc-score / asc-name
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"_s_{lens}").alias("s"), F.lit(lens).alias("lens"))
+            for lens in LENS_RULES
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["s"] > b["s"], -1)
+        .when(a["s"] < b["s"], 1)
+        .when(a["lens"] < b["lens"], -1)
+        .when(a["lens"] > b["lens"], 1)
+        .otherwise(0),
+    )[0]
+    return scored.select(
+        "doc_id",
+        best["lens"].alias("lens"),
+        best["s"].cast("long").alias("lens_score"),
+    )
+
+
+def _sql_lens() -> str:
+    score_exprs = []
+    for lens, kws in LENS_RULES.items():
+        hits = " + ".join(
+            f"(CASE WHEN text LIKE '%{kw}%' THEN 1 ELSE 0 END)" for kw in kws
+        )
+        score_exprs.append(f"({hits}) AS s_{lens}")
+    scores = ", ".join(score_exprs)
+    structs = ", ".join(f"{{'s': s_{lens}, 'lens': '{lens}'}}" for lens in LENS_RULES)
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents),
+ranked AS (
+  SELECT doc_id, unnest([{structs}], recursive := true) FROM scored
+)
+SELECT doc_id, lens, s::BIGINT AS lens_score
+FROM (
+  SELECT doc_id, lens, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lens ASC) AS rn
+  FROM ranked
+) WHERE rn = 1
+"""
+
+
+SQL_LENS_CLASSIFY = _sql_lens()

@@ -205,3 +205,47 @@ FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
 
 
 SQL_HYBRID_RRF = _sql_hybrid_rrf()
+
+
+def q_rerank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 rerank stage: BM25 top-20 candidate pool, 'cross-encoder' arm
+    stood in by the deterministic rule-quality score (the inference UDF slot
+    — reranker.py:110-278), min-max normalized, blended 0.3*orig +
+    0.7*rerank, re-sorted, truncated to 10."""
+    from vectordb_bioinsight_spark.operators.scoring import rerank_blend
+    from vectordb_bioinsight_spark.plans.catalog_stats import q_doc_rule_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    pool = bm25_topk(docs, "doc_id", "text", HYBRID_QUERY_TEXT, k=20)
+    quality = q_doc_rule_scores(spark, sf_dir)
+    cand = pool.join(quality, "doc_id")
+    out = rerank_blend(cand, "score", "quality_points", orig_weight=0.3,
+                       top_k=10, order_tiebreak=["doc_id"])
+    return out.select("doc_id", "final_score")
+
+
+def _sql_rerank_blend() -> str:
+    quality = """
+         (CASE WHEN n_chars >= 300 THEN 20.0 WHEN n_chars >= 200 THEN 10.0 ELSE 0.0 END)
+         + (CASE WHEN lang = 'en' THEN 15.0 ELSE 0.0 END)
+         + (CASE WHEN text LIKE '%vector%' THEN 10.0 ELSE 0.0 END)
+         + (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 5.0 ELSE 0.0 END)
+"""
+    return f"""
+WITH pool AS ({_sql_bm25_scores(20)}),
+cand AS (
+  SELECT p.doc_id, p.score AS orig, round({quality}, 4) AS rq
+  FROM pool p JOIN documents d USING (doc_id)
+), bounds AS (
+  SELECT min(orig) AS mno, max(orig) AS mxo, min(rq) AS mnr, max(rq) AS mxr FROM cand
+)
+SELECT doc_id,
+       round(0.3 * (CASE WHEN mxo > mno THEN (orig - mno) / (mxo - mno) ELSE 0.5 END)
+           + 0.7 * (CASE WHEN mxr > mnr THEN (rq - mnr) / (mxr - mnr) ELSE 0.5 END), 6)
+         AS final_score
+FROM cand, bounds
+ORDER BY final_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+SQL_RERANK_BLEND = _sql_rerank_blend()
