@@ -104,3 +104,91 @@ def test_correlation_pvalues_matches_scipy(spark):
         p = 2 * scipy_stats.t.sf(abs(t), n - 2)
         assert r["t_stat"] == pytest.approx(t, rel=1e-9)
         assert r["pvalue"] == pytest.approx(p, rel=1e-6)
+
+
+def test_connected_components_two_triangles(spark):
+    from vectordb_bioinsight_spark.operators.network import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        ["entity1", "entity2"],
+    )
+    got = {r["entity"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_two_cliques(spark):
+    from itertools import combinations
+
+    from vectordb_bioinsight_spark.operators.network import label_propagation
+
+    clique1 = [f"a{i}" for i in range(4)]
+    clique2 = [f"b{i}" for i in range(4)]
+    edges = [list(p) for p in combinations(clique1, 2)] + [
+        list(p) for p in combinations(clique2, 2)
+    ] + [["a0", "b0"]]  # single bridge
+    df = spark.createDataFrame(edges, ["entity1", "entity2"])
+    got = {r["entity"]: r["cluster"] for r in label_propagation(df, max_iter=5).collect()}
+    # each clique converges to one label; the bridge does not merge them
+    assert len({got[v] for v in clique1}) == 1
+    assert len({got[v] for v in clique2}) == 1
+    assert got["a1"] != got["b1"]
+
+
+def test_betweenness_path_and_star(spark):
+    from vectordb_bioinsight_spark.operators.network import betweenness_exact_collected
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["entity1", "entity2"]
+    )
+    got = {r["entity"]: r["betweenness"] for r in betweenness_exact_collected(path).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+    star = spark.createDataFrame(
+        [("hub", "s1"), ("hub", "s2"), ("hub", "s3")], ["entity1", "entity2"]
+    )
+    got = {r["entity"]: r["betweenness"] for r in betweenness_exact_collected(star).collect()}
+    assert got["hub"] == 3.0  # C(3,2) leaf pairs
+    assert got["s1"] == 0.0
+
+
+def test_betweenness_guard(spark):
+    from vectordb_bioinsight_spark.operators.network import betweenness_exact_collected
+
+    edges = spark.createDataFrame([(str(i), str(i + 1)) for i in range(10)], ["entity1", "entity2"])
+    with pytest.raises(ValueError, match="no silent truncation"):
+        betweenness_exact_collected(edges, max_nodes=5)
+
+
+def test_grn_ridge_matches_numpy(spark):
+    from vectordb_bioinsight_spark.operators.grn import grn_ridge
+
+    rng = np.random.default_rng(3)
+    n_samp = 30
+    regs = {"R1": rng.normal(size=n_samp), "R2": rng.normal(size=n_samp)}
+    # planted: T1 = 2*R1 - R2 + noise ; T2 = pure noise
+    targets = {
+        "T1": 2.0 * regs["R1"] - regs["R2"] + rng.normal(scale=0.01, size=n_samp),
+        "T2": rng.normal(size=n_samp),
+    }
+    rows = [
+        (g, f"s{i:02d}", float(v))
+        for g, vals in {**regs, **targets}.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["gene_id", "sample_id", "value"])
+    got = {
+        (r["target"], r["regulator"]): r["coef"]
+        for r in grn_ridge(df, ["R1", "R2"], lam=1.0).collect()
+    }
+    # numpy oracle: same standardization + closed form
+    X = np.column_stack([regs["R1"], regs["R2"]])
+    Xz = (X - X.mean(0)) / X.std(0)
+    for t, y in targets.items():
+        ys = (y - y.mean()) / y.std()
+        beta = np.linalg.solve(Xz.T @ Xz + np.eye(2), Xz.T @ ys)
+        assert got[(t, "R1")] == pytest.approx(round(beta[0], 6), abs=1e-6)
+        assert got[(t, "R2")] == pytest.approx(round(beta[1], 6), abs=1e-6)
+    # planted structure recovered: strong positive R1, negative R2 for T1
+    assert got[("T1", "R1")] > 0.5
+    assert got[("T1", "R2")] < -0.2
+    assert abs(got[("T2", "R1")]) < 0.5

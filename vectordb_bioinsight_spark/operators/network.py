@@ -171,3 +171,147 @@ def hub_scores(
         scored.withColumn("is_hub", F.row_number().over(w) <= top_k_hubs)
         .select("entity", "degree", "eig_centrality", "hub_score", "is_hub")
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by iterative min-label propagation (hash-min):
+    every node repeatedly adopts the minimum component id in its closed
+    neighborhood until a fixed point. Deterministic; each iteration is one
+    shuffle. Used for the per-component eigenvector runs the reference does
+    via networkx subgraphs (agent2_network.py:236-246).
+
+    Output: (entity, component) — component = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
+        .unionByName(edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("entity")).distinct().withColumn(
+        "component", F.col("entity")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "entity", "left")
+            .select(
+                "entity",
+                F.least(F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """M11 clustering analog (Leiden/Louvain capability): synchronous label
+    propagation with a deterministic tie-break — each node adopts the most
+    frequent label among neighbors, ties broken by smallest label. Fixed
+    iteration count keeps it reproducible (async LPA is order-dependent).
+
+    Output: (entity, cluster).
+    """
+    sym = (
+        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
+        .unionByName(edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("entity")).distinct().withColumn(
+        "cluster", F.col("entity")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(max_iter):
+        freq = (
+            sym.join(labels.withColumnRenamed("entity", "dst"), "dst")
+            .groupBy(F.col("src").alias("entity"), F.col("cluster"))
+            .agg(F.count("*").alias("_n"))
+        )
+        w = W.partitionBy("entity").orderBy(F.desc("_n"), F.asc("cluster"))
+        best = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("entity", "cluster")
+        )
+        labels = (
+            labels.select("entity")
+            .join(best, "entity", "left")
+            .withColumn("cluster", F.coalesce(F.col("cluster"), F.col("entity")))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def betweenness_exact_collected(edges: DataFrame, max_nodes: int = 2000) -> DataFrame:
+    """M3 betweenness centrality — exact Brandes on the COLLECTED graph.
+
+    Betweenness is all-pairs shortest paths; the reference caps its networks
+    at 1000 nodes (agent2_network.py:127-132) and computes via networkx, so
+    driver-side exact is the honest equivalent (SURVEY §4.3(6)). The
+    ``max_nodes`` guard raises instead of silently truncating; for larger
+    graphs use sampled-source Brandes sharded with applyInPandas.
+
+    Output: (entity, betweenness) — unnormalized, undirected convention
+    (pair contributions halved).
+    """
+    n = edges.select(F.col("entity1").alias("e")).unionByName(
+        edges.select(F.col("entity2").alias("e"))
+    ).distinct().count()
+    if n > max_nodes:
+        raise ValueError(
+            f"graph has {n} nodes > max_nodes={max_nodes}; betweenness is "
+            "all-pairs — collect bound exceeded (no silent truncation)"
+        )
+    rows = edges.select("entity1", "entity2").collect()
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+        adj.setdefault(r[1], set()).add(r[0])
+    bc = {v: 0.0 for v in adj}
+    from collections import deque
+
+    for s in adj:  # Brandes (2001), unweighted BFS variant
+        stack: list = []
+        pred: dict = {v: [] for v in adj}
+        sigma = {v: 0.0 for v in adj}
+        dist = {v: -1 for v in adj}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w_ in adj[v]:
+                if dist[w_] < 0:
+                    dist[w_] = dist[v] + 1
+                    q.append(w_)
+                if dist[w_] == dist[v] + 1:
+                    sigma[w_] += sigma[v]
+                    pred[w_].append(v)
+        delta = {v: 0.0 for v in adj}
+        while stack:
+            w_ = stack.pop()
+            for v in pred[w_]:
+                delta[v] += sigma[v] / sigma[w_] * (1.0 + delta[w_])
+            if w_ != s:
+                bc[w_] += delta[w_]
+    spark = edges.sparkSession
+    out = [(v, round(b / 2.0, 6)) for v, b in bc.items()]
+    return spark.createDataFrame(out, ["entity", "betweenness"])
