@@ -101,3 +101,65 @@ def week_over_week_deltas(windowed: DataFrame) -> DataFrame:
         (F.col("n") - prev).alias("delta"),
         F.when(prev > 0, F.round(F.col("n") / prev, 6)).alias("ratio"),
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the streaming twin of the
+    batch ``sessionize`` operator (catalog_network.q_sessionize): a session
+    closes after ``gap`` of silence. Same code path batch/stream.
+
+    Output: (user_id, session_start, session_end, n_events, value_sum).
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    agg = src.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "value_sum",
+    )
+
+
+def stateful_type_totals(stream_df: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY §2.11):
+    per event_type running totals carried in explicit state across
+    micro-batches — the engine's extension point for stateful logic that
+    windowed aggregation cannot express (e.g. the briefing's cumulative
+    week-over-week ledger, trend_analyzer.py:23-66).
+
+    Emits (event_type, n_total, value_total) each time a batch touches the
+    key; the memory-sink table in update mode keeps the latest per key.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "event_type string, n_total long, value_total double"
+    state_schema = "n long, v double"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, round(v, 4)))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_total": [n], "value_total": [round(v, 4)]}
+        )
+
+    return (
+        stream_df.groupBy("event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
