@@ -130,3 +130,45 @@ def read_maf(spark: SparkSession, path: str) -> DataFrame:
         .option("inferSchema", "true")
         .csv(path)
     )
+
+
+def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """S3 PDF parse — real path requires PyMuPDF (not shipped here): decode
+    payload bytes per executor inside mapInPandas. Raises NotImplementedError
+    without the lib; the text-side section structuring that follows the
+    decode is ``sections_from_text`` (fully implemented, JVM-side)."""
+    try:
+        import fitz  # type: ignore[import-not-found]  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PDF decode requires PyMuPDF on executors (pdf_parser.py:452-511 "
+            "semantics); structure already-extracted text with sections_from_text"
+        ) from exc
+    raise NotImplementedError("real PyMuPDF path not wired in this environment")
+
+
+def sections_from_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_header_chars: int = 60,
+) -> DataFrame:
+    """S3 section structuring (the post-decode half of the PDF parser,
+    pdf_parser.py:513-613): split text on blank lines into sections; a
+    section's header is its first line when short enough, else ''. All JVM
+    expressions (split / posexplode / substring_index).
+
+    Output: (id, section_idx, header, body).
+    """
+    sections = F.split(F.col(text_col), r"\n\s*\n")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(sections).alias("section_idx", "_sec")
+    ).filter(F.length(F.trim(F.col("_sec"))) > 0)
+    first_line = F.trim(F.substring_index(F.col("_sec"), "\n", 1))
+    header = F.when(F.length(first_line) <= max_header_chars, first_line).otherwise(F.lit(""))
+    return exploded.select(
+        id_col,
+        "section_idx",
+        header.alias("header"),
+        F.trim(F.col("_sec")).alias("body"),
+    )
