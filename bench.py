@@ -37,6 +37,13 @@ HEADLINE = [
     "bm25_topk",
     "knn_cosine",
     "hybrid_rrf",
+    "wilcoxon_brand_price",
+    "sessionize",
+    "part_correlation_network",
+    "knn_classify",
+    "media_features",
+    "lognorm_events",
+    "rerank_blend",
 ]
 
 

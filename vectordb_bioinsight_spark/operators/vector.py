@@ -74,17 +74,25 @@ def similarity_self_join(
     ``lsh_assign_buckets``) that turns it into an equi-join.
     Output (id1, id2, cosine) rounded 6 dp.
     """
-    if block_col is not None:
-        a = vectors.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-        b = vectors.select(F.col(block_col).alias("_blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-        joined = a.join(b, "_blk").drop("_blk")
-    else:
-        a = vectors.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"))
-        b = vectors.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"))
-        joined = a.crossJoin(b)
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
+    # fold each row's norm ONCE before the pair fan-out (pairs then cost one
+    # dot-product fold instead of three folds) — same hoist as knn_join
+    a = vectors.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"),
+        l2_norm(F.col(vec_col)).alias("_n1"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"),
+        l2_norm(F.col(vec_col)).alias("_n2"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = a.join(b, "_blk").drop("_blk") if block_col else a.crossJoin(b)
+    cosine = dot_product(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
     return (
         joined.filter(F.col("id1") < F.col("id2"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("_v1"), F.col("_v2")), 6))
+        .withColumn("cosine", F.round(cosine, 6))
         .filter(F.col("cosine") >= min_cosine)
         .select("id1", "id2", "cosine")
     )
@@ -166,15 +174,24 @@ def knn_join(
 
     Output (query_id, cand_id, score, rank), best-first per query.
     """
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
+    # norms are per-ROW quantities — fold them once per side BEFORE the
+    # n_queries × n_candidates join, so each pair costs ONE array fold (dot),
+    # not three. At 1M+ pairs this is a ~3x win (measured via bench.py).
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(cand_id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
+        F.col(cand_id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
     if metric == "cosine":
-        score = cosine_similarity(F.col("_cv"), F.col("_qv"))
+        score = dot_product(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
         order = [F.desc("score"), F.asc("cand_id")]
     elif metric == "l2":
         score = l2_distance(F.col("_cv"), F.col("_qv"))
