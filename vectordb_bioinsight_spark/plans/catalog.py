@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vectordb_bioinsight_spark.plans import catalog_coverage as cov
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
 from vectordb_bioinsight_spark.plans import catalog_network as net
@@ -91,6 +92,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
     "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    # --- SURVEY coverage fill-ins ---
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
 }
 
 

@@ -1,0 +1,168 @@
+"""Coverage fill-ins for the remaining SURVEY §2 rows: inverted token index
+(A14 reverse mapping), per-chromosome windowed deviation (W6 CNV analog),
+field-aware precision scoring (V7), as-of join (§2.3 declared capability),
+and CUBE grouping (§2.4 declared capability)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.text import tokenize, tokenize_duckdb
+from vectordb_bioinsight_spark.operators.joins import asof_join
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+MIN_DOCS = 100
+
+
+def q_token_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 reverse mapping (agent3_pathway.py:204-236 pattern): explode
+    member lists, group by member, count + sorted member list — here the
+    corpus inverted index restricted to common tokens. The doc list is a
+    sorted CSV string so the result stays scalar-typed for hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.concat_ws(",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))).alias(
+                "doc_csv"
+            ),
+        )
+        .filter(F.col("n_docs") >= MIN_DOCS)
+    )
+
+
+SQL_TOKEN_DOC_INDEX = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest({tokenize_duckdb("text")}) AS token FROM documents
+)
+SELECT token, count(*)::BIGINT AS n_docs,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS doc_csv
+FROM pairs GROUP BY 1 HAVING count(*) >= {MIN_DOCS}
+"""
+
+
+def q_cnv_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 CNV windowed deviation (singlecell/agent5_cnv_ml.py:453-545):
+    chromosome ≡ brand, gene ≡ part, cell ≡ supplier. Per-(cell, gene) mean
+    deviation from the gene's global mean, averaged per (cell, chromosome).
+    Two aggregations + one broadcast join of per-gene global means."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    facts = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == part.p_partkey
+    ).select(
+        F.col("l_suppkey").alias("cell"),
+        F.col("l_partkey").alias("gene"),
+        F.col("p_brand").alias("chrom"),
+        F.col("l_quantity").cast("double").alias("v"),
+    )
+    global_means = facts.groupBy("gene").agg(F.avg("v").alias("gmean"))
+    per_cell_gene = facts.groupBy("cell", "gene", "chrom").agg(F.avg("v").alias("cmean"))
+    return (
+        per_cell_gene.join(F.broadcast(global_means), "gene")
+        .groupBy("cell", "chrom")
+        .agg(
+            F.round(F.avg(F.col("cmean") - F.col("gmean")), 6).alias("avg_deviation"),
+            F.count("*").cast("long").alias("n_genes"),
+        )
+    )
+
+
+SQL_CNV_DEVIATION = """
+WITH facts AS (
+  SELECT l_suppkey AS cell, l_partkey AS gene, p_brand AS chrom, l_quantity::DOUBLE AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), gm AS (SELECT gene, avg(v) AS gmean FROM facts GROUP BY 1),
+cg AS (
+  SELECT cell, gene, chrom, avg(v) AS cmean FROM facts GROUP BY 1, 2, 3
+)
+SELECT cell, chrom, round(avg(cmean - gmean), 6) AS avg_deviation,
+       count(*)::BIGINT AS n_genes
+FROM cg JOIN gm USING (gene) GROUP BY 1, 2
+"""
+
+
+PRECISION_KEYWORD = "vector"
+
+
+def q_precision_field_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 field-aware scoring (precision_search.py:505-538): keyword in the
+    'title' (first 40 chars) scores 100, 'abstract' (first 150) scores 80,
+    anywhere in the body 60, else 0 — pure position arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), PRECISION_KEYWORD)
+    score = (
+        F.when((pos > 0) & (pos <= 40), 100)
+        .when((pos > 0) & (pos <= 150), 80)
+        .when(pos > 0, 60)
+        .otherwise(0)
+    )
+    return docs.select("doc_id", score.cast("long").alias("field_score")).filter(
+        F.col("field_score") > 0
+    )
+
+
+SQL_PRECISION_FIELD_SCORES = f"""
+SELECT doc_id,
+       (CASE WHEN strpos(text, '{PRECISION_KEYWORD}') BETWEEN 1 AND 40 THEN 100
+             WHEN strpos(text, '{PRECISION_KEYWORD}') BETWEEN 1 AND 150 THEN 80
+             WHEN strpos(text, '{PRECISION_KEYWORD}') > 0 THEN 60
+             ELSE 0 END)::BIGINT AS field_score
+FROM documents
+WHERE strpos(text, '{PRECISION_KEYWORD}') > 0
+"""
+
+
+def q_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.3 declared capability): for each purchase event, the
+    latest prior-or-simultaneous view by the same user — union-and-carry
+    (one shuffle on user), not an inequality nested-loop join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        # unique (user, ts) on the right side keeps the carry deterministic
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["view_event_id"],
+    )
+    return joined.select("event_id", "user_id", "view_event_id")
+
+
+SQL_PURCHASE_LAST_VIEW = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, v.view_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (§2.4 declared capability): order counts and totals over
+    all subsets of (priority, status); NULL marks the rolled-up level."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
