@@ -7,6 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
 from vectordb_bioinsight_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures_wide,
@@ -121,3 +122,49 @@ def test_knn_lsh_subset_of_bruteforce_bucket(spark):
     assert exact[0] == 0  # self is nearest under cosine
     assert 0 in approx  # query's own bucket contains itself
     assert len(approx) <= 5
+
+
+def test_knn_ivf_full_probe_equals_exact(spark):
+    from vectordb_bioinsight_spark.operators.vector import knn_ivf, knn_join
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)  # 5 queries
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=10)
+    ivf_full = knn_ivf(emb, queries, "vec_id", "vec_id", "embedding",
+                       k=10, n_cells=8, n_probe=8)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    f = {(r["query_id"], r["cand_id"]) for r in ivf_full.collect()}
+    assert e == f  # probing every cell degrades to exact brute force
+
+
+def test_knn_ivf_partial_probe_recall(spark):
+    from vectordb_bioinsight_spark.operators.vector import knn_ivf, knn_join
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=10)
+    approx = knn_ivf(emb, queries, "vec_id", "vec_id", "embedding",
+                     k=10, n_cells=8, n_probe=3)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # probes 3/8 of cells; near neighbors cluster
+
+
+def test_bm25_batch_consistent_with_single(spark):
+    from vectordb_bioinsight_spark.operators.bm25 import bm25_batch, bm25_topk
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    qtext = "merge join filter"
+    queries = spark.createDataFrame([(0, qtext)], ["query_id", "query_text"])
+    single = [(r["doc_id"], r["score"]) for r in bm25_topk(docs, "doc_id", "text", qtext, k=10).collect()]
+    batch = [
+        (r["doc_id"], r["score"])
+        for r in bm25_batch(docs, "doc_id", "text", queries, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert single == batch

@@ -159,3 +159,63 @@ def _tokenize_py(text: str, min_len: int = 3) -> list[str]:
     import re
 
     return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if len(t) >= min_len]
+
+
+def bm25_batch(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> DataFrame:
+    """Score MANY queries in ONE plan — the scale path for per-gene retrieval
+    loops (SURVEY M14: the reference loops vector_store.search per gene,
+    gene_interpreter.py:157-436; at 10⁴ queries that is 10⁴ sequential jobs,
+    here it is one postings join).
+
+    Query terms keep their multiplicity (rank_bm25 sums per query-term
+    occurrence, embeddings.py:234-259). Output: (query_id, doc_id, score,
+    rank) — top-k per query, rank by (score desc, doc_id).
+    """
+    from pyspark.sql import Window
+
+    postings = build_postings(documents, id_col, text_col)
+    stats = doc_lengths(documents, id_col, text_col)
+    corpus = stats.filter(F.col("dl") > 0).agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokenize(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("double").alias("qtf"))
+    )
+    term_df = (
+        postings.join(F.broadcast(q_terms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    scored = (
+        postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(term_df), "term")
+        .join(stats, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "_idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+        .withColumn(
+            "_ts",
+            F.col("qtf") * F.col("_idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_ts"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -242,3 +242,81 @@ def knn_classify(
         .filter(F.col("_rn") == 1)
         .select("query_id", F.col("_lbl").alias("predicted_label"), "votes", "vote_score")
     )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate kNN — the BASELINE scale path beside LSH: partition
+    the corpus into Voronoi cells (seeded MLlib KMeans centroids), probe only
+    the ``n_probe`` nearest cells per query, exact cosine inside.
+
+    n_probe = n_cells degrades to exact brute force (recall 1.0); the test
+    suite pins that equivalence plus recall at partial probes. Output
+    (query_id, cand_id, score, rank) like ``knn_join``.
+
+    Scale: the centroid fit samples the corpus (KMeans on a bounded sample is
+    standard IVF training); assignment is one broadcast-centroid projection;
+    the probe join hits ~n_probe/n_cells of the corpus — the same contract as
+    FAISS IVF, expressed relationally.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
+    prepared = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_mlvec"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_mlvec", predictionCol="_cell")
+    model = km.fit(prepared)
+    assigned = model.transform(prepared).select("cand_id", "_cv", "_cn", "_cell")
+
+    centroids = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    spark = vectors.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], ["_cell", "_centroid"]
+    )
+
+    # probe selection: for each query, the n_probe nearest centroids by L2
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    from pyspark.sql import Window
+
+    probe_w = Window.partitionBy("query_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "_qn", "_cell")
+    )
+
+    # equi-join on cell: touches only probed cells' vectors; norms were
+    # folded once per side (same hoist as knn_join)
+    pairs = assigned.join(F.broadcast(probes), "_cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    score = dot_product(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", F.round(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

@@ -98,6 +98,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
     "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
 }
 
 

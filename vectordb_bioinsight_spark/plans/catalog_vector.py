@@ -249,3 +249,59 @@ ORDER BY final_score DESC, doc_id ASC LIMIT 10
 
 
 SQL_RERANK_BLEND = _sql_rerank_blend()
+
+
+BATCH_QUERIES = [
+    (0, "merge join filter"),
+    (1, "vector scan table"),
+    (2, "stream window batch"),
+]
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 at batch scale (M14's loop collapsed): three queries scored in ONE
+    postings-join plan — per-query top-10 with rank."""
+    from vectordb_bioinsight_spark.operators.bm25 import bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BATCH_QUERIES, ["query_id", "query_text"])
+    return bm25_batch(docs, "doc_id", "text", queries, k=10)
+
+
+def _sql_bm25_batch() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BATCH_QUERIES)
+    return f"""
+WITH queries(query_id, qtext) AS (VALUES {vals}),
+qt AS (
+  SELECT query_id, tok AS term, count(*)::DOUBLE AS qtf
+  FROM (SELECT query_id, unnest({tokenize_duckdb("qtext")}) AS tok FROM queries)
+  GROUP BY 1, 2
+), toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), postings AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+), ds AS (
+  SELECT doc_id, length(tk) AS dl FROM toks
+), corpus AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM ds WHERE dl > 0
+), tdf AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM postings WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(q.qtf
+           * ln((c.n_docs - t.df + 0.5) / (t.df + 0.5) + 1.0)
+           * (p.tf * 2.5) / (p.tf + 1.5 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))), 6) AS score
+  FROM postings p JOIN qt q USING (term) JOIN tdf t USING (term)
+       JOIN ds d USING (doc_id), corpus c
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+SQL_BM25_BATCH = _sql_bm25_batch()
