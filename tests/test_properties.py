@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — an oracle-discipline upgrade over the
+reference's fixture-only suite (SURVEY §5 'what's absent'). Each property
+runs few examples (Spark round-trips are seconds each) but explores corners
+fixtures never hit: ties, duplicates, empty groups, adversarial floats."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+pvals = st.lists(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=40
+)
+
+
+def _bh_reference(ps):
+    """Pure-python BH (statsmodels algorithm): sort, p*n/rank, reverse cummin."""
+    n = len(ps)
+    order = sorted(range(n), key=lambda i: ps[i])
+    adj = [0.0] * n
+    running = 1.0
+    for rank_from_end, idx in enumerate(reversed(order)):
+        rank = n - rank_from_end
+        running = min(running, ps[idx] * n / rank)
+        adj[idx] = min(running, 1.0)
+    return adj
+
+
+@given(ps=pvals)
+@settings(**SETTINGS)
+def test_bh_adjust_matches_pure_python(spark, ps):
+    from vectordb_bioinsight_spark.operators.stats import bh_adjust
+
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)], ["id", "pvalue"])
+    got = {r["id"]: r["padj"] for r in bh_adjust(df).collect()}
+    want = _bh_reference(ps)
+    for i, w in enumerate(want):
+        assert got[i] == pytest.approx(w, abs=1e-12), (ps, i)
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts)
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(left=events, right=events)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from vectordb_bioinsight_spark.operators.joins import asof_join
+
+    # unique (key, ts) on the right — the documented determinism precondition
+    right = list({(k, t): (k, t) for k, t in right}.values())
+    if not left:
+        return
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], ["lid", "k", "ts"]
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, t * 10 + k) for k, t in right], ["k", "rts", "val"]
+    ) if right else spark.createDataFrame([], "k int, rts int, val int")
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts", value_cols=["val"]).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt, v) in ((rk, rt, rt * 10 + rk) for rk, rt in right) if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (left, right, i)
+
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Po", "Zs")),
+    max_size=60,
+)
+
+
+@given(txts=st.lists(texts, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_tokenizer_spark_matches_python(spark, txts):
+    """The JVM tokenizer and the driver-side twin must agree — BM25 scores
+    queries with the python twin against postings built with the JVM one."""
+    from vectordb_bioinsight_spark.functions.text import tokenize
+    from vectordb_bioinsight_spark.operators.bm25 import _tokenize_py
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(txts)], ["id", "txt"])
+    got = {r["id"]: r["toks"] for r in df.select("id", tokenize(F.col("txt")).alias("toks")).collect()}
+    for i, t in enumerate(txts):
+        assert got[i] == _tokenize_py(t), repr(t)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.booleans(), st.integers(-50, 50)), min_size=4, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_wilcoxon_z_matches_closed_form(spark, vals):
+    from tests.test_scoring_stats import _wilcoxon_exact
+    from vectordb_bioinsight_spark.operators.stats import wilcoxon_rank_sum
+
+    a = [float(v) for g, v in vals if g]
+    b = [float(v) for g, v in vals if not g]
+    df = spark.createDataFrame(
+        [("k", 1 if g else 0, float(v)) for g, v in vals], ["key", "grp", "val"]
+    )
+    out = wilcoxon_rank_sum(df, ["key"], "grp", "val").collect()
+    if not a or not b or len(set(a + b)) == 1:
+        assert out == []  # degenerate keys must be dropped, never NaN
+        return
+    u, z = _wilcoxon_exact(a, b)
+    if not math.isfinite(z):
+        assert out == []
+        return
+    assert len(out) == 1
+    assert out[0]["u_stat"] == pytest.approx(round(u, 4), abs=1e-6)
+    assert out[0]["z"] == pytest.approx(round(z, 6), abs=1e-5)
