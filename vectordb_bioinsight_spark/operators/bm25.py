@@ -219,3 +219,28 @@ def bm25_batch(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def incremental_index_update(
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental index append — fixes the reference's from-scratch rebuild
+    on every ingest (vector_store.py:195-209): new documents' postings and
+    lengths are UNIONED into the existing tables; corpus stats (N, avgdl,
+    df) are recomputed by ``bm25_scores`` from the updated tables at query
+    time, so they are never stale.
+
+    Cost: tokenizing only the delta + one union (no shuffle until the next
+    query's aggregation). Re-adding an existing doc_id is the caller's
+    upsert decision; this operator is pure append.
+    """
+    new_postings = build_postings(new_docs, id_col, text_col)
+    new_stats = doc_lengths(new_docs, id_col, text_col)
+    return (
+        postings.unionByName(new_postings),
+        doc_stats.unionByName(new_stats),
+    )

@@ -1,0 +1,47 @@
+"""Sinks — SURVEY §2.1 S10 (CSV), S13 (JSON), plus the parquet table
+contract that replaces the reference's inter-agent CSV files
+(orchestrator.py:168-184, base_agent.py:114-139).
+
+Scale discipline baked in:
+* ``write_table`` partitions by the declared keys and bounds file sizes with
+  ``maxRecordsPerFile`` — a 100 TB table must land as many well-sized files,
+  never one task's giant file or millions of tiny ones;
+* writers ``repartition`` on the partition keys first so each output
+  partition is written by few tasks (no small-file explosion from 1000
+  tasks each appending to every partition).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Parquet table sink — the inter-stage contract (Delta-style table
+    semantics degrade to plain parquet here; swap format('delta') on a
+    cluster with the connector)."""
+    out = df
+    if partition_by:
+        out = out.repartition(*partition_by)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """S10 CSV sink (base_agent.py:114-119)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S13 JSON sink (base_agent.py:133-139)."""
+    df.write.mode(mode).json(path)
