@@ -99,6 +99,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
     "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
 }
 
 

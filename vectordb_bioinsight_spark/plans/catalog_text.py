@@ -265,3 +265,51 @@ SELECT source, count(*) AS n_docs, CAST(count(DISTINCT lang) AS BIGINT) AS n_lan
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source
 """
+
+
+def q_doc_chunks(spark, sf_dir):
+    """S11 ingest chunking: fixed-size overlapping character chunks
+    (CHUNK_SIZE=1000 / OVERLAP=200, config.py:99-100) as a pure JVM
+    projection; md5 per chunk makes the content hash-checkable."""
+    from vectordb_bioinsight_spark.operators.chunking import chunk_text
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "doc_id", "text", chunk_size=200, overlap=40)
+    return chunks.select("doc_id", "chunk_idx", "chunk_len", F.md5("chunk").alias("chunk_md5"))
+
+
+SQL_DOC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(1, ceil((length(text) - 40) / 160.0)::INT) AS n_chunks
+  FROM documents
+), c AS (
+  SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, text
+  FROM d
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       length(substr(text, chunk_idx * 160 + 1, 200))::BIGINT AS chunk_len,
+       md5(substr(text, chunk_idx * 160 + 1, 200)) AS chunk_md5
+FROM c WHERE length(substr(text, chunk_idx * 160 + 1, 200)) > 0
+"""
+
+
+def q_embed_documents(spark, sf_dir):
+    """V1 batch embedding (rows-only check: the deterministic fake model is
+    an engine artifact with no SQL twin): iterator pandas UDF, per-worker
+    model singleton, Arrow batches. Returns (doc_id, dim, norm) projections
+    of the embedding so the schema stays scalar."""
+    from vectordb_bioinsight_spark.operators.inference import embed_column
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = embed_column(docs, "text", dim=16)
+    return emb.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, v: a + v)),
+            4,
+        ).alias("norm"),
+    )
