@@ -114,3 +114,41 @@ def test_read_maf(spark, tmp_path):
     df = read_maf(spark, str(p))
     assert df.count() == 2
     assert df.filter(F.col("Hugo_Symbol") == "TP53").first()["Start_Position"] == 7577120
+
+
+def test_parse_vcf_info_and_driver_scores(spark, tmp_path):
+    from vectordb_bioinsight_spark.operators.variant import driver_scores, parse_vcf_info
+
+    p = tmp_path / "d.vcf"
+    p.write_text(VCF_TEXT)
+    from vectordb_bioinsight_spark.sources.readers import read_vcf
+
+    vcf = parse_vcf_info(read_vcf(spark, str(p)))
+    rows = {r["variant_id"]: r for r in vcf.collect()}
+    assert rows["rs1"]["dp"] == 100 and rows["rs1"]["af"] == 0.5
+
+    variants = spark.createDataFrame(
+        [
+            # hotspot + cosmic + missense + oncogene-activating:
+            # 40 + 20 + 0.6*15 + 10 = 79 -> driver
+            ("KRAS", "p.G12D", "missense", 0.45, True),
+            # TSG + frameshift LoF + cosmic: 20 + 1.0*15 + 15 = 50 -> driver
+            ("TP53", "p.R175fs", "frameshift", 0.2, True),
+            # synonymous nobody-gene: 0.1*15 = 1.5 -> not driver
+            ("GAPDH", "p.L10L", "synonymous", 0.1, False),
+        ],
+        ["gene", "aa_change", "effect", "vaf", "in_cosmic"],
+    )
+    hotspots = spark.createDataFrame([("KRAS", "p.G12D")], ["gene", "aa_change"])
+    roles = spark.createDataFrame(
+        [("KRAS", "Oncogene"), ("TP53", "TSG")], ["gene", "role"]
+    )
+    got = {r["gene"]: r for r in driver_scores(variants, hotspots, roles).collect()}
+    assert got["KRAS"]["driver_score"] == pytest.approx(79.0)
+    assert got["KRAS"]["is_driver"] and got["KRAS"]["is_hotspot"]
+    assert "hotspot:KRAS p.G12D" in got["KRAS"]["evidence"]
+    assert "clonal_vaf" in got["KRAS"]["evidence"]
+    assert got["TP53"]["driver_score"] == pytest.approx(50.0)
+    assert got["TP53"]["is_driver"] and "tsg_lof" in got["TP53"]["evidence"]
+    assert got["GAPDH"]["driver_score"] == pytest.approx(1.5)
+    assert not got["GAPDH"]["is_driver"] and got["GAPDH"]["role"] == "Unknown"
