@@ -1,0 +1,65 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness says WHAT each query returns; these tests pin HOW: filters reach
+the parquet scan, dimension joins broadcast, top-k compiles to
+TakeOrderedAndProject, and — across the ENTIRE catalog — no operator ever
+falls back to a row-at-a-time Python UDF (BatchEvalPython). Python appears
+only as Arrow-batched stages (ArrowEvalPython / MapInPandas /
+FlatMapGroupsInPandas), which is the engine's UDF policy (SURVEY §4.3(4))."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.plans.catalog import CATALOG
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name][0](spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning_on_wide_table(spark):
+    plan = _plan(spark, "top_brand_revenue")
+    # lineitem scan must NOT read unused columns like l_comment-ish fields;
+    # assert the ReadSchema keeps only what the query needs
+    read = plan.split("ReadSchema", 1)[1][:250]
+    assert "l_partkey" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_returnflag" not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    for name in ["top_brand_revenue", "cnv_deviation", "wilcoxon_brand_price"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    for name in ["knn_cosine", "top_orders", "hvg_parts"]:
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_no_cartesian_in_equi_join_queries(spark):
+    # similarity/corr queries are blocked/equi-joined — a CartesianProduct
+    # would mean the blocking key was lost
+    for name in ["embedding_neardup", "part_correlation_network", "word_cooccurrence"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_no_row_at_a_time_python_udf_anywhere(spark, name):
+    """The whole catalog: Python only as Arrow-batched stages, never
+    BatchEvalPython (pickled row loop, 10-100x slower)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
