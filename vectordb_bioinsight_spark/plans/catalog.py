@@ -44,6 +44,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "minmax_acctbal": (rel.q_minmax_acctbal, rel.SQL_MINMAX_ACCTBAL),
     "recency_score": (rel.q_recency_score, rel.SQL_RECENCY_SCORE),
     "orders_per_month": (rel.q_orders_per_month, rel.SQL_ORDERS_PER_MONTH),
+    "regional_revenue": (rel.q_regional_revenue, rel.SQL_REGIONAL_REVENUE),
+    "events_in_price_band": (rel.q_events_in_price_band, rel.SQL_EVENTS_IN_PRICE_BAND),
     # --- events / windows / stats ---
     "daily_event_counts": (ev.q_daily_event_counts, ev.SQL_DAILY_EVENT_COUNTS),
     "event_share_per_day": (ev.q_event_share_per_day, ev.SQL_EVENT_SHARE_PER_DAY),

@@ -366,3 +366,68 @@ SELECT date_trunc('month', o_orderdate) AS month_start, count(*) AS n_orders,
        round(sum(o_totalprice), 4) AS total
 FROM orders GROUP BY 1
 """
+
+
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join (customer-orders-lineitem-supplier-
+    nation-region) — revenue per nation where customer and supplier share
+    the nation. Catalyst reorders and broadcasts the dimension chain; the
+    only shuffles are the two fact joins."""
+    from vectordb_bioinsight_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey)
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .join(t["supplier"], (t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
+              & (t["customer"].c_nationkey == t["supplier"].s_nationkey))
+        .join(F.broadcast(t["nation"]), t["supplier"].s_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name, r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_events_in_price_band(spark, sf_dir):
+    """Range join via bucketing (§2.3 declared capability): event values
+    matched into overlapping price bands — interval explode to buckets,
+    equi-join, predicate recheck. No nested-loop inequality join."""
+    from vectordb_bioinsight_spark.operators.joins import range_join_bucketed
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 25.0), ("mid", 20.0, 60.0), ("high", 55.0, 100.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join_bucketed(ev, bands, "value", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+SQL_EVENTS_IN_PRICE_BAND = """
+WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 25.0), ('mid', 20.0, 60.0), ('high', 55.0, 100.0))
+SELECT band, count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value
+FROM events JOIN bands ON value >= lo AND value <= hi
+GROUP BY 1
+"""
