@@ -192,3 +192,27 @@ def test_grn_ridge_matches_numpy(spark):
     assert got[("T1", "R1")] > 0.5
     assert got[("T1", "R2")] < -0.2
     assert abs(got[("T2", "R1")]) < 0.5
+
+
+def test_laplacian_spectrum_known_graphs(spark):
+    from vectordb_bioinsight_spark.operators.network import laplacian_spectrum
+
+    # complete graph K4: normalized Laplacian eigenvalues {0, 4/3, 4/3, 4/3};
+    # unnormalized {0, 4, 4, 4} -> algebraic connectivity 4
+    from itertools import combinations
+
+    k4 = spark.createDataFrame(
+        [list(p) for p in combinations(["a", "b", "c", "d"], 2)], ["entity1", "entity2"]
+    )
+    got = laplacian_spectrum(k4)
+    assert got["eigenvalues"][0] == pytest.approx(0.0, abs=1e-9)
+    for v in got["eigenvalues"][1:]:
+        assert v == pytest.approx(4.0 / 3.0, abs=1e-6)
+    assert got["algebraic_connectivity"] == pytest.approx(4.0, abs=1e-6)
+    # disconnected graph: two zero eigenvalues -> spectral gap 0, connectivity 0
+    two = spark.createDataFrame([("a", "b"), ("c", "d")], ["entity1", "entity2"])
+    got2 = laplacian_spectrum(two)
+    assert got2["spectral_gap"] == pytest.approx(0.0, abs=1e-9)
+    assert got2["algebraic_connectivity"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="no silent truncation"):
+        laplacian_spectrum(k4, max_nodes=2)

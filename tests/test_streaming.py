@@ -116,3 +116,23 @@ def test_stateful_type_totals_accumulates(spark, event_files):
     for k in w:
         assert g[k][0] == w[k][0]
         assert abs(g[k][1] - w[k][1]) < 0.01
+
+
+def test_foreachbatch_incremental_parquet_sink(spark, event_files, tmp_path):
+    """S11/S13 incremental sink: stream micro-batches appended to a parquet
+    table via foreachBatch; the final table equals the batch input."""
+    path, schema = event_files
+    out = str(tmp_path / "events_sink")
+    stream = stream_events_from_dir(spark, path, schema)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = spark.read.schema(schema).parquet(path)
+    assert got.count() == want.count()
+    assert {r["event_id"] for r in got.select("event_id").collect()} == {
+        r["event_id"] for r in want.select("event_id").collect()
+    }

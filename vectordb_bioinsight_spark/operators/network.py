@@ -315,3 +315,46 @@ def betweenness_exact_collected(edges: DataFrame, max_nodes: int = 2000) -> Data
     spark = edges.sparkSession
     out = [(v, round(b / 2.0, 6)) for v, b in bc.items()]
     return spark.createDataFrame(out, ["entity", "betweenness"])
+
+
+def laplacian_spectrum(edges: DataFrame, max_nodes: int = 2000) -> dict:
+    """M5: normalized-Laplacian eigenvalue summary on the COLLECTED graph
+    (network_enhancer.py:184-235) — spectral statistics are inherently
+    global dense linear algebra; the reference computes them with numpy on
+    its capped (<=1000 node) networks and so do we, behind the same explicit
+    guard as betweenness (raise, never truncate).
+
+    Returns {"eigenvalues": sorted ascending, "spectral_gap": λ2 - λ1,
+    "algebraic_connectivity": λ2 of the UNnormalized Laplacian}.
+    """
+    import numpy as np
+
+    n = (
+        edges.select(F.col("entity1").alias("e"))
+        .unionByName(edges.select(F.col("entity2").alias("e")))
+        .distinct()
+        .count()
+    )
+    if n > max_nodes:
+        raise ValueError(
+            f"graph has {n} nodes > max_nodes={max_nodes}; spectrum is dense "
+            "linear algebra — collect bound exceeded (no silent truncation)"
+        )
+    rows = edges.select("entity1", "entity2").collect()
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for r in rows:
+        A[idx[r[0]], idx[r[1]]] = A[idx[r[1]], idx[r[0]]] = 1.0
+    deg = A.sum(axis=1)
+    L = np.diag(deg) - A
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
+    Lnorm = np.eye(len(nodes)) - (dinv[:, None] * A * dinv[None, :])
+    ev_norm = np.sort(np.linalg.eigvalsh(Lnorm))
+    ev_unnorm = np.sort(np.linalg.eigvalsh(L))
+    return {
+        "eigenvalues": [round(float(v), 6) for v in ev_norm],
+        "spectral_gap": round(float(ev_norm[1] - ev_norm[0]), 6) if len(ev_norm) > 1 else 0.0,
+        "algebraic_connectivity": round(float(ev_unnorm[1]), 6) if len(ev_unnorm) > 1 else 0.0,
+    }
