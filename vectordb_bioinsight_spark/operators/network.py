@@ -358,3 +358,45 @@ def laplacian_spectrum(edges: DataFrame, max_nodes: int = 2000) -> dict:
         "spectral_gap": round(float(ev_norm[1] - ev_norm[0]), 6) if len(ev_norm) > 1 else 0.0,
         "algebraic_connectivity": round(float(ev_unnorm[1]), 6) if len(ev_unnorm) > 1 else 0.0,
     }
+
+
+def rank_transform(
+    profiles: DataFrame,
+    entity_col: str,
+    dim_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Average-rank transform of each entity's profile (ties get the mean of
+    their positions) — the Spearman prerequisite, pure window algebra."""
+    from pyspark.sql import Window as W
+
+    w_order = W.partitionBy(entity_col).orderBy(F.col(value_col).asc())
+    w_tie = W.partitionBy(entity_col, value_col)
+    return profiles.select(
+        entity_col,
+        dim_col,
+        (F.rank().over(w_order) + (F.count("*").over(w_tie) - F.lit(1)) / 2.0).alias(
+            "_rank_value"
+        ),
+    )
+
+
+def spearman_edges(
+    profiles: DataFrame,
+    entity_col: str,
+    dim_col: str,
+    value_col: str,
+    min_abs_corr: float = 0.6,
+) -> DataFrame:
+    """M2 with the reference's DEFAULT metric: Spearman correlation edges
+    (agent2_network.py:64-67 uses method='spearman') — Pearson over
+    average-rank-transformed profiles. Same output contract as
+    ``correlation_edges``.
+
+    NOTE: exact Spearman requires every entity to be ranked over the SAME
+    dim set; entities with missing dims correlate over shared dims of
+    already-global ranks (scipy computes pairwise-complete ranks instead) —
+    identical when profiles are complete, documented divergence otherwise.
+    """
+    ranked = rank_transform(profiles, entity_col, dim_col, value_col)
+    return correlation_edges(ranked, entity_col, dim_col, "_rank_value", min_abs_corr)

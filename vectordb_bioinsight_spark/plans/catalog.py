@@ -73,6 +73,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
     # --- network / ML-adjacent / scalar extensions ---
     "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
+    "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),
     "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only check
     "median_order_value": (net.q_median_order_value, net.SQL_MEDIAN_ORDER_VALUE),
     "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),

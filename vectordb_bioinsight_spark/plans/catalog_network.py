@@ -168,3 +168,38 @@ WITH p AS (
 SELECT id1, id2, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cosine
 FROM sums WHERE round(dot / (sqrt(nx) * sqrt(ny)), 6) >= 0.25
 """
+
+
+def q_part_spearman_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 with the reference's default metric (Spearman, agent2_network.py:
+    64-67): rank-transform each part's monthly profile, Pearson on ranks."""
+    from vectordb_bioinsight_spark.operators.network import spearman_edges
+
+    prof = _part_month_profiles(spark, sf_dir)
+    edges = spearman_edges(prof, "l_partkey", "month", "qty", min_abs_corr=0.4)
+    return edges.withColumnRenamed("entity1", "part1").withColumnRenamed("entity2", "part2")
+
+
+SQL_PART_SPEARMAN_NETWORK = f"""
+WITH top_parts AS (
+  SELECT l_partkey FROM lineitem GROUP BY l_partkey
+  ORDER BY sum(l_quantity) DESC, l_partkey ASC LIMIT {N_CORR_PARTS}
+), prof AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS month, sum(l_quantity) AS qty
+  FROM lineitem JOIN top_parts USING (l_partkey)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT l_partkey, month,
+         rank() OVER (PARTITION BY l_partkey ORDER BY qty ASC)
+           + (count(*) OVER (PARTITION BY l_partkey, qty) - 1) / 2.0 AS rv
+  FROM prof
+), pairs AS (
+  SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+         count(*) AS n_dims, corr(a.rv, b.rv) AS r
+  FROM ranked a JOIN ranked b ON a.month = b.month
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part1, part2, n_dims, round(r, 6) AS corr
+FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
+"""
