@@ -71,6 +71,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
     "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
     "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
+    "recommend_docs": (vec.q_recommend_docs, vec.SQL_RECOMMEND_DOCS),
     # --- network / ML-adjacent / scalar extensions ---
     "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
     "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),

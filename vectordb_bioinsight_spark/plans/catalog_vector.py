@@ -305,3 +305,58 @@ SELECT query_id, doc_id, score, rank FROM (
 
 
 SQL_BM25_BATCH = _sql_bm25_batch()
+
+
+def q_recommend_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9 multi-factor recommendation (recommender.py:410-500): 0.4*similarity
+    + 0.3*freshness + 0.3*impact. Similarity = cosine to the vec_id=0 doc;
+    freshness = length-bucket ladder (the year-age ladder analog on this
+    schema); impact = source-tier buckets (citation-count analog). Top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    qv = _query_vector(spark, sf_dir)
+    sim = knn_brute_force(emb, "vec_id", "embedding", qv, k=100, metric="cosine").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    joined = sim.join(docs.select("doc_id", "n_chars", "source"), "doc_id")
+    freshness = (
+        F.when(F.col("n_chars") >= 400, 1.0)
+        .when(F.col("n_chars") >= 250, 0.7)
+        .when(F.col("n_chars") >= 150, 0.4)
+        .otherwise(0.1)
+    )
+    impact = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), 0.6)
+        .otherwise(0.3)
+    )
+    rec = F.round(0.4 * F.col("score") + 0.3 * freshness + 0.3 * impact, 6)
+    return (
+        joined.select("doc_id", rec.alias("rec_score"))
+        .orderBy(F.desc("rec_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_RECOMMEND_DOCS = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sums AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM (
+    SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+    FROM embeddings e, q
+  ) GROUP BY 1
+), sim AS (
+  SELECT vec_id AS doc_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS score
+  FROM sums ORDER BY score DESC, doc_id ASC LIMIT 100
+)
+SELECT doc_id,
+       round(0.4 * score
+           + 0.3 * (CASE WHEN n_chars >= 400 THEN 1.0 WHEN n_chars >= 250 THEN 0.7
+                         WHEN n_chars >= 150 THEN 0.4 ELSE 0.1 END)
+           + 0.3 * (CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+                         WHEN source IN ('src4','src5','src6','src7') THEN 0.6
+                         ELSE 0.3 END), 6) AS rec_score
+FROM sim JOIN documents USING (doc_id)
+ORDER BY rec_score DESC, doc_id ASC LIMIT 10
+"""
