@@ -51,8 +51,9 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a|·|b|) — the reference's similarity metric
-    (vector_store.py:603-606)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    (vector_store.py:603-606). Zero-norm vectors yield NULL (nullif guard),
+    not an ANSI divide-by-zero error — dirty corpora always contain some."""
+    return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
 def array_mean_long(df, group_cols, vec_col: str, pos_col: str = "pos", val_col: str = "avg_val"):

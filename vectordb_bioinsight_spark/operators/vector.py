@@ -43,7 +43,7 @@ def knn_brute_force(
     # as the column kernel) instead of re-folding the literal array per row
     q_norm = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
     if metric == "cosine":
-        score = dot_product(F.col(vec_col), qv) / (l2_norm(F.col(vec_col)) * F.lit(q_norm))
+        score = dot_product(F.col(vec_col), qv) / F.nullif(l2_norm(F.col(vec_col)) * F.lit(q_norm), F.lit(0.0))
         order = [F.desc("score"), F.asc(id_col)]
     elif metric == "dot":
         score = dot_product(F.col(vec_col), qv)
@@ -89,7 +89,7 @@ def similarity_self_join(
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
     joined = a.join(b, "_blk").drop("_blk") if block_col else a.crossJoin(b)
-    cosine = dot_product(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+    cosine = dot_product(F.col("_v1"), F.col("_v2")) / F.nullif(F.col("_n1") * F.col("_n2"), F.lit(0.0))
     return (
         joined.filter(F.col("id1") < F.col("id2"))
         .withColumn("cosine", F.round(cosine, 6))
@@ -191,7 +191,7 @@ def knn_join(
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
     if metric == "cosine":
-        score = dot_product(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+        score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
         order = [F.desc("score"), F.asc("cand_id")]
     elif metric == "l2":
         score = l2_distance(F.col("_cv"), F.col("_qv"))
@@ -323,7 +323,7 @@ def ivf_search(
     pairs = assigned.join(F.broadcast(probes), "_cell").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    score = dot_product(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+    score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
     return (
         pairs.select("query_id", "cand_id", F.round(score, 6).alias("score"))
