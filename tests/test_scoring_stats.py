@@ -114,3 +114,37 @@ def test_enrichment_pvalues_exact(spark):
         want = sum(comb(K, j) * comb(N - K, n - j) for j in range(k, min(K, n) + 1)) / comb(N, n)
         assert out[g]["pvalue"] == pytest.approx(want, rel=1e-10)
     assert out["s1"]["fold_enrichment"] == pytest.approx(round((8 / 10) / (10 / 30), 6))
+
+
+def test_anova_f_matches_numpy(spark):
+    from vectordb_bioinsight_spark.operators.stats import anova_f, anova_pvalues
+
+    rng = np.random.default_rng(5)
+    groups = {"g1": rng.normal(0, 1, 12), "g2": rng.normal(0.8, 1, 15), "g3": rng.normal(-0.5, 1.2, 9)}
+    rows = [("k", g, float(v)) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, ["key", "grp", "val"])
+    out = anova_pvalues(anova_f(df, ["key"], "grp", "val")).first()
+    # numpy closed form
+    allv = np.concatenate(list(groups.values()))
+    grand = allv.mean()
+    k, N = len(groups), len(allv)
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    f_want = (ssb / (k - 1)) / (ssw / (N - k))
+    assert out["f_stat"] == pytest.approx(round(f_want, 6), abs=1e-6)
+    # p-value via the engine's own f_sf pinned against the identity with
+    # betainc (betainc itself is pinned against mpmath in test_special)
+    from vectordb_bioinsight_spark.functions.special import f_sf
+
+    # the operator rounds f_stat to 6dp before the p-value UDF
+    assert out["pvalue"] == pytest.approx(float(f_sf(round(f_want, 6), k - 1, N - k)), rel=1e-9)
+    assert 0.0 < out["pvalue"] < 0.05  # planted group separation is real
+
+
+def test_anova_f_drops_degenerate(spark):
+    from vectordb_bioinsight_spark.operators.stats import anova_f
+
+    rows = [("one_group", "a", 1.0), ("one_group", "a", 2.0),
+            ("no_var", "a", 3.0), ("no_var", "b", 3.0)]
+    df = spark.createDataFrame(rows, ["key", "grp", "val"])
+    assert anova_f(df, ["key"], "grp", "val").count() == 0

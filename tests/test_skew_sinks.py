@@ -94,3 +94,37 @@ def test_incremental_bm25_equals_full_rebuild(spark):
     p_full, s_full = build_postings(docs, "doc_id", "text"), doc_lengths(docs, "doc_id", "text")
     full = {r["doc_id"]: r["score"] for r in bm25_scores(p_full, s_full, q).collect()}
     assert inc == full and len(full) > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """The co-location contract: same-key same-count bucketed tables join
+    with NO Exchange in the plan (the shuffle was paid at write time)."""
+    import uuid
+
+    from vectordb_bioinsight_spark.sources.writers import write_bucketed_table
+
+    # warehouse dir is a static conf (set at session build); managed tables
+    # land in ./spark-warehouse and are dropped below (dir is gitignored)
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    t1, t2 = f"li_b_{uuid.uuid4().hex[:8]}", f"ord_b_{uuid.uuid4().hex[:8]}"
+    write_bucketed_table(li, t1, "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    write_bucketed_table(orders, t2, "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    a = spark.table(t1)
+    b = spark.table(t2)
+    # disable auto-broadcast so the join would otherwise need a shuffle
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        # and it is correct
+        n = joined.count()
+        want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")

