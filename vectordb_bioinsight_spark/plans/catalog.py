@@ -21,6 +21,7 @@ from vectordb_bioinsight_spark.plans import catalog_relational as rel
 from vectordb_bioinsight_spark.plans import catalog_singlecell as sc
 from vectordb_bioinsight_spark.plans import catalog_stats as st
 from vectordb_bioinsight_spark.plans import catalog_text as tx
+from vectordb_bioinsight_spark.plans import catalog_tpch as th
 from vectordb_bioinsight_spark.plans import catalog_vector as vec
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -105,6 +106,18 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
     "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
     "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
+    # --- TPC-H-shaped declared coverage (SURVEY §2.3/2.4/2.7 "Absent" rows) ---
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
 }
 
 

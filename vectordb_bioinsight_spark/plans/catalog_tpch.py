@@ -1,0 +1,398 @@
+"""TPC-H-shaped coverage queries — the "Absent from reference; declare for
+oracle coverage" rows of SURVEY.md §2.3/2.4/2.7, plus catalog surfacing for
+operators that so far only had unit tests (one-way ANOVA F, IVF kNN).
+
+Shapes covered here and why they matter at 100 TB:
+
+* Q7-shaped multi-join (``nation_volume_flow``): 5-table join where the join
+  order and broadcast-vs-shuffle choice dominate. Dims are broadcast; only
+  the two fact-sized joins (lineitem↔orders, orders↔customer) shuffle.
+* Q12-shaped conditional agg, Q14-shaped ratio agg: map-side-combinable
+  ``sum(when(...))`` — one shuffle each, no join amplification.
+* Q19-shaped disjunctive predicate: OR-of-ANDs pushed into ONE scan, not
+  three unioned scans.
+* Q22-shaped anti-join with a scalar subquery threshold.
+* GROUPING SETS (non-hierarchical — not expressible as rollup/cube).
+* INTERSECT / EXCEPT set ops (SURVEY §2.7).
+* Exact + approximate distinct aggregation (HLL sketch = the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.stats import anova_f
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+def _revenue():  # lazy: F.col needs an active session at call time, not import
+    return F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+
+
+def _revenue_dec():
+    """Exact-decimal revenue: price and discount are 2-decimal-exact in the
+    testdata, so decimal sums are order-independent and hash-stable across
+    engines (double sums can flip the cent under different add orders)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def q_nation_volume_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped volume shipping: revenue between (supplier nation, customer
+    nation) pairs per ship year, 1996-1997. Declared-for-coverage join shape
+    (SURVEY §2.3 "Absent"): nation/supplier broadcast (KB-scale dims), the
+    lineitem↔orders↔customer path shuffles on its keys only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    supp_n = F.broadcast(
+        supp.join(
+            F.broadcast(nation),
+            supp.s_nationkey == nation.n_nationkey,
+        ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            # decimal, not double: 1250 output groups make a float-sum land on
+            # a cent boundary often enough that summation order flips round();
+            # source prices/discounts are exact 2-decimal so decimal is exact
+            F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_NATION_VOLUME_FLOW = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS l_year,
+       round(sum(l.l_extendedprice::DECIMAL(18,2) * (1 - l.l_discount::DECIMAL(4,2))), 2)::DOUBLE
+         AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE l.l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_priority_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped conditional aggregation: per return flag, how many 1997
+    lineitems belong to high- vs low-priority orders. One join + one
+    map-side-combinable agg (SURVEY §2.4 conditional-agg family, A12)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_PRIORITY_LINES_BY_FLAG = """
+SELECT l.l_returnflag,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+GROUP BY 1
+"""
+
+
+def q_promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped promo-revenue ratio per 1997 month: percentage of revenue
+    from PROMO-type parts. Broadcast part dim; single agg, ratio of two
+    conditional sums (no second scan)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("l_month"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_pct"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE_MONTHLY = """
+SELECT month(l.l_shipdate)::INT AS l_month,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS promo_pct,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+GROUP BY 1
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped OR-of-ANDs predicate: three (type, size-range, qty-range)
+    arms evaluated in ONE joined scan — the disjunction is pushed into the
+    scan filter, not three unioned subqueries. `.explain` shows a single
+    PushedFilters'd parquet scan per side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    arm1 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_type") == "ECONOMY")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_type") == "LARGE")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type = 'PROMO'   AND p.p_size BETWEEN 1 AND 15  AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_type = 'LARGE'   AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: customers richer than the global positive-balance average
+    who never placed an order, counted per nation. Scalar-subquery threshold
+    (one tiny agg, cross-joined = broadcast) + left-anti join against orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_thr")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_WEALTHY_INACTIVE_CUSTOMERS = """
+SELECT c.c_nationkey, count(*)::BIGINT AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((l_returnflag), (l_linestatus)) — non-hierarchical
+    sets, NOT expressible as rollup/cube (SURVEY §2.4 "Absent" row). One
+    Expand + one agg; NULL slots labelled 'ALL' so the hash compare is
+    null-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select("l_returnflag", "l_linestatus", "l_extendedprice", "l_discount").createOrReplaceTempView(
+        "_li_gs"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+               coalesce(l_linestatus, 'ALL') AS line_status,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    ).withColumn("n_lines", F.col("n_lines").cast("long"))
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS ret_flag,
+       coalesce(l_linestatus, 'ALL') AS line_status,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def q_part_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 set operations: parts shipped in 1995 INTERSECT parts
+    shipped in 1996 (tag 'both') unioned with 1995 EXCEPT 1996 (tag
+    '1995_only'). Both sides are distinct projections of one fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p95 = (
+        li.filter(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_partkey")
+        .distinct()
+    )
+    p96 = (
+        li.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_partkey")
+        .distinct()
+    )
+    both = p95.intersect(p96).withColumn("tag", F.lit("both"))
+    only95 = p95.subtract(p96).withColumn("tag", F.lit("1995_only"))
+    return both.unionByName(only95)
+
+
+SQL_PART_YEAR_SETOPS = """
+WITH p95 AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate BETWEEN '1995-01-01' AND '1995-12-31'
+), p96 AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+)
+SELECT l_partkey, 'both' AS tag FROM (SELECT * FROM p95 INTERSECT SELECT * FROM p96)
+UNION ALL
+SELECT l_partkey, '1995_only' AS tag FROM (SELECT * FROM p95 EXCEPT SELECT * FROM p96)
+"""
+
+
+def q_anova_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9's supervised HVG selection (ANOVA F, preprocessor.py:124-267
+    analog): per brand, one-way F of l_quantity across the three return-flag
+    groups — closed form from two map-side-combinable moment aggs, any
+    number of groups. Exact p-values live in ``anova_pvalues`` (scipy-free
+    F survival via the incomplete-beta kernel; numpy-oracle-tested)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    df = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand", "l_returnflag", "l_quantity"
+    )
+    return anova_f(df, ["p_brand"], "l_returnflag", "l_quantity")
+
+
+SQL_ANOVA_BRAND_QUANTITY = """
+WITH base AS (
+  SELECT p.p_brand, l.l_returnflag AS g, l.l_quantity::DOUBLE AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), per_group AS (
+  SELECT p_brand, g, count(*)::DOUBLE AS n, avg(v) AS m,
+         coalesce(var_samp(v), 0.0) AS s2
+  FROM base GROUP BY 1, 2
+), agg AS (
+  SELECT p_brand, count(*)::DOUBLE AS k, sum(n) AS nn,
+         sum(n * m) / sum(n) AS grand,
+         sum(n * m * m) AS sum_nm2,
+         sum((n - 1.0) * s2) AS ssw
+  FROM per_group GROUP BY 1
+)
+SELECT p_brand, k::BIGINT AS k_groups, nn::BIGINT AS n_total,
+       round(((sum_nm2 - nn * grand * grand) / (k - 1.0)) / (ssw / (nn - k)), 6) AS f_stat
+FROM agg WHERE k >= 2 AND nn > k AND ssw > 0
+"""
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 scale path surfaced in the catalog: IVF kNN (KMeans cells + probe
+    join, operators/vector.py). Run with n_probe == n_cells, which degrades
+    to exact brute force — so the approximate INDEX STRUCTURE is exercised
+    while the result stays hash-matchable against the exact-cosine oracle.
+    (The n_probe < n_cells recall path is pinned by tests/test_operators.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    from vectordb_bioinsight_spark.operators.vector import knn_ivf
+
+    return knn_ivf(
+        emb, queries, "vec_id", "vec_id", "embedding", k=5, n_cells=8, n_probe=8
+    )
+
+
+SQL_IVF_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, cand_id,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2
+)
+SELECT query_id, cand_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, cand_id ASC) AS rank
+  FROM sums
+) WHERE rank <= 5
+"""
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per event type (two-phase partial-distinct
+    plan under AQE). The 100 TB path is the HLL sketch twin below."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.01) per event type — the
+    sketch that replaces exact distinct at 100 TB (no per-key value set, one
+    fixed-size buffer per group). Sketch values are implementation-specific,
+    so this entry is rows-only checked; the exact twin above is the
+    hash-matched semantics anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).cast("long").alias("approx_users")
+    )
