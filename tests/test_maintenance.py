@@ -1,0 +1,90 @@
+"""Copy-on-write table maintenance (SURVEY S11/S14/S7-S9): snapshot flip
+atomicity, delete-by-predicate, key upsert, dense id assignment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.sources.maintenance import (
+    append_with_ids,
+    assign_dense_ids,
+    create_table,
+    delete_where,
+    read_current,
+    snapshot_path,
+    upsert_by_key,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def doc_store(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang", "source")
+    path = str(tmp_path / "docs_store")
+    create_table(docs, path)
+    return path, docs
+
+
+def test_create_and_read_roundtrip(spark, doc_store):
+    path, docs = doc_store
+    assert read_current(spark, path).count() == docs.count()
+
+
+def test_delete_where_removes_only_matches(spark, doc_store):
+    path, docs = doc_store
+    n_total = docs.count()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert 0 < n_en < n_total
+    v = delete_where(spark, path, F.col("lang") == "en")
+    cur = read_current(spark, path)
+    assert cur.count() == n_total - n_en
+    assert cur.filter(F.col("lang") == "en").count() == 0
+    assert v == 1
+    # the pre-delete snapshot is still readable (time travel by version)
+    assert spark.read.parquet(snapshot_path(path, 0)).count() == n_total
+
+
+def test_upsert_replaces_and_inserts(spark, doc_store):
+    path, docs = doc_store
+    n_total = docs.count()
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    updates = spark.createDataFrame(
+        [
+            (0, "replaced text", "en", "srcX"),  # existing key -> replace
+            (max_id + 1000, "brand new", "de", "srcY"),  # new key -> insert
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    upsert_by_key(spark, path, updates, ["doc_id"])
+    cur = read_current(spark, path)
+    assert cur.count() == n_total + 1
+    assert cur.filter(F.col("doc_id") == 0).first()["text"] == "replaced text"
+    assert cur.filter(F.col("doc_id") == max_id + 1000).count() == 1
+
+
+def test_assign_dense_ids_is_dense_and_unique(spark):
+    df = spark.range(0, 5000, 1, 7).select(F.col("id").alias("payload"))
+    out = assign_dense_ids(df, id_col="row_id", start=100).toPandas()
+    ids = sorted(out["row_id"].tolist())
+    assert ids == list(range(100, 5100))
+    # ids did not disturb payload pairing: every payload still present once
+    assert sorted(out["payload"].tolist()) == list(range(5000))
+
+
+def test_append_with_ids_continues_after_max(spark, tmp_path):
+    base = spark.range(0, 100).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path / "append_store")
+    create_table(base, path)
+    new = spark.createDataFrame([("x",), ("y",), ("z",)], ["text"])
+    append_with_ids(spark, path, new, id_col="doc_id")
+    cur = read_current(spark, path).toPandas()
+    assert len(cur) == 103
+    assert sorted(cur["doc_id"].tolist()) == list(range(103))
+    new_ids = cur[cur["text"].isin(["x", "y", "z"])]["doc_id"].tolist()
+    assert sorted(new_ids) == [100, 101, 102]

@@ -1,0 +1,171 @@
+"""Table maintenance — the mutable-store surface of the reference mapped to
+copy-on-write parquet snapshots.
+
+The reference mutates its stores in place: Chroma ``delete_paper`` deletes by
+metadata predicate (vector_store.py:482-493, SURVEY S14), ``add_chunks``
+upserts embedded chunks under assigned sequential ids
+(vector_store.py:136-209, SURVEY S11), and the external-API caches are
+refreshed by key (paper_recommender.py:219-260, SURVEY S7-S9 snapshot
+dimensions). Spark storage is immutable files, so every mutation becomes a
+**new snapshot**: read current → transform (anti-join / merge) → write next
+version → flip a pointer. On a cluster with Delta/Iceberg the same calls map
+to ``DELETE WHERE`` / ``MERGE INTO``, which rewrite only the touched files;
+the snapshot discipline here keeps identical semantics with plain parquet
+(atomic flip via pointer file, readers never see a half-written table).
+
+Scale notes (100 TB):
+* delete/upsert are one anti-join each — shuffle on the key only, and with
+  the table bucketed by key the join is co-located (no shuffle of the big
+  side at all; see writers.write_bucketed_table).
+* ``assign_dense_ids`` is the scale-safe id assigner: per-partition counts
+  (tiny driver collect) + per-partition offsets — NO global window, NO
+  single-partition sort, unlike ``row_number() OVER ()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_POINTER = "_CURRENT"
+
+
+def _current_version(path: str) -> int:
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr, "r", encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def snapshot_path(path: str, version: int | None = None) -> str:
+    """Directory of one table snapshot (``<path>/v<N>``)."""
+    v = _current_version(path) if version is None else version
+    return os.path.join(path, f"v{v}")
+
+
+def read_current(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current snapshot of a maintained table."""
+    return spark.read.parquet(snapshot_path(path))
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next snapshot and atomically flip the pointer.
+
+    The parquet write lands fully in ``v<N+1>`` before the pointer moves, so
+    concurrent readers keep resolving the old complete version (the poor
+    man's transaction log — one integer, one rename-free overwrite)."""
+    next_v = _current_version(path) + 1
+    df.write.mode("overwrite").parquet(snapshot_path(path, next_v))
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(next_v))
+    os.replace(tmp, os.path.join(path, _POINTER))
+    return next_v
+
+
+def create_table(df: DataFrame, path: str) -> int:
+    """Materialize ``df`` as version 0 of a maintained table."""
+    os.makedirs(path, exist_ok=True)
+    return write_snapshot(df, path)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """S14 delete-by-predicate (vector_store.py:482-493 ``delete_paper``):
+    keep rows NOT matching, as a new snapshot. Filter, not anti-join — the
+    predicate is a pushed-down scan filter (shows in PushedFilters when it
+    references partition/stats-friendly columns)."""
+    cur = read_current(spark, path)
+    return write_snapshot(cur.filter(~predicate), path)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """S11 upsert / S7-S9 snapshot-cache refresh: rows of ``updates`` replace
+    current rows with the same key; everything else is carried over.
+
+    MERGE INTO semantics as one left-anti join (current minus touched keys)
+    + unionByName. The anti-join shuffles on the key only; broadcast applies
+    automatically when ``updates`` is dimension-sized (AQE threshold).
+    """
+    cur = read_current(spark, path)
+    untouched = cur.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    return write_snapshot(untouched.unionByName(updates), path)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    start: int = 0,
+) -> DataFrame:
+    """Sequential id assignment (S11, vector_store.py:136-158 assigns
+    ``chunk_<n>`` serially) — distributed and dense, without the two traps:
+    ``monotonically_increasing_id`` leaves gaps; ``row_number() OVER ()``
+    funnels the table through ONE partition.
+
+    Two phases: (1) count rows per partition (cheap action, returns
+    n_partitions longs to the driver), (2) id = start + partition_offset +
+    local row index via ``mapInPandas`` — no shuffle at any point.
+    """
+    import pandas as pd
+
+    # Stamp the partition id as DATA and pin it with an eager local
+    # checkpoint: spark_partition_id()/TaskContext are STAGE-relative, so a
+    # later union or coalesce would renumber them between the counting pass
+    # and the assignment pass (observed: ids reset to 0 after unionByName).
+    # The checkpoint bounds cost to the batch being assigned — this runs on
+    # appended increments, not the 100 TB base table.
+    stamped = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    counts = stamped.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = start
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — StructType.add mutates in place, and mutating
+    # df.schema's cached object desyncs the Python view from the JVM plan
+    schema_out = StructType(list(df.schema.fields) + [StructField(id_col, LongType(), False)])
+    b_offsets = df.sparkSession.sparkContext.broadcast(offsets)
+
+    def _assign(it):  # noqa: ANN001 - mapInPandas iterator contract
+        seen: dict[int, int] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            ids = []
+            for pid in out["_pid"].tolist():
+                nxt = seen.get(pid, b_offsets.value[pid])
+                ids.append(nxt)
+                seen[pid] = nxt + 1
+            out[id_col] = pd.Series(ids, index=out.index, dtype="int64")
+            yield out.drop(columns=["_pid"])
+
+    out_fields = [f for f in schema_out.fields if f.name != "_pid"]
+    return stamped.mapInPandas(_assign, schema=StructType(out_fields))
+
+
+def append_with_ids(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """S11 add-chunks: assign the next dense ids after the current max and
+    append as a new snapshot. The max() is a tiny agg on the id column only
+    (column-pruned scan); id assignment never shuffles."""
+    cur = read_current(spark, path)
+    row = cur.agg(F.max(F.col(id_col)).alias("m")).first()
+    next_id = int(row["m"]) + 1 if row["m"] is not None else 0
+    with_ids = assign_dense_ids(new_rows, id_col=id_col, start=next_id)
+    cols = cur.columns
+    return write_snapshot(cur.unionByName(with_ids.select(*cols)), path)
