@@ -396,3 +396,37 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).cast("long").alias("approx_users")
     )
+
+
+def q_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.1 wide↔long discipline: monthly revenue pivoted wide per return
+    flag (the bounded genes×samples export view) then melted straight back
+    to long with ``stack`` — proving the round trip is lossless. The pivot
+    value set is DECLARED (['A','N','R']), so Spark skips the extra
+    distinct-values job; missing (month, flag) cells become NULL wide slots
+    and are dropped on re-melt. Long format is the storage/processing form
+    at 100 TB (SURVEY §7.2: never materialize wide at scale); pivot is only
+    this bounded view."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.year("l_shipdate").alias("l_year"), F.month("l_shipdate").alias("l_month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double"))
+    )
+    return (
+        wide.selectExpr(
+            "l_year",
+            "l_month",
+            "stack(3, 'A', A, 'N', N, 'R', R) AS (ret_flag, revenue)",
+        )
+        .filter(F.col("revenue").isNotNull())
+    )
+
+
+SQL_PIVOT_UNPIVOT_ROUNDTRIP = """
+SELECT year(l_shipdate)::INT AS l_year, month(l_shipdate)::INT AS l_month,
+       l_returnflag AS ret_flag,
+       round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))), 2)::DOUBLE
+         AS revenue
+FROM lineitem GROUP BY 1, 2, 3
+"""

@@ -360,3 +360,43 @@ SELECT doc_id,
 FROM sim JOIN documents USING (doc_id)
 ORDER BY rec_score DESC, doc_id ASC LIMIT 10
 """
+
+
+def q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14/§3.3 RAG context assembly: per query, BM25 top-3 docs formatted as
+    the enumerated source block handed to the LLM (rag_pipeline.py:141-159
+    ``[1] <text>\\n\\n[2] <text>`` layout). The formatting is pure column
+    expressions — sort_array over collect_list(struct(rank, text)) keeps the
+    citation order deterministic without a window re-sort; the LLM call
+    itself is the driver-side stage out of engine scope (SURVEY §3.3)."""
+    from vectordb_bioinsight_spark.operators.bm25 import bm25_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BATCH_QUERIES, ["query_id", "query_text"])
+    hits = bm25_batch(docs, "doc_id", "text", queries, k=3)
+    joined = hits.join(docs.select("doc_id", "text"), "doc_id")
+    block = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "text"))),
+            lambda s: F.concat(F.lit("["), s["rank"].cast("string"), F.lit("] "), s["text"]),
+        ),
+        "\n\n",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        block.alias("context"),
+    )
+
+
+def _sql_rag_context() -> str:
+    batch = _sql_bm25_batch().replace("rank <= 10", "rank <= 3")
+    return f"""
+WITH hits AS ({batch})
+SELECT query_id, count(*)::BIGINT AS n_sources,
+       string_agg('[' || rank || '] ' || text, chr(10) || chr(10) ORDER BY rank) AS context
+FROM hits JOIN documents USING (doc_id)
+GROUP BY 1
+"""
+
+
+SQL_RAG_CONTEXT = _sql_rag_context()
