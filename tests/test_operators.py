@@ -45,6 +45,27 @@ def test_bh_adjust_matches_statsmodels(spark):
         assert math.isclose(got[i], w, rel_tol=1e-12), (i, got[i], w)
 
 
+def test_bh_adjust_scaled_matches_windowed(spark):
+    """The range-partitioned BH (no single-partition window) must agree with
+    the windowed reference implementation exactly — including ties and a
+    partition count far larger than needed (forces tiny/empty ranges)."""
+    import random
+
+    from vectordb_bioinsight_spark.operators.stats import bh_adjust_scaled
+
+    rng = random.Random(42)
+    pvals = [round(rng.random(), 3) for _ in range(997)]  # 3dp -> many ties
+    pvals += [0.5, 0.5, 0.5]  # explicit tie block
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pvals)], ["i", "pvalue"]
+    ).repartition(13)
+    want = {r["i"]: r["padj"] for r in bh_adjust(df).collect()}
+    got = {r["i"]: r["padj"] for r in bh_adjust_scaled(df, num_partitions=8).collect()}
+    assert got.keys() == want.keys()
+    for i in want:
+        assert math.isclose(got[i], want[i], rel_tol=0, abs_tol=0), (i, got[i], want[i])
+
+
 def test_topk_deterministic_under_ties(spark):
     df = spark.createDataFrame([(i, 1.0) for i in range(100)], ["id", "score"])
     out1 = [r["id"] for r in top_k(df, [F.desc("score")], 5, [F.asc("id")]).collect()]

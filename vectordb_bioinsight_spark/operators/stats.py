@@ -105,6 +105,112 @@ def bh_adjust(df: DataFrame, pvalue_col: str = "pvalue", out_col: str = "padj") 
     )
 
 
+def bh_adjust_scaled(
+    df: DataFrame,
+    pvalue_col: str = "pvalue",
+    out_col: str = "padj",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``bh_adjust`` without the single-partition global windows — the shape
+    that survives a table too big for one task.
+
+    ``Window.orderBy`` with no partition key funnels EVERY row through one
+    task (Spark warns exactly this). Here the global order comes from a
+    range repartition instead, which is a parallel shuffle:
+
+    1. ``repartitionByRange(p)`` + ``sortWithinPartitions`` — partitions are
+       globally ordered, rows sorted inside each; eager localCheckpoint pins
+       partition identity (partition ids are stage-relative otherwise).
+    2. Per-partition row counts (one tiny collect) → rank offsets; a
+       mapInPandas pass assigns exact global ranks and raw = p·n/rank.
+    3. Per-partition min(raw) (second tiny collect) → driver-side suffix-min
+       gives each partition the carry-in from all higher-p partitions; a
+       second mapInPandas does the reverse running-min locally.
+
+    Exactly BH (statsmodels-compatible, same tie semantics as ``bh_adjust``:
+    equal p-values land in one range partition, and the reverse scan visits
+    the tied max-rank row first). Equivalence is test-pinned. Driver traffic
+    is 2 × num_partitions scalars — independent of row count.
+    """
+    import pandas as pd
+
+    n_total = df.count()
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+
+    ranked_src = (
+        df.repartitionByRange(num_partitions, F.col(pvalue_col).asc())
+        .sortWithinPartitions(F.col(pvalue_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {r["_pid"]: r["count"] for r in ranked_src.groupBy("_pid").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = df.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema_ranked = StructType(
+        list(ranked_src.schema.fields) + [StructField("_raw", DoubleType(), True)]
+    )
+
+    def _rank_raw(it):  # noqa: ANN001
+        nxt: dict[int, int] = {}  # a partition arrives as SEVERAL Arrow batches
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            pid = int(out["_pid"].iloc[0])
+            start = nxt.get(pid, b_off.value[pid])
+            rank = pd.RangeIndex(start + 1, start + 1 + len(out))
+            out["_raw"] = out[pvalue_col].to_numpy() * float(n_total) / rank.to_numpy()
+            nxt[pid] = start + len(out)
+            yield out
+
+    ranked = ranked_src.mapInPandas(_rank_raw, schema=schema_ranked).localCheckpoint(
+        eager=True
+    )
+
+    pmins = {
+        r["_pid"]: r["m"]
+        for r in ranked.groupBy("_pid").agg(F.min("_raw").alias("m")).collect()
+    }
+    carry: dict[int, float] = {}
+    run = float("inf")
+    for pid in sorted(pmins, reverse=True):
+        carry[pid] = run  # min raw over all strictly-higher partitions
+        run = min(run, pmins[pid])
+    b_carry = df.sparkSession.sparkContext.broadcast(carry)
+
+    out_fields = [f for f in schema_ranked.fields if f.name not in ("_pid", "_raw")] + [
+        StructField(out_col, DoubleType(), True)
+    ]
+
+    def _rev_cummin(it):  # noqa: ANN001
+        # the reverse scan needs the partition's batches in reverse order, so
+        # buffer the partition (mapInPandas invokes once per partition; a BH
+        # input partition is rows/num_partitions of the per-gene table)
+        batches = [pdf for pdf in it if len(pdf) > 0]
+        if not batches:
+            return
+        out = pd.concat(batches, ignore_index=True)
+        pid = int(out["_pid"].iloc[0])
+        running = b_carry.value[pid]
+        raws = out["_raw"].to_numpy()
+        padj = [0.0] * len(out)
+        for i in range(len(out) - 1, -1, -1):
+            running = min(running, float(raws[i]))
+            padj[i] = min(running, 1.0)
+        out[out_col] = padj
+        yield out.drop(columns=["_pid", "_raw"])
+
+    return ranked.mapInPandas(_rev_cummin, schema=StructType(out_fields))
+
+
 def log2fc_by_group(
     df: DataFrame,
     key_cols: list[str],
