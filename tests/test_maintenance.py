@@ -88,3 +88,38 @@ def test_append_with_ids_continues_after_max(spark, tmp_path):
     assert sorted(cur["doc_id"].tolist()) == list(range(103))
     new_ids = cur[cur["text"].isin(["x", "y", "z"])]["doc_id"].tolist()
     assert sorted(new_ids) == [100, 101, 102]
+
+
+# --- wide→long ingestion (S1/S4, §1.1 melt discipline) ---
+
+
+def test_read_counts_wide_csv_bulk(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.readers import read_counts_wide_csv
+
+    p = tmp_path / "counts.tsv"
+    p.write_text("gene_id\tS1\tS2\tS3\nG1\t10\t0\t5\nG2\t7\t2\t9\n")
+    out = read_counts_wide_csv(spark, str(p)).toPandas()
+    assert sorted(out.columns) == ["count", "gene_id", "sample_id"]
+    assert len(out) == 6
+    got = {(r.gene_id, r.sample_id): r.count for r in out.itertuples()}
+    assert got[("G1", "S1")] == 10 and got[("G2", "S3")] == 9
+
+
+def test_read_counts_wide_csv_singlecell_roles(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.readers import read_counts_wide_csv
+
+    p = tmp_path / "cells.csv"
+    p.write_text("cell_id,G1,G2\nC1,3,0\nC2,1,8\n")
+    out = read_counts_wide_csv(spark, str(p), transpose_roles=True).toPandas()
+    assert sorted(out.columns) == ["cell_id", "count", "gene_id"]
+    got = {(r.cell_id, r.gene_id): r.count for r in out.itertuples()}
+    assert got[("C2", "G2")] == 8 and got[("C1", "G2")] == 0
+
+
+def test_read_h5ad_raises_clearly(spark):
+    import pytest as _pytest
+
+    from vectordb_bioinsight_spark.sources.readers import read_h5ad
+
+    with _pytest.raises(NotImplementedError, match="read_counts_wide_csv"):
+        read_h5ad(spark, "/nonexistent.h5ad")

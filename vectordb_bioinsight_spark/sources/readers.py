@@ -172,3 +172,71 @@ def sections_from_text(
         header.alias("header"),
         F.trim(F.col("_sec")).alias("body"),
     )
+
+
+def melt_wide(
+    df: DataFrame,
+    id_col: str,
+    var_name: str = "sample_id",
+    value_name: str = "count",
+    value_type: str = "long",
+) -> DataFrame:
+    """§1.1 wide→long melt: one row per (id, column) cell.
+
+    The reference keeps count matrices wide (genes × samples,
+    agent1_deg.py:70-107); the engine's storage/processing form is long —
+    column pruning, partitioning, and per-group aggs all get natural. Uses
+    the native ``unpivot`` (an Expand node: width× row fan-out inside one
+    stage, no shuffle, no Python).
+    """
+    value_cols = [c for c in df.columns if c != id_col]
+    out = df.unpivot(
+        ids=[id_col],
+        values=value_cols,
+        variableColumnName=var_name,
+        valueColumnName=value_name,
+    )
+    return out.withColumn(value_name, F.col(value_name).cast(value_type))
+
+
+def read_counts_wide_csv(
+    spark: SparkSession,
+    path: str,
+    gene_col: str | None = None,
+    transpose_roles: bool = False,
+) -> DataFrame:
+    """S1+S4: sniffed read of a wide count matrix → long (gene_id, sample_id,
+    count).
+
+    Mirrors the reference's two ingestion shapes: bulk CSV with gene rows ×
+    sample columns (agent1_deg.py:70-107) and the single-cell CSV fallback
+    with cells × genes, which it transposes (singlecell/agent1_qc.py:140-184)
+    — ``transpose_roles=True`` relabels instead of transposing: melting a
+    cells×genes matrix already yields one (cell, gene, count) row per cell.
+    ``gene_col`` defaults to the first column (the reference's contract).
+    """
+    wide = read_csv_sniffed(spark, path)
+    first = gene_col or wide.columns[0]
+    if transpose_roles:
+        long = melt_wide(wide, first, var_name="gene_id", value_name="count")
+        return long.select(
+            F.col(first).alias("cell_id"), "gene_id", "count"
+        )
+    long = melt_wide(wide, first, var_name="sample_id", value_name="count")
+    return long.select(F.col(first).alias("gene_id"), "sample_id", "count")
+
+
+def read_h5ad(spark: SparkSession, path: str) -> DataFrame:
+    """S4 AnnData load — requires ``anndata`` on the driver (not shipped in
+    this environment). The distributed plumbing is the CSV-fallback path
+    (``read_counts_wide_csv(transpose_roles=True)``), which produces the
+    same long (cell_id, gene_id, count) contract the single-cell pipeline
+    consumes (singlecell/agent1_qc.py:140-184)."""
+    try:
+        import anndata  # type: ignore[import-not-found]  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "h5ad decode requires anndata; use read_counts_wide_csv(path, "
+            "transpose_roles=True) for the CSV fallback with the same output contract"
+        ) from exc
+    raise NotImplementedError("real anndata path not wired in this environment")
