@@ -63,3 +63,48 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, name):
     BatchEvalPython (pickled row loop, 10-100x slower)."""
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, name
+
+
+def _n_scans(plan: str) -> int:
+    """Count physical scans once — formatted explain mentions each node in
+    both the tree and the details section."""
+    import re as _re
+
+    return len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.MULTILINE))
+
+
+def test_multi_join_broadcasts_all_dims(spark):
+    """Q7 shape: every dimension join (nation x2, supplier, and — at this
+    size — customer via AQE) must be a broadcast; only the lineitem↔orders
+    path may shuffle. No SortMergeJoin against a dimension."""
+    plan = _plan(spark, "nation_volume_flow")
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+
+
+def test_disjunctive_predicate_single_scan(spark):
+    """Q19 shape: the OR-of-ANDs must stay one lineitem scan (no union of
+    three filtered scans)."""
+    plan = _plan(spark, "disjunctive_revenue")
+    assert _n_scans(plan) == 2  # lineitem + part, once each
+    assert "Union" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS compiles to one Expand + one aggregate, not a union of
+    re-scans per set."""
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert _n_scans(plan) == 1
+
+
+def test_setops_compile_to_joins(spark):
+    """INTERSECT/EXCEPT become (semi/anti) hash joins, never nested loops."""
+    plan = _plan(spark, "part_year_setops")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_for_inactive_customers(spark):
+    """Q22 shape: NOT EXISTS must plan as an anti join."""
+    plan = _plan(spark, "wealthy_inactive_customers")
+    assert "LeftAnti" in plan
