@@ -44,6 +44,9 @@ HEADLINE = [
     "media_features",
     "lognorm_events",
     "rerank_blend",
+    # round-1 additions: the multi-join and distinct-agg scale shapes
+    "nation_volume_flow",
+    "distinct_users_by_type",
 ]
 
 
@@ -57,8 +60,23 @@ def main() -> None:
 
     spark = get_session("bench", cpus=cpus)
 
-    # JVM/codegen warmup on the smallest table so q1 isn't charged for startup
+    # JVM/codegen warmup so q1 isn't charged for startup: touch the scan
+    # path AND compile typical agg/join/window codegen once on synthetic rows
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    warm = spark.range(0, 200_000).select(
+        F.col("id"), (F.col("id") % 100).alias("k"), F.rand(42).alias("v")
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    (
+        warm.join(F.broadcast(dim), "k")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .withColumn("r", F.row_number().over(Window.partitionBy("k").orderBy("s")))
+        .write.mode("overwrite").format("noop").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
