@@ -136,3 +136,52 @@ def test_foreachbatch_incremental_parquet_sink(spark, event_files, tmp_path):
     assert {r["event_id"] for r in got.select("event_id").collect()} == {
         r["event_id"] for r in want.select("event_id").collect()
     }
+
+
+def test_stream_stream_join_batch_equivalence(spark, event_files):
+    """The watermarked stream-stream join returns exactly the batch join on
+    the same files (append mode — rows emit once both watermarks pass)."""
+    from vectordb_bioinsight_spark.streaming.trends_stream import (
+        signup_purchase_stream_join,
+    )
+
+    path, schema = event_files
+    static = spark.read.schema(schema).parquet(path)
+    signups_b = static.filter(F.col("event_type") == "signup")
+    purchases_b = static.filter(F.col("event_type") == "purchase")
+    batch = signup_purchase_stream_join(signups_b, purchases_b)
+
+    # files are not time-ordered, so give a watermark covering the full span:
+    # equivalence holds for any data within the lateness horizon (rows beyond
+    # it are DROPPED by design - that is the late-data contract, not a bug)
+    src = stream_events_from_dir(spark, path, schema)
+    stream = signup_purchase_stream_join(
+        src.filter(F.col("event_type") == "signup"),
+        src.filter(F.col("event_type") == "purchase"),
+        watermark="90 days",
+    )
+    got = run_stream_to_memory(stream, "ss_join_test", output_mode="append")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert len(b) > 0
+    assert s == b
+
+
+def test_stream_dedup_bounded_state(spark, event_files, tmp_path):
+    """Duplicated input files -> the streaming dedup emits each event_id
+    once, equal to batch dropDuplicates on the same data."""
+    from vectordb_bioinsight_spark.streaming.trends_stream import dedup_events_stream
+
+    path, schema = event_files
+    dup_dir = str(tmp_path / "dup_events")
+    ev = spark.read.schema(schema).parquet(path)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # every event twice
+
+    n_unique = ev.select("event_id").distinct().count()
+    stream = dedup_events_stream(
+        stream_events_from_dir(spark, dup_dir, schema), watermark="90 days"
+    )
+    got = run_stream_to_memory(stream, "dedup_stream_test", output_mode="append")
+    assert got.select("event_id").distinct().count() == n_unique
+    assert got.count() == n_unique

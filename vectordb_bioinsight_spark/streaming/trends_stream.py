@@ -163,3 +163,66 @@ def stateful_type_totals(stream_df: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def signup_purchase_stream_join(
+    signups: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "7 days",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    earlier signup within ``max_gap`` (the batch ``signup_before_purchase``
+    correlation expressed as a live join).
+
+    Both sides carry watermarks and the join condition carries the
+    event-time band — that pair is what lets Spark BOUND the join state:
+    a buffered signup can be dropped once the watermark passes
+    signup_ts + max_gap (without the band, state grows forever).
+    Works identically on static frames (batch-equivalence is the test).
+
+    Output: (user_id, signup_ts, purchase_ts, gap_hours, value).
+    """
+    s = signups.select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    if s.isStreaming:
+        s = s.withWatermark("signup_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    joined = s.join(p, cond, "inner")
+    return joined.select(
+        F.col("s_user").alias("user_id"),
+        "signup_ts",
+        "purchase_ts",
+        F.round(
+            (F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")) / 3600.0, 4
+        ).alias("gap_hours"),
+        "value",
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup by event_id (A15's stream form): state keeps
+    only ids within the watermark horizon (``dropDuplicatesWithinWatermark``)
+    instead of every id ever seen — the difference between bounded and
+    unbounded state on an infinite stream. On a static frame it degrades to
+    plain ``dropDuplicates`` (same result set for in-horizon duplicates)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
