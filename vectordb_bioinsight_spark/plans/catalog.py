@@ -119,6 +119,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
     "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
     "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
+    "bh_adjust_scaled": (ev.q_bh_adjust_scaled, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 

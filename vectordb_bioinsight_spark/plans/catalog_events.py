@@ -193,3 +193,19 @@ SELECT user_id, event_id,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
 FROM events
 """
+
+
+def q_bh_adjust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 scale form: same BH semantics via repartitionByRange two-phase
+    rank + driver-carry reverse cummin — NO single-partition window
+    (operators/stats.bh_adjust_scaled; exact equivalence to the windowed
+    form is also unit-test-pinned). Same oracle as ``bh_adjust``."""
+    from vectordb_bioinsight_spark.operators.stats import bh_adjust_scaled
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (((F.col("event_id") * 37) % 1000) / 1000.0).alias("pvalue")
+    )
+    out = bh_adjust_scaled(ev, "pvalue", "padj", num_partitions=16)
+    return out.select(
+        "event_id", F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj")
+    )
