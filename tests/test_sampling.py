@@ -1,0 +1,74 @@
+"""Deterministic sampling/splitting operators (training-data-pipeline tier):
+stability under repartitioning, leak-free splits, rate accuracy, bottom-k
+reservoir semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    reservoir_per_group,
+    stratified_hash_sample,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df, "k", 0.2, salt=5).collect()}
+    b = {r["k"] for r in hash_sample(df.repartition(17), "k", 0.2, salt=5).collect()}
+    assert a == b
+    # rate within 2% absolute of the target on 20k keys
+    assert abs(len(a) / 20_000 - 0.2) < 0.02
+
+
+def test_hash_sample_incremental_consistency(spark):
+    """New data samples consistently: the sample of a union equals the union
+    of samples — the property RNG sampling lacks."""
+    old = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    new = spark.range(5_000, 8_000).select(F.col("id").alias("k"))
+    both = hash_sample(old.union(new), "k", 0.1, salt=2)
+    parts = hash_sample(old, "k", 0.1, salt=2).union(hash_sample(new, "k", 0.1, salt=2))
+    assert {r["k"] for r in both.collect()} == {r["k"] for r in parts.collect()}
+
+
+def test_salt_decorrelates_samples(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    a = {r["k"] for r in hash_sample(df, "k", 0.1, salt=0).collect()}
+    b = {r["k"] for r in hash_sample(df, "k", 0.1, salt=99).collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    assert 0.0 < overlap < 0.25  # ~10% expected for independent samples
+
+
+def test_stratified_rates(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang", {"en": 0.5}, default_fraction=0.1)
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got.get("en", 0) / full["en"] - 0.5) < 0.1
+    for lang, n in full.items():
+        if lang != "en" and n >= 50:
+            assert got.get(lang, 0) / n < 0.3
+
+
+def test_hash_split_partitions_every_key_once(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    out = hash_split(df, "k", [0.8, 0.1, 0.1], ["train", "val", "test"], salt=3)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000  # exhaustive and disjoint by construction
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+
+
+def test_reservoir_fixed_size_and_stable(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = reservoir_per_group(docs, ["source"], "doc_id", n_per_group=3, salt=1)
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in sizes.values())
+    again = reservoir_per_group(docs.repartition(13), ["source"], "doc_id", 3, salt=1)
+    assert {tuple(r) for r in out.select("source", "doc_id").collect()} == {
+        tuple(r) for r in again.select("source", "doc_id").collect()
+    }

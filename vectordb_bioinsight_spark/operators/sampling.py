@@ -1,0 +1,139 @@
+"""Deterministic sampling & splitting — the training-data-pipeline tier.
+
+RNG sampling (``df.sample``/``sampleBy``) is irreproducible across engines,
+re-runs with different partitioning, and retries after task failure. Large
+pipelines therefore sample by HASH: a row is in the sample iff
+``H(key) mod D < k`` — stable under repartitioning, incremental (new data
+samples consistently), and oracle-checkable (the hash is the engine's
+portable md5-derived 60-bit integer, recomputable in DuckDB/Python).
+
+The reference's closest analogs: seeded subsampling throughout
+(``np.random.seed(42)``, tests/conftest.py:32) and the leak-free
+group-aware ML split (``GroupShuffleSplit``, ml/preprocessor.py:124-267) —
+both re-expressed here as hash discipline instead of RNG state.
+
+Scale notes: every operator is one scan + one JVM-side hash per row — no
+shuffle, no sort, no driver state; stratified rates ride the same scan as
+a broadcast-joined rate map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import portable_hash64, salted_hash64
+
+#: hash-space modulus used for rate arithmetic: rates are k/DENOM
+DENOM = 10_000
+
+
+def _bucket(col: Column | str, salt: int) -> Column:
+    return F.pmod(salted_hash64(col, salt), F.lit(DENOM))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by the key's hash bucket.
+
+    Deterministic: the same key is always in or out, across runs, engines,
+    partitionings, and data increments. ``salt`` decorrelates independent
+    samples over the same keys.
+    """
+    k = int(round(fraction * DENOM))
+    return df.filter(_bucket(F.col(key_col).cast("string"), salt) < k)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``'s reproducible twin).
+
+    The rate map is a broadcast-joined dimension, so rates can come from a
+    computed DataFrame at scale (e.g. inverse-frequency rebalancing of a
+    skewed source mix) without changing the plan shape.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, int(round(f * DENOM))) for s, f in fractions.items()],
+        [strata_col, "_k"],
+    )
+    joined = df.join(F.broadcast(rates), strata_col, "left")
+    k = F.coalesce(F.col("_k"), F.lit(int(round(default_fraction * DENOM))))
+    return joined.filter(_bucket(F.col(key_col).cast("string"), salt) < k).drop("_k")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: list[float],
+    split_names: list[str] | None = None,
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split by key hash (M9's leak-free split
+    discipline: all rows of one key land in ONE split, so grouped entities —
+    patients, documents, sessions — never straddle train/test).
+
+    ``weights`` are normalized; output adds ``out_col`` with the split name.
+    """
+    total = float(sum(weights))
+    names = split_names or [f"split_{i}" for i in range(len(weights))]
+    if len(names) != len(weights):
+        raise ValueError("split_names must match weights")
+    bucket = _bucket(F.col(key_col).cast("string"), salt)
+    acc = 0.0
+    expr = None
+    for name, w in zip(names, weights):
+        acc += w / total * DENOM
+        cond = bucket < int(round(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # numeric edge: ensure the last bucket always lands in the final split
+    expr = expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_per_group: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic "reservoir": the n smallest hash values per group — a
+    uniform-without-replacement fixed-size sample per group, stable across
+    runs (the classic bottom-k sketch). One shuffle on the group key; per-
+    partition top-k heaps via window rank over the hash order.
+    """
+    from pyspark.sql import Window
+
+    h = salted_hash64(F.col(key_col).cast("string"), salt)
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("_h"), F.asc(key_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_h", "_rn")
+    )
+
+
+def sample_rate_check(df: DataFrame, key_col: str, fraction: float) -> Column:
+    """Convenience aggregate: observed/expected rate ratio for monitoring a
+    hash sample (rates drift only if keys are non-unique or skewed)."""
+    return (F.count("*") / F.lit(float(DENOM)) / F.lit(fraction)).alias("rate_ratio")
+
+
+def portable_hash_bucket_duckdb(expr: str, salt: int = 0) -> str:
+    """DuckDB SQL computing the same bucket as ``_bucket`` (for oracles)."""
+    from vectordb_bioinsight_spark.functions.hashing import salted_hash64_duckdb
+
+    return f"(({salted_hash64_duckdb(expr, salt)}) % {DENOM} + {DENOM}) % {DENOM}"

@@ -120,6 +120,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
     "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
     "bh_adjust_scaled": (ev.q_bh_adjust_scaled, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
+    # --- deterministic sampling / splitting (training-data pipeline tier) ---
+    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
+    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 

@@ -430,3 +430,75 @@ SELECT year(l_shipdate)::INT AS l_year, month(l_shipdate)::INT AS l_month,
          AS revenue
 FROM lineitem GROUP BY 1, 2, 3
 """
+
+
+def q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% document sample by key-hash bucket (the training-
+    data-pipeline sampling discipline: stable across runs/engines/
+    partitionings, unlike RNG sampling — operators/sampling.py). Stratified
+    on top: 'en' docs at 10%, others at 30% via broadcast rate map."""
+    from vectordb_bioinsight_spark.operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.10}, default_fraction=0.30, salt=7
+    )
+    return out.select("doc_id", "lang")
+
+
+SQL_HASH_SAMPLE_DOCS = """
+SELECT doc_id, lang FROM documents
+WHERE ((('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10000
+        + 10000) % 10000
+      < CASE WHEN lang = 'en' THEN 1000 ELSE 3000 END
+"""
+
+
+def q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free deterministic train/val/test split by key hash (M9's
+    group-aware split discipline re-expressed as hash buckets): every doc_id
+    lands in exactly one split, 80/10/10, reproducibly."""
+    from vectordb_bioinsight_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", [0.8, 0.1, 0.1], ["train", "val", "test"], salt=3)
+    return out.groupBy("split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+SQL_HASH_SPLIT_DOCS = """
+WITH b AS (
+  SELECT ((('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10000
+          + 10000) % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1
+"""
+
+
+def q_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-group sample: bottom-5 hash values per
+    document source (the bottom-k sketch — uniform without replacement,
+    stable across runs)."""
+    from vectordb_bioinsight_spark.operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = reservoir_per_group(docs, ["source"], "doc_id", n_per_group=5, salt=1)
+    return out.select("source", "doc_id")
+
+
+SQL_RESERVOIR_PER_SOURCE = """
+WITH h AS (
+  SELECT source, doc_id,
+         (('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS hv
+  FROM documents
+)
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rn
+  FROM h
+) WHERE rn <= 5
+"""
