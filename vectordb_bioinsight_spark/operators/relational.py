@@ -86,3 +86,45 @@ def prevalence_filter(
     )
     keep = stats.filter(F.col("_hits") >= F.col("_n") * min_fraction)
     return df.join(keep.select(group_col), group_col, "left_semi")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass column profile: null rate, approx distinct, min/max/avg.
+
+    The data-quality sweep a training-data pipeline runs before ingesting a
+    new source. ALL columns profile in ONE scan (every statistic is a
+    map-side-combinable aggregate; numeric-only stats are null for string
+    columns). Output long: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str, avg_num) — long so 10k-column tables don't need a
+    10k-column result row.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count("*").cast("long").alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        # exact_distinct: oracle-matchable but one expand per column at scale;
+        # the default HLL sketch is the 100 TB path (one buffer per column)
+        dist = (
+            F.count_distinct(col) if exact_distinct else F.approx_count_distinct(c, rsd=0.01)
+        )
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"_nulls_{c}"),
+            dist.cast("long").alias(f"_dist_{c}"),
+            F.min(col.cast("string")).alias(f"_min_{c}"),
+            F.max(col.cast("string")).alias(f"_max_{c}"),
+            # try_cast: ANSI mode (Spark 4 default) hard-fails avg over a
+            # string column otherwise; non-numeric -> NULL -> avg NULL
+            F.avg(col.try_cast("double")).alias(f"_avg_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nulls_{c}, _dist_{c}, _min_{c}, _max_{c}, round(_avg_{c}, 6)" for c in cols
+    )
+    return one.selectExpr(
+        "_n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS (column, n_nulls, n_distinct, min_str, max_str, avg_num)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str", "avg_num")

@@ -502,3 +502,46 @@ SELECT source, doc_id FROM (
   FROM h
 ) WHERE rn <= 5
 """
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table: ALL columns in ONE scan
+    (null counts, distinct, min/max/avg as map-side-combinable aggregates —
+    operators/relational.profile_table). exact_distinct here for the oracle;
+    the production default is the HLL sketch."""
+    from vectordb_bioinsight_spark.operators.relational import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True)
+
+
+SQL_PROFILE_DOCUMENTS = """
+WITH one AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_doc_id,
+         count(DISTINCT doc_id)::BIGINT AS dist_doc_id,
+         min(CAST(doc_id AS VARCHAR)) AS min_doc_id, max(CAST(doc_id AS VARCHAR)) AS max_doc_id,
+         round(avg(doc_id::DOUBLE), 6) AS avg_doc_id,
+         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_lang,
+         count(DISTINCT lang)::BIGINT AS dist_lang,
+         min(lang) AS min_lang, max(lang) AS max_lang,
+         round(avg(TRY_CAST(lang AS DOUBLE)), 6) AS avg_lang,
+         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_source,
+         count(DISTINCT source)::BIGINT AS dist_source,
+         min(source) AS min_source, max(source) AS max_source,
+         round(avg(TRY_CAST(source AS DOUBLE)), 6) AS avg_source,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_n_chars,
+         count(DISTINCT n_chars)::BIGINT AS dist_n_chars,
+         min(CAST(n_chars AS VARCHAR)) AS min_n_chars, max(CAST(n_chars AS VARCHAR)) AS max_n_chars,
+         round(avg(n_chars::DOUBLE), 6) AS avg_n_chars
+  FROM documents
+)
+SELECT 'doc_id' AS column, n_rows, nulls_doc_id AS n_nulls, dist_doc_id AS n_distinct,
+       min_doc_id AS min_str, max_doc_id AS max_str, avg_doc_id AS avg_num FROM one
+UNION ALL
+SELECT 'lang', n_rows, nulls_lang, dist_lang, min_lang, max_lang, avg_lang FROM one
+UNION ALL
+SELECT 'source', n_rows, nulls_source, dist_source, min_source, max_source, avg_source FROM one
+UNION ALL
+SELECT 'n_chars', n_rows, nulls_n_chars, dist_n_chars, min_n_chars, max_n_chars, avg_n_chars FROM one
+"""
