@@ -72,3 +72,50 @@ def test_reservoir_fixed_size_and_stable(spark):
     assert {tuple(r) for r in out.select("source", "doc_id").collect()} == {
         tuple(r) for r in again.select("source", "doc_id").collect()
     }
+
+
+def test_quantized_cosine_recall(spark):
+    """int8 symmetric quantization keeps cosine ranking: top-10 by quantized
+    cosine overlaps >=8/10 with the float top-10, and round-trip error is
+    bounded by scale/254 per component."""
+    from vectordb_bioinsight_spark.functions.vector import (
+        dequantize_int8,
+        dot_product,
+        l2_norm,
+        max_abs,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        max_abs("embedding").alias("s"),
+        quantize_int8("embedding", max_abs("embedding")).alias("qv"),
+    )
+    # round-trip error bound: |x - deq(q(x))| <= s/254 (half a quant step)
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                dequantize_int8("qv", "s"),
+                lambda x, y: F.abs(x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: F.greatest(a, v),
+        ).alias("max_err"),
+        (F.col("s") / 254.0 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+    qrow = q.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("fq"), F.col("qv").alias("qq")
+    )
+    pairs = q.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    fscore = dot_product("embedding", "fq") / (l2_norm("embedding") * l2_norm("fq"))
+    qscore = dot_product("qv", "qq") / (l2_norm("qv") * l2_norm("qq"))
+    top_f = [r["vec_id"] for r in pairs.select("vec_id", fscore.alias("s"))
+             .orderBy(F.desc("s"), F.asc("vec_id")).limit(10).collect()]
+    top_q = [r["vec_id"] for r in pairs.select("vec_id", qscore.alias("s"))
+             .orderBy(F.desc("s"), F.asc("vec_id")).limit(10).collect()]
+    assert len(set(top_f) & set(top_q)) >= 8

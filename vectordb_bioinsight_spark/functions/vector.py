@@ -71,3 +71,35 @@ def array_mean_long(df, group_cols, vec_col: str, pos_col: str = "pos", val_col:
         .groupBy(*group_cols, pos_col)
         .agg(F.avg(F.col("_v").cast("double")).alias(val_col))
     )
+
+
+def quantize_int8(a: Column | str, scale: Column | str) -> Column:
+    """Symmetric int8 quantization: qᵢ = round(127·aᵢ/scale), clamped to
+    [-127, 127]. With ``scale = max|aᵢ|`` (see ``max_abs``) this is the
+    standard per-vector symmetric scheme: 4× smaller storage/shuffle than
+    float32, and cosine is scale-invariant per vector so ranking degrades
+    only by rounding error (recall pinned in tests). JVM-side transform —
+    quantization rides the scan projection."""
+    s = _c(scale)
+    return F.transform(
+        _c(a),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x.cast("double") * 127.0 / s).cast("int")),
+        ),
+    )
+
+
+def max_abs(a: Column | str) -> Column:
+    """max |aᵢ| — the per-vector symmetric quantization scale."""
+    return F.aggregate(
+        F.transform(_c(a), lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    )
+
+
+def dequantize_int8(q: Column | str, scale: Column | str) -> Column:
+    """Inverse of ``quantize_int8``: xᵢ ≈ qᵢ·scale/127 (array<double>)."""
+    s = _c(scale)
+    return F.transform(_c(q), lambda x: x.cast("double") * s / 127.0)

@@ -125,6 +125,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
     "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
     "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 

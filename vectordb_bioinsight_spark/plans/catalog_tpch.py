@@ -545,3 +545,56 @@ SELECT 'source', n_rows, nulls_source, dist_source, min_source, max_source, avg_
 UNION ALL
 SELECT 'n_chars', n_rows, nulls_n_chars, dist_n_chars, min_n_chars, max_n_chars, avg_n_chars FROM one
 """
+
+
+def q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 on int8-quantized vectors: cosine top-10 to the vec_id=0 query
+    computed entirely on symmetric-int8 codes (4x smaller storage/shuffle
+    than float32 — the 100 TB vector-layout lever; functions/vector.py
+    quantize_int8). Exact same arithmetic as the DuckDB oracle, so the
+    quantized ranking is hash-matched, and recall vs float is test-pinned."""
+    from vectordb_bioinsight_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+        max_abs,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id"),
+        quantize_int8("embedding", max_abs("embedding")).alias("qv"),
+    )
+    qry = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("q_query"))
+    pairs = q.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qry))
+    score = dot_product("qv", "q_query") / F.nullif(
+        l2_norm("qv") * l2_norm("q_query"), F.lit(0.0)
+    )
+    return (
+        pairs.select("vec_id", F.round(score, 6).alias("cosine_q"))
+        .orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_QUANTIZED_KNN = """
+WITH qz AS (
+  SELECT vec_id,
+         [greatest(-127, least(127, round(x::DOUBLE * 127.0 / s)))::INT
+          FOR x IN embedding] AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           (SELECT max(abs(u.x::DOUBLE)) FROM unnest(embedding) AS u(x)) AS s
+    FROM embeddings
+  )
+), q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0),
+pairs AS (
+  SELECT z.vec_id, unnest(z.qv)::DOUBLE AS x, unnest(q.qq)::DOUBLE AS y
+  FROM qz z, q WHERE z.vec_id <> 0
+), sums AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pairs GROUP BY 1
+)
+SELECT vec_id, round(dot / nullif(sqrt(nx) * sqrt(ny), 0.0), 6) AS cosine_q
+FROM sums ORDER BY cosine_q DESC, vec_id ASC LIMIT 10
+"""
