@@ -126,6 +126,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
     "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
     "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
+    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
+    "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 

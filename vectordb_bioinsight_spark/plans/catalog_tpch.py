@@ -598,3 +598,109 @@ pairs AS (
 SELECT vec_id, round(dot / nullif(sqrt(nx) * sqrt(ny), 0.0), 6) AS cosine_q
 FROM sums ORDER BY cosine_q DESC, vec_id ASC LIMIT 10
 """
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated aggregate filter: revenue from lineitems whose
+    quantity is below 20% of their part's average quantity. The correlated
+    scalar subquery decorrelates to one per-part aggregate joined back —
+    expressed directly that way (aggregate once, join, filter) instead of a
+    per-row subquery: same semantics, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l.l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+WHERE l.l_quantity < 0.2 * (
+  SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: customers whose single order exceeds 300 total quantity —
+    groupBy-HAVING subquery driving a semi-join back to orders/customer,
+    top-20 by order total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+SQL_LARGE_ORDER_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_custkey, c.c_name, b.l_orderkey,
+       round(o.o_totalprice, 2) AS o_totalprice, round(b.total_qty, 2) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_qty DESC, l_orderkey ASC LIMIT 20
+"""
+
+
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: suppliers achieving the MAXIMUM 1997 revenue — the
+    view-plus-scalar-subquery pattern; ties all surface (rank, not limit 1).
+    Decimal revenue so the max comparison is exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1997-01-01", "1997-12-31")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_revenue_dec()), 2).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIERS = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(4,2))), 2)
+           AS total_rev
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev::DOUBLE AS total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+"""
