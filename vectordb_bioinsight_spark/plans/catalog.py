@@ -129,6 +129,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
+    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 

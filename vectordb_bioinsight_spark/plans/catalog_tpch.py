@@ -704,3 +704,63 @@ SELECT s.s_suppkey, s.s_name, r.total_rev::DOUBLE AS total_rev
 FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
 """
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped multi-EXISTS: suppliers with a returned ('R') lineitem on a
+    multi-supplier order where they were the ONLY supplier with a return —
+    an EXISTS plus NOT-EXISTS pair of self-joins on the fact table,
+    decorrelated to semi/anti joins on (orderkey ≠ suppkey) conditions.
+    Top-20 by count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    # another supplier participated in the order
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    # ...but no OTHER supplier had a return on it
+    l3 = l1.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    sole = cand.join(
+        l3, (cand.l_orderkey == l3.o3) & (cand.l_suppkey != l3.s3), "left_anti"
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY 1, 2
+ORDER BY numwait DESC, s_suppkey ASC LIMIT 20
+"""
+
+
+def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 approximate path surfaced for the driver: random-hyperplane LSH
+    bucket restriction + exact cosine inside the bucket
+    (operators/vector.knn_lsh). Deterministic given the seed, but bucket
+    membership is an engine detail with no SQL twin — rows-only check; the
+    recall-vs-exact property is unit-test-pinned."""
+    from vectordb_bioinsight_spark.operators.vector import knn_lsh
+    from vectordb_bioinsight_spark.plans.catalog_vector import _query_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    return knn_lsh(emb, "vec_id", "embedding", qv, dim=len(qv), k=10, num_planes=4)
