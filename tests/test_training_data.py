@@ -1,0 +1,76 @@
+"""End-to-end training-data prep pipeline: determinism, dedup correctness,
+leak-free splits, quality gating — on sf0.001 documents with planted
+duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.pipelines.training_data import prepare_training_data
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def seeded_docs(spark):
+    """sf0.001 documents + planted exact copies and a near-duplicate."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    base = docs.limit(0).columns  # schema probe
+    en = docs.filter(F.col("lang") == "en")
+    # plant: two exact copies of doc 1 (new ids 900001/900002), one near-dup
+    # of doc 2 (appended token), ids far above the corpus range
+    rows = en.filter(F.col("doc_id").isin(1, 2)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    extra = []
+    if 1 in by_id:
+        r = by_id[1]
+        extra += [(900001, r["text"], r["lang"], r["source"], r["n_chars"]),
+                  (900002, r["text"], r["lang"], r["source"], r["n_chars"])]
+    if 2 in by_id:
+        r = by_id[2]
+        extra.append((900003, r["text"] + " appended", r["lang"], r["source"], r["n_chars"]))
+    planted = spark.createDataFrame(extra, docs.schema.names) if extra else docs.limit(0)
+    return docs.unionByName(planted.select(*docs.columns))
+
+
+def test_pipeline_dedups_and_splits(spark, seeded_docs):
+    out = prepare_training_data(
+        seeded_docs, min_quality=0.3, near_dup_jaccard=0.5,
+        split_weights=(0.8, 0.1, 0.1),
+    )
+    pdf = out.toPandas()
+    ids = set(pdf["doc_id"])
+    # planted exact copies collapsed to the min-id representative
+    assert 900001 not in ids and 900002 not in ids
+    # near-dup loses to the lower-id original (if doc 2 survived the gate)
+    if 2 in ids:
+        assert 900003 not in ids
+    # leak-free: ids unique, every row assigned one split
+    assert len(ids) == len(pdf)
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    # quality/lang gates applied
+    assert (pdf["quality_score"] >= 0.3).all()
+
+
+def test_pipeline_deterministic_under_repartition(spark, seeded_docs):
+    a = prepare_training_data(seeded_docs, min_quality=0.3).toPandas()
+    b = prepare_training_data(seeded_docs.repartition(11), min_quality=0.3).toPandas()
+    ka = sorted(zip(a["doc_id"], a["split"]))
+    kb = sorted(zip(b["doc_id"], b["split"]))
+    assert ka == kb
+
+
+def test_pipeline_sampling_reduces_nondefault_sources(spark, seeded_docs):
+    full = prepare_training_data(seeded_docs, min_quality=0.3)
+    sampled = prepare_training_data(
+        seeded_docs, min_quality=0.3,
+        sample_fractions={"src0": 1.0}, default_fraction=0.2, salt=4,
+    )
+    n_full = full.filter(F.col("source") != "src0").count()
+    n_samp = sampled.filter(F.col("source") != "src0").count()
+    assert n_samp < n_full * 0.45  # ~0.2 expected
+    # src0 kept whole
+    assert sampled.filter(F.col("source") == "src0").count() == full.filter(
+        F.col("source") == "src0"
+    ).count()

