@@ -126,3 +126,29 @@ def test_wilcoxon_z_matches_closed_form(spark, vals):
     assert len(out) == 1
     assert out[0]["u_stat"] == pytest.approx(round(u, 4), abs=1e-6)
     assert out[0]["z"] == pytest.approx(round(z, 6), abs=1e-5)
+
+
+@given(
+    hs=st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1), min_size=1, max_size=24),
+    perm_idx=st.integers(min_value=0, max_value=63),
+)
+@settings(**SETTINGS)
+def test_mulmod_affine_p61_matches_bigint_arithmetic(spark, hs, perm_idx):
+    """The 64-bit-safe affine permutation equals (a*h+b) mod 2^61-1 computed
+    with unbounded Python integers, for any 60-bit input."""
+    from vectordb_bioinsight_spark.functions.hashing import (
+        MINHASH_PERMS,
+        P61,
+        mulmod_affine_p61,
+    )
+
+    a, b = MINHASH_PERMS[perm_idx]
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    got = [
+        r["y"]
+        for r in df.select(mulmod_affine_p61(F.col("h"), a, b).alias("y"), "h")
+        .orderBy("h")
+        .collect()
+    ]
+    want = [(a * h + b) % P61 for h in sorted(hs)]
+    assert got == want

@@ -41,3 +41,72 @@ def salted_hash64(col: Column | str, salt: int) -> Column:
 def salted_hash64_duckdb(expr: str, salt: int) -> str:
     """DuckDB SQL computing the same value as :func:`salted_hash64`."""
     return PORTABLE_HASH64_DUCKDB.format(expr=f"'{salt}|' || {expr}")
+
+
+#: Mersenne prime 2^61 - 1, the modulus of the universal MinHash family.
+P61 = (1 << 61) - 1
+
+
+def _perm_constants(n: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine family, a < 2^31 (the
+    overflow bound of :func:`mulmod_affine_p61`), b < P61. Same constants on
+    the Spark and DuckDB sides — single source of truth."""
+    pairs, state = [], seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 33) % ((1 << 31) - 2) + 1  # 1 .. 2^31-2
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % P61
+        pairs.append((a, b))
+    return pairs
+
+
+MINHASH_PERMS: list[tuple[int, int]] = _perm_constants()
+
+
+def mulmod_affine_p61(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod (2^61-1) without 128-bit arithmetic, for h < 2^60 and
+    a < 2^31 — every intermediate stays below 2^63 (signed-long safe, no
+    ANSI overflow):
+
+        h = h_hi*2^30 + h_lo          (h_hi < 2^30, h_lo < 2^30)
+        a*h_hi = u*2^31 + v           (u < 2^29,  v < 2^31)
+        a*h*2^0 = u*2^61 + v*2^30 + a*h_lo
+               ≡ u + v*2^30 + a*h_lo  (mod p, since 2^61 ≡ 1)
+
+    then two fold-reductions x → (x>>61) + (x & p) and conditional
+    subtracts. DuckDB twin (has 128-bit HUGEINT, no trick needed):
+    ``((a::HUGEINT * h + b) % 2305843009213693951)::BIGINT``.
+    """
+    if not (0 < a < (1 << 31)):
+        raise ValueError("a must be in (0, 2^31)")
+    h_hi = F.shiftright(h, 30)
+    h_lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    t1 = F.lit(a) * h_hi
+    u = F.shiftright(t1, 31)
+    v = t1.bitwiseAND(F.lit((1 << 31) - 1))
+    x = u + F.shiftleft(v, 30) + F.lit(a) * h_lo  # < 2^62.1
+    x = F.shiftright(x, 61) + x.bitwiseAND(F.lit(P61))  # fold: <= p + 1
+    x = F.when(x >= P61, x - P61).otherwise(x)
+    x = x + F.lit(b)  # < 2p
+    x = F.when(x >= P61, x - P61).otherwise(x)
+    return x
+
+
+def minhash_perm_family(base_hash: Column, num_hashes: int) -> list[Column]:
+    """``num_hashes`` pairwise-independent-style permutations of ONE base
+    hash: h_i = (a_i*h + b_i) mod (2^61-1). md5 is the kernel cost of
+    MinHash; hashing the shingle once and permuting with integer affine maps
+    is a ~k-fold saving over k salted md5 calls at the same LSH quality
+    (the standard universal-hashing MinHash construction)."""
+    if num_hashes > len(MINHASH_PERMS):
+        raise ValueError(f"at most {len(MINHASH_PERMS)} permutations available")
+    return [
+        mulmod_affine_p61(base_hash, a, b) for a, b in MINHASH_PERMS[:num_hashes]
+    ]
+
+
+def minhash_perm_duckdb(h_expr: str, i: int) -> str:
+    """DuckDB SQL computing the same value as ``minhash_perm_family(...)[i]``."""
+    a, b = MINHASH_PERMS[i]
+    return f"((({a}::HUGEINT * ({h_expr})) + {b}) % {P61})::BIGINT"

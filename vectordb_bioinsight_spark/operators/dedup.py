@@ -77,9 +77,14 @@ def minhash_signatures_wide(
     """Same signatures with one row per doc — single scan, no union fan-out.
 
     Computes all ``num_hashes`` mins in ONE aggregation over exploded
-    shingles: each hash is a ``min(salted_hash)`` aggregate. This is the
+    shingles. Each shingle is md5-hashed ONCE (portable_hash64); the k
+    permutations are integer affine maps h_i = (a_i*h + b_i) mod (2^61-1)
+    (functions/hashing.minhash_perm_family). md5 is the kernel cost of
+    MinHash, so one md5 + k multiply-mods per shingle instead of k md5
+    calls is a ~k-fold kernel saving at the same LSH quality. This is the
     production path (the long-form variant exists for oracle symmetry).
     """
+    from vectordb_bioinsight_spark.functions.hashing import minhash_perm_family
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens, tokenize
 
     sh = (
@@ -88,8 +93,10 @@ def minhash_signatures_wide(
         # NO distinct: min() is duplicate-insensitive, and a distinct here
         # would shuffle the full (id, shingle) fan-out before the aggregate —
         # the groupBy's map-side combine already collapses everything local
+        .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("_h"))
     )
-    aggs = [F.min(salted_hash64(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    hs = minhash_perm_family(F.col("_h"), num_hashes)
+    aggs = [F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)]
     return sh.groupBy(id_col).agg(*aggs)
 
 

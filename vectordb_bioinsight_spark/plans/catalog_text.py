@@ -150,9 +150,19 @@ FROM keyed GROUP BY 1 HAVING count(*) > 1
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 salted portable hashes over 3-shingles), long form."""
+    """MinHash signatures (8 universal-family permutations of one portable
+    base hash, over 3-shingles), long form. Hash family:
+    h_i = (a_i*h + b_i) mod 2^61-1 (functions/hashing.minhash_perm_family)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+
+
+def _minhash_perm_values(n: int) -> str:
+    from vectordb_bioinsight_spark.functions.hashing import MINHASH_PERMS
+
+    return ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)" for i, (a, b) in enumerate(MINHASH_PERMS[:n])
+    )
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -160,10 +170,12 @@ WITH toks AS (
   SELECT doc_id, {_TOK3} AS tk FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, s FROM toks, unnest({_SHINGLE3}) AS u(s)
+), based AS (
+  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM sh
 ), salted AS (
-  SELECT doc_id, r.range AS h_idx,
-         (('0x' || substr(md5(CAST(r.range AS VARCHAR) || '|' || s), 1, 15))::BIGINT) AS hv
-  FROM sh, range(8) r
+  SELECT doc_id, perm.h_idx::BIGINT AS h_idx,
+         ((perm.a * h + perm.b) % 2305843009213693951)::BIGINT AS hv
+  FROM based, (VALUES {_minhash_perm_values(8)}) AS perm(h_idx, a, b)
 )
 SELECT doc_id, h_idx, min(hv) AS min_hash FROM salted GROUP BY 1, 2
 """
