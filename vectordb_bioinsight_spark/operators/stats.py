@@ -263,10 +263,14 @@ def wilcoxon_rank_sum(
     with tie correction — the distributed closed form of scanpy's
     ``rank_genes_groups(method='wilcoxon')`` (agent_singlecell.py:2139-2225).
 
-    ``group_col`` must be boolean-like (1 = group A membership). Average ranks
-    come from ``rank() + (tie_count - 1)/2`` window arithmetic; the tie term
-    ``Σ(t³-t)`` is a second tiny aggregation on (key, value). No wide pivot,
-    two shuffles total, both on the key — scales to any number of keys.
+    ``group_col`` must be boolean-like (1 = group A membership). Tie groups
+    are aggregated FIRST — groupBy (key, value) with map-side combine — so
+    the rank window runs over *distinct values per key*, not raw rows: the
+    average rank of a tie group is ``(#smaller rows) + (t+1)/2`` from one
+    running-sum window, and the tie term ``Σ(t³-t)`` falls out of the same
+    grouped table. One agg shuffle + one window + one tiny agg — no raw-row
+    sort, no second tie pass, no join. At 100 TB the window input is bounded
+    by value cardinality per key, not row count.
 
     Output: (key..., n_a, n_b, u_stat, z) with
       U = R_a - n_a(n_a+1)/2,  z = (U - n_a·n_b/2) / sqrt(var_tie).
@@ -275,26 +279,25 @@ def wilcoxon_rank_sum(
     """
     v = F.col(value_col).cast("double")
     g = F.col(group_col).cast("int")
-    w_order = Window.partitionBy(*key_cols).orderBy(v.asc())
-    w_tie = Window.partitionBy(*key_cols, v)
-    ranked = df.select(
-        *key_cols,
-        g.alias("_g"),
-        v.alias("_v"),
-        (F.rank().over(w_order) + (F.count("*").over(w_tie) - F.lit(1)) / 2.0).alias("_r"),
+    tied = df.groupBy(*key_cols, v.alias("_v")).agg(
+        F.count("*").cast("double").alias("_t"),
+        F.sum(g).cast("double").alias("_t_a"),
     )
-    agg = ranked.groupBy(*key_cols).agg(
-        F.count("*").cast("double").alias("_n"),
-        F.sum("_g").cast("double").alias("n_a"),
-        F.sum(F.when(F.col("_g") == 1, F.col("_r"))).alias("_r_a"),
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ties = (
-        ranked.groupBy(*key_cols, "_v")
-        .agg(F.count("*").cast("double").alias("_t"))
-        .groupBy(*key_cols)
-        .agg(F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie_sum"))
+    ranked = tied.withColumn(
+        "_avg_r",
+        F.coalesce(F.sum("_t").over(w_cum), F.lit(0.0)) + (F.col("_t") + 1.0) / 2.0,
     )
-    j = agg.join(ties, list(key_cols))
+    j = ranked.groupBy(*key_cols).agg(
+        F.sum("_t").alias("_n"),
+        F.sum("_t_a").alias("n_a"),
+        F.sum(F.col("_t_a") * F.col("_avg_r")).alias("_r_a"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie_sum"),
+    )
     n, n_a = F.col("_n"), F.col("n_a")
     n_b = n - n_a
     u = F.col("_r_a") - n_a * (n_a + 1.0) / 2.0

@@ -28,8 +28,9 @@ def keyword_frequencies(
     tiebreak (total order for hash-stable top-N)."""
     words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
     if drop_stopwords:
-        sw = F.array(*[F.lit(s) for s in STOPWORDS])
-        words = words.filter(~F.array_contains(sw, F.col("word")))
+        # isin compiles to InSet (hash lookup) — O(1) per token vs the O(|SW|)
+        # linear scan an array_contains(literal array) would do
+        words = words.filter(~F.col("word").isin(*STOPWORDS))
     return (
         words.groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
