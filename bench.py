@@ -47,6 +47,11 @@ HEADLINE = [
     # round-1 additions: the multi-join and distinct-agg scale shapes
     "nation_volume_flow",
     "distinct_users_by_type",
+    # TPC-H sweep part 2: segment top-k (Q3), profit rollup (Q9),
+    # outer-join count distribution (Q13)
+    "segment_top_orders",
+    "nation_profit",
+    "order_count_distribution",
 ]
 
 

@@ -189,3 +189,43 @@ def test_bm25_batch_consistent_with_single(spark):
         .collect()
     ]
     assert single == batch
+
+
+def test_knn_join_gemm_matches_expression_path(spark):
+    """The GEMM scale twin returns the same neighbour sets and (to 1e-6)
+    the same scores as the expression-fold knn_join, across metrics."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.vector import knn_join, knn_join_gemm
+
+    rng = np.random.default_rng(7)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, ["vid", "vec"])
+    queries = df.filter(F.col("vid") % 60 == 0)
+    for metric in ["cosine", "dot", "l2"]:
+        a = knn_join(queries, df, "vid", "vid", "vec", k=5, metric=metric).collect()
+        b = knn_join_gemm(queries, df, "vid", "vid", "vec", k=5, metric=metric).collect()
+        ka = {(r["query_id"], r["rank"]): (r["cand_id"], r["score"]) for r in a}
+        kb = {(r["query_id"], r["rank"]): (r["cand_id"], r["score"]) for r in b}
+        assert ka.keys() == kb.keys(), metric
+        for key in ka:
+            assert ka[key][0] == kb[key][0], (metric, key)
+            assert abs(ka[key][1] - kb[key][1]) < 2e-6, (metric, key)
+
+
+def test_knn_join_gemm_guards_and_edges(spark):
+    import pytest as _pytest
+
+    from vectordb_bioinsight_spark.operators.vector import knn_join_gemm
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.5, 0.1])],
+        ["vid", "vec"],
+    )
+    # zero-norm candidate never surfaces under cosine; self-match excluded
+    out = knn_join_gemm(df.filter("vid = 0"), df, "vid", "vid", "vec", k=3).collect()
+    ids = [r["cand_id"] for r in out]
+    assert 1 not in ids and 0 not in ids
+    # the query-side guard raises instead of silently truncating
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn_join_gemm(df, df, "vid", "vid", "vec", k=1, max_queries=2)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from vectordb_bioinsight_spark.functions.vector import cosine_similarity, dot_product, l2_distance
 
@@ -193,6 +194,9 @@ def knn_join(
     if metric == "cosine":
         score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
         order = [F.desc("score"), F.asc("cand_id")]
+    elif metric == "dot":
+        score = dot_product(F.col("_cv"), F.col("_qv"))
+        order = [F.desc("score"), F.asc("cand_id")]
     elif metric == "l2":
         score = l2_distance(F.col("_cv"), F.col("_qv"))
         order = [F.asc("score"), F.asc("cand_id")]
@@ -350,3 +354,117 @@ def knn_ivf(
     cost."""
     index = ivf_build_index(vectors, id_col, vec_col, n_cells=n_cells, seed=seed)
     return ivf_search(index, queries, query_id_col, vec_col, k=k, n_probe=n_probe)
+
+
+def knn_join_gemm(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id_col: str,
+    cand_id_col: str,
+    vec_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Batch exact kNN, GEMM scale path: the per-pair expression fold of
+    :func:`knn_join` becomes ONE BLAS matrix multiply per Arrow batch.
+
+    Physical shape (the 100 TB design):
+      1. the (bounded) query set collects to an m×d float64 matrix and
+         broadcasts inside the UDF closure — guarded by ``max_queries``,
+         mirroring the reference's bounded rerank pools;
+      2. each corpus partition streams through ``mapInPandas``: stack the
+         batch to an n×d matrix, score all m×n pairs with one ``C @ Q.T``
+         (vectorized, cache-friendly — no per-pair interpreter work), and
+         emit only the PARTITION-LOCAL top-k per query via argpartition;
+      3. the global top-k per query is a window over ≤ partitions×k rows
+         per query — the shuffle carries O(P·k·m) rows instead of the
+         O(n·m) pair fan-out of the expression path.
+
+    Scores use float64 BLAS summation, which can differ from the JVM
+    fold's addition order in the last ulps — so this operator is the
+    *scale twin* of ``knn_join`` (tolerance-tested against it), not an
+    oracle-hashed catalog entry. Same contract otherwise: self-matches
+    excluded, output (query_id, cand_id, score, rank) best-first.
+    """
+    import numpy as np
+
+    if metric not in ("cosine", "dot", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qrows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join_gemm query side exceeds max_queries={max_queries}; "
+            "use knn_join or raise the guard explicitly (no silent caps)"
+        )
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0.0] = np.nan  # zero-norm query scores NaN, like the expr path
+    best_first_desc = metric in ("cosine", "dot")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("cand_id", candidates.schema[cand_id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["_v"].to_numpy())  # n×d
+            cids = pdf["_cid"].to_numpy()
+            if metric == "l2":
+                # ||c-q||² = ||c||² - 2c·q + ||q||² , monotone in the true dist
+                S = (
+                    (C * C).sum(axis=1)[:, None]
+                    - 2.0 * (C @ Q.T)
+                    + (Q * Q).sum(axis=1)[None, :]
+                )
+                S = np.sqrt(np.maximum(S, 0.0))
+            else:
+                S = C @ Q.T
+                if metric == "cosine":
+                    cn = np.linalg.norm(C, axis=1)
+                    cn[cn == 0.0] = np.nan
+                    S = S / cn[:, None] / qn[None, :]
+            kk = min(k + 1, len(cids))  # +1 absorbs a possible self-match
+            key = -S if best_first_desc else S
+            top = np.argpartition(key, kk - 1, axis=0)[:kk]  # per-query columns
+            n_q = S.shape[1]
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "cand_id": cids[top.T.ravel()],
+                "score": S[top, np.arange(n_q)[None, :]].T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = (
+        candidates.select(
+            F.col(cand_id_col).alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .mapInPandas(score_partition, out_schema)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        # zero-norm cosine scores leave the UDF as NaN; Arrow surfaces them
+        # as NULL on the Spark side — drop both spellings
+        .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+    )
+    from pyspark.sql import Window
+
+    order = (
+        [F.desc("score"), F.asc("cand_id")]
+        if best_first_desc
+        else [F.asc("score"), F.asc("cand_id")]
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.select("query_id", "cand_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
