@@ -146,3 +146,43 @@ def pseudobulk(
         F.round(F.percentile(v, F.lit(0.5)), 6).alias("median"),
         F.count("*").cast("long").alias("n_cells"),
     )
+
+
+def score_cell_types(
+    expr: DataFrame,
+    markers: DataFrame,
+    cell_col: str = "cell_id",
+    gene_col: str = "gene_id",
+    value_col: str = "expr",
+    type_col: str = "cell_type",
+) -> DataFrame:
+    """J10: marker-set cell-type scoring with argmax assignment
+    (agent_singlecell.py:972-1062 — ``sc.tl.score_genes`` per marker set,
+    then argmax over the score columns).
+
+    Score(cell, type) = mean expression of that type's marker genes in the
+    cell (the deterministic core of score_genes; the random control-set
+    subtraction is a constant shift per cell under argmax and is omitted).
+    The marker table is a broadcast dimension; the only shuffle is the
+    (cell, type) aggregation — long format, never a pivoted wide matrix.
+
+    Output: (cell, assigned_type, score) — one row per cell that expresses
+    at least one marker; ties break on type name ascending.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        expr.join(F.broadcast(markers.select(gene_col, type_col)), gene_col)
+        .groupBy(cell_col, type_col)
+        .agg(F.avg(F.col(value_col)).alias("_score"))
+    )
+    w = Window.partitionBy(cell_col).orderBy(F.desc("_score"), F.asc(type_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(cell_col),
+            F.col(type_col).alias("assigned_type"),
+            F.round("_score", 6).alias("score"),
+        )
+    )

@@ -174,3 +174,72 @@ FROM (
 
 
 SQL_LENS_CLASSIFY = _sql_lens()
+
+
+#: J10 marker dimension: event-type "marker sets" per user profile.
+PROFILE_MARKERS = {
+    "browser": ("click", "view"),
+    "converter": ("purchase", "signup"),
+}
+
+
+def q_user_profile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 shape on the driver tables: score each user against marker
+    event-type sets (avg event value over the set), assign the argmax
+    profile — the cell-type scoring join (agent_singlecell.py:972-1062)
+    with users as cells and event types as genes."""
+    from vectordb_bioinsight_spark.operators.singlecell import score_cell_types
+
+    events = load_table(spark, sf_dir, "events")
+    rows = [(t, p) for p, ts in PROFILE_MARKERS.items() for t in ts]
+    markers = spark.createDataFrame(rows, ["event_type", "profile"])
+    scored = score_cell_types(
+        events.select("user_id", "event_type", "value"),
+        markers,
+        cell_col="user_id",
+        gene_col="event_type",
+        value_col="value",
+        type_col="profile",
+    )
+    return scored.withColumnRenamed("assigned_type", "profile")
+
+
+def _sql_profile_argmax() -> str:
+    marker_rows = ", ".join(
+        f"('{t}', '{p}')" for p, ts in PROFILE_MARKERS.items() for t in ts
+    )
+    return f"""
+WITH markers(event_type, profile) AS (VALUES {marker_rows}),
+scored AS (
+  SELECT e.user_id, m.profile, avg(e.value) AS s
+  FROM events e JOIN markers m ON e.event_type = m.event_type
+  GROUP BY 1, 2
+)
+SELECT user_id, profile, round(s, 6) AS score
+FROM (
+  SELECT user_id, profile, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s DESC, profile ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+SQL_USER_PROFILE_ARGMAX = _sql_profile_argmax()
+
+
+def q_part_assoc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 shape (network_enhancer.py:356-381 KG feature counts): per part,
+    association count and max association score — one map-side-combinable
+    aggregate over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_assoc"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_score"),
+    )
+
+
+SQL_PART_ASSOC_STATS = """
+SELECT l_partkey, count(*)::BIGINT AS n_assoc,
+       round(max(l_extendedprice), 2) AS max_score
+FROM lineitem GROUP BY 1
+"""
