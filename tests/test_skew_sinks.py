@@ -128,3 +128,41 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """The range-clustered sink must produce files whose footer min/max on
+    the cluster key are pairwise disjoint (that's what lets a point/range
+    predicate skip whole files), with rows sorted inside each file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_bioinsight_spark.sources.writers import write_clustered
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id * 37 % 9973 as long) as k", "cast(rand(7) * 100 as double) as v"
+    )
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, cluster_by=["k"], num_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        k_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(k_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # actually split into multiple files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({hi1} > {lo2})"
+
+    # and the predicate prunes: count with a narrow filter reads correctly
+    back = spark.read.parquet(out)
+    lo, hi = ranges[0][0], ranges[0][1]
+    expect = df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).count()
+    assert back.filter((F.col("k") >= lo) & (F.col("k") <= hi)).count() == expect

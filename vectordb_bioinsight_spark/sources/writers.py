@@ -68,3 +68,36 @@ def write_bucketed_table(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout — the data-skipping sink.
+
+    ``repartitionByRange`` gives each output file a disjoint range of the
+    cluster key(s); ``sortWithinPartitions`` orders rows inside each file so
+    every parquet row group carries tight min/max statistics. A selective
+    predicate on the cluster key then prunes at BOTH levels: whole files
+    (footer min/max, checked by tests/test_skew_sinks.py against the actual
+    footers) and row groups within surviving files. At 100 TB this is the
+    difference between scanning the table and scanning one file — the same
+    layout discipline as Delta's OPTIMIZE ZORDER for the single-key case,
+    expressed with stock Spark.
+
+    Skew note: range partitioning samples the key distribution, so heavy
+    hitters widen one range instead of hot-spotting a hash bucket; a key
+    with one dominant value degrades to that file being large — bound it
+    with write_table's maxRecordsPerFile if needed.
+    """
+    cols = [df[c] for c in cluster_by]
+    (
+        df.repartitionByRange(num_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
