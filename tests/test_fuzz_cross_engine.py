@@ -1,0 +1,115 @@
+"""Property-based cross-engine fuzzer: random tables + random
+filter/groupBy/aggregate specs executed by BOTH Spark and DuckDB, compared
+row-for-row. This extends the fixed catalog's oracle discipline to the
+operator *space* — nulls, empty groups, negative values, duplicate keys and
+float edge cases that handwritten queries never cover.
+
+Exactness rules mirror the catalog: integer aggs compare exactly; float sums
+are computed over 2-decimal-exact inputs in DECIMAL on both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),                     # key k
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # nullable int v
+        st.integers(min_value=-10_000, max_value=10_000).map(lambda c: c / 100.0),  # 2-dec m
+        st.sampled_from(["a", "b", "c", None]),                     # nullable tag
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+AGG_SPECS = [
+    ("count_star", lambda: F.count("*").cast("long"), "count(*)::BIGINT"),
+    ("count_v", lambda: F.count("v").cast("long"), "count(v)::BIGINT"),
+    ("sum_v", lambda: F.sum("v").cast("long"), "sum(v)::BIGINT"),
+    ("min_v", lambda: F.min("v").cast("long"), "min(v)::BIGINT"),
+    ("max_v", lambda: F.max("v").cast("long"), "max(v)::BIGINT"),
+    (
+        "sum_m",
+        lambda: F.round(F.sum(F.col("m").cast("decimal(18,2)")), 2).cast("double"),
+        "round(sum(m::DECIMAL(18,2)), 2)::DOUBLE",
+    ),
+    ("n_tags", lambda: F.count_distinct(F.col("tag")).cast("long"), "count(DISTINCT tag)::BIGINT"),
+]
+
+FILTER_SPECS = [
+    (None, None),
+    (lambda: F.col("v").isNotNull(), "v IS NOT NULL"),
+    (lambda: F.col("v") > 0, "v > 0"),
+    (lambda: F.col("tag") == "a", "tag = 'a'"),
+    (lambda: F.col("m") < 0, "m < 0"),
+    (lambda: F.col("v").isNull() | (F.col("k") % 2 == 0), "(v IS NULL OR k % 2 = 0)"),
+]
+
+
+def _run_both(spark, rows, filt_idx, agg_idxs, group):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "m", "tag"]).astype(
+        {"k": "int64", "v": "Int64", "m": "float64", "tag": "object"}
+    )
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notna(pdf), None).values.tolist() if len(pdf) else [],
+        "k long, v long, m double, tag string",
+    )
+    filt_col, filt_sql = FILTER_SPECS[filt_idx]
+    if filt_col is not None:
+        sdf = sdf.filter(filt_col())
+    aggs = [AGG_SPECS[i][1]().alias(AGG_SPECS[i][0]) for i in agg_idxs]
+    if group:
+        out = sdf.groupBy("k").agg(*aggs)
+    else:
+        out = sdf.agg(*aggs)
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sel = ", ".join(f"{AGG_SPECS[i][2]} AS {AGG_SPECS[i][0]}" for i in agg_idxs)
+    where = f"WHERE {filt_sql}" if filt_sql else ""
+    if group:
+        sql = f"SELECT k, {sel} FROM t {where} GROUP BY k"
+    else:
+        sql = f"SELECT {sel} FROM t {where}"
+    want = con.execute(sql).df()
+
+    got = out.toPandas()
+    return got, want
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> None:
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    if len(got) == 0:
+        return
+    g = got.reindex(sorted(got.columns), axis=1)
+    w = want.reindex(sorted(want.columns), axis=1)
+    key_g = g.astype(str).agg("|".join, axis=1).sort_values().tolist()
+    key_w = w.astype(str).agg("|".join, axis=1).sort_values().tolist()
+    assert key_g == key_w, f"\nspark={key_g}\nduckdb={key_w}"
+
+
+@given(
+    rows=rows_strategy,
+    filt_idx=st.integers(min_value=0, max_value=len(FILTER_SPECS) - 1),
+    agg_idxs=st.sets(
+        st.integers(min_value=0, max_value=len(AGG_SPECS) - 1), min_size=1, max_size=4
+    ).map(sorted),
+    group=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_random_filter_group_agg_matches_duckdb(spark, rows, filt_idx, agg_idxs, group):
+    got, want = _run_both(spark, rows, filt_idx, agg_idxs, group)
+    compare_frames(got, want)

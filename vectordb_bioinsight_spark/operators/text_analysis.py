@@ -38,25 +38,33 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     docs, high punctuation, low stopword incidence — the reference's junk
     heuristics re-expressed as a score.
     """
-    toks = tokenize(F.col(text_col))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    # project the token array ONCE — four downstream expressions share it
+    # (an explicit projection instead of trusting codegen subexpression
+    # elimination across higher-order functions), and count stopword hits
+    # with isin (InSet hash probe), not an O(|SW|) array_contains scan
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     stop_ratio = F.when(n_tok > 0, n_sw.cast("double") / n_tok).otherwise(F.lit(0.0))
     avg_len = F.when(
         n_tok > 0,
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
-    pr = punct_ratio(F.col(text_col))
+    pr = punct_ratio(F.col("_text"))
     quality = (
         F.least(n_tok.cast("double") / 20.0, F.lit(1.0)) * 0.4
         + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    return staged.select(
+        F.col("doc_id"),
+        F.length(F.col("_text")).cast("long").alias("n_chars"),
+        token_count(F.col("_text")).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(pr, 6).alias("punct_ratio"),
