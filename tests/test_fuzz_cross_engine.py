@@ -113,3 +113,76 @@ def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> None:
 def test_random_filter_group_agg_matches_duckdb(spark, rows, filt_idx, agg_idxs, group):
     got, want = _run_both(spark, rows, filt_idx, agg_idxs, group)
     compare_frames(got, want)
+
+
+right_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # nullable join key
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+left_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.sampled_from(["x", "y"]),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+JOIN_TYPES = [
+    ("inner", "JOIN"),
+    ("left", "LEFT JOIN"),
+    ("left_semi", None),
+    ("left_anti", None),
+]
+
+
+@given(
+    lrows=left_rows,
+    rrows=right_rows,
+    jt=st.integers(min_value=0, max_value=len(JOIN_TYPES) - 1),
+)
+@settings(**SETTINGS)
+def test_random_joins_match_duckdb_null_keys(spark, lrows, rrows, jt):
+    """Join fuzz across types with NULLABLE keys — null never matches null,
+    in every engine, for every join type (the classic divergence trap)."""
+    lp = pd.DataFrame(lrows, columns=["k", "s"]).astype({"k": "Int64", "s": "object"})
+    rp = pd.DataFrame(rrows, columns=["k", "w"]).astype({"k": "Int64", "w": "int64"})
+    left = spark.createDataFrame(
+        lp.astype(object).where(pd.notna(lp), None).values.tolist() if len(lp) else [],
+        "k long, s string",
+    )
+    right = spark.createDataFrame(
+        rp.astype(object).where(pd.notna(rp), None).values.tolist() if len(rp) else [],
+        "k long, w long",
+    )
+    spark_type, sql_join = JOIN_TYPES[jt]
+    # aggregate after the join so duplicate-key fan-out is also compared
+    if spark_type in ("left_semi", "left_anti"):
+        out = left.join(right, left.k == right.k, spark_type).groupBy("s").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        neg = "NOT" if spark_type == "left_anti" else ""
+        sql = f"""
+          SELECT s, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k FROM l
+          WHERE {neg} EXISTS (SELECT 1 FROM r WHERE r.k = l.k) GROUP BY s
+        """
+    else:
+        out = left.join(right, left.k == right.k, spark_type).groupBy("s").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("w").cast("long").alias("sum_w"),
+        )
+        sql = f"""
+          SELECT s, count(*)::BIGINT AS n, sum(r.w)::BIGINT AS sum_w
+          FROM l {sql_join} r ON l.k = r.k GROUP BY s
+        """
+    con = duckdb.connect()
+    con.register("l", lp)
+    con.register("r", rp)
+    want = con.execute(sql).df()
+    compare_frames(out.toPandas(), want)
