@@ -186,3 +186,69 @@ def test_random_joins_match_duckdb_null_keys(spark, lrows, rrows, jt):
     con.register("r", rp)
     want = con.execute(sql).df()
     compare_frames(out.toPandas(), want)
+
+
+WINDOW_SPECS = [
+    (
+        "rn",
+        lambda w: F.row_number().over(w),
+        "row_number() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, s ASC)",
+    ),
+    (
+        "rk",
+        lambda w: F.rank().over(w),
+        "rank() OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, s ASC)",
+    ),
+    (
+        "lag_v",
+        lambda w: F.lag("v").over(w),
+        "lag(v) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, s ASC)",
+    ),
+    (
+        "run_cnt",
+        lambda w: F.count("*").over(w.rowsBetween(-(1 << 31) + 1, 0)),
+        "count(*) OVER (PARTITION BY k ORDER BY v ASC NULLS FIRST, s ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    ),
+]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    spec_idxs=st.sets(
+        st.integers(min_value=0, max_value=len(WINDOW_SPECS) - 1), min_size=1, max_size=3
+    ).map(sorted),
+)
+@settings(**SETTINGS)
+def test_random_windows_match_duckdb(spark, rows, spec_idxs):
+    """Window fuzz: ranking/lag/running frames over nullable order keys.
+    The (v, s) order is total per partition, so results are deterministic;
+    Spark orders NULLS FIRST ascending by default, pinned explicitly in the
+    DuckDB twin."""
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"]).astype(
+        {"k": "int64", "v": "Int64", "s": "object"}
+    )
+    sdf = spark.createDataFrame(
+        pdf.astype(object).where(pd.notna(pdf), None).values.tolist() if len(pdf) else [],
+        "k long, v long, s string",
+    )
+    w = Window.partitionBy("k").orderBy(F.asc_nulls_first("v"), F.asc("s"))
+    out = sdf.select(
+        "k", "v", "s",
+        *[WINDOW_SPECS[i][1](w).cast("long").alias(WINDOW_SPECS[i][0]) for i in spec_idxs],
+    )
+    sel = ", ".join(f"({WINDOW_SPECS[i][2]})::BIGINT AS {WINDOW_SPECS[i][0]}" for i in spec_idxs)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"SELECT k, v, s, {sel} FROM t").df()
+    compare_frames(out.toPandas(), want)
