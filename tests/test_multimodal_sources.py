@@ -152,3 +152,21 @@ def test_parse_vcf_info_and_driver_scores(spark, tmp_path):
     assert got["TP53"]["is_driver"] and "tsg_lof" in got["TP53"]["evidence"]
     assert got["GAPDH"]["driver_score"] == pytest.approx(1.5)
     assert not got["GAPDH"]["is_driver"] and got["GAPDH"]["role"] == "Unknown"
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stage: binary in/out, exact target byte size, deterministic
+    under repartition, empty payload padded."""
+    from vectordb_bioinsight_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = spark.createDataFrame(
+        [(1, "some long enough text payload for striding"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    media = attach_payload(docs, "doc_id", "text", kind="image")
+    out = resize_images(media, target_w=4, target_h=3).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2, 3]
+    assert all(r["n_bytes"] == 12 and len(r["resized"]) == 12 for r in out)
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out)
+    again = resize_images(media.repartition(5), 4, 3).orderBy("media_id").collect()
+    assert [bytes(r["resized"]) for r in out] == [bytes(r["resized"]) for r in again]

@@ -138,3 +138,54 @@ def frame_sample(
         .select("media_id", F.explode(frames).alias("f"))
         .select("media_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame"))
     )
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage.
+
+    Real path (executors with PIL): decode → ``Image.resize((w, h))`` →
+    re-encode. This environment ships no image codec, so the deterministic
+    stand-in keeps the *plumbing* honest — binary in/binary out, target
+    dims recorded in typed metadata columns, output size proportional to
+    w*h: the payload is byte-strided down to exactly ``target_w*target_h``
+    bytes (repeating-padded when shorter). Swap ``_fake_resize`` for the
+    PIL call and nothing else changes (schema, batching, partitioning).
+
+    Output: (media_id, kind, width, height, n_bytes, resized binary).
+    """
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError("target dims must be positive")
+    out_len = target_w * target_h
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if len(payload) == 0:
+            return b"\x00" * out_len
+        if len(payload) >= out_len:
+            stride = len(payload) // out_len
+            return bytes(payload[i * stride] for i in range(out_len))
+        reps = out_len // len(payload) + 1
+        return (payload * reps)[:out_len]
+
+    schema = "media_id long, kind string, width int, height int, n_bytes long, resized binary"
+
+    def gen(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            resized = [_fake_resize(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(r) for r in resized],
+                    "resized": resized,
+                }
+            )
+
+    return media.mapInPandas(gen, schema)
