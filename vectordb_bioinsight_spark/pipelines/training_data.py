@@ -77,8 +77,10 @@ def prepare_training_data(
         .filter(F.col(id_col) == F.col("_rep"))
         .drop("_ch", "_rep")
     )
+    # reps is already exact-deduped, so the pipeline's internal hash-groupBy
+    # sees unique contents only (no double dedup work on the full corpus)
     near = near_dedup_pipeline(
-        gated.select(id_col, text_col), id_col, text_col, min_jaccard=near_dup_jaccard
+        reps.select(id_col, text_col), id_col, text_col, min_jaccard=near_dup_jaccard
     )
     losers = near.select(F.greatest("doc1", "doc2").alias(id_col)).distinct()
     deduped = reps.join(losers, id_col, "left_anti")

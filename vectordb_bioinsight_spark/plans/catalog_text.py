@@ -325,3 +325,15 @@ def q_embed_documents(spark, sf_dir):
             4,
         ).alias("norm"),
     )
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-pipeline composition end-to-end (rows-only check:
+    the multi-stage DAG — quality gate → exact+near dedup → leak-free
+    split — has no tractable single-SQL twin; each stage is independently
+    oracle-tested). Deterministic: same input ⇒ same rows."""
+    from vectordb_bioinsight_spark.pipelines.training_data import prepare_training_data
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = prepare_training_data(docs, min_quality=0.3, near_dup_jaccard=0.6)
+    return out.select("doc_id", "split", F.round("quality_score", 6).alias("quality_score"))
