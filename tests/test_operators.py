@@ -229,3 +229,26 @@ def test_knn_join_gemm_guards_and_edges(spark):
     # the query-side guard raises instead of silently truncating
     with _pytest.raises(ValueError, match="max_queries"):
         knn_join_gemm(df, df, "vid", "vid", "vec", k=1, max_queries=2)
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """SWA winnowing guarantee: documents sharing a token run of length
+    >= window+k-1 (here 6) share at least one fingerprint; disjoint docs
+    share none."""
+    from vectordb_bioinsight_spark.operators.text_analysis import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "totally different words with nothing common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must produce a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

@@ -106,3 +106,51 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     normalized = F.concat_ws(" ", tokenize(F.col(text_col)))
     return df.select(F.col(id_col).alias("doc_id"), portable_hash64(normalized).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm) — the *rolling-hash* fingerprint family: hash every k-gram of
+    the token stream, then keep the minimum hash of each sliding window of
+    ``window`` consecutive k-gram hashes.
+
+    Guarantee: two documents sharing any token run of length >= window+k-1
+    share at least one fingerprint — substring-level containment detection,
+    where whole-doc hashing (``fingerprint``) only catches full equality and
+    MinHash estimates set overlap.
+
+    Entirely JVM array expressions per row (transform/slice/array_min) — no
+    explode of the k-gram stream, no Python; the only wide operation is the
+    final distinct fingerprint set per doc. Output: (doc_id, fp) exploded,
+    distinct per doc.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, lambda g: portable_hash64(g))
+    mins = F.when(
+        F.size(hashes) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(
+        # shorter than one window: the global min is the single fingerprint
+        F.when(F.size(hashes) > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(mins)).alias("fp"))
+    )

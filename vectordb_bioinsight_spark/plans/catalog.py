@@ -100,6 +100,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
     "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
     "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
     # --- SURVEY coverage fill-ins ---
     "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),

@@ -337,3 +337,33 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = prepare_training_data(docs, min_quality=0.3, near_dup_jaccard=0.6)
     return out.select("doc_id", "split", F.round("quality_score", 6).alias("quality_score"))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS): min hash per sliding
+    window of 4 consecutive 3-gram hashes, distinct per doc."""
+    from vectordb_bioinsight_spark.operators.text_analysis import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, window=4)
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, {_SHINGLE3} AS g FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+  FROM grams
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN length(h) >= 4
+              THEN list_transform(range(1, length(h) - 2), i -> list_min(h[i:i+3]))
+              WHEN length(h) > 0 THEN [list_min(h)]
+              ELSE []::BIGINT[] END AS fps
+  FROM hashed
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM mins
+"""
