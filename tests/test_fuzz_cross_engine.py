@@ -252,3 +252,49 @@ def test_random_windows_match_duckdb(spark, rows, spec_idxs):
     con.register("t", pdf)
     want = con.execute(f"SELECT k, v, s, {sel} FROM t").df()
     compare_frames(out.toPandas(), want)
+
+
+SETOP_SPECS = [
+    ("union_all", lambda a, b: a.unionByName(b), "SELECT * FROM a UNION ALL SELECT * FROM b"),
+    ("union_distinct", lambda a, b: a.unionByName(b).distinct(), "SELECT * FROM a UNION SELECT * FROM b"),
+    ("intersect", lambda a, b: a.intersect(b), "SELECT * FROM a INTERSECT SELECT * FROM b"),
+    ("except", lambda a, b: a.subtract(b), "SELECT * FROM a EXCEPT SELECT * FROM b"),
+    ("intersect_all", lambda a, b: a.intersectAll(b), "SELECT * FROM a INTERSECT ALL SELECT * FROM b"),
+    ("except_all", lambda a, b: a.exceptAll(b), "SELECT * FROM a EXCEPT ALL SELECT * FROM b"),
+]
+
+setop_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from(["x", "y", None]),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@given(
+    arows=setop_rows,
+    brows=setop_rows,
+    op=st.integers(min_value=0, max_value=len(SETOP_SPECS) - 1),
+)
+@settings(**SETTINGS)
+def test_random_setops_match_duckdb(spark, arows, brows, op):
+    """Set-op fuzz incl. ALL variants and NULL rows — set semantics treat
+    NULL = NULL (unlike join keys), another classic divergence spot."""
+    ap = pd.DataFrame(arows, columns=["k", "s"]).astype({"k": "int64", "s": "object"})
+    bp = pd.DataFrame(brows, columns=["k", "s"]).astype({"k": "int64", "s": "object"})
+    a = spark.createDataFrame(
+        ap.astype(object).where(pd.notna(ap), None).values.tolist() if len(ap) else [],
+        "k long, s string",
+    )
+    b = spark.createDataFrame(
+        bp.astype(object).where(pd.notna(bp), None).values.tolist() if len(bp) else [],
+        "k long, s string",
+    )
+    name, fn, sql = SETOP_SPECS[op]
+    con = duckdb.connect()
+    con.register("a", ap)
+    con.register("b", bp)
+    want = con.execute(sql).df()
+    compare_frames(fn(a, b).toPandas(), want)
