@@ -216,3 +216,32 @@ def test_laplacian_spectrum_known_graphs(spark):
     assert got2["algebraic_connectivity"] == pytest.approx(0.0, abs=1e-9)
     with pytest.raises(ValueError, match="no silent truncation"):
         laplacian_spectrum(k4, max_nodes=2)
+
+
+def test_correlation_edges_block_matches_pair_join(spark):
+    """The BlockMatrix scale path equals the pair-join path on a complete
+    matrix (incl. zero-variance exclusion and thresholding)."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.network import (
+        correlation_edges,
+        correlation_edges_block,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=30)
+    rows = []
+    for g in range(8):
+        prof = base * (1 if g % 2 == 0 else -1) + rng.normal(scale=0.5 + g * 0.3, size=30)
+        if g == 7:
+            prof = np.zeros(30)  # zero-variance entity must be dropped
+        rows += [(f"g{g}", int(dd), float(x)) for dd, x in enumerate(prof)]
+    df = spark.createDataFrame(rows, ["gene", "dim", "val"])
+    a = correlation_edges(df, "gene", "dim", "val", min_abs_corr=0.2)
+    b = correlation_edges_block(df, "gene", "dim", "val", min_abs_corr=0.2)
+    ka = {(r["entity1"], r["entity2"]): (r["n_dims"], r["corr"]) for r in a.collect()}
+    kb = {(r["entity1"], r["entity2"]): (r["n_dims"], r["corr"]) for r in b.collect()}
+    assert ka.keys() == kb.keys()
+    for key in ka:
+        assert ka[key][0] == kb[key][0]
+        assert abs(ka[key][1] - kb[key][1]) < 2e-6, key

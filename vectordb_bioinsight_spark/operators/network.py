@@ -51,13 +51,23 @@ def correlation_edges(
     paired = a.join(b, "_d").filter(F.col("entity1") < F.col("entity2"))
     stats = paired.groupBy("entity1", "entity2").agg(
         F.count("*").cast("long").alias("n_dims"),
-        F.corr("_x", "_y").alias("_r"),
+        F.covar_samp("_x", "_y").alias("_cov"),
+        F.stddev_samp("_x").alias("_sx"),
+        F.stddev_samp("_y").alias("_sy"),
+    )
+    # NOT F.corr: under ANSI mode (Spark 4 default) corr THROWS
+    # DIVIDE_BY_ZERO when a profile in the pair has zero variance; the
+    # guarded quotient yields NULL there (matching DuckDB's corr) and the
+    # filter below drops it.
+    stats = stats.withColumn(
+        "_r",
+        F.when(
+            (F.col("_sx") > 0) & (F.col("_sy") > 0),
+            F.col("_cov") / (F.col("_sx") * F.col("_sy")),
+        ),
     )
     return (
         stats
-        # zero-variance profiles: Spark corr yields NaN (and Spark orders NaN
-        # ABOVE any number, so a bare >= filter would keep it); DuckDB yields
-        # NULL. Drop both explicitly for cross-engine determinism.
         .filter(F.col("_r").isNotNull() & ~F.isnan(F.col("_r")))
         .withColumn("corr", F.round(F.col("_r"), 6))
         .filter(F.abs(F.col("corr")) >= min_abs_corr)
@@ -400,3 +410,80 @@ def spearman_edges(
     """
     ranked = rank_transform(profiles, entity_col, dim_col, value_col)
     return correlation_edges(ranked, entity_col, dim_col, "_rank_value", min_abs_corr)
+
+
+def correlation_edges_block(
+    profiles: DataFrame,
+    entity_col: str,
+    dim_col: str,
+    value_col: str,
+    min_abs_corr: float = 0.6,
+    rows_per_block: int = 1024,
+) -> DataFrame:
+    """M2 scale path: all-pairs Pearson correlation as a BLOCK MATRIX
+    multiply — corr = Z·Zᵀ/(n-1) over per-entity standardized profiles
+    (SURVEY §4.3: 'at scale → BlockMatrix multiply, a custom physical
+    strategy'; reference vectorizes the same way in-memory,
+    network_enhancer.py:100-131).
+
+    Requires COMPLETE profiles (every entity observes every dim — the count
+    matrix case): the pair-join path (:func:`correlation_edges`) correlates
+    over *shared* dims and stays the right tool for ragged inputs. With p
+    entities and n dims, the pair join shuffles O(p²·n) rows; the block
+    product shuffles O((p/b)²) dense b×b blocks — the only way p=20k genes
+    (4·10⁸ pairs) stays tractable. Zero-variance entities are excluded
+    (their correlations are undefined; the join path drops them as NaN).
+
+    Output contract matches :func:`correlation_edges`:
+    (entity1, entity2, n_dims, corr), upper triangle by entity ORDER
+    (entity1 < entity2), corr rounded 6 dp, |corr| >= min_abs_corr.
+    """
+    from pyspark.mllib.linalg.distributed import CoordinateMatrix
+    from pyspark.sql import Window
+
+    e, d, v = F.col(entity_col), F.col(dim_col), F.col(value_col).cast("double")
+    stats = (
+        profiles.groupBy(e.alias("_ent"))
+        .agg(
+            F.avg(v).alias("_mu"),
+            F.stddev_samp(v).alias("_sd"),
+            F.count("*").cast("long").alias("_n"),
+        )
+        .filter(F.col("_sd") > 0)
+    )
+    # dense entity ids: tiny table (one row per entity), window is fine
+    ids = stats.select(
+        "_ent", "_n", (F.row_number().over(Window.orderBy("_ent")) - 1).alias("_eid")
+    ).localCheckpoint(eager=True)
+    dim_ids = (
+        profiles.select(d.alias("_dim"))
+        .distinct()
+        .select("_dim", (F.row_number().over(Window.orderBy("_dim")) - 1).alias("_did"))
+        .localCheckpoint(eager=True)
+    )
+    z = (
+        profiles.select(e.alias("_ent"), d.alias("_dim"), v.alias("_v"))
+        .join(stats.join(ids.select("_ent", "_eid"), "_ent"), "_ent")
+        .join(dim_ids, "_dim")
+        .select("_eid", "_did", ((F.col("_v") - F.col("_mu")) / F.col("_sd")).alias("_z"))
+    )
+    cm = CoordinateMatrix(z.rdd.map(tuple))
+    prod = cm.toBlockMatrix(rows_per_block, rows_per_block).multiply(
+        cm.toBlockMatrix(rows_per_block, rows_per_block).transpose()
+    )
+    spark = profiles.sparkSession
+    sums = spark.createDataFrame(
+        prod.toCoordinateMatrix().entries.filter(lambda me: me.i < me.j).map(
+            lambda me: (int(me.i), int(me.j), float(me.value))
+        ),
+        "i long, j long, s double",
+    )
+    left = ids.select(F.col("_eid").alias("i"), F.col("_ent").alias("entity1"), F.col("_n").alias("_n1"))
+    right = ids.select(F.col("_eid").alias("j"), F.col("_ent").alias("entity2"))
+    return (
+        sums.join(F.broadcast(left), "i")
+        .join(F.broadcast(right), "j")
+        .withColumn("corr", F.round(F.col("s") / (F.col("_n1") - 1), 6))
+        .filter(F.abs(F.col("corr")) >= min_abs_corr)
+        .select("entity1", "entity2", F.col("_n1").alias("n_dims"), "corr")
+    )
