@@ -129,16 +129,31 @@ def winnow_fingerprints(
     explode of the k-gram stream, no Python; the only wide operation is the
     final distinct fingerprint set per doc. Output: (doc_id, fp) exploded,
     distinct per doc.
+
+    Each stage is MATERIALIZED as a projected column before the next refers
+    to it. Inlining ``hashes`` into the window-min transform re-evaluates
+    the whole hash array once per window position — O(grams × windows) md5
+    calls per document (quadratic; measured as a hang at sf0.1). Staged
+    projections evaluate each array once per row.
     """
-    toks = tokenize(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, lambda g: portable_hash64(g))
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    grams_df = toks_df.select(
+        "doc_id",
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    hash_df = grams_df.select(
+        "doc_id", F.transform(F.col("_grams"), lambda g: portable_hash64(g)).alias("_h")
+    )
+    hashes = F.col("_h")
     mins = F.when(
         F.size(hashes) >= window,
         F.transform(
@@ -151,6 +166,4 @@ def winnow_fingerprints(
             F.array().cast("array<bigint>")
         )
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(mins)).alias("fp"))
-    )
+    return hash_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
