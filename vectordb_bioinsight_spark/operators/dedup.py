@@ -26,7 +26,10 @@ from vectordb_bioinsight_spark.functions.text import shingles, tokenize
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups via content hash.
 
-    Output: (content_hash, n_docs, doc_ids sorted) for groups with n_docs>1.
+    Output: (content_hash, n_docs, doc_ids) for groups with n_docs>1, where
+    doc_ids is the sorted group membership as a comma-joined STRING (scalar
+    columns survive any downstream canonicalizer/sink; an array column here
+    is strictly harder to hash, sort, or CSV-export).
     One map-side-combinable groupBy on a 64-bit key — at 100 TB this is the
     cheapest possible full-corpus dedup (no text comparison after hashing).
     """
@@ -35,7 +38,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list(id_col))).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
     )

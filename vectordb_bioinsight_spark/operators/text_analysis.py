@@ -167,3 +167,59 @@ def winnow_fingerprints(
         )
     )
     return hash_df.select("doc_id", F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    drop_stopwords: bool = True,
+) -> DataFrame:
+    """V11: TF-IDF keyword extraction — top-k weighted terms per document.
+
+    idf uses the sklearn TfidfVectorizer default (smooth_idf=True):
+    ``idf(t) = ln((1 + N) / (1 + df(t))) + 1``; the reference declares
+    exactly that capability (trend_analyzer.py:21, TfidfVectorizer import
+    guarded by SKLEARN_AVAILABLE). sklearn's per-doc L2 normalization is
+    omitted: it rescales all of a doc's weights by one positive constant, so
+    the per-doc ranking this operator returns is identical.
+
+    Physical plan (three shuffles, all map-side combinable or broadcast):
+      1. postings: tokenize scan → groupBy(doc, term) count — the only
+         corpus-sized shuffle;
+      2. df(t): groupBy(term) over the postings (postings are already
+         distinct per (doc, term), so count(*) IS the document frequency) —
+         output is vocabulary-sized and BROADCAST back, as is the 1-row
+         corpus count;
+      3. per-doc top-k: window over doc_id on the postings, ranked by the
+         ROUNDED weight (+ term tiebreak) for cross-engine hash stability.
+
+    Output: (doc_id, term, tf, tfidf, rk) — best-first per doc.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    if drop_stopwords:
+        toks = toks.filter(~F.col("term").isin(*STOPWORDS))
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = df.agg(F.count("*").cast("double").alias("_n"))
+    term_df = postings.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
+    scored = (
+        postings.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((1.0 + F.col("_n")) / (1.0 + F.col("_df"))) + 1.0), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rk")
+    )

@@ -28,7 +28,91 @@ from vectordb_bioinsight_spark.plans import catalog_vector as vec
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 #: name -> (query fn, oracle SQL or None for rows-only checks)
+#:
+#: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
+#: entries per round, so ordering is rotated each round to spread external
+#: verification across the whole catalog. Round 2 front-loads everything the
+#: round-1 driver did NOT check (singlecell, multimodal, coverage, stats,
+#: sampling, vector-scale, then the TPC-H shape sweep) plus this round's new
+#: operators; the 48 entries already driver-green in CORRECTNESS_r01.json sit
+#: at the back. Rows-only entries also sit late (they get the weaker check
+#: regardless of position).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    # === round-2 driver window: previously unverified families first ===
+    # --- stats / scoring / classification (no r01 driver row) ---
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
+    # --- multimodal payload plumbing ---
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    # --- single-cell analogs ---
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    # --- text / retrieval entries without an r01 driver row ---
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # --- SURVEY coverage fill-ins ---
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    # --- deterministic sampling / splitting (training-data pipeline tier) ---
+    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
+    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
+    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    # --- vector scale paths ---
+    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    # --- TPC-H shape sweep (SURVEY §2.3/2.4/2.7 declared coverage) ---
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
+    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
+    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
+    "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
+    "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
+    "returned_revenue_customers": (
+        th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS
+    ),
+    "order_count_distribution": (
+        th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION
+    ),
+    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
+    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
+    "part_supplier_diversity": (
+        th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY
+    ),
+    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
+    "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
+    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
+    "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
+    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
+    # === rows-only entries (weaker check regardless of position) ===
+    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only
+    "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
+    "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
+    "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
+    # === driver-green in round 1 (CORRECTNESS_r01.json) — back of the rotation ===
     # --- relational core (TPC-H-shaped) ---
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
@@ -77,7 +161,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- network / ML-adjacent / scalar extensions ---
     "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
     "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),
-    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only check
     "median_order_value": (net.q_median_order_value, net.SQL_MEDIAN_ORDER_VALUE),
     "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),
     "sessionize": (net.q_sessionize, net.SQL_SESSIONIZE),
@@ -85,75 +168,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- stats / scoring / classification ---
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    # --- multimodal payload plumbing ---
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    # --- single-cell analogs + remaining retrieval scorers ---
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    # --- SURVEY coverage fill-ins ---
-    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
-    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
-    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
-    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
-    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
-    # --- TPC-H-shaped declared coverage (SURVEY §2.3/2.4/2.7 "Absent" rows) ---
-    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
-    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
-    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
-    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
-    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
-    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
-    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
-    "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
-    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
-    "bh_adjust_scaled": (ev.q_bh_adjust_scaled, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
-    # --- deterministic sampling / splitting (training-data pipeline tier) ---
-    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
-    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
-    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
-    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
-    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
-    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
-    "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
-    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    # --- TPC-H shape sweep, part 2 (Q2/Q3/Q6/Q8/Q9/Q10/Q11/Q13/Q16/Q20) ---
-    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
-    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
-    "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
-    "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
-    "returned_revenue_customers": (
-        th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS
-    ),
-    "order_count_distribution": (
-        th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION
-    ),
-    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
-    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
-    "part_supplier_diversity": (
-        th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY
-    ),
-    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
 }
 
 

@@ -145,12 +145,19 @@ FROM m
 
 def q_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: BH-FDR over a deterministic pseudo-p column ((event_id*37) mod
-    1000 / 1000) — exercises the double-window reverse-cummin implementation
-    including tie groups (multipletests 'fdr_bh' parity)."""
+    1000 / 1000), including tie groups (multipletests 'fdr_bh' parity).
+
+    HEADLINE entry — routed through the SCALE implementation
+    (operators/stats.bh_adjust_scaled: repartitionByRange two-phase rank +
+    driver-carry reverse cummin, NO single-partition window), so the plan
+    the driver checks and bench times is the one that survives 100x. The
+    windowed convenience form is ``bh_adjust_windowed``."""
+    from vectordb_bioinsight_spark.operators.stats import bh_adjust_scaled
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", (((F.col("event_id") * 37) % 1000) / 1000.0).alias("pvalue")
     )
-    out = bh_adjust(ev, "pvalue", "padj")
+    out = bh_adjust_scaled(ev, "pvalue", "padj", num_partitions=16)
     return out.select("event_id", F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj"))
 
 
@@ -195,17 +202,16 @@ FROM events
 """
 
 
-def q_bh_adjust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 scale form: same BH semantics via repartitionByRange two-phase
-    rank + driver-carry reverse cummin — NO single-partition window
-    (operators/stats.bh_adjust_scaled; exact equivalence to the windowed
-    form is also unit-test-pinned). Same oracle as ``bh_adjust``."""
-    from vectordb_bioinsight_spark.operators.stats import bh_adjust_scaled
-
+def q_bh_adjust_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 small-table convenience form: double-window reverse-cummin
+    (operators/stats.bh_adjust). Acceptable only on aggregated per-gene
+    tables; the headline ``bh_adjust`` entry uses the scaled implementation.
+    Exact equivalence between the two forms is unit-test-pinned; same
+    oracle as ``bh_adjust``."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", (((F.col("event_id") * 37) % 1000) / 1000.0).alias("pvalue")
     )
-    out = bh_adjust_scaled(ev, "pvalue", "padj", num_partitions=16)
+    out = bh_adjust(ev, "pvalue", "padj")
     return out.select(
         "event_id", F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj")
     )

@@ -144,7 +144,8 @@ WITH keyed AS (
          (('0x' || substr(md5(array_to_string(({_TOK3})[1:10], ' ')), 1, 15))::BIGINT) AS content_hash
   FROM documents
 )
-SELECT content_hash, count(*) AS n_docs, list_sort(list(doc_id)) AS doc_ids
+SELECT content_hash, count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
 FROM keyed GROUP BY 1 HAVING count(*) > 1
 """
 
