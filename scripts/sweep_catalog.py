@@ -6,7 +6,7 @@ Parity at sf0.001/sf0.01 proves semantics; this sweep catches complexity
 bugs that only surface with bigger rows/corpora (e.g. the winnowing
 quadratic re-evaluation, found exactly this way).
 
-    python scripts/sweep_catalog.py [sf_dir]    # default /root/testdata/sf0.1
+    python scripts/sweep_catalog.py [sf_dir] [query ...]   # default /root/testdata/sf0.1, all queries
 
 Prints one line per query (name<TAB>seconds | FAILED<TAB>error) and exits
 non-zero if any query fails.
@@ -24,12 +24,15 @@ sys.path.insert(0, _REPO)
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     from vectordb_bioinsight_spark.plans.catalog import CATALOG
     from vectordb_bioinsight_spark.session import get_session
 
     spark = get_session("sweep", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     failed = 0
     for name, (fn, _sql) in sorted(CATALOG.items()):
+        if only and name not in only:
+            continue
         t = time.time()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

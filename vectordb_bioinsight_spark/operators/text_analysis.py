@@ -190,8 +190,10 @@ def tfidf_top_terms(
          corpus-sized shuffle;
       2. df(t): groupBy(term) over the postings (postings are already
          distinct per (doc, term), so count(*) IS the document frequency) —
-         output is vocabulary-sized and BROADCAST back, as is the 1-row
-         corpus count;
+         output is vocabulary-sized, so the join back is left declarative
+         and AQE broadcasts it only when it is actually small (a 100 TB
+         corpus's long-tail vocabulary can exceed any broadcast budget);
+         the 1-row corpus count is always broadcast;
       3. per-doc top-k: window over doc_id on the postings, ranked by the
          ROUNDED weight (+ term tiebreak) for cross-engine hash stability.
 
@@ -208,7 +210,7 @@ def tfidf_top_terms(
     n_docs = df.agg(F.count("*").cast("double").alias("_n"))
     term_df = postings.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
     scored = (
-        postings.join(F.broadcast(term_df), "term")
+        postings.join(term_df, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

@@ -57,6 +57,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
     "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
     # --- text / retrieval entries without an r01 driver row ---
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),  # NEW round 2 (V11)
     "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
     "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),

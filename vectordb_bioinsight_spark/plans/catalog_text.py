@@ -16,7 +16,12 @@ from vectordb_bioinsight_spark.operators.dedup import (
     simhash,
 )
 from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
-from vectordb_bioinsight_spark.operators.text_analysis import fingerprint, language_id, text_stats
+from vectordb_bioinsight_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    text_stats,
+    tfidf_top_terms,
+)
 from vectordb_bioinsight_spark.operators.trends import keyword_frequencies
 from vectordb_bioinsight_spark.sources.readers import load_table
 
@@ -367,4 +372,37 @@ WITH toks AS (
   FROM hashed
 )
 SELECT DISTINCT doc_id, unnest(fps) AS fp FROM mins
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11: TF-IDF keyword extraction — top-5 terms per doc by
+    tf * (ln((1+N)/(1+df)) + 1), the sklearn smooth-idf default the
+    reference declares (trend_analyzer.py:21). Ranked on the rounded
+    weight with term tiebreak for cross-engine hash stability."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK3}) AS term FROM documents
+), filtered AS (
+  SELECT doc_id, term FROM toks WHERE NOT list_contains({_SW_SQL}, term)
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM filtered GROUP BY 1, 2
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), dfreq AS (
+  SELECT term, count(*)::DOUBLE AS dfq FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, tf.term, tf,
+         round(tf * (ln((1.0 + n_docs) / (1.0 + dfq)) + 1.0), 6) AS tfidf
+  FROM tf, n JOIN dfreq ON tf.term = dfreq.term
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rk::INT AS rk FROM ranked WHERE rk <= 5
 """
