@@ -245,3 +245,79 @@ def test_correlation_edges_block_matches_pair_join(spark):
     for key in ka:
         assert ka[key][0] == kb[key][0]
         assert abs(ka[key][1] - kb[key][1]) < 2e-6, key
+
+
+def test_closeness_path_and_star(spark):
+    from vectordb_bioinsight_spark.operators.network import closeness_exact_collected
+
+    # path a-b-c-d-e: closed-form wf_improved closeness by position
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["entity1", "entity2"]
+    )
+    got = {r["entity"]: r["closeness"] for r in closeness_exact_collected(path).collect()}
+    assert got["a"] == pytest.approx(4 / 10, abs=1e-6)
+    assert got["b"] == pytest.approx(4 / 7, abs=1e-6)
+    assert got["c"] == pytest.approx(4 / 6, abs=1e-6)
+    assert got["e"] == pytest.approx(4 / 10, abs=1e-6)
+    # star: center 1.0, each leaf (3/5)*(3/3)
+    star = spark.createDataFrame(
+        [("hub", "s1"), ("hub", "s2"), ("hub", "s3")], ["entity1", "entity2"]
+    )
+    got = {r["entity"]: r["closeness"] for r in closeness_exact_collected(star).collect()}
+    assert got["hub"] == pytest.approx(1.0)
+    assert got["s1"] == pytest.approx(0.6, abs=1e-6)
+
+
+def test_closeness_disconnected_matches_networkx_convention(spark):
+    from vectordb_bioinsight_spark.operators.network import closeness_exact_collected
+
+    # components {a-b} and {c-d-e}; n=5 — wf_improved scales by (r-1)/(n-1)
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("d", "e")], ["entity1", "entity2"]
+    )
+    got = {r["entity"]: r["closeness"] for r in closeness_exact_collected(df).collect()}
+    assert got["a"] == pytest.approx((1 / 1) * (1 / 4), abs=1e-6)
+    assert got["c"] == pytest.approx((2 / 3) * (2 / 4), abs=1e-6)
+    assert got["d"] == pytest.approx((2 / 2) * (2 / 4), abs=1e-6)
+
+
+def test_closeness_collect_guard(spark, edges_df):
+    from vectordb_bioinsight_spark.operators.network import closeness_exact_collected
+
+    with pytest.raises(ValueError, match="collect bound"):
+        closeness_exact_collected(edges_df, max_nodes=2)
+
+
+def test_hub_scores_full_star_blend(spark):
+    """Star center: sole candidate at min_degree=2 -> every norm is 1 ->
+    hub_score = 0.35+0.30+0.25+0.10 = 1.0 (the reference blend weights)."""
+    from vectordb_bioinsight_spark.operators.network import hub_scores_full
+
+    star = spark.createDataFrame(
+        [("hub", "s1"), ("hub", "s2"), ("hub", "s3")], ["entity1", "entity2"]
+    )
+    rows = hub_scores_full(star, top_k_hubs=1, min_degree=2).collect()
+    assert len(rows) == 1 and rows[0]["entity"] == "hub"
+    assert rows[0]["hub_score"] == pytest.approx(1.0)
+    assert rows[0]["degree"] == 3 and rows[0]["is_hub"]
+    assert rows[0]["betweenness"] == pytest.approx(3.0)  # C(3,2) leaf pairs
+    assert rows[0]["closeness"] == pytest.approx(1.0)
+
+
+def test_hub_scores_full_fallback_all_nodes(spark):
+    """No node reaches min_degree=5 -> candidates fall back to ALL nodes
+    (agent2_network.py:262-266)."""
+    from vectordb_bioinsight_spark.operators.network import hub_scores_full
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["entity1", "entity2"]
+    )
+    rows = hub_scores_full(path, top_k_hubs=2, min_degree=5).collect()
+    assert len(rows) == 5  # fallback keeps everyone
+    by_ent = {r["entity"]: r for r in rows}
+    # middle of the path dominates every metric -> blend 1.0
+    assert by_ent["c"]["hub_score"] == pytest.approx(1.0)
+    # path betweenness closed form: i*(n-1-i)
+    assert by_ent["b"]["betweenness"] == pytest.approx(3.0)
+    assert by_ent["c"]["betweenness"] == pytest.approx(4.0)
+    assert sum(r["is_hub"] for r in rows) == 2

@@ -487,3 +487,123 @@ def correlation_edges_block(
         .filter(F.abs(F.col("corr")) >= min_abs_corr)
         .select("entity1", "entity2", F.col("_n1").alias("n_dims"), "corr")
     )
+
+
+def closeness_exact_collected(edges: DataFrame, max_nodes: int = 2000) -> DataFrame:
+    """M3 closeness centrality — exact BFS per source on the COLLECTED graph,
+    networkx-compatible (``nx.closeness_centrality`` default wf_improved):
+
+        C(v) = ((r-1) / totsp(v)) * ((r-1) / (n-1))
+
+    where r = nodes reachable from v (incl. v), totsp = sum of shortest-path
+    lengths, n = all nodes. Isolated/unreachable handling matches networkx
+    (C=0 when totsp=0). Same collect guard + rationale as
+    ``betweenness_exact_collected`` (reference caps graphs at 1000 nodes and
+    computes via networkx, agent2_network.py:239-243); for larger graphs
+    shard sources with applyInPandas over a broadcast adjacency.
+
+    Output: (entity, closeness) rounded 6 dp.
+    """
+    n = (
+        edges.select(F.col("entity1").alias("e"))
+        .unionByName(edges.select(F.col("entity2").alias("e")))
+        .distinct()
+        .count()
+    )
+    if n > max_nodes:
+        raise ValueError(
+            f"graph has {n} nodes > max_nodes={max_nodes}; closeness is "
+            "all-pairs — collect bound exceeded (no silent truncation)"
+        )
+    rows = edges.select("entity1", "entity2").collect()
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+        adj.setdefault(r[1], set()).add(r[0])
+    from collections import deque
+
+    out = []
+    for s in adj:
+        dist = {s: 0}
+        q = deque([s])
+        totsp = 0
+        while q:
+            v = q.popleft()
+            for w_ in adj[v]:
+                if w_ not in dist:
+                    dist[w_] = dist[v] + 1
+                    totsp += dist[w_]
+                    q.append(w_)
+        r_ = len(dist)
+        if totsp > 0 and n > 1:
+            c = ((r_ - 1) / totsp) * ((r_ - 1) / (n - 1))
+        else:
+            c = 0.0
+        out.append((s, round(c, 6)))
+    return edges.sparkSession.createDataFrame(out, ["entity", "closeness"])
+
+
+def hub_scores_full(
+    edges: DataFrame,
+    top_k_hubs: int = 20,
+    min_degree: int = 5,
+    max_nodes: int = 2000,
+) -> DataFrame:
+    """M4, reference-parity composite hub score — the FULL 4-metric blend of
+    agent2_network.py:257-295:
+
+        hub = 0.35·deg_norm + 0.30·btw_norm + 0.25·eig_norm + 0.10·close_norm
+
+    Candidates are nodes with degree >= ``min_degree`` (reference
+    min_edges_for_hub=5; falls back to ALL nodes when none qualify, like the
+    reference), each metric max-normalized OVER THE CANDIDATES (1-row agg
+    broadcast, no global window), top-``top_k_hubs`` flagged ``is_hub`` with
+    a deterministic (score desc, entity asc) tiebreak.
+
+    Degree and eigenvector are fully distributed; betweenness and closeness
+    are exact on the collected graph behind the same ``max_nodes`` guard the
+    reference's networkx path implies. Use :func:`hub_scores` when the graph
+    exceeds the collect bound and the 2-metric blend suffices.
+
+    Output: (entity, degree, betweenness, eig_centrality, closeness,
+    hub_score, is_hub).
+    """
+    deg = degree_centrality(edges)
+    eig = eigenvector_centrality(edges)
+    btw = betweenness_exact_collected(edges, max_nodes=max_nodes)
+    clo = closeness_exact_collected(edges, max_nodes=max_nodes)
+    joined = (
+        deg.join(eig, "entity", "outer")
+        .join(btw, "entity", "outer")
+        .join(clo, "entity", "outer")
+        .na.fill({"degree": 0, "eig_centrality": 0.0, "betweenness": 0.0, "closeness": 0.0})
+    )
+    candidates = joined.filter(F.col("degree") >= min_degree)
+    if candidates.limit(1).count() == 0:  # reference fallback: no node qualifies
+        candidates = joined
+    maxes = candidates.agg(
+        F.max("degree").alias("_mx_deg"),
+        F.max("betweenness").alias("_mx_btw"),
+        F.max("eig_centrality").alias("_mx_eig"),
+        F.max("closeness").alias("_mx_clo"),
+    )
+
+    def _norm(col: str, mx: str):  # noqa: ANN202
+        return F.when(F.col(mx) != 0, F.col(col) / F.col(mx)).otherwise(F.lit(0.0))
+
+    scored = candidates.crossJoin(F.broadcast(maxes)).withColumn(
+        "hub_score",
+        F.round(
+            0.35 * _norm("degree", "_mx_deg")
+            + 0.30 * _norm("betweenness", "_mx_btw")
+            + 0.25 * _norm("eig_centrality", "_mx_eig")
+            + 0.10 * _norm("closeness", "_mx_clo"),
+            6,
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("hub_score"), F.asc("entity"))  # candidate set is bounded
+    return scored.withColumn("is_hub", F.row_number().over(w) <= top_k_hubs).select(
+        "entity", "degree", "betweenness", "eig_centrality", "closeness", "hub_score", "is_hub"
+    )

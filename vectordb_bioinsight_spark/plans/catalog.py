@@ -63,6 +63,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
     "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # --- network: oracle-bearing 4-metric hub blend (NEW round 2) ---
+    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     # --- SURVEY coverage fill-ins ---
     "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),

@@ -11,6 +11,7 @@ from vectordb_bioinsight_spark.operators.network import (
     correlation_edges,
     eigenvector_centrality,
     hub_scores,
+    hub_scores_full,
 )
 from vectordb_bioinsight_spark.operators.vector import similarity_self_join
 from vectordb_bioinsight_spark.sources.readers import load_table
@@ -67,14 +68,18 @@ FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
 
 
 def q_hub_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3+M4 (rows-only check): degree + eigenvector centrality + composite
-    hub score over the part correlation network. Power iteration is an
-    iterative-join algorithm with no single-SQL equivalent — the driver
+    """M3+M4 (rows-only check): the FULL reference hub blend —
+    0.35·degree + 0.30·betweenness + 0.25·eigenvector + 0.10·closeness
+    (agent2_network.py:257-295, min_edges_for_hub=5 incl. the all-nodes
+    fallback) over the part correlation network. Power iteration + the
+    collected exact metrics have no single-SQL equivalent — the driver
     records the weaker rows/schema check; exact parity is covered by
-    tests/test_network.py against a numpy oracle."""
+    tests/test_network.py fixtures and the oracle-bearing
+    ``hub_blend_chain`` entry (same blend arithmetic, SQL-replayable
+    graph)."""
     prof = _part_month_profiles(spark, sf_dir)
     edges = correlation_edges(prof, "l_partkey", "month", "qty", min_abs_corr=0.4)
-    return hub_scores(edges, top_k_hubs=5)
+    return hub_scores_full(edges, top_k_hubs=5)
 
 
 def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,4 +207,81 @@ WITH top_parts AS (
 )
 SELECT part1, part2, n_dims, round(r, 6) AS corr
 FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
+"""
+
+
+def q_hub_blend_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M4 oracle-bearing blend check: the full 4-metric hub score on a
+    deterministic 25-node CHAIN (nations ordered by key, consecutive keys
+    joined). On a chain every metric is SQL-replayable: degree/betweenness/
+    closeness have closed forms by position, and the 20-step power iteration
+    is unrolled as 20 CTE iterations in the oracle (per-node sums have <= 2
+    terms, so float addition order is exact on both engines). This pins the
+    exact blend weights + normalize-over-candidates + top-k semantics of
+    agent2_network.py:257-295 with a hash-checked oracle."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    edges = (
+        nat.alias("a")
+        .join(nat.alias("b"), F.col("a.n_nationkey") + 1 == F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_nationkey").cast("long").alias("entity1"),
+            F.col("b.n_nationkey").cast("long").alias("entity2"),
+        )
+    )
+    out = hub_scores_full(edges, top_k_hubs=5, min_degree=2)
+    return out.withColumn("entity", F.col("entity").cast("long"))
+
+
+def _eig_chain_cte(n: int = 25, iters: int = 20) -> str:
+    """Unrolled power-iteration CTEs mirroring eigenvector_centrality."""
+    parts = [f"s0 AS MATERIALIZED (SELECT n_nationkey::BIGINT AS entity, 1.0/sqrt({n}.0) AS score FROM nation)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT e.dst AS entity, sum(s.score) AS raw "
+            f"FROM sym e JOIN s{t-1} s ON e.src = s.entity GROUP BY 1)"
+        )
+        parts.append(f"n{t} AS (SELECT sqrt(sum(raw*raw)) AS nv FROM c{t})")
+        parts.append(f"s{t} AS MATERIALIZED (SELECT entity, raw/nv AS score FROM c{t}, n{t})")
+    return ",\n".join(parts)
+
+
+SQL_HUB_BLEND_CHAIN = f"""
+WITH sym AS MATERIALIZED (
+  SELECT a.n_nationkey::BIGINT AS src, b.n_nationkey::BIGINT AS dst
+  FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+  UNION ALL
+  SELECT b.n_nationkey::BIGINT, a.n_nationkey::BIGINT
+  FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+),
+{_eig_chain_cte(25, 20)},
+metrics AS (
+  SELECT n_nationkey::BIGINT AS entity,
+         (CASE WHEN n_nationkey IN (0, 24) THEN 1 ELSE 2 END)::BIGINT AS degree,
+         round((n_nationkey * (24 - n_nationkey))::DOUBLE, 6) AS betweenness,
+         round(24.0 / (n_nationkey * (n_nationkey + 1) / 2.0
+                       + (24 - n_nationkey) * (25 - n_nationkey) / 2.0), 6) AS closeness
+  FROM nation
+),
+joined AS (
+  SELECT m.entity, m.degree, m.betweenness,
+         round(s.score, 6) AS eig_centrality, m.closeness
+  FROM metrics m JOIN s20 s ON m.entity = s.entity
+),
+cand AS (
+  SELECT * FROM joined WHERE degree >= 2
+),
+mx AS (
+  SELECT max(degree)::DOUBLE AS mdeg, max(betweenness) AS mbtw,
+         max(eig_centrality) AS meig, max(closeness) AS mclo
+  FROM cand
+),
+scored AS (
+  SELECT entity, degree, betweenness, eig_centrality, closeness,
+         round(0.35 * (degree / mdeg) + 0.30 * (betweenness / mbtw)
+               + 0.25 * (eig_centrality / meig) + 0.10 * (closeness / mclo), 6) AS hub_score
+  FROM cand, mx
+)
+SELECT entity, degree, betweenness, eig_centrality, closeness, hub_score,
+       (row_number() OVER (ORDER BY hub_score DESC, entity ASC)) <= 5 AS is_hub
+FROM scored
 """
