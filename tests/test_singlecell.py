@@ -92,3 +92,53 @@ def test_pseudobulk_matches_pandas(spark, long_df, counts_fixture):
         assert got[gene]["total"] == pytest.approx(float(grp["count"].sum()))
         assert got[gene]["median"] == pytest.approx(round(float(grp["count"].median()), 6))
         assert got[gene]["n_cells"] == len(grp)
+
+
+def test_simulate_doublets_deterministic_pairing(spark):
+    from vectordb_bioinsight_spark.operators.singlecell import simulate_doublets
+
+    cells = spark.createDataFrame(
+        [(i, [float(i), float(2 * i)]) for i in range(40)], ["cell_id", "vector"]
+    )
+    sims1 = simulate_doublets(cells, "cell_id", "vector", sim_passes=2, seed=7)
+    sims2 = simulate_doublets(cells, "cell_id", "vector", sim_passes=2, seed=7)
+    r1 = sorted((r["sim_id"], tuple(r["vector"])) for r in sims1.collect())
+    r2 = sorted((r["sim_id"], tuple(r["vector"])) for r in sims2.collect())
+    assert r1 == r2 and len(r1) > 0
+    assert all(sid < 0 for sid, _ in r1)  # sim ids never clash with cell ids
+    # every simulated vector is a midpoint of two input vectors: 2nd coord
+    # is exactly twice the 1st by construction
+    assert all(abs(v[1] - 2 * v[0]) < 1e-9 for _, v in r1)
+
+
+def test_doublet_scores_recover_planted_doublets(spark):
+    """Two tight clusters on orthogonal axes + planted midpoint cells (the
+    doublet signature). Simulated cross-cluster pairs land at the midpoint,
+    so planted cells see mostly-simulated neighbors while genuine cluster
+    cells see mostly-genuine ones (scrublet's separation logic)."""
+    from vectordb_bioinsight_spark.operators.singlecell import doublet_scores
+
+    rows = []
+    for i in range(50):  # cluster A along axis 0, unique angles
+        rows.append((i, [10.0 + 0.01 * i, 0.05 * i, 0.0, 0.0]))
+    for i in range(50, 100):  # cluster B along axis 1
+        rows.append((i, [0.05 * (i - 50), 10.0 + 0.01 * (i - 50), 0.0, 0.0]))
+    planted = list(range(100, 104))
+    for i in planted:  # midpoints = synthetic real-doublet cells
+        rows.append((i, [5.0 + (i - 100) * 0.05, 5.0 - (i - 100) * 0.05, 0.0, 0.0]))
+    cells = spark.createDataFrame(rows, ["cell_id", "vector"])
+    got = {
+        r["cell_id"]: r
+        for r in doublet_scores(cells, "cell_id", "vector", k=10).collect()
+    }
+    assert set(got) == set(range(104))
+    planted_scores = [got[i]["doublet_score"] for i in planted]
+    normal_scores = [got[i]["doublet_score"] for i in range(100)]
+    # every planted doublet outranks every genuine cell and crosses the
+    # reference threshold (0.25)
+    assert min(planted_scores) > max(normal_scores)
+    assert all(got[i]["is_doublet"] for i in planted)
+    # a dense 1-D synthetic manifold leaves some borderline singlets, as in
+    # scrublet itself — bound the false-positive rate rather than demand 0
+    fp_rate = sum(1 for s in normal_scores if s > 0.25) / len(normal_scores)
+    assert fp_rate <= 0.2

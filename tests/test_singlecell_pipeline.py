@@ -73,3 +73,27 @@ def test_pseudobulk_covers_all_genes(sc_stages):
     pb = sc_stages["pseudobulk"].collect()
     assert len(pb) == 60
     assert all(r["n_cells"] > 0 for r in pb)
+
+
+def test_pipeline_doublet_stage_drops_flagged_cells(spark):
+    """detect_doublets=True produces a doublets frame over string cell ids
+    and removes flagged cells before clustering (agent1_qc.py:254-257)."""
+    rng = np.random.default_rng(5)
+    base = rng.poisson(5, size=(30, 40)).astype(float)
+    base[:15, 0:8] *= 8.0
+    base[15:, 8:16] *= 8.0
+    rows = [
+        (f"c{c:02d}", f"g{g:02d}", float(base[c, g]))
+        for c in range(30)
+        for g in range(40)
+        if base[c, g] > 0
+    ]
+    df = spark.createDataFrame(rows, ["cell_id", "gene_id", "count"])
+    stages = run_singlecell_pipeline(
+        df, min_genes=10, min_counts=10.0, n_hvg=20, knn_k=3, detect_doublets=True
+    )
+    dbl = stages["doublets"].collect()
+    assert {r["cell_id"] for r in dbl} == {f"c{c:02d}" for c in range(30)}
+    flagged = {r["cell_id"] for r in dbl if r["is_doublet"]}
+    clustered = {r["cell_id"] for r in stages["clusters"].collect()}
+    assert clustered == {f"c{c:02d}" for c in range(30)} - flagged

@@ -186,3 +186,119 @@ def score_cell_types(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def simulate_doublets(
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sim_passes: int = 2,
+    seed: int = 42,
+    bucket_load: int = 8,
+) -> DataFrame:
+    """M12 support: synthesize doublets by averaging deterministic pseudo-
+    random cell pairs — the scrublet simulation step (singlecell/
+    agent1_qc.py:95-98, 283-307) without RNG state.
+
+    Pairing is pure hash arithmetic, so it is reproducible in SQL and needs
+    no global ordering: per pass p, each cell gets g = H(seed+p || id); cells
+    sharing g mod nb (nb ≈ n/bucket_load buckets) are ranked inside their
+    bucket by (g, id) and the FIRST two in each bucket are averaged
+    element-wise — one simulated doublet per non-singleton bucket, so each
+    pass yields ≈ n/bucket_load sims and (sim_passes, bucket_load) together
+    play scrublet's sim_doublet_ratio role (simulated density is the
+    score's normalizer, so it is an explicit knob, not an accident of
+    pairing). The only window is per-bucket (bounded by the hash load
+    factor) — no single-partition shapes. One count() action sizes the
+    bucket space.
+
+    Output: (sim_id < 0 hash-derived, vector array<double>).
+    """
+    from pyspark.sql import Window as W
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64, salted_hash64
+
+    n = cells.count()
+    nb = max(1, n // bucket_load)
+    base = cells.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    out = None
+    for p in range(sim_passes):
+        g = salted_hash64(F.col("_id").cast("string"), seed + p)
+        w = W.partitionBy("_bucket").orderBy(F.asc("_g"), F.asc("_id"))
+        ranked = (
+            base.withColumn("_g", g)
+            .withColumn("_bucket", F.pmod(F.col("_g"), F.lit(nb)))
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        a = ranked.filter(F.col("_rn") == 1).select("_bucket", F.col("_v").alias("_va"))
+        b = ranked.filter(F.col("_rn") == 2).select("_bucket", F.col("_v").alias("_vb"))
+        sims = a.join(b, ["_bucket"]).select(
+            (-portable_hash64(F.concat_ws("|", F.lit(p), F.col("_bucket")))).alias("sim_id"),
+            F.zip_with("_va", "_vb", lambda x, y: (x + y) / 2.0).alias("vector"),
+        )
+        out = sims if out is None else out.unionByName(sims)
+    return out
+
+
+def doublet_scores(
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    sim_passes: int = 2,
+    seed: int = 42,
+    threshold: float = 0.25,
+    metric: str = "cosine",
+) -> DataFrame:
+    """M12 doublet detection — the scrublet analog (singlecell/
+    agent1_qc.py:254-257, 283-307): each observed cell is scored by the
+    fraction of SIMULATED doublets among its k nearest neighbors in the
+    union of observed + simulated vectors, flagged above ``threshold``
+    (reference config doublet_score_threshold = 0.25, agent1_qc.py:98).
+    The default two passes at bucket_load 8 yield ≈ n/4 simulated doublets;
+    at that density a genuinely-singlet neighborhood sees an expected sim
+    fraction around 0.2, comfortably under the 0.25 threshold, while real
+    doublets sit where the (midpoint-shaped) sims concentrate — scrublet
+    instead simulates 2·n and rescales by a likelihood ratio; same
+    discriminator, different normalization.
+
+    Neighbor search uses the GEMM batch-kNN (one BLAS matmul per Arrow
+    batch); its max_queries guard bounds the collected query side — beyond
+    it, route the same union through the IVF index (ivf_build_index/
+    ivf_search) and keep this scoring tail unchanged. Deviation from
+    scrublet, documented: neighbors in raw vector space with ``metric``
+    (default cosine) rather than Euclidean-on-30-PCs; the reference's PCA
+    projection can be prepended via hvg_cell_vectors + MLlib PCA when
+    needed.
+
+    Output: (cell_id, n_sim_neighbors, doublet_score, is_doublet) —
+    cell_id keeps the input id for numeric ids (sims get negative hash
+    ids), string ids stay strings (sims get a "sim|" prefix).
+    """
+    from vectordb_bioinsight_spark.operators.vector import knn_join_gemm
+
+    sims = simulate_doublets(cells, id_col, vec_col, sim_passes=sim_passes, seed=seed)
+    numeric_ids = dict(cells.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
+    sim_id = (
+        F.col("sim_id")
+        if numeric_ids
+        else F.concat(F.lit("sim|"), (-F.col("sim_id")).cast("string"))
+    )
+    observed = cells.select(
+        F.col(id_col).cast("long" if numeric_ids else "string").alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(0).alias("is_sim"),
+    )
+    union = observed.unionByName(
+        sims.select(sim_id.alias("cid"), F.col("vector").alias("v"), F.lit(1).alias("is_sim"))
+    )
+    neigh = knn_join_gemm(observed, union, "cid", "cid", "v", k=k, metric=metric)
+    flagged = neigh.join(union.select(F.col("cid").alias("cand_id"), "is_sim"), "cand_id")
+    return (
+        flagged.groupBy(F.col("query_id").alias("cell_id"))
+        .agg(F.sum("is_sim").cast("long").alias("n_sim_neighbors"))
+        .withColumn("doublet_score", F.round(F.col("n_sim_neighbors") / F.lit(k), 6))
+        .withColumn("is_doublet", F.col("doublet_score") > threshold)
+    )

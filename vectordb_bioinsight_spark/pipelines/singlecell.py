@@ -65,13 +65,31 @@ def run_singlecell_pipeline(
     n_hvg: int = 50,
     knn_k: int = 5,
     lpa_iters: int = 5,
+    detect_doublets: bool = False,
+    doublet_threshold: float = 0.25,
 ) -> dict[str, DataFrame]:
-    """QC → normalize → HVG vectors → kNN graph → LPA clusters → Wilcoxon
-    markers → pseudobulk per cluster. Returns every stage."""
+    """QC → normalize → HVG vectors → [doublet removal] → kNN graph → LPA
+    clusters → Wilcoxon markers → pseudobulk per cluster. Returns every
+    stage. ``detect_doublets`` mirrors enable_doublet_detection in the
+    reference QC agent (agent1_qc.py:95-98, 254-257): cells whose
+    scrublet-analog score exceeds ``doublet_threshold`` are dropped before
+    graph building, like the reference drops predicted doublets before
+    downstream steps."""
     qc = cell_qc_metrics(long_counts)
     filtered = apply_qc_filters(long_counts, qc, min_genes=min_genes, min_counts=min_counts)
     lognorm = normalize_total_log1p(filtered)
     vectors = hvg_cell_vectors(lognorm, n_hvg=n_hvg)
+
+    doublets = None
+    if detect_doublets:
+        from vectordb_bioinsight_spark.operators.singlecell import doublet_scores
+
+        doublets = doublet_scores(
+            vectors, "cell_id", "vector", threshold=doublet_threshold
+        )
+        keep = doublets.filter(~F.col("is_doublet")).select("cell_id")
+        vectors = vectors.join(keep, "cell_id")
+        lognorm = lognorm.join(keep, "cell_id")
 
     graph = knn_join(vectors, vectors, "cell_id", "cell_id", "vector", k=knn_k)
     edges = graph.select(
@@ -96,7 +114,7 @@ def run_singlecell_pipeline(
         markers = markers.unionByName(mf)
 
     pseudo = pseudobulk(clustered.withColumn("count", F.col("lognorm")))
-    return {
+    out = {
         "qc": qc,
         "lognorm": lognorm,
         "cell_vectors": vectors,
@@ -105,3 +123,6 @@ def run_singlecell_pipeline(
         "markers": markers,
         "pseudobulk": pseudo,
     }
+    if doublets is not None:
+        out["doublets"] = doublets
+    return out

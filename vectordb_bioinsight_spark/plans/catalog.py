@@ -49,6 +49,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
     # --- single-cell analogs ---
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),  # NEW round 2 (M12)
     "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
     "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
     "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),

@@ -243,3 +243,78 @@ SELECT l_partkey, count(*)::BIGINT AS n_assoc,
        round(max(l_extendedprice), 2) AS max_score
 FROM lineitem GROUP BY 1
 """
+
+
+def q_doublet_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 doublet detection (scrublet analog, agent1_qc.py:254-257,
+    283-307) over the embeddings table as the cell×feature matrix: hash-
+    bucket pair simulation -> cosine kNN over observed+simulated ->
+    simulated-neighbor fraction, threshold 0.25. Every stage is hash
+    arithmetic + kNN, so the whole DAG has an exact DuckDB twin."""
+    from vectordb_bioinsight_spark.operators.singlecell import doublet_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return doublet_scores(emb, "vec_id", "embedding", k=10)
+
+
+def _doublet_sql() -> str:
+    from vectordb_bioinsight_spark.operators.singlecell import (  # noqa: F401 (doc link)
+        doublet_scores,
+    )
+
+    passes = []
+    for p in range(2):  # sim_passes=2 default
+        salt = 42 + p
+        passes.append(
+            f"""r{p} AS MATERIALIZED (
+  SELECT id, v, g,
+         row_number() OVER (
+           PARTITION BY g % (SELECT greatest(1, count(*) // 8) FROM cells)
+           ORDER BY g ASC, id ASC) AS rn,
+         g % (SELECT greatest(1, count(*) // 8) FROM cells) AS bucket
+  FROM (SELECT id, v,
+               (('0x' || substr(md5('{salt}|' || id::VARCHAR), 1, 15))::BIGINT) AS g
+        FROM cells)
+), s{p} AS MATERIALIZED (
+  SELECT -(('0x' || substr(md5('{p}|' || a.bucket::VARCHAR), 1, 15))::BIGINT) AS id,
+         list_transform(range(1, len(a.v) + 1), i -> (a.v[i] + b.v[i]) / 2.0) AS v
+  FROM (SELECT * FROM r{p} WHERE rn = 1) a
+  JOIN (SELECT * FROM r{p} WHERE rn = 2) b USING (bucket)
+)"""
+        )
+    return ",\n".join(passes)
+
+
+SQL_DOUBLET_SCORES = f"""
+WITH cells AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+{_doublet_sql()},
+cands AS MATERIALIZED (
+  SELECT id, v, 0 AS is_sim FROM cells
+  UNION ALL SELECT id, v, 1 FROM s0
+  UNION ALL SELECT id, v, 1 FROM s1
+),
+pairs AS (
+  SELECT q.id AS qid, c.id AS cid, c.is_sim,
+         unnest(c.v)::DOUBLE AS x, unnest(q.v)::DOUBLE AS y
+  FROM cells q JOIN cands c ON c.id <> q.id
+),
+sums AS (
+  SELECT qid, cid, is_sim,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT qid, is_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+  FROM sums
+),
+topk AS (
+  SELECT qid, sum(is_sim)::BIGINT AS n_sim FROM ranked WHERE rn <= 10 GROUP BY 1
+)
+SELECT qid AS cell_id, n_sim AS n_sim_neighbors,
+       round(n_sim / 10.0, 6) AS doublet_score,
+       n_sim / 10.0 > 0.25 AS is_doublet
+FROM topk
+"""
