@@ -252,3 +252,29 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared run must produce a shared fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_project_2d_geometry_and_guard(spark):
+    """PCA-2 map: a 1-D manifold in 4-D collapses to the x axis; coords are
+    z-normalized like the reference (vector_store.py:637) and deterministic."""
+    from vectordb_bioinsight_spark.operators.vector import project_2d
+
+    rows = [(i, [float(i), 2.0 * i, -i + 3.0, 0.5]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {r["id"]: (r["x"], r["y"]) for r in project_2d(df, "id", "v").collect()}
+    xs = [got[i][0] for i in range(12)]
+    ys = [got[i][1] for i in range(12)]
+    # x strictly ordered along the planted direction (sign fixed by the
+    # largest-loading convention), y degenerate noise
+    assert xs == sorted(xs) or xs == sorted(xs, reverse=True)
+    assert max(abs(v) for v in ys) < 1e-5
+    # z-normalized: mean 0, std 1
+    import statistics
+
+    assert abs(statistics.fmean(xs)) < 1e-6
+    assert statistics.pstdev(xs) == pytest.approx(1.0, abs=1e-3)
+    # deterministic across invocations
+    again = {r["id"]: (r["x"], r["y"]) for r in project_2d(df, "id", "v").collect()}
+    assert again == got
+    with pytest.raises(ValueError, match="max_rows"):
+        project_2d(df, "id", "v", max_rows=5)

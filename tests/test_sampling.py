@@ -119,3 +119,16 @@ def test_quantized_cosine_recall(spark):
     top_q = [r["vec_id"] for r in pairs.select("vec_id", qscore.alias("s"))
              .orderBy(F.desc("s"), F.asc("vec_id")).limit(10).collect()]
     assert len(set(top_f) & set(top_q)) >= 8
+
+
+def test_sample_rate_check_ratio(spark):
+    import pytest
+
+    from vectordb_bioinsight_spark.operators.sampling import hash_sample, sample_rate_check
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    sampled = hash_sample(df, "k", fraction=0.2)
+    ratio = sample_rate_check(sampled, total_rows=10_000, fraction=0.2).first()["rate_ratio"]
+    assert ratio == pytest.approx(1.0, abs=0.05)
+    with pytest.raises(ValueError):
+        sample_rate_check(sampled, total_rows=0, fraction=0.2)

@@ -126,10 +126,16 @@ def reservoir_per_group(
     )
 
 
-def sample_rate_check(df: DataFrame, key_col: str, fraction: float) -> Column:
-    """Convenience aggregate: observed/expected rate ratio for monitoring a
-    hash sample (rates drift only if keys are non-unique or skewed)."""
-    return (F.count("*") / F.lit(float(DENOM)) / F.lit(fraction)).alias("rate_ratio")
+def sample_rate_check(sampled: DataFrame, total_rows: int, fraction: float) -> DataFrame:
+    """Monitoring aggregate for a hash sample: 1-row frame with
+    ``rate_ratio`` = observed / expected = count(sampled) / (total_rows ·
+    fraction). Ratios far from 1.0 mean the sample keys are non-unique or
+    skewed (a hash sample is exact only over distinct keys)."""
+    if total_rows <= 0 or fraction <= 0:
+        raise ValueError("total_rows and fraction must be positive")
+    return sampled.agg(
+        (F.count("*") / F.lit(float(total_rows) * float(fraction))).alias("rate_ratio")
+    )
 
 
 def portable_hash_bucket_duckdb(expr: str, salt: int = 0) -> str:

@@ -225,3 +225,34 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "tfidf", "rk")
     )
+
+
+def keyword_and_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keywords: list[str],
+) -> DataFrame:
+    """F10: keep only documents containing ALL query keywords — the
+    reference's AND-logic relevance gate (precision_search.py:540-545:
+    ``len(matched_keywords) == len(keywords)``), with its substring-
+    containment match (``kw_lower in content``) on the lowercased text.
+
+    A pure projection + filter (no shuffle, predicate fully pushable):
+    matched = the keyword literals found in the text; rows survive iff
+    every keyword matched. Output: (doc_id, n_matched, matched_keywords
+    as a sorted CSV string — scalar, canonicalizer-safe).
+    """
+    kws = sorted({k.lower() for k in keywords})
+    matched = F.filter(
+        F.array(*[F.lit(k) for k in kws]),
+        lambda kw: F.contains(F.lower(F.col(text_col)), kw),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(matched).alias("n_matched"),
+            F.concat_ws(",", matched).alias("matched_keywords"),
+        )
+        .filter(F.col("n_matched") == len(kws))
+    )

@@ -477,3 +477,62 @@ def knn_join_gemm(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def project_2d(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """V10: 2D visualization coordinates for a BOUNDED embedding set —
+    the reference's similar-paper map (vector_store.py:624-652: t-SNE over
+    per-paper mean embeddings fetched with limit=10000, then z-normalized
+    coords). PCA-2 replaces t-SNE for determinism (closed-form, no RNG);
+    the output normalization matches the reference exactly:
+    (coord - mean) / (std + 1e-8) per axis.
+
+    Driver-side by design, like the reference: the input is an aggregated
+    per-entity table (e.g. label_centroids), not the raw corpus. The
+    ``max_rows`` guard raises instead of truncating (repo convention —
+    no silent caps); at larger scales compute the 2-PC basis on a sample
+    and project distributed via a broadcast matmul.
+
+    Sign convention: each principal axis is flipped so its largest-|w|
+    loading is positive — SVD signs are otherwise arbitrary. Output:
+    (id, x, y) rounded 6 dp.
+    """
+    import numpy as np
+
+    rows = vectors.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"project_2d input exceeds max_rows={max_rows}; aggregate first "
+            "or raise the guard explicitly (no silent caps)"
+        )
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    # SVD of the centered matrix: columns of Vt[:2].T are the 2-PC basis
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    basis = vt[:2]
+    for i in range(basis.shape[0]):
+        j = int(np.argmax(np.abs(basis[i])))
+        if basis[i, j] < 0:
+            basis[i] = -basis[i]
+    coords = Xc @ basis.T
+    if coords.shape[1] < 2:  # 1-D input: y axis degenerates to zeros
+        coords = np.pad(coords, ((0, 0), (0, 2 - coords.shape[1])))
+    coords = (coords - coords.mean(axis=0)) / (coords.std(axis=0) + 1e-8)
+    out = [
+        (ids[i], round(float(coords[i, 0]), 6), round(float(coords[i, 1]), 6))
+        for i in range(len(ids))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("id", vectors.schema[id_col].dataType),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    return vectors.sparkSession.createDataFrame(out, schema)

@@ -59,11 +59,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
     # --- text / retrieval entries without an r01 driver row ---
     "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),  # NEW round 2 (V11)
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),  # NEW round 2 (F10)
     "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
     "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
     "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    "label_map_2d": (vec.q_label_map_2d, None),  # NEW round 2 (V10): SVD has no SQL twin
     # --- network: oracle-bearing 4-metric hub blend (NEW round 2) ---
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     # --- SURVEY coverage fill-ins ---

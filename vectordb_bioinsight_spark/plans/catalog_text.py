@@ -406,3 +406,24 @@ WITH toks AS (
 )
 SELECT doc_id, term, tf, tfidf, rk::INT AS rk FROM ranked WHERE rk <= 5
 """
+
+
+def q_keyword_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: AND-logic keyword gate (precision_search.py:540-545) — docs
+    containing every one of three query keywords as substrings."""
+    from vectordb_bioinsight_spark.operators.text_analysis import keyword_and_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return keyword_and_match(docs, "doc_id", "text", ["data", "model", "the"])
+
+
+SQL_KEYWORD_AND_MATCH = """
+WITH m AS (
+  SELECT doc_id,
+         list_filter(['data', 'model', 'the'],
+                     kw -> contains(lower(text), kw)) AS mk
+  FROM documents
+)
+SELECT doc_id, len(mk) AS n_matched, array_to_string(mk, ',') AS matched_keywords
+FROM m WHERE len(mk) = 3
+"""

@@ -400,3 +400,23 @@ GROUP BY 1
 
 
 SQL_RAG_CONTEXT = _sql_rag_context()
+
+
+def q_label_map_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10 (rows-only): the similar-paper 2D map — per-label mean embeddings
+    projected to normalized 2D coordinates (vector_store.py:624-652; PCA-2
+    for determinism in place of t-SNE; z-normalization matches). The SVD has
+    no SQL twin, so the driver records the rows/schema check; geometry is
+    pinned by tests/test_operators.py fixtures."""
+    from vectordb_bioinsight_spark.operators.vector import project_2d
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_long = array_mean_long(emb, ["label"], "embedding")
+    centroids = (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("_s"))
+        .select(
+            "label", F.transform("_s", lambda s: s.getField("avg_val")).alias("centroid")
+        )
+    )
+    return project_2d(centroids, "label", "centroid").withColumnRenamed("id", "label")
