@@ -142,3 +142,43 @@ def test_doublet_scores_recover_planted_doublets(spark):
     # scrublet itself — bound the false-positive rate rather than demand 0
     fp_rate = sum(1 for s in normal_scores if s > 0.25) / len(normal_scores)
     assert fp_rate <= 0.2
+
+
+def test_cell_cycle_scores_phases(spark):
+    from vectordb_bioinsight_spark.operators.singlecell import cell_cycle_scores
+
+    rows = []
+    # cell s1: S markers above its average -> phase S
+    rows += [("s1", "mcm5", 10.0), ("s1", "pcna", 8.0), ("s1", "cdk1", 1.0), ("s1", "actb", 1.0)]
+    # cell g1cell: both marker sets BELOW the cell average -> G1
+    rows += [("g1cell", "mcm5", 1.0), ("g1cell", "cdk1", 1.0), ("g1cell", "actb", 10.0), ("g1cell", "gapdh", 8.0)]
+    # cell m1: G2M markers dominate -> G2M
+    rows += [("m1", "cdk1", 9.0), ("m1", "top2a", 7.0), ("m1", "mcm5", 1.0), ("m1", "actb", 1.0)]
+    expr = spark.createDataFrame(rows, ["cell_id", "gene_id", "expr"])
+    got = {
+        r["cell_id"]: r
+        for r in cell_cycle_scores(
+            expr, s_genes=["MCM5", "PCNA"], g2m_genes=["CDK1", "TOP2A"]
+        ).collect()
+    }
+    assert got["s1"]["phase"] == "S" and got["s1"]["s_score"] > 0
+    assert got["g1cell"]["phase"] == "G1"
+    assert got["g1cell"]["s_score"] < 0 and got["g1cell"]["g2m_score"] < 0
+    assert got["m1"]["phase"] == "G2M" and got["m1"]["g2m_score"] > got["m1"]["s_score"]
+
+
+def test_pseudotime_bfs_recovers_planted_ordering(spark):
+    from vectordb_bioinsight_spark.operators.network import pseudotime_bfs
+
+    # planted trajectory: chain 0..9 with two side branches and one
+    # disconnected cell
+    edges = [(i, i + 1) for i in range(9)] + [(3, 20), (6, 21)]
+    df = spark.createDataFrame(edges + [(30, 31)], ["entity1", "entity2"])
+    got = {r["entity"]: r for r in pseudotime_bfs(df, root=0).collect()}
+    assert [got[i]["dist"] for i in range(10)] == list(range(10))
+    assert got[20]["dist"] == 4 and got[21]["dist"] == 7
+    # normalized to [0,1] by the farthest reachable cell (9)
+    assert got[9]["pseudotime"] == 1.0
+    assert got[5]["pseudotime"] == pytest.approx(5 / 9, abs=1e-6)
+    # unreachable cells stay unordered, like DPT
+    assert got[30]["dist"] is None and got[30]["pseudotime"] is None

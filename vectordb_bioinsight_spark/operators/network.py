@@ -607,3 +607,72 @@ def hub_scores_full(
     return scored.withColumn("is_hub", F.row_number().over(w) <= top_k_hubs).select(
         "entity", "degree", "betweenness", "eig_centrality", "closeness", "hub_score", "is_hub"
     )
+
+
+def pseudotime_bfs(
+    edges: DataFrame,
+    root,
+    max_iter: int = 30,
+) -> DataFrame:
+    """M11 tail: pseudotime as normalized shortest-path distance from a root
+    node over the cell kNN graph — the deterministic analog of the
+    reference's diffusion pseudotime (singlecell/agent4_trajectory.py:
+    245-268: sc.tl.dpt from a root cell; DPT orders cells by distance from
+    the root in the graph's diffusion geometry, and hop distance preserves
+    that ordering on the kNN graph).
+
+    Iterative frontier relaxation: dist'(v) = min(dist(v), min over
+    neighbors u of dist(u)+1), one shuffle per iteration with eager
+    localCheckpoint lineage cuts (repo rule for iterative joins); stops
+    early at a fixed point. Unreachable cells get NULL pseudotime, like
+    cells DPT cannot order.
+
+    Output: (entity, dist, pseudotime = dist/max_dist in [0, 1]).
+    """
+    sym = (
+        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
+        .unionByName(edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    dist = nodes.withColumn(
+        "dist", F.when(F.col("entity") == F.lit(root), F.lit(0)).otherwise(F.lit(None)).cast("int")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            sym.join(
+                dist.select(F.col("entity").alias("src"), F.col("dist").alias("_d")), "src"
+            )
+            .filter(F.col("_d").isNotNull())
+            .groupBy(F.col("dst").alias("entity"))
+            .agg((F.min("_d") + 1).alias("_nd"))
+        )
+        new_dist = (
+            dist.join(relaxed, "entity", "left")
+            .select("entity", F.least(F.col("dist"), F.col("_nd")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), "entity")
+            .filter(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if changed == 0:
+            break
+    mx = dist.agg(F.max("dist").alias("_mx"))
+    return (
+        dist.crossJoin(F.broadcast(mx))
+        .select(
+            "entity",
+            "dist",
+            F.round(
+                F.when(F.col("_mx") > 0, F.col("dist").cast("double") / F.col("_mx"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pseudotime"),
+        )
+    )

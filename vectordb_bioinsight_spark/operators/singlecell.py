@@ -302,3 +302,49 @@ def doublet_scores(
         .withColumn("doublet_score", F.round(F.col("n_sim_neighbors") / F.lit(k), 6))
         .withColumn("is_doublet", F.col("doublet_score") > threshold)
     )
+
+
+def cell_cycle_scores(
+    expr: DataFrame,
+    s_genes: list[str],
+    g2m_genes: list[str],
+    cell_col: str = "cell_id",
+    gene_col: str = "gene_id",
+    value_col: str = "expr",
+) -> DataFrame:
+    """M11 tail: cell-cycle phase scoring — the deterministic core of
+    ``sc.tl.score_genes_cell_cycle`` (agent1_qc.py:52-80 marker sets,
+    :351-380 scoring): score each cell against the S and G2M marker sets,
+    then phase = G1 when both scores are negative, else the larger score's
+    set (scanpy's rule).
+
+    score_genes subtracts a *random* control pool's mean; the deterministic
+    stand-in here subtracts the cell's mean expression over ALL genes, so a
+    score is positive exactly when the marker set is expressed above the
+    cell's average — same sign semantics, no RNG. Pure conditional
+    aggregation: ONE groupBy(cell) computing both set means and the global
+    mean (no explode, no pivot, map-side combinable).
+
+    Output: (cell_id, s_score, g2m_score, phase) — scores rounded 6 dp,
+    ties (s == g2m, both >= 0) resolve to 'S' for determinism.
+    """
+    s_set = [g.lower() for g in s_genes]
+    g2m_set = [g.lower() for g in g2m_genes]
+    g = F.lower(F.col(gene_col))
+    v = F.col(value_col)
+    per_cell = expr.groupBy(F.col(cell_col).alias("cell_id")).agg(
+        F.avg(F.when(g.isin(*s_set), v)).alias("_s_mean"),
+        F.avg(F.when(g.isin(*g2m_set), v)).alias("_g2m_mean"),
+        F.avg(v).alias("_all_mean"),
+    )
+    s_score = F.round(F.coalesce(F.col("_s_mean"), F.lit(0.0)) - F.col("_all_mean"), 6)
+    g2m_score = F.round(F.coalesce(F.col("_g2m_mean"), F.lit(0.0)) - F.col("_all_mean"), 6)
+    return per_cell.select(
+        "cell_id",
+        s_score.alias("s_score"),
+        g2m_score.alias("g2m_score"),
+        F.when((s_score < 0) & (g2m_score < 0), F.lit("G1"))
+        .when(s_score >= g2m_score, F.lit("S"))
+        .otherwise(F.lit("G2M"))
+        .alias("phase"),
+    )

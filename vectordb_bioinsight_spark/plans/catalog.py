@@ -50,6 +50,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
     # --- single-cell analogs ---
     "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),  # NEW round 2 (M12)
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),  # NEW round 2 (M11)
     "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
     "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
     "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
@@ -68,6 +69,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "label_map_2d": (vec.q_label_map_2d, None),  # NEW round 2 (V10): SVD has no SQL twin
     # --- network: oracle-bearing 4-metric hub blend (NEW round 2) ---
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
+    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),  # NEW round 2
     # --- SURVEY coverage fill-ins ---
     "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),

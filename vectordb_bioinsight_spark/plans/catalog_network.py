@@ -285,3 +285,68 @@ SELECT entity, degree, betweenness, eig_centrality, closeness, hub_score,
        (row_number() OVER (ORDER BY hub_score DESC, entity ASC)) <= 5 AS is_hub
 FROM scored
 """
+
+
+def q_pseudotime_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 tail: pseudotime over the cell kNN graph (trajectory analog,
+    agent4_trajectory.py:245-268) — 3-NN cosine graph over the sampled
+    embedding cells (vec_id % 25 == 0), BFS hop distance from root cell 0
+    normalized to [0, 1]. The iterative frontier relaxation is replayed in
+    the oracle as a recursive CTE over the same kNN edges."""
+    from vectordb_bioinsight_spark.operators.network import pseudotime_bfs
+    from vectordb_bioinsight_spark.operators.vector import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    neigh = knn_join(emb, emb, "vec_id", "vec_id", "embedding", k=3, metric="cosine")
+    edges = neigh.select(
+        F.col("query_id").alias("entity1"), F.col("cand_id").alias("entity2")
+    )
+    return pseudotime_bfs(edges, root=0)
+
+
+SQL_PSEUDOTIME_EMBEDDINGS = """
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+  SELECT q.id AS qid, c.id AS cid, unnest(c.v)::DOUBLE AS x, unnest(q.v)::DOUBLE AS y
+  FROM cells q JOIN cells c ON c.id <> q.id
+),
+sums AS (
+  SELECT qid, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2
+),
+knn AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+    FROM sums
+  ) WHERE rn <= 3
+),
+sym AS MATERIALIZED (
+  SELECT qid AS src, cid AS dst FROM knn
+  UNION SELECT cid, qid FROM knn
+),
+walk(entity, d) AS (
+  SELECT 0::BIGINT AS entity, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN sym e ON e.src = w.entity
+  WHERE w.d < (SELECT count(*) FROM cells)
+),
+dist AS MATERIALIZED (
+  SELECT entity, min(d)::INT AS dist FROM walk GROUP BY 1
+),
+joined AS MATERIALIZED (
+  -- every kNN node is a cell, so cells is the node universe (unreached
+  -- cells keep NULL dist, matching the Spark side)
+  SELECT c.id AS entity, d.dist FROM cells c LEFT JOIN dist d ON c.id = d.entity
+)
+SELECT entity, dist,
+       CASE WHEN dist IS NULL THEN NULL
+            WHEN (SELECT max(dist) FROM joined) > 0
+            THEN round(dist::DOUBLE / (SELECT max(dist) FROM joined), 6)
+            ELSE 0.0 END AS pseudotime
+FROM joined
+"""

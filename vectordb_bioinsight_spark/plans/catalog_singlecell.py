@@ -318,3 +318,39 @@ SELECT qid AS cell_id, n_sim AS n_sim_neighbors,
        n_sim / 10.0 > 0.25 AS is_doublet
 FROM topk
 """
+
+
+def q_cell_cycle_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 tail: cell-cycle phase scoring analog (agent1_qc.py:351-380) on
+    the events matrix — user ≡ cell, event_type ≡ gene, 'click'/'view' as
+    the S set and 'purchase'/'error' as G2M."""
+    from vectordb_bioinsight_spark.operators.singlecell import cell_cycle_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    expr = ev.select(
+        F.col("user_id").alias("cell_id"),
+        F.col("event_type").alias("gene_id"),
+        F.col("value").alias("expr"),
+    )
+    return cell_cycle_scores(expr, s_genes=["click", "view"], g2m_genes=["purchase", "error"])
+
+
+SQL_CELL_CYCLE_PHASE = """
+WITH per_cell AS (
+  SELECT user_id AS cell_id,
+         avg(CASE WHEN event_type IN ('click', 'view') THEN value END) AS s_mean,
+         avg(CASE WHEN event_type IN ('purchase', 'error') THEN value END) AS g2m_mean,
+         avg(value) AS all_mean
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT cell_id,
+         round(coalesce(s_mean, 0.0) - all_mean, 6) AS s_score,
+         round(coalesce(g2m_mean, 0.0) - all_mean, 6) AS g2m_score
+  FROM per_cell
+)
+SELECT cell_id, s_score, g2m_score,
+       CASE WHEN s_score < 0 AND g2m_score < 0 THEN 'G1'
+            WHEN s_score >= g2m_score THEN 'S'
+            ELSE 'G2M' END AS phase
+FROM scored
+"""
