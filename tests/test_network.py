@@ -321,3 +321,29 @@ def test_hub_scores_full_fallback_all_nodes(spark):
     assert by_ent["b"]["betweenness"] == pytest.approx(3.0)
     assert by_ent["c"]["betweenness"] == pytest.approx(4.0)
     assert sum(r["is_hub"] for r in rows) == 2
+
+
+def test_cluster_connectivity_ratio_to_random(spark):
+    from vectordb_bioinsight_spark.operators.network import cluster_connectivity
+
+    # two 3-cliques bridged by one edge; a third isolated pair of clusters
+    edges = [
+        ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+        ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+        ("a1", "b1"),  # the bridge
+        ("c1", "c2"),
+    ]
+    e = spark.createDataFrame(edges, ["entity1", "entity2"])
+    cl = spark.createDataFrame(
+        [(x, x[0].upper()) for x in "a1 a2 a3 b1 b2 b3 c1 c2".split()],
+        ["entity", "cluster"],
+    )
+    got = {(r["cluster_a"], r["cluster_b"]): r for r in cluster_connectivity(e, cl).collect()}
+    # expected inter(A,B) under uniform wiring: 3*3*8/(8*7/2) = 2.571 ->
+    # observed 1 edge -> connectivity ~0.389, above the 0.05 threshold
+    assert ("A", "B") in got and got[("A", "B")]["n_edges"] == 1
+    import pytest as pt
+
+    assert got[("A", "B")]["connectivity"] == pt.approx(1 / (3 * 3 * 8 / 28), abs=1e-6)
+    # no A-C or B-C edges at all -> absent
+    assert ("A", "C") not in got and ("B", "C") not in got

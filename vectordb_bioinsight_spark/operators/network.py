@@ -676,3 +676,57 @@ def pseudotime_bfs(
             ).alias("pseudotime"),
         )
     )
+
+
+def cluster_connectivity(
+    edges: DataFrame,
+    clusters: DataFrame,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """M11 tail: PAGA-analog cluster connectivity graph (singlecell/
+    agent4_trajectory.py:182-221: sc.tl.paga connectivities + a 0.05
+    threshold on cluster pairs).
+
+    connectivity(a, b) = inter-cluster edge count / the expected count
+    under uniform wiring (n_a · n_b · total_edges / (N·(N-1)/2)) — the
+    same ratio-to-random normalization PAGA uses, closed-form instead of
+    its sparse-matrix implementation. Pure joins + one aggregation on
+    (cluster_a, cluster_b); the cluster map is broadcast.
+
+    Inputs: edges(entity1, entity2), clusters(entity, cluster).
+    Output: (cluster_a < cluster_b, n_edges, connectivity) with
+    connectivity rounded 6 dp, filtered to > ``threshold``.
+    """
+    cl = F.broadcast(clusters)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").cast("long").alias("_sz"))
+    labeled = (
+        edges.join(cl.withColumnRenamed("entity", "entity1").withColumnRenamed("cluster", "_ca"), "entity1")
+        .join(cl.withColumnRenamed("entity", "entity2").withColumnRenamed("cluster", "_cb"), "entity2")
+        .select(
+            F.least("_ca", "_cb").alias("cluster_a"),
+            F.greatest("_ca", "_cb").alias("cluster_b"),
+        )
+        .filter(F.col("cluster_a") != F.col("cluster_b"))
+    )
+    inter = labeled.groupBy("cluster_a", "cluster_b").agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    totals = edges.agg(F.count("*").cast("double").alias("_te")).crossJoin(
+        clusters.agg(F.count("*").cast("double").alias("_n"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("cluster", "cluster_a").withColumnRenamed("_sz", "_na")), "cluster_a")
+        .join(F.broadcast(sizes.withColumnRenamed("cluster", "cluster_b").withColumnRenamed("_sz", "_nb")), "cluster_b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "connectivity",
+            F.round(
+                F.col("n_edges")
+                / (F.col("_na") * F.col("_nb") * F.col("_te") / (F.col("_n") * (F.col("_n") - 1.0) / 2.0)),
+                6,
+            ),
+        )
+        .filter(F.col("connectivity") > threshold)
+        .select("cluster_a", "cluster_b", "n_edges", "connectivity")
+    )
+    return out

@@ -70,6 +70,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- network: oracle-bearing 4-metric hub blend (NEW round 2) ---
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),  # NEW round 2
+    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),  # NEW round 2 (M11 PAGA analog)
     # --- SURVEY coverage fill-ins ---
     "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),

@@ -350,3 +350,62 @@ SELECT entity, dist,
             ELSE 0.0 END AS pseudotime
 FROM joined
 """
+
+
+def q_paga_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 tail: PAGA-analog connectivity between embedding labels over the
+    3-NN cosine graph of sampled cells (vec_id % 10 == 0) — which label
+    pairs are wired above chance (agent4_trajectory.py:182-221)."""
+    from vectordb_bioinsight_spark.operators.network import cluster_connectivity
+    from vectordb_bioinsight_spark.operators.vector import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    neigh = knn_join(emb, emb, "vec_id", "vec_id", "embedding", k=3, metric="cosine")
+    edges = neigh.select(
+        F.col("query_id").alias("entity1"), F.col("cand_id").alias("entity2")
+    )
+    clusters = emb.select(F.col("vec_id").alias("entity"), F.col("label").alias("cluster"))
+    return cluster_connectivity(edges, clusters, threshold=0.05)
+
+
+SQL_PAGA_LABELS = """
+WITH cells AS MATERIALIZED (
+  SELECT vec_id AS id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+pairs AS (
+  SELECT q.id AS qid, c.id AS cid, unnest(c.v)::DOUBLE AS x, unnest(q.v)::DOUBLE AS y
+  FROM cells q JOIN cells c ON c.id <> q.id
+),
+sums AS (
+  SELECT qid, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2
+),
+knn AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS rn
+    FROM sums
+  ) WHERE rn <= 3
+),
+labeled AS (
+  SELECT least(a.label, b.label) AS cluster_a, greatest(a.label, b.label) AS cluster_b
+  FROM knn JOIN cells a ON knn.qid = a.id JOIN cells b ON knn.cid = b.id
+  WHERE a.label <> b.label
+),
+inter AS (
+  SELECT cluster_a, cluster_b, count(*)::BIGINT AS n_edges FROM labeled GROUP BY 1, 2
+),
+sizes AS (SELECT label, count(*)::BIGINT AS sz FROM cells GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*)::DOUBLE FROM knn) AS te,
+         (SELECT count(*)::DOUBLE FROM cells) AS n
+)
+SELECT i.cluster_a, i.cluster_b, i.n_edges,
+       round(i.n_edges / (sa.sz * sb.sz * t.te / (t.n * (t.n - 1.0) / 2.0)), 6) AS connectivity
+FROM inter i
+JOIN sizes sa ON i.cluster_a = sa.label
+JOIN sizes sb ON i.cluster_b = sb.label, tot t
+WHERE round(i.n_edges / (sa.sz * sb.sz * t.te / (t.n * (t.n - 1.0) / 2.0)), 6) > 0.05
+"""
