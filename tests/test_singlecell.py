@@ -182,3 +182,43 @@ def test_pseudotime_bfs_recovers_planted_ordering(spark):
     assert got[5]["pseudotime"] == pytest.approx(5 / 9, abs=1e-6)
     # unreachable cells stay unordered, like DPT
     assert got[30]["dist"] is None and got[30]["pseudotime"] is None
+
+
+def test_doublet_scores_ivf_path_recovers_planted(spark):
+    """The beyond-guard IVF path (nothing collected, probe join shuffles on
+    the cell key) still separates planted midpoint doublets."""
+    from vectordb_bioinsight_spark.operators.singlecell import doublet_scores
+
+    rows = []
+    for i in range(50):
+        rows.append((i, [10.0 + 0.01 * i, 0.05 * i, 0.0, 0.0]))
+    for i in range(50, 100):
+        rows.append((i, [0.05 * (i - 50), 10.0 + 0.01 * (i - 50), 0.0, 0.0]))
+    planted = list(range(100, 104))
+    for i in planted:
+        rows.append((i, [5.0 + (i - 100) * 0.05, 5.0 - (i - 100) * 0.05, 0.0, 0.0]))
+    cells = spark.createDataFrame(rows, ["cell_id", "vector"])
+    got = {
+        r["cell_id"]: r
+        for r in doublet_scores(cells, "cell_id", "vector", k=10, ann="ivf").collect()
+    }
+    planted_scores = [got[i]["doublet_score"] for i in planted]
+    normal_scores = [got[i]["doublet_score"] for i in range(100)]
+    assert min(planted_scores) > max(normal_scores)
+    assert all(got[i]["is_doublet"] for i in planted)
+
+
+def test_simulate_doublets_partition_invariant(spark):
+    """Hash-bucket pairing must not depend on physical partitioning — the
+    property that makes it reproducible on any cluster layout."""
+    from vectordb_bioinsight_spark.operators.singlecell import simulate_doublets
+
+    cells = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), 1.0]) for i in range(120)],
+        ["cell_id", "vector"],
+    )
+    a = simulate_doublets(cells.repartition(3), "cell_id", "vector")
+    b = simulate_doublets(cells.repartition(11), "cell_id", "vector")
+    ra = sorted((r["sim_id"], tuple(r["vector"])) for r in a.collect())
+    rb = sorted((r["sim_id"], tuple(r["vector"])) for r in b.collect())
+    assert ra == rb and len(ra) > 10

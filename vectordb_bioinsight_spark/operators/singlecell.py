@@ -251,6 +251,7 @@ def doublet_scores(
     seed: int = 42,
     threshold: float = 0.25,
     metric: str = "cosine",
+    ann: str = "gemm",
 ) -> DataFrame:
     """M12 doublet detection — the scrublet analog (singlecell/
     agent1_qc.py:254-257, 283-307): each observed cell is scored by the
@@ -264,10 +265,13 @@ def doublet_scores(
     instead simulates 2·n and rescales by a likelihood ratio; same
     discriminator, different normalization.
 
-    Neighbor search uses the GEMM batch-kNN (one BLAS matmul per Arrow
-    batch); its max_queries guard bounds the collected query side — beyond
-    it, route the same union through the IVF index (ivf_build_index/
-    ivf_search) and keep this scoring tail unchanged. Deviation from
+    Neighbor search: ``ann="gemm"`` (default) is exact — one BLAS matmul
+    per Arrow batch — but its max_queries guard bounds the collected query
+    side at 10k cells. ``ann="ivf"`` is the beyond-guard scale path: a
+    seeded KMeans IVF index over the union, probed WITHOUT broadcasting
+    the (corpus-sized) query side — both sides shuffle on the cell key, so
+    nothing is collected anywhere; neighbor lists become approximate the
+    way every production scrublet-at-scale is. Deviation from
     scrublet, documented: neighbors in raw vector space with ``metric``
     (default cosine) rather than Euclidean-on-30-PCs; the reference's PCA
     projection can be prepended via hvg_cell_vectors + MLlib PCA when
@@ -277,8 +281,14 @@ def doublet_scores(
     cell_id keeps the input id for numeric ids (sims get negative hash
     ids), string ids stay strings (sims get a "sim|" prefix).
     """
-    from vectordb_bioinsight_spark.operators.vector import knn_join_gemm
+    from vectordb_bioinsight_spark.operators.vector import (
+        ivf_build_index,
+        ivf_search_gemm,
+        knn_join_gemm,
+    )
 
+    if ann not in ("gemm", "ivf"):
+        raise ValueError(f"unknown ann path {ann!r}")
     sims = simulate_doublets(cells, id_col, vec_col, sim_passes=sim_passes, seed=seed)
     numeric_ids = dict(cells.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     sim_id = (
@@ -294,7 +304,11 @@ def doublet_scores(
     union = observed.unionByName(
         sims.select(sim_id.alias("cid"), F.col("vector").alias("v"), F.lit(1).alias("is_sim"))
     )
-    neigh = knn_join_gemm(observed, union, "cid", "cid", "v", k=k, metric=metric)
+    if ann == "gemm":
+        neigh = knn_join_gemm(observed, union, "cid", "cid", "v", k=k, metric=metric)
+    else:
+        index = ivf_build_index(union, "cid", "v", n_cells=16, seed=seed)
+        neigh = ivf_search_gemm(index, observed, "cid", "v", k=k, n_probe=4)
     flagged = neigh.join(union.select(F.col("cid").alias("cand_id"), "is_sim"), "cand_id")
     return (
         flagged.groupBy(F.col("query_id").alias("cell_id"))

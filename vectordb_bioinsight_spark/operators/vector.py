@@ -308,10 +308,17 @@ def ivf_search(
     vec_col: str,
     k: int = 10,
     n_probe: int = 2,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe a prebuilt IVF index: n_probe nearest cells per query, exact
     cosine inside — touches ~n_probe/n_cells of the corpus. Output
-    (query_id, cand_id, score, rank)."""
+    (query_id, cand_id, score, rank).
+
+    ``broadcast_queries=True`` (default) suits bounded query batches; pass
+    False when the query side is corpus-sized (e.g. all-cells self-kNN for
+    doublet scoring) — the probe join then shuffles BOTH sides on ``_cell``
+    (co-partitioned equi-join), which is the plan that survives an
+    unbounded query set."""
     from vectordb_bioinsight_spark.functions.vector import l2_norm
 
     assigned, cent_df = index
@@ -333,7 +340,8 @@ def ivf_search(
 
     # equi-join on cell: touches only probed cells' vectors; norms were
     # folded once per side (same hoist as knn_join)
-    pairs = assigned.join(F.broadcast(probes), "_cell").filter(
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
+    pairs = assigned.join(probe_side, "_cell").filter(
         F.col("cand_id") != F.col("query_id")
     )
     score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
@@ -536,3 +544,95 @@ def project_2d(
         ]
     )
     return vectors.sparkSession.createDataFrame(out, schema)
+
+
+def ivf_search_gemm(
+    index: tuple[DataFrame, DataFrame],
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe with BLAS scoring — the faiss-shaped scale path for
+    corpus-sized query sets (e.g. all-cells self-kNN).
+
+    :func:`ivf_search` scores each (query, candidate) pair with a JVM
+    array fold; at q×(n_probe/n_cells)×n pairs that fold dominates
+    (measured: 336 s for 40k cells self-kNN at 64 dims). Here queries and
+    candidates are CO-GROUPED BY CELL and each cell scores as one
+    ``C @ Q.T`` matmul inside ``applyInPandas``, emitting only the
+    CELL-LOCAL top-k per query — the downstream shuffle carries
+    O(q·n_probe·k) rows instead of the full pair fan-out, and nothing is
+    ever collected to the driver.
+
+    Cosine metric, same contract as ivf_search: output (query_id, cand_id,
+    score, rank), self-matches excluded, scores rounded 6 dp before the
+    final per-query window over <= n_probe·(k+1) rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
+    assigned, cent_df = index
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    from pyspark.sql import Window
+
+    probe_w = Window.partitionBy("query_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "_cell")
+    )
+    cands = assigned.select("_cell", "cand_id", F.col("_cv").cast("array<double>"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("cand_id", assigned.schema["cand_id"].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    kk_target = k + 1  # +1 absorbs a possible self-match
+
+    def score_cell(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"query_id": [], "cand_id": [], "score": []})
+        Q = np.stack(qpdf["_qv"].to_numpy())
+        C = np.stack(cpdf["_cv"].to_numpy())
+        S = C @ Q.T
+        cn = np.linalg.norm(C, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
+        cn[cn == 0.0] = np.nan
+        qn[qn == 0.0] = np.nan
+        S = S / cn[:, None] / qn[None, :]
+        kk = min(kk_target, len(cpdf))
+        top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+        n_q = S.shape[1]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qpdf["query_id"].to_numpy(), kk),
+                "cand_id": cpdf["cand_id"].to_numpy()[top.T.ravel()],
+                "score": S[top, np.arange(n_q)[None, :]].T.ravel(),
+            }
+        )
+
+    local = (
+        probes.groupBy("_cell")
+        .cogroup(cands.groupBy("_cell"))
+        .applyInPandas(lambda qp, cp: score_cell(qp, cp), out_schema)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .filter(F.col("score").isNotNull() & ~F.isnan("score"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        local.select("query_id", "cand_id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )
