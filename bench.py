@@ -52,6 +52,10 @@ HEADLINE = [
     "segment_top_orders",
     "nation_profit",
     "order_count_distribution",
+    # round-2 additions: TF-IDF keyword extraction (V11) and the scrublet
+    # analog (M12) — both corpus-scale multi-shuffle shapes
+    "tfidf_topk",
+    "doublet_scores",
 ]
 
 
