@@ -74,3 +74,34 @@ def test_pipeline_sampling_reduces_nondefault_sources(spark, seeded_docs):
     assert sampled.filter(F.col("source") == "src0").count() == full.filter(
         F.col("source") == "src0"
     ).count()
+
+
+def test_repetition_gate_drops_degenerate_docs(spark):
+    """max_dup_3gram_ratio drops the planted all-repeats doc but keeps
+    normal prose (the Gopher repetition rule wired into the pipeline)."""
+    from vectordb_bioinsight_spark.pipelines.training_data import prepare_training_data
+
+    normal = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "animals watch from behind tall green trees near the river bank "
+        "and several birds sing different songs about morning light"
+    )
+    degenerate = "spam eggs ham " * 40
+    rows = [
+        (1, normal, "en", "web"),
+        (2, degenerate, "en", "web"),
+        (
+            3,
+            "completely different article text discussing distributed "
+            "query engines partition pruning shuffle strategies broadcast "
+            "joins and adaptive execution plans for large analytical workloads",
+            "en",
+            "web",
+        ),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = prepare_training_data(
+        docs, min_quality=0.0, max_dup_3gram_ratio=0.5
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 2 not in kept and 1 in kept and 3 in kept

@@ -90,3 +90,24 @@ def shingles_duckdb(toks_expr: str, n: int = 3) -> str:
         f"CASE WHEN length({toks_expr}) < {n} THEN []::VARCHAR[] "
         f"ELSE list_transform(range(1, length({toks_expr}) - {n - 1} + 1), i -> {parts}) END"
     )
+
+
+#: GPT-2-style pretokenizer core (letter runs / digit runs / punctuation
+#: runs, each with an optional leading space) — the public BPE pretokenize
+#: regex family, restricted to constructs Java regex and RE2 (DuckDB) parse
+#: identically so counts are cross-engine exact.
+BPE_SPLIT_REGEX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token-count estimate: number of pretokenizer matches
+    (letter/digit/punct runs). A subword tokenizer only ever splits these
+    further, so this is the standard cheap lower-bound token budget used in
+    corpus accounting; whitespace counting (:func:`token_count`) is the
+    even cheaper upper-level twin."""
+    return F.regexp_count(_c(col), F.lit(BPE_SPLIT_REGEX))
+
+
+def bpe_token_count_duckdb(expr: str) -> str:
+    """DuckDB expression matching :func:`bpe_token_count` exactly."""
+    return f"len(regexp_extract_all({expr}, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))"

@@ -256,3 +256,93 @@ def keyword_and_match(
         )
         .filter(F.col("n_matched") == len(kws))
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals — the Gopher/MassiveText quality
+    rules (Rae et al. 2021, §A1.1: "fraction of duplicate n-grams") used by
+    every production pretraining-data pipeline:
+
+    * dup_2gram_ratio / dup_3gram_ratio = 1 - distinct/total n-grams,
+    * top_token_ratio = occurrences of the most frequent token / n_tokens,
+    * bpe_tokens = the BPE-ish pretokenizer budget (corpus accounting).
+
+    Pure per-row array expressions (tokenize once, shingle, distinct) — an
+    embarrassingly parallel projection at any corpus size, like text_stats.
+    Output ratios rounded 6 dp; empty/short docs yield 0 ratios.
+    """
+    from vectordb_bioinsight_spark.functions.text import bpe_token_count, shingles_from_tokens
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+
+    def dup_ratio(n: int):  # noqa: ANN202
+        grams = shingles_from_tokens(toks, n)
+        total = F.size(grams)
+        return F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(grams)).cast("double") / total
+        ).otherwise(F.lit(0.0))
+
+    # top-token frequency via the (token, count) histogram of the row's array
+    counts = F.transform(
+        F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    top_ratio = F.when(
+        n_tok > 0, F.array_max(counts).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("_text")).cast("long").alias("bpe_tokens"),
+        F.round(dup_ratio(2), 6).alias("dup_2gram_ratio"),
+        F.round(dup_ratio(3), 6).alias("dup_3gram_ratio"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+    )
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-model quality scoring, the CCNet/perplexity-filter shape
+    (Wenzek et al. 2019): score each document by its mean token log-
+    probability under a unigram model fitted ON THE CORPUS ITSELF — the
+    distributed analog of "train a LM on clean data, keep low-perplexity
+    docs". Outlier docs (junk, boilerplate, wrong language) score far below
+    the corpus mode.
+
+    Physical plan: postings groupBy (the only corpus shuffle) → global
+    vocabulary counts (second, vocabulary-sized agg left declarative for
+    AQE broadcast) → per-doc weighted sum. No OOV smoothing is needed: the
+    model's support is exactly the corpus vocabulary.
+
+    Output: (doc_id, n_tokens, avg_logprob, perplexity) rounded 6 dp; docs
+    with no tokens are dropped (nothing to score).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    vocab = postings.groupBy("term").agg(F.sum("tf").cast("double").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_tot"))
+    scored = (
+        postings.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.log(F.col("_cnt") / F.col("_tot"))) / F.sum("tf")).alias(
+                "_avg_lp"
+            ),
+        )
+    )
+    # perplexity is derived from the ROUNDED avg_logprob so both numbers
+    # stay cross-engine stable (exp amplifies last-ulp sum-order noise)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_avg_lp", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.round(F.col("_avg_lp"), 6)), 6).alias("perplexity"),
+    )

@@ -48,6 +48,7 @@ def prepare_training_data(
     default_fraction: float = 1.0,
     split_weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
     salt: int = 0,
+    max_dup_3gram_ratio: float | None = None,
 ) -> DataFrame:
     """Raw documents → deduped, quality-filtered, sampled, split corpus.
 
@@ -55,6 +56,11 @@ def prepare_training_data(
     Deterministic end-to-end: same input ⇒ same output, regardless of
     partitioning (hash sampling/splitting; dedup representatives are
     min-id per content/near-dup group).
+
+    ``max_dup_3gram_ratio`` (optional) adds the Gopher repetition gate
+    (operators/text_analysis.repetition_stats): docs whose duplicate-3gram
+    fraction exceeds it are dropped alongside the junk/quality filters —
+    still scan-local, still one pass.
     """
     # -- 2. quality gate (scan-local: language, score, junk regexes)
     stats = text_stats(docs, id_col, text_col).select(
@@ -66,6 +72,15 @@ def prepare_training_data(
         .filter(F.col("quality_score") >= min_quality)
         .filter(~junk_predicate(F.col(text_col)))
     )
+    if max_dup_3gram_ratio is not None:
+        from vectordb_bioinsight_spark.operators.text_analysis import repetition_stats
+
+        rep = repetition_stats(docs, id_col, text_col).select(
+            F.col("doc_id").alias(id_col), "dup_3gram_ratio"
+        )
+        gated = gated.join(rep, id_col).filter(
+            F.col("dup_3gram_ratio") <= max_dup_3gram_ratio
+        ).drop("dup_3gram_ratio")
 
     # -- 3. dedup: drop exact copies (keep min-id representative), then drop
     #    the higher-id side of every near-dup pair among representatives

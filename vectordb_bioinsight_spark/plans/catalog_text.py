@@ -427,3 +427,72 @@ WITH m AS (
 SELECT doc_id, len(mk) AS n_matched, array_to_string(mk, ',') AS matched_keywords
 FROM m WHERE len(mk) = 3
 """
+
+
+_SHINGLE2 = (
+    "CASE WHEN length(tk) < 2 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, length(tk)), i -> tk[i] || ' ' || tk[i+1]) END"
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (dup n-gram ratios, top
+    token ratio) + the BPE-ish pretokenizer budget."""
+    from vectordb_bioinsight_spark.operators.text_analysis import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+SQL_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOK3} AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         length(tk) AS n_tok,
+         {_SHINGLE2} AS g2,
+         {_SHINGLE3} AS g3,
+         len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS bpe
+  FROM base
+), cnt AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS term FROM base) GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS mx FROM cnt GROUP BY 1
+)
+SELECT g.doc_id,
+       g.n_tok::BIGINT AS n_tokens,
+       g.bpe::BIGINT AS bpe_tokens,
+       round(CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) ELSE 0.0 END, 6) AS dup_2gram_ratio,
+       round(CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) ELSE 0.0 END, 6) AS dup_3gram_ratio,
+       round(CASE WHEN g.n_tok > 0 THEN coalesce(t.mx, 0)::DOUBLE / g.n_tok ELSE 0.0 END, 6) AS top_token_ratio
+FROM grams g LEFT JOIN top t ON g.doc_id = t.doc_id
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality scoring: mean token log-prob under the
+    corpus-fitted unigram model, plus perplexity."""
+    from vectordb_bioinsight_spark.operators.text_analysis import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK3}) AS term FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, sum(tf)::DOUBLE AS cnt FROM postings GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS t FROM vocab
+), per_doc AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         round(sum(tf * ln(cnt / t)) / sum(tf), 6) AS avg_logprob
+  FROM postings JOIN vocab USING (term), tot GROUP BY 1
+)
+SELECT doc_id, n_tokens, avg_logprob, round(exp(-avg_logprob), 6) AS perplexity
+FROM per_doc
+"""
