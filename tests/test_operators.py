@@ -278,3 +278,31 @@ def test_project_2d_geometry_and_guard(spark):
     assert again == got
     with pytest.raises(ValueError, match="max_rows"):
         project_2d(df, "id", "v", max_rows=5)
+
+
+def test_contamination_check_finds_planted_overlap(spark):
+    """A corpus doc quoting a >= window+k-1 token run from a benchmark doc
+    MUST be flagged (the winnowing guarantee); disjoint docs must not."""
+    from vectordb_bioinsight_spark.operators.text_analysis import contamination_check
+
+    bench_text = (
+        "which element has the chemical symbol au answer gold because the "
+        "latin name aurum gives the abbreviation used in the periodic table"
+    )
+    contaminated = (
+        "today we review trivia sources and note that which element has the "
+        "chemical symbol au answer gold because the latin name aurum appears "
+        "verbatim in many scraped pages"
+    )
+    clean = (
+        "fully unrelated discussion of streaming watermarks window joins "
+        "and state stores in modern dataflow systems with no quoted text"
+    )
+    corpus = spark.createDataFrame(
+        [(10, contaminated), (11, clean)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(1, bench_text)], ["doc_id", "text"])
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in
+           contamination_check(corpus, bench, "doc_id", "text").collect()}
+    assert (10, 1) in got and got[(10, 1)] >= 2
+    assert not any(d == 11 for d, _ in got)

@@ -346,3 +346,39 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
         F.round("_avg_lp", 6).alias("avg_logprob"),
         F.round(F.exp(-F.round(F.col("_avg_lp"), 6)), 6).alias("perplexity"),
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination detection — the eval-decontamination step of
+    a pretraining pipeline: flag corpus documents sharing verbatim token
+    runs with any benchmark document, via winnowing fingerprint overlap
+    (the MOSS guarantee: any shared run of >= window+k-1 tokens shares a
+    fingerprint, so substring-level contamination cannot hide from this
+    join the way it hides from whole-doc hashing).
+
+    Physical plan: fingerprint both sides (scan-local array expressions),
+    equi-join on the fingerprint value (benchmark side is the small one —
+    left declarative for AQE to broadcast), count distinct shared prints
+    per (corpus_doc, benchmark_doc). ``min_shared`` suppresses single-
+    fingerprint coincidences.
+
+    Output: (doc_id, bench_id, n_shared) with n_shared >= min_shared.
+    """
+    fp_c = winnow_fingerprints(corpus, id_col, text_col, k=k, window=window)
+    fp_b = winnow_fingerprints(benchmark, id_col, text_col, k=k, window=window).withColumnRenamed(
+        "doc_id", "bench_id"
+    )
+    return (
+        fp_c.join(fp_b, "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

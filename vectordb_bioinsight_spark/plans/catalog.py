@@ -63,6 +63,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),  # NEW round 2 (F10)
     "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),  # NEW round 2 (Gopher rules)
     "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),  # NEW round 2 (perplexity filter)
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),  # NEW round 2
     "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
     "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),

@@ -496,3 +496,44 @@ WITH toks AS (
 SELECT doc_id, n_tokens, avg_logprob, round(exp(-avg_logprob), 6) AS perplexity
 FROM per_doc
 """
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination: corpus docs sharing winnowed token runs with
+    the stand-in benchmark set (doc_id % 97 == 0), self-pairs excluded,
+    >= 2 shared fingerprints."""
+    from vectordb_bioinsight_spark.operators.text_analysis import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_check(docs, bench, "doc_id", "text", min_shared=2)
+    return out.filter(F.col("doc_id") != F.col("bench_id"))
+
+
+_WINNOW_FPS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, {_SHINGLE3} AS g FROM toks
+), hashed AS (
+  SELECT doc_id,
+         list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+  FROM grams
+), mins AS (
+  SELECT doc_id,
+         CASE WHEN length(h) >= 4
+              THEN list_transform(range(1, length(h) - 2), i -> list_min(h[i:i+3]))
+              WHEN length(h) > 0 THEN [list_min(h)]
+              ELSE []::BIGINT[] END AS fps
+  FROM hashed
+)
+SELECT DISTINCT doc_id, unnest(fps) AS fp FROM mins
+"""
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH fps AS MATERIALIZED ({_WINNOW_FPS})
+SELECT c.doc_id, b.doc_id AS bench_id, count(*)::BIGINT AS n_shared
+FROM fps c JOIN fps b ON c.fp = b.fp AND b.doc_id % 97 = 0 AND c.doc_id <> b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
