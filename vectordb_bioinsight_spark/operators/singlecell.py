@@ -289,7 +289,12 @@ def doublet_scores(
 
     if ann not in ("gemm", "ivf"):
         raise ValueError(f"unknown ann path {ann!r}")
-    sims = simulate_doublets(cells, id_col, vec_col, sim_passes=sim_passes, seed=seed)
+    # the union below is consumed TWICE (kNN candidates + the is_sim flag
+    # join); pin the small simulated frame so its per-bucket windows run
+    # once, not per consumer
+    sims = simulate_doublets(
+        cells, id_col, vec_col, sim_passes=sim_passes, seed=seed
+    ).localCheckpoint(eager=True)
     numeric_ids = dict(cells.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     sim_id = (
         F.col("sim_id")
