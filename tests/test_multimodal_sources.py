@@ -170,3 +170,48 @@ def test_resize_images_plumbing(spark):
     assert all(r["width"] == 4 and r["height"] == 3 for r in out)
     again = resize_images(media.repartition(5), 4, 3).orderBy("media_id").collect()
     assert [bytes(r["resized"]) for r in out] == [bytes(r["resized"]) for r in again]
+
+
+def _mini_pdf(paragraphs: list[str]) -> bytes:
+    import zlib
+
+    shows = b" T* T* ".join(
+        b" T* ".join(b"(" + line.encode("latin-1") + b") Tj" for line in para.split("\n"))
+        for para in [p.replace("(", "\\(").replace(")", "\\)") for p in paragraphs]
+    )
+    content = b"BT /F1 12 Tf 72 720 Td " + shows + b" ET"
+    stream = zlib.compress(content)
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length " + str(len(stream)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + stream
+        + b"\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF"
+    )
+
+
+def test_parse_pdf_binary_end_to_end_sections(spark):
+    """S3 real path without PyMuPDF: synthesize a FlateDecode PDF, decode it
+    distributed (mapInPandas), then structure sections JVM-side."""
+    from vectordb_bioinsight_spark.sources.readers import (
+        parse_pdf_binary,
+        sections_from_text,
+    )
+
+    pdf = _mini_pdf(
+        [
+            "Introduction\nThis paper studies distributed joins.",
+            "Methods\nWe use hash partitioning (fast) everywhere.",
+        ]
+    )
+    df = spark.createDataFrame([(1, bytearray(pdf)), (2, None)], ["media_id", "payload"])
+    decoded = parse_pdf_binary(df)
+    rows = {r["id"]: r for r in decoded.collect()}
+    assert "distributed joins" in rows[1]["text"]
+    assert rows[1]["n_chars"] > 50 and rows[2]["n_chars"] == 0
+    secs = sections_from_text(decoded.filter("id = 1"), "id", "text").collect()
+    headers = [s["header"] for s in secs]
+    assert "Introduction" in headers and "Methods" in headers
+    bodies = " ".join(s["body"] for s in secs)
+    assert "hash partitioning (fast)" in bodies

@@ -132,19 +132,122 @@ def read_maf(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _pdf_unescape(raw: bytes) -> str:
+    """Unescape a PDF () string literal body (\n, \t, \(, \), \\, octal)."""
+    out = bytearray()
+    i = 0
+    esc = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+           ord("("): 40, ord(")"): 41, ord("\\"): 92}
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):  # backslash
+            n = raw[i + 1]
+            if n in esc:
+                out.append(esc[n]); i += 2; continue
+            if 0x30 <= n <= 0x37:  # up to 3 octal digits
+                j = i + 1
+                digs = b""
+                while j < len(raw) and len(digs) < 3 and 0x30 <= raw[j] <= 0x37:
+                    digs += bytes([raw[j]]); j += 1
+                out.append(int(digs, 8) & 0xFF); i = j; continue
+            i += 1; continue  # line continuation / unknown escape: drop backslash
+        out.append(c); i += 1
+    return out.decode("latin-1")
+
+
+def extract_pdf_text_minimal(data: bytes) -> str:
+    """Pure-stdlib PDF text extraction for text-first PDFs.
+
+    Walks every ``stream``...``endstream`` span, inflates FlateDecode
+    streams (zlib) or takes them raw, then scans BT/ET text objects for the
+    string-showing operators: ``(s) Tj``, ``(s) '``, ``(s) "``, and
+    ``[...] TJ`` arrays. Text-positioning ops (Td/TD/T*) emit newlines so
+    paragraph structure survives into ``sections_from_text``.
+
+    Scope (documented, honest): latin-1 byte strings and hex strings —
+    no CMap/ToUnicode handling, no encryption, no LZW. That covers the
+    plain text-layer PDFs the reference's pdf_parser targets; PyMuPDF (when
+    installed) remains the full-fidelity path.
+    """
+    import re
+    import zlib
+
+    texts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, re.DOTALL):
+        body = m.group(1)
+        try:
+            content = zlib.decompress(body)
+        except Exception:  # noqa: BLE001 - raw (uncompressed) stream
+            content = body
+        for bt in re.finditer(rb"BT(.*?)ET", content, re.DOTALL):
+            chunk = bt.group(1)
+            pos = 0
+            parts: list[str] = []
+            # token scan: () literals, <> hex strings, and operators
+            for tok in re.finditer(
+                rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]+>|T\*|Td|TD|Tj|TJ|'|\"", chunk
+            ):
+                t = tok.group(0)
+                if t.startswith(b"("):
+                    parts.append(_pdf_unescape(t[1:-1]))
+                elif t.startswith(b"<"):
+                    hx = re.sub(rb"\s", b"", t[1:-1])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    parts.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+                elif t in (b"T*", b"Td", b"TD", b"'", b'\"'):
+                    parts.append("\n")
+                pos = tok.end()
+            text = "".join(parts)
+            if text.strip():
+                texts.append(text)
+    return "\n".join(texts)
+
+
 def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
-    """S3 PDF parse — real path requires PyMuPDF (not shipped here): decode
-    payload bytes per executor inside mapInPandas. Raises NotImplementedError
-    without the lib; the text-side section structuring that follows the
-    decode is ``sections_from_text`` (fully implemented, JVM-side)."""
-    try:
-        import fitz  # type: ignore[import-not-found]  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF decode requires PyMuPDF on executors (pdf_parser.py:452-511 "
-            "semantics); structure already-extracted text with sections_from_text"
-        ) from exc
-    raise NotImplementedError("real PyMuPDF path not wired in this environment")
+    """S3 PDF parse: decode payload bytes per executor inside mapInPandas.
+
+    Uses PyMuPDF when importable on executors (the reference's
+    pdf_parser.py:452-511 path); otherwise falls back to the built-in
+    pure-stdlib extractor (:func:`extract_pdf_text_minimal` — FlateDecode +
+    BT/ET operator scan; limitations documented there). Either way the
+    downstream section structuring is ``sections_from_text`` (JVM-side).
+
+    Output: (id, text, n_chars).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def decode(batches):  # noqa: ANN001
+        try:
+            import fitz  # type: ignore[import-not-found]
+
+            def one(data: bytes) -> str:
+                doc = fitz.open(stream=data, filetype="pdf")
+                return "\n".join(page.get_text() for page in doc)
+        except ImportError:
+            one = extract_pdf_text_minimal
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = [one(bytes(b)) if b is not None else "" for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "text": texts,
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, out_schema)
 
 
 def sections_from_text(
@@ -161,16 +264,20 @@ def sections_from_text(
     Output: (id, section_idx, header, body).
     """
     sections = F.split(F.col(text_col), r"\n\s*\n")
+    # NB: F.trim strips SPACES only — newline-aware trimming needs a regex
+    ws_trim = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")  # noqa: E731
     exploded = df.select(
-        F.col(id_col), F.posexplode(sections).alias("section_idx", "_sec")
-    ).filter(F.length(F.trim(F.col("_sec"))) > 0)
+        F.col(id_col), F.posexplode(sections).alias("section_idx", "_raw_sec")
+    ).withColumn("_sec", ws_trim(F.col("_raw_sec"))).filter(F.length(F.col("_sec")) > 0)
+    # header from the TRIMMED section: a leading newline (e.g. from a PDF
+    # text-positioning op) must not blank the first line
     first_line = F.trim(F.substring_index(F.col("_sec"), "\n", 1))
     header = F.when(F.length(first_line) <= max_header_chars, first_line).otherwise(F.lit(""))
     return exploded.select(
         id_col,
         "section_idx",
         header.alias("header"),
-        F.trim(F.col("_sec")).alias("body"),
+        F.col("_sec").alias("body"),
     )
 
 
