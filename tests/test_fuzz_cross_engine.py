@@ -298,3 +298,35 @@ def test_random_setops_match_duckdb(spark, arows, brows, op):
     con.register("b", bp)
     want = con.execute(sql).df()
     compare_frames(fn(a, b).toPandas(), want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+                + list(" .,;:!?-_()[]'\"/\\\n\t")
+                + list("àéèïîøüçñöß")
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fuzz_tokenizer_cross_engine(spark, texts):
+    """tokenize == tokenize_duckdb over the portable ASCII+Latin-1 domain —
+    the contract every text-op oracle in the catalog rests on. (Known
+    out-of-domain divergence: U+0130, documented on tokenize.)"""
+    from vectordb_bioinsight_spark.functions.text import tokenize, tokenize_duckdb
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    sp = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokenize(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        dk = con.execute(f"SELECT {tokenize_duckdb('$1::VARCHAR')}", [t]).fetchone()[0]
+        assert sp[i] == dk, (t, sp[i], dk)

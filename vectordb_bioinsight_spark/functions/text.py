@@ -31,7 +31,14 @@ def _c(col: Column | str) -> Column:
 
 
 def tokenize(col: Column | str, min_len: int = 3) -> Column:
-    """array<string> of lowercase alnum tokens with length >= min_len."""
+    """array<string> of lowercase alnum tokens with length >= min_len.
+
+    Cross-engine contract (fuzz-pinned in tests/test_fuzz_cross_engine.py):
+    byte-identical to :func:`tokenize_duckdb` for ASCII and Latin-1 text.
+    Known divergence outside it: Java ``lower`` maps U+0130 'İ' to
+    'i'+combining-dot (splitting the token) where DuckDB maps it to plain
+    'i' — locale-sensitive casing is out of the portable contract; strip or
+    transliterate such input upstream when it matters."""
     return F.filter(
         F.split(F.lower(_c(col)), "[^a-z0-9]+"),
         lambda t: F.length(t) >= min_len,
