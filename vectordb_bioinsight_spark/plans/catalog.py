@@ -31,73 +31,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
 #: entries per round, so ordering is rotated each round to spread external
-#: verification across the whole catalog. Round 2 front-loads everything the
-#: round-1 driver did NOT check (singlecell, multimodal, coverage, stats,
-#: sampling, vector-scale, then the TPC-H shape sweep) plus this round's new
-#: operators; the 48 entries already driver-green in CORRECTNESS_r01.json sit
-#: at the back. Rows-only entries also sit late (they get the weaker check
-#: regardless of position).
+#: verification across the whole catalog. Round 3 front-loads (a) new
+#: round-3 operators, (b) the 18 entries NEVER driver-checked (positions
+#: >50 in both the r01 and r02 orderings: the tail of the TPC-H shape
+#: sweep plus the rows-only tier), then (c) the round-1-green set (stalest
+#: external verification), and finally (d) the round-2 window (freshest).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === round-2 driver window: previously unverified families first ===
-    # --- stats / scoring / classification (no r01 driver row) ---
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
-    # --- multimodal payload plumbing ---
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    # --- single-cell analogs ---
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),  # NEW round 2 (M12)
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),  # NEW round 2 (M11)
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    # --- text / retrieval entries without an r01 driver row ---
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),  # NEW round 2 (V11)
-    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),  # NEW round 2 (F10)
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),  # NEW round 2 (Gopher rules)
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),  # NEW round 2 (perplexity filter)
-    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),  # NEW round 2
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    "label_map_2d": (vec.q_label_map_2d, None),  # NEW round 2 (V10): SVD has no SQL twin
-    # --- network: oracle-bearing 4-metric hub blend (NEW round 2) ---
-    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
-    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),  # NEW round 2
-    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),  # NEW round 2 (M11 PAGA analog)
-    # --- SURVEY coverage fill-ins ---
-    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
-    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
-    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
-    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
-    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
-    # --- deterministic sampling / splitting (training-data pipeline tier) ---
-    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
-    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
-    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
-    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
-    # --- vector scale paths ---
-    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
-    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    # --- TPC-H shape sweep (SURVEY §2.3/2.4/2.7 declared coverage) ---
-    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
-    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
-    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
-    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
-    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
-    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
-    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
-    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
+    # === round-3 driver window ===
+    # --- TPC-H shape sweep tail (never driver-checked in r01/r02) ---
     "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
     "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
@@ -118,13 +59,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # === rows-only entries (weaker check regardless of position) ===
-    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only
+    # --- rows-only tier, never driver-checked (weaker check regardless) ---
     "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
     "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
     "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
-    # === driver-green in round 1 (CORRECTNESS_r01.json) — back of the rotation ===
+    # === round-1-green set (stalest external verification) — re-verify ===
     # --- relational core (TPC-H-shaped) ---
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
@@ -180,6 +120,67 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- stats / scoring / classification ---
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
+    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only (r01-checked)
+    # === round-2 window (freshest external verification) — back of rotation ===
+    # --- stats / scoring / classification ---
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
+    # --- multimodal payload plumbing ---
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    # --- single-cell analogs ---
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    # --- text / retrieval ---
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    "label_map_2d": (vec.q_label_map_2d, None),  # SVD has no SQL twin: rows-only
+    # --- network ---
+    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
+    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
+    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
+    # --- SURVEY coverage fill-ins ---
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    # --- deterministic sampling / splitting ---
+    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
+    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
+    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    # --- vector scale paths ---
+    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    # --- TPC-H shape sweep (head, r02-checked) ---
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
 }
 
 
