@@ -1,0 +1,142 @@
+"""Unit tests for the corpus-cleaning tier (operators/cleaning.py):
+PII redaction, line splitting, C4 line-quality rules, global line dedup,
+and ordered reassembly — all on hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.cleaning import (
+    global_line_dedup,
+    line_quality_filter,
+    line_quality_flags,
+    reassemble_documents,
+    redact_pii,
+    split_lines,
+    token_lines,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRedactPii:
+    def test_masks_and_counts(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "mail me at jane.doe+x@lab.example.org or 555-867-5309 now"),
+                (2, "server 192.168.0.1 and ssn 123-45-6789"),
+                (3, "clean text with no pii at all"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+        assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1)
+        assert out[1]["text_redacted"] == "mail me at <EMAIL> or <PHONE> now"
+        assert (out[2]["n_ipv4"], out[2]["n_ssn"]) == (1, 1)
+        assert out[2]["text_redacted"] == "server <IP> and ssn <ID>"
+        assert out[3]["text_redacted"] == "clean text with no pii at all"
+        assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_ipv4"] == 0
+
+    def test_multiple_matches_counted(self, spark):
+        df = _docs(spark, [(1, "a@b.co c@d.io e@f.org")])
+        row = redact_pii(df, "doc_id", "text").collect()[0]
+        assert row["n_email"] == 3
+        assert row["text_redacted"] == "<EMAIL> <EMAIL> <EMAIL>"
+
+
+class TestLineFrames:
+    def test_split_lines_drops_blank(self, spark):
+        df = _docs(spark, [(1, "first line\n\n  \nsecond line")])
+        rows = split_lines(df, "doc_id", "text").orderBy("line_no").collect()
+        assert [(r["line_no"], r["line"]) for r in rows] == [
+            (0, "first line"),
+            (3, "second line"),
+        ]
+
+    def test_token_lines_fixed_width(self, spark):
+        df = _docs(spark, [(1, "a b c d e f g h")])
+        rows = token_lines(df, "doc_id", "text", 3).orderBy("line_no").collect()
+        assert [r["line"] for r in rows] == ["a b c", "d e f", "g h"]
+
+
+class TestLineQuality:
+    def test_rules(self, spark):
+        lines = spark.createDataFrame(
+            [
+                (1, 0, "this line has plenty of words"),  # keep
+                (2, 0, "too short"),  # < min_words
+                (3, 0, "buy buy buy buy now now"),  # modal token 4/6 > 0.5
+                (4, 0, "enable javascript to view this page"),  # banned
+                (5, 0, "spam spam other words here ok"),  # modal 2/6 <= 0.5: keep
+            ],
+            "doc_id long, line_no int, line string",
+        )
+        flags = {
+            r["doc_id"]: r["keep"]
+            for r in line_quality_flags(lines, min_words=5).collect()
+        }
+        assert flags == {1: True, 2: False, 3: False, 4: False, 5: True}
+        kept = line_quality_filter(lines, min_words=5).collect()
+        assert sorted(r["doc_id"] for r in kept) == [1, 5]
+        assert set(kept[0].asDict()) == {"doc_id", "line_no", "line"}
+
+    def test_top_token_share_value(self, spark):
+        lines = spark.createDataFrame(
+            [(1, 0, "x x x y y z")], "doc_id long, line_no int, line string"
+        )
+        row = line_quality_flags(lines).collect()[0]
+        assert row["n_words"] == 6
+        assert row["top_token_share"] == 0.5
+
+
+class TestGlobalLineDedup:
+    def test_threshold_and_normalization(self, spark):
+        # "Nav Bar" appears (case/space-varied) in 3 docs -> dropped at df>2;
+        # "unique N" lines survive; "shared" appears in only 2 docs -> kept.
+        lines = spark.createDataFrame(
+            [
+                (1, 0, "Nav Bar"),
+                (1, 1, "unique one"),
+                (2, 0, "nav bar"),
+                (2, 1, "shared tail"),
+                (3, 0, "  NAV BAR  "),
+                (3, 1, "shared tail"),
+            ],
+            "doc_id long, line_no int, line string",
+        )
+        kept = global_line_dedup(lines, max_doc_freq=2).collect()
+        kept_set = {(r["doc_id"], r["line"].strip()) for r in kept}
+        assert kept_set == {
+            (1, "unique one"),
+            (2, "shared tail"),
+            (3, "shared tail"),
+        }
+        assert set(kept[0].asDict()) == {"doc_id", "line_no", "line"}
+
+    def test_reassemble_preserves_order(self, spark):
+        lines = spark.createDataFrame(
+            [(1, 2, "c"), (1, 0, "a"), (1, 1, "b"), (2, 5, "only")],
+            "doc_id long, line_no int, line string",
+        )
+        out = {r["doc_id"]: r for r in reassemble_documents(lines).collect()}
+        assert out[1]["text_clean"] == "a\nb\nc"
+        assert out[1]["n_lines_kept"] == 3
+        assert out[2]["text_clean"] == "only"
+
+
+class TestPlanShape:
+    def test_no_python_udfs_in_cleaning_plans(self, spark):
+        """The whole tier must stay JVM-side (SCALING.md rule 7)."""
+        df = _docs(spark, [(1, "a b c d e f g h")])
+        lines = token_lines(df, "doc_id", "text", 3)
+        full = reassemble_documents(
+            global_line_dedup(line_quality_filter(lines, min_words=1), max_doc_freq=5)
+        )
+        plan = full._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        red = redact_pii(df, "doc_id", "text")
+        plan2 = red._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2

@@ -1,0 +1,230 @@
+"""Corpus-cleaning operators for LLM training-data prep — BASELINE extension.
+
+Three cleaning tiers a 100 TB pretraining pipeline runs between ingest and
+dedup (all from the public C4 / Dolma recipes — Raffel et al. 2020 §2.2,
+Soldaini et al. 2024 — generalizing the reference's junk-content predicate,
+backend/app/core/text_splitter.py:123-179):
+
+1. **PII redaction** (`redact_pii`): regex detection + masking of emails,
+   phone numbers, IPv4 addresses and SSN-shaped ids. A pure JVM projection
+   (`regexp_count` / `regexp_replace`) — embarrassingly parallel, zero
+   shuffle, and the patterns are restricted to the RE2-compatible subset so
+   the DuckDB oracle twin matches byte-for-byte.
+2. **Line-level quality filtering** (`line_quality_filter`): C4's line rules
+   (minimum word count, banned substrings, single-token domination — the
+   "word word word" failure mode) over a long `(doc_id, line_no, line)`
+   frame. Filter first, THEN reassemble: the filter is a projection over the
+   exploded frame, and reassembly is one map-side-combinable groupBy.
+3. **Global line dedup** (`global_line_dedup`): Dolma-style removal of lines
+   that repeat across too many documents (boilerplate headers, nav bars).
+   Doc-frequency by 64-bit *hash* of the normalized line — the shuffle key
+   is 8 bytes, never the line text — then a shuffle hash join back. Both
+   sides partial-aggregate, so the 100 TB cost is ~2 narrow shuffles of
+   (hash, count) pairs.
+
+Scale notes: nothing here collects, nothing is quadratic, and every rule is
+a JVM column expression (no Python in the hot path). The only shuffles are
+the groupBys in (2)-(3), all on bounded-width keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+#: RE2-compatible PII patterns (same semantics under Java regex and DuckDB's
+#: RE2 — no backrefs, no lookaround). Order matters: emails before phones so
+#: digits inside a masked token are not re-matched.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Detect and mask PII in ``text_col``.
+
+    Output: ``(doc_id, n_<kind>... one count column per pattern,
+    text_redacted)``. Counts are taken BEFORE masking (on the original
+    text), then masks are applied in dict order so earlier masks cannot
+    create or destroy later matches of the same text region.
+
+    One projection, no shuffle — safe to run as the first pass over a
+    100 TB corpus with column pruning intact.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    cols = [F.col(id_col).alias("doc_id")]
+    for kind, (rx, _mask) in pats.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(rx)).alias(f"n_{kind}"))
+    redacted = F.col(text_col)
+    for _kind, (rx, mask) in pats.items():
+        redacted = F.regexp_replace(redacted, rx, mask)
+    cols.append(redacted.alias("text_redacted"))
+    return df.select(*cols)
+
+
+def split_lines(df: DataFrame, id_col: str, text_col: str, delim: str = "\n") -> DataFrame:
+    """Explode documents into a long ``(doc_id, line_no, line)`` frame.
+
+    Blank/whitespace-only lines are dropped (they carry no signal and would
+    all hash-collide in :func:`global_line_dedup`). ``line_no`` is the
+    0-based position in the ORIGINAL document so cleaned text can be
+    reassembled in order.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    )
+    return exploded.where(F.trim(F.col("line")) != "")
+
+
+def token_lines(df: DataFrame, id_col: str, text_col: str, words_per_line: int) -> DataFrame:
+    """Deterministic fixed-width "lines" for corpora without newlines: split
+    on whitespace and group every ``words_per_line`` consecutive tokens.
+
+    Same output shape as :func:`split_lines`. Pure JVM (split + sequence +
+    slice + array_join) — no collect_list ordering hazard, no Python.
+    """
+    n = F.lit(words_per_line)
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    lines = staged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.size("_toks") / n.cast("double")).cast("int") - 1)
+        ).alias("line_no"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        "line_no",
+        F.array_join(F.slice(F.col("_toks"), F.col("line_no") * n + 1, words_per_line), " ").alias(
+            "line"
+        ),
+    )
+    return lines.where(F.trim(F.col("line")) != "")
+
+
+def line_quality_flags(
+    lines: DataFrame,
+    min_words: int = 5,
+    banned_substrings: tuple[str, ...] = ("javascript", "lorem ipsum", "{"),
+    max_top_token_share: float = 0.5,
+) -> DataFrame:
+    """C4-style per-line quality rules as a ``keep`` flag.
+
+    Rules (all JVM expressions over the line string):
+      * ``n_words >= min_words`` — fragments carry little training signal;
+      * no banned substring (case-insensitive) — the C4 boilerplate list;
+      * the most frequent token must not exceed ``max_top_token_share`` of
+        the line — kills "word word word word" degenerate lines (the
+        line-local analog of the Gopher repetition gate).
+
+    Output: input columns + ``(n_words, top_token_share, keep)``.
+    top_token_share is computed with one sort of the line's token array —
+    O(L log L) per line, L bounded by line length, no shuffle.
+    """
+    toks = F.split(F.trim(F.col("line")), r"\s+")
+    n_words = F.size(toks)
+    # count the modal token via sorted-run scan: sort the array, then the
+    # longest run of equal adjacent tokens is the max count
+    sorted_toks = F.array_sort(toks)
+    run_struct = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_share = F.when(n_words > 0, run_struct["best"].cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    lower = F.lower(F.col("line"))
+    banned_hit = F.lit(False)
+    for s in banned_substrings:
+        banned_hit = banned_hit | lower.contains(s.lower())
+    return lines.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(top_share, 6).alias("top_token_share"),
+        (
+            (n_words >= F.lit(min_words))
+            & ~banned_hit
+            & (top_share <= F.lit(max_top_token_share))
+        ).alias("keep"),
+    )
+
+
+def line_quality_filter(lines: DataFrame, **kwargs) -> DataFrame:
+    """Keep only lines passing :func:`line_quality_flags`, original columns."""
+    flagged = line_quality_flags(lines, **kwargs)
+    return flagged.where(F.col("keep")).select(*lines.columns)
+
+
+def global_line_dedup(
+    lines: DataFrame,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Dolma-style global line dedup: drop lines whose *normalized* form
+    occurs in more than ``max_doc_freq`` distinct documents.
+
+    Plan shape (the part that must survive 100 TB):
+      1. ``line_key = portable_hash64(lower(trim(line)))`` — the shuffle and
+         join key is 8 bytes; the full line text never shuffles twice.
+      2. doc-frequency: ``groupBy(line_key).agg(countDistinct(doc_id))`` —
+         two-stage (partial distinct per map task, merge on reduce).
+      3. shuffle hash join back on ``line_key`` and filter. The frequency
+         side is (n_distinct_lines × 16 bytes); for boilerplate-heavy
+         corpora it is FAR smaller than the lines frame, and Spark's AQE
+         will broadcast it when it fits.
+
+    Output: the input columns, restricted to surviving lines.
+    """
+    key = portable_hash64(F.lower(F.trim(F.col("line"))))
+    keyed = lines.select("*", key.alias("_line_key"))
+    freq = (
+        keyed.groupBy("_line_key")
+        .agg(F.countDistinct("doc_id").alias("_line_df"))
+        .where(F.col("_line_df") > max_doc_freq)
+    )
+    survivors = keyed.join(freq, "_line_key", "left_anti")
+    return survivors.select(*lines.columns)
+
+
+def reassemble_documents(lines: DataFrame) -> DataFrame:
+    """Rebuild ``(doc_id, text_clean, n_lines_kept)`` from a cleaned lines
+    frame, preserving original line order.
+
+    Uses sort_array over (line_no, line) structs inside one groupBy — a
+    single map-side-combinable shuffle, no window over raw lines.
+    """
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count("*").alias("n_lines_kept"),
+        )
+    )

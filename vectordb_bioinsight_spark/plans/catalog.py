@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vectordb_bioinsight_spark.plans import catalog_cleaning as cl
 from vectordb_bioinsight_spark.plans import catalog_coverage as cov
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
@@ -38,6 +39,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: external verification), and finally (d) the round-2 window (freshest).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === round-3 driver window ===
+    # --- NEW round 3: corpus-cleaning tier (C4/Dolma hygiene) ---
+    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
     # --- TPC-H shape sweep tail (never driver-checked in r01/r02) ---
     "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),

@@ -1,0 +1,199 @@
+"""Catalog entries for the corpus-cleaning tier (operators/cleaning.py).
+
+PII redaction, C4-style line-quality filtering, and Dolma-style global line
+dedup, each hash-checked against a DuckDB twin on the synthetic `documents`
+table. The synthetic corpus has no newlines and no real PII, so:
+
+* `pii_redact` PLANTS deterministic PII (email/phone/IP/SSN derived from
+  doc_id) identically on both engines, then checks the detection counts and
+  the md5 of the masked text — the regex machinery is what is under test;
+* the line ops derive deterministic fixed-width 6-token "lines"
+  (`operators.cleaning.token_lines`) identically on both engines — the
+  word-soup corpus gives a healthy mix of dropped short/degenerate lines
+  and cross-document duplicate lines (measured: ~212 duplicated 6-token
+  lines, max doc-frequency 7, at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
+from vectordb_bioinsight_spark.operators.cleaning import (
+    PII_PATTERNS,
+    global_line_dedup,
+    line_quality_flags,
+    reassemble_documents,
+    redact_pii,
+    token_lines,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+
+def _plant_pii(docs):
+    """Append deterministic doc_id-derived PII to every document (and a
+    second email to every third doc, so counts are not constant)."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-1234 host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 id 123-45-6789"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc a@b.io")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detection + masking (C4/Dolma hygiene tier): counts per kind on
+    the original text, md5 of the fully masked text. Pure JVM projection —
+    see operators/cleaning.py:redact_pii."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    red = redact_pii(_plant_pii(docs), "doc_id", "text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "n_ssn",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+_PLANT_SQL = (
+    "text || ' contact u' || doc_id::VARCHAR || '@example.com tel 555-' || "
+    "lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-1234 host 10.0.' || "
+    "(doc_id % 256)::VARCHAR || '.7 id 123-45-6789' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' cc a@b.io' ELSE '' END"
+)
+
+_E_RX, _E_MASK = PII_PATTERNS["email"]
+_P_RX, _P_MASK = PII_PATTERNS["phone"]
+_I_RX, _I_MASK = PII_PATTERNS["ipv4"]
+_S_RX, _S_MASK = PII_PATTERNS["ssn"]
+
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, "
+    + f"'{_E_RX}', '{_E_MASK}', 'g'), "
+    + f"'{_P_RX}', '{_P_MASK}', 'g'), "
+    + f"'{_I_RX}', '{_I_MASK}', 'g'), "
+    + f"'{_S_RX}', '{_S_MASK}', 'g')"
+)
+
+SQL_PII_REDACT = f"""
+WITH p AS (
+  SELECT doc_id, {_PLANT_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_E_RX}'))::INT AS n_email,
+       len(regexp_extract_all(t, '{_P_RX}'))::INT AS n_phone,
+       len(regexp_extract_all(t, '{_I_RX}'))::INT AS n_ipv4,
+       len(regexp_extract_all(t, '{_S_RX}'))::INT AS n_ssn,
+       md5({_REDACT_SQL}) AS redacted_md5
+FROM p
+"""
+
+# ---------------------------------------------------------------------------
+# line_quality_stats
+# ---------------------------------------------------------------------------
+
+_WPL = 6  # words per synthetic line
+_MIN_WORDS = 4
+_MAX_SHARE = 0.5
+
+
+def q_line_quality_stats(spark, sf_dir):
+    """C4-style line filtering over deterministic 6-token lines: per-doc
+    kept/total counts. Rules: >=4 words, no banned substring, modal token
+    <= half the line. See operators/cleaning.py:line_quality_flags."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = token_lines(docs, "doc_id", "text", _WPL)
+    flagged = line_quality_flags(lines, min_words=_MIN_WORDS, max_top_token_share=_MAX_SHARE)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(F.sum(F.col("keep").cast("double")) / F.count("*"), 6).alias("kept_ratio"),
+    )
+
+
+_LINES_CTE = f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+l AS (
+  SELECT doc_id, i::INT AS line_no, toks[(i*{_WPL}+1):((i+1)*{_WPL})] AS ltoks
+  FROM d, unnest(generate_series(0, CAST(ceil(len(toks)/{_WPL}.0) AS INT) - 1)) AS t(i)
+),
+nz AS (
+  SELECT doc_id, line_no, ltoks, len(ltoks) AS n_words,
+         array_to_string(ltoks, ' ') AS line
+  FROM l WHERE trim(array_to_string(ltoks, ' ')) <> ''
+)"""
+
+SQL_LINE_QUALITY_STATS = f"""
+WITH {_LINES_CTE},
+tok AS (SELECT doc_id, line_no, unnest(ltoks) AS tok FROM nz),
+tc AS (
+  SELECT doc_id, line_no, max(cnt) AS max_cnt FROM (
+    SELECT doc_id, line_no, tok, count(*) AS cnt FROM tok GROUP BY doc_id, line_no, tok
+  ) GROUP BY doc_id, line_no
+),
+flag AS (
+  SELECT nz.doc_id,
+         CASE WHEN n_words >= {_MIN_WORDS}
+               AND NOT (lower(line) LIKE '%javascript%'
+                        OR lower(line) LIKE '%lorem ipsum%'
+                        OR line LIKE '%{{%')
+               AND max_cnt::DOUBLE / n_words <= {_MAX_SHARE}
+              THEN 1 ELSE 0 END AS keep
+  FROM nz JOIN tc USING (doc_id, line_no)
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines, sum(keep)::BIGINT AS n_kept,
+       round(sum(keep)::DOUBLE / count(*), 6) AS kept_ratio
+FROM flag GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# line_dedup_global
+# ---------------------------------------------------------------------------
+
+_MAX_DF = 2
+
+
+def q_line_dedup_global(spark, sf_dir):
+    """Dolma-style global line dedup over the same 6-token lines: drop lines
+    present in > 2 distinct docs, reassemble in order, hash the result.
+    Shuffle keys are 8-byte line hashes — see operators/cleaning.py:
+    global_line_dedup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = token_lines(docs, "doc_id", "text", _WPL)
+    survivors = global_line_dedup(lines, max_doc_freq=_MAX_DF)
+    rebuilt = reassemble_documents(survivors)
+    return rebuilt.select(
+        "doc_id", "n_lines_kept", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+_LINE_KEY = PORTABLE_HASH64_DUCKDB.format(expr="lower(trim(line))")
+
+SQL_LINE_DEDUP_GLOBAL = f"""
+WITH {_LINES_CTE},
+freq AS (
+  SELECT {_LINE_KEY} AS k, count(DISTINCT doc_id) AS df
+  FROM nz GROUP BY 1
+),
+surv AS (
+  SELECT doc_id, line_no, line FROM nz
+  WHERE {_LINE_KEY} NOT IN (SELECT k FROM freq WHERE df > {_MAX_DF})
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+       md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+FROM surv GROUP BY doc_id
+"""
