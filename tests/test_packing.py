@@ -1,0 +1,154 @@
+"""Training-batch tier: sequence packing + data-mixture sampling
+(operators/packing.py). Catalog-level DuckDB parity is covered by
+test_oracle_parity; these tests pin the operator semantics on small frames
+with hand-checkable answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.packing import (
+    mixture_weight_sample,
+    pack_concat_chunk,
+    pack_next_fit,
+    packing_stats,
+    with_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # texts with known whitespace/BPE token counts
+    rows = [
+        (0, "a b c d", "s1"),          # 4 ws tokens
+        (1, "e f g", "s1"),            # 3
+        (2, "h i j k l m n o", "s2"),  # 8
+        (3, "", "s2"),                 # 0
+        (4, "p q r s t u", "s3"),      # 6
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_counts_ws(docs):
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in with_token_counts(docs, "doc_id", "text", counter="ws").collect()
+    }
+    assert out == {0: 4, 1: 3, 2: 8, 3: 0, 4: 6}
+
+
+def test_with_token_counts_rejects_unknown_counter(docs):
+    with pytest.raises(ValueError):
+        with_token_counts(docs, "doc_id", "text", counter="nope")
+
+
+def test_concat_chunk_spans(docs):
+    # one shard => a single global stream in doc_id order; seq_len 5
+    packed = {
+        r["doc_id"]: r.asDict()
+        for r in pack_concat_chunk(
+            docs, "doc_id", "text", seq_len=5, n_shards=1, counter="ws"
+        ).collect()
+    }
+    # stream: doc0 tokens [0,4) seq0; doc1 [4,7) spans seq0-1; doc2 [7,15)
+    # spans seq1-2; doc3 empty at 15 (seq3 start); doc4 [15,21) spans 3-4
+    assert packed[0]["tok_start"] == 0 and packed[0]["seq_first"] == 0
+    assert packed[0]["seq_last"] == 0
+    assert packed[1]["tok_start"] == 4 and packed[1]["seq_first"] == 0
+    assert packed[1]["seq_offset"] == 4 and packed[1]["seq_last"] == 1
+    assert packed[2]["tok_start"] == 7 and packed[2]["seq_first"] == 1
+    assert packed[2]["seq_last"] == 2
+    # empty doc occupies no tokens: span collapses to its start position
+    assert packed[3]["n_tokens"] == 0 and packed[3]["seq_first"] == packed[3]["seq_last"] == 3
+    assert packed[4]["tok_start"] == 15 and packed[4]["seq_last"] == 4
+
+
+def test_concat_chunk_shard_independence(docs):
+    # multi-shard: tok_start restarts per shard, and every doc appears once
+    packed = pack_concat_chunk(docs, "doc_id", "text", seq_len=5, n_shards=3, counter="ws")
+    rows = packed.collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3, 4]
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["doc_id"])
+        assert members[0]["tok_start"] == 0
+        acc = 0
+        for m in members:
+            assert m["tok_start"] == acc
+            acc += m["n_tokens"]
+
+
+def test_packing_stats(docs):
+    packed = pack_concat_chunk(docs, "doc_id", "text", seq_len=5, n_shards=1, counter="ws")
+    stats = packing_stats(packed, 5).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    # 21 tokens over 5 sequences of 5 => fill 21/25; docs 1, 2, 4 straddle
+    assert s["n_docs"] == 5 and s["total_tokens"] == 21
+    assert s["n_seqs"] == 5 and s["n_split_docs"] == 3
+    assert s["fill_ratio"] == pytest.approx(21 / 25, abs=1e-6)
+
+
+def test_next_fit_no_split(docs):
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pack_next_fit(
+            docs, "doc_id", "text", seq_len=8, n_shards=1, counter="ws"
+        ).collect()
+    }
+    # doc0 (4) -> seq0 acc4; doc1 (3) -> seq0 acc7; doc2 (8) overflows -> seq1
+    # acc8; doc3 (0) fits seq1; doc4 (6) overflows -> seq2
+    assert out[0]["seq_id"] == 0 and out[1]["seq_id"] == 0
+    assert out[2]["seq_id"] == 1 and not out[2]["truncated"]
+    assert out[3]["seq_id"] == 1
+    assert out[4]["seq_id"] == 2
+    # a doc longer than seq_len gets its own sequence, flagged
+    big = docs.sparkSession.createDataFrame(
+        [(0, "x " * 9 + "x", "s")], "doc_id long, text string, source string"
+    )
+    r = pack_next_fit(big, "doc_id", "text", seq_len=8, n_shards=1, counter="ws").collect()[0]
+    assert r["truncated"] and r["seq_id"] == 0
+
+
+def test_next_fit_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        pack_next_fit(docs, "doc_id", "text", seq_len=0)
+    with pytest.raises(ValueError):
+        pack_concat_chunk(docs, "doc_id", "text", seq_len=10, n_shards=0)
+
+
+def test_mixture_integer_weights(docs):
+    out = mixture_weight_sample(
+        docs, "doc_id", "source", {"s1": 2.0, "s2": 0.0}, default_weight=1.0
+    )
+    rows = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    by_src = {r["source"]: r["n"] for r in rows}
+    # s1: 2 docs x2 copies; s2 dropped entirely; s3 default x1
+    assert by_src == {"s1": 4, "s3": 1}
+    # copy ids are 0-based and dense per doc
+    copies = sorted(
+        (r["doc_id"], r["copy_id"]) for r in out.filter(F.col("source") == "s1").collect()
+    )
+    assert copies == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_mixture_fractional_determinism(spark):
+    # expected multiplicity of weight 1.5 over many keys ~ 1.5; exact set is
+    # hash-deterministic (two runs identical)
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(400)], "doc_id long, text string, source string"
+    )
+    a = mixture_weight_sample(docs, "doc_id", "source", {"s": 1.5}, salt=3)
+    b = mixture_weight_sample(docs, "doc_id", "source", {"s": 1.5}, salt=3)
+    na, nb = a.count(), b.count()
+    assert na == nb
+    assert 500 <= na <= 700  # 400*1.5 = 600 expected; hash-uniform tolerance
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mixture_rejects_negative_weight(docs):
+    with pytest.raises(ValueError):
+        mixture_weight_sample(docs, "doc_id", "source", {"s1": -1.0})

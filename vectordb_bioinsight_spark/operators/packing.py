@@ -1,0 +1,247 @@
+"""Sequence packing & data-mixture sampling — the training-batch tier.
+
+After cleaning/dedup/split (pipelines/training_data.py), a pretraining
+pipeline still has to (a) decide HOW OFTEN each domain is seen (the data
+mixture: up/down-sampling weights per source, the knob every LLM data
+recipe publishes) and (b) turn variable-length documents into fixed-length
+training sequences (sequence packing). Both are re-expressed here as
+deterministic, shuffle-light DataFrame operators:
+
+* :func:`mixture_weight_sample` — epoch-weighted replication: weight 2.4
+  means every doc appears twice and a deterministic 40% of docs a third
+  time (integer repeats + hash-gated fractional remainder). Weight < 1 is
+  plain hash downsampling on the same scan.
+* :func:`pack_concat_chunk` — GPT-style concat-and-chunk: documents are
+  concatenated in deterministic (shard, doc_id) order and cut every
+  ``seq_len`` tokens; emits each doc's sequence span (first/last sequence
+  index + offset). Pure window arithmetic — one shuffle on the shard key.
+* :func:`pack_next_fit` — no-split packing (docs never cross a sequence
+  boundary; the "best-fit/next-fit" family used when truncation must be
+  avoided). Inherently sequential per shard, so it runs as one
+  applyInPandas pass per shard — the shard count is the parallelism.
+
+Scale shape: token counting is scan-local; the only shuffle in either
+packer is the repartition on ``shard`` (configurable count, so one shard
+is one task's worth of cumsum work — at 100 TB pick shards so each holds
+a few hundred MB of token counts, NOT of text: the packers only carry
+(id, n_tokens), never the text itself). The mixture sampler is a
+scan-local projection + explode with no shuffle at all.
+
+Reference analog: the reference has no training-batch tier (it is a
+retrieval/statistics platform); these operators are the BASELINE.json
+LLM-data-pipeline extension, following the public concat-and-chunk (GPT-2,
+T5 pack) and weighted-mixture (DoReMi / The Pile / Dolma recipes)
+formulations.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import portable_hash64, salted_hash64
+from vectordb_bioinsight_spark.functions.text import bpe_token_count
+
+#: hash-space modulus for fractional-repeat arithmetic (same convention as
+#: operators/sampling.DENOM)
+DENOM = 10_000
+
+
+def _shard(col: Column, n_shards: int) -> Column:
+    return F.pmod(portable_hash64(col.cast("string")), F.lit(n_shards))
+
+
+def with_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counter: str = "bpe",
+) -> DataFrame:
+    """Scan-local token accounting: adds ``n_tokens`` (long).
+
+    ``counter``: "bpe" = pretokenizer-run lower bound
+    (functions/text.bpe_token_count, DuckDB twin available), "ws" =
+    whitespace tokens. Both are pure JVM regex expressions.
+    """
+    if counter == "bpe":
+        n = bpe_token_count(F.col(text_col))
+    elif counter == "ws":
+        from vectordb_bioinsight_spark.functions.text import token_count
+
+        n = token_count(F.col(text_col))
+    else:
+        raise ValueError(f"unknown counter {counter!r}")
+    return df.withColumn("n_tokens", n.cast("long"))
+
+
+def pack_concat_chunk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    n_shards: int = 8,
+    counter: str = "bpe",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: map every document to its token
+    range in the packed training stream.
+
+    Documents are ordered by (shard, doc_id) — shard = portable hash of the
+    id, so the order is deterministic under any partitioning — then
+    conceptually concatenated and cut every ``seq_len`` tokens. No padding,
+    no truncation: a doc spanning a cut boundary continues in the next
+    sequence (the GPT-2/T5 pretraining convention).
+
+    Output per doc: ``(doc_id, shard, n_tokens, tok_start, seq_first,
+    seq_offset, seq_last)`` where ``tok_start`` is the doc's first token's
+    position in its shard's stream, ``seq_first = tok_start div seq_len``,
+    ``seq_offset = tok_start mod seq_len`` and ``seq_last`` is the sequence
+    holding the doc's final token (== seq_first when the doc fits).
+
+    Physical plan: token-count scan → ONE shuffle on shard → per-shard
+    running-sum window (each shard's window is an independent task — no
+    global ordering, no single-partition funnel). Only (id, n_tokens) ride
+    the shuffle; text is dropped before it.
+    """
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("seq_len and n_shards must be positive")
+    counts = with_token_counts(df, id_col, text_col, counter).select(
+        F.col(id_col).alias("doc_id"),
+        _shard(F.col(id_col), n_shards).alias("shard"),
+        "n_tokens",
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(seq_len).cast("long")
+    packed = counts.withColumn("tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_start",
+        F.expr(f"tok_start div {seq_len}").alias("seq_first"),
+        F.pmod(F.col("tok_start"), L).alias("seq_offset"),
+        F.expr(f"(tok_start + greatest(n_tokens - 1, 0L)) div {seq_len}").alias("seq_last"),
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Shard-level packing report over :func:`pack_concat_chunk` output:
+    sequences produced, total tokens, fill ratio of the last (only
+    partially filled) sequence amortized in, and how many docs straddle a
+    boundary. Small (n_shards rows) — the monitoring side-channel."""
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("seq_last") + 1).alias("n_seqs"),
+        F.round(
+            F.sum("n_tokens") / ((F.max("seq_last") + 1) * F.lit(float(seq_len))), 6
+        ).alias("fill_ratio"),
+        F.sum((F.col("seq_last") > F.col("seq_first")).cast("long")).alias("n_split_docs"),
+    )
+
+
+def pack_next_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    n_shards: int = 8,
+    counter: str = "bpe",
+) -> DataFrame:
+    """No-split (next-fit) packing: walk docs in (shard, doc_id) order,
+    opening a new sequence whenever the next doc would overflow ``seq_len``.
+    Docs longer than ``seq_len`` get a sequence of their own, flagged
+    ``truncated`` (the trainer decides whether to actually cut them).
+
+    Next-fit is a running reset-on-overflow — not expressible as a fixed
+    window frame — so each shard runs one Arrow-batched pandas pass
+    (applyInPandas). Parallelism = ``n_shards``; per-task state is two
+    integers. The pandas loop touches (id, n_tokens) pairs only.
+
+    Output: (doc_id, shard, n_tokens, seq_id, truncated).
+    """
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError("seq_len and n_shards must be positive")
+    counts = with_token_counts(df, id_col, text_col, counter).select(
+        F.col(id_col).alias("doc_id"),
+        _shard(F.col(id_col), n_shards).alias("shard"),
+        "n_tokens",
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, trunc = [], []
+        seq, acc = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and acc + n > seq_len:
+                seq += 1
+                acc = 0
+            seq_ids.append(seq)
+            trunc.append(n > seq_len)
+            acc += n
+            first = False
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["truncated"] = pd.Series(trunc, dtype="bool")
+        return pdf
+
+    return counts.groupBy("shard").applyInPandas(
+        pack,
+        schema="doc_id long, shard long, n_tokens long, seq_id long, truncated boolean",
+    )
+
+
+def mixture_weight_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Epoch-weighted data mixture: replicate/downsample each domain by its
+    weight, deterministically.
+
+    Weight w ≥ 0 means a doc from that domain appears ``floor(w)`` times,
+    plus once more iff its hash bucket < frac(w)·DENOM — so the EXPECTED
+    multiplicity is exactly w, the realized corpus is reproducible under
+    any partitioning, and increments sample consistently (the Dolma /
+    DoReMi mixture discipline without RNG state). w < 1 degenerates to
+    stratified hash downsampling on the same code path.
+
+    Output: input columns + ``copy_id`` (0-based repeat index) — one row
+    per replica, ready for :func:`pack_concat_chunk` (give it a composite
+    id of (doc_id, copy_id) so replicas land in different shards).
+
+    Physical plan: broadcast-joined weight map + scan-local explode; no
+    shuffle. The explode multiplies rows by ≤ ceil(max weight), never by a
+    data-dependent blowup.
+    """
+    spark = df.sparkSession
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError("mixture weights must be >= 0")
+    rows = [
+        (d, int(w), int(round((w - int(w)) * DENOM))) for d, w in weights.items()
+    ]
+    wmap = spark.createDataFrame(
+        rows, f"{domain_col} string, _whole int, _frac_k int"
+    )
+    joined = df.join(F.broadcast(wmap), domain_col, "left").fillna(
+        {
+            "_whole": int(default_weight),
+            "_frac_k": int(round((default_weight - int(default_weight)) * DENOM)),
+        }
+    )
+    bucket = F.pmod(salted_hash64(F.col(id_col).cast("string"), salt), F.lit(DENOM))
+    n_copies = F.col("_whole") + (bucket < F.col("_frac_k")).cast("int")
+    return (
+        joined.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_whole", "_frac_k", "_n")
+    )

@@ -17,6 +17,7 @@ from vectordb_bioinsight_spark.plans import catalog_cleaning as cl
 from vectordb_bioinsight_spark.plans import catalog_coverage as cov
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
+from vectordb_bioinsight_spark.plans import catalog_packing as pk
 from vectordb_bioinsight_spark.plans import catalog_network as net
 from vectordb_bioinsight_spark.plans import catalog_relational as rel
 from vectordb_bioinsight_spark.plans import catalog_singlecell as sc
@@ -43,6 +44,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    # --- NEW round 3: training-batch tier (packing + data mixture) ---
+    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
+    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
+    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
+    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
     # --- TPC-H shape sweep tail (never driver-checked in r01/r02) ---
     "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),

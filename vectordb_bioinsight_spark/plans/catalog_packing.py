@@ -1,0 +1,189 @@
+"""Catalog entries for the training-batch tier (operators/packing.py):
+sequence packing and data-mixture sampling over the synthetic `documents`
+table, each hash-checked against a DuckDB twin.
+
+Token counts use the BPE-ish pretokenizer estimate
+(functions/text.bpe_token_count) whose DuckDB twin is exact, so both
+engines pack identical token streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import (
+    PORTABLE_HASH64_DUCKDB,
+    salted_hash64_duckdb,
+)
+from vectordb_bioinsight_spark.functions.text import bpe_token_count_duckdb
+from vectordb_bioinsight_spark.operators.packing import (
+    DENOM,
+    mixture_weight_sample,
+    pack_concat_chunk,
+    pack_next_fit,
+    packing_stats,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+_SEQ_LEN = 256
+_SHARDS = 8
+
+_SHARD_SQL = (
+    "((" + PORTABLE_HASH64_DUCKDB.format(expr="doc_id::VARCHAR")
+    + f") % {_SHARDS} + {_SHARDS}) % {_SHARDS}"
+)
+
+_COUNTS_CTE = f"""
+c AS (
+  SELECT doc_id,
+         {_SHARD_SQL} AS shard,
+         {bpe_token_count_duckdb('text')}::BIGINT AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS tok_start
+  FROM c
+)"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack — concat-and-chunk doc → sequence-span mapping
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk packing: each doc's sequence span in the
+    fixed-length training stream (seq_len=256, 8 hash shards). One shuffle;
+    per-shard cumsum windows. See operators/packing.py:pack_concat_chunk."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_concat_chunk(docs, "doc_id", "text", seq_len=_SEQ_LEN, n_shards=_SHARDS)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH {_COUNTS_CTE}
+SELECT doc_id, shard, n_tokens, tok_start,
+       (tok_start // {_SEQ_LEN})::BIGINT AS seq_first,
+       (tok_start % {_SEQ_LEN})::BIGINT AS seq_offset,
+       ((tok_start + greatest(n_tokens - 1, 0)) // {_SEQ_LEN})::BIGINT AS seq_last
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack_stats — shard-level fill report
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_pack_stats(spark, sf_dir):
+    """Shard-level packing report: sequences produced, fill ratio, docs
+    straddling a boundary. See operators/packing.py:packing_stats."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_concat_chunk(docs, "doc_id", "text", seq_len=_SEQ_LEN, n_shards=_SHARDS)
+    return packing_stats(packed, _SEQ_LEN)
+
+
+SQL_SEQUENCE_PACK_STATS = f"""
+WITH {_COUNTS_CTE},
+s AS (
+  SELECT doc_id, shard, n_tokens,
+         (tok_start // {_SEQ_LEN})::BIGINT AS seq_first,
+         ((tok_start + greatest(n_tokens - 1, 0)) // {_SEQ_LEN})::BIGINT AS seq_last
+  FROM p
+)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       (max(seq_last) + 1)::BIGINT AS n_seqs,
+       round(sum(n_tokens)::DOUBLE / ((max(seq_last) + 1) * {_SEQ_LEN}.0), 6) AS fill_ratio,
+       sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+FROM s GROUP BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack_nextfit — no-split packing (applyInPandas per shard)
+# ---------------------------------------------------------------------------
+
+
+def q_sequence_pack_nextfit(spark, sf_dir):
+    """No-split next-fit packing: new sequence when the next doc would
+    overflow seq_len; oversized docs flagged. Sequential per shard →
+    applyInPandas; DuckDB twin is a recursive CTE walking each shard in
+    doc order. See operators/packing.py:pack_next_fit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_next_fit(docs, "doc_id", "text", seq_len=_SEQ_LEN, n_shards=_SHARDS)
+
+
+SQL_SEQUENCE_PACK_NEXTFIT = f"""
+WITH RECURSIVE {_COUNTS_CTE},
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM c
+),
+walk(shard, rn, doc_id, n_tokens, seq_id, acc) AS (
+  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT, n_tokens
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.acc + o.n_tokens > {_SEQ_LEN} THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.acc + o.n_tokens > {_SEQ_LEN} THEN o.n_tokens ELSE w.acc + o.n_tokens END
+  FROM walk w JOIN o ON o.shard = w.shard AND o.rn = w.rn + 1
+)
+SELECT doc_id, shard, n_tokens, seq_id, n_tokens > {_SEQ_LEN} AS truncated
+FROM walk
+"""
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample — epoch-weighted domain replication
+# ---------------------------------------------------------------------------
+
+_WEIGHTS = {"src0": 2.4, "src1": 0.5, "src2": 1.0}
+_DEFAULT_W = 1.5
+_SALT = 7
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic data-mixture sampling: src0 ×2.4, src1 ×0.5, src2 ×1.0,
+    everything else ×1.5 — integer repeats + hash-gated fractional extra
+    copy. See operators/packing.py:mixture_weight_sample."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_weight_sample(
+        docs, "doc_id", "source", _WEIGHTS, default_weight=_DEFAULT_W, salt=_SALT
+    )
+    return out.select("doc_id", "source", "copy_id")
+
+
+_BUCKET_SQL = (
+    "((" + salted_hash64_duckdb("doc_id::VARCHAR", _SALT)
+    + f") % {DENOM} + {DENOM}) % {DENOM}"
+)
+
+
+def _w_case() -> tuple[str, str]:
+    whole = "CASE source "
+    frac = "CASE source "
+    for d, w in _WEIGHTS.items():
+        whole += f"WHEN '{d}' THEN {int(w)} "
+        frac += f"WHEN '{d}' THEN {int(round((w - int(w)) * DENOM))} "
+    whole += f"ELSE {int(_DEFAULT_W)} END"
+    frac += f"ELSE {int(round((_DEFAULT_W - int(_DEFAULT_W)) * DENOM))} END"
+    return whole, frac
+
+
+_WHOLE_SQL, _FRAC_SQL = _w_case()
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH n AS (
+  SELECT doc_id, source,
+         ({_WHOLE_SQL}) + (CASE WHEN ({_BUCKET_SQL}) < ({_FRAC_SQL}) THEN 1 ELSE 0 END)
+           AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, t.i::INT AS copy_id
+FROM n, unnest(generate_series(0, n_copies - 1)) AS t(i)
+WHERE n_copies > 0
+"""
