@@ -252,3 +252,59 @@ def near_dedup_pipeline(
     sigs = minhash_signatures_wide(reps, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     return ngram_jaccard_pairs(reps, id_col, text_col, candidates=cands, min_jaccard=min_jaccard)
+
+
+def dedup_clusters(pairs: DataFrame, id1: str = "doc1", id2: str = "doc2") -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    over the pair graph, cluster id = min doc id reachable (the SlimPajama /
+    production fuzzy-dedup convention — pairs say "these two are similar",
+    but survivors must be picked per transitive cluster, or chains A~B~C
+    either drop too much with pairwise-greatest removal or keep both ends).
+
+    Output: (doc_id, cluster_rep) for every doc appearing in a pair; the
+    survivor of each cluster is the row with doc_id == cluster_rep.
+
+    Scale: hash-min label propagation (operators/network.connected_
+    components) — O(diameter) shuffles; near-dup clusters are shallow
+    (duplicates of one source document), so the fixed point lands in a few
+    iterations. Input pairs are the LSH-bucketed candidate output, never
+    all-pairs.
+    """
+    from vectordb_bioinsight_spark.operators.network import connected_components
+
+    edges = pairs.select(F.col(id1).alias("entity1"), F.col(id2).alias("entity2"))
+    cc = connected_components(edges)
+    return cc.select(F.col("entity").alias("doc_id"), F.col("component").alias("cluster_rep"))
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """End-to-end fuzzy dedup with cluster-correct survivor selection:
+    exact-dedup representatives → LSH-restricted Jaccard pairs →
+    connected components → keep exactly one doc (the min id) per cluster.
+    Returns the surviving rows of ``df`` (all columns).
+    """
+    from pyspark.sql import Window
+
+    pairs = near_dedup_pipeline(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, min_jaccard=min_jaccard
+    )
+    clusters = dedup_clusters(pairs, "doc1", "doc2")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    # exact-duplicate non-representatives also lose (near_dedup_pipeline only
+    # ever emits the min-id rep of each exact group)
+    exact_losers = (
+        df.select(portable_hash64(F.col(text_col)).alias("_ch"), F.col(id_col))
+        .withColumn("_rep", F.min(id_col).over(Window.partitionBy("_ch")))
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(id_col)
+    )
+    return df.join(losers.unionByName(exact_losers).distinct(), id_col, "left_anti")

@@ -49,6 +49,7 @@ def prepare_training_data(
     split_weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
     salt: int = 0,
     max_dup_3gram_ratio: float | None = None,
+    cluster_resolve: str = "components",
 ) -> DataFrame:
     """Raw documents → deduped, quality-filtered, sampled, split corpus.
 
@@ -61,7 +62,16 @@ def prepare_training_data(
     (operators/text_analysis.repetition_stats): docs whose duplicate-3gram
     fraction exceeds it are dropped alongside the junk/quality filters —
     still scan-local, still one pass.
+
+    ``cluster_resolve`` picks the near-dup survivor rule: "components"
+    (default) resolves pairs into transitive clusters via connected
+    components and keeps the min id per cluster (the production fuzzy-dedup
+    convention — a chain A~B~C keeps exactly A); "pairwise" drops the
+    higher-id side of every pair (cheaper — no iteration — but a chain
+    where B already lost to A still drops C even though C never matched A).
     """
+    if cluster_resolve not in ("components", "pairwise"):
+        raise ValueError(f"unknown cluster_resolve {cluster_resolve!r}")
     # -- 2. quality gate (scan-local: language, score, junk regexes)
     stats = text_stats(docs, id_col, text_col).select(
         F.col("doc_id").alias(id_col), "quality_score"
@@ -82,8 +92,8 @@ def prepare_training_data(
             F.col("dup_3gram_ratio") <= max_dup_3gram_ratio
         ).drop("dup_3gram_ratio")
 
-    # -- 3. dedup: drop exact copies (keep min-id representative), then drop
-    #    the higher-id side of every near-dup pair among representatives
+    # -- 3. dedup: drop exact copies (keep min-id representative), then
+    #    resolve near-dup pairs among representatives per cluster_resolve
     from vectordb_bioinsight_spark.functions.hashing import portable_hash64
 
     reps = (
@@ -97,7 +107,15 @@ def prepare_training_data(
     near = near_dedup_pipeline(
         reps.select(id_col, text_col), id_col, text_col, min_jaccard=near_dup_jaccard
     )
-    losers = near.select(F.greatest("doc1", "doc2").alias(id_col)).distinct()
+    if cluster_resolve == "components":
+        from vectordb_bioinsight_spark.operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(near, "doc1", "doc2")
+        losers = clusters.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    else:
+        losers = near.select(F.greatest("doc1", "doc2").alias(id_col)).distinct()
     deduped = reps.join(losers, id_col, "left_anti")
 
     # -- 4-5. deterministic sample + leak-free split (scan-local)

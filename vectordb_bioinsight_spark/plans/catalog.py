@@ -49,6 +49,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
     "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
     "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
     # --- TPC-H shape sweep tail (never driver-checked in r01/r02) ---
     "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),

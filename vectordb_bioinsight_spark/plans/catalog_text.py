@@ -241,6 +241,47 @@ WHERE round(inter_size::DOUBLE / (s1.n_sh + s2.n_sh - inter_size), 6) >= 0.1
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: the ngram_jaccard near-dup pairs
+    resolved into transitive clusters by hash-min connected components
+    (operators/dedup.dedup_clusters); cluster_rep = min doc id reachable.
+    The survivor of each cluster is the row with doc_id == cluster_rep."""
+    from vectordb_bioinsight_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, min_jaccard=0.1)
+    return dedup_clusters(pairs, "doc1", "doc2")
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM toks, unnest({_SHINGLE3}) AS u(s)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_size
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pr AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE round(inter_size::DOUBLE / (s1.n_sh + s2.n_sh - inter_size), 6) >= 0.1
+), e AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pr
+  UNION SELECT doc2, doc1 FROM pr
+), reach(n, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.n
+)
+SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY n
+"""
+
+
 def q_word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: word co-occurrence edges — pairs of length>=4 tokens sharing a
     document, weight = number of shared docs (graph.py:352-368 semantics)."""
