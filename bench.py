@@ -56,6 +56,10 @@ HEADLINE = [
     # analog (M12) — both corpus-scale multi-shuffle shapes
     "tfidf_topk",
     "doublet_scores",
+    # round-3 additions: the training-batch tier — per-shard cumsum packing
+    # and the scan-local weighted-mixture explode
+    "sequence_pack",
+    "mixture_sample",
 ]
 
 
