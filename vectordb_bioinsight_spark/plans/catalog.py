@@ -40,6 +40,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: external verification), and finally (d) the round-2 window (freshest).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === round-3 driver window ===
+    # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: corpus-cleaning tier (C4/Dolma hygiene) ---
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),

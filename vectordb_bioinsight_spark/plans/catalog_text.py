@@ -578,3 +578,31 @@ SELECT c.doc_id, b.doc_id AS bench_id, count(*)::BIGINT AS n_shared
 FROM fps c JOIN fps b ON c.fp = b.fp AND b.doc_id % 97 = 0 AND c.doc_id <> b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+def q_bloom_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: odd-doc_id docs form the arriving batch,
+    even-doc_id docs the existing corpus; keep batch docs whose text is NOT
+    already in the corpus. Executed via the broadcast-Bloom prefilter +
+    exact confirm (operators/bloom.dedup_against_corpus) — semantically an
+    anti-join on the content hash, physically corpus-shuffle-free."""
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+    from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    surv = dedup_against_corpus(batch, corpus, "doc_id", "text", num_bits=1 << 22)
+    return surv.select(
+        "doc_id", portable_hash64(F.col("text")).alias("content_hash")
+    )
+
+
+SQL_BLOOM_DEDUP_BATCH = """
+SELECT d.doc_id, ('0x' || substr(md5(d.text), 1, 15))::BIGINT AS content_hash
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = d.text
+  )
+"""
