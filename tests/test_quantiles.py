@@ -1,0 +1,66 @@
+"""Exact + approximate per-group quantiles (operators/relational.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.relational import (
+    group_quantiles,
+    group_quantiles_approx,
+)
+
+
+def _lower_disc(vals, q):
+    s = sorted(vals)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_exact_quantiles_match_numpy_rule(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"g{i % 3}", float(v))
+        for i, v in enumerate(rng.normal(0, 10, 1000))
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {
+        r.k: r
+        for r in group_quantiles(df, ["k"], "v", [0.0, 0.5, 0.9, 1.0]).collect()
+    }
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        assert out[k].n == len(vals)
+        assert out[k]["p0"] == _lower_disc(vals, 0.0)  # q=0 -> min
+        assert out[k]["p50"] == _lower_disc(vals, 0.5)
+        assert out[k]["p90"] == _lower_disc(vals, 0.9)
+        assert out[k]["p100"] == max(vals)
+
+
+def test_exact_quantiles_tie_stability(spark):
+    """Heavy ties: the rank-k VALUE is deterministic whichever tied row
+    row_number happens to pick."""
+    rows = [("a", float(v)) for v in [1, 1, 1, 2, 2, 3]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = group_quantiles(df, ["k"], "v", [0.5, 0.99]).collect()[0]
+    assert r["p50"] == 1.0  # rank ceil(0.5*6)=3 -> third 1.0
+    assert r["p99"] == 3.0
+
+
+def test_approx_within_rank_tolerance(spark):
+    """percentile_approx(accuracy=A) guarantees rank error <= n/A; with
+    A >= n it should land exactly on a group member near the target rank."""
+    rng = np.random.default_rng(11)
+    vals = sorted(float(v) for v in rng.uniform(0, 1, 2000))
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    exact = group_quantiles(df, ["k"], "v", [0.5, 0.9]).collect()[0]
+    approx = group_quantiles_approx(df, ["k"], "v", [0.5, 0.9], accuracy=10000).collect()[0]
+    n = len(vals)
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        # allow a small rank window around the exact answer
+        lo = vals[max(0, math.ceil(q * n) - 1 - 3)]
+        hi = vals[min(n - 1, math.ceil(q * n) - 1 + 3)]
+        assert lo <= approx[name] <= hi, (name, exact[name], approx[name])

@@ -128,3 +128,66 @@ def profile_table(
         "_n AS n_rows",
         f"stack({len(cols)}, {stacked}) AS (column, n_nulls, n_distinct, min_str, max_str, avg_num)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str", "avg_num")
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Exact per-group discrete quantiles: for quantile q over the n sorted
+    group values, return the value at rank max(1, ceil(q*n)) (1-indexed) —
+    the lower discrete quantile, an ACTUAL group member (never interpolated),
+    so the rule is engine-portable and hash-stable. Ties are harmless: the
+    value at a given sorted rank is the same whichever tied row takes it.
+
+    Output: group cols + n + one column per q named ``{prefix}{q*100:g}``.
+
+    Scale: ONE per-group sort shuffle (rank window) feeding a
+    map-side-combinable conditional agg — no per-group array materializes
+    (collect_list-based quantiles die on skewed groups). When exactness is
+    not required, :func:`group_quantiles_approx` is the sketch path: one
+    aggregate buffer per group, no sort at all.
+    """
+    from pyspark.sql import Window
+
+    keys = list(group_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(value_col))
+    wn = Window.partitionBy(*keys)
+    r = (
+        df.select(*keys, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+    )
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for q in qs:
+        rank = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("_n")))
+        name = f"{out_prefix}{q * 100:g}"
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col(value_col))).alias(name)
+        )
+    return r.groupBy(*keys).agg(*aggs)
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    accuracy: int = 10000,
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Sketch-based twin of :func:`group_quantiles` (same output shape):
+    ``percentile_approx`` — one Greenwald-Khanna buffer per group, NO
+    per-group sort, rank error ≤ 1/accuracy. The 100 TB default; the exact
+    form exists for oracle checks and small aggregated tables."""
+    keys = list(group_cols)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for q in qs:
+        name = f"{out_prefix}{q * 100:g}"
+        aggs.append(
+            F.percentile_approx(F.col(value_col), float(q), accuracy).alias(name)
+        )
+    return df.groupBy(*keys).agg(*aggs)

@@ -215,3 +215,37 @@ def q_bh_adjust_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.round("pvalue", 6).alias("pvalue"), F.round("padj", 6).alias("padj")
     )
+
+
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete quantiles (p50/p90/p99 of value per
+    event_type) — operators/relational.group_quantiles: value at rank
+    max(1, ceil(q*n)), an actual group member, so it hash-matches the
+    identically-defined SQL. The sketch path (percentile_approx) is the
+    100 TB default and is tolerance-tested against this in unit tests."""
+    from vectordb_bioinsight_spark.operators.relational import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    out = group_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type",
+        "n",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, max(n)::BIGINT AS n,
+       round(max(CASE WHEN rn = greatest(1, ceil(0.5  * n)) THEN value END), 6) AS p50,
+       round(max(CASE WHEN rn = greatest(1, ceil(0.9  * n)) THEN value END), 6) AS p90,
+       round(max(CASE WHEN rn = greatest(1, ceil(0.99 * n)) THEN value END), 6) AS p99
+FROM r GROUP BY event_type
+"""
