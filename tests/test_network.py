@@ -347,3 +347,30 @@ def test_cluster_connectivity_ratio_to_random(spark):
     assert got[("A", "B")]["connectivity"] == pt.approx(1 / (3 * 3 * 8 / 28), abs=1e-6)
     # no A-C or B-C edges at all -> absent
     assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_pagerank_matches_numpy_recurrence(spark):
+    """pagerank == the same damped recurrence run in numpy (star + tail
+    graph, 10 iterations, 6 dp)."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.network import pagerank
+
+    edges = [("hub", x) for x in ("a", "b", "c", "d")] + [("d", "e"), ("e", "f")]
+    e = spark.createDataFrame(edges, ["entity1", "entity2"])
+    got = {r["entity"]: r["pagerank"] for r in pagerank(e, 0.85, 10).collect()}
+
+    nodes = sorted({u for p in edges for u in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for u, v in edges:
+        adj[idx[u], idx[v]] = adj[idx[v], idx[u]] = 1.0
+    deg = adj.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(10):
+        pr = (1 - 0.85) / n + 0.85 * adj.T @ (pr / deg)
+    for v in nodes:
+        assert got[v] == round(float(pr[idx[v]]), 6), v
+    # the hub dominates; its degree-1 leaves are the minimum
+    assert got["hub"] == max(got.values()) and got["a"] == min(got.values())

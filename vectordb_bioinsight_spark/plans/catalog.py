@@ -44,6 +44,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---
     "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    # --- NEW round 3: damped PageRank (KG node importance) ---
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     # --- NEW round 3: corpus-cleaning tier (C4/Dolma hygiene) ---
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),

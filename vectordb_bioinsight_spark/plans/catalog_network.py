@@ -409,3 +409,73 @@ JOIN sizes sa ON i.cluster_a = sa.label
 JOIN sizes sb ON i.cluster_b = sb.label, tot t
 WHERE round(i.n_edges / (sa.sz * sb.sz * t.te / (t.n * (t.n - 1.0) / 2.0)), 6) > 0.05
 """
+
+
+def q_pagerank_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 10 fixed iterations) over the word
+    co-occurrence graph — the KG node-importance measure
+    (operators/network.pagerank). Oracle: the identical recurrence unrolled
+    as chained CTEs (the same convention as the eigenvector chain oracle)."""
+    from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+    from vectordb_bioinsight_spark.operators.network import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: F.length(t) >= 4,
+                )
+            )
+        ).alias("word"),
+    )
+    edges = cooccurrence_edges(pairs, "word", "doc_id", min_weight=50).select(
+        F.col("item1").alias("entity1"), F.col("item2").alias("entity2")
+    )
+    return pagerank(edges, damping=0.85, max_iter=10).withColumnRenamed(
+        "entity", "word"
+    )
+
+
+def _pagerank_chain_cte(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled PageRank CTEs mirroring operators/network.pagerank."""
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src FROM sym)",
+        "nn AS (SELECT count(*)::DOUBLE AS c FROM nodes)",
+        "dg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY 1)",
+        "p0 AS MATERIALIZED (SELECT src AS entity, 1.0/(SELECT c FROM nn) AS score FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT e.dst AS entity, "
+            f"(1.0 - {damping})/(SELECT c FROM nn) + {damping} * sum(p.score / dg.d) AS score "
+            f"FROM sym e JOIN p{t-1} p ON e.src = p.entity JOIN dg ON dg.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return ",\n".join(parts)
+
+
+SQL_PAGERANK_WORDS = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          t -> length(t) >= 4)) AS word
+    FROM documents
+  )
+),
+pairs AS MATERIALIZED (
+  SELECT a.word AS item1, b.word AS item2
+  FROM dw a JOIN dw b USING (doc_id)
+  WHERE a.word < b.word
+  GROUP BY 1, 2 HAVING count(*) >= 50
+),
+sym AS MATERIALIZED (
+  SELECT item1 AS src, item2 AS dst FROM pairs
+  UNION
+  SELECT item2, item1 FROM pairs
+),
+{_pagerank_chain_cte(10, 0.85)}
+SELECT entity AS word, round(score, 6) AS pagerank FROM p10
+"""
