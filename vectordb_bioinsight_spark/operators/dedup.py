@@ -308,3 +308,93 @@ def near_dedup_survivors(
         .select(id_col)
     )
     return df.join(losers.unionByName(exact_losers).distinct(), id_col, "left_anti")
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring spans — the ExactSubstr dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) at word-shingle granularity: every word n-gram occurring
+    in >= ``min_docs`` distinct docs is a duplicated position; overlapping /
+    adjacent duplicated positions within a doc merge into maximal spans (the
+    unit a cleaning pipeline cuts out, rather than dropping whole docs).
+
+    Output: (id, span_id, span_start, span_end, n_dup_ngrams) — 0-based
+    inclusive TOKEN positions; span_id numbers a doc's spans in order.
+
+    Scale shape: the suffix-array of the original is replaced by pure
+    relational algebra — shingle+hash is a scan-local projection (the same
+    one MinHash rides), duplicated-shingle detection is a map-side-combinable
+    count-distinct groupBy on a 64-bit key, the hit join is an equi-join on
+    that key (AQE broadcasts it when the dup set is small), and span merge
+    is gaps-and-islands window algebra partitioned by doc. Nothing is
+    quadratic; nothing collects.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
+
+    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    sh = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_from_tokens(F.col("_toks"), n)).alias("pos", "_sh"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), portable_hash64(F.col("_sh")).alias("_h"))
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    hits = sh.join(dup, "_h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    is_new = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hits.withColumn("_new", is_new)
+        .withColumn("span_id", F.sum("_new").over(wsum).cast("long"))
+        .groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_dup_ngrams"),
+        )
+    )
+
+
+def duplicated_token_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc fraction of tokens covered by cross-doc repeated spans — the
+    corpus-duplication measure of Lee et al. §4 (what fraction of the corpus
+    is verbatim-duplicated text). Docs with no duplicated span report 0.0.
+
+    Output: (id, n_tokens, dup_tokens, dup_frac[4dp]).
+    """
+    spans = repeated_ngram_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    toks = df.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.join(per_doc, id_col, "left")
+        .fillna({"dup_tokens": 0})
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.when(F.col("n_tokens") > 0, F.col("dup_tokens") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+    )

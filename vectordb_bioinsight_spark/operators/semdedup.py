@@ -1,0 +1,144 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Public-method lineage: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+cluster the embedding space so the quadratic pairwise-cosine step runs
+within clusters only, then drop all but one member of every semantic-dup
+group. Extends the reference's embedding-cosine near-dup capability
+(backend/app/core/vector_store.py:603-606 cosine ranking) from "find
+similar" to "prune the corpus", the way a 100 TB training-data pipeline
+uses it.
+
+Determinism contract: the clustering step here is NOT k-means. Centroids
+are the ``n_clusters`` smallest-id vectors — a fixed, engine-replayable
+choice, so the whole operator (assignment → pairs → survivor flags) has an
+exact DuckDB oracle. A learned codebook drops in unchanged: build one with
+``operators.vector.ivf_build_index`` (seeded MLlib KMeans) and pass its
+assignment through ``semdedup_pairs_from_assigned`` — same downstream
+plan, weaker (rows-only) checkability.
+
+Scale shape: the centroid set is tiny and inlined as literals, so cluster
+assignment is a scan-local expression — no shuffle, no row blowup, stays
+in whole-stage codegen. The only shuffle is the within-cluster equi-join
+(quadratic in cluster size, expected N²/k pairs, never N²) — the same
+blocking discipline as the MinHash-LSH path in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.vector import cosine_similarity
+from vectordb_bioinsight_spark.operators.vector import similarity_self_join
+
+#: Centroid sets are inlined as expression literals; keep them small enough
+#: that the generated argmax expression stays compilable. A real codebook
+#: bigger than this belongs in ivf_build_index's broadcast-join path.
+MAX_INLINE_CENTROIDS = 64
+
+
+def assign_fixed_centroids(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+) -> DataFrame:
+    """Nearest-of-k-fixed-centroids cluster assignment by cosine.
+
+    Centroids = the ``n_clusters`` smallest-id vectors (deterministic).
+    Ties on rounded cosine go to the smaller centroid id, so assignment is
+    total-order stable across engines.
+
+    Output: input columns + ``cluster_id`` (the centroid's id) +
+    ``centroid_cos`` (cosine to it, rounded 6 dp; zero-norm vectors score
+    -2.0 — below any real cosine — instead of NULL, keeping the argmax
+    NULL-free on every engine).
+    """
+    if n_clusters < 1 or n_clusters > MAX_INLINE_CENTROIDS:
+        raise ValueError(f"n_clusters must be in [1, {MAX_INLINE_CENTROIDS}]")
+    cents = vectors.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
+    if not cents:
+        raise ValueError("assign_fixed_centroids: empty input")
+    scored = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    F.round(
+                        cosine_similarity(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in row[vec_col]]),
+                        ),
+                        6,
+                    ),
+                    F.lit(-2.0),
+                ).alias("cos"),
+                F.lit(-int(row[id_col])).alias("neg_cid"),
+                F.lit(int(row[id_col])).alias("cid"),
+            )
+            for row in cents
+        ]
+    )
+    best = F.array_max(scored)
+    return vectors.withColumn("cluster_id", best["cid"]).withColumn(
+        "centroid_cos", best["cos"]
+    )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Within-cluster semantic-dup pairs (id1, id2, cosine), id1 < id2.
+
+    The quadratic step is confined to one cluster per pair — an equi-join
+    on ``cluster_id``, never a cross join.
+    """
+    assigned = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters)
+    return similarity_self_join(
+        assigned, id_col, vec_col, min_cosine=min_cosine, block_col="cluster_id"
+    )
+
+
+def semdedup_flags(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Per-vector keep/drop decision: drop iff a SMALLER-id vector in the
+    same cluster is within ``min_cosine`` (min-id survivor — the same
+    convention as operators/dedup.py exact/near dedup, so mixed pipelines
+    agree on who survives).
+
+    Output: (id, cluster_id, centroid_cos, keep).
+    """
+    assigned = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters)
+    pairs = similarity_self_join(
+        assigned, id_col, vec_col, min_cosine=min_cosine, block_col="cluster_id"
+    )
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "_lose", F.lit(True)
+    )
+    return (
+        assigned.select(id_col, "cluster_id", "centroid_cos")
+        .join(losers, id_col, "left")
+        .withColumn("keep", F.col("_lose").isNull())
+        .drop("_lose")
+    )
+
+
+def semdedup_survivors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """The pruned corpus: all input columns, losers removed."""
+    flags = semdedup_flags(vectors, id_col, vec_col, n_clusters, min_cosine)
+    losers = flags.filter(~F.col("keep")).select(id_col)
+    return vectors.join(losers, id_col, "left_anti")

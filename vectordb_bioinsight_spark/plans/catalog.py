@@ -40,6 +40,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: external verification), and finally (d) the round-2 window (freshest).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === round-3 driver window ===
+    # --- NEW round 3: semantic dedup (SemDeDup analog) ---
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
+    # --- NEW round 3: ExactSubstr repeated-span dedup (Lee et al. 2022) ---
+    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
     # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---

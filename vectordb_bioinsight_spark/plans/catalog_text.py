@@ -606,3 +606,85 @@ WHERE d.doc_id % 2 = 1
     SELECT 1 FROM documents c WHERE c.doc_id % 2 = 0 AND c.text = d.text
   )
 """
+
+
+SPAN_N = 8
+
+
+def _shingle_n_duckdb(toks: str, n: int) -> str:
+    from vectordb_bioinsight_spark.functions.text import shingles_duckdb
+
+    return shingles_duckdb(toks, n)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-substring spans (Lee et al. 2022 analog):
+    maximal per-doc spans of word 8-grams that occur in >= 2 distinct docs."""
+    from vectordb_bioinsight_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", n=SPAN_N, min_docs=2)
+
+
+def _sql_repeated_spans() -> str:
+    from vectordb_bioinsight_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
+
+    h = PORTABLE_HASH64_DUCKDB.format(expr="shingle")
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOK3} AS tk FROM documents),
+s AS (SELECT doc_id, {_shingle_n_duckdb('tk', SPAN_N)} AS sh FROM toks),
+sh AS (
+  SELECT doc_id, unnest(range(0, len(sh)))::BIGINT AS pos, unnest(sh) AS shingle
+  FROM s
+), hashed AS (
+  SELECT doc_id, pos, {h} AS h FROM sh
+), dup AS (
+  SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM hashed JOIN dup USING (h)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {SPAN_N}
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS span_id
+  FROM flagged
+)
+SELECT doc_id, span_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + {SPAN_N} - 1)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_dup_ngrams
+FROM islands GROUP BY doc_id, span_id
+"""
+
+
+SQL_REPEATED_SPANS = _sql_repeated_spans()
+
+
+def q_dup_token_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication measure (Lee et al. §4): per-doc fraction of tokens
+    inside cross-doc repeated spans."""
+    from vectordb_bioinsight_spark.operators.dedup import duplicated_token_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_token_fraction(docs, "doc_id", "text", n=SPAN_N, min_docs=2)
+
+
+def _sql_dup_token_fraction() -> str:
+    return f"""
+WITH spans AS ({SQL_REPEATED_SPANS}),
+per_doc AS (
+  SELECT doc_id, sum(span_end - span_start + 1)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+toks AS (SELECT doc_id, length({_TOK3})::BIGINT AS n_tokens FROM documents)
+SELECT t.doc_id, t.n_tokens, coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(CASE WHEN t.n_tokens > 0
+                  THEN coalesce(p.dup_tokens, 0) / t.n_tokens ELSE 0.0 END, 4) AS dup_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+SQL_DUP_TOKEN_FRACTION = _sql_dup_token_fraction()

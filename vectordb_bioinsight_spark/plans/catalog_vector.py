@@ -420,3 +420,60 @@ def q_label_map_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return project_2d(centroids, "label", "centroid").withColumnRenamed("id", "label")
+
+
+SEMDEDUP_CLUSTERS = 8
+SEMDEDUP_MIN_COS = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup analog, arXiv:2303.09540): fixed-centroid
+    cluster assignment + within-cluster cosine prune, min-id survivor.
+    Extends the reference's cosine near-dup (vector_store.py:603-606) to a
+    corpus-pruning decision. Output: every vector's cluster, its cosine to
+    the centroid, and whether it survives."""
+    from vectordb_bioinsight_spark.operators.semdedup import semdedup_flags
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup_flags(
+        emb, "vec_id", "embedding",
+        n_clusters=SEMDEDUP_CLUSTERS, min_cosine=SEMDEDUP_MIN_COS,
+    )
+    return out.select("vec_id", "cluster_id", "centroid_cos", "keep")
+
+
+SQL_SEMDEDUP = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_CLUSTERS}
+), cscored AS (
+  SELECT vec_id, cent_id,
+         coalesce(round(sum(x*y) / nullif(sqrt(sum(x*x)) * sqrt(sum(y*y)), 0), 6), -2.0) AS cos
+  FROM (
+    SELECT e.vec_id, c.cent_id,
+           unnest(e.embedding)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+    FROM embeddings e CROSS JOIN cents c
+  ) GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cluster_id, centroid_cos FROM (
+    SELECT vec_id, cent_id AS cluster_id, cos AS centroid_cos,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+), pr AS (
+  SELECT e1.vec_id AS id1, e2.vec_id AS id2, e1.embedding AS ea, e2.embedding AS eb
+  FROM assigned a1 JOIN assigned a2
+    ON a1.cluster_id = a2.cluster_id AND a1.vec_id < a2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+), psums AS (
+  SELECT id1, id2, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM (SELECT id1, id2, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y FROM pr)
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT id2 AS vec_id FROM psums
+  WHERE round(dot / nullif(sqrt(nx) * sqrt(ny), 0), 6) >= {SEMDEDUP_MIN_COS}
+)
+SELECT a.vec_id, a.cluster_id, a.centroid_cos, (l.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN losers l USING (vec_id)
+"""

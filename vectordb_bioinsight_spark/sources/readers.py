@@ -53,6 +53,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer `div` — float division would lose precision above 2^53 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            # newer Spark reads TIMESTAMP(NANOS) natively as NTZ (micros
+            # truncation, same as the DuckDB cast); align to the session-UTC
+            # instant type so time arithmetic (unix_micros etc.) type-checks
+            # identically on every Spark version
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -133,7 +139,7 @@ def read_maf(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _pdf_unescape(raw: bytes) -> str:
-    """Unescape a PDF () string literal body (\n, \t, \(, \), \\, octal)."""
+    r"""Unescape a PDF () string literal body (\n, \t, \(, \), \\, octal)."""
     out = bytearray()
     i = 0
     esc = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
