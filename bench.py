@@ -60,6 +60,12 @@ HEADLINE = [
     # and the scan-local weighted-mixture explode
     "sequence_pack",
     "mixture_sample",
+    # round-3 additions: data-selection tier — semantic dedup (within-cluster
+    # pair join), ExactSubstr span merge (explode + islands), and the DSIR
+    # hashed-ngram double-model fit
+    "semdedup",
+    "repeated_spans",
+    "dsir_scores",
 ]
 
 

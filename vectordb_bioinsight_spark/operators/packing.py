@@ -245,3 +245,72 @@ def mixture_weight_sample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_whole", "_frac_k", "_n")
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    inv_temp: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multilingual /
+    multi-domain rebalancing rule (T5 mC4, XLM-R, UniMax lineage): sample
+    domain d with probability q_d ∝ p_d^(1/T) instead of its natural share
+    p_d, flattening head domains and boosting the tail.
+
+    Output per domain: (domain, n_docs, p, q, weight) where ``weight`` =
+    q_d / p_d is the expected copies-per-doc that realizes q at unchanged
+    corpus size — exactly the multiplier :func:`mixture_weight_sample`
+    consumes (see :func:`temperature_mixture_sample` for the composition).
+    All ratios rounded 6 dp.
+
+    Scale: one map-side-combinable count per domain; the domain table is
+    dimension-sized. No data movement beyond the count shuffle.
+    """
+    if inv_temp <= 0:
+        raise ValueError("inv_temp must be > 0 (1/T; 1.0 = natural sampling)")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("_tot"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.col("n_docs") / F.col("_tot")
+    ).withColumn("_pw", F.pow(F.col("_p"), F.lit(float(inv_temp))))
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            "n_docs",
+            F.round("_p", 6).alias("p"),
+            F.round(F.col("_pw") / F.col("_z"), 6).alias("q"),
+            F.round((F.col("_pw") / F.col("_z")) / F.col("_p"), 6).alias("weight"),
+        )
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    inv_temp: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Temperature rebalancing end-to-end: compute per-domain weights, then
+    realize them with the deterministic hash-gated replicator.
+
+    The domain-weight table is collected (dimension-sized — the number of
+    languages/sources, not rows) and fed to :func:`mixture_weight_sample`,
+    so the realized corpus is reproducible under any partitioning.
+    """
+    import math
+
+    w = temperature_mixture_weights(df, domain_col, inv_temp).collect()
+    # 4-dp weights make the fractional hash-gate constant (frac·DENOM) an
+    # exact integer; floor(x·1e4 + 0.5) is HALF_UP — the same rule Spark's
+    # round() and DuckDB's round() apply, unlike Python's banker's round()
+    weights = {
+        r["domain"]: math.floor(float(r["weight"]) * 10000 + 0.5) / 10000 for r in w
+    }
+    return mixture_weight_sample(
+        df, id_col, domain_col, weights, default_weight=1.0, salt=salt
+    )

@@ -382,3 +382,72 @@ def contamination_check(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def dsir_logratio_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: "F.Column",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    document by the log-likelihood ratio of its hashed n-gram features under
+    a target-domain model vs the raw-corpus model. High scorers "look like"
+    the target domain; select top-k (or gumbel-resample) for training.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the paper's hashed n-gram generative model), both models Laplace
+    +1-smoothed over the bucket space, so OOV is impossible by construction.
+
+    Output: (id, n_feats, dsir_score) where dsir_score is the MEAN per-
+    feature log-ratio, rounded 6 dp (mean, not sum, so the score is
+    length-invariant like the perplexity filter it complements).
+
+    Physical plan: feature hashing is scan-local; the two model fits are one
+    map-side-combinable groupBy on a bounded key space (≤ n_buckets rows —
+    broadcastable by construction); per-doc scoring joins docs' bucket
+    counts against the tiny model table. The bucket space bounds state at
+    100 TB: model size is O(n_buckets), never O(vocabulary).
+    """
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_tgt"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "_tgt",
+        F.explode(
+            F.concat(F.col("_toks"), shingles_from_tokens(F.col("_toks"), 2))
+        ).alias("_feat"),
+    ).select(
+        "doc_id",
+        "_tgt",
+        F.pmod(portable_hash64(F.col("_feat")), F.lit(n_buckets)).alias("_b"),
+    )
+    doc_counts = feats.groupBy("doc_id", "_b").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.max(F.col("_tgt")).alias("_tgt"),
+    )
+    bucket_counts = doc_counts.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("tf")).otherwise(0)).alias("ct"),
+        F.sum("tf").alias("cr"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("ct").cast("double").alias("Tt"), F.sum("cr").cast("double").alias("Tr")
+    )
+    logratio = F.log(
+        (F.col("ct") + 1) / (F.col("Tt") + F.lit(float(n_buckets)))
+    ) - F.log((F.col("cr") + 1) / (F.col("Tr") + F.lit(float(n_buckets))))
+    return (
+        doc_counts.join(bucket_counts, "_b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("tf") * logratio) / F.sum("tf"), 6).alias("dsir_score"),
+        )
+    )

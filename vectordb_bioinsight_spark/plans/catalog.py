@@ -45,6 +45,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # --- NEW round 3: ExactSubstr repeated-span dedup (Lee et al. 2022) ---
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
     "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    # --- NEW round 3: DSIR importance scoring + temperature mixture ---
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
+    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
     # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---

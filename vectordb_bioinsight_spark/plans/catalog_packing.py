@@ -187,3 +187,74 @@ SELECT doc_id, source, t.i::INT AS copy_id
 FROM n, unnest(generate_series(0, n_copies - 1)) AS t(i)
 WHERE n_copies > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture — q_d ∝ p_d^(1/T) domain rebalancing (1/T = 0.5)
+# ---------------------------------------------------------------------------
+
+_INV_TEMP = 0.5
+_T_SALT = 11
+
+
+def q_temperature_weights(spark, sf_dir):
+    """Per-language temperature sampling weights over the skewed `lang`
+    column: q ∝ p^0.5 flattens the en-heavy natural mix."""
+    from vectordb_bioinsight_spark.operators.packing import temperature_mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, "lang", inv_temp=_INV_TEMP)
+
+
+SQL_TEMPERATURE_WEIGHTS = """
+WITH counts AS (
+  SELECT lang AS domain, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_docs)::DOUBLE AS t FROM counts),
+pw AS (
+  SELECT domain, n_docs, n_docs / t AS p, sqrt(n_docs / t) AS pwv
+  FROM counts, tot
+), z AS (SELECT sum(pwv) AS zz FROM pw)
+SELECT domain, n_docs, round(p, 6) AS p, round(pwv / zz, 6) AS q,
+       round((pwv / zz) / p, 6) AS weight
+FROM pw, z
+"""
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Realized temperature mixture: deterministic hash-gated replication of
+    each doc by its language's q/p multiplier (4-dp)."""
+    from vectordb_bioinsight_spark.operators.packing import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = temperature_mixture_sample(docs, "doc_id", "lang", inv_temp=_INV_TEMP, salt=_T_SALT)
+    return out.select("doc_id", "lang", "copy_id")
+
+
+_T_BUCKET_SQL = (
+    "((" + salted_hash64_duckdb("doc_id::VARCHAR", _T_SALT)
+    + f") % {DENOM} + {DENOM}) % {DENOM}"
+)
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang AS domain, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+), tot AS (SELECT sum(n_docs)::DOUBLE AS t FROM counts),
+pw AS (
+  SELECT domain, n_docs / t AS p, sqrt(n_docs / t) AS pwv FROM counts, tot
+), z AS (SELECT sum(pwv) AS zz FROM pw),
+w AS (
+  SELECT domain,
+         floor(round((pwv / zz) / p, 6) * 10000 + 0.5) / 10000 AS weight
+  FROM pw, z
+), n AS (
+  SELECT d.doc_id, d.lang,
+         CAST(floor(w.weight) AS INT)
+           + (CASE WHEN ({_T_BUCKET_SQL})
+                   < CAST(round((w.weight - floor(w.weight)) * {DENOM}) AS INT)
+              THEN 1 ELSE 0 END) AS n_copies
+  FROM documents d JOIN w ON d.lang = w.domain
+)
+SELECT doc_id, lang, t.i::INT AS copy_id
+FROM n, unnest(generate_series(0, n_copies - 1)) AS t(i)
+WHERE n_copies > 0
+"""

@@ -688,3 +688,61 @@ FROM toks t LEFT JOIN per_doc p USING (doc_id)
 
 
 SQL_DUP_TOKEN_FRACTION = _sql_dup_token_fraction()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring — hashed-ngram log-likelihood ratio vs target
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance scores: how target-like (lang='en')
+    each doc's hashed unigram+bigram distribution is, as a smoothed
+    log-likelihood ratio per feature."""
+    from vectordb_bioinsight_spark.operators.text_analysis import dsir_logratio_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratio_scores(
+        docs, "doc_id", "text",
+        is_target=F.col("lang") == _DSIR_TARGET_LANG,
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+def _sql_dsir_scores() -> str:
+    from vectordb_bioinsight_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
+    from vectordb_bioinsight_spark.functions.text import shingles_duckdb
+
+    h = PORTABLE_HASH64_DUCKDB.format(expr="feat")
+    nb = _DSIR_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, (lang = '{_DSIR_TARGET_LANG}') AS tgt, {_TOK3} AS tk FROM documents
+), feats AS (
+  SELECT doc_id, tgt, unnest(list_concat(tk, {shingles_duckdb('tk', 2)})) AS feat
+  FROM toks
+), bkt AS (
+  SELECT doc_id, tgt, ((({h}) % {nb}) + {nb}) % {nb} AS b FROM feats
+), dc AS (
+  SELECT doc_id, b, count(*)::BIGINT AS tf, bool_or(tgt) AS tgt
+  FROM bkt GROUP BY 1, 2
+), bc AS (
+  SELECT b, sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
+         sum(tf)::BIGINT AS cr
+  FROM dc GROUP BY 1
+), tot AS (
+  SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM bc
+)
+SELECT dc.doc_id, sum(dc.tf)::BIGINT AS n_feats,
+       round(sum(dc.tf * (ln((bc.ct + 1) / (tot.tt + {nb}))
+                        - ln((bc.cr + 1) / (tot.tr + {nb})))) / sum(dc.tf), 6)
+         AS dsir_score
+FROM dc JOIN bc USING (b), tot
+GROUP BY 1
+"""
+
+
+SQL_DSIR_SCORES = _sql_dsir_scores()
