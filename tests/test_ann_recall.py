@@ -1,0 +1,60 @@
+"""ANN recall measurement: exactness at full probe, monotonicity in n_probe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.operators.vector import (
+    ann_recall_at_k,
+    ivf_build_index,
+    ivf_search,
+    knn_join,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def recall_setup(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=10)
+    index = ivf_build_index(emb, "vec_id", "embedding", n_cells=8, seed=42)
+    return emb, queries, exact, index
+
+
+def _mean_recall(df):
+    rows = df.collect()
+    return sum(r["recall"] for r in rows) / len(rows), rows
+
+
+def test_full_probe_is_exact(recall_setup):
+    _emb, queries, exact, index = recall_setup
+    approx = ivf_search(index, queries, "vec_id", "embedding", k=10, n_probe=8)
+    mean, rows = _mean_recall(ann_recall_at_k(exact, approx, k=10))
+    assert mean == 1.0
+    assert all(r["n_exact"] == 10 and r["n_hit"] == 10 for r in rows)
+
+
+def test_recall_monotone_in_probes(recall_setup):
+    _emb, queries, exact, index = recall_setup
+    means = []
+    for n_probe in (1, 2, 4, 8):
+        approx = ivf_search(index, queries, "vec_id", "embedding", k=10, n_probe=n_probe)
+        mean, _ = _mean_recall(ann_recall_at_k(exact, approx, k=10))
+        means.append(mean)
+    assert means == sorted(means), f"recall not monotone: {means}"
+    assert means[0] > 0.0
+
+
+def test_recall_counts_misses(spark):
+    exact = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(10)], "query_id long, cand_id long, rank int"
+    )
+    approx = spark.createDataFrame(
+        [(0, i, i + 1) for i in range(5)] + [(0, 100 + i, 6 + i) for i in range(5)],
+        "query_id long, cand_id long, rank int",
+    )
+    row = ann_recall_at_k(exact, approx, k=10).collect()[0]
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 5, 0.5)

@@ -636,3 +636,36 @@ def ivf_search_gemm(
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Recall@k of an approximate kNN result against the exact one — the
+    standard ANN quality measure ("measure, don't guess": every approximate
+    path in this module should be able to report its recall on a sample).
+
+    Inputs are two (query_id, cand_id, rank) frames — the shape every kNN
+    operator here emits (knn_join / knn_ivf / knn_lsh / ivf_search_gemm).
+    Output per query: (query_id, n_exact, n_hit, recall[4dp]).
+
+    Scale: one equi-join on (query_id, cand_id) + one groupBy over result
+    sets that are k·|queries| rows — negligible next to the searches that
+    produced them. Run it on a sampled query batch to tune n_probe/bands,
+    then apply the tuned setting corpus-wide.
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    a = (
+        approx.filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        e.join(a, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 4
+            ).alias("recall"),
+        )
+    )

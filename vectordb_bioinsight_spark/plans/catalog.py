@@ -49,6 +49,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
     "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
     "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
+    "ivf_recall": (vec.q_ivf_recall, None),  # KMeans index: rows-only
     # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---

@@ -477,3 +477,23 @@ WITH cents AS (
 SELECT a.vec_id, a.cluster_id, a.centroid_cos, (l.vec_id IS NULL) AS keep
 FROM assigned a LEFT JOIN losers l USING (vec_id)
 """
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit (rows-only: the KMeans index has no SQL twin):
+    recall@10 of the IVF path (16 cells, 4 probes) vs exact brute force for
+    a 16-query batch. The tuning loop a user runs before trusting an
+    approximate index."""
+    from vectordb_bioinsight_spark.operators.vector import (
+        ann_recall_at_k,
+        knn_ivf,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=10)
+    approx = knn_ivf(
+        emb, queries, "vec_id", "vec_id", "embedding", k=10, n_cells=16, n_probe=4
+    )
+    return ann_recall_at_k(exact, approx, k=10)
