@@ -72,3 +72,18 @@ def test_pairs_are_within_cluster_upper_triangle(planted_vectors):
 def test_centroid_bound_enforced(planted_vectors):
     with pytest.raises(ValueError):
         assign_fixed_centroids(planted_vectors, "vec_id", "embedding", 1000)
+
+
+def test_pairs_from_assigned_matches_fixed(planted_vectors):
+    from vectordb_bioinsight_spark.operators.semdedup import semdedup_pairs_from_assigned
+
+    assigned = assign_fixed_centroids(planted_vectors, "vec_id", "embedding", 4)
+    via_assigned = semdedup_pairs_from_assigned(
+        assigned, "vec_id", "embedding", "cluster_id", min_cosine=0.95
+    )
+    direct = semdedup_pairs(
+        planted_vectors, "vec_id", "embedding", n_clusters=4, min_cosine=0.95
+    )
+    assert sorted(map(tuple, via_assigned.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

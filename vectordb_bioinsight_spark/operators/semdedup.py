@@ -102,6 +102,22 @@ def semdedup_pairs(
     )
 
 
+def semdedup_pairs_from_assigned(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str = "cluster_id",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Within-cluster dup pairs from a PRE-ASSIGNED clustering — the drop-in
+    for a learned codebook (``ivf_build_index``'s ``_cell`` column) or any
+    external cluster label. Same downstream plan as :func:`semdedup_pairs`,
+    minus the fixed-centroid step."""
+    return similarity_self_join(
+        assigned, id_col, vec_col, min_cosine=min_cosine, block_col=cluster_col
+    )
+
+
 def semdedup_flags(
     vectors: DataFrame,
     id_col: str,
