@@ -152,3 +152,23 @@ def test_mixture_fractional_determinism(spark):
 def test_mixture_rejects_negative_weight(docs):
     with pytest.raises(ValueError):
         mixture_weight_sample(docs, "doc_id", "source", {"s1": -1.0})
+
+
+def test_shuffle_shards_deterministic_and_complete(spark):
+    from vectordb_bioinsight_spark.operators.packing import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shuffle_shards(df, "doc_id", n_shards=8, salt=1).collect()
+    b = shuffle_shards(df.repartition(13), "doc_id", n_shards=8, salt=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # complete cover, dense 0..k positions per shard
+    assert len(a) == 500 and len({r["doc_id"] for r in a}) == 500
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # a different salt yields a different order
+    c = shuffle_shards(df, "doc_id", n_shards=8, salt=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))

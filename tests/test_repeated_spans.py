@@ -64,3 +64,19 @@ def test_dup_token_fraction(planted_docs):
     assert fr[1]["dup_tokens"] == 10 and fr[1]["n_tokens"] == 22
     assert fr[1]["dup_frac"] == round(10 / 22, 4)
     assert fr[2]["dup_tokens"] == 10
+
+
+def test_remove_token_spans_cuts_planted_passage(planted_docs):
+    from vectordb_bioinsight_spark.operators.cleaning import remove_token_spans
+
+    spans = repeated_ngram_spans(planted_docs, "doc_id", "text", n=5, min_docs=2)
+    out = {r["doc_id"]: r for r in remove_token_spans(planted_docs, spans, "doc_id", "text").collect()}
+    # doc 1: 22 tokens, 10-token passage removed
+    assert out[1]["n_tokens"] == 22 and out[1]["n_removed"] == 10
+    assert "alpha" not in out[1]["clean_text"] and "aaa000xx" in out[1]["clean_text"]
+    # kept tokens preserve original order
+    assert out[1]["clean_text"].split() == (
+        [f"aaa{i:03d}xx" for i in range(6)] + [f"bbb{i:03d}xx" for i in range(6)]
+    )
+    # untouched doc passes through whole
+    assert out[3]["n_removed"] == 0 and len(out[3]["clean_text"].split()) == 25

@@ -228,3 +228,65 @@ def reassemble_documents(lines: DataFrame) -> DataFrame:
             F.count("*").alias("n_lines_kept"),
         )
     )
+
+
+def remove_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Cut TOKEN-position ranges out of documents — the apply step for span
+    producers (dedup.repeated_ngram_spans' cross-doc duplicated passages,
+    or any (id, span_start, span_end) table). Output text is the kept
+    tokens of the NORMALIZED token stream space-joined (the same stream
+    fingerprint/minhash read), since char-level offsets don't survive
+    tokenization.
+
+    This is the aggressive cut-everywhere mode; a keep-one-occurrence
+    policy (Lee et al.'s dedup action) is the same call with the survivor
+    docs' rows filtered OUT of ``spans`` first.
+
+    Output: (id, clean_text, n_tokens, n_removed).
+
+    Scale: posexplode + one equi-key (id) anti join whose extra range
+    predicate runs inside the join, + one groupBy reassembly — the span
+    table is tiny relative to the corpus and never fans out.
+    """
+    from vectordb_bioinsight_spark.functions.text import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
+    )
+    sp = spans.select(
+        F.col(id_col).alias("_sid"),
+        F.col("span_start").alias("_ss"),
+        F.col("span_end").alias("_se"),
+    )
+    kept = toks.join(
+        sp,
+        (F.col("_id") == F.col("_sid"))
+        & (F.col("pos") >= F.col("_ss"))
+        & (F.col("pos") <= F.col("_se")),
+        "left_anti",
+    )
+    total = toks.groupBy("_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("_n_kept"),
+    )
+    return (
+        total.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

@@ -314,3 +314,33 @@ def temperature_mixture_sample(
     return mixture_weight_sample(
         df, id_col, domain_col, weights, default_weight=1.0, salt=salt
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a pseudo-random
+    but reproducible (shard, shard_pos) address — hash-ordered, so the
+    "shuffled" order is identical on any cluster size / partitioning, and
+    re-runs with a different ``salt`` give an independent epoch order (the
+    shuffle-per-epoch discipline without RNG state).
+
+    Output: input columns + shard (int) + shard_pos (0-based long).
+
+    Scale: shard assignment is scan-local; the only shuffle is the window
+    on shard (the data movement a real shuffle requires anyway). Writers
+    then emit one file per shard via write_table(partition_by=["shard"]).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = salted_hash64(F.col(id_col).cast("string"), salt)
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("_h")
+    )

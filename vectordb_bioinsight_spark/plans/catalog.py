@@ -50,6 +50,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
     "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
     "ivf_recall": (vec.q_ivf_recall, None),  # KMeans index: rows-only
+    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
+    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
     # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---

@@ -197,3 +197,45 @@ SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
        md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
 FROM surv GROUP BY doc_id
 """
+
+
+def q_span_cut_docs(spark, sf_dir):
+    """Apply step of ExactSubstr dedup: cut every cross-doc repeated 8-gram
+    span (catalog `repeated_spans`) out of every doc's normalized token
+    stream (aggressive mode)."""
+    from vectordb_bioinsight_spark.operators.cleaning import remove_token_spans
+    from vectordb_bioinsight_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = repeated_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
+    return remove_token_spans(docs, spans, "doc_id", "text")
+
+
+def _sql_span_cut_docs() -> str:
+    from vectordb_bioinsight_spark.plans.catalog_text import SQL_REPEATED_SPANS, _TOK3
+
+    return f"""
+WITH spans AS ({SQL_REPEATED_SPANS}),
+toks AS (
+  SELECT doc_id, unnest(range(0, len(tk)))::BIGINT AS pos, unnest(tk) AS tok
+  FROM (SELECT doc_id, {_TOK3} AS tk FROM documents)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  )
+), total AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_tokens,
+       (t.n_tokens - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM total t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+SQL_SPAN_CUT_DOCS = _sql_span_cut_docs()

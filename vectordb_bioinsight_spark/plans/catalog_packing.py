@@ -258,3 +258,34 @@ SELECT doc_id, lang, t.i::INT AS copy_id
 FROM n, unnest(generate_series(0, n_copies - 1)) AS t(i)
 WHERE n_copies > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shards — deterministic global training shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+_SHUF_SALT = 5
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Reproducible epoch shuffle: every doc addressed by (shard, shard_pos)
+    from a salted hash — identical order under any partitioning."""
+    from vectordb_bioinsight_spark.operators.packing import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=_SHUF_SHARDS, salt=_SHUF_SALT)
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id, ({salted_hash64_duckdb("doc_id::VARCHAR", _SHUF_SALT)}) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       (((hv % {_SHUF_SHARDS}) + {_SHUF_SHARDS}) % {_SHUF_SHARDS})::INT AS shard,
+       (row_number() OVER (
+          PARTITION BY ((hv % {_SHUF_SHARDS}) + {_SHUF_SHARDS}) % {_SHUF_SHARDS}
+          ORDER BY hv ASC, doc_id ASC) - 1)::BIGINT AS shard_pos
+FROM h
+"""
