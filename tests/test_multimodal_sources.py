@@ -215,3 +215,28 @@ def test_parse_pdf_binary_end_to_end_sections(spark):
     assert "Introduction" in headers and "Methods" in headers
     bodies = " ".join(s["body"] for s in secs)
     assert "hash partitioning (fast)" in bodies
+
+
+def test_read_jsonl_corpus_isolates_corrupt_lines(spark, tmp_path):
+    import json as _json
+
+    from vectordb_bioinsight_spark.sources.readers import (
+        read_jsonl_corpus,
+        split_corrupt_rows,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s0"}),
+        'this is { not json',
+        _json.dumps({"doc_id": 2, "text": "gamma", "lang": "de", "source": "s1"}),
+        '{"doc_id": "notanint", "text": 3}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_jsonl_corpus(spark, str(p))
+    clean, corrupt = split_corrupt_rows(df)
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == "alpha beta" and rows[2]["lang"] == "de"
+    bad = [r["raw_line"] for r in corrupt.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)

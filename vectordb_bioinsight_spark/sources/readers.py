@@ -353,3 +353,46 @@ def read_h5ad(spark: SparkSession, path: str) -> DataFrame:
             "transpose_roles=True) for the CSV fallback with the same output contract"
         ) from exc
     raise NotImplementedError("real anndata path not wired in this environment")
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """S1-family: JSONL document-corpus scan — the interchange format LLM
+    corpora actually ship in (one JSON object per line; Dolma/RedPajama/
+    C4 distributions). Extends the reference's document-ingest capability
+    (vector_store.py parquet/JSON loads) to line-delimited corpora.
+
+    Malformed lines do NOT fail the 100 TB job: PERMISSIVE mode routes them
+    to ``corrupt_col`` (the raw line), so the pipeline can count/quarantine
+    them (same error-row discipline as sources/snapshot.py). An explicit
+    schema is REQUIRED at scale — schema inference would be a second full
+    pass over the data.
+
+    Spark splits un-compressed JSONL (and bgzip'd via splittable codecs) by
+    byte range, so a directory of shards parallelizes like parquet; gzip'd
+    shards parallelize per-file (ship many files, not one big one).
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt_rows(df: DataFrame, corrupt_col: str = "_corrupt"):
+    """(clean, corrupt) pair: clean rows lose the corrupt column; corrupt
+    rows keep the raw line for quarantine plus whatever partially parsed
+    (Spark refuses plans that reference ONLY the internal corrupt-record
+    column — QUERY_ONLY_CORRUPT_RECORD_COLUMN — so the quarantine side
+    must, and usefully does, carry the data columns too)."""
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).withColumnRenamed(
+        corrupt_col, "raw_line"
+    )
+    return clean, corrupt
