@@ -1,0 +1,63 @@
+"""Streaming document ingest: gate → within-batch dedup → corpus dedup → append."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vectordb_bioinsight_spark.streaming.ingest_stream import (
+    run_ingest_stream,
+    stream_documents_from_dir,
+)
+
+
+def _jsonl(path, rows):
+    path.write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s"})
+            for i, t in rows
+        )
+        + "\n"
+    )
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    return landing, str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+
+
+def test_ingest_gates_and_dedups(spark, dirs):
+    landing, corpus, ckpt = dirs
+    # seed corpus with one existing text
+    spark.createDataFrame(
+        [(100, "existing corpus document text", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(corpus)
+
+    _jsonl(
+        landing / "batch1.jsonl",
+        [
+            (1, "a fresh document about alpha topics"),
+            (2, "a fresh document about alpha topics"),  # within-batch dup of 1
+            (3, "existing corpus document text"),  # already in corpus
+            (4, "!!!"),  # junk: fails the quality gate
+            (5, "another fresh document entirely"),
+        ],
+    )
+    stream = stream_documents_from_dir(spark, str(landing))
+    run_ingest_stream(stream, corpus, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {100, 1, 5}
+
+    # second batch: re-sends doc 1's text (now in corpus) + one new doc
+    _jsonl(
+        landing / "batch2.jsonl",
+        [(6, "a fresh document about alpha topics"), (7, "late-arriving new text")],
+    )
+    stream2 = stream_documents_from_dir(spark, str(landing))
+    run_ingest_stream(stream2, corpus, ckpt)
+    got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {100, 1, 5, 7}

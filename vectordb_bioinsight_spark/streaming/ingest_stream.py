@@ -1,0 +1,117 @@
+"""Streaming document ingest — the corpus-building loop as a stream.
+
+Reference analog: the reference ingests papers incrementally (fetch →
+check-if-present → insert, backend/app/core/vector_store.py upsert flow +
+the daily-briefing scheduler). Re-expressed as Structured Streaming over a
+landing directory of JSONL shards: each micro-batch is quality-gated,
+deduped WITHIN the batch and AGAINST the corpus built so far, then appended.
+
+``foreachBatch`` is the right primitive here (not a continuous stateful
+operator): the against-corpus dedup needs the corpus AS OF this batch —
+state that lives in the sink table, not in stream state — and the
+checkpoint gives exactly-once batch replay semantics. Inside the batch we
+reuse the engine's batch operators unchanged (the Bloom prefilter keeps the
+corpus un-shuffled however large it grows — operators/bloom.py).
+
+At 100 TB: the landing dir is an object-store prefix; ``maxFilesPerTrigger``
+bounds batch size; the corpus append is a partitioned parquet/Delta table;
+the Bloom build cost is amortizable by persisting the bitmap between
+batches (rebuild per batch is the simple correct default implemented here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def stream_documents_from_dir(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str = DOC_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a JSONL landing directory (explicit schema — a stream
+    cannot infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(landing_dir)
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 3,
+    max_punct_ratio: float = 0.5,
+) -> DataFrame:
+    """Scan-local junk filter (streaming-safe: pure row expressions) —
+    the same length/punctuation discipline as operators/chunking's junk
+    predicate, applied before any text enters the corpus."""
+    from vectordb_bioinsight_spark.functions.text import punct_ratio, token_count
+
+    return docs.filter(F.col(text_col).isNotNull()).filter(
+        (token_count(F.col(text_col)) >= min_tokens)
+        & (punct_ratio(F.col(text_col)) <= max_punct_ratio)
+    )
+
+
+def _dedup_within_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per content hash (the engine-wide survivor rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_ch").orderBy(F.col(id_col).asc())
+    return (
+        batch.withColumn("_ch", portable_hash64(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_ch", "_rn")
+    )
+
+
+def run_ingest_stream(
+    stream_docs: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bloom_bits: int = 1 << 16,
+    await_termination: bool = True,
+):
+    """Start the gated, deduped append loop; with the default
+    availableNow trigger it drains the landing dir and stops (the
+    batch-refresh mode); pass ``await_termination=False`` to keep the query
+    handle for a long-running stream.
+    """
+    from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
+
+    spark = stream_docs.sparkSession
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = _dedup_within_batch(
+            quality_gate(batch_df, text_col), id_col, text_col
+        )
+        if os.path.isdir(corpus_path) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus_path)
+        ):
+            corpus = spark.read.parquet(corpus_path)
+            batch = dedup_against_corpus(
+                batch, corpus, id_col, text_col, num_bits=bloom_bits
+            )
+        batch.write.mode("append").parquet(corpus_path)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
