@@ -87,3 +87,34 @@ def test_pairs_from_assigned_matches_fixed(planted_vectors):
     assert sorted(map(tuple, via_assigned.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_gemm_path_matches_fold_path(planted_vectors):
+    from vectordb_bioinsight_spark.operators.semdedup import (
+        semdedup_survivors,
+        semdedup_survivors_gemm,
+    )
+
+    # 0.95 threshold sits far from any pair's cosine in the fixture, so the
+    # BLAS-vs-fold last-ulp difference cannot flip a decision
+    fold = semdedup_survivors(planted_vectors, "vec_id", "embedding", 4, 0.95)
+    gemm = semdedup_survivors_gemm(planted_vectors, "vec_id", "embedding", 4, 0.95)
+    assert sorted(r["vec_id"] for r in fold.collect()) == sorted(
+        r["vec_id"] for r in gemm.collect()
+    )
+
+
+def test_gemm_chunking_exact(planted_vectors):
+    from vectordb_bioinsight_spark.operators.semdedup import (
+        assign_fixed_centroids,
+        semdedup_losers_gemm,
+    )
+
+    assigned = assign_fixed_centroids(planted_vectors, "vec_id", "embedding", 4)
+    big = semdedup_losers_gemm(assigned, "vec_id", "embedding", min_cosine=0.95)
+    small = semdedup_losers_gemm(
+        assigned, "vec_id", "embedding", min_cosine=0.95, chunk=3
+    )
+    assert sorted(r["vec_id"] for r in big.collect()) == sorted(
+        r["vec_id"] for r in small.collect()
+    )

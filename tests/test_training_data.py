@@ -105,3 +105,50 @@ def test_repetition_gate_drops_degenerate_docs(spark):
     )
     kept = {r["doc_id"] for r in out.collect()}
     assert 2 not in kept and 1 in kept and 3 in kept
+
+
+def test_prepare_training_batches_selects_rebalances_packs(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.pipelines.training_data import (
+        prepare_training_batches,
+    )
+
+    tgt_text = " ".join(["alpha beta gamma delta"] * 6)
+    far_text = " ".join(["zulu yankee xray whiskey"] * 6)
+    rows = (
+        [(i, tgt_text + f" filler{i:03d}", "wiki") for i in range(20)]
+        + [(100 + i, far_text + f" junkpad{i:03d}", "web") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    packed = prepare_training_batches(
+        docs,
+        seq_len=64,
+        n_shards=4,
+        inv_temp=0.5,
+        dsir_target=F.col("source") == "wiki",
+        dsir_keep_frac=0.7,
+        salt=1,
+    )
+    out = packed.collect()
+    # DSIR keeps target-like docs; the threshold (30th pct) lands inside the
+    # wiki score block, so every far 'web' doc falls below it
+    domains = {r["domain"] for r in out}
+    assert domains == {"wiki"}
+    # packing addresses are dense and consistent per shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r["tok_start"])
+        pos = 0
+        for r in rows_:
+            assert r["tok_start"] == pos
+            pos += r["n_tokens"]
+    # deterministic
+    again = prepare_training_batches(
+        docs, seq_len=64, n_shards=4, inv_temp=0.5,
+        dsir_target=F.col("source") == "wiki", dsir_keep_frac=0.7, salt=1,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

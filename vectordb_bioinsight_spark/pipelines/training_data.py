@@ -126,3 +126,64 @@ def prepare_training_data(
     return hash_split(
         deduped, id_col, list(split_weights), ["train", "val", "test"], salt=salt + 1
     )
+
+
+def prepare_training_batches(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    seq_len: int = 2048,
+    n_shards: int = 16,
+    inv_temp: float | None = None,
+    dsir_target=None,
+    dsir_keep_frac: float | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Stage 2 of the LLM pipeline: prepared corpus → packed epoch batches.
+
+    Optional DSIR selection (keep the most target-like ``dsir_keep_frac`` of
+    docs; threshold via ``percentile_approx`` — one aggregated row broadcast
+    back, never a global sort), optional temperature mixture replication
+    (q ∝ p^(1/T) over ``domain_col``), then concat-and-chunk packing of the
+    replica stream. Replicas get a composite id (doc#copy) so epoch copies
+    land in different shards.
+
+    Output: pack_concat_chunk's span table plus ``domain`` — every training
+    sequence addressable, deterministic under any partitioning.
+    """
+    from vectordb_bioinsight_spark.operators.packing import (
+        pack_concat_chunk,
+        temperature_mixture_sample,
+    )
+    from vectordb_bioinsight_spark.operators.text_analysis import dsir_logratio_scores
+
+    df = corpus
+    if dsir_target is not None and dsir_keep_frac:
+        if not 0 < dsir_keep_frac <= 1:
+            raise ValueError("dsir_keep_frac must be in (0, 1]")
+        scores = dsir_logratio_scores(df, id_col, text_col, dsir_target).select(
+            F.col("doc_id").alias(id_col), "dsir_score"
+        )
+        thr = scores.agg(
+            F.percentile_approx("dsir_score", 1.0 - dsir_keep_frac).alias("_thr")
+        )
+        df = (
+            df.join(scores, id_col)
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col("dsir_score") >= F.col("_thr"))
+            .drop("_thr", "dsir_score")
+        )
+    if inv_temp is not None:
+        df = temperature_mixture_sample(df, id_col, domain_col, inv_temp, salt=salt)
+    else:
+        df = df.withColumn("copy_id", F.lit(0))
+    replicas = df.select(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("copy_id")).alias("_rid"),
+        F.col(text_col),
+        F.col(domain_col).alias("domain"),
+    )
+    packed = pack_concat_chunk(replicas, "_rid", text_col, seq_len, n_shards)
+    return packed.join(
+        replicas.select(F.col("_rid").alias("doc_id"), "domain"), "doc_id"
+    )
