@@ -33,42 +33,97 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
 #: entries per round, so ordering is rotated each round to spread external
-#: verification across the whole catalog. Round 3 front-loads (a) new
-#: round-3 operators, (b) the 18 entries NEVER driver-checked (positions
-#: >50 in both the r01 and r02 orderings: the tail of the TPC-H shape
-#: sweep plus the rows-only tier), then (c) the round-1-green set (stalest
-#: external verification), and finally (d) the round-2 window (freshest).
+#: verification across the whole catalog. Only CORRECTNESS_r01 exists as an
+#: external record, so this round front-loads (a) every operator new since
+#: r01's window closed (the data-selection / cleaning / packing tiers),
+#: then (b) the families with NO r01 row at all (stats, multimodal,
+#: singlecell, round-2 text/retrieval) so each gets its first external
+#: check, then (c) remaining never-checked entries (coverage, sampling,
+#: vector scale paths, the TPC-H sweep — whose join/agg FAMILIES do have
+#: r01-green representatives), and finally (d) the r01-green set (stalest,
+#: but externally proven once already).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === round-3 driver window ===
-    # --- NEW round 3: semantic dedup (SemDeDup analog) ---
+    # === (a) new since the r01 window: data-selection tier ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    # --- NEW round 3: ExactSubstr repeated-span dedup (Lee et al. 2022) ---
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
     "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    # --- NEW round 3: DSIR importance scoring + temperature mixture ---
     "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
     "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
     "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
     "ivf_recall": (vec.q_ivf_recall, None),  # KMeans index: rows-only
     "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
     "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
-    # --- NEW round 3: incremental-ingest dedup (broadcast Bloom + confirm) ---
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    # --- NEW round 3: exact per-group discrete quantiles (+ sketch twin) ---
     "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    # --- NEW round 3: damped PageRank (KG node importance) ---
     "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
-    # --- NEW round 3: corpus-cleaning tier (C4/Dolma hygiene) ---
+    # === (a) new since r01: corpus-cleaning + training-batch tiers ===
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    # --- NEW round 3: training-batch tier (packing + data mixture) ---
     "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
     "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
     "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
     "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
     "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    # --- TPC-H shape sweep tail (never driver-checked in r01/r02) ---
+    # === (b) families with no r01 row: stats / scoring / classification ===
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
+    # === (b) multimodal payload plumbing ===
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    # === (b) single-cell analogs ===
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    # === (b) round-2 text / retrieval ===
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # === (b) network analogs ===
+    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
+    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
+    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
+    # === (c) remaining never-checked: coverage fill-ins ===
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    # === (c) deterministic sampling / splitting ===
+    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
+    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
+    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    # === (c) vector scale paths ===
+    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    "label_map_2d": (vec.q_label_map_2d, None),  # SVD has no SQL twin: rows-only
+    # === (c) TPC-H shape sweep (families r01-proven via the relational core) ===
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
     "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
     "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
@@ -89,13 +144,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # --- rows-only tier, never driver-checked (weaker check regardless) ---
+    # === (c) rows-only tier (weaker check regardless of position) ===
     "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
     "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
     "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
-    # === round-1-green set (stalest external verification) — re-verify ===
-    # --- relational core (TPC-H-shaped) ---
+    # === (d) r01-green set (externally proven once; stalest) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
     "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
@@ -114,7 +168,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "orders_per_month": (rel.q_orders_per_month, rel.SQL_ORDERS_PER_MONTH),
     "regional_revenue": (rel.q_regional_revenue, rel.SQL_REGIONAL_REVENUE),
     "events_in_price_band": (rel.q_events_in_price_band, rel.SQL_EVENTS_IN_PRICE_BAND),
-    # --- events / windows / stats ---
     "daily_event_counts": (ev.q_daily_event_counts, ev.SQL_DAILY_EVENT_COUNTS),
     "event_share_per_day": (ev.q_event_share_per_day, ev.SQL_EVENT_SHARE_PER_DAY),
     "event_trends": (ev.q_event_trends, ev.SQL_EVENT_TRENDS),
@@ -122,7 +175,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "bh_adjust": (ev.q_bh_adjust, ev.SQL_BH_ADJUST),
     "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
-    # --- text analysis & dedup ---
     "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
     "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
     "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
@@ -133,84 +185,21 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
     "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
-    # --- vector / retrieval core ---
     "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
     "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
     "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
     "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
     "recommend_docs": (vec.q_recommend_docs, vec.SQL_RECOMMEND_DOCS),
-    # --- network / ML-adjacent / scalar extensions ---
     "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
     "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),
     "median_order_value": (net.q_median_order_value, net.SQL_MEDIAN_ORDER_VALUE),
     "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),
     "sessionize": (net.q_sessionize, net.SQL_SESSIONIZE),
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
-    # --- stats / scoring / classification ---
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
     "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only (r01-checked)
-    # === round-2 window (freshest external verification) — back of rotation ===
-    # --- stats / scoring / classification ---
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
-    # --- multimodal payload plumbing ---
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    # --- single-cell analogs ---
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    # --- text / retrieval ---
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
-    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
-    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    "label_map_2d": (vec.q_label_map_2d, None),  # SVD has no SQL twin: rows-only
-    # --- network ---
-    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
-    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
-    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
-    # --- SURVEY coverage fill-ins ---
-    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
-    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
-    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
-    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
-    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
-    # --- deterministic sampling / splitting ---
-    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
-    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
-    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
-    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
-    # --- vector scale paths ---
-    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
-    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    # --- TPC-H shape sweep (head, r02-checked) ---
-    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
-    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
-    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
-    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
-    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
-    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
-    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
-    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
 }
 
 
