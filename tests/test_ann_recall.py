@@ -58,3 +58,28 @@ def test_recall_counts_misses(spark):
     )
     row = ann_recall_at_k(exact, approx, k=10).collect()[0]
     assert (row["n_exact"], row["n_hit"], row["recall"]) == (10, 5, 0.5)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from vectordb_bioinsight_spark.operators.fusion import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        "query_id long, cand_id long, rank int",
+    )
+    relevance = spark.createDataFrame(
+        # q0: rel docs 11 (rank 2) and 99 (missed); q1: none relevant
+        [(0, 11, 1.0), (0, 99, 1.0)],
+        "query_id long, cand_id long, rel double",
+    )
+    rows = {r["query_id"]: r for r in retrieval_metrics(results, relevance, k=3).collect()}
+    dcg = 1.0 / math.log2(3)          # hit at rank 2
+    idcg = 1.0 + 1.0 / math.log2(3)   # two rel docs at ideal ranks 1,2
+    assert rows[0]["dcg"] == round(dcg, 6)
+    assert rows[0]["idcg"] == round(idcg, 6)
+    assert rows[0]["ndcg"] == round(dcg / idcg, 6)
+    assert rows[0]["mrr"] == 0.5
+    assert rows[0]["precision_k"] == round(1 / 3, 6)
+    assert rows[1]["ndcg"] == 0.0 and rows[1]["n_rel"] == 0

@@ -54,3 +54,68 @@ def rrf_fuse(
     else:
         out = out.select(F.col(id_col), F.round(F.col("rrf_raw"), 6).alias("rrf_score"))
     return out
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query — nDCG@k, MRR@k, precision@k.
+
+    ``results``: (query_id, cand_id, rank) from any retrieval arm (BM25,
+    kNN, hybrid RRF). ``relevance``: (query_id, cand_id, rel) graded gains
+    (binary or graded). The ideal DCG is computed from the relevance table
+    itself (top-k gains per query), so nDCG is self-contained.
+
+    Standard formulation: DCG@k = Σ rel_i / log2(rank_i + 1).
+    Output: (query_id, n_rel, dcg, idcg, ndcg, mrr, precision_k) — floats
+    rounded 6 dp; queries with no relevant docs report 0 metrics (not NULL).
+
+    Scale: two equi-joins on (query_id, cand_id) + one window over the
+    relevance table capped at k — result-set sized, negligible next to the
+    retrieval that produced it.
+    """
+    from pyspark.sql import Window
+
+    res = results.filter(F.col("rank") <= k).select("query_id", "cand_id", "rank")
+    rel = relevance.filter(F.col("rel") > 0).select("query_id", "cand_id", "rel")
+    hits = res.join(rel, ["query_id", "cand_id"], "left").withColumn(
+        "_gain", F.coalesce(F.col("rel"), F.lit(0.0))
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.col("_gain") / F.log2(F.col("rank") + 1)).alias("_dcg"),
+        F.max(
+            F.when(F.col("rel").isNotNull(), 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("_mrr"),
+        (
+            F.sum(F.when(F.col("rel").isNotNull(), 1).otherwise(0)) / F.lit(float(k))
+        ).alias("_prec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    ideal = (
+        rel.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") / F.log2(F.col("_r") + 1)).alias("_idcg"),
+            F.count("*").cast("long").alias("n_rel"),
+        )
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            F.round(F.coalesce("_dcg", F.lit(0.0)), 6).alias("dcg"),
+            F.round(F.coalesce("_idcg", F.lit(0.0)), 6).alias("idcg"),
+            F.round(
+                F.when(
+                    F.coalesce("_idcg", F.lit(0.0)) > 0, F.col("_dcg") / F.col("_idcg")
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+            F.round(F.coalesce("_mrr", F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.coalesce("_prec", F.lit(0.0)), 6).alias("precision_k"),
+        )
+    )

@@ -497,3 +497,83 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, "vec_id", "vec_id", "embedding", k=10, n_cells=16, n_probe=4
     )
     return ann_recall_at_k(exact, approx, k=10)
+
+
+NDCG_QUERIES = 8
+NDCG_K = 10
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit with a full SQL twin: nDCG@10 / MRR / P@10 of
+    exact cosine kNN for 8 query vectors, relevance = shared label (the
+    standard label-match protocol when no human judgments exist)."""
+    from vectordb_bioinsight_spark.operators.fusion import retrieval_metrics
+    from vectordb_bioinsight_spark.operators.vector import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < NDCG_QUERIES)
+    results = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=NDCG_K)
+    relevance = (
+        queries.alias("a")
+        .join(emb.alias("b"), F.col("a.label") == F.col("b.label"))
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("cand_id"),
+            F.lit(1.0).alias("rel"),
+        )
+    )
+    return retrieval_metrics(results, relevance, k=NDCG_K)
+
+
+SQL_RETRIEVAL_NDCG = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NDCG_QUERIES}
+), p AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), sums AS (
+  SELECT query_id, cand_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM p GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(dot / nullif(sqrt(nx) * sqrt(ny), 0), 6) DESC, cand_id ASC
+         ) AS rank
+  FROM sums
+), res AS (
+  SELECT query_id, cand_id, rank FROM ranked WHERE rank <= {NDCG_K}
+), rel AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, 1.0 AS rel
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id != b.vec_id
+  WHERE a.vec_id < {NDCG_QUERIES}
+), hits AS (
+  SELECT r.query_id, r.rank, rel.rel
+  FROM res r LEFT JOIN rel ON r.query_id = rel.query_id AND r.cand_id = rel.cand_id
+), perq AS (
+  SELECT query_id,
+         sum(coalesce(rel, 0) / log2(rank + 1)) AS dcg,
+         max(CASE WHEN rel IS NOT NULL THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) / {NDCG_K}.0 AS prec
+  FROM hits GROUP BY 1
+), ideal AS (
+  SELECT query_id, sum(rel / log2(r + 1)) AS idcg, count(*)::BIGINT AS n_rel
+  FROM (
+    SELECT query_id, rel, cand_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS r
+    FROM rel
+  ) WHERE r <= {NDCG_K}
+  GROUP BY 1
+)
+SELECT p.query_id, coalesce(i.n_rel, 0) AS n_rel,
+       round(coalesce(p.dcg, 0.0), 6) AS dcg,
+       round(coalesce(i.idcg, 0.0), 6) AS idcg,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       round(coalesce(p.mrr, 0.0), 6) AS mrr,
+       round(coalesce(p.prec, 0.0), 6) AS precision_k
+FROM perq p LEFT JOIN ideal i USING (query_id)
+"""
