@@ -140,3 +140,26 @@ class TestPlanShape:
         red = redact_pii(df, "doc_id", "text")
         plan2 = red._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    texts = {
+        1: "word " * 200,                      # highly repetitive: low ratio
+        2: "The quick brown fox jumps over the lazy dog. " * 4,
+        3: "",                                 # empty: ratio 0 by convention
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in compression_ratio_scores(df, "doc_id", "text").collect()}
+    for did, t in texts.items():
+        raw = t.encode("utf-8")
+        assert rows[did]["n_bytes"] == len(raw)
+        assert rows[did]["n_compressed"] == len(zlib.compress(raw, 6))
+        exp = round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else 0.0
+        assert rows[did]["compression_ratio"] == exp
+    assert rows[1]["compression_ratio"] < 0.1 < rows[2]["compression_ratio"]

@@ -12,6 +12,7 @@ Reference analogs: junk-content predicate (backend/app/core/text_splitter.py:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -450,4 +451,47 @@ def dsir_logratio_scores(
             F.sum("tf").cast("long").alias("n_feats"),
             F.round(F.sum(F.col("tf") * logratio) / F.sum("tf"), 6).alias("dsir_score"),
         )
+    )
+
+
+def compression_ratio_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Compression-ratio quality signal: zlib-compressed size / raw size per
+    document (the Gopher-rules companion signal — highly repetitive or
+    templated text compresses far below normal prose; random noise
+    compresses above it). Both tails are filter candidates.
+
+    Runs as an Arrow-batched pandas UDF (zlib is not expressible as a JVM
+    expression); per-row work is one deflate over the document bytes — CPU-
+    bound, scan-local, no shuffle. No SQL twin exists (DuckDB has no zlib),
+    so catalog exposure would be rows-only; semantics are pinned by unit
+    tests against Python zlib directly.
+
+    Output: (id, n_bytes, n_compressed, compression_ratio[4dp]).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _csize(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    out = df.select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        _csize(F.col(text_col)).alias("n_compressed"),
+    )
+    return out.withColumn(
+        "compression_ratio",
+        F.round(
+            F.when(F.col("n_bytes") > 0, F.col("n_compressed") / F.col("n_bytes"))
+            .otherwise(F.lit(0.0)),
+            4,
+        ),
     )

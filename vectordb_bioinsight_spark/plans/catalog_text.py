@@ -746,3 +746,14 @@ GROUP BY 1
 
 
 SQL_DSIR_SCORES = _sql_dsir_scores()
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (rows-only: no zlib in DuckDB;
+    semantics pinned by unit tests vs Python zlib)."""
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        compression_ratio_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio_scores(docs, "doc_id", "text")
