@@ -66,6 +66,10 @@ HEADLINE = [
     "semdedup",
     "repeated_spans",
     "dsir_scores",
+    # span-cut: the full detect+cut+reassemble chain (three shuffles); ndcg:
+    # the retrieval-audit join stack over the kNN arm
+    "span_cut_docs",
+    "retrieval_ndcg",
 ]
 
 
