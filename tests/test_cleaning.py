@@ -163,3 +163,18 @@ def test_compression_ratio_matches_python_zlib(spark):
         exp = round(len(zlib.compress(raw, 6)) / len(raw), 4) if raw else 0.0
         assert rows[did]["compression_ratio"] == exp
     assert rows[1]["compression_ratio"] < 0.1 < rows[2]["compression_ratio"]
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    from vectordb_bioinsight_spark.operators.text_analysis import bigram_logprob_scores
+
+    # 20 docs share a coherent transition structure; one doc uses the SAME
+    # vocabulary with scrambled transitions -> rare bigrams -> lower logprob
+    coherent = "alpha beta gamma delta epsilon zeta " * 5
+    scrambled = "zeta gamma alpha epsilon beta delta " * 5
+    rows = [(i, coherent) for i in range(20)] + [(99, scrambled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert out[99]["avg_logprob"] < out[0]["avg_logprob"]
+    assert out[99]["perplexity"] > out[0]["perplexity"]
+    assert out[0]["n_bigrams"] == 29

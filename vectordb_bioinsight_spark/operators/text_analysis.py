@@ -495,3 +495,64 @@ def compression_ratio_scores(
             4,
         ),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Bigram-LM quality scoring — the next rung above
+    :func:`unigram_logprob_scores` on the CCNet ladder (their production
+    filter is a 5-gram KenLM; the distributed trick is identical at every
+    order): score each doc by its mean conditional token log-probability
+    p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V) under the corpus-fitted,
+    add-α-smoothed bigram model. Junk/templated text diverges from the
+    corpus transition structure even when its unigram mix looks normal.
+
+    Output: (doc_id, n_bigrams, avg_logprob, perplexity), rounded 6 dp;
+    docs with < 2 tokens are dropped (no bigram to score).
+
+    Physical plan: one exploded bigram projection feeding (a) the per-doc
+    counts and (b) the corpus bigram model (two map-side-combinable
+    groupBys); the context model and V are vocabulary-bounded joins AQE
+    broadcasts. Same shuffle discipline as the unigram op — model size is
+    O(distinct bigrams), never corpus size.
+    """
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    big = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+    )
+    uni = toks.select("doc_id", F.explode(F.col("_toks")).alias("w"))
+    doc_bg = big.groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("tf"))
+    model_bg = doc_bg.groupBy("bg").agg(F.sum("tf").cast("double").alias("cbg"))
+    model_ctx = (
+        uni.groupBy(F.col("w").alias("ctx")).agg(F.count("*").cast("double").alias("cctx"))
+    )
+    vocab_n = model_ctx.agg(F.count("*").cast("double").alias("V"))
+    a = F.lit(float(alpha))
+    ctx_of = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    scored = (
+        doc_bg.join(model_bg, "bg")
+        .withColumn("_ctx", ctx_of)
+        .join(model_ctx, F.col("_ctx") == F.col("ctx"))
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "_lp", F.log((F.col("cbg") + a) / (F.col("cctx") + a * F.col("V")))
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("tf") * F.col("_lp")) / F.sum("tf")).alias("_avg"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("_avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.round(F.col("_avg"), 6)), 6).alias("perplexity"),
+    )

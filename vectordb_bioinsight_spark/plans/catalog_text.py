@@ -757,3 +757,49 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio_scores(docs, "doc_id", "text")
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (add-0.1 smoothing): mean conditional token
+    log-prob under the corpus-fitted transition model."""
+    from vectordb_bioinsight_spark.operators.text_analysis import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id", "text", alpha=0.1)
+
+
+def _sql_bigram_logprob() -> str:
+    from vectordb_bioinsight_spark.functions.text import shingles_duckdb
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), big AS (
+  SELECT doc_id, unnest({shingles_duckdb('tk', 2)}) AS bg FROM toks
+), uni AS (
+  SELECT doc_id, unnest(tk) AS w FROM toks
+), doc_bg AS (
+  SELECT doc_id, bg, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2
+), model_bg AS (
+  SELECT bg, sum(tf)::DOUBLE AS cbg FROM doc_bg GROUP BY 1
+), model_ctx AS (
+  SELECT w AS ctx, count(*)::DOUBLE AS cctx FROM uni GROUP BY 1
+), vocab AS (
+  SELECT count(*)::DOUBLE AS v FROM model_ctx
+), scored AS (
+  SELECT d.doc_id, d.tf,
+         ln((m.cbg + 0.1) / (c.cctx + 0.1 * vocab.v)) AS lp
+  FROM doc_bg d
+  JOIN model_bg m USING (bg)
+  JOIN model_ctx c ON split_part(d.bg, ' ', 1) = c.ctx, vocab
+), per_doc AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         round(sum(tf * lp) / sum(tf), 6) AS avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 6) AS perplexity
+FROM per_doc
+"""
+
+
+SQL_BIGRAM_LOGPROB = _sql_bigram_logprob()
