@@ -143,3 +143,30 @@ def portable_hash_bucket_duckdb(expr: str, salt: int = 0) -> str:
     from vectordb_bioinsight_spark.functions.hashing import salted_hash64_duckdb
 
     return f"(({salted_hash64_duckdb(expr, salt)}) % {DENOM} + {DENOM}) % {DENOM}"
+
+
+def quality_quota(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Per-domain quality quota: keep the top ``n_per_group`` rows of each
+    group by score (ties broken by id — total order, deterministic). The
+    budgeted-corpus counterpart to fractional stratified sampling: every
+    domain contributes AT MOST n docs, and they are its best ones.
+
+    Scale: one rank window partitioned by the group key — the shuffle a
+    per-group selection needs anyway; no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= n_per_group)
+        .drop("_qr")
+    )

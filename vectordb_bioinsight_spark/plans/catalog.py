@@ -54,6 +54,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
     "compression_ratio": (tx.q_compression_ratio, None),  # zlib: rows-only
     "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
     "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
     "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),

@@ -803,3 +803,32 @@ FROM per_doc
 
 
 SQL_BIGRAM_LOGPROB = _sql_bigram_logprob()
+
+
+def q_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted per-source selection: each source's top-5 docs by the
+    deterministic quality score (ties by doc_id)."""
+    from vectordb_bioinsight_spark.operators.sampling import quality_quota
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(docs, "doc_id", "text").select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "source").join(scored, "doc_id")
+    return quality_quota(joined, "source", "quality_score", "doc_id", 5)
+
+
+def _sql_quality_quota() -> str:
+    return f"""
+WITH stats AS ({SQL_TEXT_STATS}),
+joined AS (
+  SELECT d.doc_id, d.source, s.quality_score
+  FROM documents d JOIN stats s USING (doc_id)
+)
+SELECT doc_id, source, quality_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY quality_score DESC, doc_id ASC) AS qr
+  FROM joined
+) WHERE qr <= 5
+"""
+
+
+SQL_QUALITY_QUOTA = _sql_quality_quota()
