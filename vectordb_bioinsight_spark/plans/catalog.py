@@ -32,93 +32,39 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round, so ordering is rotated each round to spread external
-#: verification across the whole catalog. Only CORRECTNESS_r01 exists as an
-#: external record, so this round front-loads (a) every operator new since
-#: r01's window closed (the data-selection / cleaning / packing tiers),
-#: then (b) the families with NO r01 row at all (stats, multimodal,
-#: singlecell, round-2 text/retrieval) so each gets its first external
-#: check, then (c) remaining never-checked entries (coverage, sampling,
-#: vector scale paths, the TPC-H sweep — whose join/agg FAMILIES do have
-#: r01-green representatives), and finally (d) the r01-green set (stalest,
-#: but externally proven once already).
+#: entries per round. r01 u r02 drove 100 distinct entries; this round
+#: front-loads (a) the ONLY ever-red driver row (exact_dup_groups, fixed
+#: in r02, awaiting driver confirmation), then (b) every entry with NO
+#: driver row yet -- the coverage fill-ins, sampling/splitting, vector
+#: scale paths, the TPC-H shape sweep, and the rows-only tier -- then
+#: (c) the two r02 rows that green-matched on 0 rows, now de-vacuated
+#: (corpus-derived keywords; planted benchmark overlap), hub_parts (now
+#: oracle-backed via the unrolled BFS/Brandes/power-iteration SQL twin),
+#: and the new streaming-tier batch twin. Everything after the window is
+#: driver-green from r01/r02 (stalest last).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === (a) new since the r01 window: data-selection tier ===
-    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
-    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
-    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
-    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
-    "ivf_recall": (vec.q_ivf_recall, None),  # KMeans index: rows-only
-    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
-    "compression_ratio": (tx.q_compression_ratio, None),  # zlib: rows-only
-    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
-    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
-    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
-    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
-    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
-    # === (a) new since r01: corpus-cleaning + training-batch tiers ===
-    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
-    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
-    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
-    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
-    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    # === (b) families with no r01 row: stats / scoring / classification ===
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),  # same oracle as bh_adjust
-    # === (b) multimodal payload plumbing ===
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    # === (b) single-cell analogs ===
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    # === (b) round-2 text / retrieval ===
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
-    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
-    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    # === (b) network analogs ===
+    # === (a) fixed r01 red: driver re-confirmation first ===
+    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
+    # === (b) never driver-checked: network chains ===
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
     "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
-    # === (c) remaining never-checked: coverage fill-ins ===
+    # === (b) never driver-checked: coverage fill-ins ===
     "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
     "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
     "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
-    # === (c) deterministic sampling / splitting ===
+    # === (b) never driver-checked: sampling / splits / profile ===
     "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
     "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
     "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
     "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
-    # === (c) vector scale paths ===
+    # === (b) never driver-checked: vector scale paths ===
     "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
     "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    "label_map_2d": (vec.q_label_map_2d, None),  # SVD has no SQL twin: rows-only
-    # === (c) TPC-H shape sweep (families r01-proven via the relational core) ===
+    "label_map_2d": (vec.q_label_map_2d, None),
+    # === (b) never driver-checked: TPC-H shape sweep ===
     "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
     "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
     "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
@@ -148,12 +94,66 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # === (c) rows-only tier (weaker check regardless of position) ===
-    "training_corpus": (tx.q_training_corpus, None),  # multi-stage DAG: rows-only
-    "embed_documents": (tx.q_embed_documents, None),  # fake-model stage: rows-only
-    "approx_distinct_users": (th.q_approx_distinct_users, None),  # HLL sketch: rows-only
-    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),  # bucket detail has no SQL twin: rows-only
-    # === (d) r01-green set (externally proven once; stalest) ===
+    # === (b) never driver-checked: rows-only tier ===
+    "training_corpus": (tx.q_training_corpus, None),
+    "embed_documents": (tx.q_embed_documents, None),
+    "approx_distinct_users": (th.q_approx_distinct_users, None),
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),
+    # === (c) de-vacuated + newly oracle-backed + new this round ===
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
+    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
+    "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
+    # === (d) r02 driver-green ===
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
+    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
+    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
+    "ivf_recall": (vec.q_ivf_recall, None),
+    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
+    "compression_ratio": (tx.q_compression_ratio, None),
+    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
+    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
+    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
+    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
+    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
+    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
+    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
+    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # === (e) r01 driver-green (stalest) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
     "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
@@ -183,7 +183,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
     "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
     "fingerprint": (tx.q_fingerprint, tx.SQL_FINGERPRINT),
-    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
     "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
     "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
     "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
@@ -203,7 +202,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
-    "hub_parts": (net.q_hub_parts, None),  # iterative power-method: rows-only (r01-checked)
 }
 
 

@@ -249,3 +249,38 @@ SELECT event_type, max(n)::BIGINT AS n,
        round(max(CASE WHEN rn = greatest(1, ceil(0.99 * n)) THEN value END), 6) AS p99
 FROM r GROUP BY event_type
 """
+
+
+def q_weekly_topic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 driver proxy for the streaming trend tier: the EXACT plan the
+    streaming path runs — ``windowed_event_counts(window(ts, '7 days'))``
+    counts + value sums per event_type, then the briefing's
+    week-over-week delta/ratio (trend_analyzer.py:23-66).
+
+    Structured Streaming's stream==batch equivalence (pinned by
+    tests/test_streaming.py with trigger(availableNow=True)) makes this
+    batch run semantically identical to the streaming aggregation, so a
+    driver hash-match here certifies the streaming tier's window/agg
+    semantics, which otherwise have no driver row."""
+    from vectordb_bioinsight_spark.streaming.trends_stream import (
+        week_over_week_deltas,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    windowed = windowed_event_counts(ev, window_duration="7 days")
+    return week_over_week_deltas(windowed)
+
+
+SQL_WEEKLY_TOPIC_WINDOWS = """
+WITH win AS (
+  SELECT make_timestamp((floor(epoch(ts) / 604800) * 604800)::BIGINT * 1000000) AS window_start,
+         event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n,
+       n - lag(n) OVER w AS delta,
+       CASE WHEN lag(n) OVER w > 0 THEN round(n::DOUBLE / lag(n) OVER w, 6) END AS ratio
+FROM win
+WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+"""

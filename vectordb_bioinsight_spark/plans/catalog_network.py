@@ -68,18 +68,120 @@ FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
 
 
 def q_hub_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M3+M4 (rows-only check): the FULL reference hub blend —
-    0.35·degree + 0.30·betweenness + 0.25·eigenvector + 0.10·closeness
+    """M3+M4: the FULL reference hub blend — 0.35·degree +
+    0.30·betweenness + 0.25·eigenvector + 0.10·closeness
     (agent2_network.py:257-295, min_edges_for_hub=5 incl. the all-nodes
-    fallback) over the part correlation network. Power iteration + the
-    collected exact metrics have no single-SQL equivalent — the driver
-    records the weaker rows/schema check; exact parity is covered by
-    tests/test_network.py fixtures and the oracle-bearing
-    ``hub_blend_chain`` entry (same blend arithmetic, SQL-replayable
-    graph)."""
+    fallback) over the part correlation network.
+
+    Oracle-backed since r03: every metric is replayed in generated SQL —
+    the 20-step power iteration unrolled as CTE steps (as in
+    ``hub_blend_chain``), and betweenness/closeness via an unrolled
+    all-pairs BFS (frontier + path-count sigma per level) with Brandes
+    dependency back-propagation unrolled level-by-level. All four metrics
+    round to 6 dp BEFORE the blend, so sub-1e-12 float-summation-order
+    divergence between engines is quantized away."""
     prof = _part_month_profiles(spark, sf_dir)
     edges = correlation_edges(prof, "l_partkey", "month", "qty", min_abs_corr=0.4)
     return hub_scores_full(edges, top_k_hubs=5)
+
+
+def _hub_parts_sql(levels: int = 19, eig_iters: int = 20, min_degree: int = 5, top_k: int = 5) -> str:
+    """Generated oracle for q_hub_parts: unrolled power iteration +
+    unrolled all-pairs BFS (dist, sigma) + unrolled Brandes deltas over
+    the <= N_CORR_PARTS-node correlation graph. ``levels`` bounds the BFS
+    depth at n_nodes - 1 (worst-case path graph), so the unroll is exact,
+    not truncated."""
+    p: list[str] = []
+    p.append(f"""edges AS MATERIALIZED (
+  WITH top_parts AS (
+    SELECT l_partkey FROM lineitem GROUP BY l_partkey
+    ORDER BY sum(l_quantity) DESC, l_partkey ASC LIMIT {N_CORR_PARTS}
+  ), prof AS (
+    SELECT l_partkey, date_trunc('month', l_shipdate) AS month, sum(l_quantity) AS qty
+    FROM lineitem JOIN top_parts USING (l_partkey) GROUP BY 1, 2
+  ), pairs AS (
+    SELECT a.l_partkey AS e1, b.l_partkey AS e2, corr(a.qty, b.qty) AS r
+    FROM prof a JOIN prof b ON a.month = b.month
+    WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2
+  )
+  SELECT e1, e2 FROM pairs WHERE r IS NOT NULL AND abs(round(r, 6)) >= 0.4
+)""")
+    p.append("sym AS MATERIALIZED (SELECT e1 AS src, e2 AS dst FROM edges "
+             "UNION ALL SELECT e2, e1 FROM edges)")
+    p.append("nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM sym)")
+    p.append("nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)")
+    p.append("deg AS (SELECT src AS entity, count(*)::BIGINT AS degree FROM sym GROUP BY 1)")
+    # eigenvector: unrolled power iteration, L2 normalize each step
+    p.append("s0 AS MATERIALIZED (SELECT v AS entity, 1.0/sqrt((SELECT n FROM nn)) AS score FROM nodes)")
+    for t in range(1, eig_iters + 1):
+        p.append(f"c{t} AS MATERIALIZED (SELECT e.dst AS entity, sum(s.score) AS raw "
+                 f"FROM sym e JOIN s{t-1} s ON e.src = s.entity GROUP BY 1)")
+        p.append(f"nrm{t} AS (SELECT sqrt(sum(raw*raw)) AS nv FROM c{t})")
+        p.append(f"s{t} AS MATERIALIZED (SELECT entity, raw/nv AS score FROM c{t}, nrm{t})")
+    p.append(f"eig AS (SELECT entity, round(score, 6) AS eig_centrality FROM s{eig_iters})")
+    # all-pairs BFS: v{t} = visited pairs (source s, node, #shortest paths sigma, dist d)
+    p.append("v0 AS MATERIALIZED (SELECT v AS s, v AS node, 1.0 AS sigma, 0 AS d FROM nodes)")
+    for t in range(1, levels + 1):
+        p.append(f"""f{t} AS MATERIALIZED (
+  SELECT p.s, e.dst AS node, sum(p.sigma) AS sigma
+  FROM v{t-1} p JOIN sym e ON e.src = p.node
+  WHERE p.d = {t-1} AND NOT EXISTS (
+    SELECT 1 FROM v{t-1} x WHERE x.s = p.s AND x.node = e.dst)
+  GROUP BY 1, 2)""")
+        p.append(f"v{t} AS MATERIALIZED (SELECT * FROM v{t-1} "
+                 f"UNION ALL SELECT s, node, sigma, {t} AS d FROM f{t})")
+    p.append(f"lvl AS MATERIALIZED (SELECT * FROM v{levels})")
+    # closeness: networkx wf_improved form from the distance table
+    p.append("""clo AS (
+  SELECT s AS entity,
+         round(CASE WHEN sum(d) > 0 AND (SELECT n FROM nn) > 1
+               THEN ((count(*) - 1.0) / sum(d)) * ((count(*) - 1.0) / ((SELECT n FROM nn) - 1.0))
+               ELSE 0.0 END, 6) AS closeness
+  FROM lvl GROUP BY s)""")
+    # Brandes: delta back-propagation from the deepest level upward
+    p.append(f"dl{levels} AS MATERIALIZED (SELECT s, node, sigma, 0.0 AS delta FROM lvl WHERE d = {levels})")
+    for t in range(levels - 1, 0, -1):
+        p.append(f"""dl{t} AS MATERIALIZED (
+  SELECT c.s, c.node, c.sigma,
+         coalesce(sum(c.sigma / p.sigma * (1.0 + p.delta)), 0.0) AS delta
+  FROM (SELECT s, node, sigma FROM lvl WHERE d = {t}) c
+  LEFT JOIN sym e ON e.src = c.node
+  LEFT JOIN dl{t+1} p ON p.s = c.s AND p.node = e.dst
+  GROUP BY 1, 2, 3)""")
+    all_deltas = " UNION ALL ".join(f"SELECT node, delta FROM dl{t}" for t in range(1, levels + 1))
+    p.append(f"""btw AS (
+  SELECT node AS entity, round(sum(delta) / 2.0, 6) AS betweenness
+  FROM ({all_deltas}) GROUP BY 1)""")
+    p.append("""joined AS (
+  SELECT d.entity, d.degree,
+         coalesce(b.betweenness, 0.0) AS betweenness,
+         coalesce(e.eig_centrality, 0.0) AS eig_centrality,
+         coalesce(c.closeness, 0.0) AS closeness
+  FROM deg d LEFT JOIN btw b USING (entity) LEFT JOIN eig e USING (entity)
+  LEFT JOIN clo c USING (entity))""")
+    p.append(f"""cand AS (
+  SELECT * FROM joined WHERE degree >= {min_degree}
+  OR NOT EXISTS (SELECT 1 FROM joined j2 WHERE j2.degree >= {min_degree}))""")
+    p.append("""mx AS (
+  SELECT max(degree)::DOUBLE AS mdeg, max(betweenness) AS mbtw,
+         max(eig_centrality) AS meig, max(closeness) AS mclo
+  FROM cand)""")
+    p.append("""scored AS (
+  SELECT entity, degree, betweenness, eig_centrality, closeness,
+         round(0.35 * (CASE WHEN mdeg != 0 THEN degree / mdeg ELSE 0.0 END)
+             + 0.30 * (CASE WHEN mbtw != 0 THEN betweenness / mbtw ELSE 0.0 END)
+             + 0.25 * (CASE WHEN meig != 0 THEN eig_centrality / meig ELSE 0.0 END)
+             + 0.10 * (CASE WHEN mclo != 0 THEN closeness / mclo ELSE 0.0 END), 6) AS hub_score
+  FROM cand, mx)""")
+    body = ",\n".join(p)
+    return f"""WITH {body}
+SELECT entity, degree, betweenness, eig_centrality, closeness, hub_score,
+       (row_number() OVER (ORDER BY hub_score DESC, entity ASC)) <= {top_k} AS is_hub
+FROM scored
+"""
+
+
+SQL_HUB_PARTS = _hub_parts_sql()
 
 
 def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:

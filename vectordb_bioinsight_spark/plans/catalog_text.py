@@ -451,17 +451,23 @@ SELECT doc_id, term, tf, tfidf, rk::INT AS rk FROM ranked WHERE rk <= 5
 
 def q_keyword_and_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10: AND-logic keyword gate (precision_search.py:540-545) — docs
-    containing every one of three query keywords as substrings."""
+    containing every one of three query keywords as substrings.
+
+    Keywords are drawn from the synthetic corpus vocabulary ("batch",
+    "join", "scan" co-occur in ~270/500 docs at sf0.01) so the driver
+    check exercises the gate on a non-empty result — the r02 keyword set
+    matched zero docs, a vacuous pass.
+    """
     from vectordb_bioinsight_spark.operators.text_analysis import keyword_and_match
 
     docs = load_table(spark, sf_dir, "documents")
-    return keyword_and_match(docs, "doc_id", "text", ["data", "model", "the"])
+    return keyword_and_match(docs, "doc_id", "text", ["batch", "join", "scan"])
 
 
 SQL_KEYWORD_AND_MATCH = """
 WITH m AS (
   SELECT doc_id,
-         list_filter(['data', 'model', 'the'],
+         list_filter(['batch', 'join', 'scan'],
                      kw -> contains(lower(text), kw)) AS mk
   FROM documents
 )
@@ -541,14 +547,23 @@ FROM per_doc
 
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-decontamination: corpus docs sharing winnowed token runs with
-    the stand-in benchmark set (doc_id % 97 == 0), self-pairs excluded,
-    >= 2 shared fingerprints."""
+    a planted benchmark set, >= 2 shared fingerprints.
+
+    The benchmark is built from the corpus itself — every doc with
+    doc_id % 97 == 0 re-ID'd to doc_id + 1_000_000 (a "leaked eval item"
+    verbatim in the corpus) — so fingerprint overlap is guaranteed at any
+    SF and the driver check is never vacuous: each planted item must at
+    minimum flag its own source doc. The r02 variant (benchmark = a raw
+    doc subset, self-pairs dropped) found 0 cross-doc overlaps at sf0.01
+    and hash-matched the oracle on emptiness, proving nothing.
+    """
     from vectordb_bioinsight_spark.operators.text_analysis import contamination_check
 
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    out = contamination_check(docs, bench, "doc_id", "text", min_shared=2)
-    return out.filter(F.col("doc_id") != F.col("bench_id"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    return contamination_check(docs, bench, "doc_id", "text", min_shared=2)
 
 
 _WINNOW_FPS = f"""
@@ -574,8 +589,8 @@ SELECT DISTINCT doc_id, unnest(fps) AS fp FROM mins
 
 SQL_CONTAMINATION_CHECK = f"""
 WITH fps AS MATERIALIZED ({_WINNOW_FPS})
-SELECT c.doc_id, b.doc_id AS bench_id, count(*)::BIGINT AS n_shared
-FROM fps c JOIN fps b ON c.fp = b.fp AND b.doc_id % 97 = 0 AND c.doc_id <> b.doc_id
+SELECT c.doc_id, b.doc_id + 1000000 AS bench_id, count(*)::BIGINT AS n_shared
+FROM fps c JOIN fps b ON c.fp = b.fp AND b.doc_id % 97 = 0
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
