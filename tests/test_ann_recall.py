@@ -83,3 +83,28 @@ def test_retrieval_metrics_hand_computed(spark):
     assert rows[0]["mrr"] == 0.5
     assert rows[0]["precision_k"] == round(1 / 3, 6)
     assert rows[1]["ndcg"] == 0.0 and rows[1]["n_rel"] == 0
+
+
+def test_retrieval_metrics_nrel_uncapped_and_dup_judgments(spark):
+    """n_rel reports the query's TOTAL relevant-doc count (not min(n_rel, k)),
+    and duplicate (query_id, cand_id) judgment rows must not fan out the
+    results join or inflate dcg/precision."""
+    import math
+
+    from vectordb_bioinsight_spark.operators.fusion import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, cand_id long, rank int"
+    )
+    relevance = spark.createDataFrame(
+        # doc 10 judged TWICE (rel 1.0 then 2.0) + three unseen rel docs ->
+        # n_rel = 4 despite k=2; dup row must collapse to max(rel)=2.0
+        [(0, 10, 1.0), (0, 10, 2.0), (0, 97, 1.0), (0, 98, 1.0), (0, 99, 1.0)],
+        "query_id long, cand_id long, rel double",
+    )
+    row = retrieval_metrics(results, relevance, k=2).collect()[0]
+    assert row["n_rel"] == 4
+    assert row["dcg"] == round(2.0 / math.log2(2), 6)  # one hit, max-rel gain
+    assert row["idcg"] == round(2.0 + 1.0 / math.log2(3), 6)
+    assert row["precision_k"] == 0.5
+    assert row["mrr"] == 1.0

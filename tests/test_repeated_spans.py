@@ -80,3 +80,21 @@ def test_remove_token_spans_cuts_planted_passage(planted_docs):
     )
     # untouched doc passes through whole
     assert out[3]["n_removed"] == 0 and len(out[3]["clean_text"].split()) == 25
+
+
+def test_remove_token_spans_keeps_zero_token_docs(spark):
+    """A doc whose text tokenizes to nothing must still appear in the output
+    as (id, '', 0, 0) — not vanish because posexplode yields no rows."""
+    from vectordb_bioinsight_spark.operators.cleaning import remove_token_spans
+
+    rows = [(1, "alpha bravo charlie"), (2, "!!! ... ---"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 0, 0)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r["doc_id"]: r for r in remove_token_spans(docs, spans, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 3 and out[1]["n_removed"] == 1
+    for empty_id in (2, 3):
+        r = out[empty_id]
+        assert (r["clean_text"], r["n_tokens"], r["n_removed"]) == ("", 0, 0)

@@ -270,7 +270,16 @@ def remove_token_spans(
         & (F.col("pos") <= F.col("_se")),
         "left_anti",
     )
-    total = toks.groupBy("_id").agg(F.count("*").cast("long").alias("n_tokens"))
+    # totals from the INPUT rows (size of the token array), not the exploded
+    # stream: a doc whose text tokenizes to zero tokens yields no posexplode
+    # rows, and a groupBy over the stream would silently drop it from the
+    # output instead of reporting (id, '', 0, 0)
+    total = df.select(
+        F.col(id_col).alias("_id"),
+        F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
     rebuilt = kept.groupBy("_id").agg(
         F.concat_ws(
             " ",

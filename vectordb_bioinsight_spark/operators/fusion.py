@@ -71,6 +71,11 @@ def retrieval_metrics(
     Standard formulation: DCG@k = Σ rel_i / log2(rank_i + 1).
     Output: (query_id, n_rel, dcg, idcg, ndcg, mrr, precision_k) — floats
     rounded 6 dp; queries with no relevant docs report 0 metrics (not NULL).
+    ``n_rel`` is the query's TOTAL relevant-doc count (counted before the
+    ideal window's top-k cap — not min(n_rel, k)), and the relevance table
+    is de-duplicated on (query_id, cand_id) with max(rel) first, so
+    duplicate judgment rows cannot fan out the results join and inflate
+    dcg/mrr/precision.
 
     Scale: two equi-joins on (query_id, cand_id) + one window over the
     relevance table capped at k — result-set sized, negligible next to the
@@ -79,7 +84,11 @@ def retrieval_metrics(
     from pyspark.sql import Window
 
     res = results.filter(F.col("rank") <= k).select("query_id", "cand_id", "rank")
-    rel = relevance.filter(F.col("rel") > 0).select("query_id", "cand_id", "rel")
+    rel = (
+        relevance.filter(F.col("rel") > 0)
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("rel").alias("rel"))
+    )
     hits = res.join(rel, ["query_id", "cand_id"], "left").withColumn(
         "_gain", F.coalesce(F.col("rel"), F.lit(0.0))
     )
@@ -97,13 +106,12 @@ def retrieval_metrics(
         rel.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .groupBy("query_id")
-        .agg(
-            F.sum(F.col("rel") / F.log2(F.col("_r") + 1)).alias("_idcg"),
-            F.count("*").cast("long").alias("n_rel"),
-        )
+        .agg(F.sum(F.col("rel") / F.log2(F.col("_r") + 1)).alias("_idcg"))
     )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
     return (
         per_q.join(ideal, "query_id", "left")
+        .join(n_rel, "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_rel", F.lit(0)).alias("n_rel"),

@@ -47,7 +47,9 @@ def assign_fixed_centroids(
 
     Centroids = the ``n_clusters`` smallest-id vectors (deterministic).
     Ties on rounded cosine go to the smaller centroid id, so assignment is
-    total-order stable across engines.
+    total-order stable across engines. The tie-break key is the centroid's
+    RANK in the id-sorted centroid list (not the id value itself), so any
+    orderable id type — int, string, UUID — works unchanged.
 
     Output: input columns + ``cluster_id`` (the centroid's id) +
     ``centroid_cos`` (cosine to it, rounded 6 dp; zero-norm vectors score
@@ -76,10 +78,13 @@ def assign_fixed_centroids(
                     ),
                     F.lit(-2.0),
                 ).alias("cos"),
-                F.lit(-int(row[id_col])).alias("neg_cid"),
-                F.lit(int(row[id_col])).alias("cid"),
+                # rank-based tie-break: cents is id-sorted, so -rank orders
+                # ties toward the smaller centroid id without ever casting
+                # the id (string/UUID ids work; struct compare stops here)
+                F.lit(-rank).alias("neg_rank"),
+                F.lit(row[id_col]).alias("cid"),
             )
-            for row in cents
+            for rank, row in enumerate(cents)
         ]
     )
     best = F.array_max(scored)

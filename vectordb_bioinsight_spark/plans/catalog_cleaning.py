@@ -226,7 +226,9 @@ toks AS (
     WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
   )
 ), total AS (
-  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1
+  -- from the input rows, not the exploded stream: zero-token docs must
+  -- still appear in the output as (id, '', 0, 0) — mirrors the operator
+  SELECT doc_id, len({_TOK3})::BIGINT AS n_tokens FROM documents
 ), rebuilt AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
          count(*)::BIGINT AS n_kept

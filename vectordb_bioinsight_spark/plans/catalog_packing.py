@@ -247,12 +247,16 @@ w AS (
          floor(round((pwv / zz) / p, 6) * 10000 + 0.5) / 10000 AS weight
   FROM pw, z
 ), n AS (
+  -- LEFT JOIN + coalesce(weight, 1.0): NULL-lang docs never equi-match the
+  -- weight table, and the Spark twin (mixture_weight_sample's left join +
+  -- fillna default_weight=1.0) keeps them with one copy — an inner join
+  -- here would silently drop them, an oracle-parity break on NULL lang
   SELECT d.doc_id, d.lang,
-         CAST(floor(w.weight) AS INT)
+         CAST(floor(coalesce(w.weight, 1.0)) AS INT)
            + (CASE WHEN ({_T_BUCKET_SQL})
-                   < CAST(round((w.weight - floor(w.weight)) * {DENOM}) AS INT)
+                   < CAST(round((coalesce(w.weight, 1.0) - floor(coalesce(w.weight, 1.0))) * {DENOM}) AS INT)
               THEN 1 ELSE 0 END) AS n_copies
-  FROM documents d JOIN w ON d.lang = w.domain
+  FROM documents d LEFT JOIN w ON d.lang = w.domain
 )
 SELECT doc_id, lang, t.i::INT AS copy_id
 FROM n, unnest(generate_series(0, n_copies - 1)) AS t(i)

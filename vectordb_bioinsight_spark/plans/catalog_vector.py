@@ -561,19 +561,21 @@ WITH q AS (
          sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) / {NDCG_K}.0 AS prec
   FROM hits GROUP BY 1
 ), ideal AS (
-  SELECT query_id, sum(rel / log2(r + 1)) AS idcg, count(*)::BIGINT AS n_rel
+  SELECT query_id, sum(rel / log2(r + 1)) AS idcg
   FROM (
     SELECT query_id, rel, cand_id,
            row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id ASC) AS r
     FROM rel
   ) WHERE r <= {NDCG_K}
   GROUP BY 1
+), nrel AS (
+  SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1
 )
-SELECT p.query_id, coalesce(i.n_rel, 0) AS n_rel,
+SELECT p.query_id, coalesce(n.n_rel, 0) AS n_rel,
        round(coalesce(p.dcg, 0.0), 6) AS dcg,
        round(coalesce(i.idcg, 0.0), 6) AS idcg,
        round(CASE WHEN coalesce(i.idcg, 0.0) > 0 THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
        round(coalesce(p.mrr, 0.0), 6) AS mrr,
        round(coalesce(p.prec, 0.0), 6) AS precision_k
-FROM perq p LEFT JOIN ideal i USING (query_id)
+FROM perq p LEFT JOIN ideal i USING (query_id) LEFT JOIN nrel n USING (query_id)
 """

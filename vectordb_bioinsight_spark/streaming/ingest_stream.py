@@ -8,10 +8,16 @@ deduped WITHIN the batch and AGAINST the corpus built so far, then appended.
 
 ``foreachBatch`` is the right primitive here (not a continuous stateful
 operator): the against-corpus dedup needs the corpus AS OF this batch —
-state that lives in the sink table, not in stream state — and the
-checkpoint gives exactly-once batch replay semantics. Inside the batch we
-reuse the engine's batch operators unchanged (the Bloom prefilter keeps the
-corpus un-shuffled however large it grows — operators/bloom.py).
+state that lives in the sink table, not in stream state. The checkpoint
+gives at-least-once batch replay; the against-corpus dedup then makes a
+REPLAYED batch a no-op for every doc that landed before the crash, which
+is effective-once for content (not byte-exact exactly-once: a first-ever
+batch that crashed mid-append can leave rows a replay re-appends, since
+there is no prior corpus to dedup against — a transactional table format
+(Delta/Iceberg) with ``txnAppId``/``txnVersion`` closes that window in
+production). Inside the batch we reuse the engine's batch operators
+unchanged (the Bloom prefilter keeps the corpus un-shuffled however large
+it grows — operators/bloom.py).
 
 At 100 TB: the landing dir is an object-store prefix; ``maxFilesPerTrigger``
 bounds batch size; the corpus append is a partitioned parquet/Delta table;
@@ -21,8 +27,7 @@ batches (rebuild per batch is the simple correct default implemented here).
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,10 +102,19 @@ def run_ingest_stream(
         batch = _dedup_within_batch(
             quality_gate(batch_df, text_col), id_col, text_col
         )
-        if os.path.isdir(corpus_path) and any(
-            f.endswith(".parquet") for f in os.listdir(corpus_path)
-        ):
+        # Probe the existing corpus THROUGH Spark, not the driver-local
+        # filesystem: corpus_path may be an object-store prefix, a
+        # partitioned layout, or a Delta table — os.listdir would report
+        # "absent" (or raise) for all of those and silently skip the
+        # against-corpus dedup. AnalysisException covers both
+        # path-not-found and empty-dir/no-schema; any other error (perms,
+        # corrupt footer) must propagate, not disable dedup.
+        corpus = None
+        try:
             corpus = spark.read.parquet(corpus_path)
+        except AnalysisException:
+            pass  # first batch ever: no corpus yet
+        if corpus is not None:
             batch = dedup_against_corpus(
                 batch, corpus, id_col, text_col, num_bits=bloom_bits
             )
