@@ -118,3 +118,69 @@ def test_gemm_chunking_exact(planted_vectors):
     assert sorted(r["vec_id"] for r in big.collect()) == sorted(
         r["vec_id"] for r in small.collect()
     )
+
+
+def test_scale_aware_n_clusters_rule():
+    from vectordb_bioinsight_spark.operators.semdedup import scale_aware_n_clusters
+
+    assert scale_aware_n_clusters(0) == 8
+    assert scale_aware_n_clusters(1_000) == 8          # min clamp
+    assert scale_aware_n_clusters(1_000_000) == 977    # ceil(1e6/1024)
+    assert scale_aware_n_clusters(1_000_000, target_cluster_size=128) == 7813
+    assert scale_aware_n_clusters(10**12) == 1 << 20   # max clamp
+    # monotone in N
+    ks = [scale_aware_n_clusters(n) for n in (10_000, 100_000, 1_000_000)]
+    assert ks == sorted(ks)
+
+
+def test_semdedup_auto_pair_count_scales_linearly(spark):
+    """With k = N/target the within-cluster candidate-pair total must grow
+    ~linearly in N (fixed k would grow it quadratically): 4x the corpus
+    may cost at most ~2x the per-row pair budget."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.semdedup import scale_aware_n_clusters
+    from vectordb_bioinsight_spark.operators.vector import ivf_build_index
+
+    rng = np.random.default_rng(7)
+
+    from pyspark.sql import functions as F
+
+    def pairs_for(n: int) -> int:
+        vecs = rng.normal(size=(n, 8)).astype(float)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        k = scale_aware_n_clusters(n, target_cluster_size=64)
+        assigned, _ = ivf_build_index(df, "vec_id", "embedding", n_cells=k, seed=1)
+        sizes = [r["m"] for r in assigned.groupBy("_cell").agg(
+            F.count("*").alias("m")).collect()]
+        return sum(m * (m - 1) // 2 for m in sizes)
+
+    p1, p4 = pairs_for(2_000), pairs_for(8_000)
+    # linear scaling => p4 ~ 4*p1; quadratic (fixed k) would be ~16*p1.
+    # KMeans imbalance gets slack up to 8x.
+    assert p4 <= 8 * p1, (p1, p4)
+
+
+def test_semdedup_auto_matches_fixed_semantics(spark):
+    """The auto path must drop a planted near-duplicate and keep the rest
+    (same min-id-survivor convention as the fixed-centroid path)."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.semdedup import semdedup_survivors_auto
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 8))
+    base[57] = base[23] + 1e-4 * rng.normal(size=8)  # near-dup of an earlier id
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    surv = semdedup_survivors_auto(
+        df, "vec_id", "embedding", min_cosine=0.95, target_cluster_size=64
+    )
+    ids = {r["vec_id"] for r in surv.collect()}
+    assert 23 in ids and 57 not in ids
+    assert len(ids) >= 190  # random normals are far apart; only dups drop

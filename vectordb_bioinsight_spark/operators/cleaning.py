@@ -235,6 +235,7 @@ def remove_token_spans(
     spans: DataFrame,
     id_col: str,
     text_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Cut TOKEN-position ranges out of documents — the apply step for span
     producers (dedup.repeated_ngram_spans' cross-doc duplicated passages,
@@ -252,11 +253,16 @@ def remove_token_spans(
     Scale: posexplode + one equi-key (id) anti join whose extra range
     predicate runs inside the join, + one groupBy reassembly — the span
     table is tiny relative to the corpus and never fans out.
+
+    ``tokens_col``: a pre-tokenized array column to read instead of
+    tokenizing ``text_col`` (see :func:`span_cut_docs` for the fused
+    detect+cut chain that tokenizes once).
     """
     from vectordb_bioinsight_spark.functions.text import tokenize
 
+    tok_expr = F.col(tokens_col) if tokens_col is not None else tokenize(F.col(text_col))
     toks = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
+        F.col(id_col).alias("_id"), F.posexplode(tok_expr).alias("pos", "tok")
     )
     sp = spans.select(
         F.col(id_col).alias("_sid"),
@@ -276,9 +282,7 @@ def remove_token_spans(
     # output instead of reporting (id, '', 0, 0)
     total = df.select(
         F.col(id_col).alias("_id"),
-        F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
+        F.coalesce(F.size(tok_expr), F.lit(0)).cast("long").alias("n_tokens"),
     )
     rebuilt = kept.groupBy("_id").agg(
         F.concat_ws(
@@ -299,3 +303,37 @@ def remove_token_spans(
             (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def span_cut_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Fused ExactSubstr detect + cut: find every cross-doc repeated
+    ``n``-gram span (:func:`~vectordb_bioinsight_spark.operators.dedup.
+    repeated_ngram_spans`) and cut it from every doc
+    (:func:`remove_token_spans`) with the corpus tokenized ONCE.
+
+    The tokenized projection is persisted disk-spillable and both stages
+    read it, so the chain costs one corpus scan + one tokenizer pass
+    instead of two of each (the r02 bench's span_cut_docs plan re-tokenized
+    the corpus in the cut stage). At cluster scale the persisted token
+    arrays are bounded by executor storage (MEMORY_AND_DISK spills, never
+    OOMs) and remain cheaper than the second full scan + regex pass; the
+    lineage stays recomputable if blocks are evicted.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from vectordb_bioinsight_spark.functions.text import tokenize
+    from vectordb_bioinsight_spark.operators.dedup import repeated_ngram_spans
+
+    toked = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = repeated_ngram_spans(
+        toked, id_col, "_toks", n=n, min_docs=min_docs, tokens_col="_toks"
+    )
+    return remove_token_spans(toked, spans, id_col, "_toks", tokens_col="_toks")

@@ -316,6 +316,7 @@ def repeated_ngram_spans(
     text_col: str,
     n: int = 8,
     min_docs: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact repeated-substring spans — the ExactSubstr dedup of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better",
@@ -334,12 +335,19 @@ def repeated_ngram_spans(
     that key (AQE broadcasts it when the dup set is small), and span merge
     is gaps-and-islands window algebra partitioned by doc. Nothing is
     quadratic; nothing collects.
+
+    ``tokens_col``: a pre-tokenized array column to read instead of
+    tokenizing ``text_col`` — lets a caller that also needs the token
+    stream (the span-cut chain) tokenize the corpus ONCE and share it.
     """
     from pyspark.sql import Window
 
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
 
-    toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    if tokens_col is not None:
+        toks = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
+    else:
+        toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
     sh = toks.select(
         F.col(id_col),
         F.posexplode(shingles_from_tokens(F.col("_toks"), n)).alias("pos", "_sh"),

@@ -230,3 +230,66 @@ def semdedup_survivors_gemm(
         assigned, id_col, vec_col, "cluster_id", min_cosine
     )
     return vectors.join(losers, id_col, "left_anti")
+
+
+def scale_aware_n_clusters(
+    n_rows: int,
+    target_cluster_size: int = 1024,
+    min_clusters: int = 8,
+    max_clusters: int = 1 << 20,
+) -> int:
+    """The SemDeDup cluster-count rule for a corpus of ``n_rows`` vectors:
+    k = ceil(N / target_cluster_size), clamped to [min_clusters,
+    max_clusters].
+
+    Scaling rationale (SCALING.md rule "scale k with N"): within-cluster
+    candidate pairs total ~ N·target/2 under k ∝ N — LINEAR in corpus
+    size. A fixed small k (the inline-centroid default, fine at bench SF)
+    makes clusters fatten as N grows and the pair join quadratic:
+    SemDeDup's own config (Abbas et al. 2023, arXiv:2303.09540 — 50k
+    clusters for LAION-440M, ~9k vectors/cluster) is this same
+    constant-cluster-size discipline.
+    """
+    if n_rows <= 0:
+        return min_clusters
+    k = -(-n_rows // max(1, target_cluster_size))  # ceil div
+    return max(min_clusters, min(k, max_clusters))
+
+
+def semdedup_survivors_auto(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    target_cluster_size: int = 1024,
+    fit_sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB semdedup route: LEARNED codebook (seeded MLlib KMeans via
+    ``ivf_build_index``) with the cluster count chosen from the corpus size
+    by :func:`scale_aware_n_clusters`, then per-cluster BLAS loser
+    detection (:func:`semdedup_losers_gemm`) and an anti join.
+
+    Contrast with :func:`semdedup_survivors_gemm` (fixed inlined centroids,
+    k <= 64): that path is exactly hash-replayable for the oracle gate but
+    its clusters grow with N; this path keeps expected cluster size at
+    ``target_cluster_size`` regardless of corpus size, so the quadratic
+    step stays bounded per cluster and linear overall. The KMeans fit can
+    run on a sample (``fit_sample_fraction``) — at billions of vectors fit
+    on ~10M and assign the full corpus, standard IVF training.
+    """
+    from vectordb_bioinsight_spark.operators.vector import ivf_build_index
+
+    n = vectors.count()
+    k = scale_aware_n_clusters(n, target_cluster_size)
+    assigned, _cents = ivf_build_index(
+        vectors, id_col, vec_col, n_cells=k, seed=seed,
+        fit_sample_fraction=fit_sample_fraction,
+    )
+    clustered = assigned.select(
+        F.col("cand_id").alias(id_col),
+        F.col("_cv").alias(vec_col),
+        F.col("_cell").alias("cluster_id"),
+    )
+    losers = semdedup_losers_gemm(clustered, id_col, vec_col, "cluster_id", min_cosine)
+    return vectors.join(losers, id_col, "left_anti")

@@ -202,13 +202,13 @@ FROM surv GROUP BY doc_id
 def q_span_cut_docs(spark, sf_dir):
     """Apply step of ExactSubstr dedup: cut every cross-doc repeated 8-gram
     span (catalog `repeated_spans`) out of every doc's normalized token
-    stream (aggressive mode)."""
-    from vectordb_bioinsight_spark.operators.cleaning import remove_token_spans
-    from vectordb_bioinsight_spark.operators.dedup import repeated_ngram_spans
+    stream (aggressive mode). Runs the FUSED detect+cut chain — one corpus
+    scan + one tokenizer pass shared by both stages via a disk-spillable
+    persisted token projection (the r02 plan tokenized twice)."""
+    from vectordb_bioinsight_spark.operators.cleaning import span_cut_docs
 
     docs = load_table(spark, sf_dir, "documents")
-    spans = repeated_ngram_spans(docs, "doc_id", "text", n=8, min_docs=2)
-    return remove_token_spans(docs, spans, "doc_id", "text")
+    return span_cut_docs(docs, "doc_id", "text", n=8, min_docs=2)
 
 
 def _sql_span_cut_docs() -> str:
