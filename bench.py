@@ -72,6 +72,20 @@ HEADLINE = [
     "retrieval_ndcg",
 ]
 
+#: The 25 queries benched every round since r01 — kept STABLE so the
+#: round-over-round total stays comparable; reported as
+#: ``shared_r01_subset_sec`` next to the (growing) headline total.
+SHARED_R01 = [
+    "bh_adjust", "bm25_topk", "distinct_users_by_type",
+    "first_order_per_customer", "hybrid_rrf", "keyword_topn", "knn_classify",
+    "knn_cosine", "lognorm_events", "media_features", "minhash_signatures",
+    "nation_profit", "nation_volume_flow", "order_count_distribution",
+    "part_correlation_network", "pricing_summary", "rerank_blend",
+    "segment_top_orders", "sessionize", "signup_before_purchase", "simhash",
+    "text_stats", "top_brand_revenue", "user_event_window_stats",
+    "wilcoxon_brand_price",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,6 +133,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    shared = round(sum(timings[q] for q in SHARED_R01 if q in timings), 3)
     print(
         json.dumps(
             {
@@ -128,6 +143,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total_sec": round(cold_total, 3),
+                "shared_r01_subset_sec": shared,
             }
         )
     )

@@ -355,23 +355,50 @@ FROM c WHERE length(substr(text, chunk_idx * 160 + 1, 200)) > 0
 
 
 def q_embed_documents(spark, sf_dir):
-    """V1 batch embedding (rows-only check: the deterministic fake model is
-    an engine artifact with no SQL twin): iterator pandas UDF, per-worker
-    model singleton, Arrow batches. Returns (doc_id, dim, norm) projections
-    of the embedding so the schema stays scalar."""
+    """V1 batch embedding, oracle-backed since r03: iterator pandas UDF,
+    per-worker model singleton, Arrow batches — and the deterministic fake
+    model (seeded md5 feature-hash projection, operators/inference.py) IS
+    SQL-replayable: per-token md5 → unsigned-64 bucket/sign, integer ±1
+    accumulation (exact in doubles), exactly-rounded sqrt/divide for the
+    L2 normalize. Output is the EXPLODED embedding (doc_id, pos, val) so
+    the driver hash covers every coordinate, not just a norm projection."""
     from vectordb_bioinsight_spark.operators.inference import embed_column
     from vectordb_bioinsight_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     emb = embed_column(docs, "text", dim=16)
     return emb.select(
-        "doc_id",
-        F.size("embedding").alias("dim"),
-        F.round(
-            F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda a, v: a + v)),
-            4,
-        ).alias("norm"),
-    )
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("pos", F.col("pos").cast("int"))
+
+
+SQL_EMBED_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5('42:' || tok), 1, 16))::UBIGINT AS h
+  FROM toks
+), contrib AS (
+  SELECT doc_id, (h % 16)::INT AS pos,
+         CASE WHEN (h >> 8) % 2 = 0 THEN 1.0 ELSE -1.0 END AS c
+  FROM hashed
+), vec AS (
+  SELECT doc_id, pos, sum(c) AS v FROM contrib GROUP BY 1, 2
+), dense AS (
+  SELECT d.doc_id, p.pos, coalesce(vec.v, 0.0) AS v
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 16))::INT AS pos) p
+  LEFT JOIN vec ON vec.doc_id = d.doc_id AND vec.pos = p.pos
+), norms AS (
+  SELECT doc_id, CASE WHEN sum(v * v) = 0 THEN 1.0 ELSE sqrt(sum(v * v)) END AS nrm
+  FROM dense GROUP BY 1
+)
+SELECT dense.doc_id, pos, round(v / nrm, 6) AS val
+FROM dense JOIN norms USING (doc_id)
+"""
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
