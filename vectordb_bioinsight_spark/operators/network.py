@@ -676,6 +676,7 @@ def pseudotime_bfs(
     edges: DataFrame,
     root,
     max_iter: int = 30,
+    collect_below: int = 2048,
 ) -> DataFrame:
     """M11 tail: pseudotime as normalized shortest-path distance from a root
     node over the cell kNN graph — the deterministic analog of the
@@ -691,6 +692,13 @@ def pseudotime_bfs(
     cells DPT cannot order.
 
     Output: (entity, dist, pseudotime = dist/max_dist in [0, 1]).
+
+    Graphs at or under ``collect_below`` nodes run a DRIVER-side BFS
+    instead of the iterative-join loop: hop distances are integers, so the
+    two paths are bit-identical, and a 40-node kNN sample was paying ~3
+    scheduled jobs per relaxation round for work a deque finishes in
+    microseconds. The distributed loop is unchanged above the bound (and
+    reachable via ``collect_below=0``).
     """
     sym = (
         edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
@@ -699,6 +707,41 @@ def pseudotime_bfs(
         .localCheckpoint(eager=True)
     )
     nodes = sym.select(F.col("src").alias("entity")).distinct()
+    if nodes.count() <= collect_below:
+        from collections import deque
+
+        adj: dict = {}
+        for r in sym.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        dists: dict = {}
+        if root in adj:
+            dists[root] = 0
+            q = deque([root])
+            while q:
+                v = q.popleft()
+                for w_ in adj[v]:
+                    if w_ not in dists:
+                        dists[w_] = dists[v] + 1
+                        q.append(w_)
+        mx_d = max(dists.values(), default=0)
+
+        def _pt(v):  # noqa: ANN001, ANN202 - mirrors the distributed CASE
+            if mx_d > 0:
+                return round(dists[v] / mx_d, 6) if v in dists else None
+            return 0.0  # distributed .otherwise(0.0) hits every row at mx=0
+
+        from pyspark.sql import types as T
+
+        out = [(v, dists.get(v), _pt(v)) for v in adj]
+        ent_type = edges.schema["entity1"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("entity", ent_type),
+                T.StructField("dist", T.IntegerType()),
+                T.StructField("pseudotime", T.DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(out, schema)
     dist = nodes.withColumn(
         "dist", F.when(F.col("entity") == F.lit(root), F.lit(0)).otherwise(F.lit(None)).cast("int")
     ).localCheckpoint(eager=True)
@@ -799,6 +842,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iter: int = 10,
+    collect_below: int = 2048,
 ) -> DataFrame:
     """PageRank on the symmetrized unweighted graph, fixed iteration count:
 
@@ -812,8 +856,14 @@ def pagerank(
 
     Scale: each iteration is ONE shuffle on entity (edge join + groupBy) —
     same shape as eigenvector_centrality; lineage is cut per iteration so
-    the plan stays linear in max_iter.
+    the plan stays linear in max_iter. Graphs at or under ``collect_below``
+    nodes run the iteration driver-side with one numpy matmul per step
+    (identical math; accumulation-order float drift << the 6-dp rounding
+    grain) — a 24-word co-occurrence graph shouldn't pay 10 scheduled
+    shuffle rounds. ``collect_below=0`` forces the distributed loop.
     """
+    import numpy as np
+
     sym = (
         edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
         .unionByName(
@@ -822,6 +872,35 @@ def pagerank(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    nodes_list = None
+    if collect_below > 0:
+        nodes_list = sorted({r["src"] for r in sym.select("src").distinct().collect()})
+        if len(nodes_list) > collect_below:
+            nodes_list = None
+    if nodes_list is not None:
+        n = len(nodes_list)
+        if n == 0:
+            return edges.sparkSession.createDataFrame([], "entity long, pagerank double")
+        idx = {v: i for i, v in enumerate(nodes_list)}
+        m = np.zeros((n, n))
+        for r in sym.collect():
+            m[idx[r["dst"]], idx[r["src"]]] = 1.0
+        degs = m.sum(axis=0)  # out-degree per src column (symmetric graph)
+        m = m / degs[None, :]
+        s = np.full(n, 1.0 / n)
+        for _ in range(max_iter):
+            s = (1.0 - damping) / n + damping * (m @ s)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("entity", edges.schema["entity1"].dataType),
+                T.StructField("pagerank", T.DoubleType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, round(float(s[idx[v]]), 6)) for v in nodes_list], schema
+        )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
     ed = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("entity")).distinct()
