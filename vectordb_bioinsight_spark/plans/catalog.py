@@ -94,12 +94,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # === (b) never driver-checked: rows-only tier (embed_documents got an
-    # oracle in r03 — the seeded md5 fake model is exactly SQL-replayable) ===
+    # === (b) never driver-checked: rows-only tier (embed_documents and
+    # knn_lsh_bucketed got oracles in r03 — the seeded md5 fake model and
+    # the seeded LSH hyperplanes are both exactly SQL-replayable) ===
     "training_corpus": (tx.q_training_corpus, None),
     "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
     "approx_distinct_users": (th.q_approx_distinct_users, None),
-    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, None),
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
     # === (c) de-vacuated + newly oracle-backed + new this round ===
     "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
     "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),

@@ -755,12 +755,57 @@ ORDER BY numwait DESC, s_suppkey ASC LIMIT 20
 def q_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 approximate path surfaced for the driver: random-hyperplane LSH
     bucket restriction + exact cosine inside the bucket
-    (operators/vector.knn_lsh). Deterministic given the seed, but bucket
-    membership is an engine detail with no SQL twin — rows-only check; the
-    recall-vs-exact property is unit-test-pinned."""
+    (operators/vector.knn_lsh). Oracle-backed since r03: the seeded
+    hyperplanes are driver-generated constants, so the SQL twin inlines
+    the SAME plane literals and replays bucket assignment (sign of v·p_j
+    per plane), the query-bucket equality filter, and the in-bucket cosine
+    top-k — the bucket detail is engine-replayable after all."""
     from vectordb_bioinsight_spark.operators.vector import knn_lsh
     from vectordb_bioinsight_spark.plans.catalog_vector import _query_vector
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
     return knn_lsh(emb, "vec_id", "embedding", qv, dim=len(qv), k=10, num_planes=4)
+
+
+def _knn_lsh_sql(num_planes: int = 4, dim: int = 64, seed: int = 42, k: int = 10) -> str:
+    """Generated twin of q_knn_lsh_bucketed: the same random.Random(seed)
+    hyperplane draw as operators/vector.lsh_assign_buckets, inlined as SQL
+    array literals (repr() round-trips doubles exactly on both parsers)."""
+    import random
+
+    from vectordb_bioinsight_spark.plans.catalog_vector import QUERY_VEC_ID
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+    def bucket_expr(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), qb AS (
+  SELECT {bucket_expr('qv')} AS bucket FROM q
+), b AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev,
+         {bucket_expr('list_transform(embedding, x -> x::DOUBLE)')} AS bucket
+  FROM embeddings
+), hits AS (
+  SELECT b.vec_id, b.ev FROM b, qb WHERE b.bucket = qb.bucket
+), sums AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM (SELECT h.vec_id, unnest(h.ev) AS x, unnest(q.qv) AS y FROM hits h, q)
+  GROUP BY 1
+)
+SELECT vec_id, round(dot / nullif(sqrt(nx) * sqrt(ny), 0), 6) AS score
+FROM sums ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+SQL_KNN_LSH_BUCKETED = _knn_lsh_sql()
