@@ -94,10 +94,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # === (b) never driver-checked: rows-only tier (embed_documents and
-    # knn_lsh_bucketed got oracles in r03 — the seeded md5 fake model and
-    # the seeded LSH hyperplanes are both exactly SQL-replayable) ===
-    "training_corpus": (tx.q_training_corpus, None),
+    # === (b) never driver-checked: former rows-only tier — r03 gave
+    # training_corpus a COMPOSED twin (all stage twins stitched into one
+    # WITH RECURSIVE chain), embed_documents the md5 fake-model replay,
+    # and knn_lsh_bucketed the inlined-hyperplane replay ===
+    "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
     "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
     "approx_distinct_users": (th.q_approx_distinct_users, None),
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),

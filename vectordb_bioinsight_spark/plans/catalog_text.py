@@ -402,15 +402,138 @@ FROM dense JOIN norms USING (doc_id)
 
 
 def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship LLM-pipeline composition end-to-end (rows-only check:
-    the multi-stage DAG — quality gate → exact+near dedup → leak-free
-    split — has no tractable single-SQL twin; each stage is independently
-    oracle-tested). Deterministic: same input ⇒ same rows."""
+    """The flagship LLM-pipeline composition end-to-end, oracle-backed
+    since r03: quality gate → exact dedup → MinHash-LSH candidates →
+    candidate-restricted Jaccard → transitive-component survivors →
+    leak-free hash split, replayed as ONE generated SQL twin
+    (every stage's twin already existed — _sql_training_corpus composes
+    them, including the exact banding rule, so LSH false negatives match
+    too). Deterministic: same input ⇒ same rows."""
     from vectordb_bioinsight_spark.pipelines.training_data import prepare_training_data
 
     docs = load_table(spark, sf_dir, "documents")
     out = prepare_training_data(docs, min_quality=0.3, near_dup_jaccard=0.6)
     return out.select("doc_id", "split", F.round("quality_score", 6).alias("quality_score"))
+
+
+def _sql_training_corpus(
+    min_quality: float = 0.3,
+    min_jaccard: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    split_salt: int = 1,
+) -> str:
+    """Composed twin of prepare_training_data: stitches the text_stats,
+    exact-dedup, minhash/banding, restricted-Jaccard, component, and
+    hash-split twins into one WITH RECURSIVE chain. Every constant
+    (quality weights, 16 perms / 4 bands, 0.9/0.05/0.05 split at salt 1)
+    mirrors the pipeline defaults used by q_training_corpus."""
+    from vectordb_bioinsight_spark.functions.hashing import (
+        PORTABLE_HASH64_DUCKDB,
+        minhash_perm_duckdb,
+    )
+    from vectordb_bioinsight_spark.operators.chunking import JUNK_REGEXES
+
+    junk = " OR ".join(f"regexp_matches(text, '{rx}')" for rx in JUNK_REGEXES)
+    sh_hash = PORTABLE_HASH64_DUCKDB.format(expr="s")
+    sig_aggs = ", ".join(
+        f"min({minhash_perm_duckdb('h', i)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    rows_per_band = num_hashes // bands
+    band_arms = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bucket FROM sigs".format(
+            b=b,
+            h=PORTABLE_HASH64_DUCKDB.format(
+                expr="concat_ws(',', "
+                + ", ".join(
+                    f"CAST(mh_{i} AS VARCHAR)"
+                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    text_hash = PORTABLE_HASH64_DUCKDB.format(expr="text")
+    split_hash = PORTABLE_HASH64_DUCKDB.format(
+        expr=f"'{split_salt}|' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id,
+         round(least(length({_TOK3}) / 20.0, 1.0) * 0.4
+               + (1.0 - least((length(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g'))::DOUBLE
+                               / length(text)) * 5.0, 1.0)) * 0.3
+               + least((CASE WHEN length({_TOK3}) > 0
+                        THEN length(list_filter({_TOK3}, t -> list_contains({_SW_SQL}, t)))::DOUBLE
+                             / length({_TOK3})
+                        ELSE 0.0 END) * 4.0, 1.0) * 0.3, 6) AS quality_score
+  FROM documents
+), gated AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN quality q USING (doc_id)
+  WHERE d.lang IN ('en') AND q.quality_score >= {min_quality}
+    AND NOT ({junk})
+), reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY {text_hash}) AS _rep
+    FROM gated
+  ) WHERE doc_id = _rep
+), toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM reps
+), sh_all AS (
+  SELECT doc_id, unnest({_SHINGLE3}) AS s FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, s FROM sh_all
+), shh AS (
+  SELECT doc_id, {sh_hash} AS h FROM sh_all
+), sigs AS (
+  SELECT doc_id, {sig_aggs} FROM shh GROUP BY 1
+), banded AS (
+  {band_arms}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1
+), inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS i
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.doc1
+  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE round(i::DOUBLE / (s1.n_sh + s2.n_sh - i), 6) >= {min_jaccard}
+), e AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION SELECT doc2, doc1 FROM pairs
+), reach(n, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.n
+), clusters AS (
+  SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY 1
+), losers AS (
+  SELECT doc_id FROM clusters WHERE doc_id <> cluster_rep
+), deduped AS (
+  SELECT r.doc_id FROM reps r
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = r.doc_id)
+)
+SELECT d.doc_id,
+       CASE WHEN (({split_hash}) % 10000 + 10000) % 10000 < 9000 THEN 'train'
+            WHEN (({split_hash}) % 10000 + 10000) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       q.quality_score
+FROM deduped d JOIN quality q USING (doc_id)
+"""
+
+
+SQL_TRAINING_CORPUS = _sql_training_corpus()
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
