@@ -97,3 +97,30 @@ def test_bloom_sizing():
     assert m & (m - 1) == 0 and m >= 9_585_058  # analytic bound before pow2
     with pytest.raises(ValueError):
         build_bloom(None, "h", 100, 5)  # not a power of two
+
+
+def test_near_dedup_against_corpus_planted(spark):
+    """A batch doc whose text differs only in punctuation/case (byte-level
+    different — the Bloom EXACT check would miss it, shingle-identical so
+    LSH catches it with certainty) must drop; unrelated batch docs survive;
+    an exact copy drops too. A one-token edit at Jaccard ~0.67 is
+    deliberately NOT asserted: with 4x4 banding its candidate status is a
+    coin-flip of the hash family, the documented LSH recall tradeoff."""
+    from vectordb_bioinsight_spark.operators.dedup import near_dedup_against_corpus
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus content here okay")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base.upper() + "!!!"),               # token-stream near-dup -> drop
+            (3, "unrelated fresh arrival text with novel tokens everywhere"),
+            (5, base),                               # exact copy -> drop
+        ],
+        "doc_id long, text string",
+    )
+    surv = near_dedup_against_corpus(batch, corpus, "doc_id", "text", min_jaccard=0.5)
+    ids = {r["doc_id"] for r in surv.collect()}
+    assert ids == {3}

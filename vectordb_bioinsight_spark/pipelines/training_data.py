@@ -102,6 +102,13 @@ def prepare_training_data(
         .filter(F.col(id_col) == F.col("_rep"))
         .drop("_ch", "_rep")
     )
+    # reps feeds FOUR plan branches (minhash sigs, both Jaccard shingle
+    # sides, the final anti join) and Spark re-executes the whole
+    # gate+window subtree per branch — persist disk-spillable so the gated
+    # scan + text_stats run once (same discipline as span_cut_docs)
+    from pyspark.storagelevel import StorageLevel
+
+    reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
     # reps is already exact-deduped, so the pipeline's internal hash-groupBy
     # sees unique contents only (no double dedup work on the full corpus)
     near = near_dedup_pipeline(

@@ -107,6 +107,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
     "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
     "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
+    "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

@@ -997,3 +997,87 @@ SELECT doc_id, source, quality_score FROM (
 
 
 SQL_QUALITY_QUOTA = _sql_quality_quota()
+
+
+def q_neardup_ingest_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup at ingest: odd-doc_id docs form the arriving
+    batch, even-doc_id docs the existing corpus; batch docs within
+    Jaccard 0.6 of ANY corpus doc are dropped (operators/dedup.
+    near_dedup_against_corpus — the fuzzy companion of
+    `bloom_dedup_batch`'s exact check). The asymmetric LSH band join
+    restricts candidates to (batch, corpus) pairs only."""
+    from vectordb_bioinsight_spark.operators.dedup import near_dedup_against_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    surv = near_dedup_against_corpus(
+        batch, corpus, "doc_id", "text", min_jaccard=0.6
+    )
+    return surv.select("doc_id")
+
+
+def _sql_neardup_ingest(
+    num_hashes: int = 16, bands: int = 4, min_jaccard: float = 0.6
+) -> str:
+    """Twin of q_neardup_ingest_batch: same minhash/banding replay as
+    _sql_training_corpus, asymmetric (batch % 2 = 1 vs corpus % 2 = 0)."""
+    from vectordb_bioinsight_spark.functions.hashing import (
+        PORTABLE_HASH64_DUCKDB,
+        minhash_perm_duckdb,
+    )
+
+    sh_hash = PORTABLE_HASH64_DUCKDB.format(expr="s")
+    sig_aggs = ", ".join(
+        f"min({minhash_perm_duckdb('h', i)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    rpb = num_hashes // bands
+    band_arms = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bucket FROM sigs".format(
+            b=b,
+            h=PORTABLE_HASH64_DUCKDB.format(
+                expr="concat_ws(',', "
+                + ", ".join(f"CAST(mh_{i} AS VARCHAR)" for i in range(b * rpb, (b + 1) * rpb))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), sh_all AS (
+  SELECT doc_id, unnest({_SHINGLE3}) AS s FROM toks
+), shd AS (
+  SELECT DISTINCT doc_id, s FROM sh_all
+), shh AS (
+  SELECT doc_id, {sh_hash} AS h FROM sh_all
+), sigs AS (
+  SELECT doc_id, {sig_aggs} FROM shh GROUP BY 1
+), banded AS (
+  {band_arms}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY 1
+), inter AS (
+  SELECT c.doc1, c.doc2, count(*) AS i
+  FROM cand c
+  JOIN shd a ON a.doc_id = c.doc1
+  JOIN shd b ON b.doc_id = c.doc2 AND b.s = a.s
+  GROUP BY 1, 2
+), dup AS (
+  SELECT DISTINCT doc1 FROM inter
+  JOIN sizes s1 ON s1.doc_id = doc1
+  JOIN sizes s2 ON s2.doc_id = doc2
+  WHERE round(i::DOUBLE / (s1.n_sh + s2.n_sh - i), 6) >= {min_jaccard}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc1 = doc_id)
+"""
+
+
+SQL_NEARDUP_INGEST_BATCH = _sql_neardup_ingest()
