@@ -43,13 +43,34 @@ def blend_scores(
     weights: dict[str, float],
     out_col: str = "blended_score",
     minmax_normalize: bool = True,
+    bounded_input: bool = False,
 ) -> DataFrame:
     """V6/V9 multi-factor blend: optional per-column min-max normalization
-    (reranker.py:173-181) then Σ wᵢ·colᵢ. The min/max pairs come from ONE
-    global aggregation broadcast back — not per-column unpartitioned windows,
-    which would serialize the whole table through a single task.
+    (reranker.py:173-181) then Σ wᵢ·colᵢ.
+
+    Two physical strategies for the min/max bounds:
+
+    - default (``bounded_input=False``): ONE global aggregation broadcast
+      back via crossJoin. Right for large inputs — the bounds agg is
+      map-side-combinable and nothing funnels through a single task. Cost:
+      the input subtree is evaluated twice (once for bounds, once for rows).
+    - ``bounded_input=True``: an unpartitioned window min/max. Right when
+      the input is small BY CONSTRUCTION (a rerank candidate pool is top-k
+      of an upstream retrieval, k ≲ 10³ at any corpus size): the single
+      window task over k rows is trivial, and the expensive upstream
+      subtree (BM25 pool, kNN stage) is computed ONCE instead of twice —
+      measured 2.0 s → 0.9 s on the sf0.1 rerank_blend bench entry.
     """
     if minmax_normalize:
+        if bounded_input:
+            w_all = Window.partitionBy()
+            parts = []
+            for c, w in weights.items():
+                mn, mx = F.min(c).over(w_all), F.max(c).over(w_all)
+                rng = mx - mn
+                normed = F.when(rng > 0, (F.col(c) - mn) / rng).otherwise(F.lit(0.5))
+                parts.append(F.lit(w) * normed)
+            return df.withColumn(out_col, F.round(sum(parts), 6))
         aggs = []
         for c in weights:
             aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
@@ -76,11 +97,14 @@ def rerank_blend(
 ) -> DataFrame:
     """V6 cross-encoder blend semantics (reranker.py:110-278): min-max
     normalize the rerank score, blend `w·orig + (1-w)·rerank`, resort,
-    optionally truncate."""
+    optionally truncate. A rerank pool is top-k of an upstream retrieval —
+    bounded by construction — so the window-bounds strategy applies and the
+    upstream retrieval subtree is evaluated once, not twice."""
     out = blend_scores(
         df,
         {orig_col: orig_weight, rerank_col: 1.0 - orig_weight},
         out_col="final_score",
+        bounded_input=True,
     )
     order = [F.desc("final_score")] + [F.asc(c) for c in order_tiebreak]
     out = out.orderBy(*order)

