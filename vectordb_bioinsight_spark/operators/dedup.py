@@ -250,9 +250,15 @@ def near_dedup_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.7,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Production dedup ordering: EXACT dedup first, near-dedup on the
     representatives.
+
+    ``assume_unique=True`` skips the internal exact-dedup groupBy when the
+    caller's input is ALREADY one row per distinct content (e.g. the
+    training pipeline persists its exact-dedup representatives first) —
+    otherwise that redundant shuffle re-runs once per downstream consumer.
 
     Why the order matters (measured): LSH candidate generation is quadratic
     per bucket — a corpus with k exact copies of a doc puts all k in the
@@ -265,12 +271,15 @@ def near_dedup_pipeline(
     representatives (min doc id per content group), plus implicit exact
     groups via ``exact_duplicates``.
     """
-    reps = (
-        df.select(portable_hash64(F.col(text_col)).alias("_ch"), F.col(id_col), F.col(text_col))
-        .groupBy("_ch")
-        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
-        .drop("_ch")
-    )
+    if assume_unique:
+        reps = df.select(id_col, text_col)
+    else:
+        reps = (
+            df.select(portable_hash64(F.col(text_col)).alias("_ch"), F.col(id_col), F.col(text_col))
+            .groupBy("_ch")
+            .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+            .drop("_ch")
+        )
     sigs = minhash_signatures_wide(reps, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     return ngram_jaccard_pairs(reps, id_col, text_col, candidates=cands, min_jaccard=min_jaccard)

@@ -236,7 +236,9 @@ def hub_scores(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, collect_below: int = 100_000
+) -> DataFrame:
     """Connected components by iterative min-label propagation (hash-min):
     every node repeatedly adopts the minimum component id in its closed
     neighborhood until a fixed point. Deterministic; each iteration is one
@@ -244,7 +246,41 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     via networkx subgraphs (agent2_network.py:236-246).
 
     Output: (entity, component) — component = min node id reachable.
+
+    Edge sets at or under ``collect_below`` run a DRIVER-side union-find
+    (path compression + min-id roots — identical output): near-dup pair
+    graphs after exact dedup are typically tiny, and each distributed
+    label-propagation round costs a join job + an eager checkpoint + a
+    convergence-check job, which dominates wall-clock on small graphs
+    (measured ~8 s for a ~50-edge graph vs milliseconds collected).
+    ``collect_below=0`` forces the distributed loop; above the bound the
+    distributed path is unchanged — the 100 TB route.
     """
+    if collect_below > 0:
+        edge_rows = edges.select("entity1", "entity2").limit(collect_below + 1).collect()
+        if len(edge_rows) <= collect_below:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in edge_rows:
+                a, b = find(r[0]), find(r[1])
+                if a != b:
+                    # min-id root keeps "component = min reachable id" exact
+                    lo, hi = (a, b) if a < b else (b, a)
+                    parent[hi] = lo
+            nodes = {r[0] for r in edge_rows} | {r[1] for r in edge_rows}
+            out = [(n, find(n)) for n in sorted(nodes)]
+            schema = edges.select(
+                F.col("entity1").alias("entity"), F.col("entity1").alias("component")
+            ).schema
+            return edges.sparkSession.createDataFrame(out, schema)
     sym = (
         edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
         .unionByName(edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst")))

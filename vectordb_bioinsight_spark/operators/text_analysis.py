@@ -31,6 +31,30 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def quality_score_expr(text_col: str | F.Column, toks: F.Column | None = None) -> F.Column:
+    """The deterministic [0,1] quality heuristic of :func:`text_stats` as a
+    single scan-local column expression (rounded 6 dp, identical to the
+    ``quality_score`` column), so pipelines can GATE on quality without
+    joining the stats table back onto the corpus — that join re-scans the
+    corpus and shuffles for a value derivable in the same projection.
+
+    ``toks``: pass an existing token-array column to share one tokenize.
+    """
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    if toks is None:
+        toks = tokenize(text)
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.when(n_tok > 0, n_sw.cast("double") / n_tok).otherwise(F.lit(0.0))
+    pr = punct_ratio(text)
+    quality = (
+        F.least(n_tok.cast("double") / 20.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return F.round(quality, 6)
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document token/char/quality statistics.
 
@@ -58,11 +82,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok,
     ).otherwise(F.lit(0.0))
     pr = punct_ratio(F.col("_text"))
-    quality = (
-        F.least(n_tok.cast("double") / 20.0, F.lit(1.0)) * 0.4
-        + (1.0 - F.least(pr * 5.0, F.lit(1.0))) * 0.3
-        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
-    )
+    quality = quality_score_expr("_text", toks=toks)
     return staged.select(
         F.col("doc_id"),
         F.length(F.col("_text")).cast("long").alias("n_chars"),

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from vectordb_bioinsight_spark.operators.chunking import junk_predicate
 from vectordb_bioinsight_spark.operators.dedup import near_dedup_pipeline
 from vectordb_bioinsight_spark.operators.sampling import hash_split, stratified_hash_sample
-from vectordb_bioinsight_spark.operators.text_analysis import text_stats
+from vectordb_bioinsight_spark.operators.text_analysis import quality_score_expr
 
 
 def prepare_training_data(
@@ -72,15 +72,21 @@ def prepare_training_data(
     """
     if cluster_resolve not in ("components", "pairwise"):
         raise ValueError(f"unknown cluster_resolve {cluster_resolve!r}")
-    # -- 2. quality gate (scan-local: language, score, junk regexes)
-    stats = text_stats(docs, id_col, text_col).select(
-        F.col("doc_id").alias(id_col), "quality_score"
-    )
+    # -- 2. quality gate (scan-local: language, score, junk regexes).
+    # quality_score is computed IN the corpus projection, not joined back
+    # from a text_stats table — the join form re-scans the corpus on both
+    # sides for a value derivable in the same scan. Order matters: the
+    # cheap lang/junk predicates go FIRST (both push to the parquet scan),
+    # so the tokenize-heavy quality expression — which Catalyst substitutes
+    # into its own pushed-down filter predicate — only evaluates on the
+    # rows that survive them.
+    from pyspark.storagelevel import StorageLevel
+
     gated = (
-        docs.join(stats, id_col)
-        .filter(F.col(lang_col).isin(*keep_langs))
-        .filter(F.col("quality_score") >= min_quality)
+        docs.filter(F.col(lang_col).isin(*keep_langs))
         .filter(~junk_predicate(F.col(text_col)))
+        .withColumn("quality_score", quality_score_expr(text_col))
+        .filter(F.col("quality_score") >= min_quality)
     )
     if max_dup_3gram_ratio is not None:
         from vectordb_bioinsight_spark.operators.text_analysis import repetition_stats
@@ -105,15 +111,20 @@ def prepare_training_data(
     # reps feeds FOUR plan branches (minhash sigs, both Jaccard shingle
     # sides, the final anti join) and Spark re-executes the whole
     # gate+window subtree per branch — persist disk-spillable so the gated
-    # scan + text_stats run once (same discipline as span_cut_docs)
-    from pyspark.storagelevel import StorageLevel
-
+    # scan runs once (same discipline as span_cut_docs)
     reps = reps.persist(StorageLevel.MEMORY_AND_DISK)
-    # reps is already exact-deduped, so the pipeline's internal hash-groupBy
-    # sees unique contents only (no double dedup work on the full corpus)
+    # reps is already one row per distinct content, so the pipeline skips
+    # its internal exact-dedup groupBy (assume_unique) instead of re-running
+    # that shuffle once per downstream consumer
+    # The pairs table is TINY (near-dup pairs only) but its lineage is the
+    # whole minhash+banding+jaccard DAG; the component resolver iterates
+    # over it, so without a persist every label-propagation round re-runs
+    # that DAG. Persisting pairs (not the heavyweight intermediates) is the
+    # cheap cut point.
     near = near_dedup_pipeline(
-        reps.select(id_col, text_col), id_col, text_col, min_jaccard=near_dup_jaccard
-    )
+        reps.select(id_col, text_col), id_col, text_col,
+        min_jaccard=near_dup_jaccard, assume_unique=True,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if cluster_resolve == "components":
         from vectordb_bioinsight_spark.operators.dedup import dedup_clusters
 
