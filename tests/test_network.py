@@ -117,6 +117,28 @@ def test_connected_components_two_triangles(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
 
 
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The collected union-find fast path must produce exactly the
+    distributed hash-min labels (component = min reachable id), including
+    on chains (worst case for propagation) and integer ids."""
+    import random
+
+    from vectordb_bioinsight_spark.operators.network import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 20)]  # one long chain
+    edges += [(100 + rng.randrange(30), 100 + rng.randrange(30)) for _ in range(40)]
+    df = spark.createDataFrame(edges, ["entity1", "entity2"])
+    fast = {r["entity"]: r["component"] for r in connected_components(df).collect()}
+    dist = {
+        r["entity"]: r["component"]
+        for r in connected_components(df, collect_below=0).collect()
+    }
+    assert fast == dist
+    # chain fully collapses to its min id
+    assert all(fast[i] == 0 for i in range(21))
+
+
 def test_label_propagation_two_cliques(spark):
     from itertools import combinations
 

@@ -148,3 +148,34 @@ def test_anova_f_drops_degenerate(spark):
             ("no_var", "a", 3.0), ("no_var", "b", 3.0)]
     df = spark.createDataFrame(rows, ["key", "grp", "val"])
     assert anova_f(df, ["key"], "grp", "val").count() == 0
+
+
+def test_blend_scores_bounded_input_matches_agg_strategy(spark):
+    """The window-bounds strategy (bounded_input=True) must give exactly the
+    same blended scores as the agg+crossJoin strategy, including the
+    degenerate constant-column case (0.5 fallback)."""
+    from vectordb_bioinsight_spark.operators.scoring import blend_scores
+
+    rows = [(1, 10.0, 3.0), (2, 20.0, 1.0), (3, 15.0, 1.0), (4, 10.0, 9.0)]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    want = {
+        r["id"]: r["s"]
+        for r in blend_scores(df, {"a": 0.3, "b": 0.7}, out_col="s").collect()
+    }
+    got = {
+        r["id"]: r["s"]
+        for r in blend_scores(
+            df, {"a": 0.3, "b": 0.7}, out_col="s", bounded_input=True
+        ).collect()
+    }
+    assert got == want
+    # constant column -> 0.5 fallback on both strategies
+    const = spark.createDataFrame([(1, 5.0, 1.0), (2, 5.0, 2.0)], ["id", "a", "b"])
+    for bounded in (False, True):
+        out = {
+            r["id"]: r["s"]
+            for r in blend_scores(
+                const, {"a": 1.0}, out_col="s", bounded_input=bounded
+            ).collect()
+        }
+        assert out == {1: 0.5, 2: 0.5}
