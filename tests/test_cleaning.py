@@ -178,3 +178,44 @@ def test_bigram_logprob_flags_shuffled_text(spark):
     assert out[99]["avg_logprob"] < out[0]["avg_logprob"]
     assert out[99]["perplexity"] > out[0]["perplexity"]
     assert out[0]["n_bigrams"] == 29
+
+
+class TestDomainBoilerplate:
+    def test_per_source_threshold(self, spark):
+        """A footer in 100% of src A is cut FROM src A ONLY; the same text
+        in 1 of 4 docs of src B is legitimate prose there and survives.
+        The absolute min_docs floor protects tiny sources."""
+        from vectordb_bioinsight_spark.operators.cleaning import domain_boilerplate_dedup
+
+        rows = []
+        # src A: 4 docs, every one carries "visit our shop" -> df=4 = 100%
+        for d in range(4):
+            rows += [(d, 0, "visit our shop", "A"), (d, 1, f"body A {d}", "A")]
+        # src B: 4 docs, only doc 10 mentions the same phrase -> df=1 = 25%
+        rows += [(10, 0, "visit our shop", "B"), (10, 1, "body B ten", "B")]
+        for d in (11, 12, 13):
+            rows += [(d, 0, f"body B {d}", "B")]
+        # src C: 2 docs sharing a line -> df=2 = 100% but min_docs=3 spares it
+        rows += [(20, 0, "tiny shared", "C"), (21, 0, "tiny shared", "C")]
+        lines = spark.createDataFrame(
+            rows, "doc_id long, line_no int, line string, source string"
+        )
+        kept = domain_boilerplate_dedup(
+            lines, "source", min_docs=3, max_doc_frac=0.5
+        ).collect()
+        kept_set = {(r["doc_id"], r["line"]) for r in kept}
+        assert (0, "visit our shop") not in kept_set          # cut in A
+        assert (10, "visit our shop") in kept_set             # survives in B
+        assert (20, "tiny shared") in kept_set                # min_docs floor
+        assert all((d, f"body A {d}") in kept_set for d in range(4))
+
+    def test_normalized_matching(self, spark):
+        """Case/whitespace variants hash to the same line key."""
+        from vectordb_bioinsight_spark.operators.cleaning import domain_boilerplate_dedup
+
+        lines = spark.createDataFrame(
+            [(1, 0, "Nav Bar", "s"), (2, 0, "  nav bar ", "s"), (3, 0, "x y", "s")],
+            "doc_id long, line_no int, line string, source string",
+        )
+        kept = domain_boilerplate_dedup(lines, "source", min_docs=2, max_doc_frac=0.5)
+        assert {r["line"] for r in kept.collect()} == {"x y"}

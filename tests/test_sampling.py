@@ -132,3 +132,26 @@ def test_sample_rate_check_ratio(spark):
     assert ratio == pytest.approx(1.0, abs=0.05)
     with pytest.raises(ValueError):
         sample_rate_check(sampled, total_rows=0, fraction=0.2)
+
+
+def test_perplexity_buckets_total_order_and_quota(spark):
+    """ntile tiers are equal-size (±1), deterministic under repartition,
+    and `kept` drops exactly the worst tier."""
+    from vectordb_bioinsight_spark.operators.sampling import perplexity_bucket_select
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", float(100 + i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    out = perplexity_bucket_select(df, "lang", "ppl", "doc_id", 3, 2)
+    got = {r["doc_id"]: (r["ppl_bucket"], r["kept"]) for r in out.collect()}
+    # 10 docs per lang -> tiers of 4/3/3; lowest-ppl docs land in tier 1
+    en = sorted(i for i in range(20) if i % 2 == 0)
+    assert [got[i][0] for i in en] == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert all(got[i][1] == (got[i][0] <= 2) for i in range(20))
+    # stable under repartition (total order via the id tie-break)
+    got2 = {
+        r["doc_id"]: (r["ppl_bucket"], r["kept"])
+        for r in perplexity_bucket_select(
+            df.repartition(7), "lang", "ppl", "doc_id", 3, 2
+        ).collect()
+    }
+    assert got == got2

@@ -208,6 +208,55 @@ def global_line_dedup(
     return survivors.select(*lines.columns)
 
 
+def domain_boilerplate_dedup(
+    lines: DataFrame,
+    source_col: str = "source",
+    min_docs: int = 2,
+    max_doc_frac: float = 0.3,
+) -> DataFrame:
+    """CCNet-style per-domain boilerplate removal: drop lines whose
+    normalized form appears in "too many" documents OF THE SAME SOURCE —
+    nav bars, footers, cookie banners that repeat across one site but are
+    legitimate prose elsewhere (the reason CCNet dedups per-shard/domain
+    rather than globally; see also Dolma's per-source passes).
+
+    A line is boilerplate within a source when it occurs in
+    ``>= min_docs`` distinct documents AND in ``> max_doc_frac`` of that
+    source's documents. Both thresholds matter at 100 TB: the absolute
+    floor keeps tiny sources (2-doc domains) from nuking every shared
+    line, the fraction keeps huge sources honest (1000 hits on a 1M-doc
+    domain is noise, not boilerplate).
+
+    Plan shape: the shuffle/join key is ``(source, hash64(line))`` —
+    16 bytes, never the text. Three map-side-combinable groupBys
+    (per-source line DF, per-source doc count) and one hash join back;
+    the per-source doc-count dim is O(#sources) and broadcast by AQE.
+
+    Input must carry ``doc_id``, ``line``, and ``source_col``.
+    Output: the input columns, restricted to surviving lines.
+    """
+    key = portable_hash64(F.lower(F.trim(F.col("line"))))
+    keyed = lines.select("*", key.alias("_line_key"))
+    line_df = (
+        keyed.groupBy(source_col, "_line_key")
+        .agg(F.countDistinct("doc_id").alias("_line_df"))
+    )
+    source_docs = (
+        lines.groupBy(source_col)
+        .agg(F.countDistinct("doc_id").alias("_src_docs"))
+    )
+    boiler = (
+        line_df.join(F.broadcast(source_docs), source_col)
+        .where(
+            (F.col("_line_df") >= F.lit(min_docs))
+            & (F.col("_line_df") > F.lit(max_doc_frac) * F.col("_src_docs"))
+        )
+        .select(source_col, "_line_key")
+    )
+    survivors = keyed.join(boiler, [source_col, "_line_key"], "left_anti")
+    return survivors.select(*lines.columns)
+
+
 def reassemble_documents(lines: DataFrame) -> DataFrame:
     """Rebuild ``(doc_id, text_clean, n_lines_kept)`` from a cleaned lines
     frame, preserving original line order.

@@ -138,6 +138,41 @@ def sample_rate_check(sampled: DataFrame, total_rows: int, fraction: float) -> D
     )
 
 
+def perplexity_bucket_select(
+    scored: DataFrame,
+    group_col: str,
+    ppl_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    keep_buckets: int = 2,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each group (language, in
+    CCNet's recipe), rank documents by LM perplexity and split them into
+    ``n_buckets`` equal-size tiers (head / middle / tail for the classic
+    3); keep the lowest-perplexity ``keep_buckets`` tiers.
+
+    Low perplexity under a corpus-fitted LM ≈ fluent in-distribution text;
+    the tail tier is where boilerplate, markup soup and wrong-language
+    spill concentrate. CCNet keeps head+middle by default — so do we.
+
+    Ties are broken by id, making the tier assignment a TOTAL order —
+    deterministic across engines, partitionings and re-runs (ntile over a
+    non-total order is not).
+
+    Output: input columns + ``(ppl_bucket, kept)``. Scale: one ntile
+    window partitioned by the group key — the same single shuffle any
+    per-group quantile needs; no global sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(ppl_col).asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w)).withColumn(
+        "kept", F.col("ppl_bucket") <= keep_buckets
+    )
+
+
 def portable_hash_bucket_duckdb(expr: str, salt: int = 0) -> str:
     """DuckDB SQL computing the same bucket as ``_bucket`` (for oracles)."""
     from vectordb_bioinsight_spark.functions.hashing import salted_hash64_duckdb

@@ -108,6 +108,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
     "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
     "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
+    "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
+    "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

@@ -199,6 +199,107 @@ FROM surv GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# domain_boilerplate — CCNet-style per-source boilerplate removal
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus has no newlines, so the fixture PLANTS newline-
+# delimited source-derived footers identically on both engines:
+#   * every doc: a copyright footer        -> 100% of source docs -> cut
+#   * every doc_id % 2 == 0: a subscribe   -> ~50% of source docs -> cut
+#   * every doc_id % 5 == 0: an editor     ->  20% of source docs -> KEPT
+# With min_docs=2, max_doc_frac=0.3 the op must cut exactly the first two
+# and keep the third plus every (unique) original body line.
+_BOILER_MIN_DOCS = 2
+_BOILER_FRAC = 0.3
+
+
+def _plant_footers(docs):
+    return docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\nall rights reserved by "),
+            F.col("source"),
+            F.lit(" inc"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\nsubscribe to the "), F.col("source"), F.lit(" newsletter")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\neditor pick from "), F.col("source"), F.lit(" team")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_domain_boilerplate(spark, sf_dir):
+    """Per-domain boilerplate line removal (CCNet/Dolma hygiene tier): lines
+    in >= 2 docs AND > 30% of the SAME source's docs are cut; the 20%-
+    frequency planted line and all unique body lines survive. Shuffle keys
+    are (source, 8-byte line hash) — see operators/cleaning.py:
+    domain_boilerplate_dedup."""
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        domain_boilerplate_dedup,
+        split_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = _plant_footers(docs)
+    lines = split_lines(planted, "doc_id", "text").join(
+        planted.select("doc_id", "source"), "doc_id"
+    )
+    survivors = domain_boilerplate_dedup(
+        lines, "source", min_docs=_BOILER_MIN_DOCS, max_doc_frac=_BOILER_FRAC
+    )
+    rebuilt = reassemble_documents(survivors.select("doc_id", "line_no", "line"))
+    return rebuilt.select(
+        "doc_id", "n_lines_kept", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+_FOOTER_PLANT_SQL = (
+    "text || chr(10) || 'all rights reserved by ' || source || ' inc' || "
+    "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to the ' || source || ' newsletter' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'editor pick from ' || source || ' team' ELSE '' END"
+)
+
+_BLINE_KEY = PORTABLE_HASH64_DUCKDB.format(expr="lower(trim(line))")
+
+SQL_DOMAIN_BOILERPLATE = f"""
+WITH p AS (
+  SELECT doc_id, source, {_FOOTER_PLANT_SQL} AS t FROM documents
+), arr AS (
+  SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM p
+), l AS (
+  SELECT doc_id, source, unnest(range(0, len(ls)))::INT AS line_no,
+         unnest(ls) AS line
+  FROM arr
+), nz AS (
+  SELECT * FROM l WHERE trim(line) <> ''
+), f AS (
+  SELECT source, {_BLINE_KEY} AS k, count(DISTINCT doc_id) AS df
+  FROM nz GROUP BY 1, 2
+), sd AS (
+  SELECT source, count(DISTINCT doc_id) AS n FROM nz GROUP BY 1
+), boiler AS (
+  SELECT f.source, f.k FROM f JOIN sd USING (source)
+  WHERE df >= {_BOILER_MIN_DOCS} AND df > {_BOILER_FRAC} * n
+), surv AS (
+  SELECT doc_id, line_no, line FROM nz
+  WHERE NOT EXISTS (
+    SELECT 1 FROM boiler b
+    WHERE b.source = nz.source AND b.k = {_BLINE_KEY}
+  )
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines_kept,
+       md5(string_agg(line, chr(10) ORDER BY line_no)) AS clean_md5
+FROM surv GROUP BY doc_id
+"""
+
+
 def q_span_cut_docs(spark, sf_dir):
     """Apply step of ExactSubstr dedup: cut every cross-doc repeated 8-gram
     span (catalog `repeated_spans`) out of every doc's normalized token

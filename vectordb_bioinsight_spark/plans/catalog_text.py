@@ -970,6 +970,37 @@ FROM per_doc
 SQL_BIGRAM_LOGPROB = _sql_bigram_logprob()
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail selection: per-LANGUAGE perplexity
+    tiers under the corpus bigram LM; keep head+middle. One ntile window
+    per language — see operators/sampling.py:perplexity_bucket_select."""
+    from vectordb_bioinsight_spark.operators.sampling import perplexity_bucket_select
+    from vectordb_bioinsight_spark.operators.text_analysis import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_logprob_scores(docs, "doc_id", "text", alpha=0.1).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    tiers = perplexity_bucket_select(
+        scored, "lang", "perplexity", "doc_id", n_buckets=3, keep_buckets=2
+    )
+    return tiers.select("doc_id", "lang", "perplexity", "ppl_bucket", "kept")
+
+
+SQL_PERPLEXITY_BUCKETS = f"""
+WITH ppl AS ({SQL_BIGRAM_LOGPROB}),
+tiers AS (
+  SELECT p.doc_id, d.lang, p.perplexity,
+         ntile(3) OVER (
+           PARTITION BY d.lang ORDER BY p.perplexity ASC, p.doc_id ASC
+         ) AS ppl_bucket
+  FROM ppl p JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, perplexity, ppl_bucket, ppl_bucket <= 2 AS kept
+FROM tiers
+"""
+
+
 def q_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted per-source selection: each source's top-5 docs by the
     deterministic quality score (ties by doc_id)."""
