@@ -1,0 +1,115 @@
+"""Product-quantization operators (operators/pq.py): exactness in the
+self-codebook limit, fold==GEMM equivalence, learned-codebook recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_encode_gemm,
+    pq_fixed_codebook,
+    pq_train_kmeans,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def test_self_codebook_is_exact(spark):
+    """With k == corpus size the codebook IS the corpus: every vector
+    encodes to itself and ADC distance == exact L2² (rounded)."""
+    rng = np.random.default_rng(7)
+    # float32 first: array<float> storage truncates, and the codebook is
+    # read back from storage — the expectation must use the same values
+    vecs = [(i, [float(np.float32(x)) for x in rng.normal(size=8)]) for i in range(16)]
+    df = spark.createDataFrame(vecs, "vid long, v array<float>")
+    cb = pq_fixed_codebook(df, "vid", "v", m=2, k=16)
+    codes = pq_encode(df, "vid", "v", cb)
+    q = [float(np.float32(x)) for x in rng.normal(size=8)]
+    got = {r["vid"]: r["adc_dist"] for r in pq_adc_topk(codes, "vid", "pq_code", cb, q, 16).collect()}
+    arr = {i: np.asarray(v, dtype=np.float64) for i, v in vecs}
+    qa = np.asarray(q)
+    for i, v in arr.items():
+        exact = round(
+            round(((qa[:4] - v[:4]) ** 2).sum(), 6) + round(((qa[4:] - v[4:]) ** 2).sum(), 6),
+            6,
+        )
+        assert abs(got[i] - exact) < 1e-9
+
+
+def test_fold_and_gemm_encoders_agree(spark, emb):
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
+    a = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
+    b = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode_gemm(emb, "vec_id", "embedding", cb).collect()
+    }
+    assert a == b
+
+
+def test_trained_codebook_beats_fixed_on_distortion(spark, emb):
+    """Lloyd iterations must reduce total quantization distortion vs the
+    arbitrary fixed codebook (the reason to train at all)."""
+    fixed = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
+    trained = pq_train_kmeans(emb, "vec_id", "embedding", m=4, k=16, iters=10)
+
+    def distortion(cb):
+        rows = emb.select("embedding").collect()
+        X = np.asarray([r[0] for r in rows], dtype=np.float64)
+        total = 0.0
+        for i in range(4):
+            sub = X[:, i * 16 : (i + 1) * 16]
+            C = np.asarray(cb[i])
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).sum()
+        return total
+
+    assert distortion(trained) < distortion(fixed)
+
+
+def test_adc_recall_monotone_in_subspaces(spark, emb):
+    """Recall@10 vs exact L2 must not degrade as the code gets finer
+    (more subspaces = less quantization error), with an absolute floor
+    at m=16. The synthetic corpus is near-isotropic — the hardest case
+    for PQ — so the floor is deliberately modest (measured 2/3/4)."""
+    from vectordb_bioinsight_spark.operators.vector import knn_brute_force
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["vec_id"] for r in knn_brute_force(emb, "vec_id", "embedding", q, k=10, metric="l2").collect()
+    }
+    recalls = []
+    for m in (4, 8, 16):
+        cb = pq_train_kmeans(emb, "vec_id", "embedding", m=m, k=16, iters=10)
+        codes = pq_encode_gemm(emb, "vec_id", "embedding", cb)
+        approx = {
+            r["vec_id"] for r in pq_adc_topk(codes, "vec_id", "pq_code", cb, q, 10).collect()
+        }
+        recalls.append(len(approx & exact))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 3, recalls
+
+
+def test_codebook_guards(spark, emb):
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fixed_codebook(emb, "vec_id", "embedding", m=5, k=8)
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode(emb, "vec_id", "embedding", [[[0.0], [0.0, 1.0]]])
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=4)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        pq_adc_topk(emb.withColumn("pq_code", F.array(F.lit(0))), "vec_id", "pq_code", cb, [0.0] * 8)
+
+
+def test_encode_plan_is_jvm_only(spark, emb):
+    """The fold encoder must stay in whole-stage codegen (no Python)."""
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
+    plan = pq_encode(emb, "vec_id", "embedding", cb)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,264 @@
+"""Product quantization (PQ) — the 100 TB ANN memory path (BASELINE ANN
+extension; complements operators/vector.py's IVF and LSH routes).
+
+PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search")
+splits each D-dim vector into ``m`` subvectors and replaces every subvector
+with the id of its nearest centroid from a per-subspace codebook of ``k``
+entries — a D×4-byte float vector becomes ``m`` small ints (m bytes at
+k<=256). At 100 TB of embeddings this is the difference between an index
+that fits in cluster memory and one that does not; FAISS's IVF-PQ is this
+exact composition (our ``ivf_build_index`` handles the coarse routing,
+this module the in-cell compression).
+
+Reference capability anchor: the reference stores raw float vectors in
+Chroma and brute-forces (backend/app/services/vector_store.py:272-299);
+PQ is the published scale-out of that capability, not a port.
+
+Distributed split (the part that must survive 100 TB):
+  * **Training** is sample-based (standard PQ practice — FAISS trains on
+    ~1e5-1e6 samples regardless of corpus size): `pq_train_kmeans` fits m
+    independent per-subspace Lloyd codebooks on a bounded, hash-sampled
+    driver collect with an explicit guard. Codebook size is m*k*(D/m)
+    floats — KBs — and is INLINED into the encode expression, so encoding
+    broadcasts no state at all.
+  * **Encoding** (`pq_encode`) is one scan-local JVM projection: per
+    subspace, an argmin over k inlined centroid distances (rendered as a
+    single parsed SQL expression, the semdedup trick — k*m distance folds
+    parse in ~10 ms). No shuffle, no Python, embarrassingly parallel.
+  * **Search** (`pq_adc_topk`) is asymmetric distance computation: the
+    query builds an m*k lookup table driver-side; each candidate's
+    distance is m array lookups + a sum — again scan-local — followed by
+    the same TakeOrderedAndProject top-k as brute-force kNN. The corpus
+    scan reads ONLY the code column (m ints/row), never the raw vectors:
+    that is the whole point.
+
+Cross-engine determinism: every distance is rounded to 6 dp before any
+argmin/ordering, ties break toward the smaller code / id, and the
+``pq_fixed_codebook`` path derives centroids from the first k id-sorted
+corpus vectors — fully SQL-replayable, so encode+ADC get a DuckDB oracle
+(the learned-codebook path is the quality twin, pinned by recall tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: driver-side guards (same discipline as semdedup.MAX_INLINE_CENTROIDS)
+MAX_CODES = 256
+MAX_SUBSPACES = 16
+MAX_TRAIN_SAMPLE = 200_000
+
+Codebook = list[list[list[float]]]  # [subspace][code][sub_dim]
+
+
+def _check_shape(codebook: Codebook) -> tuple[int, int, int]:
+    m = len(codebook)
+    if not 1 <= m <= MAX_SUBSPACES:
+        raise ValueError(f"m must be in [1, {MAX_SUBSPACES}]")
+    k = len(codebook[0])
+    if not 1 <= k <= MAX_CODES:
+        raise ValueError(f"k must be in [1, {MAX_CODES}]")
+    sub_d = len(codebook[0][0])
+    for cb in codebook:
+        if len(cb) != k or any(len(c) != sub_d for c in cb):
+            raise ValueError("ragged codebook")
+    return m, k, sub_d
+
+
+def pq_fixed_codebook(
+    vectors: DataFrame, id_col: str, vec_col: str, m: int = 4, k: int = 16
+) -> Codebook:
+    """Deterministic codebook: subspace i's codes are the i-th subvectors
+    of the first ``k`` id-sorted corpus vectors. No training, exactly
+    reproducible in ANSI SQL (ORDER BY id LIMIT k) — the oracle-checkable
+    path; use :func:`pq_train_kmeans` for production quality."""
+    if k > MAX_CODES:
+        raise ValueError(f"k must be <= {MAX_CODES}")
+    rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"corpus has {len(rows)} rows < k={k}")
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r[vec_col][i * sub : (i + 1) * sub]] for r in rows]
+        for i in range(m)
+    ]
+
+
+def pq_train_kmeans(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    max_sample: int = MAX_TRAIN_SAMPLE,
+) -> Codebook:
+    """Quality codebook: m independent per-subspace Lloyd k-means fits on a
+    deterministic hash-sampled driver collect (bounded by ``max_sample`` —
+    raises rather than silently truncating differently per run).
+
+    Sample-based training is the standard PQ recipe (FAISS caps training
+    points the same way); encode/search stay fully distributed. Seeded
+    init (first k distinct sampled subvectors in hash order) + fixed
+    iteration count -> the same codebook on every run and cluster size.
+    """
+    import numpy as np
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    n = vectors.count()
+    if n > max_sample:
+        frac = max_sample / n
+        keyed = vectors.select(
+            (F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(1_000_000))).alias(
+                "_h"
+            ),
+            F.col(vec_col).alias("_v"),
+        ).where(F.col("_h") < int(frac * 1_000_000))
+        rows = keyed.orderBy("_h").limit(max_sample).collect()
+        mat = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    else:
+        mat = np.asarray(
+            [r[vec_col] for r in vectors.select(vec_col).orderBy(F.col(vec_col).getItem(0)).collect()],
+            dtype=np.float64,
+        )
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out: Codebook = []
+    for i in range(m):
+        X = mat[:, i * sub : (i + 1) * sub]
+        # deterministic init: k distinct rows in lexicographic order
+        uniq = np.unique(X, axis=0)
+        if len(uniq) < k:
+            raise ValueError(f"subspace {i}: only {len(uniq)} distinct subvectors < k={k}")
+        C = uniq[:k].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(k):
+                pts = X[a == j]
+                if len(pts):
+                    C[j] = pts.mean(axis=0)
+        out.append([[float(x) for x in c] for c in C])
+    return out
+
+
+def _sub_slice_sql(vec_sql: str, i: int, sub_d: int) -> str:
+    return f"slice({vec_sql}, {i * sub_d + 1}, {sub_d})"
+
+
+def _d2_sql(sub_sql: str, cent: list[float]) -> str:
+    arr = "array(" + ",".join(f"{c!r}D" for c in cent) + ")"
+    return (
+        f"aggregate(zip_with({sub_sql}, {arr},"
+        f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode(
+    vectors: DataFrame, id_col: str, vec_col: str, codebook: Codebook
+) -> DataFrame:
+    """Scan-local PQ encoding: input + ``pq_code`` (array<int>, length m).
+
+    Per subspace: argmin over the k inlined centroid L2² distances,
+    rounded 6 dp, ties to the smaller code (struct array_min — total
+    order). The whole m×k expression tree is rendered as ONE SQL string
+    and parsed once; Catalyst codegens it like any other projection."""
+    m, k, sub_d = _check_shape(codebook)
+    vq = f"`{vec_col}`"
+    subs = []
+    for i in range(m):
+        sub_sql = _sub_slice_sql(vq, i, sub_d)
+        entries = ",".join(
+            f"struct(round({_d2_sql(sub_sql, codebook[i][j])}, 6) AS d, {j} AS c)"
+            for j in range(k)
+        )
+        subs.append(f"array_min(array({entries})).c")
+    code_sql = "array(" + ",".join(subs) + ")"
+    return vectors.withColumn("pq_code", F.expr(code_sql))
+
+
+def pq_encode_gemm(
+    vectors: DataFrame, id_col: str, vec_col: str, codebook: Codebook
+) -> DataFrame:
+    """Arrow-batched twin of :func:`pq_encode` for large m*k (the fold
+    expression tree grows with m*k; past ~1k codes the vectorized numpy
+    argmin per batch wins). Same output, equivalence test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub_d = _check_shape(codebook)
+    C = np.asarray(codebook, dtype=np.float64)  # (m, k, sub_d)
+    fields = vectors.schema.fields
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in fields)
+        + ", pq_code array<int>"
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for i in range(m):
+                sub = X[:, i * sub_d : (i + 1) * sub_d]
+                d2 = ((sub[:, None, :] - C[i][None, :, :]) ** 2).sum(axis=2)
+                codes[:, i] = np.round(d2, 6).argmin(axis=1)
+            out = pdf.copy()
+            out["pq_code"] = pd.Series(list(codes), index=pdf.index)
+            yield out
+
+    return vectors.mapInPandas(encode, schema=out_schema)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    id_col: str,
+    code_col: str,
+    codebook: Codebook,
+    query_vec: list[float],
+    k_top: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (id, adc_dist).
+
+    The m×k LUT (query-subvector → centroid L2²) is computed driver-side
+    (m*k*sub_d flops) and inlined; per candidate the scan does m
+    ``element_at`` lookups + a sum — it never touches a float vector.
+    LUT entries and the final sum are rounded 6 dp (cross-engine hash
+    stability); top-k orders (adc_dist, id) → TakeOrderedAndProject."""
+    m, k, sub_d = _check_shape(codebook)
+    if len(query_vec) != m * sub_d:
+        raise ValueError("query dim mismatch")
+    lut = [
+        [
+            round(
+                sum(
+                    (float(query_vec[i * sub_d + d]) - codebook[i][j][d]) ** 2
+                    for d in range(sub_d)
+                ),
+                6,
+            )
+            for j in range(k)
+        ]
+        for i in range(m)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            lut_col,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
+    # orderBy+limit -> TakeOrderedAndProject: per-partition heaps, no sort
+    return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)

@@ -579,3 +579,70 @@ SELECT p.query_id, coalesce(n.n_rel, 0) AS n_rel,
        round(coalesce(p.prec, 0.0), 6) AS precision_k
 FROM perq p LEFT JOIN ideal i USING (query_id) LEFT JOIN nrel n USING (query_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_knn — product-quantization ADC search (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces (64-dim embeddings -> 16-dim subvectors)
+_PQ_K = 16       # codes per subspace
+_PQ_SUB = 16     # sub_d = 64 / _PQ_M
+
+
+def q_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10 (Jégou et al. 2011; FAISS IVF-PQ's compression half):
+    encode the corpus to 4 codes/vector against the deterministic fixed
+    codebook, then rank by LUT-summed asymmetric L2² to the vec_id=0
+    query. The search scan reads ONLY the code column — the 100 TB memory
+    path. Learned-codebook quality twin pinned by recall tests."""
+    from vectordb_bioinsight_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fixed_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    codes = pq_encode(emb, "vec_id", "embedding", cb)
+    qv = _query_vector(spark, sf_dir)
+    return pq_adc_topk(codes, "vec_id", "pq_code", cb, qv, k_top=10)
+
+
+SQL_PQ_ADC_KNN = f"""
+WITH ranked AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+), cb AS (
+  SELECT s.i AS sub, r.code,
+         r.embedding[s.i*{_PQ_SUB}+1 : (s.i+1)*{_PQ_SUB}] AS cent
+  FROM ranked r CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS i) s
+), ep AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+         unnest(e.embedding[cb.sub*{_PQ_SUB}+1 : (cb.sub+1)*{_PQ_SUB}])::DOUBLE AS x,
+         unnest(cb.cent)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN cb
+), ed AS (
+  SELECT vec_id, sub, code, round(sum((x - y) * (x - y)), 6) AS d2
+  FROM ep GROUP BY 1, 2, 3
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM ed
+  ) WHERE rn = 1
+), qp AS (
+  SELECT cb.sub, cb.code,
+         unnest(q.qv[cb.sub*{_PQ_SUB}+1 : (cb.sub+1)*{_PQ_SUB}])::DOUBLE AS x,
+         unnest(cb.cent)::DOUBLE AS y
+  FROM cb, (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+), lut AS (
+  SELECT sub, code, round(sum((x - y) * (x - y)), 6) AS qd2
+  FROM qp GROUP BY 1, 2
+), score AS (
+  SELECT e.vec_id, round(sum(l.qd2), 6) AS adc_dist
+  FROM enc e JOIN lut l USING (sub, code)
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist FROM score ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
