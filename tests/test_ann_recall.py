@@ -108,3 +108,67 @@ def test_retrieval_metrics_nrel_uncapped_and_dup_judgments(spark):
     assert row["idcg"] == round(2.0 + 1.0 / math.log2(3), 6)
     assert row["precision_k"] == 0.5
     assert row["mrr"] == 1.0
+
+
+class TestMMR:
+    def _fixture(self, spark):
+        """3 candidates for one query: A most relevant; B nearly identical
+        to A; C less relevant but orthogonal. MMR must pick A then C —
+        pure relevance would pick A then B."""
+        cands = spark.createDataFrame(
+            [(0, 1, 0.9), (0, 2, 0.85), (0, 3, 0.5)],
+            "query_id long, cand_id long, rel double",
+        )
+        sims = spark.createDataFrame(
+            [
+                (0, 1, 2, 0.99), (0, 2, 1, 0.99),
+                (0, 1, 3, 0.0), (0, 3, 1, 0.0),
+                (0, 2, 3, 0.0), (0, 3, 2, 0.0),
+            ],
+            "query_id long, id_a long, id_b long, sim double",
+        )
+        return cands, sims
+
+    def test_greedy_semantics_hand_computed(self, spark):
+        from vectordb_bioinsight_spark.operators.fusion import mmr_select
+
+        cands, sims = self._fixture(spark)
+        out = {
+            r["pick_rank"]: (r["cand_id"], r["mmr_score"])
+            for r in mmr_select(cands, sims, lam=0.7, k=3).collect()
+        }
+        # step1: A (0.7*0.9=0.63); step2: B scores 0.7*0.85-0.3*0.99=0.298
+        # < C 0.7*0.5-0.3*0=0.35 -> C; step3: B (0.298)
+        assert out[1] == (1, 0.63)
+        assert out[2] == (3, 0.35)
+        assert out[3] == (2, round(0.7 * 0.85 - (1.0 - 0.7) * 0.99, 7))
+
+    def test_unrolled_equals_grouped(self, spark):
+        """Plan-unrolled greedy == applyInPandas greedy on the embeddings
+        candidate pools (the catalog shape)."""
+        from vectordb_bioinsight_spark.operators.fusion import (
+            mmr_select,
+            mmr_select_grouped,
+            pairwise_candidate_sims,
+        )
+        from vectordb_bioinsight_spark.operators.vector import knn_join
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        queries = emb.filter(F.col("vec_id").isin(0, 1, 2))
+        cands = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=15)
+        with_vecs = cands.join(
+            emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec")),
+            "cand_id",
+        )
+        sims = pairwise_candidate_sims(with_vecs, "query_id", "cand_id", "vec")
+        rel = cands.withColumnRenamed("score", "rel")
+        a = sorted(map(tuple, mmr_select(rel, sims, k=5).collect()))
+        b = sorted(map(tuple, mmr_select_grouped(rel, sims, k=5).collect()))
+        assert a == b
+
+    def test_fewer_candidates_than_k(self, spark):
+        from vectordb_bioinsight_spark.operators.fusion import mmr_select
+
+        cands, sims = self._fixture(spark)
+        out = mmr_select(cands, sims, k=5).collect()
+        assert sorted(r["pick_rank"] for r in out) == [1, 2, 3]

@@ -127,3 +127,186 @@ def retrieval_metrics(
             F.round(F.coalesce("_prec", F.lit(0.0)), 6).alias("precision_k"),
         )
     )
+
+
+def pairwise_candidate_sims(
+    cands: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """All ordered candidate pairs per query with cosine similarity —
+    the input MMR needs: (query_id, id_a, id_b, sim), id_a != id_b,
+    both directions, rounded 6 dp.
+
+    Quadratic ONLY per candidate set (the bounded top-N of a retrieval
+    stage, never the corpus) and an equi-join on the query key — n² of
+    20 is 380 rows/query; queries scale out across partitions."""
+    from vectordb_bioinsight_spark.functions.vector import dot_product, l2_norm
+
+    a = cands.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        l2_norm(F.col(vec_col)).alias("_na"),
+    )
+    b = cands.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    sim = dot_product(F.col("_va"), F.col("_vb")) / F.nullif(
+        F.col("_na") * F.col("_nb"), F.lit(0.0)
+    )
+    return (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+def mmr_select(
+    cands: DataFrame,
+    sims: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel",
+    lam: float = 0.7,
+    k: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) result
+    diversification: greedily pick k candidates per query maximizing
+    ``lam*rel - (1-lam)*max_sim_to_already_selected``.
+
+    MMR is inherently sequential in k, so the greedy loop is UNROLLED
+    INTO THE PLAN: k window-argmax iterations, all JVM expressions — no
+    Python, no driver data. k is a small constant (a result page); the
+    scale axis is #queries, which partitions the windows. ``sims`` must
+    cover every ordered candidate pair per query
+    (:func:`pairwise_candidate_sims`).
+
+    Determinism: rel and sim arrive rounded 6 dp, each step's score is
+    rounded at 7 dp — EXACT, since 6-dp inputs times 1-dp coefficients
+    are 7-dp decimals, so no half-way case exists — ties break toward
+    the smaller id — total order, the
+    DuckDB twin replays bit-for-bit.
+
+    Output: (query_id, cand_id, pick_rank 1..k, mmr_score).
+    """
+    lam_c = F.lit(float(lam))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_mmr"), F.asc("cand_id"))
+    base = cands.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("cand_id"),
+        F.col(rel_col).alias("_rel"),
+    )
+    sym = sims.select(
+        F.col(query_col).alias("query_id") if query_col != "query_id" else F.col("query_id"),
+        "id_a",
+        "id_b",
+        "sim",
+    )
+    selected: DataFrame | None = None
+    remaining = base
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = remaining.withColumn("_mmr", F.round(lam_c * F.col("_rel"), 7))
+        else:
+            max_sim = (
+                sym.join(
+                    selected.select("query_id", F.col("cand_id").alias("id_a")),
+                    ["query_id", "id_a"],
+                )
+                .groupBy("query_id", F.col("id_b").alias("cand_id"))
+                .agg(F.max("sim").alias("_maxsim"))
+            )
+            scored = remaining.join(max_sim, ["query_id", "cand_id"]).withColumn(
+                "_mmr",
+                F.round(lam_c * F.col("_rel") - (F.lit(1.0) - lam_c) * F.col("_maxsim"), 7),
+            )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(step).alias("pick_rank"),
+                F.col("_mmr").alias("mmr_score"),
+            )
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        remaining = remaining.join(
+            selected.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+        )
+    return selected
+
+
+def mmr_select_grouped(
+    cands: DataFrame,
+    sims: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel",
+    lam: float = 0.7,
+    k: int = 4,
+) -> DataFrame:
+    """applyInPandas twin of :func:`mmr_select` for large k (the unrolled
+    plan grows ~k² subtrees): one Arrow group per query, the same greedy
+    with numpy, same rounding/ties. Equivalence test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    lam_f = float(lam)
+
+    joined = (
+        cands.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("cand_id"),
+            F.col(rel_col).alias("_rel"),
+        )
+        .join(
+            sims.groupBy(
+                F.col(query_col).alias("query_id") if query_col != "query_id" else F.col("query_id"),
+                F.col("id_b").alias("cand_id"),
+            ).agg(
+                F.collect_list(F.struct("id_a", "sim")).alias("_sims")
+            ),
+            ["query_id", "cand_id"],
+            "left",
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        ids = pdf["cand_id"].to_numpy()
+        rel = pdf["_rel"].to_numpy(dtype=np.float64)
+        idx = {c: i for i, c in enumerate(ids)}
+        n = len(ids)
+        S = np.full((n, n), -np.inf)
+        for i, row in enumerate(pdf["_sims"]):
+            if row is None:
+                continue
+            for entry in row:
+                j = idx.get(entry["id_a"])
+                if j is not None:
+                    S[i, j] = entry["sim"]
+        picked: list[int] = []
+        out = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(1, min(k, n) + 1):
+            if not picked:
+                score = np.round(lam_f * rel, 7)
+            else:
+                ms = S[:, picked].max(axis=1)
+                score = np.round(lam_f * rel - (1.0 - lam_f) * ms, 7)
+            score_masked = np.where(avail, score, -np.inf)
+            best = int(np.lexsort((ids, -score_masked))[0])
+            picked.append(best)
+            avail[best] = False
+            out.append((pdf["query_id"].iloc[0], ids[best], step, float(score[best])))
+        return pd.DataFrame(out, columns=["query_id", "cand_id", "pick_rank", "mmr_score"])
+
+    return joined.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, cand_id long, pick_rank int, mmr_score double"
+    )

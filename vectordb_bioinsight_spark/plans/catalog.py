@@ -111,6 +111,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
     "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
     "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
+    "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

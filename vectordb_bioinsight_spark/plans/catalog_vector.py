@@ -646,3 +646,126 @@ WITH ranked AS (
 )
 SELECT vec_id, adc_dist FROM score ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# mmr_diversify — Maximal Marginal Relevance reranking (operators/fusion.py)
+# ---------------------------------------------------------------------------
+
+_MMR_QUERIES = (0, 1, 2)
+_MMR_POOL = 20
+_MMR_LAM = 0.7
+_MMR_K = 4
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein 1998) over the cosine
+    top-20 pool of three query vectors: greedy k=4, lambda=0.7. Routed
+    through the grouped path — ONE shuffle on query_id, the greedy runs
+    vectorized per Arrow group (MMR is sequential in k, parallel in
+    queries; the plan-unrolled JVM twin is equivalence-pinned and feeds
+    the same oracle). Extends the reference's rerank stage
+    (reranker.py blend) with the diversity objective."""
+    from vectordb_bioinsight_spark.operators.fusion import (
+        mmr_select_grouped,
+        pairwise_candidate_sims,
+    )
+    from vectordb_bioinsight_spark.operators.vector import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_MMR_QUERIES))
+    cands = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=_MMR_POOL)
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("vec")),
+        "cand_id",
+    )
+    sims = pairwise_candidate_sims(with_vecs, "query_id", "cand_id", "vec")
+    return mmr_select_grouped(
+        cands.withColumnRenamed("score", "rel"),
+        sims,
+        "query_id",
+        "cand_id",
+        "rel",
+        lam=_MMR_LAM,
+        k=_MMR_K,
+    )
+
+
+def _sql_mmr_diversify() -> str:
+    lam = _MMR_LAM
+    ids = ", ".join(str(i) for i in _MMR_QUERIES)
+    head = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN ({ids})
+), qp AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), qs AS (
+  SELECT query_id, cand_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM qp GROUP BY 1, 2
+), c AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT query_id, cand_id,
+           round(dot / nullif(sqrt(nx) * sqrt(ny), 0), 6) AS rel,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(dot / nullif(sqrt(nx) * sqrt(ny), 0), 6) DESC, cand_id ASC
+           ) AS rn
+    FROM qs
+  ) WHERE rn <= {_MMR_POOL}
+), sp AS (
+  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         unnest(ea.embedding)::DOUBLE AS x, unnest(eb.embedding)::DOUBLE AS y
+  FROM c a
+  JOIN c b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+  JOIN embeddings ea ON ea.vec_id = a.cand_id
+  JOIN embeddings eb ON eb.vec_id = b.cand_id
+), sym AS (
+  SELECT query_id, id_a, id_b,
+         round(sum(x*y) / nullif(sqrt(sum(x*x)) * sqrt(sum(y*y)), 0), 6) AS sim
+  FROM sp GROUP BY 1, 2, 3
+), s1 AS (
+  SELECT query_id, cand_id, 1 AS pick_rank, mmr_score FROM (
+    SELECT query_id, cand_id, round({lam} * rel, 7) AS mmr_score,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY round({lam} * rel, 7) DESC, cand_id ASC
+           ) AS rn
+    FROM c
+  ) WHERE rn = 1
+), sel1 AS (SELECT * FROM s1)"""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        steps.append(f""",
+r{i} AS (
+  SELECT c.* FROM c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{p} s WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id
+  )
+), m{i} AS (
+  SELECT r.query_id, r.cand_id, r.rel, max(y.sim) AS maxsim
+  FROM r{i} r
+  JOIN sym y ON y.query_id = r.query_id AND y.id_b = r.cand_id
+  JOIN sel{p} s ON s.query_id = y.query_id AND s.cand_id = y.id_a
+  GROUP BY 1, 2, 3
+), s{i} AS (
+  SELECT query_id, cand_id, {i} AS pick_rank, mmr_score FROM (
+    SELECT query_id, cand_id,
+           round({lam} * rel - (1.0 - {lam}) * maxsim, 7) AS mmr_score,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round({lam} * rel - (1.0 - {lam}) * maxsim, 7) DESC, cand_id ASC
+           ) AS rn
+    FROM m{i}
+  ) WHERE rn = 1
+), sel{i} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{i})""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT query_id, cand_id, pick_rank, mmr_score FROM sel{_MMR_K}\n"
+    )
+
+
+SQL_MMR_DIVERSIFY = _sql_mmr_diversify()
