@@ -63,7 +63,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === (b) never driver-checked: vector scale paths ===
     "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
     "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    "label_map_2d": (vec.q_label_map_2d, None),
     # === (b) never driver-checked: TPC-H shape sweep ===
     "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
     "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
@@ -100,7 +99,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # and knn_lsh_bucketed the inlined-hyperplane replay ===
     "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
     "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
-    "approx_distinct_users": (th.q_approx_distinct_users, None),
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
     # === (c) de-vacuated + newly oracle-backed + new this round ===
     "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
@@ -112,6 +110,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
     "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
     "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
+    # rows-only pair parked at the window edge: their driver rows are the
+    # weak (rows-only) kind either way, so hash-checkable entries go first
+    "approx_distinct_users": (th.q_approx_distinct_users, None),
+    "label_map_2d": (vec.q_label_map_2d, None),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
