@@ -951,3 +951,48 @@ def pagerank(
         )
         scores = scores.localCheckpoint(eager=True)
     return scores.select("entity", F.round("score", 6).alias("pagerank"))
+
+
+def triangle_counts(edges: DataFrame, src: str = "item1", dst: str = "item2") -> DataFrame:
+    """Per-node triangle counting — the graph-analytics companion of the
+    centrality tier (reference analog: the clustering/community statistics
+    the KG layer reports per keyword node, graph.py:352-368 onward).
+
+    Input: undirected distinct edges with ``src < dst`` (the upper-triangle
+    contract :func:`~vectordb_bioinsight_spark.operators.joins.cooccurrence_edges`
+    already guarantees).
+
+    Physical plan — the canonical ordered wedge-close join, each triangle
+    x < y < z enumerated exactly once: wedges (x,y)+(y,z) by equi-join on
+    the middle node, closed against the edge list on (x,z). Shuffles are
+    all key-partitioned equi-joins; no cross join ever materializes. At
+    100 TB-graph scale the standard refinement is min-degree orientation
+    (orient each edge toward the higher-degree endpoint) to bound wedge
+    fan-out on hubs — id-orientation is kept here because it is
+    deterministic and oracle-stable; AQE skew-join covers moderate hubs.
+
+    Output: (node, n_triangles) for EVERY node in the edge set (zeros
+    included, so the result is a complete per-node feature).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    wedges = (
+        e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .join(e.select(F.col("a").alias("y"), F.col("b").alias("z")), "y")
+    )
+    tris = wedges.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
+    )

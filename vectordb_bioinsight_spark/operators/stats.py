@@ -12,6 +12,8 @@ Two tiers:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -468,4 +470,46 @@ def anova_pvalues(anova: DataFrame) -> DataFrame:
 
     return anova.withColumn(
         "pvalue", _p(F.col("f_stat"), F.col("k_groups").cast("double"), F.col("n_total").cast("double"))
+    )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization (percentile clipping) — the numeric-feature
+    outlier treatment of the preprocessing tier (reference analog: the QC
+    outlier gates of agent1_qc.py, generalized to any grouped metric).
+    Values below the group's lo-quantile / above its hi-quantile are
+    clamped to the quantile, the standard robust alternative to dropping.
+
+    Bounds use the engine's exact lower-discrete quantile
+    (:func:`~vectordb_bioinsight_spark.operators.relational.group_quantiles`)
+    so results are engine-portable; at 100 TB swap in the sketch twin
+    (``group_quantiles_approx``) — identical plan shape, no per-group sort.
+
+    Physical plan: the bounds table is GROUP-cardinality (tiny by
+    construction) -> explicit broadcast join back onto the fact scan; the
+    only full-data shuffle is the rank window inside the exact-quantile
+    fit, which the sketch twin removes entirely.
+
+    Output: all input columns + ``<value>_w`` (clamped) + ``clipped``.
+    """
+    from vectordb_bioinsight_spark.operators.relational import group_quantiles
+
+    keys = list(group_cols)
+    bounds = group_quantiles(df, keys, value_col, [lo, hi]).select(
+        *keys,
+        F.col(f"p{lo * 100:g}").alias("_lo"),
+        F.col(f"p{hi * 100:g}").alias("_hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(f"{value_col}_w", F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .withColumn("clipped", (v < F.col("_lo")) | (v > F.col("_hi")))
+        .drop("_lo", "_hi")
     )

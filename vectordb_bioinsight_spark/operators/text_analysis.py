@@ -586,3 +586,108 @@ def bigram_logprob_scores(
         F.round("_avg", 6).alias("avg_logprob"),
         F.round(F.exp(-F.round(F.col("_avg"), 6)), 6).alias("perplexity"),
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Exact n-gram eval-decontamination — the GPT-3 appendix-C recipe
+    (Brown et al. 2020) and the PaLM/Llama variant: a corpus document is
+    contaminated when it shares >= ``min_matches`` distinct verbatim
+    n-grams with ANY benchmark document. The winnowing twin
+    (:func:`contamination_check`) samples fingerprints for long-run
+    detection; this one inventories EVERY n-gram, the published standard
+    for eval-set overlap (n=13 on word tokens in GPT-3; configurable here
+    because synthetic docs are short).
+
+    Output: one row per corpus doc — (doc_id, n_matched, contaminated) —
+    clean docs included with n_matched = 0, so the result is directly
+    usable as a keep/drop gate.
+
+    Physical plan at 100 TB: both sides' n-grams are scan-local array
+    expressions hashed to 64-bit (functions/hashing.py) so the join key
+    is 8 bytes, never the gram string. The benchmark inventory is
+    dimension-sized (eval sets are MBs) -> explicitly broadcast; the
+    corpus side shuffles only (doc_id, hash) AFTER the broadcast
+    semi-match, i.e. shuffle volume is proportional to CONTAMINATED
+    grams, not corpus grams. The final left join restores clean docs.
+    """
+    from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_from_tokens(toks, n)).alias("_g"),
+        ).select("doc_id", portable_hash64(F.col("_g")).alias("gh"))
+
+    bench_grams = _grams(benchmark).select("gh").distinct()
+    matched = (
+        _grams(corpus)
+        .distinct()  # count each shared gram once per doc
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) >= min_matches).alias("contaminated"),
+        )
+    )
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """fastText-style linear quality-classifier scoring (Joulin et al.
+    2016) — the "quality classifier" gate of the CCNet / LLaMA / GPT-3
+    data pipelines: hashed bag-of-words features, one weight per bucket,
+    sigmoid of the mean feature weight as the keep score.
+
+    The weight vector here is a deterministic hash-derived stand-in
+    (training the real classifier is external model fitting, like
+    embedding inference — see operators/inference.py); the SCORING plan
+    is the real one and is what matters at corpus scale: bucket ids and
+    weights are computed inline per token, so the whole operator is a
+    scan-local projection — zero shuffles, zero model table, O(n_buckets)
+    state by construction. A trained model would swap the weight
+    expression for a broadcast array literal, same plan shape.
+
+    Weights are dyadic rationals (integer/1024), so the per-doc sum is
+    EXACT in binary floating point regardless of summation order —
+    cross-engine hashable without rounding tricks.
+
+    Output: (doc_id, n_tokens, quality_logit, quality_score, keep);
+    empty docs score logit 0 -> 0.5 -> kept (neutral prior).
+    """
+    from vectordb_bioinsight_spark.functions.hashing import salted_hash64
+
+    def _w(tok: F.Column) -> F.Column:
+        bucket = portable_hash64(tok) % n_buckets
+        return ((salted_hash64(bucket.cast("string"), seed) % 2001) - 1000) / F.lit(1024.0)
+
+    toks = tokenize(F.col(text_col))
+    wsum = F.aggregate(F.transform(toks, _w), F.lit(0.0), lambda acc, v: acc + v)
+    n = F.size(toks)
+    logit = F.round(F.when(n > 0, wsum / n).otherwise(F.lit(0.0)), 6)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        logit.alias("quality_logit"),
+        score.alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )

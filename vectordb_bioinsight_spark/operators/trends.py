@@ -12,7 +12,7 @@ Fully oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectordb_bioinsight_spark.functions.text import STOPWORDS, tokenize
@@ -70,3 +70,33 @@ def trend_classification(
         .otherwise(F.lit("stable"))
     )
     return agg.withColumn("trend", trend)
+
+
+def new_users_cumulative(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Daily new-user counts + running distinct-user total — the growth
+    curve of the trends tier (trend_analyzer.py's per-day histogram,
+    extended to a distinct-entity cumulative).
+
+    The naive form — COUNT(DISTINCT user) OVER (ORDER BY day) — holds the
+    full user set per frame and is quadratic; the scalable identity is
+    first-seen attribution: each user contributes exactly once, on their
+    first day, and the cumulative distinct count is the running SUM of
+    daily first-seen counts. That turns the plan into one user-keyed
+    min-agg + one day-keyed count + a running sum over the DAY-cardinality
+    table (bounded: rows = distinct days, so the unpartitioned window is
+    a deliberate driver-scale step over a dimension-sized input, the same
+    convention as the trends histograms).
+
+    Output: (day, new_users, cum_users) for every day with >= 1 first-seen
+    user.
+    """
+    first_seen = (
+        df.select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .groupBy("u")
+        .agg(F.min("d").alias("day"))
+    )
+    daily = first_seen.groupBy("day").agg(F.count("*").cast("long").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
+    )

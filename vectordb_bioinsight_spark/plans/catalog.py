@@ -114,6 +114,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # weak (rows-only) kind either way, so hash-checkable entries go first
     "approx_distinct_users": (th.q_approx_distinct_users, None),
     "label_map_2d": (vec.q_label_map_2d, None),
+    # === (c2) new in r03 session 2 — first in line for the r04 window ===
+    "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
+    "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
+    "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
+    "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
+    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

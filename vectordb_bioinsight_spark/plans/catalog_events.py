@@ -284,3 +284,62 @@ SELECT window_start, event_type, n,
 FROM win
 WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
 """
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization of ``value`` at the exact discrete
+    p5/p95 — every event kept, outliers clamped, with a clipped flag."""
+    from vectordb_bioinsight_spark.operators.stats import winsorize_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    out = winsorize_by_group(ev, ["event_type"], "value", lo=0.05, hi=0.95)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_w", 6).alias("value_w"),
+        "clipped",
+    )
+
+
+SQL_WINSORIZE_VALUES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), b AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, ceil(0.05 * n)) THEN value END) AS lo,
+         max(CASE WHEN rn = greatest(1, ceil(0.95 * n)) THEN value END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w,
+       (e.value < b.lo OR e.value > b.hi) AS clipped
+FROM events e JOIN b ON e.event_type = b.event_type
+"""
+
+
+def q_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + cumulative distinct users via first-seen
+    attribution (the linear-plan alternative to a distinct-count window)."""
+    from vectordb_bioinsight_spark.operators.trends import new_users_cumulative
+
+    ev = load_table(spark, sf_dir, "events")
+    return new_users_cumulative(ev, "user_id", "ts").withColumn(
+        "day", F.col("day").cast("timestamp")
+    )
+
+
+SQL_NEW_USERS_DAILY = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, count(*)::BIGINT AS new_users FROM fs GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+       (sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_users
+FROM daily
+"""

@@ -581,3 +581,56 @@ sym AS MATERIALIZED (
 {_pagerank_chain_cte(10, 0.85)}
 SELECT entity AS word, round(score, 6) AS pagerank FROM p10
 """
+
+
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the word co-occurrence graph — the
+    ordered wedge-close join (each triangle enumerated once), zeros kept."""
+    from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+    from vectordb_bioinsight_spark.operators.network import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: F.length(t) >= 4,
+                )
+            )
+        ).alias("word"),
+    )
+    edges = cooccurrence_edges(pairs, "word", "doc_id", min_weight=50)
+    return triangle_counts(edges, "item1", "item2").withColumnRenamed("node", "word")
+
+
+SQL_WORD_TRIANGLES = """
+WITH dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          t -> length(t) >= 4)) AS word
+    FROM documents
+  )
+), e AS (
+  SELECT a.word AS a, b.word AS b
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+  HAVING count(*) >= 50
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), per_node AS (
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT x AS node FROM tri UNION ALL
+    SELECT y FROM tri UNION ALL
+    SELECT z FROM tri
+  ) GROUP BY node
+), nodes AS (
+  SELECT a AS node FROM e UNION SELECT b FROM e
+)
+SELECT n.node AS word, coalesce(p.n_triangles, 0)::BIGINT AS n_triangles
+FROM nodes n LEFT JOIN per_node p ON n.node = p.node
+"""

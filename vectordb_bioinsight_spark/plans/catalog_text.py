@@ -1112,3 +1112,83 @@ WHERE doc_id % 2 = 1
 
 
 SQL_NEARDUP_INGEST_BATCH = _sql_neardup_ingest()
+
+
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram eval-decontamination (GPT-3 appendix C): every corpus
+    doc flagged by distinct 5-gram overlap with a planted benchmark set
+    (docs with doc_id % 89 == 0 act as "leaked eval items"), clean docs
+    kept with n_matched = 0. Non-vacuous at any SF: each planted item
+    flags at least itself."""
+    from vectordb_bioinsight_spark.operators.text_analysis import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0).select("doc_id", "text")
+    return ngram_decontaminate(docs, bench, "doc_id", "text", n=5, min_matches=1)
+
+
+def _sql_ngram_decontaminate() -> str:
+    from vectordb_bioinsight_spark.functions.text import shingles_duckdb
+
+    g5 = shingles_duckdb("tk", 5)
+    return f"""
+WITH ctoks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), cg AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+  FROM (SELECT doc_id, unnest({g5}) AS g FROM ctoks)
+), bg AS (
+  SELECT DISTINCT gh FROM cg WHERE doc_id % 89 = 0
+), m AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_matched
+  FROM cg c JOIN bg USING (gh) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.n_matched, 0)::BIGINT AS n_matched,
+       coalesce(m.n_matched, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+"""
+
+
+SQL_NGRAM_DECONTAMINATE = _sql_ngram_decontaminate()
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-analog hashed linear quality classifier over every doc —
+    the CCNet/LLaMA quality-gate scoring plan (scan-local, zero shuffle)."""
+    from vectordb_bioinsight_spark.operators.text_analysis import hashed_linear_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_quality(docs, "doc_id", "text", n_buckets=4096, seed=7)
+
+
+def _sql_quality_classifier() -> str:
+    from vectordb_bioinsight_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
+
+    bucket = PORTABLE_HASH64_DUCKDB.format(expr="t.w") + " % 4096"
+    wt = (
+        "((" + PORTABLE_HASH64_DUCKDB.format(expr=f"'7|' || ({bucket})::VARCHAR")
+        + " % 2001) - 1000) / 1024.0"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents
+), t AS (
+  SELECT doc_id, unnest(tk) AS w FROM toks
+), s AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens, sum({wt}) AS ws
+  FROM t GROUP BY t.doc_id
+), scored AS (
+  SELECT k.doc_id,
+         coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+         round(CASE WHEN coalesce(s.n_tokens, 0) > 0 THEN s.ws / s.n_tokens ELSE 0.0 END, 6) AS quality_logit
+  FROM toks k LEFT JOIN s ON k.doc_id = s.doc_id
+)
+SELECT doc_id, n_tokens, quality_logit,
+       round(1.0 / (1.0 + exp(-quality_logit)), 6) AS quality_score,
+       round(1.0 / (1.0 + exp(-quality_logit)), 6) >= 0.5 AS keep
+FROM scored
+"""
+
+
+SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
