@@ -113,3 +113,37 @@ def test_encode_plan_is_jvm_only(spark, emb):
     cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
     plan = pq_encode(emb, "vec_id", "embedding", cb)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_full_probe_equals_full_adc(spark, emb):
+    """n_probe == n_cells degrades IVF-PQ to plain full-corpus ADC —
+    routing must only restrict, never rescore."""
+    from vectordb_bioinsight_spark.operators.pq import ivfpq_topk
+
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    codes = pq_encode(emb, "vec_id", "embedding", cb)
+    full = [tuple(r) for r in pq_adc_topk(codes, "vec_id", "pq_code", cb, q, 10).collect()]
+    ivf = [
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, "vec_id", "embedding", cb, q, n_cells=8, n_probe=8, k_top=10
+        ).collect()
+    ]
+    assert ivf == full
+
+
+def test_ivfpq_probe_subset_of_full(spark, emb):
+    """Probed search returns ids drawn from the probed cells only, ranked
+    by the same ADC distance as the full scan (recall can drop; scores of
+    returned ids cannot change)."""
+    from vectordb_bioinsight_spark.operators.pq import ivfpq_topk
+
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=4, k=16)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    codes = pq_encode(emb, "vec_id", "embedding", cb)
+    full = {r["vec_id"]: r["adc_dist"] for r in pq_adc_topk(codes, "vec_id", "pq_code", cb, q, 10_000).collect()}
+    probed = ivfpq_topk(emb, "vec_id", "embedding", cb, q, n_cells=8, n_probe=2, k_top=10).collect()
+    assert len(probed) == 10
+    for r in probed:
+        assert full[r["vec_id"]] == r["adc_dist"]

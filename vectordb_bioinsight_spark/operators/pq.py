@@ -262,3 +262,68 @@ def pq_adc_topk(
     scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adc_dist"))
     # orderBy+limit -> TakeOrderedAndProject: per-partition heaps, no sort
     return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: Codebook,
+    query_vec: list[float],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k_top: int = 10,
+) -> DataFrame:
+    """IVF-PQ search — the full FAISS composition (coarse inverted-file
+    routing x product-quantized in-cell scoring), the canonical
+    billion-vector ANN layout. This is the non-residual IVFPQ variant
+    (codes are built from raw vectors, not cell residuals) so every stage
+    stays exactly SQL-replayable; residual encoding is a quality knob on
+    the same plan shape.
+
+    Stages and their scale behavior:
+      1. **Route**: deterministic nearest-of-k fixed centroids
+         (operators/semdedup.assign_fixed_centroids — cosine, 6 dp,
+         rank tie-break). At 100 TB the assigned table is written
+         partitioned by cell, built once, reused per query batch.
+      2. **Probe**: the query ranks the k centroids driver-side (k is
+         dimension-sized) and keeps ``n_probe`` cells — the scan then
+         touches ~n_probe/n_cells of the corpus, and with cell-partitioned
+         storage that is file-level partition PRUNING, not a filter scan.
+      3. **Score**: PQ ADC inside probed cells only — the scan reads m
+         small ints per row (never the float vectors) and sums m LUT
+         lookups; top-k via TakeOrderedAndProject.
+
+    Output: (id, adc_dist) — top ``k_top`` by asymmetric L2², ties to the
+    smaller id.
+    """
+    from vectordb_bioinsight_spark.operators.semdedup import assign_fixed_centroids
+
+    m, k, sub_d = _check_shape(codebook)
+    if len(query_vec) != m * sub_d:
+        raise ValueError("query dim mismatch")
+    assigned = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters=n_cells)
+
+    # probe list: same cosine + rounding + rank-tie-break rule as the
+    # assignment, evaluated driver-side on the k id-sorted centroids
+    cents = vectors.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+
+    def _qcos(row) -> float:
+        cv = [float(x) for x in row[vec_col]]
+        cn = sum(x * x for x in cv) ** 0.5
+        if qn * cn == 0.0:
+            return -2.0
+        return round(sum(a * b for a, b in zip(query_vec, cv)) / (qn * cn), 6)
+
+    ranked = sorted(
+        ((_qcos(r), rank, r[id_col]) for rank, r in enumerate(cents)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_ids = [cid for _cos, _rank, cid in ranked[:n_probe]]
+
+    members = assigned.filter(F.col("cluster_id").isin(probe_ids)).drop(
+        "cluster_id", "centroid_cos"
+    )
+    codes = pq_encode(members, id_col, vec_col, codebook)
+    return pq_adc_topk(codes, id_col, "pq_code", codebook, query_vec, k_top=k_top)

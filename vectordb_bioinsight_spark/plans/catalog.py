@@ -120,6 +120,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
     "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
     "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
+    "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

@@ -769,3 +769,99 @@ r{i} AS (
 
 
 SQL_MMR_DIVERSIFY = _sql_mmr_diversify()
+
+
+# ---------------------------------------------------------------------------
+# ivfpq_knn — full IVF-PQ composition (operators/pq.ivfpq_topk)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 8
+_IVFPQ_PROBE = 2
+
+
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 (FAISS's billion-scale layout): fixed-centroid coarse
+    routing -> probe the 2 nearest of 8 cells -> PQ-ADC scoring inside
+    probed cells only. Scan touches ~n_probe/n_cells of the corpus and
+    reads only code columns; fully SQL-replayable end to end."""
+    from vectordb_bioinsight_spark.operators.pq import ivfpq_topk, pq_fixed_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_fixed_codebook(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K)
+    qv = _query_vector(spark, sf_dir)
+    return ivfpq_topk(
+        emb, "vec_id", "embedding", cb, qv,
+        n_cells=_IVFPQ_CELLS, n_probe=_IVFPQ_PROBE, k_top=10,
+    )
+
+
+SQL_IVFPQ_KNN = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+), cscored AS (
+  SELECT vec_id, cent_id,
+         coalesce(round(sum(x*y) / nullif(sqrt(sum(x*x)) * sqrt(sum(y*y)), 0), 6), -2.0) AS cos
+  FROM (
+    SELECT e.vec_id, c.cent_id,
+           unnest(e.embedding)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+    FROM embeddings e CROSS JOIN cents c
+  ) GROUP BY 1, 2
+), assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cent_id AS cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+), qscored AS (
+  SELECT cent_id,
+         coalesce(round(sum(x*y) / nullif(sqrt(sum(x*x)) * sqrt(sum(y*y)), 0), 6), -2.0) AS qcos
+  FROM (
+    SELECT c.cent_id, unnest(q.qv)::DOUBLE AS x, unnest(c.cvec)::DOUBLE AS y
+    FROM cents c, q
+  ) GROUP BY 1
+), probe AS (
+  SELECT cent_id FROM (
+    SELECT cent_id, row_number() OVER (ORDER BY qcos DESC, cent_id ASC) AS rn
+    FROM qscored
+  ) WHERE rn <= {_IVFPQ_PROBE}
+), mem AS (
+  SELECT vec_id FROM assigned WHERE cluster_id IN (SELECT cent_id FROM probe)
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})
+), cb AS (
+  SELECT s.i AS sub, r.code,
+         r.embedding[s.i*{_PQ_SUB}+1 : (s.i+1)*{_PQ_SUB}] AS cent
+  FROM ranked r CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS i) s
+), ep AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+         unnest(e.embedding[cb.sub*{_PQ_SUB}+1 : (cb.sub+1)*{_PQ_SUB}])::DOUBLE AS x,
+         unnest(cb.cent)::DOUBLE AS y
+  FROM embeddings e JOIN mem USING (vec_id) CROSS JOIN cb
+), ed AS (
+  SELECT vec_id, sub, code, round(sum((x - y) * (x - y)), 6) AS d2
+  FROM ep GROUP BY 1, 2, 3
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM ed
+  ) WHERE rn = 1
+), qp AS (
+  SELECT cb.sub, cb.code,
+         unnest(q.qv[cb.sub*{_PQ_SUB}+1 : (cb.sub+1)*{_PQ_SUB}])::DOUBLE AS x,
+         unnest(cb.cent)::DOUBLE AS y
+  FROM cb, q
+), lut AS (
+  SELECT sub, code, round(sum((x - y) * (x - y)), 6) AS qd2
+  FROM qp GROUP BY 1, 2
+), score AS (
+  SELECT e.vec_id, round(sum(l.qd2), 6) AS adc_dist
+  FROM enc e JOIN lut l USING (sub, code)
+  GROUP BY 1
+)
+SELECT vec_id, adc_dist FROM score ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
