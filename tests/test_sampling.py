@@ -155,3 +155,29 @@ def test_perplexity_buckets_total_order_and_quota(spark):
         ).collect()
     }
     assert got == got2
+
+
+class TestWeightedHashSample:
+    def test_high_weight_rows_dominate(self, spark):
+        from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+        rows = [(i, 1_000_000.0 if i < 5 else 0.001) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = {r["id"] for r in weighted_hash_sample(df, "id", "w", k=5).collect()}
+        assert got == {0, 1, 2, 3, 4}
+
+    def test_deterministic_under_repartition(self, spark):
+        from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+        rows = [(i, float(1 + i % 7)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        a = [tuple(r) for r in weighted_hash_sample(df, "id", "w", k=40).collect()]
+        b = [tuple(r) for r in weighted_hash_sample(df.repartition(13), "id", "w", k=40).collect()]
+        assert a == b
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+        df = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
+        got = [r["id"] for r in weighted_hash_sample(df, "id", "w", k=10).collect()]
+        assert got == [3]

@@ -1,0 +1,62 @@
+"""Count-min sketch (operators/sketches.py): one-sided error guarantee,
+shard mergeability, bounded size."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.sketches import cms_build, cms_estimate
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # zipf-ish term stream: term_i appears (50 - i) times
+    rows = [(f"t{i}",) for i in range(40) for _ in range(50 - i)]
+    return spark.createDataFrame(rows, "term string")
+
+
+def test_estimate_never_underestimates(spark, items):
+    """The CMS guarantee: est >= exact for every term, even with a tiny
+    sketch that forces collisions."""
+    sketch = cms_build(items, "term", width=8, depth=2)
+    terms = items.distinct()
+    est = {r["term"]: r["cms_est"] for r in cms_estimate(sketch, terms, "term", 8, 2).collect()}
+    exact = {r["term"]: r["n"] for r in items.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert est[t] >= e, t
+
+
+def test_wide_sketch_is_exact_here(spark, items):
+    sketch = cms_build(items, "term", width=4096, depth=4)
+    terms = items.distinct()
+    est = {r["term"]: r["cms_est"] for r in cms_estimate(sketch, terms, "term", 4096, 4).collect()}
+    exact = {r["term"]: r["n"] for r in items.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    assert est == exact
+
+
+def test_shard_sketches_merge_additively(spark, items):
+    """sketch(A union B) == merge-by-sum of sketch(A), sketch(B)."""
+    a = items.filter(F.length("term") == 2)   # t0..t9
+    b = items.filter(F.length("term") > 2)
+    merged = (
+        cms_build(a, "term", 16, 3)
+        .unionAll(cms_build(b, "term", 16, 3))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = cms_build(items, "term", 16, 3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_unseen_term_estimates_from_empty_buckets(spark, items):
+    sketch = cms_build(items, "term", width=1 << 20, depth=4)
+    terms = spark.createDataFrame([("never-seen-term-xyz",)], "term string")
+    [r] = cms_estimate(sketch, terms, "term", 1 << 20, 4).collect()
+    assert r["cms_est"] == 0
+
+
+def test_cell_guard(spark, items):
+    with pytest.raises(ValueError):
+        cms_build(items, "term", width=1 << 22, depth=2)

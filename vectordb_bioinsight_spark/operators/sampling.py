@@ -205,3 +205,34 @@ def quality_quota(
         .filter(F.col("_qr") <= n_per_group)
         .drop("_qr")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: int = 11
+) -> DataFrame:
+    """Weighted sampling without replacement, derandomized — the
+    Efraimidis-Spirakis (2006) A-ES scheme with hash-derived uniforms:
+    u = (H(salt|id)+1) / 2^60 in (0,1], priority key = ln(u)/w (the
+    monotone log form of u^(1/w)), and the k LARGEST keys are the sample.
+    Inclusion probability is proportional to weight, yet the draw is a
+    pure function of (id, salt) — stable under repartitioning, retries,
+    and engines, like every sampler in this module.
+
+    The pipeline use: length-weighted or quality-weighted corpus
+    subsampling ("sample 1M docs proportional to token count") without
+    RNG state.
+
+    Plan: one scan-local projection + orderBy(key).limit(k) ->
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Rows with weight <= 0 are excluded (A-ES domain).
+
+    Output: input columns + ``es_key`` (rounded 6 dp; ties break on id).
+    """
+    u = (salted_hash64(F.col(id_col).cast("string"), salt) + 1) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -121,6 +121,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
     "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
     "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
+    "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
+    "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

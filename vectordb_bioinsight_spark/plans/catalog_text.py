@@ -1192,3 +1192,83 @@ FROM scored
 
 
 SQL_QUALITY_CLASSIFIER = _sql_quality_classifier()
+
+
+_CMS_W, _CMS_D = 1024, 4
+_CMS_WATCH = ("batch", "join", "scan", "data", "query", "table", "index", "merge")
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for a watchlist of terms,
+    alongside exact counts — the bounded-state (depth*width rows, never
+    vocabulary-sized) frequency table, probed without rescanning."""
+    from vectordb_bioinsight_spark.operators.sketches import cms_build, cms_estimate
+    from vectordb_bioinsight_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term", width=_CMS_W, depth=_CMS_D)
+    watch = spark.createDataFrame([(t,) for t in _CMS_WATCH], ["term"])
+    est = cms_estimate(sketch, watch, "term", width=_CMS_W, depth=_CMS_D)
+    exact = (
+        toks.filter(F.col("term").isin(*_CMS_WATCH))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term", "cms_est", F.coalesce("exact_n", F.lit(0).cast("long")).alias("exact_n")
+    )
+
+
+def _sql_cms_term_counts() -> str:
+    watch = ", ".join(f"'{t}'" for t in _CMS_WATCH)
+    bucket = "(('0x' || substr(md5(j::VARCHAR || '|' || term), 1, 15))::BIGINT % {w})".format(
+        w=_CMS_W
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOK3}) AS term FROM documents
+), ds AS (
+  SELECT unnest(range(0, {_CMS_D})) AS j
+), sk AS (
+  SELECT j, {bucket} AS bucket, count(*)::BIGINT AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+), watch AS (
+  SELECT unnest([{watch}]) AS term
+), probes AS (
+  SELECT term, j, {bucket} AS bucket FROM watch CROSS JOIN ds
+), est AS (
+  SELECT term, min(coalesce(sk.cnt, 0))::BIGINT AS cms_est
+  FROM probes LEFT JOIN sk USING (j, bucket) GROUP BY term
+), ex AS (
+  SELECT term, count(*)::BIGINT AS exact_n FROM toks
+  WHERE term IN ({watch}) GROUP BY term
+)
+SELECT e.term, e.cms_est, coalesce(x.exact_n, 0)::BIGINT AS exact_n
+FROM est e LEFT JOIN ex x USING (term)
+"""
+
+
+SQL_CMS_TERM_COUNTS = _sql_cms_term_counts()
+
+
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted doc sample (Efraimidis-Spirakis with hash-derived
+    uniforms): top-50 priority keys, inclusion ~ n_chars, fully
+    deterministic."""
+    from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_hash_sample(docs, "doc_id", "n_chars", k=50, salt=11)
+    return out.select("doc_id", "n_chars", "es_key")
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = """
+SELECT doc_id, n_chars, es_key FROM (
+  SELECT doc_id, n_chars,
+         round(ln((('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                  / 1152921504606846976.0) / n_chars, 6) AS es_key
+  FROM documents WHERE n_chars > 0
+)
+ORDER BY es_key DESC, doc_id ASC LIMIT 50
+"""
