@@ -306,3 +306,46 @@ def test_contamination_check_finds_planted_overlap(spark):
            contamination_check(corpus, bench, "doc_id", "text").collect()}
     assert (10, 1) in got and got[(10, 1)] >= 2
     assert not any(d == 11 for d, _ in got)
+
+
+class TestFunnelAndSkewProfile:
+    def test_funnel_strict_ordering(self, spark):
+        """A user whose purchase precedes their view must not count as
+        converted at step 3."""
+        from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+        rows = [
+            (1, "signup", "2024-01-01 00:00:00"),
+            (1, "view", "2024-01-02 00:00:00"),
+            (1, "purchase", "2024-01-03 00:00:00"),   # full funnel
+            (2, "signup", "2024-01-01 00:00:00"),
+            (2, "purchase", "2024-01-02 00:00:00"),   # purchase before any view
+            (2, "view", "2024-01-03 00:00:00"),
+            (3, "view", "2024-01-01 00:00:00"),       # never signed up
+        ]
+        df = spark.createDataFrame(rows, "u long, t string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = {
+            r["step_name"]: (r["n_users"], r["conversion"])
+            for r in funnel_conversion(df, "u", "t", "ts", ["signup", "view", "purchase"]).collect()
+        }
+        assert got == {"signup": (2, 1.0), "view": (2, 1.0), "purchase": (1, 0.5)}
+
+    def test_skew_profile_flags_hot_key(self, spark):
+        from vectordb_bioinsight_spark.operators.skew import key_skew_profile
+
+        rows = [(0,)] * 90 + [(i,) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "k long")
+        top = key_skew_profile(df, ["k"], top_n=3).collect()
+        assert top[0]["k"] == 0 and top[0]["rank"] == 1
+        assert abs(top[0]["share"] - 0.9) < 1e-9
+        assert abs(top[0]["skew_ratio"] - 0.9 * 11) < 1e-6
+
+    def test_robust_scale_zero_mad_is_null(self, spark):
+        from vectordb_bioinsight_spark.operators.stats import robust_scale_by_group
+
+        df = spark.createDataFrame([("a", 5.0)] * 4 + [("b", 1.0), ("b", 2.0), ("b", 9.0)], "g string, v double")
+        out = {(r["g"], r["v"]): r["robust_z"] for r in robust_scale_by_group(df, ["g"], "v").collect()}
+        assert out[("a", 5.0)] is None          # constant group: MAD 0
+        assert out[("b", 2.0)] == 0.0           # the median itself

@@ -76,3 +76,37 @@ def salted_join(
     l_salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lt = left.withColumn("_salt", l_salt.cast("int"))
     return lt.join(r, [on, "_salt"]).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key_cols: Sequence[str], top_n: int = 20) -> DataFrame:
+    """Skew diagnosis — the measurement step that decides whether the
+    mitigations above are needed: the ``top_n`` heaviest key groups with
+    their share of all rows and the ratio to a perfectly uniform key
+    (share * n_distinct_keys; >> 1 means a hot key).
+
+    Plan: one map-side-combinable groupBy on the keys, a broadcast of the
+    two scalar totals (row count, distinct-key count, both derived from
+    the SAME aggregated table — no second corpus scan), and a top-n heap.
+
+    Output: (key..., n, share, skew_ratio, rank), rounded 6 dp.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    totals = counts.agg(
+        F.sum("n").cast("double").alias("_tot"),
+        F.count("*").cast("double").alias("_keys"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("n") * F.col("_keys") / F.col("_tot"), 6).alias("skew_ratio"),
+    )
+    # top-n FIRST via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heaps over the aggregated table); the rank window then runs on the
+    # top_n-row result, never on the full key space
+    w_order = [F.desc("n")] + [F.asc(k) for k in keys]
+    from pyspark.sql import Window
+
+    top = scored.orderBy(*w_order).limit(top_n)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*w_order)))

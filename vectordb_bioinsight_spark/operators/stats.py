@@ -513,3 +513,47 @@ def winsorize_by_group(
         .withColumn("clipped", (v < F.col("_lo")) | (v > F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def robust_scale_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group robust standardization: z = (x - median) / MAD, the
+    outlier-insensitive twin of the min-max/z-score normalizers in
+    operators/windows.py (reference analog: the scale step of the ML
+    preprocessing tier, ml/preprocessor.py's scaler choice).
+
+    Median and MAD (median absolute deviation) use the engine's exact
+    lower-discrete quantile rule so the result is engine-portable; at
+    100 TB both passes swap to ``group_quantiles_approx`` (same shape,
+    GK sketch, no per-group sort).
+
+    Physical plan: quantile pass 1 (median) -> broadcast GROUP-cardinality
+    bounds back -> quantile pass 2 over the derived |x - med| -> broadcast
+    again. Two rank-window shuffles total, both removable via the sketch
+    twin; the fact table is never shuffled.
+
+    Output: all input columns + ``_med``, ``_mad``, ``robust_z``
+    (NULL when MAD = 0 — degenerate group, caller decides).
+    """
+    from vectordb_bioinsight_spark.operators.relational import group_quantiles
+
+    keys = list(group_cols)
+    v = F.col(value_col)
+    med = group_quantiles(df, keys, value_col, [0.5]).select(
+        *keys, F.col("p50").alias("_med")
+    )
+    j = df.join(F.broadcast(med), keys).withColumn("_absdev", F.abs(v - F.col("_med")))
+    mad = group_quantiles(j, keys, "_absdev", [0.5]).select(
+        *keys, F.col("p50").alias("_mad")
+    )
+    return (
+        j.drop("_absdev")
+        .join(F.broadcast(mad), keys)
+        .withColumn(
+            "robust_z",
+            F.round((v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)), 6),
+        )
+    )

@@ -123,6 +123,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
     "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
     "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
+    "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
+    "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
+    "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

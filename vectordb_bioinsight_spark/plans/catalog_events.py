@@ -343,3 +343,112 @@ SELECT CAST(day AS TIMESTAMP) AS day, new_users,
        (sum(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_users
 FROM daily
 """
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered funnel (signup -> view -> purchase): users
+    reaching each step strictly after their previous-step time, with
+    conversion vs step 1."""
+    from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, "user_id", "event_type", "ts", ["signup", "view", "purchase"]
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS ts FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ts
+  FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.ts
+  WHERE e.event_type = 'view' GROUP BY 1
+), s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS ts
+  FROM events e JOIN s2 ON s2.u = e.user_id AND e.ts > s2.ts
+  WHERE e.event_type = 'purchase' GROUP BY 1
+), c AS (
+  SELECT 1 AS step, 'signup' AS step_name, count(*)::BIGINT AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', count(*)::BIGINT FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+)
+SELECT step, step_name, n_users,
+       round(n_users / first_value(n_users) OVER (ORDER BY step), 6) AS conversion
+FROM c
+"""
+
+
+def q_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest users by event count with share and uniform-ratio —
+    the skew-diagnosis step that gates salting (operators/skew.py)."""
+    from vectordb_bioinsight_spark.operators.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top_n=20)
+
+
+SQL_USER_SKEW_PROFILE = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1
+), t AS (
+  SELECT sum(n)::DOUBLE AS tot, count(*)::DOUBLE AS keys FROM c
+)
+SELECT user_id, n, share, skew_ratio, rank FROM (
+  SELECT c.user_id, c.n,
+         round(c.n / t.tot, 6) AS share,
+         round(c.n * t.keys / t.tot, 6) AS skew_ratio,
+         row_number() OVER (ORDER BY c.n DESC, c.user_id ASC) AS rank
+  FROM c, t
+) WHERE rank <= 20
+"""
+
+
+def q_robust_scale_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score of event values per event_type — the
+    outlier-insensitive normalizer (two exact-quantile passes, broadcast
+    back; sketch twin at scale)."""
+    from vectordb_bioinsight_spark.operators.stats import robust_scale_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    out = robust_scale_by_group(ev, ["event_type"], "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("_med", 6).alias("med"),
+        F.round("_mad", 6).alias("mad"),
+        "robust_z",
+    )
+
+
+SQL_ROBUST_SCALE_VALUES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN value END) AS med
+  FROM r GROUP BY event_type
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), r2 AS (
+  SELECT event_type, absdev,
+         row_number() OVER (PARTITION BY event_type ORDER BY absdev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type,
+         max(CASE WHEN rn = greatest(1, ceil(0.5 * n)) THEN absdev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       round(d.value, 6) AS value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round((d.value - d.med) / nullif(m.mad, 0), 6) AS robust_z
+FROM d JOIN mad m ON d.event_type = m.event_type
+"""
