@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Scale probe: the r03 data-selection additions at 1M docs / 1M events
+(SCALING.md rows).
+
+Replicates the sf0.1 tables to 1M rows (fresh ids) and times each new
+operator end-to-end with the noop sink, confirming the linear behavior the
+plan shapes promise: the quality classifier and weighted sampler are
+scan-local; CMS is one bounded-key groupBy; exact-n-gram decontamination
+is a broadcast semi-join; the funnel is a chain of user-keyed joins.
+
+Usage: python scripts/probe_dataops_scale.py [replication]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.session import get_session
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def timed(label: str, df) -> None:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    print(f"{label}\t{time.perf_counter() - t0:.1f}s")
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    spark = get_session("probe-dataops-scale", cpus=32)
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n0 = docs.count()
+    reps = spark.range(rep).select(F.col("id").alias("_r"))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * rep + F.col("_r")).alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+        .repartition(64)
+        .localCheckpoint()  # materialize once so every probe reads the same input
+    )
+    n = big.count()
+    print(f"docs: {n0} x {rep} = {n}")
+
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        hashed_linear_quality,
+        ngram_decontaminate,
+    )
+
+    timed("hashed_linear_quality", hashed_linear_quality(big, "doc_id", "text"))
+
+    from vectordb_bioinsight_spark.operators.sketches import cms_build, cms_estimate
+    from vectordb_bioinsight_spark.functions.text import tokenize
+
+    toks = big.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term", width=1024, depth=4)
+    watch = spark.createDataFrame(
+        [("batch",), ("join",), ("scan",), ("data",)], ["term"]
+    )
+    timed("cms_build+estimate", cms_estimate(sketch, watch, "term", 1024, 4))
+
+    # benchmark = ~1% of SOURCE docs, one replica each (a realistic
+    # eval-set shape; taking doc_id % k on the replicated ids would sample
+    # replicas of EVERY source doc and make 100% of grams match)
+    bench = big.filter(
+        (F.floor(F.col("doc_id") / rep) % 97 == 0) & (F.col("doc_id") % rep == 0)
+    ).select("doc_id", "text")
+    timed(
+        "ngram_decontaminate (1% benchmark)",
+        ngram_decontaminate(big, bench, "doc_id", "text", n=5),
+    )
+
+    from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+    timed(
+        "weighted_hash_sample k=1000",
+        weighted_hash_sample(big, "doc_id", "n_chars", k=1000),
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    ev_rep = max(1, 1_000_000 // max(1, ev.count()))
+    big_ev = (
+        ev.crossJoin(spark.range(ev_rep).select(F.col("id").alias("_r")))
+        .select(
+            (F.col("user_id") * ev_rep + F.col("_r")).alias("user_id"),
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+        )
+        .repartition(64)
+        .localCheckpoint()
+    )
+    print(f"events: {big_ev.count()}")
+
+    from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+    from vectordb_bioinsight_spark.operators.stats import (
+        robust_scale_by_group,
+        winsorize_by_group,
+    )
+
+    timed(
+        "funnel_conversion (3 steps)",
+        funnel_conversion(big_ev, "user_id", "event_type", "ts", ["signup", "view", "purchase"]),
+    )
+    timed("winsorize_by_group", winsorize_by_group(big_ev, ["event_type"], "value"))
+    timed("robust_scale_by_group", robust_scale_by_group(big_ev, ["event_type"], "value"))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

