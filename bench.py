@@ -70,6 +70,14 @@ HEADLINE = [
     # the retrieval-audit join stack over the kNN arm
     "span_cut_docs",
     "retrieval_ndcg",
+    # round-3 session-2 additions: the scan-local classifier gate, the
+    # bounded-state sketch, exact n-gram decontamination (broadcast
+    # semi-join), the IVF-PQ composition, and the funnel join chain
+    "quality_classifier",
+    "cms_term_counts",
+    "ngram_decontaminate",
+    "ivfpq_knn",
+    "funnel_conversion",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

@@ -95,3 +95,37 @@ def lag_delta(
     bio-daily-briefing/src/trend_analyzer.py:34-66)."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(delta_col, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def rolling_time_sum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Per-key rolling time-RANGE aggregate — sum and count of the
+    trailing ``days`` window ending at each event (inclusive), the
+    time-interval frame shape (distinct from the ROWS frames elsewhere in
+    this module: the frame is defined by TIMESTAMP DISTANCE, so it
+    handles irregular event spacing and duplicate timestamps correctly).
+
+    Spark's ``rangeBetween`` needs a numeric ordering column, so the
+    frame runs over epoch seconds — semantically identical to SQL's
+    ``RANGE BETWEEN INTERVAL n DAYS PRECEDING AND CURRENT ROW``.
+
+    Plan: one key-partitioned sort window; at stream scale the same
+    aggregation is the watermarked sliding window in
+    streaming/trends_stream.py.
+
+    Output: input + ``w_sum`` (rounded 4 dp) + ``w_cnt``.
+    """
+    secs = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(secs)
+        .rangeBetween(-days * 86400, 0)
+    )
+    return df.withColumn("w_sum", F.round(F.sum(value_col).over(w), 4)).withColumn(
+        "w_cnt", F.count("*").over(w).cast("long")
+    )

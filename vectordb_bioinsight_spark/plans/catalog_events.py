@@ -452,3 +452,23 @@ SELECT d.event_id, d.event_type,
        round((d.value - d.med) / nullif(m.mad, 0), 6) AS robust_z
 FROM d JOIN mad m ON d.event_type = m.event_type
 """
+
+
+def q_rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user value sum/count at each event — the
+    time-RANGE frame shape (interval-defined, not row-defined)."""
+    from vectordb_bioinsight_spark.operators.windows import rolling_time_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_time_sum(ev, "user_id", "ts", "value", days=7)
+    return out.select("event_id", "user_id", "w_sum", "w_cnt")
+
+
+SQL_ROLLING_7D_USER_VALUE = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 4) AS w_sum,
+       (count(*) OVER w)::BIGINT AS w_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+"""
