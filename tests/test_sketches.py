@@ -60,3 +60,45 @@ def test_unseen_term_estimates_from_empty_buckets(spark, items):
 def test_cell_guard(spark, items):
     with pytest.raises(ValueError):
         cms_build(items, "term", width=1 << 22, depth=2)
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path_factory):
+    """The sketch build is one bounded-key streaming aggregation: the
+    incremental (multi-micro-batch) sketch must equal the batch sketch —
+    the additive-merge property, exercised through real streaming state."""
+    from tests.conftest import SF_SMALL
+    from vectordb_bioinsight_spark.functions.text import tokenize
+    from vectordb_bioinsight_spark.sources.readers import load_table
+    from vectordb_bioinsight_spark.streaming.trends_stream import (
+        run_stream_to_memory,
+        stream_events_from_dir,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+
+    def toks(df):
+        return df.select(F.explode(tokenize(F.col("text"))).alias("term"))
+
+    batch = cms_build(toks(spark.read.schema(docs.schema).parquet(path)), "term", 64, 3)
+    stream = cms_build(
+        toks(stream_events_from_dir(spark, path, docs.schema)), "term", 64, 3
+    )
+    got = run_stream_to_memory(stream, "cms_stream_test")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_winsorize_idempotent(spark):
+    """Winsorizing an already-winsorized column changes nothing: the
+    clamped values' quantiles clamp to themselves."""
+    from vectordb_bioinsight_spark.operators.stats import winsorize_by_group
+    from tests.conftest import SF_SMALL
+    from vectordb_bioinsight_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    once = winsorize_by_group(ev, ["event_type"], "value").select(
+        "event_id", "event_type", F.col("value_w").alias("value")
+    )
+    twice = winsorize_by_group(once, ["event_type"], "value")
+    assert twice.filter(F.col("value") != F.col("value_w")).count() == 0

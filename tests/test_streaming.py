@@ -185,3 +185,35 @@ def test_stream_dedup_bounded_state(spark, event_files, tmp_path):
     got = run_stream_to_memory(stream, "dedup_stream_test", output_mode="append")
     assert got.select("event_id").distinct().count() == n_unique
     assert got.count() == n_unique
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming funnel == batch funnel when each user's events stay
+    together: per-stage user counts must agree with funnel_conversion."""
+    from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+    from vectordb_bioinsight_spark.streaming.trends_stream import funnel_stage_stream
+
+    steps = ["signup", "view", "purchase"]
+    ev = load_table(spark, SF_SMALL, "events")
+    # hash-partition by user so every user's events land in ONE file ->
+    # one batch touch per user regardless of file processing order
+    path = str(tmp_path_factory.mktemp("funnel_stream"))
+    ev.select("user_id", "event_type", "ts").repartition(4, "user_id").write.mode(
+        "overwrite"
+    ).parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = funnel_stage_stream(stream_events_from_dir(spark, path, schema), steps)
+    got = run_stream_to_memory(stream, "funnel_stream_test", output_mode="update")
+    # update-mode memory sink may append one row per touch; keep the last
+    # (= highest stage) per user
+    final = (
+        got.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    )
+    stream_counts = {
+        i: final.filter(F.col("stage") >= i).count() for i in range(1, len(steps) + 1)
+    }
+    batch = funnel_conversion(ev, "user_id", "event_type", "ts", steps)
+    batch_counts = {r["step"]: r["n_users"] for r in batch.collect()}
+    assert stream_counts == batch_counts
+    assert stream_counts[1] > 0

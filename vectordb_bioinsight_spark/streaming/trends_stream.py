@@ -226,3 +226,67 @@ def dedup_events_stream(
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def funnel_stage_stream(
+    stream_df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Live funnel tracking — the streaming twin of
+    ``operators/trends.funnel_conversion``: per-user state machine carried
+    across micro-batches with ``applyInPandasWithState``, advancing one
+    stage whenever the NEXT step's event arrives strictly after the
+    current reach time (earliest-completion, the batch semantics).
+
+    Equivalence contract (test-pinned): matches the batch funnel whenever
+    each user's events are processed in event-time order — one batch, or
+    any batching that keeps a user's events together. A late event older
+    than the already-reached stage cannot retro-advance the machine
+    (streaming funnels share this limit; bound it upstream with a
+    watermark if exactness under disorder matters).
+
+    State per user: (stage, reach-epoch) — two scalars, so state size is
+    O(active users), independent of event volume.
+
+    Emits (user, stage, stage_name, reached_ts) on every batch that
+    touches the user; update-mode sinks keep the latest row per user.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, stage int, stage_name string, reached_ts timestamp"
+    state_schema = "stage int, reached double"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        stage, reached = state.get if state.exists else (0, -1.0)
+        ev = pd.concat([pdf[[type_col, ts_col]] for pdf in pdfs])
+        ev = ev.sort_values(ts_col)
+        for t, ts in zip(ev[type_col], ev[ts_col]):
+            if stage < len(steps) and t == steps[stage]:
+                tsec = ts.timestamp()
+                if stage == 0 or tsec > reached:
+                    stage += 1
+                    reached = tsec
+        state.update((int(stage), float(reached)))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "stage": [stage],
+                "stage_name": [steps[stage - 1] if stage > 0 else None],
+                # micro-aligned reconstruction: Arrow refuses ns-precision
+                # timestamps that do not cast losslessly to us
+                "reached_ts": [
+                    pd.Timestamp(int(reached * 1_000_000), unit="us")
+                    if stage > 0
+                    else pd.NaT
+                ],
+            }
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
