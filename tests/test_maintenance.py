@@ -123,3 +123,63 @@ def test_read_h5ad_raises_clearly(spark):
 
     with _pytest.raises(NotImplementedError, match="read_counts_wide_csv"):
         read_h5ad(spark, "/nonexistent.h5ad")
+
+
+class TestScd2Merge:
+    def _base(self, spark):
+        from vectordb_bioinsight_spark.sources.maintenance import scd2_init
+
+        snap = spark.createDataFrame(
+            [(1, "gold", "2024-01-01"), (2, "silver", "2024-01-01")],
+            "id long, segment string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        return scd2_init(snap, "ts")
+
+    def test_change_closes_and_reopens(self, spark):
+        from vectordb_bioinsight_spark.sources.maintenance import scd2_merge
+
+        cur = self._base(spark)
+        upd = spark.createDataFrame(
+            [(1, "platinum", "2024-02-01"),   # changed
+             (2, "silver", "2024-02-01"),     # unchanged
+             (3, "bronze", "2024-02-01")],    # new key
+            "id long, segment string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = scd2_merge(cur, upd, ["id"], "ts").collect()
+        rows = {(r["id"], r["segment"], r["is_current"]): r for r in out}
+        assert len(out) == 4
+        closed = rows[(1, "gold", False)]
+        assert str(closed["valid_to"]).startswith("2024-02-01")
+        opened = rows[(1, "platinum", True)]
+        assert str(opened["valid_from"]).startswith("2024-02-01")
+        assert opened["valid_to"] is None
+        assert (2, "silver", True) in rows          # untouched open row
+        assert (3, "bronze", True) in rows          # first version of new key
+
+    def test_idempotent_on_no_change(self, spark):
+        from vectordb_bioinsight_spark.sources.maintenance import scd2_merge
+
+        cur = self._base(spark)
+        upd = spark.createDataFrame(
+            [(1, "gold", "2024-03-01")], "id long, segment string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = scd2_merge(cur, upd, ["id"], "ts")
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, cur.collect()))
+
+    def test_history_passes_through(self, spark):
+        from vectordb_bioinsight_spark.sources.maintenance import scd2_merge
+
+        cur = self._base(spark)
+        upd1 = spark.createDataFrame(
+            [(1, "platinum", "2024-02-01")], "id long, segment string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        v2 = scd2_merge(cur, upd1, ["id"], "ts")
+        upd2 = spark.createDataFrame(
+            [(1, "diamond", "2024-03-01")], "id long, segment string, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        v3 = scd2_merge(v2, upd2, ["id"], "ts")
+        hist = [r for r in v3.collect() if r["id"] == 1]
+        assert len(hist) == 3
+        by_seg = {r["segment"]: r for r in hist}
+        assert not by_seg["gold"]["is_current"] and not by_seg["platinum"]["is_current"]
+        assert by_seg["diamond"]["is_current"] and by_seg["diamond"]["valid_to"] is None

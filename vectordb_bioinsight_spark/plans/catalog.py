@@ -127,6 +127,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
     "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
     "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
+    "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

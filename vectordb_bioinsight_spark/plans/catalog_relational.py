@@ -431,3 +431,40 @@ SELECT band, count(*)::BIGINT AS n_events, round(avg(value), 6) AS avg_value
 FROM events JOIN bands ON value >= lo AND value <= hi
 GROUP BY 1
 """
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge over the customer dimension: every 7th customer's
+    segment changes at a later timestamp — the old row closes its validity
+    interval, a new open row appears, everyone else passes through
+    (sources/maintenance.scd2_merge)."""
+    from vectordb_bioinsight_spark.sources.maintenance import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+    )
+    cur = scd2_init(base, "ts")
+    upd = base.filter(F.col("id") % 7 == 0).select(
+        "id",
+        F.lit("PROMOTED").alias("segment"),
+        F.lit("2024-06-01").cast("timestamp").alias("ts"),
+    )
+    return scd2_merge(cur, upd, ["id"], "ts")
+
+
+SQL_SCD2_CUSTOMERS = """
+WITH b AS (
+  SELECT c_custkey AS id, c_mktsegment AS segment FROM customer
+)
+SELECT id, segment,
+       TIMESTAMP '2024-01-01' AS valid_from,
+       CASE WHEN id % 7 = 0 THEN TIMESTAMP '2024-06-01' END AS valid_to,
+       id % 7 <> 0 AS is_current
+FROM b
+UNION ALL
+SELECT id, 'PROMOTED', TIMESTAMP '2024-06-01', NULL, true
+FROM b WHERE id % 7 = 0
+"""

@@ -169,3 +169,105 @@ def append_with_ids(
     with_ids = assign_dense_ids(new_rows, id_col=id_col, start=next_id)
     cols = cur.columns
     return write_snapshot(cur.unionByName(with_ids.select(*cols)), path)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge — the history-keeping upgrade
+    of :func:`upsert_by_key` (which overwrites): instead of replacing a
+    changed row, close its validity interval and open a new one.
+
+    ``current`` must carry ``valid_from``/``valid_to``/``is_current``
+    (bootstrap with :func:`scd2_init`); ``updates`` carries the key,
+    attributes, and ``ts_col`` (the change timestamp). A change is any
+    difference in ``compare_cols`` (default: every non-key, non-ts
+    column of ``updates``); unchanged keys keep their open row.
+
+    Physical plan: one key-equi-join of current OPEN rows against updates
+    (AQE broadcasts dimension-sized updates) + unions — no window, no
+    shuffle beyond the key join; history rows pass through untouched via
+    a pushed-down ``is_current`` filter.
+
+    Null-safe comparison uses the <=> operator so NULL -> value and
+    value -> NULL both count as changes.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in updates.columns if c not in set(key_cols) | {ts_col}
+        ]
+    meta = ["valid_from", "valid_to", "is_current"]
+    attr_cols = [c for c in current.columns if c not in meta]
+
+    history = current.filter(~F.col("is_current"))
+    open_rows = current.filter(F.col("is_current"))
+    upd = updates.select(
+        *[F.col(c).alias(f"_u_{c}") for c in key_cols + compare_cols],
+        F.col(ts_col).alias("_u_ts"),
+    )
+    cond = [F.col(k) == F.col(f"_u_{k}") for k in key_cols]
+    joined = open_rows.join(upd, cond, "left")
+    changed = F.coalesce(
+        ~(
+            F.lit(True)
+            & F.expr(
+                " AND ".join(f"`{c}` <=> `_u_{c}`" for c in compare_cols) or "true"
+            )
+        ),
+        F.lit(False),
+    ) & F.col("_u_ts").isNotNull()
+
+    # open rows: carried unchanged, or closed at the update timestamp
+    carried = joined.filter(~changed).select(*attr_cols, *meta)
+    closed = joined.filter(changed).select(
+        *attr_cols,
+        F.col("valid_from"),
+        F.col("_u_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    # new versions for changed keys; brand-new keys open their first row
+    new_versions = joined.filter(changed).select(
+        *[
+            F.col(f"_u_{c}").alias(c) if c in set(key_cols + compare_cols) else F.col(c)
+            for c in attr_cols
+        ],
+        F.col("_u_ts").alias("valid_from"),
+        F.lit(None).cast(current.schema["valid_to"].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    fresh = (
+        upd.join(
+            current.select(*key_cols).distinct(),
+            [F.col(f"_u_{k}") == F.col(k) for k in key_cols],
+            "left_anti",
+        )
+        .select(
+            *[
+                F.col(f"_u_{c}").alias(c)
+                if c in set(key_cols + compare_cols)
+                else F.lit(None).cast(current.schema[c].dataType).alias(c)
+                for c in attr_cols
+            ],
+            F.col("_u_ts").alias("valid_from"),
+            F.lit(None).cast(current.schema["valid_to"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return history.unionByName(carried).unionByName(closed).unionByName(
+        new_versions
+    ).unionByName(fresh)
+
+
+def scd2_init(df: DataFrame, ts_col: str) -> DataFrame:
+    """Bootstrap a type-2 dimension from a plain snapshot: every row opens
+    at its ``ts_col`` with an unbounded validity interval."""
+    return df.select(
+        *[c for c in df.columns if c != ts_col],
+        F.col(ts_col).alias("valid_from"),
+        F.lit(None).cast(df.schema[ts_col].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
