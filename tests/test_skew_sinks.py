@@ -166,3 +166,18 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     lo, hi = ranges[0][0], ranges[0][1]
     expect = df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).count()
     assert back.filter((F.col("k") >= lo) & (F.col("k") <= hi)).count() == expect
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], "id long, k string, v double"
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path, partition_by=["k"])
+    back = spark.read.orc(path).select("id", "k", "v")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # partition pruning: the k filter must reach the file listing
+    plan = back.filter(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "k#" in plan

@@ -101,3 +101,21 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC table sink — the columnar alternative when the downstream
+    consumer is Hive/Trino-first. Same layout discipline as
+    :func:`write_table` (partition columns become directories, so readers
+    get partition pruning for free)."""
+    out = df
+    writer = out.write.mode(mode)
+    if partition_by:
+        out = out.repartition(*partition_by)
+        writer = out.write.mode(mode).partitionBy(*partition_by)
+    writer.orc(path)
