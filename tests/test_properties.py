@@ -152,3 +152,88 @@ def test_mulmod_affine_p61_matches_bigint_arithmetic(spark, hs, perm_idx):
     ]
     want = [(a * h + b) % P61 for h in sorted(hs)]
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_winsorize_matches_pure_python(spark, vals):
+    """Winsorized values equal the pure-python lower-discrete-quantile clamp
+    for arbitrary grouped floats (ties, duplicates, negatives)."""
+    from vectordb_bioinsight_spark.operators.stats import winsorize_by_group
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(vals)], "id long, g string, v double"
+    )
+    got = {r["id"]: r["v_w"] for r in winsorize_by_group(df, ["g"], "v").collect()}
+
+    def q(sorted_vs, frac):
+        rank = max(1, math.ceil(frac * len(sorted_vs)))
+        return sorted_vs[rank - 1]
+
+    by_g: dict[str, list[float]] = {}
+    for _i, (g, v) in enumerate(vals):
+        by_g.setdefault(g, []).append(v)
+    for i, (g, v) in enumerate(vals):
+        vs = sorted(by_g[g])
+        lo, hi = q(vs, 0.05), q(vs, 0.95)
+        assert got[i] == pytest.approx(min(max(v, lo), hi), abs=1e-9), (vals, i)
+
+
+@given(
+    terms=st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=60),
+    width=st.sampled_from([4, 16, 64]),
+)
+@settings(**SETTINGS)
+def test_cms_overestimate_property(spark, terms, width):
+    """For ANY term multiset and sketch width: est >= exact, and est ==
+    exact when no other term shares all of a term's buckets."""
+    from collections import Counter
+
+    from vectordb_bioinsight_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sketch = cms_build(df, "term", width=width, depth=3)
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(sketch, df.distinct(), "term", width, 3).collect()
+    }
+    exact = Counter(terms)
+    for t, n in exact.items():
+        assert est[t] >= n, (terms, width, t)
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=10),
+)
+@settings(**SETTINGS)
+def test_weighted_sample_matches_pure_python(spark, weights, k):
+    """The deterministic A-ES draw equals its pure-python replay exactly."""
+    from vectordb_bioinsight_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w double"
+    )
+    got = [r["id"] for r in weighted_hash_sample(df, "id", "w", k=k).collect()]
+
+    import hashlib
+
+    def key(i, w):
+        h = int(hashlib.md5(f"11|{i}".encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 1) / float(1 << 60)) / w, 6)
+
+    want = sorted(range(len(weights)), key=lambda i: (-key(i, weights[i]), i))[:k]
+    assert got == want, (weights, k)
