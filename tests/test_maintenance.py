@@ -183,3 +183,49 @@ class TestScd2Merge:
         by_seg = {r["segment"]: r for r in hist}
         assert not by_seg["gold"]["is_current"] and not by_seg["platinum"]["is_current"]
         assert by_seg["diamond"]["is_current"] and by_seg["diamond"]["valid_to"] is None
+
+
+class TestCompactAndVacuum:
+    def test_compact_reduces_file_count(self, spark, tmp_path):
+        from vectordb_bioinsight_spark.sources.maintenance import (
+            compact_table,
+            create_table,
+            read_current,
+            snapshot_path,
+        )
+
+        path = str(tmp_path / "tbl")
+        df = spark.range(0, 10_000).select(F.col("id"), (F.col("id") % 5).alias("k"))
+        create_table(df.repartition(64), path)   # 64 tiny files
+
+        def n_files(p):
+            import os
+            return sum(f.endswith(".parquet") for f in os.listdir(p))
+
+        before = n_files(snapshot_path(path))
+        assert before >= 32
+        compact_table(spark, path, target_file_mb=128)
+        after = n_files(snapshot_path(path))
+        assert after == 1
+        assert read_current(spark, path).count() == 10_000
+
+    def test_vacuum_keeps_recent_and_current(self, spark, tmp_path):
+        import os
+
+        from vectordb_bioinsight_spark.sources.maintenance import (
+            create_table,
+            read_current,
+            vacuum_table,
+            write_snapshot,
+        )
+
+        path = str(tmp_path / "tbl2")
+        df = spark.range(0, 100)
+        create_table(df, path)                       # v0
+        for _ in range(3):
+            write_snapshot(read_current(spark, path), path)   # v1..v3
+        removed = vacuum_table(path, keep_last=2)
+        assert removed == [0, 1]
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
+        assert dirs == ["v2", "v3"]
+        assert read_current(spark, path).count() == 100

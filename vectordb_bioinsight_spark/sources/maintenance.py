@@ -271,3 +271,62 @@ def scd2_init(df: DataFrame, ts_col: str) -> DataFrame:
         F.lit(None).cast(df.schema[ts_col].dataType).alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """OPTIMIZE-style file compaction: rewrite the current snapshot into
+    files sized for scan efficiency. Small-file sprawl is the classic
+    ingest pathology (every streaming micro-batch and incremental upsert
+    appends a few rows per partition); scans then pay per-file open +
+    footer-read + scheduling cost. Rewriting through the snapshot
+    mechanism keeps the flip atomic — readers never see a half-compacted
+    table.
+
+    File count = ceil(current bytes / target_file_mb), floor 1. Bytes are
+    measured from the actual snapshot directory (parquet-encoded size, the
+    number that matters for scan planning).
+
+    Returns the new version number.
+    """
+    import math
+
+    src = snapshot_path(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(src)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    cur = read_current(spark, path)
+    return write_snapshot(cur.repartition(n_files), path)
+
+
+def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
+    """VACUUM-style snapshot retention: delete all but the newest
+    ``keep_last`` versions (and never the current pointer's target).
+    Old versions exist for reader isolation and time travel; unbounded
+    retention doubles storage on every rewrite.
+
+    Returns the list of removed version numbers.
+    """
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    cur = _current_version(path)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"v(\d+)", d)) and os.path.isdir(os.path.join(path, d))
+    )
+    keep = set(versions[-keep_last:]) | {cur}
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(path, f"v{v}"))
+            removed.append(v)
+    return removed
