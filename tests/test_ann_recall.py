@@ -172,3 +172,36 @@ class TestMMR:
         cands, sims = self._fixture(spark)
         out = mmr_select(cands, sims, k=5).collect()
         assert sorted(r["pick_rank"] for r in out) == [1, 2, 3]
+
+
+def test_ivf_append_matches_rebuild_assignment(spark):
+    """Appending vectors to an existing IVF index assigns them to exactly
+    the cells a full re-assignment (same centroids) would pick, and the
+    appended index searches identically to an index built over the full
+    corpus with those centroids."""
+    from vectordb_bioinsight_spark.operators.vector import (
+        ivf_append,
+        ivf_build_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned, cents = ivf_build_index(old, "vec_id", "embedding", n_cells=8)
+
+    appended, _ = ivf_append((assigned, cents), new, "vec_id", "embedding")
+    # reassign the FULL corpus against the same centroids via ivf_append
+    # on an empty base — the pure assignment rule
+    empty = assigned.limit(0)
+    full_assign, _ = ivf_append((empty, cents), emb, "vec_id", "embedding")
+    a = {r["cand_id"]: r["_cell"] for r in appended.collect()}
+    b = {r["cand_id"]: r["_cell"] for r in full_assign.collect()}
+    # old rows keep their original (model.transform) cells; appended rows
+    # must match the rule-based reassignment
+    assert a == b
+
+    q = emb.filter(F.col("vec_id") == 3)
+    s1 = ivf_search((appended, cents), q, "vec_id", "embedding", k=5, n_probe=8)
+    s2 = ivf_search((full_assign, cents), q, "vec_id", "embedding", k=5, n_probe=8)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))

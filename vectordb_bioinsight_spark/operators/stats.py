@@ -557,3 +557,43 @@ def robust_scale_by_group(
             F.round((v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)), 6),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization — make every sample's value distribution
+    identical (the limma/affy `normalizeQuantiles` step of bulk expression
+    pipelines; reference analog: the normalization stage of
+    agent1_deg.py's preprocessing): rank values within each sample,
+    replace each value with the cross-sample MEAN of the values holding
+    that rank.
+
+    Ties take deterministic ranks (ordered by value, then feature id) —
+    the dense exact variant; limma's tie-averaging is a smoothing knob on
+    the same plan. Samples of unequal size contribute to the ranks they
+    have (the standard generalization).
+
+    Physical plan: ONE per-sample rank window (the only full shuffle), a
+    rank-keyed mean (bounded by the largest sample's row count,
+    map-side combinable), and an equi-join back on rank — AQE broadcasts
+    it when the rank table is small.
+
+    Output: (sample, feature, value, qnorm), qnorm rounded 6 dp.
+    """
+    w = Window.partitionBy(sample_col).orderBy(
+        F.col(value_col).asc(), F.col(feature_col).asc()
+    )
+    ranked = df.select(sample_col, feature_col, value_col).withColumn(
+        "_r", F.row_number().over(w)
+    )
+    ref = ranked.groupBy("_r").agg(F.avg(value_col).alias("_ref"))
+    return ranked.join(ref, "_r").select(
+        sample_col,
+        feature_col,
+        value_col,
+        F.round("_ref", 6).alias("qnorm"),
+    )

@@ -319,6 +319,8 @@ def ivf_search(
     doublet scoring) — the probe join then shuffles BOTH sides on ``_cell``
     (co-partitioned equi-join), which is the plan that survives an
     unbounded query set."""
+    from pyspark.sql import Window
+
     from vectordb_bioinsight_spark.functions.vector import l2_norm
 
     assigned, cent_df = index
@@ -573,6 +575,8 @@ def ivf_search_gemm(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window
+
     from vectordb_bioinsight_spark.functions.vector import l2_norm
 
     assigned, cent_df = index
@@ -669,3 +673,44 @@ def ann_recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFra
             ).alias("recall"),
         )
     )
+
+
+def ivf_append(
+    index: tuple[DataFrame, DataFrame],
+    new_vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental IVF maintenance — assign NEW vectors to the EXISTING
+    centroids (no refit) and append to the assigned table; the centroid
+    dimension is unchanged. The standard inverted-file ingest path (FAISS
+    `add` after `train`): a micro-batch of arrivals costs one broadcast
+    join against the KB-sized centroid table, never a KMeans fit or a
+    corpus rescan. Mirrors `operators/bm25.incremental_index_update`.
+
+    Assignment rule matches `ivf_build_index` exactly (nearest centroid by
+    L2, ties to the smaller cell — MLlib's argmin order), pinned by the
+    append == rebuild-assignment test.
+
+    Returns the updated (assigned, centroids) pair; persist `assigned`
+    through the snapshot sink (partitioned by ``_cell``) in production.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
+
+    assigned, cent_df = index
+    prepared = new_vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    w = Window.partitionBy("cand_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
+    newly = (
+        prepared.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdist", l2_distance(F.col("_cv"), F.col("_centroid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cand_id", "_cv", "_cn", "_cell")
+    )
+    return assigned.unionByName(newly), cent_df

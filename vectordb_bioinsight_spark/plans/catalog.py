@@ -128,6 +128,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
     "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
     "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
+    "quantile_normalize_values": (
+        ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES
+    ),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

@@ -472,3 +472,28 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 """
+
+
+def q_quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event_type "samples"
+    (limma normalizeQuantiles semantics, deterministic tie ranks)."""
+    from vectordb_bioinsight_spark.operators.stats import quantile_normalize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = quantile_normalize(ev, "event_type", "event_id", "value")
+    return out.select(
+        "event_type", "event_id", F.round("value", 6).alias("value"), "qnorm"
+    )
+
+
+SQL_QUANTILE_NORMALIZE_VALUES = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS r
+  FROM events
+), ref AS (
+  SELECT r, avg(value) AS refv FROM ranked GROUP BY r
+)
+SELECT k.event_type, k.event_id, round(k.value, 6) AS value, round(f.refv, 6) AS qnorm
+FROM ranked k JOIN ref f USING (r)
+"""
