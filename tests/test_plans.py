@@ -150,3 +150,49 @@ def test_q20_shape_reuses_aggregate_no_rescan(spark):
     scan pipeline (2 scans total incl. the semi-join probe side, not 3+)."""
     plan = _plan(spark, "dominant_shippers")
     assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_has_no_shuffle(spark):
+    """The classifier gate is a pure scan-local projection — no Exchange
+    anywhere in the plan."""
+    plan = _plan(spark, "quality_classifier")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram inventory must be the broadcast side; the corpus
+    gram stream must never shuffle before the semi-match."""
+    plan = _plan(spark, "ngram_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_and_robust_broadcast_bounds(spark):
+    for name in ["winsorize_values", "robust_scale_values"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_skew_profile_topk_is_take_ordered(spark):
+    plan = _plan(spark, "user_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Priority-key top-k: per-partition heaps, never a global sort, and
+    the scan-local key projection adds no shuffle of its own."""
+    plan = _plan(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_cms_sketch_join_broadcasts(spark):
+    plan = _plan(spark, "cms_term_counts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_scan_reads_codes_not_vectors(spark):
+    """The ADC top-k is TakeOrdered over the probed member scan."""
+    plan = _plan(spark, "ivfpq_knn")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
