@@ -701,3 +701,54 @@ def hashed_linear_quality(
         score.alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def class_tfidf_top_terms(
+    df: DataFrame,
+    class_col: str,
+    text_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF formulation, Grootendorst
+    2022) — label every document CLUSTER with its most characteristic
+    terms: score(t, c) = (tf(t,c) / |c|) * ln(1 + A / f(t)) with A the
+    average cluster token count and f(t) the corpus term frequency. The
+    cluster-interpretation step that follows any clustering/semdedup pass
+    (reference analog: the keyword summaries the trends tier attaches to
+    topic groups, trend_analyzer.py).
+
+    Physical plan: one token explode -> ONE (class, term) groupBy; the
+    per-class totals and the global average are class-cardinality
+    aggregates (broadcast); the term-frequency join is term-keyed
+    (AQE-sized). Top-n per class via a class-partitioned rank window.
+
+    Output: (class, term, tf, ctfidf, rank), ties to the smaller term.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(class_col).alias("cls"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    toks = toked.select("cls", F.explode(F.col("_toks")).alias("term"))
+    tf = toks.groupBy("cls", "term").agg(F.count("*").cast("long").alias("tf"))
+    ctot = tf.groupBy("cls").agg(F.sum("tf").cast("double").alias("_ct"))
+    avg_ct = ctot.agg(F.avg("_ct").alias("_A"))
+    fterm = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("_f"))
+    scored = (
+        tf.join(F.broadcast(ctot), "cls")
+        .join(fterm, "term")
+        .crossJoin(F.broadcast(avg_ct))
+        .withColumn(
+            "ctfidf",
+            F.round(
+                (F.col("tf") / F.col("_ct")) * F.log(1.0 + F.col("_A") / F.col("_f")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(F.desc("ctfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("cls").alias(class_col), "term", "tf", "ctfidf", "rank")
+    )

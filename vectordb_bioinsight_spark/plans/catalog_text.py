@@ -1272,3 +1272,43 @@ SELECT doc_id, n_chars, es_key FROM (
 )
 ORDER BY es_key DESC, doc_id ASC LIMIT 50
 """
+
+
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic terms per embedding label (BERTopic formulation):
+    top-5 most characteristic terms of each label's documents."""
+    from vectordb_bioinsight_spark.operators.text_analysis import class_tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    labeled = docs.join(emb, "doc_id").select("label", "text")
+    return class_tfidf_top_terms(labeled, "label", "text", top_n=5)
+
+
+SQL_CLUSTER_TOP_TERMS = f"""
+WITH labeled AS (
+  SELECT e.label, d.text FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), toks AS (
+  SELECT label, unnest({_TOK3}) AS term FROM labeled
+), tf AS (
+  SELECT label, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), ctot AS (
+  SELECT label, sum(tf)::DOUBLE AS ct FROM tf GROUP BY 1
+), a AS (
+  SELECT avg(ct) AS A FROM ctot
+), fterm AS (
+  SELECT term, sum(tf)::DOUBLE AS f FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.label, tf.term, tf.tf,
+         round((tf.tf / c.ct) * ln(1.0 + a.A / ft.f), 6) AS ctfidf
+  FROM tf JOIN ctot c ON tf.label = c.label
+  JOIN fterm ft ON tf.term = ft.term
+  CROSS JOIN a
+)
+SELECT label, term, tf, ctfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY label ORDER BY ctfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
