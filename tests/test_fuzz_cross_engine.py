@@ -330,3 +330,43 @@ def test_fuzz_tokenizer_cross_engine(spark, texts):
     for i, t in enumerate(texts):
         dk = con.execute(f"SELECT {tokenize_duckdb('$1::VARCHAR')}", [t]).fetchone()[0]
         assert sp[i] == dk, (t, sp[i], dk)
+
+
+range_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=0, max_value=20),    # integer "time" (dup-heavy)
+        st.integers(min_value=-50, max_value=50),  # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=range_rows, n=st.sampled_from([0, 2, 5]))
+@settings(**SETTINGS)
+def test_random_range_frames_match_duckdb(spark, rows, n):
+    """RANGE-frame fuzz (the rolling_time_sum shape): value-distance frames
+    with duplicate order keys — peer rows at the same time must ALL join
+    the frame on both engines, which a ROWS frame would get wrong."""
+    from pyspark.sql import Window
+
+    pdf = pd.DataFrame(rows, columns=["k", "t", "v"]).astype("int64")
+    sdf = spark.createDataFrame(rows if rows else [], "k long, t long, v long")
+    w = Window.partitionBy("k").orderBy("t").rangeBetween(-n, 0)
+    out = sdf.select(
+        "k", "t", "v",
+        F.sum("v").over(w).cast("long").alias("rsum"),
+        F.count("*").over(w).cast("long").alias("rcnt"),
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"""SELECT k, t, v,
+               (sum(v) OVER w)::BIGINT AS rsum,
+               (count(*) OVER w)::BIGINT AS rcnt
+        FROM t
+        WINDOW w AS (PARTITION BY k ORDER BY t
+                     RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"""
+    ).df()
+    compare_frames(out.toPandas(), want)
