@@ -132,6 +132,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES
     ),
     "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
+    "salted_supplier_volume": (
+        rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME
+    ),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

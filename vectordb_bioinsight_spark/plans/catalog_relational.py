@@ -468,3 +468,39 @@ UNION ALL
 SELECT id, 'PROMOTED', TIMESTAMP '2024-06-01', NULL, true
 FROM b WHERE id % 7 = 0
 """
+
+
+def q_salted_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier line counts + quantity extremes routed through the
+    SALTED two-phase aggregation (operators/skew.salted_aggregate) — the
+    hot-key-proof plan; result is identical to the direct groupBy, which
+    is exactly what the oracle asserts. count/min/max only (decomposable
+    and float-order-safe)."""
+    from vectordb_bioinsight_spark.operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_suppkey"],
+        {
+            "n_lines": ("count", "l_orderkey"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_suppkey",
+        "n_lines",
+        F.round("min_qty", 6).alias("min_qty"),
+        F.round("max_qty", 6).alias("max_qty"),
+    )
+
+
+SQL_SALTED_SUPPLIER_VOLUME = """
+SELECT l_suppkey,
+       count(l_orderkey)::BIGINT AS n_lines,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty
+FROM lineitem GROUP BY l_suppkey
+"""
