@@ -714,3 +714,37 @@ def ivf_append(
         .select("cand_id", "_cv", "_cn", "_cell")
     )
     return assigned.unionByName(newly), cent_df
+
+
+def hard_negative_mining(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR/E5/GTE data recipe): from each query's retrieval candidates, keep
+    the TOP-scoring ones that are NOT labeled positive — the "hard"
+    negatives that sit closest to the decision boundary. Random negatives
+    are trivial for the model; these are what move it.
+
+    Inputs: ``candidates`` (query_id, cand_id, score) from any retrieval
+    arm (kNN / IVF / BM25 / hybrid), ``positives`` (query_id, cand_id).
+
+    Physical plan: one left-anti join on (query_id, cand_id) — positives
+    are per-query-bounded, AQE broadcasts them — then the per-query rank
+    window the retrieval arms already use. No new shuffle shape.
+
+    Output: (query_id, cand_id, score, neg_rank), neg_rank 1..k_neg by
+    score desc, ties to the smaller cand_id.
+    """
+    from pyspark.sql import Window
+
+    neg = candidates.join(
+        positives.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select("query_id", "cand_id", "score", "neg_rank")
+    )

@@ -135,6 +135,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "salted_supplier_volume": (
         rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME
     ),
+    "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

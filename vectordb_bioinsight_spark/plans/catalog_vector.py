@@ -865,3 +865,71 @@ WITH cents AS (
 )
 SELECT vec_id, adc_dist FROM score ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives — contrastive-training negative mining (operators/vector.py)
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = (0, 1, 2)
+_HN_POOL = 20
+_HN_K = 5
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/E5 recipe): per query, the top-5 cosine
+    candidates whose label does NOT match the query's — the near-boundary
+    negatives a contrastive embedding trainer needs."""
+    from vectordb_bioinsight_spark.operators.vector import (
+        hard_negative_mining,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_HN_QUERIES))
+    cands = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=_HN_POOL)
+    pos = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("cand_id"), F.col("label")),
+            F.col("_ql") == F.col("label"),
+        )
+        .select("query_id", "cand_id")
+    )
+    return hard_negative_mining(
+        cands.select("query_id", "cand_id", "score"), pos, k_neg=_HN_K
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id IN {_HN_QUERIES}
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, cand_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS score
+  FROM sums
+), pool AS (
+  SELECT query_id, cand_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_HN_POOL}
+), neg AS (
+  SELECT p.query_id, p.cand_id, p.score
+  FROM pool p
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = p.cand_id
+  WHERE e.label <> q.ql
+)
+SELECT query_id, cand_id, score, neg_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS neg_rank
+  FROM neg
+) WHERE neg_rank <= {_HN_K}
+"""
