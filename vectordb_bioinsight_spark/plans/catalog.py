@@ -114,7 +114,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # weak (rows-only) kind either way, so hash-checkable entries go first
     "approx_distinct_users": (th.q_approx_distinct_users, None),
     "label_map_2d": (vec.q_label_map_2d, None),
-    # === (c2) new in r03 session 2 — first in line for the r04 window ===
+    # === (c2) new in r03 session 2 — first in line for the r04 window.
+    # r04 ROTATION PLAN: move this whole (c2) block plus the rows-only pair
+    # above it to the FRONT (they will be the only entries without a
+    # driver CORRECTNESS row once r03 lands), backfill the window with the
+    # stalest r01 greens, and demote the r03-checked block ===
     "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
     "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
