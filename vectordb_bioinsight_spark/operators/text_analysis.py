@@ -683,11 +683,25 @@ def hashed_linear_quality(
     Output: (doc_id, n_tokens, quality_logit, quality_score, keep);
     empty docs score logit 0 -> 0.5 -> kept (neutral prior).
     """
-    from vectordb_bioinsight_spark.functions.hashing import salted_hash64
+    import hashlib
+
+    # the weight vector is a pure function of the bucket id, so it is
+    # precomputed driver-side (n_buckets hashes, once per plan) and inlined
+    # as ONE parsed array literal — the scan then pays one md5 per token
+    # (bucket id) + an array lookup, not two md5s (measured ~2x at 1M
+    # docs). This is also the exact shape a TRAINED model takes: swap the
+    # literal for its weight array. Values match the salted-hash formula
+    # bit-for-bit (dyadic rationals), so the SQL twin is unchanged.
+    def _bucket_weight(b: int) -> float:
+        h = int(hashlib.md5(f"{seed}|{b}".encode()).hexdigest()[:15], 16)
+        return ((h % 2001) - 1000) / 1024.0
+
+    warr = F.expr(
+        "array(" + ",".join(f"{_bucket_weight(b)!r}D" for b in range(n_buckets)) + ")"
+    )
 
     def _w(tok: F.Column) -> F.Column:
-        bucket = portable_hash64(tok) % n_buckets
-        return ((salted_hash64(bucket.cast("string"), seed) % 2001) - 1000) / F.lit(1024.0)
+        return F.element_at(warr, (portable_hash64(tok) % n_buckets + 1).cast("int"))
 
     toks = tokenize(F.col(text_col))
     wsum = F.aggregate(F.transform(toks, _w), F.lit(0.0), lambda acc, v: acc + v)
