@@ -102,3 +102,34 @@ def test_winsorize_idempotent(spark):
     )
     twice = winsorize_by_group(once, ["event_type"], "value")
     assert twice.filter(F.col("value") != F.col("value_w")).count() == 0
+
+
+def test_winsorize_and_robust_scale_null_discipline(spark):
+    """NULL values must not shift the quantile fit (rank windows would
+    count them and engines order NULLs differently); NULL rows pass
+    through with NULL outputs."""
+    from vectordb_bioinsight_spark.operators.stats import (
+        robust_scale_by_group,
+        winsorize_by_group,
+    )
+
+    base = [("a", float(i)) for i in range(1, 21)]
+    with_nulls = base + [("a", None)] * 5
+    df_clean = spark.createDataFrame(base, "g string, v double")
+    df_nulls = spark.createDataFrame(with_nulls, "g string, v double")
+
+    w_clean = {r["v"]: r["v_w"] for r in winsorize_by_group(df_clean, ["g"], "v").collect()}
+    out = winsorize_by_group(df_nulls, ["g"], "v").collect()
+    w_nulls = {r["v"]: r["v_w"] for r in out if r["v"] is not None}
+    assert w_clean == w_nulls                      # fit unchanged by NULLs
+    null_rows = [r for r in out if r["v"] is None]
+    assert len(null_rows) == 5
+    assert all(r["v_w"] is None for r in null_rows)
+
+    r_clean = {r["v"]: r["robust_z"] for r in robust_scale_by_group(df_clean, ["g"], "v").collect()}
+    r_nulls = {
+        r["v"]: r["robust_z"]
+        for r in robust_scale_by_group(df_nulls, ["g"], "v").collect()
+        if r["v"] is not None
+    }
+    assert r_clean == r_nulls

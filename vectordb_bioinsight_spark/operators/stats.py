@@ -501,7 +501,11 @@ def winsorize_by_group(
     from vectordb_bioinsight_spark.operators.relational import group_quantiles
 
     keys = list(group_cols)
-    bounds = group_quantiles(df, keys, value_col, [lo, hi]).select(
+    # fit bounds on NON-NULL values only: NULLs in a rank window inflate n
+    # and order differently across engines (Spark NULLS FIRST, SQL NULLS
+    # LAST); NULL values pass through with NULL outputs
+    fit = df.filter(F.col(value_col).isNotNull())
+    bounds = group_quantiles(fit, keys, value_col, [lo, hi]).select(
         *keys,
         F.col(f"p{lo * 100:g}").alias("_lo"),
         F.col(f"p{hi * 100:g}").alias("_hi"),
@@ -509,7 +513,12 @@ def winsorize_by_group(
     v = F.col(value_col)
     return (
         df.join(F.broadcast(bounds), keys)
-        .withColumn(f"{value_col}_w", F.least(F.greatest(v, F.col("_lo")), F.col("_hi")))
+        .withColumn(
+            f"{value_col}_w",
+            # greatest/least SKIP nulls (a NULL value would clamp to the
+            # bound); gate explicitly so NULL in -> NULL out
+            F.when(v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))),
+        )
         .withColumn("clipped", (v < F.col("_lo")) | (v > F.col("_hi")))
         .drop("_lo", "_hi")
     )
@@ -542,11 +551,12 @@ def robust_scale_by_group(
 
     keys = list(group_cols)
     v = F.col(value_col)
-    med = group_quantiles(df, keys, value_col, [0.5]).select(
+    fit = df.filter(v.isNotNull())  # same NULL discipline as winsorize
+    med = group_quantiles(fit, keys, value_col, [0.5]).select(
         *keys, F.col("p50").alias("_med")
     )
     j = df.join(F.broadcast(med), keys).withColumn("_absdev", F.abs(v - F.col("_med")))
-    mad = group_quantiles(j, keys, "_absdev", [0.5]).select(
+    mad = group_quantiles(j.filter(F.col("_absdev").isNotNull()), keys, "_absdev", [0.5]).select(
         *keys, F.col("p50").alias("_mad")
     )
     return (
