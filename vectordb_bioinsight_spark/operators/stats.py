@@ -597,8 +597,12 @@ def quantile_normalize(
     w = Window.partitionBy(sample_col).orderBy(
         F.col(value_col).asc(), F.col(feature_col).asc()
     )
-    ranked = df.select(sample_col, feature_col, value_col).withColumn(
-        "_r", F.row_number().over(w)
+    # NULL values are dropped (nothing to rank; engines also disagree on
+    # NULL ordering inside rank windows — same discipline as winsorize)
+    ranked = (
+        df.select(sample_col, feature_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("_r", F.row_number().over(w))
     )
     ref = ranked.groupBy("_r").agg(F.avg(value_col).alias("_ref"))
     return ranked.join(ref, "_r").select(
