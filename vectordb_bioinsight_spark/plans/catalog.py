@@ -140,6 +140,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME
     ),
     "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
+    "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

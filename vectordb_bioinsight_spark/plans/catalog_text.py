@@ -5,7 +5,7 @@ the portable md5-derived hash (functions/hashing.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vectordb_bioinsight_spark.functions.text import STOPWORDS, tokenize_duckdb
@@ -1312,3 +1312,52 @@ SELECT label, term, tf, ctfidf, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting per source: docs, chars, whitespace tokens, and
+    the BPE-ish pretokenizer budget with each source's share — the
+    numbers every training-mixture decision starts from. One scan-local
+    projection + one source-keyed groupBy."""
+    from vectordb_bioinsight_spark.functions.text import bpe_token_count, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "ws_tokens",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens") / F.sum("bpe_tokens").over(w), 6).alias("token_share"),
+    )
+
+
+def _sql_corpus_token_budget() -> str:
+    from vectordb_bioinsight_spark.functions.text import bpe_token_count_duckdb
+
+    bpe = bpe_token_count_duckdb("text")
+    return f"""
+WITH a AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS n_chars,
+         sum(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)))::BIGINT AS ws_tokens,
+         sum({bpe})::BIGINT AS bpe_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_chars, ws_tokens, bpe_tokens,
+       round(bpe_tokens / sum(bpe_tokens) OVER (), 6) AS token_share
+FROM a
+"""
+
+
+SQL_CORPUS_TOKEN_BUDGET = _sql_corpus_token_budget()
