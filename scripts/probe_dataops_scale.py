@@ -118,6 +118,21 @@ def main() -> None:
     timed("winsorize_by_group", winsorize_by_group(big_ev, ["event_type"], "value"))
     timed("robust_scale_by_group", robust_scale_by_group(big_ev, ["event_type"], "value"))
 
+    from vectordb_bioinsight_spark.operators.stats import quantile_normalize
+
+    timed(
+        "quantile_normalize",
+        quantile_normalize(big_ev, "event_type", "event_id", "value"),
+    )
+
+    from vectordb_bioinsight_spark.operators.text_analysis import class_tfidf_top_terms
+
+    labeled = big.withColumn("label", F.pmod(F.col("doc_id"), F.lit(20)))
+    timed(
+        "class_tfidf_top_terms (20 classes)",
+        class_tfidf_top_terms(labeled, "label", "text", top_n=5),
+    )
+
     spark.stop()
 
 
