@@ -179,3 +179,45 @@ def test_blend_scores_bounded_input_matches_agg_strategy(spark):
             ).collect()
         }
         assert out == {1: 0.5, 2: 0.5}
+
+
+class TestGseaPrerank:
+    def test_top_concentrated_set_scores_near_one(self, spark):
+        """All members at the very top of the ranking -> ES ~= 1 at the
+        last member's rank; a uniformly interleaved set scores far lower."""
+        from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es
+
+        genes = [(i, float(100 - i)) for i in range(100)]  # rank == i+1
+        ranked = spark.createDataFrame(genes, "gene long, stat double")
+        mem = spark.createDataFrame(
+            [("top", i) for i in range(5)] + [("spread", i) for i in range(0, 100, 20)],
+            "gene_set string, gene long",
+        )
+        out = {r["gene_set"]: r for r in gsea_prerank_es(ranked, "gene", "stat", mem, "gene_set").collect()}
+        top = out["top"]
+        assert top["n_hits"] == 5 and top["rank_at_peak"] == 5
+        assert top["es"] > 0.9
+        assert abs(out["spread"]["es"]) < top["es"]
+
+    def test_es_matches_python_replay(self, spark):
+        from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es
+
+        import random
+
+        rng = random.Random(5)
+        genes = [(i, round(rng.uniform(1, 50), 2)) for i in range(40)]
+        members = sorted(rng.sample(range(40), 8))
+        ranked = spark.createDataFrame(genes, "gene long, stat double")
+        mem = spark.createDataFrame([("s", g) for g in members], "gene_set string, gene long")
+        [row] = gsea_prerank_es(ranked, "gene", "stat", mem, "gene_set").collect()
+
+        order = sorted(genes, key=lambda t: (-t[1], t[0]))
+        nr = sum(abs(s) for g, s in order if g in set(members))
+        miss = -1.0 / (40 - 8)
+        run, best, best_rank = 0.0, 0.0, 1
+        for rank, (g, s) in enumerate(order, start=1):
+            run += abs(s) / nr if g in set(members) else miss
+            r6 = round(run, 6)
+            if abs(r6) > abs(best) + 1e-12:
+                best, best_rank = r6, rank
+        assert row["es"] == best and row["rank_at_peak"] == best_rank

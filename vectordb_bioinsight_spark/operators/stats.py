@@ -611,3 +611,76 @@ def quantile_normalize(
         value_col,
         F.round("_ref", 6).alias("qnorm"),
     )
+
+
+def gsea_prerank_es(
+    ranked: DataFrame,
+    gene_col: str,
+    stat_col: str,
+    membership: DataFrame,
+    set_col: str,
+) -> DataFrame:
+    """Preranked GSEA enrichment score (Subramanian et al. 2005, the
+    weighted p=1 statistic gseapy's ``prerank`` computes — reference runs
+    gseapy at agent3_pathway.py:148-202 / agent_singlecell.py:2068): walk
+    the stat-ranked gene list; set members add |stat|/N_R, non-members
+    subtract 1/(N - N_S); ES is the signed running-sum value of maximum
+    magnitude (earliest rank on ties).
+
+    Inputs: ``ranked`` (gene, stat) — one row per gene; ``membership``
+    (set, gene) pairs, the gene-set dimension.
+
+    Physical plan: the (set x gene) walk grid is built by crossJoin with
+    the SET-ID dimension (broadcast — gene sets are dimension-scale) and
+    a membership left-join flag; every per-set constant (N, N_S, N_R) is
+    an unordered window over the set partition, the running sum is the
+    ordered window, and the peak is one rank filter. ONE shuffle on the
+    set key carries the whole computation; nothing driver-side.
+
+    Output: (set, n_genes, n_hits, es, rank_at_peak), es rounded 6 dp.
+    """
+    from pyspark.sql import Window
+
+    g = ranked.select(
+        F.col(gene_col).alias("_gene"),
+        F.col(stat_col).cast("double").alias("_stat"),
+    )
+    rank_w = Window.orderBy(F.desc("_stat"), F.asc("_gene"))
+    g = g.withColumn("_rank", F.row_number().over(rank_w))
+    sets = membership.select(
+        F.col(set_col).alias("_set"), F.col(gene_col).alias("_gene")
+    ).distinct()
+    set_ids = sets.select("_set").distinct()
+    grid = (
+        g.crossJoin(F.broadcast(set_ids))
+        .join(sets.withColumn("_hit", F.lit(1)), ["_set", "_gene"], "left")
+        .withColumn("_hit", F.coalesce(F.col("_hit"), F.lit(0)))
+    )
+    part = Window.partitionBy("_set")
+    walk = Window.partitionBy("_set").orderBy("_rank")
+    n = F.count("*").over(part)
+    n_s = F.sum("_hit").over(part)
+    n_r = F.sum(F.abs(F.col("_stat")) * F.col("_hit")).over(part)
+    step = F.when(
+        F.col("_hit") == 1, F.abs(F.col("_stat")) / F.nullif(n_r, F.lit(0.0))
+    ).otherwise(-1.0 / F.nullif((n - n_s).cast("double"), F.lit(0.0)))
+    run = F.round(F.sum(step).over(walk), 6)
+    peak_w = Window.partitionBy("_set").orderBy(F.desc(F.abs(F.col("_run"))), F.asc("_rank"))
+    # per-set constants become COLUMNS before the peak filter — a window
+    # evaluated after the filter would see the one surviving row
+    walked = (
+        grid.withColumn("_n", n)
+        .withColumn("_ns", n_s)
+        .withColumn("_run", run)
+    )
+    return (
+        walked.withColumn("_pk", F.row_number().over(peak_w))
+        .filter(F.col("_pk") == 1)
+        .select(
+            F.col("_set").alias(set_col),
+            F.col("_n").cast("long").alias("n_genes"),
+            F.col("_ns").cast("long").alias("n_hits"),
+            F.col("_run").alias("es"),
+            F.col("_rank").cast("long").alias("rank_at_peak"),
+        )
+    )

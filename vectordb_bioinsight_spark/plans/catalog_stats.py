@@ -170,3 +170,55 @@ SELECT l_partkey, round(var_samp(l_quantity), 4) AS variance, count(*)::BIGINT A
 FROM lineitem GROUP BY 1
 ORDER BY variance DESC, l_partkey ASC LIMIT 20
 """
+
+
+def q_gsea_brand_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preranked GSEA enrichment score per brand "gene set": are a brand's
+    parts enriched toward the top of the retail-price ranking? The
+    running-sum KS-style statistic as one set-keyed window pass."""
+    from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es
+
+    part = load_table(spark, sf_dir, "part")
+    ranked = part.select(
+        F.col("p_partkey").alias("gene"), F.col("p_retailprice").alias("stat")
+    )
+    membership = part.select(
+        F.col("p_brand").alias("gene_set"), F.col("p_partkey").alias("gene")
+    )
+    return gsea_prerank_es(ranked, "gene", "stat", membership, "gene_set")
+
+
+SQL_GSEA_BRAND_ES = """
+WITH g AS (
+  SELECT p_partkey AS gene, p_retailprice::DOUBLE AS stat,
+         row_number() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS r
+  FROM part
+), sets AS (
+  SELECT DISTINCT p_brand AS s FROM part
+), mem AS (
+  SELECT DISTINCT p_brand AS s, p_partkey AS gene FROM part
+), grid AS (
+  SELECT sets.s, g.gene, g.stat, g.r,
+         CASE WHEN mem.gene IS NULL THEN 0 ELSE 1 END AS hit
+  FROM g CROSS JOIN sets
+  LEFT JOIN mem ON mem.s = sets.s AND mem.gene = g.gene
+), consts AS (
+  SELECT s, gene, stat, r, hit,
+         count(*) OVER (PARTITION BY s) AS n,
+         sum(hit) OVER (PARTITION BY s) AS ns,
+         sum(abs(stat) * hit) OVER (PARTITION BY s) AS nr
+  FROM grid
+), walk AS (
+  SELECT s, r, n, ns,
+         round(sum(CASE WHEN hit = 1 THEN abs(stat) / nullif(nr, 0)
+                        ELSE -1.0 / nullif(n - ns, 0) END)
+               OVER (PARTITION BY s ORDER BY r), 6) AS run
+  FROM consts
+)
+SELECT s AS gene_set, n::BIGINT AS n_genes, ns::BIGINT AS n_hits,
+       run AS es, r::BIGINT AS rank_at_peak
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY s ORDER BY abs(run) DESC, r ASC) AS pk
+  FROM walk
+) WHERE pk = 1
+"""
