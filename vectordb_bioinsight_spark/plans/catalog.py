@@ -142,6 +142,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
     "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
     "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
+    "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
