@@ -96,8 +96,15 @@ def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> None:
         return
     g = got.reindex(sorted(got.columns), axis=1)
     w = want.reindex(sorted(want.columns), axis=1)
-    key_g = g.astype(str).agg("|".join, axis=1).sort_values().tolist()
-    key_w = w.astype(str).agg("|".join, axis=1).sort_values().tolist()
+
+    def _key(df: pd.DataFrame) -> list[str]:
+        # normalize NULL spelling first: an all-NULL column comes back as
+        # object None from Spark but float NaN from DuckDB's .df(), which
+        # stringify differently ('None' vs 'nan') — found by seed fuzzing
+        cells = df.astype(object).where(pd.notna(df), "<NULL>")
+        return cells.astype(str).agg("|".join, axis=1).sort_values().tolist()
+
+    key_g, key_w = _key(g), _key(w)
     assert key_g == key_w, f"\nspark={key_g}\nduckdb={key_w}"
 
 
