@@ -221,3 +221,54 @@ class TestGseaPrerank:
             if abs(r6) > abs(best) + 1e-12:
                 best, best_rank = r6, rank
         assert row["es"] == best and row["rank_at_peak"] == best_rank
+
+
+class TestKruskalWallis:
+    def test_matches_pure_python_replay(self, spark):
+        import collections
+
+        import numpy as np
+
+        from vectordb_bioinsight_spark.operators.stats import kruskal_wallis
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for key in ["k1", "k2"]:
+            for g in range(4):
+                for _ in range(30):
+                    rows.append(
+                        (key, f"g{g}", float(rng.integers(0, 15) + (2 if g == 1 and key == "k1" else 0)))
+                    )
+        df = spark.createDataFrame(rows, "key string, grp string, v double")
+        got = {r["key"]: r["h_stat"] for r in kruskal_wallis(df, ["key"], "grp", "v").collect()}
+
+        def kw(groups):
+            allv = sorted(v for grp in groups for v in grp)
+            n = len(allv)
+            ranks, tie_sum, i = {}, 0.0, 0
+            while i < len(allv):
+                j = i
+                while j < len(allv) and allv[j] == allv[i]:
+                    j += 1
+                t = j - i
+                ranks[allv[i]] = (i + j + 1) / 2.0
+                tie_sum += t**3 - t
+                i = j
+            s = sum((sum(ranks[v] for v in grp)) ** 2 / len(grp) for grp in groups)
+            h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+            return h / (1 - tie_sum / (n**3 - n))
+
+        data = collections.defaultdict(lambda: collections.defaultdict(list))
+        for k, g, v in rows:
+            data[k][g].append(v)
+        for k in data:
+            want = round(kw([data[k][g] for g in sorted(data[k])]), 6)
+            assert got[k] == want, k
+
+    def test_all_tied_key_dropped(self, spark):
+        from vectordb_bioinsight_spark.operators.stats import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [("k", "a", 1.0)] * 3 + [("k", "b", 1.0)] * 3, "key string, grp string, v double"
+        )
+        assert kruskal_wallis(df, ["key"], "grp", "v").count() == 0

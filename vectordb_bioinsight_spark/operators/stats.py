@@ -684,3 +684,62 @@ def gsea_prerank_es(
             F.col("_rank").cast("long").alias("rank_at_peak"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key Kruskal-Wallis H (k-group rank test with tie correction) —
+    the nonparametric companion of the ANOVA-F kernel (reference analog:
+    the distribution-free alternative scanpy offers where
+    rank_genes_groups uses wilcoxon, generalized to k groups):
+
+        H = [ 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1) ] / C,
+        C = 1 - sum(t^3 - t) / (N^3 - N).
+
+    Same scale discipline as :func:`wilcoxon_rank_sum`: tie groups are
+    aggregated FIRST, so the rank window runs over distinct values per
+    key — never raw rows — and average ranks come from one running-sum
+    window. The only joins are key-co-partitioned aggregates.
+
+    Output: (key..., n, k_groups, h_stat) rounded 6 dp; keys where every
+    value is tied (C = 0) are dropped.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col).cast("double")
+    vg = df.groupBy(*keys, v.alias("_v"), F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("double").alias("_c")
+    )
+    tied = vg.groupBy(*keys, "_v").agg(F.sum("_c").alias("_t"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = tied.withColumn(
+        "_avg_r",
+        F.coalesce(F.sum("_t").over(w_cum), F.lit(0.0)) + (F.col("_t") + 1.0) / 2.0,
+    )
+    merged = vg.join(ranked.select(*keys, "_v", "_avg_r"), [*keys, "_v"])
+    per_group = merged.groupBy(*keys, "_g").agg(
+        F.sum("_c").alias("_ng"), F.sum(F.col("_c") * F.col("_avg_r")).alias("_rg")
+    )
+    stats = per_group.groupBy(*keys).agg(
+        F.sum("_ng").alias("_n"),
+        F.count("*").cast("long").alias("k_groups"),
+        F.sum(F.col("_rg") * F.col("_rg") / F.col("_ng")).alias("_s"),
+    )
+    ties = ranked.groupBy(*keys).agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias("_tie")
+    )
+    n = F.col("_n")
+    c = 1.0 - F.col("_tie") / F.nullif(n * n * n - n, F.lit(0.0))
+    h = (12.0 / (n * (n + 1.0)) * F.col("_s") - 3.0 * (n + 1.0)) / F.nullif(c, F.lit(0.0))
+    return (
+        stats.join(ties, keys)
+        .select(*keys, n.cast("long").alias("n"), "k_groups", F.round(h, 6).alias("h_stat"))
+        .filter(F.col("h_stat").isNotNull())
+    )

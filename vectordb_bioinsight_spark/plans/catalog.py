@@ -143,6 +143,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
     "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
     "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
+    "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
     # === (d) r02 driver-green ===
     "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),

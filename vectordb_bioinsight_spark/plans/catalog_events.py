@@ -497,3 +497,49 @@ WITH ranked AS (
 SELECT k.event_type, k.event_id, round(k.value, 6) AS value, round(f.refv, 6) AS qnorm
 FROM ranked k JOIN ref f USING (r)
 """
+
+
+def q_kruskal_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of event values across event types, one test per
+    day — the k-group nonparametric companion of welch_halves/anova."""
+    from vectordb_bioinsight_spark.operators.stats import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return kruskal_wallis(ev, ["day"], "event_type", "value")
+
+
+SQL_KRUSKAL_BY_DAY = """
+WITH base AS (
+  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type AS g, value AS v
+  FROM events
+), vg AS (
+  SELECT day, v, g, count(*)::DOUBLE AS c FROM base GROUP BY 1, 2, 3
+), tied AS (
+  SELECT day, v, sum(c) AS t FROM vg GROUP BY 1, 2
+), ranked AS (
+  SELECT day, v, t,
+         coalesce(sum(t) OVER (PARTITION BY day ORDER BY v ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1.0) / 2.0 AS avg_r
+  FROM tied
+), merged AS (
+  SELECT vg.day, vg.g, vg.c, r.avg_r
+  FROM vg JOIN ranked r ON vg.day = r.day AND vg.v = r.v
+), per_group AS (
+  SELECT day, g, sum(c) AS ng, sum(c * avg_r) AS rg FROM merged GROUP BY 1, 2
+), stats AS (
+  SELECT day, sum(ng) AS n, count(*)::BIGINT AS k_groups,
+         sum(rg * rg / ng) AS s
+  FROM per_group GROUP BY day
+), ties AS (
+  SELECT day, sum(t * t * t - t) AS tie FROM ranked GROUP BY day
+)
+SELECT s.day, s.n::BIGINT AS n, s.k_groups,
+       round((12.0 / (s.n * (s.n + 1.0)) * s.s - 3.0 * (s.n + 1.0))
+             / nullif(1.0 - t.tie / nullif(s.n * s.n * s.n - s.n, 0), 0), 6) AS h_stat
+FROM stats s JOIN ties t ON s.day = t.day
+WHERE (12.0 / (s.n * (s.n + 1.0)) * s.s - 3.0 * (s.n + 1.0))
+      / nullif(1.0 - t.tie / nullif(s.n * s.n * s.n - s.n, 0), 0) IS NOT NULL
+"""
