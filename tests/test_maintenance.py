@@ -166,6 +166,30 @@ class TestScd2Merge:
         out = scd2_merge(cur, upd, ["id"], "ts")
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, cur.collect()))
 
+    def test_multi_row_per_key_batch_applies_latest_only(self, spark):
+        """A CDC batch with several rows for one key must collapse to the
+        LATEST row before merging — no fan-out, exactly one open row per
+        key (ADVICE r03: the left join previously emitted one closed + one
+        open row PER update row)."""
+        from vectordb_bioinsight_spark.sources.maintenance import scd2_merge
+
+        cur = self._base(spark)
+        upd = spark.createDataFrame(
+            [(1, "platinum", "2024-02-01"),
+             (1, "diamond", "2024-02-15"),   # same key, later — must win
+             (1, "gold", "2024-01-15")],     # same key, earlier — ignored
+            "id long, segment string, ts string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        out = scd2_merge(cur, upd, ["id"], "ts")
+        k1 = [r for r in out.collect() if r["id"] == 1]
+        open_rows = [r for r in k1 if r["is_current"]]
+        assert len(open_rows) == 1
+        assert open_rows[0]["segment"] == "diamond"
+        assert str(open_rows[0]["valid_from"]).startswith("2024-02-15")
+        closed = [r for r in k1 if not r["is_current"]]
+        assert len(closed) == 1 and closed[0]["segment"] == "gold"
+        assert str(closed[0]["valid_to"]).startswith("2024-02-15")
+
     def test_history_passes_through(self, spark):
         from vectordb_bioinsight_spark.sources.maintenance import scd2_merge
 

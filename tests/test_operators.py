@@ -332,6 +332,57 @@ class TestFunnelAndSkewProfile:
         }
         assert got == {"signup": (2, 1.0), "view": (2, 1.0), "purchase": (1, 0.5)}
 
+    def test_funnel_emits_zero_rows_for_unreached_steps(self, spark):
+        """A step nobody reaches still emits a row with n_users = 0 (the
+        SQL twin's count-over-empty-CTE shape, ADVICE r03); an empty step-1
+        yields NULL conversions, never a divide-by-zero."""
+        from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+        rows = [
+            (1, "signup", "2024-01-01 00:00:00"),
+            (2, "signup", "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "u long, t string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = {
+            r["step_name"]: (r["n_users"], r["conversion"])
+            for r in funnel_conversion(
+                df, "u", "t", "ts", ["signup", "view", "purchase"]
+            ).collect()
+        }
+        assert got == {"signup": (2, 1.0), "view": (0, 0.0), "purchase": (0, 0.0)}
+        # empty FIRST step: all counts 0, conversion NULL (0/0), no error
+        empty = {
+            r["step_name"]: (r["n_users"], r["conversion"])
+            for r in funnel_conversion(
+                df, "u", "t", "ts", ["login", "view"]
+            ).collect()
+        }
+        assert empty == {"login": (0, None), "view": (0, None)}
+
+    def test_winsorize_and_robust_keep_all_null_groups(self, spark):
+        """A group whose values are ALL NULL has no fitted bounds, but its
+        rows must pass through with NULL outputs (ADVICE r03: the inner
+        join silently dropped them)."""
+        from vectordb_bioinsight_spark.operators.stats import (
+            robust_scale_by_group,
+            winsorize_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 100.0), ("n", None), ("n", None)],
+            "g string, v double",
+        )
+        w = winsorize_by_group(df, ["g"], "v").collect()
+        assert len(w) == 5
+        null_rows = [r for r in w if r["g"] == "n"]
+        assert len(null_rows) == 2
+        assert all(r["v_w"] is None and r["clipped"] is None for r in null_rows)
+        r = robust_scale_by_group(df, ["g"], "v").collect()
+        assert len(r) == 5
+        assert all(x["robust_z"] is None for x in r if x["g"] == "n")
+
     def test_skew_profile_flags_hot_key(self, spark):
         from vectordb_bioinsight_spark.operators.skew import key_skew_profile
 

@@ -217,3 +217,30 @@ def test_funnel_stream_matches_batch(spark, tmp_path_factory):
     batch_counts = {r["step"]: r["n_users"] for r in batch.collect()}
     assert stream_counts == batch_counts
     assert stream_counts[1] > 0
+
+
+def test_funnel_stream_string_user_ids(spark, tmp_path_factory):
+    """The output id field inherits the stream's actual type — string/UUID
+    user ids must work, not just longs (ADVICE r03: out_schema hardcoded
+    `long` while parameterizing the column name)."""
+    from vectordb_bioinsight_spark.streaming.trends_stream import funnel_stage_stream
+
+    steps = ["signup", "view"]
+    path = str(tmp_path_factory.mktemp("funnel_stream_str"))
+    ev = spark.createDataFrame(
+        [("u-a", "signup", "2024-01-01 00:00:00"),
+         ("u-a", "view", "2024-01-02 00:00:00"),
+         ("u-b", "signup", "2024-01-03 00:00:00")],
+        "uid string, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.repartition(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = funnel_stage_stream(
+        stream_events_from_dir(spark, path, schema), steps, user_col="uid"
+    )
+    got = run_stream_to_memory(stream, "funnel_stream_str_test", output_mode="update")
+    assert got.schema["uid"].dataType.simpleString() == "string"
+    final = {r["uid"]: r["stage"] for r in
+             got.groupBy("uid").agg(F.max("stage").alias("stage")).collect()}
+    assert final == {"u-a": 2, "u-b": 1}

@@ -511,8 +511,10 @@ def winsorize_by_group(
         F.col(f"p{hi * 100:g}").alias("_hi"),
     )
     v = F.col(value_col)
+    # LEFT join: a group whose values are all NULL has no bounds row, but
+    # its rows must survive with NULL outputs (the documented contract)
     return (
-        df.join(F.broadcast(bounds), keys)
+        df.join(F.broadcast(bounds), keys, "left")
         .withColumn(
             f"{value_col}_w",
             # greatest/least SKIP nulls (a NULL value would clamp to the
@@ -555,13 +557,17 @@ def robust_scale_by_group(
     med = group_quantiles(fit, keys, value_col, [0.5]).select(
         *keys, F.col("p50").alias("_med")
     )
-    j = df.join(F.broadcast(med), keys).withColumn("_absdev", F.abs(v - F.col("_med")))
+    # LEFT joins: all-NULL groups fit no median/MAD but keep their rows
+    # with NULL robust_z (same contract as winsorize_by_group)
+    j = df.join(F.broadcast(med), keys, "left").withColumn(
+        "_absdev", F.abs(v - F.col("_med"))
+    )
     mad = group_quantiles(j.filter(F.col("_absdev").isNotNull()), keys, "_absdev", [0.5]).select(
         *keys, F.col("p50").alias("_mad")
     )
     return (
         j.drop("_absdev")
-        .join(F.broadcast(mad), keys)
+        .join(F.broadcast(mad), keys, "left")
         .withColumn(
             "robust_z",
             F.round((v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)), 6),

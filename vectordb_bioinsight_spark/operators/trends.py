@@ -159,6 +159,15 @@ def funnel_conversion(
     agg = unioned.groupBy("step", "step_name").agg(
         F.count("*").cast("long").alias("n_users")
     )
+    # a step nobody reaches is an EMPTY group — left-join the static step
+    # list so every step still emits a row with n_users = 0 (matching the
+    # SQL shape, where count(*) over an empty CTE is one 0-row)
+    step_dim = df.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    )
+    agg = step_dim.join(agg, ["step", "step_name"], "left").withColumn(
+        "n_users", F.coalesce(F.col("n_users"), F.lit(0).cast("long"))
+    )
     # the agg result is len(steps) rows — the unpartitioned window is a
     # dimension-sized step, same convention as the trends histograms
     base = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
@@ -167,6 +176,8 @@ def funnel_conversion(
         "step_name",
         "n_users",
         F.round(
-            F.col("n_users") / F.first("n_users").over(base), 6
+            F.col("n_users")
+            / F.nullif(F.first("n_users").over(base), F.lit(0)),
+            6,
         ).alias("conversion"),
     )

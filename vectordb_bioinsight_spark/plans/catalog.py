@@ -43,82 +43,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: and the new streaming-tier batch twin. Everything after the window is
 #: driver-green from r01/r02 (stalest last).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === (a) fixed r01 red: driver re-confirmation first ===
-    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
-    # === (b) never driver-checked: network chains ===
-    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
-    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
-    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
-    # === (b) never driver-checked: coverage fill-ins ===
-    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
-    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
-    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
-    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
-    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
-    # === (b) never driver-checked: sampling / splits / profile ===
-    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
-    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
-    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
-    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
-    # === (b) never driver-checked: vector scale paths ===
-    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
-    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    # === (b) never driver-checked: TPC-H shape sweep ===
-    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
-    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
-    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
-    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
-    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
-    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
-    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
-    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
-    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
-    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
-    "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
-    "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
-    "returned_revenue_customers": (
-        th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS
-    ),
-    "order_count_distribution": (
-        th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION
-    ),
-    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
-    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
-    "part_supplier_diversity": (
-        th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY
-    ),
-    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
-    "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
-    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
-    "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
-    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    # === (b) never driver-checked: former rows-only tier — r03 gave
-    # training_corpus a COMPOSED twin (all stage twins stitched into one
-    # WITH RECURSIVE chain), embed_documents the md5 fake-model replay,
-    # and knn_lsh_bucketed the inlined-hyperplane replay ===
-    "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
-    "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
-    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
-    # === (c) de-vacuated + newly oracle-backed + new this round ===
-    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
-    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
-    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
-    "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
-    "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
-    "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
-    "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
-    "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
-    "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
-    # rows-only pair parked at the window edge: their driver rows are the
-    # weak (rows-only) kind either way, so hash-checkable entries go first
-    "approx_distinct_users": (th.q_approx_distinct_users, None),
-    "label_map_2d": (vec.q_label_map_2d, None),
-    # === (c2) new in r03 session 2 — first in line for the r04 window.
-    # r04 ROTATION PLAN: move this whole (c2) block plus the rows-only pair
-    # above it to the FRONT (they will be the only entries without a
-    # driver CORRECTNESS row once r03 lands), backfill the window with the
-    # stalest r01 greens, and demote the r03-checked block ===
+    # === (a) r04 window: the 23 entries with NO driver CORRECTNESS row
+    # yet (added r03 session 2 after the r03 window was fixed) — the only
+    # gap named by VERDICT r03; hash-checkable entries first ===
     "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
     "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
@@ -132,68 +59,20 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
     "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
     "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
-    "quantile_normalize_values": (
-        ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES
-    ),
+    "quantile_normalize_values": (ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES),
     "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
-    "salted_supplier_volume": (
-        rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME
-    ),
+    "salted_supplier_volume": (rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME),
     "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
     "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
     "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
     "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
     "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
-    # === (d) r02 driver-green ===
-    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
-    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
-    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
-    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
-    "ivf_recall": (vec.q_ivf_recall, None),
-    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
-    "compression_ratio": (tx.q_compression_ratio, None),
-    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
-    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
-    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
-    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
-    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
-    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
-    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
-    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
-    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
-    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    # === (e) r01 driver-green (stalest) ===
+    # rows-only pair (driver records rows>0 only — no hash possible)
+    "approx_distinct_users": (th.q_approx_distinct_users, None),
+    "label_map_2d": (vec.q_label_map_2d, None),
+    # === (b) NEW in r04 (ensemble/dispatch/etc.) — inserted here so the
+    # ~50-entry driver window covers them on first appearance ===
+    # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
     "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
@@ -242,6 +121,105 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
+    # === (d) r02/r03 driver-green (freshest last) ===
+    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
+    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
+    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
+    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
+    "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
+    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
+    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
+    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
+    "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
+    "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
+    "returned_revenue_customers": (th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS),
+    "order_count_distribution": (th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION),
+    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
+    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
+    "part_supplier_diversity": (th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY),
+    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
+    "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
+    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
+    "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
+    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
+    "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
+    "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
+    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
+    "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
+    "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
+    "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
+    "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
+    "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
+    "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
+    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
+    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
+    "ivf_recall": (vec.q_ivf_recall, None),
+    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
+    "compression_ratio": (tx.q_compression_ratio, None),
+    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
+    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
+    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
+    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
+    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
+    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
+    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
+    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
 }
 
 

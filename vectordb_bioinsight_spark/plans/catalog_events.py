@@ -374,7 +374,7 @@ WITH s1 AS (
   UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3
 )
 SELECT step, step_name, n_users,
-       round(n_users / first_value(n_users) OVER (ORDER BY step), 6) AS conversion
+       round(n_users / nullif(first_value(n_users) OVER (ORDER BY step), 0), 6) AS conversion
 FROM c
 """
 

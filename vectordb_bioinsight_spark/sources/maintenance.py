@@ -200,6 +200,20 @@ def scd2_merge(
         compare_cols = [
             c for c in updates.columns if c not in set(key_cols) | {ts_col}
         ]
+    # A CDC batch may carry several rows per key; the merge must apply only
+    # the LATEST one, else the left join fans out and a key ends up with
+    # multiple open is_current rows. Key-partitioned window (updates are
+    # dimension-sized), deterministic tiebreak on the compare columns.
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in compare_cols]
+    )
+    updates = (
+        updates.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     meta = ["valid_from", "valid_to", "is_current"]
     attr_cols = [c for c in current.columns if c not in meta]
 

@@ -256,7 +256,10 @@ def funnel_stage_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{user_col} long, stage int, stage_name string, reached_ts timestamp"
+    # the id field inherits the stream's actual type (string/UUID user ids
+    # are as valid as longs — only the column NAME is parameterized)
+    user_type = stream_df.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {user_type}, stage int, stage_name string, reached_ts timestamp"
     state_schema = "stage int, reached double"
 
     def update(key, pdfs, state: "GroupState"):
