@@ -64,6 +64,10 @@ HEADLINE = [
     # pair join), ExactSubstr span merge (explode + islands), and the DSIR
     # hashed-ngram double-model fit
     "semdedup",
+    # r04: the scale-default semdedup (learned codebook, linear pairs) benched
+    # NEXT TO the fixed-centroid oracle variant so the scale-shape cost
+    # difference is measured, not asserted
+    "semdedup_auto",
     "repeated_spans",
     "dsir_scores",
     # span-cut: the full detect+cut+reassemble chain (three shuffles); ndcg:

@@ -65,12 +65,64 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, name):
     assert "BatchEvalPython" not in plan, name
 
 
+def test_bloom_membership_is_arrow_batched(spark):
+    """with_bloom_hit's bit test is an Arrow pandas UDF over JVM-computed
+    probe positions — the intermediate stage (pre-anti-join, so invisible to
+    the catalog-entry plans) must never regress to BatchEvalPython."""
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+    from vectordb_bioinsight_spark.operators.bloom import build_bloom, with_bloom_hit
+
+    df = spark.range(64).select(
+        portable_hash64(F.col("id").cast("string")).alias("h")
+    )
+    bm = build_bloom(df, "h", 1024, 5)
+    plan = with_bloom_hit(df, "h", bm, 1024, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def _n_scans(plan: str) -> int:
     """Count physical scans once — formatted explain mentions each node in
     both the tree and the details section."""
     import re as _re
 
     return len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.MULTILINE))
+
+
+#: Exchange-count ceilings for the 10 most expensive headline bench queries
+#: (BENCH_r03 ranking). The r02->r03 bench tail drifted +0.2 s on a few
+#: queries with UNCHANGED plans (JVM warm-up noise); these pins make a real
+#: plan regression (an extra shuffle) distinguishable from that noise.
+#: Values are the measured counts at the time of pinning — a new Exchange
+#: anywhere in these plans must be a deliberate, reviewed change.
+_MAX_EXCHANGES = {
+    "semdedup": 5,
+    "cms_term_counts": 3,
+    "doublet_scores": 4,
+    "wilcoxon_brand_price": 2,
+    "hybrid_rrf": 3,
+    "dsir_scores": 5,
+    "minhash_signatures": 1,
+    # bh_adjust_scaled's rank phases run as separate jobs before the final
+    # lineage, so the final plan shows 0-1 exchanges
+    "bh_adjust": 1,
+    "ngram_decontaminate": 3,
+    "span_cut_docs": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MAX_EXCHANGES))
+def test_expensive_query_shuffle_count_pinned(spark, name):
+    import re as _re
+
+    plan = _plan(spark, name)
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.MULTILINE))
+    assert n_ex <= _MAX_EXCHANGES[name], (
+        f"{name}: {n_ex} exchanges > pinned {_MAX_EXCHANGES[name]} — a new "
+        "shuffle entered this plan; fix it or consciously re-pin"
+    )
 
 
 def test_multi_join_broadcasts_all_dims(spark):

@@ -184,3 +184,13 @@ def test_semdedup_auto_matches_fixed_semantics(spark):
     ids = {r["vec_id"] for r in surv.collect()}
     assert 23 in ids and 57 not in ids
     assert len(ids) >= 190  # random normals are far apart; only dups drop
+
+    # the UNDECORATED name defaults to this scale-safe route (VERDICT r03):
+    # no n_clusters -> learned codebook, same pruning decision
+    default_ids = {
+        r["vec_id"]
+        for r in semdedup_survivors(
+            df, "vec_id", "embedding", min_cosine=0.95, target_cluster_size=64
+        ).collect()
+    }
+    assert default_ids == ids

@@ -178,17 +178,50 @@ def semdedup_flags(
     )
 
 
-def semdedup_survivors(
+def semdedup_survivors_fixed(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     n_clusters: int = 8,
     min_cosine: float = 0.95,
 ) -> DataFrame:
-    """The pruned corpus: all input columns, losers removed."""
+    """The pruned corpus under the FIXED-centroid clustering: all input
+    columns, losers removed. Exactly hash-replayable (the oracle-catalog
+    variant) but its clusters fatten as N grows — at scale use the
+    undecorated :func:`semdedup_survivors` default (learned codebook,
+    constant cluster size, linear pairs)."""
     flags = semdedup_flags(vectors, id_col, vec_col, n_clusters, min_cosine)
     losers = flags.filter(~F.col("keep")).select(id_col)
     return vectors.join(losers, id_col, "left_anti")
+
+
+def semdedup_survivors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int | None = None,
+    min_cosine: float = 0.95,
+    target_cluster_size: int = 1024,
+) -> DataFrame:
+    """The pruned corpus: all input columns, semantic-dup losers removed.
+
+    DEFAULT = the scale-safe route (VERDICT r03 "make the scale-safe paths
+    the defaults"): learned codebook with k chosen from the corpus size so
+    expected cluster size stays ``target_cluster_size`` and total candidate
+    pairs stay LINEAR in N (:func:`semdedup_survivors_auto`). Passing an
+    explicit ``n_clusters`` opts into the fixed smallest-id-centroid
+    clustering (:func:`semdedup_survivors_fixed`) — exactly engine-
+    replayable, quadratic pairs at fixed k, intended for oracle replay and
+    small corpora only.
+    """
+    if n_clusters is not None:
+        return semdedup_survivors_fixed(
+            vectors, id_col, vec_col, n_clusters, min_cosine
+        )
+    return semdedup_survivors_auto(
+        vectors, id_col, vec_col, min_cosine=min_cosine,
+        target_cluster_size=target_cluster_size,
+    )
 
 
 def semdedup_losers_gemm(

@@ -72,6 +72,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "label_map_2d": (vec.q_label_map_2d, None),
     # === (b) NEW in r04 (ensemble/dispatch/etc.) — inserted here so the
     # ~50-entry driver window covers them on first appearance ===
+    "semdedup_auto": (vec.q_semdedup_auto, None),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

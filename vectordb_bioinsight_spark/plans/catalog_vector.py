@@ -479,6 +479,19 @@ FROM assigned a LEFT JOIN losers l USING (vec_id)
 """
 
 
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT semdedup route (rows-only: the seeded-KMeans codebook has
+    no SQL twin): learned codebook with k = ceil(N/1024), per-cluster BLAS
+    loser detection, anti join — expected cluster size constant in N so
+    candidate pairs stay LINEAR (the ``semdedup`` entry is the fixed-centroid
+    hash-replayable oracle variant of the same decision)."""
+    from vectordb_bioinsight_spark.operators.semdedup import semdedup_survivors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = semdedup_survivors(emb, "vec_id", "embedding", min_cosine=SEMDEDUP_MIN_COS)
+    return surv.select("vec_id")
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality audit (rows-only: the KMeans index has no SQL twin):
     recall@10 of the IVF path (16 cells, 4 probes) vs exact brute force for
