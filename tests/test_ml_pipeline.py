@@ -38,6 +38,68 @@ def test_embedding_classifier_beats_chance(spark):
     assert "prediction" in scored.columns and scored.count() == test.count()
 
 
+def _separable_df(spark, n=240, dims=8, seed=5):
+    """Binary-label data where dim 0 carries the signal and the rest is
+    noise — the shape that makes attribution/importance rankings testable."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, dims))
+    y = (x[:, 0] > 0).astype(int)
+    x[:, 0] += 2.0 * (2 * y - 1)  # widen the margin
+    return spark.createDataFrame(
+        [(i, row.tolist(), int(lbl)) for i, (row, lbl) in enumerate(zip(x, y))],
+        "vec_id long, embedding array<double>, label int",
+    )
+
+
+def test_ensemble_accuracy_band_and_agreement(spark):
+    """M10 ensemble analog: soft-vote of N seeded bagged members must sit in
+    the single-model accuracy band (>= member - 5pp), agreement must be a
+    valid fraction of members, and every row gets a confidence band."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import ensemble_classifier
+
+    df = _separable_df(spark)
+    train, test = group_split(df, "vec_id", test_frac=0.3)
+    single = embedding_classifier(train, max_iter=25)
+    ens = ensemble_classifier(train, n_models=3, bag_fraction=0.8, max_iter=25)
+    acc_single = single.accuracy(test)
+    acc_ens = ens.accuracy(test, "vec_id")
+    assert acc_ens >= acc_single - 0.05, (acc_ens, acc_single)
+    assert acc_ens > 0.8  # strongly separable by construction
+    scored = ens.transform(test, "vec_id").collect()
+    assert len(scored) == test.count()
+    for r in scored:
+        assert r["agreement"] in (0.0, 1 / 3, 2 / 3, 1.0) or abs(
+            r["agreement"] * 3 - round(r["agreement"] * 3)
+        ) < 1e-4
+        assert r["confidence"] in ("high", "medium", "low")
+        assert 0.0 <= r["mean_prob"] <= 1.0
+
+
+def test_linear_attribution_ranks_signal_feature_first(spark):
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        linear_feature_attribution,
+    )
+
+    df = _separable_df(spark)
+    scorer = embedding_classifier(df, max_iter=25)
+    attr = linear_feature_attribution(scorer, df).collect()
+    assert attr[0]["feature"] == 0, [(r["feature"], r["mean_abs_contrib"]) for r in attr[:3]]
+    assert attr[0]["mean_abs_contrib"] > 2 * attr[-1]["mean_abs_contrib"]
+
+
+def test_permutation_importance_detects_signal_feature(spark):
+    from vectordb_bioinsight_spark.operators.ml_pipeline import permutation_importance
+
+    df = _separable_df(spark)
+    scorer = embedding_classifier(df, max_iter=25)
+    imp = {r["feature"]: r["importance"] for r in
+           permutation_importance(scorer, df, "embedding", "label", dims=[0, 3]).collect()}
+    assert imp[0] > 0.2, imp          # breaking the signal dim hurts a lot
+    assert imp[0] > imp[3] + 0.1, imp  # noise dim barely matters
+
+
 def test_sections_from_text(spark):
     rows = [
         (1, "Introduction\nThis is the intro body.\n\nMethods\nWe did things.\n\n" + "x" * 100),

@@ -1,0 +1,83 @@
+"""V7 vocabulary dispatch: query normalization, three-way branch selection,
+anchor scoring, and the broadcast-dimension plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vectordb_bioinsight_spark.operators.vocabulary import (
+    dispatch_search,
+    extract_key_from_query,
+    vocab_dimension,
+    vocab_match_scores,
+)
+from vectordb_bioinsight_spark.plans.catalog_coverage import VOCAB_ENTRIES
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+class TestExtractKey:
+    def test_primary_term(self):
+        assert extract_key_from_query("join", VOCAB_ENTRIES) == ("join", "")
+
+    def test_synonym_resolves_to_canonical_key(self):
+        assert extract_key_from_query("merge", VOCAB_ENTRIES) == ("join", "")
+
+    def test_modifiers_survive_extraction(self):
+        key, rest = extract_key_from_query("join vector spark", VOCAB_ENTRIES)
+        assert key == "join" and rest == "vector spark"
+
+    def test_longest_term_wins(self):
+        # 'stream' (6 chars) must beat 'scan' if both were present; here the
+        # guarantee tested is that a LONGER containing term is preferred
+        entries = VOCAB_ENTRIES + [("streaming", "streaming", "primary", 1.0)]
+        key, rest = extract_key_from_query("streaming data", entries)
+        assert key == "streaming" and rest == "data"
+
+    def test_case_insensitive(self):
+        assert extract_key_from_query("MERGE", VOCAB_ENTRIES)[0] == "join"
+
+    def test_no_match_returns_none(self):
+        assert extract_key_from_query("window hash", VOCAB_ENTRIES) == (
+            None,
+            "window hash",
+        )
+
+
+class TestDispatch:
+    def test_three_branches(self, spark):
+        docs = load_table(spark, SF_SMALL, "documents")
+        assert dispatch_search(docs, "merge", VOCAB_ENTRIES)[0] == "list_all"
+        assert dispatch_search(docs, "join vector", VOCAB_ENTRIES)[0] == "keywords"
+        assert dispatch_search(docs, "window hash", VOCAB_ENTRIES)[0] == "lexical"
+
+    def test_keyword_branch_requires_a_hit(self, spark):
+        docs = load_table(spark, SF_SMALL, "documents")
+        _, out = dispatch_search(docs, "join vector", VOCAB_ENTRIES)
+        rows = out.collect()
+        assert rows and all(r["keyword_hits"] >= 1 for r in rows)
+        assert all(
+            abs(r["total_score"] - (r["keyword_hits"] * 10.0 + r["vocab_score"])) < 1e-6
+            for r in rows
+        )
+
+    def test_anchor_prefers_primary_over_synonym(self, spark):
+        # one doc where the PRIMARY term appears in the 'title' zone and the
+        # synonym later: primary weight 1.0*100 beats synonym 0.8*anything
+        df = spark.createDataFrame(
+            [(1, "join quickly " + "x " * 80 + " merge")], "doc_id long, text string"
+        )
+        vocab = vocab_dimension(spark, VOCAB_ENTRIES)
+        out = vocab_match_scores(df, vocab, "doc_id", "text", "join").collect()
+        assert len(out) == 1
+        assert out[0]["matched_term"] == "join"
+        assert out[0]["vocab_score"] == 100.0
+
+    def test_vocab_join_is_broadcast(self, spark):
+        docs = load_table(spark, SF_SMALL, "documents")
+        vocab = vocab_dimension(spark, VOCAB_ENTRIES)
+        plan = vocab_match_scores(
+            docs, vocab, "doc_id", "text", "join"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan

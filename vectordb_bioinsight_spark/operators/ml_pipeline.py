@@ -88,3 +88,288 @@ def embedding_classifier(
             return float(agg)
 
     return _Scorer(model)
+
+
+def knn_label_probs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id_col: str,
+    cand_id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    path: str = "gemm",
+) -> DataFrame:
+    """Per-label soft probabilities from ONE kNN model: prob(label) =
+    vote share among the top-k neighbors (votes/k), plus the summed cosine
+    as the deterministic tiebreaker. One ensemble member for
+    :func:`soft_vote_ensemble` — fully SQL-expressible, unlike a trained
+    model, so the composed ensemble stays hash-oracle-able.
+
+    Output: (query_id, label, prob, vote_score) — one row per label that
+    received >= 1 vote; absent labels are implicit zeros.
+    """
+    from vectordb_bioinsight_spark.operators.vector import knn_join, knn_join_gemm
+
+    join_fn = knn_join_gemm if path == "gemm" else knn_join
+    neigh = join_fn(
+        queries, candidates, query_id_col, cand_id_col, vec_col, k=k, metric="cosine"
+    )
+    labeled = neigh.join(
+        candidates.select(F.col(cand_id_col).alias("cand_id"), F.col(label_col).alias("label")),
+        "cand_id",
+    )
+    return labeled.groupBy("query_id", "label").agg(
+        F.round(F.count("*") / F.lit(float(k)), 6).alias("prob"),
+        F.round(F.sum("score"), 6).alias("vote_score"),
+    )
+
+
+def soft_vote_ensemble(per_model: "list[DataFrame]") -> DataFrame:
+    """Soft-vote ensemble aggregation with agreement + confidence bands —
+    the Spark-native analog of the reference's CatBoost soft-vote ensemble
+    (rnaseq_pipeline/ml/pancancer_classifier.py:702-1015: per-model
+    probabilities averaged, ensemble label = argmax, agreement fraction and
+    high/medium/low confidence bands attached per sample).
+
+    Each input frame is one model's output: (query_id, label, prob,
+    vote_score); labels a model omits count as prob 0. All arithmetic is
+    engine-portable (rounded means, total-order tiebreaks), so an ensemble
+    of SQL-expressible members (e.g. :func:`knn_label_probs`) is exactly
+    hash-oracle-able — the trained-model residue (CatBoost weights, SHAP
+    values) is a model-weights question, not a query-engine one (same
+    boundary as M10's declared scope).
+
+    Physical plan: one union (no shuffle) → per-(query,label) mean agg →
+    two query-partitioned rank windows (model pick, ensemble pick) → one
+    query-keyed agreement agg. Every shuffle is keyed by query_id; nothing
+    global, nothing driver-side.
+
+    Output: (query_id, predicted_label, mean_prob, agreement, confidence)
+    where agreement = fraction of members whose own argmax equals the
+    ensemble label and confidence buckets mean_prob at >= 0.8 'high' /
+    >= 0.5 'medium' / else 'low' (the reference's band thresholds).
+    """
+    from pyspark.sql import Window
+
+    n_models = len(per_model)
+    if n_models < 1:
+        raise ValueError("soft_vote_ensemble: need at least one model frame")
+    tagged = None
+    for i, m in enumerate(per_model):
+        t = m.select(
+            "query_id", "label", "prob", "vote_score", F.lit(i).alias("_model")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    # each member's own argmax (majority vote, knn_classify tiebreaks)
+    wm = Window.partitionBy("_model", "query_id").orderBy(
+        F.desc("prob"), F.desc("vote_score"), F.asc("label")
+    )
+    picks = (
+        tagged.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("_pick"))
+    )
+    # ensemble argmax over per-label mean prob (absent rows are zeros, so
+    # the mean divides by N, not by the number of voting members)
+    means = tagged.groupBy("query_id", "label").agg(
+        F.round(F.sum("prob") / F.lit(float(n_models)), 6).alias("mean_prob"),
+        F.round(F.sum("vote_score"), 6).alias("_ts"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.desc("mean_prob"), F.desc("_ts"), F.asc("label")
+    )
+    winners = (
+        means.withColumn("_rn", F.row_number().over(we))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "mean_prob")
+    )
+    agreement = (
+        winners.join(picks, "query_id")
+        .groupBy("query_id", "predicted_label", "mean_prob")
+        .agg(
+            F.round(
+                F.sum((F.col("_pick") == F.col("predicted_label")).cast("double"))
+                / F.lit(float(n_models)),
+                6,
+            ).alias("agreement")
+        )
+    )
+    return agreement.select(
+        "query_id",
+        "predicted_label",
+        "mean_prob",
+        "agreement",
+        F.when(F.col("mean_prob") >= 0.8, "high")
+        .when(F.col("mean_prob") >= 0.5, "medium")
+        .otherwise("low")
+        .alias("confidence"),
+    )
+
+
+def ensemble_classifier(
+    train: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_models: int = 5,
+    bag_fraction: float = 0.8,
+    seed: int = 42,
+    max_iter: int = 50,
+):
+    """Seeded bagging ensemble of :func:`embedding_classifier` models — the
+    trained-model tier of the M10 analog (pancancer_classifier.py:702-1015
+    trains CatBoost folds and soft-votes them; here N logistic-regression
+    members on hash-bagged subsets, soft-vote + agreement + bands).
+
+    Bags are deterministic hash subsets (xxhash64(id-ish, seed+i)), so the
+    whole ensemble retrains identically on any cluster layout. Scoring runs
+    every member's distributed transform and reduces with the same
+    agreement/confidence arithmetic as :func:`soft_vote_ensemble`.
+
+    Returns an object with ``transform(df, id_col)`` →
+    (id, prediction, mean_prob, agreement, confidence) and
+    ``accuracy(df, id_col)``.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    members = []
+    for i in range(n_models):
+        bucket = F.pmod(
+            F.xxhash64(F.col(vec_col).cast("array<double>").cast("string"), F.lit(seed + i)),
+            F.lit(10000),
+        )
+        bag = train.filter(bucket < int(bag_fraction * 10000))
+        members.append(embedding_classifier(bag, vec_col, label_col, max_iter=max_iter))
+
+    class _Ensemble:
+        def __init__(self, ms):
+            self.members = ms
+
+        def transform(self, df: DataFrame, id_col: str) -> DataFrame:
+            per_model = []
+            for m in self.members:
+                scored = m.transform(df).select(
+                    F.col(id_col).alias("query_id"),
+                    F.col("prediction").alias("label"),
+                    # winning-class probability as both prob and tiebreak
+                    F.round(F.array_max(vector_to_array("probability")), 6).alias("prob"),
+                )
+                per_model.append(scored.withColumn("vote_score", F.col("prob")))
+            out = soft_vote_ensemble(per_model)
+            return out.select(
+                F.col("query_id").alias(id_col),
+                F.col("predicted_label").alias("prediction"),
+                "mean_prob",
+                "agreement",
+                "confidence",
+            )
+
+        def accuracy(self, df: DataFrame, id_col: str) -> float:
+            scored = self.transform(df, id_col).join(
+                df.select(F.col(id_col), F.col(label_col).cast("double").alias("_y")),
+                id_col,
+            )
+            return float(
+                scored.agg(
+                    F.avg((F.col("prediction") == F.col("_y")).cast("double"))
+                ).first()[0]
+            )
+
+    return _Ensemble(members)
+
+
+def linear_feature_attribution(
+    scorer,
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-feature contribution for the logistic-regression member — the
+    linear-model stand-in for the reference's SHAP explanation
+    (pancancer_classifier.py:1091-1534): for a linear model the exact
+    SHAP value of feature j is w_j * (x_j - mean_j), so mean |w_j*(x_j-x̄_j)|
+    ranks features by global impact. One scan + one agg, no model calls.
+
+    ``scorer`` is the :func:`embedding_classifier` result fitted with
+    ``pca_k=None`` (in PCA space per-raw-feature weights are undefined).
+    ``weight`` is the per-feature L2 norm of the coefficient matrix across
+    classes (= |w| for binary); contributions use the model's OWN scaled
+    features, reconstructed from the fitted scaler's mean/std.
+    Output: (feature, weight, mean_abs_contrib) sorted by impact desc.
+    """
+    import numpy as np
+
+    stages = scorer.model.stages
+    if len(stages) != 2:
+        raise ValueError("linear_feature_attribution requires pca_k=None")
+    scaler, lr = stages
+    mat = lr.coefficientMatrix.toArray()  # (n_classes, n_features)
+    weights = np.sqrt((mat ** 2).sum(axis=0))
+    s_mean = scaler.mean.toArray()
+    s_std = scaler.std.toArray()
+    arr = F.col(vec_col).cast("array<double>")
+    exprs = []
+    for j, w in enumerate(weights):
+        std = float(s_std[j]) if s_std[j] else 1.0
+        scaled = (F.element_at(arr, j + 1) - F.lit(float(s_mean[j]))) / F.lit(std)
+        exprs.append(F.avg(F.abs(F.lit(float(w)) * scaled)).alias(f"_a{j}"))
+    means = df.agg(*exprs).first()
+    rows = []
+    for j, w in enumerate(weights):
+        contrib = means[f"_a{j}"]
+        rows.append((j, float(w), float(contrib) if contrib is not None else 0.0))
+    spark = df.sparkSession
+    out = spark.createDataFrame(rows, "feature int, weight double, mean_abs_contrib double")
+    return out.orderBy(F.desc("mean_abs_contrib"), F.asc("feature"))
+
+
+def permutation_importance(
+    scorer,
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dims: "list[int]",
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Model-agnostic permutation importance as a distributed agg: for each
+    feature dim, break its row alignment by a deterministic within-bucket
+    cyclic shift, rescore, and report the accuracy drop (the reference's
+    feature_importances fallback when SHAP is unavailable,
+    pancancer_classifier.py:1091-1534).
+
+    The permutation is NOT a global shuffle: rows hash into ``n_buckets``
+    groups, each group's dim values rotate by one (lead + first_value over
+    the hash-ordered bucket window) — a valid derangement-ish permutation
+    whose windows are all bucket-partitioned, so the plan scales.
+
+    Output: (feature, base_accuracy, permuted_accuracy, importance).
+    """
+    from pyspark.sql import Window
+
+    base_acc = scorer.accuracy(df)
+    arr = F.col(vec_col).cast("array<double>")
+    rows = []
+    for d in dims:
+        h = F.xxhash64(arr.cast("string"), F.lit(seed + d))
+        b = F.pmod(h, F.lit(n_buckets))
+        w = Window.partitionBy(b).orderBy(h)
+        cur = F.element_at(arr, d + 1)
+        shifted = F.coalesce(F.lead(cur, 1).over(w), F.first(cur).over(w))
+        permuted = (
+            df.withColumn("_shift", shifted)
+            .withColumn(
+                vec_col,
+                F.expr(
+                    f"transform(CAST({vec_col} AS array<double>), (x, i) -> "
+                    f"CASE WHEN i = {d} THEN _shift ELSE x END)"
+                ),
+            )
+            .drop("_shift")
+        )
+        perm_acc = scorer.accuracy(permuted)
+        rows.append((d, round(base_acc, 6), round(perm_acc, 6), round(base_acc - perm_acc, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "feature int, base_accuracy double, permuted_accuracy double, importance double"
+    ).orderBy(F.desc("importance"), F.asc("feature"))

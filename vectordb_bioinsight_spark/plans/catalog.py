@@ -73,6 +73,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === (b) NEW in r04 (ensemble/dispatch/etc.) — inserted here so the
     # ~50-entry driver window covers them on first appearance ===
     "semdedup_auto": (vec.q_semdedup_auto, None),
+    "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),
+    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
+    "vocab_dispatch_keywords": (
+        cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS
+    ),
+    "vocab_dispatch_lexical": (
+        cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL
+    ),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

@@ -118,6 +118,119 @@ WHERE strpos(text, '{PRECISION_KEYWORD}') > 0
 """
 
 
+#: The engine's stand-in for the reference's curated MeSH vocabulary
+#: (medical_vocabulary.py:62-207): canonical keys over the synthetic
+#: corpus's own topic terms, with the reference's kind tiers.
+VOCAB_ENTRIES = [
+    ("join", "join", "primary", 1.0),
+    ("join", "merge", "synonym", 0.8),
+    ("query", "query", "primary", 1.0),
+    ("query", "filter", "synonym", 0.8),
+    ("query", "scan", "abbreviation", 0.6),
+    ("stream", "stream", "primary", 1.0),
+    ("stream", "batch", "synonym", 0.8),
+]
+
+_SQL_VOCAB_CTE = (
+    "vocab(vocab_key, term, kind, weight) AS (VALUES "
+    + ", ".join(f"('{k}', '{t}', '{kd}', {w})" for k, t, kd, w in VOCAB_ENTRIES)
+    + ")"
+)
+
+_SQL_FIELD_SCORE = (
+    "round(k.weight * (CASE WHEN strpos(d.text, k.term) BETWEEN 1 AND 40 THEN 100.0"
+    " WHEN strpos(d.text, k.term) BETWEEN 1 AND 150 THEN 80.0"
+    " ELSE 60.0 END), 4)"
+)
+
+
+def _sql_vocab_anchor(key: str) -> str:
+    """Shared CTE block: per-doc best vocab anchor for one canonical key
+    (the SQL twin of operators/vocabulary.vocab_match_scores)."""
+    return f"""
+WITH {_SQL_VOCAB_CTE}, kt AS (
+  SELECT * FROM vocab WHERE vocab_key = '{key}'
+), m AS (
+  SELECT d.doc_id, k.vocab_key, k.term, k.kind, {_SQL_FIELD_SCORE} AS vocab_score
+  FROM documents d JOIN kt k ON strpos(d.text, k.term) > 0
+), top AS (
+  SELECT doc_id, vocab_key, max(vocab_score) AS vocab_score FROM m GROUP BY 1, 2
+), anchored AS (
+  SELECT m.doc_id, m.vocab_key, min(m.term) AS matched_term,
+         arg_min(m.kind, m.term) AS kind, m.vocab_score
+  FROM m JOIN top USING (doc_id, vocab_key, vocab_score)
+  GROUP BY 1, 2, 5
+)"""
+
+
+def q_vocab_dispatch_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 dispatch branch 1 (precision_search.py:143-148): the query is a
+    bare vocabulary term ('merge' -> canonical key 'join' via the synonym
+    tier), so the planner lists every doc anchored to the key — broadcast
+    vocab-dimension containment join, kind-weighted field-position score,
+    per-doc argmax."""
+    from vectordb_bioinsight_spark.operators.vocabulary import dispatch_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    strategy, out = dispatch_search(docs, "merge", VOCAB_ENTRIES)
+    assert strategy == "list_all", strategy
+    return out
+
+
+SQL_VOCAB_DISPATCH_LIST = (
+    _sql_vocab_anchor("join")
+    + "\nSELECT doc_id, vocab_key, matched_term, kind, vocab_score FROM anchored"
+)
+
+
+def q_vocab_dispatch_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 dispatch branch 2 (precision_search.py:150-154): vocabulary term
+    plus extra keywords ('join vector spark') — key-anchored docs ranked by
+    keyword hit count (x10) with the anchor score as tiebreak; zero-hit
+    docs drop."""
+    from vectordb_bioinsight_spark.operators.vocabulary import dispatch_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    strategy, out = dispatch_search(docs, "join vector spark", VOCAB_ENTRIES)
+    assert strategy == "keywords", strategy
+    return out
+
+
+SQL_VOCAB_DISPATCH_KEYWORDS = (
+    _sql_vocab_anchor("join")
+    + """
+SELECT a.doc_id, a.vocab_key, a.matched_term,
+       ((strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT) AS keyword_hits,
+       a.vocab_score,
+       round(((strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT) * 10.0
+             + a.vocab_score, 4) AS total_score
+FROM anchored a JOIN documents d USING (doc_id)
+WHERE (strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT > 0
+"""
+)
+
+
+def q_vocab_dispatch_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 dispatch branch 3 (precision_search.py fallback): no vocabulary
+    term in the query ('window hash') -> plain lexical BM25 top-10, the
+    same arm the hybrid fusion uses."""
+    from vectordb_bioinsight_spark.operators.vocabulary import dispatch_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    strategy, out = dispatch_search(docs, "window hash", VOCAB_ENTRIES, top_k=10)
+    assert strategy == "lexical", strategy
+    return out
+
+
+def _sql_vocab_dispatch_lexical() -> str:
+    from vectordb_bioinsight_spark.plans.catalog_vector import _sql_bm25_scores
+
+    return _sql_bm25_scores(10, "window hash")
+
+
+SQL_VOCAB_DISPATCH_LEXICAL = _sql_vocab_dispatch_lexical()
+
+
 def q_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (§2.3 declared capability): for each purchase event, the
     latest prior-or-simultaneous view by the same user — union-and-carry

@@ -158,6 +158,83 @@ FROM (
 """
 
 
+def q_knn_vote_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 ensemble analog (pancancer_classifier.py:702-1015 soft-vote +
+    agreement + confidence bands): three kNN members (k = 3/5/7) emit
+    per-label vote shares, the ensemble averages them, reports the argmax
+    label, the fraction of members agreeing with it, and a
+    high/medium/low confidence band. Every step is deterministic
+    arithmetic, so the whole ensemble decision is hash-oracle-able —
+    exactly the vote/agreement layer the trained-model tier
+    (operators/ml_pipeline.ensemble_classifier) reuses."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        knn_label_probs,
+        soft_vote_ensemble,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    members = [
+        knn_label_probs(queries, emb, "vec_id", "vec_id", "embedding", "label", k=k)
+        for k in (3, 5, 7)
+    ]
+    return soft_vote_ensemble(members)
+
+
+SQL_KNN_VOTE_ENSEMBLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS cand_id, e.label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, cand_id, label,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS score
+  FROM pairs GROUP BY 1, 2, 3
+), scored AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, cand_id ASC) AS rn
+  FROM sums
+), members AS (
+  SELECT 0 AS model, 3 AS k UNION ALL SELECT 1, 5 UNION ALL SELECT 2, 7
+), votes AS (
+  SELECT m.model, s.query_id, s.label,
+         round(count(*) / (m.k * 1.0), 6) AS prob,
+         round(sum(s.score), 6) AS vote_score
+  FROM scored s JOIN members m ON s.rn <= m.k
+  GROUP BY 1, 2, 3, m.k
+), picks AS (
+  SELECT model, query_id, label AS pick FROM (
+    SELECT *, row_number() OVER (PARTITION BY model, query_id
+                                 ORDER BY prob DESC, vote_score DESC, label ASC) AS prn
+    FROM votes
+  ) WHERE prn = 1
+), means AS (
+  SELECT query_id, label,
+         round(sum(prob) / 3.0, 6) AS mean_prob,
+         round(sum(vote_score), 6) AS ts
+  FROM votes GROUP BY 1, 2
+), winners AS (
+  SELECT query_id, label AS predicted_label, mean_prob FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mean_prob DESC, ts DESC, label ASC) AS wrn
+    FROM means
+  ) WHERE wrn = 1
+), agr AS (
+  SELECT w.query_id, w.predicted_label, w.mean_prob,
+         round(sum(CASE WHEN p.pick = w.predicted_label THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS agreement
+  FROM winners w JOIN picks p USING (query_id)
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, predicted_label, mean_prob, agreement,
+       CASE WHEN mean_prob >= 0.8 THEN 'high'
+            WHEN mean_prob >= 0.5 THEN 'medium'
+            ELSE 'low' END AS confidence
+FROM agr
+"""
+
+
 def q_hvg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 HVG selection analog: top-20 parts by sample variance of their
     per-order quantities (preprocessor.py:102-106 var(axis=1).nlargest)."""

@@ -114,8 +114,8 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", HYBRID_QUERY_TEXT, k=10)
 
 
-def _sql_bm25_scores(limit: int) -> str:
-    terms = ", ".join(f"'{t}'" for t in HYBRID_QUERY_TEXT.split())
+def _sql_bm25_scores(limit: int, query_text: str | None = None) -> str:
+    terms = ", ".join(f"'{t}'" for t in (query_text or HYBRID_QUERY_TEXT).split())
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOK3} AS tk FROM documents
