@@ -133,6 +133,62 @@ def main() -> None:
         class_tfidf_top_terms(labeled, "label", "text", top_n=5),
     )
 
+    # --- r04 additions: the newest stats kernels at 1M rows -----------------
+    from vectordb_bioinsight_spark.functions.stats import welch_t
+    from vectordb_bioinsight_spark.operators.stats import (
+        gsea_prerank_es,
+        group_moments,
+        kruskal_wallis,
+    )
+
+    # Kruskal-Wallis: 10k keys x ~100 rows, 5 groups per key — the rank
+    # window is KEY-partitioned, so cost is linear in rows
+    kw_in = big_ev.select(
+        F.pmod(F.col("user_id"), F.lit(10_000)).alias("k"),
+        "event_type",
+        "value",
+    )
+    timed("kruskal_wallis (10k keys)", kruskal_wallis(kw_in, ["k"], "event_type", "value"))
+
+    # volcano chain: per-key two-group moments -> Welch t + log2FC + class,
+    # all one map-side-combinable agg + scalar exprs
+    v_in = big_ev.select(
+        F.pmod(F.col("user_id"), F.lit(10_000)).alias("k"),
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        "value",
+    )
+    vm = group_moments(v_in, ["k"], "grp", "value", "a", "b")
+    volcano = vm.select(
+        "k",
+        F.log2(F.col("mean_a") / F.col("mean_b")).alias("lfc"),
+        welch_t(
+            F.col("mean_a"), F.col("var_a"), F.col("n_a"),
+            F.col("mean_b"), F.col("var_b"), F.col("n_b"),
+        ).alias("t"),
+    )
+    timed("volcano chain (10k keys)", volcano)
+
+    # preranked GSEA: 1M distinct genes, 100 sets — the global rank is the
+    # documented single-partition step (inherent to preranked GSEA: the
+    # statistic is a running sum over the TOTAL ordering); the per-set
+    # running sum after it is set-partitioned
+    genes = big_ev.select(F.col("event_id").alias("gene")).distinct().select(
+        "gene", (F.pmod(F.col("gene") * 2654435761, F.lit(100_000)) / 1000.0).alias("stat")
+    )
+    membership = genes.select(
+        F.pmod(F.col("gene"), F.lit(100)).cast("string").alias("gene_set"), "gene"
+    )
+    timed("gsea_prerank_es (distinct event-id genes, 100 sets)", gsea_prerank_es(genes, "gene", "stat", membership, "gene_set"))
+
+    # the scale twin: two-phase rank + hits-only compressed walk — the
+    # shuffled row count is |membership|, never N x S
+    from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es_scaled
+
+    timed(
+        "gsea_prerank_es_scaled (distinct event-id genes, 100 sets)",
+        gsea_prerank_es_scaled(genes, "gene", "stat", membership, "gene_set"),
+    )
+
     spark.stop()
 
 

@@ -150,3 +150,34 @@ def test_cross_encoder_real_model(spark):
     on_topic = scores["the mitochondria is the powerhouse of the cell"]
     off_topic = scores["spark shuffles exchange data between executors"]
     assert on_topic > off_topic
+
+
+# ---------------------------------------------------------------------------
+# S3: full-fidelity PDF via PyMuPDF (VERDICT r03 task 7)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_pdf_binary_pymupdf_path(spark):
+    """Where PyMuPDF is importable, parse_pdf_binary's executors take the
+    fitz branch (readers.py decode()); this exercises that branch on a real
+    in-test PDF and checks the text survives. Skips cleanly otherwise."""
+    fitz = pytest.importorskip("fitz")
+
+    from tests.test_multimodal_sources import _mini_pdf
+    from vectordb_bioinsight_spark.sources.readers import parse_pdf_binary
+
+    pdf = _mini_pdf(["Results\nPyMuPDF extracts this paragraph."])
+    # precondition: fitz itself can open the synthesized document (it is
+    # xref-less; fitz repairs lenient PDFs — if this ever stops holding,
+    # build the PDF WITH fitz instead)
+    try:
+        doc = fitz.open(stream=pdf, filetype="pdf")
+        direct = "\n".join(page.get_text() for page in doc)
+    except Exception as exc:  # pragma: no cover - env-specific
+        pytest.skip(f"fitz cannot open the synthesized PDF here: {exc}")
+    assert "extracts this paragraph" in direct
+
+    df = spark.createDataFrame([(1, bytearray(pdf))], ["media_id", "payload"])
+    rows = parse_pdf_binary(df).collect()
+    assert len(rows) == 1
+    assert "extracts this paragraph" in rows[0]["text"]

@@ -222,6 +222,42 @@ class TestGseaPrerank:
                 best, best_rank = r6, rank
         assert row["es"] == best and row["rank_at_peak"] == best_rank
 
+    def test_scaled_twin_matches_fixed_exactly(self, spark):
+        """gsea_prerank_es_scaled (two-phase rank + hits-only compressed
+        walk) must reproduce the fixed version row-for-row, including the
+        edge shapes: a set whose members all miss the ranking, an all-hits
+        set, interleaved sets, and a set with zero-stat members."""
+        import random
+
+        from vectordb_bioinsight_spark.operators.stats import (
+            gsea_prerank_es,
+            gsea_prerank_es_scaled,
+        )
+
+        rng = random.Random(11)
+        n = 300
+        genes = [(i, round(rng.uniform(-20, 50), 3)) for i in range(n)]
+        ranked = spark.createDataFrame(genes, "gene long, stat double")
+        mem_rows = (
+            [("interleaved", g) for g in rng.sample(range(n), 40)]
+            + [("top_heavy", g) for g in range(12)]
+            + [("all_hits", g) for g in range(n)]
+            + [("ghost", g) for g in range(n, n + 5)]  # none in the ranking
+        )
+        mem = spark.createDataFrame(mem_rows, "gene_set string, gene long")
+        fixed = {r["gene_set"]: r for r in gsea_prerank_es(ranked, "gene", "stat", mem, "gene_set").collect()}
+        scaled = {r["gene_set"]: r for r in gsea_prerank_es_scaled(
+            ranked, "gene", "stat", mem, "gene_set", num_partitions=7
+        ).collect()}
+        # the fixed version cannot see the ghost set's walk (its members
+        # never join the grid... it CAN: set_ids cross join) — compare all
+        assert set(scaled) == set(fixed)
+        for k in fixed:
+            f, s = fixed[k], scaled[k]
+            assert (s["n_genes"], s["n_hits"]) == (f["n_genes"], f["n_hits"]), k
+            assert s["es"] == f["es"], (k, s["es"], f["es"])
+            assert s["rank_at_peak"] == f["rank_at_peak"], (k, s, f)
+
 
 class TestKruskalWallis:
     def test_matches_pure_python_replay(self, spark):

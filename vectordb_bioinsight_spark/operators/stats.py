@@ -692,6 +692,147 @@ def gsea_prerank_es(
     )
 
 
+def gsea_prerank_es_scaled(
+    ranked: DataFrame,
+    gene_col: str,
+    stat_col: str,
+    membership: DataFrame,
+    set_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """:func:`gsea_prerank_es` re-derived for scale — same statistic, two
+    structural fixes (SCALING.md rule: compress provably-redundant walks):
+
+    1. the global stat rank uses :func:`~vectordb_bioinsight_spark.operators
+       .windows.scaled_row_number` (range-repartition two-phase rank) instead
+       of the single-partition ``Window.orderBy`` — parallel at any N;
+    2. the N x S walk grid disappears: between two member rows the running
+       sum decays by a CONSTANT miss step, so its extremes provably occur
+       adjacent to member rows (at a hit, just before a hit, or at the very
+       end). Candidates are therefore computed from the MEMBERSHIP rows
+       only — |membership| rows shuffled on the set key, never N x S.
+
+    Exact equivalence with the fixed version is test-pinned, with one
+    documented half-ulp boundary: when an intermediate miss row ROUNDS to
+    exactly the peak magnitude (6 dp), ``rank_at_peak`` may differ while
+    ``es`` itself is identical.
+
+    Output: (set, n_genes, n_hits, es, rank_at_peak) — same contract.
+    """
+    from vectordb_bioinsight_spark.operators.windows import scaled_row_number
+
+    from pyspark.sql import Window
+
+    n_total = ranked.count()
+    g = ranked.select(
+        F.col(gene_col).alias("_gene"),
+        F.col(stat_col).cast("double").alias("_stat"),
+    )
+    ranks = scaled_row_number(
+        g, [F.desc("_stat"), F.asc("_gene")], "_rank", num_partitions
+    )
+    sets = membership.select(
+        F.col(set_col).alias("_set"), F.col(gene_col).alias("_gene")
+    ).distinct()
+    hits = ranks.join(sets, "_gene")  # one shuffle on gene, |membership| rows
+
+    part = Window.partitionBy("_set")
+    walk = Window.partitionBy("_set").orderBy("_rank")
+    n_s = F.count("*").over(part)
+    n_r = F.sum(F.abs(F.col("_stat"))).over(part)
+    # coalesce: when EVERY ranked gene is a member (N == N_S) no miss row
+    # exists, so the step is always multiplied by zero — 0 * NULL would
+    # poison the sum, 0 * 0.0 is the intended no-op
+    miss = F.coalesce(
+        -1.0 / F.nullif((F.lit(n_total) - n_s).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    contrib = F.coalesce(
+        F.abs(F.col("_stat")) / F.nullif(n_r, F.lit(0.0)), F.lit(0.0)
+    )
+    i = F.row_number().over(walk)
+    h = F.sum(contrib).over(walk)
+    scored = hits.select(
+        "_set",
+        "_rank",
+        n_s.alias("_ns"),
+        i.alias("_i"),
+        h.alias("_h"),
+        contrib.alias("_c"),
+        miss.alias("_m"),
+    )
+    # candidate values: AT hit i, just BEFORE hit i (when a miss precedes
+    # it), and the walk's final row (the post-last-hit tail minimum)
+    at_hit = scored.select(
+        "_set",
+        "_ns",
+        F.col("_rank").alias("_crank"),
+        F.round(F.col("_h") + (F.col("_rank") - F.col("_i")) * F.col("_m"), 6).alias("_val"),
+    )
+    before_hit = scored.filter(F.col("_rank") > 1).select(
+        "_set",
+        "_ns",
+        (F.col("_rank") - 1).alias("_crank"),
+        F.round(
+            F.col("_h") - F.col("_c") + (F.col("_rank") - F.col("_i")) * F.col("_m"), 6
+        ).alias("_val"),
+    )
+    tail = (
+        scored.groupBy("_set")
+        .agg(
+            F.max("_ns").alias("_ns"),
+            F.max("_rank").alias("_rmax"),
+            F.max(F.struct("_i", "_h")).alias("_last"),
+            F.max("_m").alias("_m"),
+        )
+        .filter(F.col("_rmax") < n_total)
+        .select(
+            "_set",
+            "_ns",
+            F.lit(n_total).alias("_crank"),
+            F.round(
+                F.col("_last._h")
+                + (F.lit(n_total) - F.col("_ns")).cast("double") * F.col("_m"),
+                6,
+            ).alias("_val"),
+        )
+    )
+    cands = at_hit.unionByName(before_hit).unionByName(tail)
+    best = cands.groupBy("_set").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("_val")).alias("a"),
+                (-F.col("_crank")).alias("nr"),
+                F.col("_val").alias("v"),
+                F.col("_crank").alias("r"),
+            )
+        ).alias("_b"),
+        F.max("_ns").alias("_nsf"),
+    )
+    with_hits = best.select(
+        F.col("_set").alias(set_col),
+        F.lit(n_total).cast("long").alias("n_genes"),
+        F.col("_nsf").cast("long").alias("n_hits"),
+        F.col("_b.v").alias("es"),
+        F.col("_b.r").cast("long").alias("rank_at_peak"),
+    )
+    # sets whose members all miss the ranked list: pure-miss walk, run
+    # decays monotonically to -1 at rank N (the fixed version emits these
+    # from its set-id cross join)
+    no_hit = (
+        membership.select(F.col(set_col).alias("_set")).distinct()
+        .join(sets.join(ranks, "_gene").select("_set").distinct(), "_set", "left_anti")
+        .select(
+            F.col("_set").alias(set_col),
+            F.lit(n_total).cast("long").alias("n_genes"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(-1.0).alias("es"),
+            F.lit(n_total).cast("long").alias("rank_at_peak"),
+        )
+    )
+    return with_hits.unionByName(no_hit)
+
+
 def kruskal_wallis(
     df: DataFrame,
     key_cols: Sequence[str],

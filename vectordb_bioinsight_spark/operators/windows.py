@@ -129,3 +129,58 @@ def rolling_time_sum(
     return df.withColumn("w_sum", F.round(F.sum(value_col).over(w), 4)).withColumn(
         "w_cnt", F.count("*").over(w).cast("long")
     )
+
+
+def scaled_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global row_number WITHOUT the single-partition window — the
+    reusable two-phase rank underneath ``stats.bh_adjust_scaled``, factored
+    out (VERDICT r03: make scale-safe shapes the defaults):
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys —
+       a PARALLEL shuffle that leaves partitions globally ordered and rows
+       sorted within each (eager localCheckpoint pins partition identity);
+    2. per-partition counts (one collect of ``num_partitions`` scalars) →
+       rank offsets broadcast back;
+    3. one mapInPandas pass adds ``offset + local_position``.
+
+    ``order_by`` must be a TOTAL order (include a tiebreak key), exactly as
+    ``Window.orderBy`` would require for a deterministic row_number.
+    Driver traffic is ``num_partitions`` integers, independent of rows.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_srn_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {r["_srn_pid"]: r["count"] for r in src.groupBy("_srn_pid").count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    b_off = df.sparkSession.sparkContext.broadcast(offsets)
+
+    schema = StructType(list(src.schema.fields) + [StructField(rank_col, LongType(), True)])
+
+    def assign(it):  # noqa: ANN001
+        nxt: dict[int, int] = {}  # a partition arrives as several Arrow batches
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            pid = int(out["_srn_pid"].iloc[0])
+            start = nxt.get(pid, b_off.value[pid])
+            out[rank_col] = pd.RangeIndex(start + 1, start + 1 + len(out))
+            nxt[pid] = start + len(out)
+            yield out
+
+    return src.mapInPandas(assign, schema=schema).drop("_srn_pid")

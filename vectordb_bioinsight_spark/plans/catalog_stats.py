@@ -251,9 +251,11 @@ ORDER BY variance DESC, l_partkey ASC LIMIT 20
 
 def q_gsea_brand_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preranked GSEA enrichment score per brand "gene set": are a brand's
-    parts enriched toward the top of the retail-price ranking? The
-    running-sum KS-style statistic as one set-keyed window pass."""
-    from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es
+    parts enriched toward the top of the retail-price ranking? Routed
+    through the SCALE implementation (gsea_prerank_es_scaled: two-phase
+    range rank + hits-only compressed walk, no global window, no N x S
+    grid) — exact equivalence with the fixed version is test-pinned."""
+    from vectordb_bioinsight_spark.operators.stats import gsea_prerank_es_scaled
 
     part = load_table(spark, sf_dir, "part")
     ranked = part.select(
@@ -262,7 +264,7 @@ def q_gsea_brand_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership = part.select(
         F.col("p_brand").alias("gene_set"), F.col("p_partkey").alias("gene")
     )
-    return gsea_prerank_es(ranked, "gene", "stat", membership, "gene_set")
+    return gsea_prerank_es_scaled(ranked, "gene", "stat", membership, "gene_set")
 
 
 SQL_GSEA_BRAND_ES = """
