@@ -82,6 +82,12 @@ HEADLINE = [
     "ngram_decontaminate",
     "ivfpq_knn",
     "funnel_conversion",
+    # round-4 additions: the ensemble vote stack (3 kNN members + agreement),
+    # the vocabulary keyword-dispatch branch (broadcast-dim containment join),
+    # and the scaled preranked GSEA (two-phase rank + hits-only walk)
+    "knn_vote_ensemble",
+    "vocab_dispatch_keywords",
+    "gsea_brand_es",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

@@ -117,6 +117,9 @@ _MAX_EXCHANGES = {
 def test_expensive_query_shuffle_count_pinned(spark, name):
     import re as _re
 
+    # another test may have .cache()d an input table; an InMemoryTableScan
+    # changes the exchange structure, so pin against the uncached plan
+    spark.catalog.clearCache()
     plan = _plan(spark, name)
     n_ex = len(_re.findall(r"^\(\d+\) Exchange", plan, _re.MULTILINE))
     assert n_ex <= _MAX_EXCHANGES[name], (
