@@ -81,6 +81,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_dispatch_lexical": (
         cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL
     ),
+    "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
+    "bpe_train_merges": (tx.q_bpe_train_merges, None),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

@@ -1361,3 +1361,76 @@ FROM a
 
 
 SQL_CORPUS_TOKEN_BUDGET = _sql_corpus_token_budget()
+
+
+# --- BPE tokenizer tier (operators/bpe.py) ---------------------------------
+
+#: A FIXED merge table — the shippable tokenizer artifact (learned once with
+#: bpe_train on this corpus, then frozen, exactly how a production tokenizer
+#: is a frozen file). Literal merges keep the encode entry hash-oracle-able.
+BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"),
+]
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword encoding (Sennrich 2016) of 5% of the corpus under the
+    frozen 16-merge model — the anchored-replace chain is pure scan-local
+    JVM expression work, zero shuffle, and exactly replayable in SQL.
+    Output one row per subword token: (doc_id, pos, token)."""
+    from vectordb_bioinsight_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    enc = bpe_encode(docs, "text", BPE_MERGES)
+    return enc.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+def _sql_bpe_encode() -> str:
+    sep = "\x1f"
+    expr = "s"
+    for left, right in BPE_MERGES:
+        expr = f"replace({expr}, '{sep}{left}{sep}{right}{sep}', '{sep}{left}{right}{sep}')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOK3} AS tk FROM documents WHERE doc_id % 20 = 0
+), w AS (
+  SELECT doc_id, unnest(tk) AS word, generate_subscripts(tk, 1) AS wpos FROM d
+), sp AS (
+  SELECT doc_id, wpos,
+         '{sep}' || list_aggregate(string_split(word, '') || ['</w>'], 'string_agg', '{sep}') || '{sep}' AS s
+  FROM w
+), m AS (
+  SELECT doc_id, wpos, {expr} AS s FROM sp
+), toks AS (
+  SELECT doc_id, wpos,
+         unnest(string_split(trim(s, '{sep}'), '{sep}')) AS tok,
+         generate_subscripts(string_split(trim(s, '{sep}'), '{sep}'), 1) AS tpos
+  FROM m
+), cleaned AS (
+  SELECT doc_id, wpos, tpos, regexp_replace(tok, '</w>$', '') AS token FROM toks
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1)::BIGINT AS pos,
+       token
+FROM cleaned WHERE length(token) > 0
+"""
+
+
+SQL_BPE_ENCODE_DOCS = _sql_bpe_encode()
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning on the live corpus (rows-only: the argmax loop is
+    driver-iterative, not SQL-expressible): 8 merges, corpus scanned ONCE
+    into the frequency-weighted word vocab, every iteration bounded by
+    vocab size. Output the ordered merge table (rank, left, right)."""
+    from vectordb_bioinsight_spark.operators.bpe import bpe_train, merges_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=8)
+    return merges_table(spark, merges)
