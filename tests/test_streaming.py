@@ -244,3 +244,38 @@ def test_funnel_stream_string_user_ids(spark, tmp_path_factory):
     final = {r["uid"]: r["stage"] for r in
              got.groupBy("uid").agg(F.max("stage").alias("stage")).collect()}
     assert final == {"u-a": 2, "u-b": 1}
+
+
+def test_cms_stream_matches_batch_sketch(spark, tmp_path_factory):
+    """Streaming CMS (bounded depth*width state) must equal cms_build over
+    the same documents cell-for-cell, and estimates through the streamed
+    sketch must equal batch estimates."""
+    from vectordb_bioinsight_spark.operators.sketches import cms_build, cms_estimate
+    from vectordb_bioinsight_spark.streaming.sketch_stream import cms_term_stream
+    from vectordb_bioinsight_spark.functions.text import tokenize
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(200)
+    path = str(tmp_path_factory.mktemp("cms_stream"))
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    static = spark.read.parquet(path)
+
+    stream = cms_term_stream(
+        stream_events_from_dir(spark, path, schema), "text", width=256, depth=4
+    )
+    got = run_stream_to_memory(stream, "cms_stream_test", output_mode="complete")
+    assert got.count() <= 256 * 4  # bounded state, by construction
+
+    toks = static.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    want = cms_build(toks, "term", width=256, depth=4)
+    streamed = {(r["j"], r["bucket"]): r["cnt"] for r in got.collect()}
+    batch = {(r["j"], r["bucket"]): r["cnt"] for r in want.collect()}
+    assert streamed == batch
+
+    watch = spark.createDataFrame([("join",), ("merge",), ("zzzz",)], ["term"])
+    est_stream = {r["term"]: r["cms_est"] for r in
+                  cms_estimate(got, watch, "term", 256, 4).collect()}
+    est_batch = {r["term"]: r["cms_est"] for r in
+                 cms_estimate(want, watch, "term", 256, 4).collect()}
+    assert est_stream == est_batch
+    assert est_stream["join"] > 0
