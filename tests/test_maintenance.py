@@ -253,3 +253,89 @@ class TestCompactAndVacuum:
         dirs = sorted(d for d in os.listdir(path) if d.startswith("v") and d[1:].isdigit())
         assert dirs == ["v2", "v3"]
         assert read_current(spark, path).count() == 100
+
+
+class TestAnnStore:
+    def test_ivf_index_save_load_search_parity(self, spark, tmp_path):
+        """Build -> save -> load -> search must equal searching the fresh
+        index, and the loaded probe scan must PRUNE partitions (only
+        n_probe cell directories read)."""
+        from vectordb_bioinsight_spark.operators.vector import (
+            ivf_build_index,
+            ivf_search,
+        )
+        from vectordb_bioinsight_spark.sources.ann_store import (
+            load_ivf_index,
+            probed_cells_scan,
+            save_ivf_index,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        index = ivf_build_index(emb, "vec_id", "embedding", n_cells=8)
+        path = str(tmp_path / "ivf_index")
+        v = save_ivf_index(path, index[0], index[1], meta={"n_cells": 8})
+        assert v == 0
+
+        assigned, centroids, codebook, manifest = load_ivf_index(spark, path)
+        assert codebook is None and manifest["n_cells"] == 8
+        queries = emb.filter(F.col("vec_id") < 8)
+        fresh = ivf_search(index, queries, "vec_id", "embedding", k=5, n_probe=3)
+        loaded = ivf_search(
+            (assigned, centroids), queries, "vec_id", "embedding", k=5, n_probe=3
+        )
+        f = {(r["query_id"], r["rank"]): (r["cand_id"], r["score"]) for r in fresh.collect()}
+        l = {(r["query_id"], r["rank"]): (r["cand_id"], r["score"]) for r in loaded.collect()}
+        assert f == l and len(f) > 0
+
+        # partition pruning: filtering the partition column must reach the
+        # scan as a partition filter, not a data filter
+        plan = probed_cells_scan(assigned, [1, 3])._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan
+        seg = plan.split("PartitionFilters", 1)[1][:200]
+        assert "_cell" in seg
+
+    def test_ivf_index_versions_flip_atomically(self, spark, tmp_path):
+        from vectordb_bioinsight_spark.operators.vector import ivf_build_index
+        from vectordb_bioinsight_spark.sources.ann_store import (
+            load_ivf_index,
+            save_ivf_index,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        path = str(tmp_path / "ivf_versions")
+        a8 = ivf_build_index(emb, "vec_id", "embedding", n_cells=8)
+        save_ivf_index(path, a8[0], a8[1], meta={"n_cells": 8})
+        a4 = ivf_build_index(emb, "vec_id", "embedding", n_cells=4)
+        v = save_ivf_index(path, a4[0], a4[1], meta={"n_cells": 4})
+        assert v == 1
+        _, _, _, manifest = load_ivf_index(spark, path)
+        assert manifest["n_cells"] == 4  # reader sees the committed version
+
+    def test_pq_codebook_roundtrip(self, spark, tmp_path):
+        from vectordb_bioinsight_spark.operators.pq import pq_encode, pq_train_kmeans
+        from vectordb_bioinsight_spark.operators.vector import ivf_build_index
+        from vectordb_bioinsight_spark.sources.ann_store import (
+            load_ivf_index,
+            save_ivf_index,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        cb = pq_train_kmeans(emb, "vec_id", "embedding", m=4, k=8, iters=3)
+        index = ivf_build_index(emb, "vec_id", "embedding", n_cells=4)
+        path = str(tmp_path / "ivfpq_index")
+        save_ivf_index(path, index[0], index[1], codebook=cb)
+        _, _, cb2, manifest = load_ivf_index(spark, path)
+        assert manifest["has_codebook"]
+        assert cb2 == [[list(map(float, c)) for c in sub] for sub in cb]
+        # encoding through the reloaded codebook is identical
+        e1 = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
+        e2 = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb, "vec_id", "embedding", cb2).collect()}
+        assert e1 == e2

@@ -51,6 +51,14 @@ def read_current(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(snapshot_path(path))
 
 
+def _flip_pointer(path: str, version: int) -> None:
+    """Atomically commit ``version`` as current (tmp write + rename)."""
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _POINTER))
+
+
 def write_snapshot(df: DataFrame, path: str) -> int:
     """Write ``df`` as the next snapshot and atomically flip the pointer.
 
@@ -59,10 +67,7 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     man's transaction log — one integer, one rename-free overwrite)."""
     next_v = _current_version(path) + 1
     df.write.mode("overwrite").parquet(snapshot_path(path, next_v))
-    tmp = os.path.join(path, _POINTER + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(next_v))
-    os.replace(tmp, os.path.join(path, _POINTER))
+    _flip_pointer(path, next_v)
     return next_v
 
 
