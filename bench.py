@@ -88,6 +88,8 @@ HEADLINE = [
     "knn_vote_ensemble",
     "vocab_dispatch_keywords",
     "gsea_brand_es",
+    # r04: the BPE subword encoder (scan-local replace chain, zero shuffle)
+    "bpe_encode_docs",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

@@ -189,6 +189,15 @@ def main() -> None:
         gsea_prerank_es_scaled(genes, "gene", "stat", membership, "gene_set"),
     )
 
+    # BPE tier: train = one corpus scan + vocab-bounded loop; encode =
+    # scan-local replace chain
+    from vectordb_bioinsight_spark.operators.bpe import bpe_encode, bpe_train
+
+    t0 = time.perf_counter()
+    merges = bpe_train(big.select("doc_id", "text"), "text", n_merges=16)
+    print(f"bpe_train 16 merges\t{time.perf_counter() - t0:.1f}s")
+    timed("bpe_encode (16 merges)", bpe_encode(big, "text", merges))
+
     spark.stop()
 
 
