@@ -110,6 +110,11 @@ _MAX_EXCHANGES = {
     "bh_adjust": 1,
     "ngram_decontaminate": 3,
     "span_cut_docs": 4,
+    # r04 additions (audited at pin time)
+    "bpe_encode_docs": 0,  # pure scan-local — ANY exchange is a regression
+    "vocab_dispatch_list": 4,
+    "vocab_dispatch_keywords": 4,
+    "knn_vote_ensemble": 6,
 }
 
 
