@@ -83,6 +83,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
     "bpe_train_merges": (tx.q_bpe_train_merges, None),
+    "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),
+    "term_proximity": (tx.q_term_proximity, tx.SQL_TERM_PROXIMITY),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

@@ -1434,3 +1434,54 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", n_merges=8)
     return merges_table(spark, merges)
+
+
+# --- positional retrieval (operators/phrase.py) -----------------------------
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("merge join") via the anchor trick: positions
+    of term_i shifted by -i agree at a match — one tokenize scan, a
+    scan-local term filter, ONE groupBy; no positional self-join. Output
+    every occurrence (doc_id, start_pos)."""
+    from vectordb_bioinsight_spark.operators.phrase import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_match(docs, "doc_id", "text", ["merge", "join"])
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOK3} AS tk FROM documents)
+), cand AS (
+  SELECT doc_id, pos - m.i AS start_pos, m.i
+  FROM toks JOIN (VALUES (0, 'merge'), (1, 'join')) m(i, t) ON m.t = toks.token
+)
+SELECT doc_id, start_pos::BIGINT AS start_pos
+FROM cand WHERE start_pos >= 0
+GROUP BY 1, 2 HAVING count(DISTINCT i) = 2
+"""
+
+
+def q_term_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-proximity scores: per-doc minimum token distance between
+    'vector' and 'spark' (1 = adjacent) — the lexical closeness signal
+    BM25's bag-of-words scoring cannot express. Join input is two posting
+    lists, never the token stream."""
+    from vectordb_bioinsight_spark.operators.phrase import min_term_distance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return min_term_distance(docs, "doc_id", "text", "vector", "spark")
+
+
+SQL_TERM_PROXIMITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOK3} AS tk FROM documents)
+)
+SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_dist
+FROM (SELECT doc_id, pos FROM toks WHERE token = 'vector') a
+JOIN (SELECT doc_id, pos FROM toks WHERE token = 'spark') b USING (doc_id)
+GROUP BY 1
+"""
