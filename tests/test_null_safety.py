@@ -101,3 +101,40 @@ def test_trend_briefing_composition(spark):
             assert r["ratio"] >= 2.0
         if r["trend"] == "declining":
             assert r["ratio"] <= 0.5
+
+
+def test_r04_operators_handle_dirty_docs(spark, dirty_docs):
+    """Round-4 additions under the same dirty-corpus contract: null/empty
+    text degrades (row dropped or null output), never throws."""
+    from vectordb_bioinsight_spark.operators.bpe import bpe_encode
+    from vectordb_bioinsight_spark.operators.phrase import (
+        min_term_distance,
+        phrase_match,
+    )
+    from vectordb_bioinsight_spark.operators.vocabulary import (
+        dispatch_search,
+        vocab_dimension,
+        vocab_match_scores,
+    )
+    from vectordb_bioinsight_spark.plans.catalog_coverage import VOCAB_ENTRIES
+
+    # phrase/proximity: null & empty docs simply produce no postings
+    pm = phrase_match(dirty_docs, "doc_id", "text", ["merge", "join"]).collect()
+    assert {r["doc_id"] for r in pm} == {1}
+    md = min_term_distance(dirty_docs, "doc_id", "text", "merge", "join").collect()
+    assert {r["doc_id"] for r in md} == {1}
+
+    # vocab anchor: containment join skips null text, keeps matching docs
+    vocab = vocab_dimension(spark, VOCAB_ENTRIES)
+    vm = vocab_match_scores(dirty_docs, vocab, "doc_id", "text", "join").collect()
+    assert {r["doc_id"] for r in vm} == {1}
+    for strategy_query in ("merge", "join vector", "window hash"):
+        _, out = dispatch_search(dirty_docs, strategy_query, VOCAB_ENTRIES)
+        out.collect()  # must not throw on the dirty corpus
+
+    # bpe: null text -> null token array; empty/short text -> empty array
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in
+           bpe_encode(dirty_docs, "text", [("e", "r")]).collect()}
+    assert enc[2] is None
+    assert enc[3] == [] and enc[4] == [] and enc[5] == []
+    assert len(enc[1]) > 0

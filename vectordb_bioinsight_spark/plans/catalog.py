@@ -3,8 +3,9 @@
 This is the driver-facing surface (__spark_entry__.py re-exports it) and the
 engine's own regression suite: every SURVEY.md §2 operator family implemented
 so far has at least one entry here, and every entry with an oracle is
-hash-matched against DuckDB at sf0.01 by the driver (and at sf0.001 by
-tests/test_oracle_parity.py locally).
+hash-matched against DuckDB at sf0.001 by tests/test_oracle_parity.py (and at
+sf0.01 by the external driver's rotating ~50-entry window — see the ordering
+contract below; CORRECTNESS_r*.json records which entries each round covered).
 """
 
 from __future__ import annotations
@@ -32,16 +33,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round. r01 u r02 drove 100 distinct entries; this round
-#: front-loads (a) the ONLY ever-red driver row (exact_dup_groups, fixed
-#: in r02, awaiting driver confirmation), then (b) every entry with NO
-#: driver row yet -- the coverage fill-ins, sampling/splitting, vector
-#: scale paths, the TPC-H shape sweep, and the rows-only tier -- then
-#: (c) the two r02 rows that green-matched on 0 rows, now de-vacuated
-#: (corpus-derived keywords; planted benchmark overlap), hub_parts (now
-#: oracle-backed via the unrolled BFS/Brandes/power-iteration SQL twin),
-#: and the new streaming-tier batch twin. Everything after the window is
-#: driver-green from r01/r02 (stalest last).
+#: entries per round. r01-r03 drove 146 distinct entries (r03: 50/50
+#: green). This round front-loads (a) the 23 entries that have never had
+#: a driver CORRECTNESS row (the r03-session-2 additions — the only gap
+#: VERDICT r03 named), then (b) everything NEW in r04 (ensemble vote,
+#: vocabulary dispatch, BPE, positional retrieval, the scale-default
+#: semdedup), then (c) backfills the window with the STALEST driver
+#: greens (r01-only), and (d/e) parks the r02/r03-confirmed blocks after
+#: the window, freshest last.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === (a) r04 window: the 23 entries with NO driver CORRECTNESS row
     # yet (added r03 session 2 after the r03 window was fixed) — the only
