@@ -181,3 +181,51 @@ def test_orc_round_trip(spark, tmp_path):
     # partition pruning: the k filter must reach the file listing
     plan = back.filter(F.col("k") == "a")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "k#" in plan
+
+
+def test_write_zordered_skips_files_on_every_column(spark, tmp_path):
+    """The Z-ordered layout must bound each file to a small hyper-rectangle:
+    a narrow range predicate on EITHER clustered column overlaps only a
+    minority of files' footer min/max — the multi-column skipping
+    write_clustered cannot give (its second key prunes nothing)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vectordb_bioinsight_spark.sources.writers import write_zordered
+
+    # two independent uniform dims — the classic z-order shape
+    df = spark.range(0, 40_000).selectExpr(
+        "id",
+        "cast(id * 2654435761 % 10000 as long) as x",
+        "cast(id * 40503 % 10000 as long) as y",
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, cluster_by=["x", "y"], num_files=16)
+
+    def file_ranges(col):
+        ranges = []
+        for f in sorted(glob.glob(out + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    n_files = len(glob.glob(out + "/part-*.parquet"))
+    assert n_files >= 8
+    for col in ("x", "y"):
+        ranges = file_ranges(col)
+        # a 5%-wide predicate on this column must overlap < half the files
+        lo, hi = 4000, 4500
+        touched = sum(1 for (mn, mx) in ranges if not (mx < lo or mn > hi))
+        assert touched <= n_files // 2, (col, touched, n_files, ranges)
+
+    # the z column is layout only — it must not survive into the data
+    cols = set(spark.read.parquet(out).columns)
+    assert cols == {"id", "x", "y"}
+    assert spark.read.parquet(out).count() == 40_000
