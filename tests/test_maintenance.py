@@ -339,3 +339,29 @@ class TestAnnStore:
         e1 = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
         e2 = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb, "vec_id", "embedding", cb2).collect()}
         assert e1 == e2
+
+
+def test_snapshot_diff_classifies_changes(spark, doc_store):
+    from vectordb_bioinsight_spark.sources.maintenance import (
+        snapshot_diff,
+        upsert_by_key,
+        delete_where,
+    )
+
+    path, docs = doc_store
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    updates = spark.createDataFrame(
+        [(0, "edited", "en", "src0"), (max_id + 1, "fresh", "de", "srcN")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    upsert_by_key(spark, path, updates, ["doc_id"])          # v1
+    delete_where(spark, path, F.col("doc_id") == 1)          # v2
+
+    diff = snapshot_diff(spark, path, ["doc_id"], 0, 2).collect()
+    by_id = {r["doc_id"]: r for r in diff}
+    assert set(by_id) == {0, 1, max_id + 1}
+    assert by_id[0]["_change_type"] == "update_postimage" and by_id[0]["text"] == "edited"
+    assert by_id[1]["_change_type"] == "delete" and by_id[1]["text"] is None
+    assert by_id[max_id + 1]["_change_type"] == "insert" and by_id[max_id + 1]["text"] == "fresh"
+    # adjacent identical versions diff to empty
+    assert snapshot_diff(spark, path, ["doc_id"], 2, 2).count() == 0

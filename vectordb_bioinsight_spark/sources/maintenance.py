@@ -349,3 +349,52 @@ def vacuum_table(path: str, keep_last: int = 2) -> list[int]:
             shutil.rmtree(os.path.join(path, f"v{v}"))
             removed.append(v)
     return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    key_cols: "list[str]",
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed between two snapshot versions (Delta CDF's
+    table_changes analog over the copy-on-write store): one full outer join
+    on the key classifies every row as ``insert`` / ``delete`` /
+    ``update_postimage`` / unchanged (unchanged rows are dropped — the feed
+    carries changes only).
+
+    Physical plan: key-keyed full outer join of the two snapshots (with the
+    table bucketed by key both sides are co-located); the change test is
+    the null-safe struct comparison over non-key columns.
+
+    Output: all columns of the TO version (NULL for deletes except keys)
+    + ``_change_type``.
+    """
+    to_v = _current_version(path) if to_version is None else to_version
+    old = spark.read.parquet(snapshot_path(path, from_version))
+    new = spark.read.parquet(snapshot_path(path, to_v))
+    attr_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.expr("_old <=> _new"), F.lit("update_postimage"))
+    )
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *key_cols,
+            *[F.col(f"_new.{c}").alias(c) for c in attr_cols],
+            "_change_type",
+        )
+    )
