@@ -237,3 +237,31 @@ def test_weighted_sample_matches_pure_python(spark, weights, k):
 
     want = sorted(range(len(weights)), key=lambda i: (-key(i, weights[i]), i))[:k]
     assert got == want, (weights, k)
+
+
+word = st.sampled_from(["aaa", "bbb", "ccc", "ddd", "xyz"])
+docs_strategy = st.lists(
+    st.lists(word, min_size=0, max_size=12).map(" ".join), min_size=1, max_size=6
+)
+
+
+@given(texts=docs_strategy, p1=word, p2=word)
+@settings(**SETTINGS)
+def test_phrase_match_equals_python_scan(spark, texts, p1, p2):
+    """Anchor-trick phrase matching == a literal python window scan over the
+    same token stream, for arbitrary docs and any 2-term phrase (including
+    repeated-term phrases like ('aaa','aaa'))."""
+    from vectordb_bioinsight_spark.operators.phrase import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["start_pos"]) for r in
+           phrase_match(df, "doc_id", "text", [p1, p2]).collect()}
+    want = set()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        for p in range(len(toks) - 1):
+            if toks[p] == p1 and toks[p + 1] == p2:
+                want.add((i, p))
+    assert got == want
