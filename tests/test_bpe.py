@@ -133,3 +133,51 @@ def test_train_stops_when_pairs_exhaust(spark):
     merges = bpe_train(tiny, "text", n_merges=50)
     # 'abc</w>' supports exactly 3 merges before it is one symbol
     assert len(merges) == 3
+
+
+def test_encode_chained_same_pair_runs(spark):
+    """Reviewer-caught regression: back-to-back occurrences of the SAME
+    merged pair ('aaaa' under ('a','a'); 'banana' under ('a','n')) must
+    merge greedily left-to-right in ONE pass on the replace-chain path,
+    identically to the UDF path and the Sennrich reference."""
+    df = spark.createDataFrame(
+        [(0, "aaaa banana bananana")], "doc_id long, text string"
+    )
+    for merges in ([("a", "a")], [("a", "n")]):
+        expr = bpe_encode(df, "text", merges, eow=False).first()["bpe_tokens"]
+        udf = bpe_encode_udf(df, "text", merges, eow=False).first()["bpe_tokens"]
+        want = _reference_encode_no_eow("aaaa banana bananana", merges)
+        assert expr == want, (merges, expr, want)
+        assert udf == want, (merges, udf, want)
+
+
+def _reference_encode_no_eow(text: str, merges) -> list[str]:
+    out = []
+    for w in re.findall(r"[a-z0-9]+", text.lower()):
+        if len(w) < 3:
+            continue
+        syms = list(w)
+        for l, r in merges:
+            i, merged = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return [s for s in out if s]
+
+
+def test_train_handles_repeated_pair_words(spark):
+    """Training on a corpus dominated by chained-pair words must match the
+    Sennrich replay (the vocab replace uses the same wrapped form)."""
+    corpus = ["banana bananas cabana", "banana banana aaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = bpe_train(df, "text", n_merges=10)
+    want = _reference_bpe(corpus, 10)
+    assert got == want, (got, want)

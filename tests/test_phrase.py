@@ -64,3 +64,15 @@ def test_phrase_plan_has_no_positional_self_join(spark):
     plan = phrase_match(df, "doc_id", "text", ["merge", "join"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_min_term_distance_same_term(spark):
+    """Equal terms measure the gap between DISTINCT occurrences; a single
+    occurrence never self-pairs to 0 (review finding r04)."""
+    df = _docs(spark, [
+        "spark word spark",   # two occurrences, distance 2
+        "spark once only",    # one occurrence -> dropped
+    ])
+    got = {r["doc_id"]: r["min_dist"] for r in
+           min_term_distance(df, "doc_id", "text", "spark", "spark").collect()}
+    assert got == {0: 2}

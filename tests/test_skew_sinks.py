@@ -229,3 +229,26 @@ def test_write_zordered_skips_files_on_every_column(spark, tmp_path):
     cols = set(spark.read.parquet(out).columns)
     assert cols == {"id", "x", "y"}
     assert spark.read.parquet(out).count() == 40_000
+
+
+def test_zorder_edge_cases(spark, tmp_path):
+    """Review findings r04: empty input / all-NULL columns must write
+    cleanly (constant bucket), and an over-budget bit layout must raise
+    instead of silently wrapping shift amounts."""
+    import pytest
+
+    from vectordb_bioinsight_spark.sources.writers import write_zordered, zorder_key
+
+    empty = spark.range(0).selectExpr("id", "id as x", "id as y")
+    out = str(tmp_path / "z_empty")
+    write_zordered(empty, out, cluster_by=["x", "y"], num_files=4)
+    assert spark.read.parquet(out).count() == 0
+
+    nulls = spark.range(10).selectExpr("id", "cast(null as long) as x", "id as y")
+    out2 = str(tmp_path / "z_nulls")
+    write_zordered(nulls, out2, cluster_by=["x", "y"], num_files=2)
+    assert spark.read.parquet(out2).count() == 10
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_key(spark.range(4).selectExpr(*[f"id as c{i}" for i in range(8)]),
+                   [f"c{i}" for i in range(8)], bits_per_col=16)

@@ -81,3 +81,25 @@ class TestDispatch:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestReviewFixes:
+    def test_midword_term_does_not_fragment_query(self):
+        """'merged results' must NOT match vocab term 'merge' (word-bounded
+        extraction — review finding r04: raw substring removal left 'd
+        results' as garbage keywords)."""
+        assert extract_key_from_query("merged results", VOCAB_ENTRIES) == (
+            None,
+            "merged results",
+        )
+        # boundaries still allow punctuation-adjacent matches
+        key, rest = extract_key_from_query("merge, please", VOCAB_ENTRIES)
+        assert key == "join"
+        assert rest == ", please"
+
+    def test_fragmented_branch_goes_lexical(self, spark):
+        from tests.conftest import SF_SMALL
+
+        docs = load_table(spark, SF_SMALL, "documents")
+        strategy, _ = dispatch_search(docs, "merged results", VOCAB_ENTRIES)
+        assert strategy == "lexical"

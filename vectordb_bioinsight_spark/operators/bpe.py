@@ -23,12 +23,16 @@ Scale design (the whole point):
   in ANSI SQL, so the encode path is hash-oracle-able) or a broadcast
   merge-dict pandas UDF (large tables).
 
-Greedy-leftmost semantics note: applying merge (l, r) to the
-separator-joined form ``␟s1␟s2␟...␟`` via ``replace('␟l␟r␟' -> '␟lr␟')``
-reproduces BPE's leftmost non-overlapping merge exactly — the replacement
-re-emits both anchors, so chains like ``a a a -> aa a`` behave correctly,
-and the anchors prevent token-prefix false matches (``a bb`` never matches
-``␟a␟b␟``).
+Greedy-leftmost semantics note: every symbol is INDIVIDUALLY wrapped —
+``␟s1␟␟s2␟␟s3␟`` — and merge (l, r) is ``replace('␟l␟␟r␟' -> '␟lr␟')``.
+Because each symbol carries its own pair of anchors, a replacement emits a
+complete wrapped symbol and the scan can match the immediately following
+pair: a run ``a a a a`` merges to ``aa aa`` in ONE pass, exactly BPE's
+leftmost non-overlapping rule. (The single-shared-anchor form
+``␟a␟a␟a␟a␟`` is WRONG here: the first match consumes the separator the
+second needs, merging only every other occurrence per pass — caught by
+review, regression-pinned in tests/test_bpe.py.) The wrapping also blocks
+token-prefix false matches: ``a bb`` never matches ``␟a␟␟b␟``.
 """
 
 from __future__ import annotations
@@ -64,14 +68,15 @@ def words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _spaced(word: Column, eow: bool) -> Column:
-    """``hello`` -> ``␟h␟e␟l␟l␟o␟</w>␟`` (anchored symbol sequence).
+    """``hello`` -> ``␟h␟␟e␟␟l␟␟l␟␟o␟␟</w>␟`` — every symbol wrapped in its
+    OWN anchor pair (see the module greedy-leftmost note).
 
     split-by-empty-pattern emits a trailing "" element; filter it so the
     anchor arithmetic stays exact."""
     syms = F.filter(F.split(word, ""), lambda c: F.length(c) > 0)
     if eow:
         syms = F.concat(syms, F.array(F.lit(EOW)))
-    return F.concat(F.lit(SEP), F.array_join(syms, SEP), F.lit(SEP))
+    return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
 
 
 def bpe_train(
@@ -100,8 +105,8 @@ def bpe_train(
     )
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
-        parts = F.split(F.col("w"), SEP)
-        syms = F.slice(parts, 2, F.size(parts) - 2)
+        inner = F.regexp_replace(F.col("w"), f"^{SEP}|{SEP}$", "")
+        syms = F.split(inner, SEP + SEP)
         pairs = vocab.select(
             F.explode(
                 F.zip_with(
@@ -122,7 +127,7 @@ def bpe_train(
             break
         left, right = top["p"]["l"], top["p"]["r"]
         merges.append((left, right))
-        pat = F.lit(f"{SEP}{left}{SEP}{right}{SEP}")
+        pat = F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}")
         rep = F.lit(f"{SEP}{left}{right}{SEP}")
         vocab = vocab.select(F.replace(F.col("w"), pat, rep).alias("w"), "n")
         if (i + 1) % checkpoint_every == 0:
@@ -178,7 +183,7 @@ def bpe_encode(
                                 f"^{SEP}|{SEP}$",
                                 "",
                             ),
-                            SEP,
+                            SEP + SEP,
                         ),
                         lambda t: F.regexp_replace(t, "</w>$", ""),
                     ),
@@ -193,7 +198,7 @@ def _apply_merges(spaced: Column, merges: list[tuple[str, str]]) -> Column:
     for left, right in merges:
         spaced = F.replace(
             spaced,
-            F.lit(f"{SEP}{left}{SEP}{right}{SEP}"),
+            F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}"),
             F.lit(f"{SEP}{left}{right}{SEP}"),
         )
     return spaced

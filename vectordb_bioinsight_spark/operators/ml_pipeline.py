@@ -125,6 +125,52 @@ def knn_label_probs(
     )
 
 
+def knn_vote_members(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id_col: str,
+    cand_id_col: str,
+    vec_col: str,
+    label_col: str,
+    ks: "tuple[int, ...]" = (3, 5, 7),
+    path: str = "gemm",
+) -> "list[DataFrame]":
+    """All kNN ensemble members from ONE neighbor pass: the k=max(ks) result
+    is a superset of every member (smaller-k neighbor sets are prefixes of
+    the ranked list by construction), so one corpus scan + one top-k serves
+    them all — per-member joins would re-score the corpus len(ks) times for
+    identical prefixes (review finding r04). The shared neighbor table is
+    lazily checkpointed so the union DAG materializes it once.
+
+    Returns one (query_id, label, prob, vote_score) frame per k, ready for
+    :func:`soft_vote_ensemble`.
+    """
+    from vectordb_bioinsight_spark.operators.vector import knn_join, knn_join_gemm
+
+    join_fn = knn_join_gemm if path == "gemm" else knn_join
+    neigh = join_fn(
+        queries, candidates, query_id_col, cand_id_col, vec_col,
+        k=max(ks), metric="cosine",
+    ).localCheckpoint(eager=False)
+    labeled = neigh.join(
+        candidates.select(
+            F.col(cand_id_col).alias("cand_id"), F.col(label_col).alias("label")
+        ),
+        "cand_id",
+    )
+    members = []
+    for k in ks:
+        members.append(
+            labeled.filter(F.col("rank") <= k)
+            .groupBy("query_id", "label")
+            .agg(
+                F.round(F.count("*") / F.lit(float(k)), 6).alias("prob"),
+                F.round(F.sum("score"), 6).alias("vote_score"),
+            )
+        )
+    return members
+
+
 def soft_vote_ensemble(per_model: "list[DataFrame]") -> DataFrame:
     """Soft-vote ensemble aggregation with agreement + confidence bands —
     the Spark-native analog of the reference's CatBoost soft-vote ensemble

@@ -118,6 +118,10 @@ def min_term_distance(
     Plan: scan-local two-term postings -> per-doc equi-join of the two
     (tiny) position lists -> doc-keyed min. The join input is bounded by
     the two terms' posting lists, never the token stream.
+
+    ``term_a == term_b`` measures the distance between DISTINCT
+    occurrences (a single occurrence would otherwise pair with itself and
+    report a meaningless 0); docs with fewer than two occurrences drop.
     """
     pos = token_positions(docs, id_col, text_col, {term_a, term_b})
     a = pos.filter(F.col("token") == term_a).select(
@@ -126,8 +130,11 @@ def min_term_distance(
     b = pos.filter(F.col("token") == term_b).select(
         F.col(id_col), F.col("pos").alias("_pb")
     )
+    joined = a.join(b, id_col)
+    if term_a == term_b:
+        joined = joined.filter(F.col("_pa") != F.col("_pb"))
     return (
-        a.join(b, id_col)
+        joined
         .groupBy(id_col)
         .agg(F.min(F.abs(F.col("_pa") - F.col("_pb"))).cast("long").alias("min_dist"))
     )

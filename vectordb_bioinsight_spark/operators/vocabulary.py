@@ -65,31 +65,40 @@ def extract_key_from_query(
 ) -> tuple[str | None, str]:
     """Driver-side query normalization (extract_disease_from_query analog):
     find the LONGEST vocabulary term contained in the query
-    (case-insensitive substring, ties to the lexicographically first term),
-    return its canonical key and the query with the term removed.
+    (case-insensitive, ties to the lexicographically first term), return
+    its canonical key and the query with the term removed.
+
+    Matching is WORD-BOUNDED, a deliberate fix over the reference's raw
+    substring test (medical_vocabulary.py:254-291 matches 'merge' inside
+    'merged' and then fragments the word — 'merged results' would leave
+    'd results' as keywords, inflating every instr() hit downstream).
 
     Returns (None, query) when no vocabulary term matches — branch 3.
     """
+    import re
+
     q = query.lower()
     best: tuple[int, str, str] | None = None  # (-len, term, key)
     for key, term, _kind, _w in entries:
         t = term.lower()
-        if t and t in q:
+        if t and re.search(rf"(?<![a-z0-9]){re.escape(t)}(?![a-z0-9])", q):
             cand = (-len(t), t, key)
             if best is None or cand < best:
                 best = cand
     if best is None:
         return None, query
     _, term, key = best
-    remaining = " ".join(p for p in q.replace(term, " ").split() if p)
-    return key, remaining
+    remaining = re.sub(rf"(?<![a-z0-9]){re.escape(term)}(?![a-z0-9])", " ", q)
+    return key, " ".join(p for p in remaining.split() if p)
 
 
-def field_position_score(text_col: Column, term: str) -> Column:
-    """V7 field-aware position score for one literal term: 100 in the
-    'title' (first 40 chars), 80 in the 'abstract' (first 150), 60 anywhere
-    else in the body, 0 when absent."""
-    pos = F.instr(text_col, term)
+def field_position_score(text_col: Column, term: "Column | str") -> Column:
+    """V7 field-aware position score (the single source for the 40/150-char
+    zone constants): 100 in the 'title' (first 40 chars), 80 in the
+    'abstract' (first 150), 60 anywhere else in the body, 0 when absent.
+    ``term`` may be a literal or a column (the vocab-dimension join)."""
+    t = F.lit(term) if isinstance(term, str) else term
+    pos = F.instr(text_col, t)
     return (
         F.when((pos > 0) & (pos <= 40), 100.0)
         .when((pos > 0) & (pos <= 150), 80.0)
@@ -105,25 +114,28 @@ def vocab_match_scores(
     text_col: str,
     vocab_key: str | None = None,
 ) -> DataFrame:
-    """Per-document best vocabulary anchor: broadcast the vocab dimension
-    against the document scan (substring containment join), score each
-    match as kind_weight x field position score, keep the argmax term per
-    document.
+    """Best vocabulary anchor per (document, canonical key): broadcast the
+    vocab dimension against the document scan (substring containment
+    join), score each match as kind_weight x field position score
+    (:func:`field_position_score`), keep the argmax term within each
+    (doc, key) group. With ``vocab_key`` set (the dispatch branches) that
+    is one row per matching document; with the full vocabulary a document
+    anchored to several canonical keys emits one row PER KEY — by design,
+    a doc can belong to many topics.
 
     Physical plan: BroadcastNestedLoopJoin (tiny side = vocab, predicate =
-    instr > 0) -> scan-local score expression -> doc-keyed argmax agg. The
-    corpus shuffles once, keyed by ``id_col``; the vocab never shuffles.
+    instr > 0) -> scan-local score expression -> (doc, key)-keyed argmax
+    agg. The corpus shuffles once, keyed by ``id_col``; the vocab never
+    shuffles.
 
     Output: (id, vocab_key, matched_term, kind, vocab_score>0), score
     rounded 4 dp.
     """
     v = vocab if vocab_key is None else vocab.filter(F.col("vocab_key") == vocab_key)
     pos = F.instr(F.col(text_col), F.col("term"))
-    fscore = (
-        F.when((pos > 0) & (pos <= 40), 100.0)
-        .when((pos > 0) & (pos <= 150), 80.0)
-        .otherwise(60.0)  # join predicate guarantees pos > 0 here
-    )
+    # field_position_score's 0-when-absent branch is unreachable here (the
+    # join predicate guarantees pos > 0), so the shared helper applies as is
+    fscore = field_position_score(F.col(text_col), F.col("term"))
     matched = docs.join(F.broadcast(v), pos > 0).select(
         F.col(id_col),
         "vocab_key",

@@ -168,16 +168,15 @@ def q_knn_vote_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the vote/agreement layer the trained-model tier
     (operators/ml_pipeline.ensemble_classifier) reuses."""
     from vectordb_bioinsight_spark.operators.ml_pipeline import (
-        knn_label_probs,
+        knn_vote_members,
         soft_vote_ensemble,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0)
-    members = [
-        knn_label_probs(queries, emb, "vec_id", "vec_id", "embedding", "label", k=k)
-        for k in (3, 5, 7)
-    ]
+    members = knn_vote_members(
+        queries, emb, "vec_id", "vec_id", "embedding", "label", ks=(3, 5, 7)
+    )
     return soft_vote_ensemble(members)
 
 

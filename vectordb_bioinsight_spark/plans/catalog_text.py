@@ -1391,10 +1391,13 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bpe_encode() -> str:
+    # per-symbol anchor wrapping (␟s␟␟s␟) — see operators/bpe.py's
+    # greedy-leftmost note: a shared anchor would merge only alternate
+    # occurrences of a repeated pair per pass
     sep = "\x1f"
     expr = "s"
     for left, right in BPE_MERGES:
-        expr = f"replace({expr}, '{sep}{left}{sep}{right}{sep}', '{sep}{left}{right}{sep}')"
+        expr = f"replace({expr}, '{sep}{left}{sep}{sep}{right}{sep}', '{sep}{left}{right}{sep}')"
     return f"""
 WITH d AS (
   SELECT doc_id, {_TOK3} AS tk FROM documents WHERE doc_id % 20 = 0
@@ -1402,14 +1405,14 @@ WITH d AS (
   SELECT doc_id, unnest(tk) AS word, generate_subscripts(tk, 1) AS wpos FROM d
 ), sp AS (
   SELECT doc_id, wpos,
-         '{sep}' || list_aggregate(string_split(word, '') || ['</w>'], 'string_agg', '{sep}') || '{sep}' AS s
+         '{sep}' || list_aggregate(string_split(word, '') || ['</w>'], 'string_agg', '{sep}{sep}') || '{sep}' AS s
   FROM w
 ), m AS (
   SELECT doc_id, wpos, {expr} AS s FROM sp
 ), toks AS (
   SELECT doc_id, wpos,
-         unnest(string_split(trim(s, '{sep}'), '{sep}')) AS tok,
-         generate_subscripts(string_split(trim(s, '{sep}'), '{sep}'), 1) AS tpos
+         unnest(string_split(trim(s, '{sep}'), '{sep}{sep}')) AS tok,
+         generate_subscripts(string_split(trim(s, '{sep}'), '{sep}{sep}'), 1) AS tpos
   FROM m
 ), cleaned AS (
   SELECT doc_id, wpos, tpos, regexp_replace(tok, '</w>$', '') AS token FROM toks

@@ -149,6 +149,13 @@ def zorder_key(
         raise ValueError("zorder_key needs at least one column")
     if bits_per_col is None:
         bits_per_col = max(1, min(16, 60 // n))
+    if bits_per_col * n > 63:
+        # shiftleft wraps its amount mod 64 — an overflowing layout would
+        # silently interleave high bits onto low positions
+        raise ValueError(
+            f"bits_per_col={bits_per_col} x {n} columns exceeds the 63-bit "
+            "long budget; lower bits_per_col or cluster fewer columns"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
@@ -157,6 +164,10 @@ def zorder_key(
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo, hi = stats[f"_lo{i}"], stats[f"_hi{i}"]
+        if lo is None or hi is None:
+            # empty input or all-NULL column: constant bucket 0 — the write
+            # still succeeds (zero or unclusterable rows, nothing to order)
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         bucket = F.least(
             F.lit(top).cast("long"),
