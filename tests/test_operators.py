@@ -400,3 +400,54 @@ class TestFunnelAndSkewProfile:
         out = {(r["g"], r["v"]): r["robust_z"] for r in robust_scale_by_group(df, ["g"], "v").collect()}
         assert out[("a", 5.0)] is None          # constant group: MAD 0
         assert out[("b", 2.0)] == 0.0           # the median itself
+
+
+class TestTrendsR04:
+    def test_rolling_anomalies_flags_planted_spike(self, spark):
+        """A 10x spike after a flat baseline must flag; the flat days must
+        not; days without a full 7-day baseline are excluded."""
+        from vectordb_bioinsight_spark.operators.trends import rolling_anomalies
+
+        rows = []
+        for d in range(1, 16):
+            v = 1000.0 if d == 12 else (100.0 + (d % 3))  # tiny jitter, one spike
+            rows.append(("click", f"2024-01-{d:02d} 00:00:00", v))
+        df = spark.createDataFrame(rows, "t string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {str(r["day"]): r for r in
+               rolling_anomalies(df, "t", "ts", "value", window_rows=7).collect()}
+        assert "2024-01-07" not in out          # incomplete baseline dropped
+        assert out["2024-01-12"]["is_anomaly"] is True
+        assert out["2024-01-12"]["zscore"] > 2
+        flats = [r for d, r in out.items() if d not in ("2024-01-12", "2024-01-13",
+                                                        "2024-01-14", "2024-01-15")]
+        assert flats and all(not r["is_anomaly"] for r in flats)
+        # the day AFTER the spike compares against a baseline containing it:
+        # a LOW z is expected, not an anomaly (self-exclusion contract)
+        assert out["2024-01-13"]["is_anomaly"] is False
+
+    def test_cohort_retention_counts(self, spark):
+        """Hand-built two-cohort history: retention fractions must be exact
+        and week offsets must survive an ISO year boundary."""
+        from vectordb_bioinsight_spark.operators.trends import cohort_retention
+
+        rows = [
+            # cohort A: first seen week of 2023-12-25 (crosses new year)
+            (1, "2023-12-26 12:00:00"), (2, "2023-12-27 12:00:00"),
+            (1, "2024-01-02 12:00:00"),                     # active offset 1
+            (1, "2024-01-09 12:00:00"), (2, "2024-01-10 12:00:00"),  # offset 2
+            # cohort B: first seen week of 2024-01-08
+            (3, "2024-01-08 12:00:00"),
+            (3, "2024-01-16 12:00:00"),                     # offset 1
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = {(str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+               for r in cohort_retention(df, "user_id", "ts").collect()}
+        assert got[("2023-12-25", 0)] == (2, 2, 1.0)
+        assert got[("2023-12-25", 1)] == (1, 2, 0.5)
+        assert got[("2023-12-25", 2)] == (2, 2, 1.0)
+        assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+        assert got[("2024-01-08", 1)] == (1, 1, 1.0)

@@ -181,3 +181,112 @@ def funnel_conversion(
             6,
         ).alias("conversion"),
     )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over per-key daily totals — the
+    trend-break detector the reference's year-over-year deltas
+    (trend_analyzer.py:249-289 growth classification) approximate by eye:
+    a day is anomalous when its total deviates from the trailing
+    ``window_rows``-day mean by >= ``z_threshold`` trailing standard
+    deviations.
+
+    Physical plan: one (key, day) groupBy (map-side combinable), then one
+    KEY-partitioned ordered window for the trailing mean/std — rows per
+    key = distinct days, so the window input is calendar-bounded however
+    large the fact table is. The current day is EXCLUDED from its own
+    baseline (frame -window..-1): a spike must not mask itself by
+    inflating the mean it is compared against.
+
+    Output: (key, day, total, base_mean, base_std, zscore, is_anomaly)
+    for days with a full baseline window; rounded 4 dp.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-window_rows, -1)
+    )
+    base_mean = F.avg("total").over(w)
+    base_std = F.stddev_samp("total").over(w)
+    n_base = F.count("total").over(w)
+    # every window-derived column is materialized BEFORE the baseline-size
+    # filter: a window expression referenced after the filter would see the
+    # FILTERED frame (fewer trailing rows) and silently shift the baseline
+    windowed = (
+        daily.withColumn("_n", n_base)
+        .withColumn("base_mean", F.round(base_mean, 4))
+        .withColumn("base_std", F.round(base_std, 4))
+        .withColumn("zscore", F.round((F.col("total") - base_mean) / base_std, 4))
+    )
+    return (
+        windowed.filter(F.col("_n") >= window_rows)  # full baseline only
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("base_std") > 0, F.abs(F.col("zscore")) >= z_threshold)
+            .otherwise(F.lit(False)),
+        )
+        .select("key", "day", "total", "base_mean", "base_std", "zscore", "is_anomaly")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention — the user-lifecycle matrix every analytics
+    stack ships: users grouped by FIRST-SEEN week, retention(k) = fraction
+    of the cohort active k weeks later.
+
+    Physical plan: one user-keyed min-agg (first-seen week), one
+    (user, week) distinct activity projection, one broadcast-back join on
+    user, one (cohort, offset) count — every shuffle user- or
+    cohort-keyed; the output is calendar² bounded.
+
+    Output: (cohort_week, week_offset, n_active, cohort_size, retention)
+    with retention rounded 6 dp; week_offset 0 row carries the cohort
+    size by construction.
+
+    Weeks are ``date_trunc('week')`` Mondays — NOT year*52+weekofyear,
+    which mislabels ISO year-boundary weeks (Jan 1 can be ISO week 52 of
+    the prior year) and breaks offsets across New Year.
+    """
+    weeks = df.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk"),
+    )
+    first = weeks.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    active = weeks.distinct()
+    joined = active.join(first, "u").select(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        "u",
+    )
+    counts = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("u").cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )

@@ -543,3 +543,72 @@ FROM stats s JOIN ties t ON s.day = t.day
 WHERE (12.0 / (s.n * (s.n + 1.0)) * s.s - 3.0 * (s.n + 1.0))
       / nullif(1.0 - t.tie / nullif(s.n * s.n * s.n - s.n, 0), 0) IS NOT NULL
 """
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: per event type, days whose total
+    value deviates >= 2 trailing-7-day sigmas from the (self-excluded)
+    baseline — one day-keyed agg + one type-partitioned ordered window
+    over calendar-bounded rows."""
+    from vectordb_bioinsight_spark.operators.trends import rolling_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_anomalies(ev, "event_type", "ts", "value", window_rows=7)
+    # DATE -> TIMESTAMP for the cross-engine comparator (catalog convention)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+SQL_VALUE_ANOMALIES = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT key, day::TIMESTAMP AS day, total,
+         avg(total)         OVER w AS m,
+         stddev_samp(total) OVER w AS s,
+         count(total)       OVER w AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT key, day, total,
+       round(m, 4) AS base_mean,
+       round(s, 4) AS base_std,
+       round((total - m) / s, 4) AS zscore,
+       CASE WHEN round(s, 4) > 0 THEN abs(round((total - m) / s, 4)) >= 2.0
+            ELSE false END AS is_anomaly
+FROM win WHERE n >= 7
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week
+    (date_trunc Mondays — ISO-boundary-safe), retention(k) = fraction
+    active k weeks later. Every shuffle user- or cohort-keyed; output
+    calendar^2 bounded."""
+    from vectordb_bioinsight_spark.operators.trends import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts")
+    return out.withColumn("cohort_week", F.col("cohort_week").cast("timestamp"))
+
+
+SQL_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts)::DATE AS wk FROM events
+), first AS (
+  SELECT u, min(wk) AS cohort_week FROM weeks GROUP BY 1
+), joined AS (
+  SELECT f.cohort_week, (w.wk - f.cohort_week) / 7 AS week_offset, w.u
+  FROM weeks w JOIN first f USING (u)
+), counts AS (
+  SELECT cohort_week, week_offset::BIGINT AS week_offset,
+         count(DISTINCT u)::BIGINT AS n_active
+  FROM joined GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_size FROM first GROUP BY 1
+)
+SELECT c.cohort_week::TIMESTAMP AS cohort_week, c.week_offset, c.n_active,
+       s.cohort_size,
+       round(c.n_active / (s.cohort_size * 1.0), 6) AS retention
+FROM counts c JOIN sizes s USING (cohort_week)
+"""
