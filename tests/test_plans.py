@@ -114,7 +114,10 @@ _MAX_EXCHANGES = {
     "bpe_encode_docs": 0,  # pure scan-local — ANY exchange is a regression
     "vocab_dispatch_list": 4,
     "vocab_dispatch_keywords": 4,
-    "knn_vote_ensemble": 6,
+    # single-pass members: ONE corpus kNN (checkpointed), then 3 small
+    # member aggs + vote windows — more exchange NODES than the naive
+    # 3-join form, but each moves the tiny neighbor table, never the corpus
+    "knn_vote_ensemble": 9,
 }
 
 
