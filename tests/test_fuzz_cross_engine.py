@@ -377,3 +377,75 @@ def test_random_range_frames_match_duckdb(spark, rows, n):
                      RANGE BETWEEN {n} PRECEDING AND CURRENT ROW)"""
     ).df()
     compare_frames(out.toPandas(), want)
+
+
+bpe_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aaa", "aab", "aba", "banana", "abcabc", "aaaa", "cab"]),
+        min_size=0, max_size=6,
+    ).map(" ".join),
+    min_size=1, max_size=4,
+)
+bpe_merges = st.lists(
+    st.tuples(st.sampled_from("abc"), st.sampled_from("abc")),
+    min_size=1, max_size=4, unique=True,
+)
+
+
+@given(texts=bpe_texts, merges=bpe_merges)
+@settings(**SETTINGS)
+def test_fuzz_bpe_replace_chain_cross_engine(spark, texts, merges):
+    """The wrapped-anchor replace chain: Spark bpe_encode == the DuckDB
+    REPLACE twin == the greedy-leftmost python reference, for arbitrary
+    merge lists over run-heavy words (the chained-pair shapes that broke
+    the single-anchor form, review r04)."""
+    from vectordb_bioinsight_spark.operators.bpe import SEP, bpe_encode
+
+    # cumulative merges apply in order, incl. merges of already-merged
+    # symbols being absent — the chain must be a no-op for those
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    sp = {
+        r["i"]: r["bpe_tokens"]
+        for r in bpe_encode(df, "text", merges, eow=False).collect()
+    }
+
+    # python greedy-leftmost reference (applied merge-by-merge)
+    def ref(t):
+        out = []
+        for w in t.split():
+            if len(w) < 3:
+                continue
+            syms = list(w)
+            for l, r in merges:
+                i, m = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        m.append(l + r)
+                        i += 2
+                    else:
+                        m.append(syms[i])
+                        i += 1
+                syms = m
+            out.extend(syms)
+        return out
+
+    # DuckDB twin of the same chain
+    con = duckdb.connect()
+    expr = "s"
+    for l, r in merges:
+        expr = f"replace({expr}, '{SEP}{l}{SEP}{SEP}{r}{SEP}', '{SEP}{l}{r}{SEP}')"
+    sql = f"""
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower($1::VARCHAR), '[^a-z0-9]+'),
+                    t -> length(t) >= 3)) AS word
+    ), sp AS (
+      SELECT '{SEP}' || list_aggregate(string_split(word, ''), 'string_agg', '{SEP}{SEP}') || '{SEP}' AS s
+      FROM w
+    )
+    SELECT coalesce(flatten(list(string_split(trim({expr}, '{SEP}'), '{SEP}{SEP}'))), []) FROM sp
+    """
+    for i, t in enumerate(texts):
+        want = ref(t)
+        assert sp[i] == want, (t, merges, sp[i], want)
+        dk = con.execute(sql, [t]).fetchone()[0]
+        assert dk == want, (t, merges, dk, want)
