@@ -890,3 +890,41 @@ def kruskal_wallis(
         .select(*keys, n.cast("long").alias("n"), "k_groups", F.round(h, 6).alias("h_stat"))
         .filter(F.col("h_stat").isNotNull())
     )
+
+
+def rowwise_zscore_matrix(
+    long_df: DataFrame,
+    row_col: str,
+    col_col: str,
+    value_col: str,
+    eps: float = 1e-10,
+) -> DataFrame:
+    """Row-wise z-score normalization of a long-format matrix — the
+    expression-heatmap data contract (agent5_visualization.py:558:
+    ``(x - x.mean()) / (x.std() + 1e-10)`` per gene row, the npj heatmap's
+    color values). Long format per the §1.1 melt discipline: the matrix is
+    never pivoted wide; a bounded consumer pivots at the edge.
+
+    Physical plan: one row-keyed moment agg (map-side combinable) +
+    broadcast back onto the cells — no window, no pivot, linear in cells.
+
+    Output: (row, col, value, zscore) with zscore rounded 6 dp; a
+    constant row z-scores to ~0 via the reference's epsilon, not NULL.
+    """
+    stats_tbl = long_df.groupBy(F.col(row_col).alias("_r")).agg(
+        F.avg(value_col).alias("_mean"),
+        F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("_std"),
+    )
+    return (
+        long_df.join(
+            F.broadcast(stats_tbl), F.col(row_col) == F.col("_r")
+        )
+        .select(
+            row_col,
+            col_col,
+            value_col,
+            F.round(
+                (F.col(value_col) - F.col("_mean")) / (F.col("_std") + F.lit(eps)), 6
+            ).alias("zscore"),
+        )
+    )

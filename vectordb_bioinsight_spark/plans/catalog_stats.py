@@ -360,3 +360,47 @@ SELECT p_type, n_a, n_b, log2fc, t_stat,
             ELSE 'ns' END AS category
 FROM s
 """
+
+
+def q_heatmap_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression-heatmap data contract (agent5_visualization.py:535-640:
+    top-DEG x sample matrix, row-wise z-scored with the 1e-10 epsilon):
+    top-20 highest-variance parts x return-flag pseudo-samples, cell =
+    mean extended price, z per part row. Long format (never pivoted);
+    one HVG top-k + one cell agg + one broadcast-back z expression."""
+    from vectordb_bioinsight_spark.operators.stats import (
+        rowwise_zscore_matrix,
+        variance_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    top = variance_topk(
+        li.select("l_partkey", "l_quantity"), ["l_partkey"], "l_quantity", k=20
+    ).select("l_partkey")
+    cells = (
+        li.join(F.broadcast(top), "l_partkey")
+        .groupBy("l_partkey", "l_returnflag")
+        .agg(F.round(F.avg("l_extendedprice"), 4).alias("value"))
+    )
+    return rowwise_zscore_matrix(cells, "l_partkey", "l_returnflag", "value")
+
+
+SQL_HEATMAP_TOP_PARTS = """
+WITH hvg AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, round(var_samp(l_quantity), 4) AS variance
+    FROM lineitem GROUP BY 1
+    ORDER BY variance DESC, l_partkey ASC LIMIT 20
+  )
+), cells AS (
+  SELECT l.l_partkey, l.l_returnflag, round(avg(l.l_extendedprice), 4) AS value
+  FROM lineitem l JOIN hvg USING (l_partkey)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT l_partkey, avg(value) AS m, coalesce(stddev_samp(value), 0.0) AS s
+  FROM cells GROUP BY 1
+)
+SELECT c.l_partkey, c.l_returnflag, c.value,
+       round((c.value - t.m) / (t.s + 1e-10), 6) AS zscore
+FROM cells c JOIN stats t USING (l_partkey)
+"""
