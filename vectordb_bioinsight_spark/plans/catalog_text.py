@@ -1328,16 +1328,14 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
         F.sum(bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
     )
-    w = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return agg.select(
+    total = agg.agg(F.sum("bpe_tokens").alias("_total_bpe"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_chars",
         "ws_tokens",
         "bpe_tokens",
-        F.round(F.col("bpe_tokens") / F.sum("bpe_tokens").over(w), 6).alias("token_share"),
+        F.round(F.col("bpe_tokens") / F.col("_total_bpe"), 6).alias("token_share"),
     )
 
 
