@@ -136,10 +136,6 @@ def bh_adjust_scaled(
     """
     import pandas as pd
 
-    n_total = df.count()
-    if n_total == 0:
-        return df.withColumn(out_col, F.lit(None).cast("double"))
-
     ranked_src = (
         df.repartitionByRange(num_partitions, F.col(pvalue_col).asc())
         .sortWithinPartitions(F.col(pvalue_col).asc())
@@ -152,6 +148,11 @@ def bh_adjust_scaled(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    # N falls out of the phase-2 counts — a separate df.count() would
+    # recompute the whole upstream of a derived input
+    n_total = acc
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
     b_off = df.sparkSession.sparkContext.broadcast(offsets)
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -719,16 +720,17 @@ def gsea_prerank_es_scaled(
 
     Output: (set, n_genes, n_hits, es, rank_at_peak) — same contract.
     """
-    from vectordb_bioinsight_spark.operators.windows import scaled_row_number
+    from vectordb_bioinsight_spark.operators.windows import (
+        scaled_row_number_with_total,
+    )
 
     from pyspark.sql import Window
 
-    n_total = ranked.count()
     g = ranked.select(
         F.col(gene_col).alias("_gene"),
         F.col(stat_col).cast("double").alias("_stat"),
     )
-    ranks = scaled_row_number(
+    ranks, n_total = scaled_row_number_with_total(
         g, [F.desc("_stat"), F.asc("_gene")], "_rank", num_partitions
     )
     sets = membership.select(
@@ -762,42 +764,42 @@ def gsea_prerank_es_scaled(
         miss.alias("_m"),
     )
     # candidate values: AT hit i, just BEFORE hit i (when a miss precedes
-    # it), and the walk's final row (the post-last-hit tail minimum)
-    at_hit = scored.select(
-        "_set",
-        "_ns",
-        F.col("_rank").alias("_crank"),
-        F.round(F.col("_h") + (F.col("_rank") - F.col("_i")) * F.col("_m"), 6).alias("_val"),
+    # it), and the walk's final row (the post-last-hit tail minimum).
+    # All three are emitted from ONE pass over the hit rows as a
+    # conditional array (the tail candidate rides on the LAST hit row,
+    # where _i == _ns) — a 3-way unionByName here would re-run the join +
+    # both windows once per branch.
+    decay = F.col("_h") + (F.col("_rank") - F.col("_i")) * F.col("_m")
+    at_hit_c = F.struct(
+        F.col("_rank").alias("_crank"), F.round(decay, 6).alias("_val")
     )
-    before_hit = scored.filter(F.col("_rank") > 1).select(
-        "_set",
-        "_ns",
-        (F.col("_rank") - 1).alias("_crank"),
-        F.round(
-            F.col("_h") - F.col("_c") + (F.col("_rank") - F.col("_i")) * F.col("_m"), 6
-        ).alias("_val"),
+    before_hit_c = F.when(
+        F.col("_rank") > 1,
+        F.struct(
+            (F.col("_rank") - 1).alias("_crank"),
+            F.round(decay - F.col("_c"), 6).alias("_val"),
+        ),
     )
-    tail = (
-        scored.groupBy("_set")
-        .agg(
-            F.max("_ns").alias("_ns"),
-            F.max("_rank").alias("_rmax"),
-            F.max(F.struct("_i", "_h")).alias("_last"),
-            F.max("_m").alias("_m"),
-        )
-        .filter(F.col("_rmax") < n_total)
-        .select(
-            "_set",
-            "_ns",
-            F.lit(n_total).alias("_crank"),
+    tail_c = F.when(
+        (F.col("_i") == F.col("_ns")) & (F.col("_rank") < n_total),
+        F.struct(
+            F.lit(n_total).cast("long").alias("_crank"),
             F.round(
-                F.col("_last._h")
+                F.col("_h")
                 + (F.lit(n_total) - F.col("_ns")).cast("double") * F.col("_m"),
                 6,
             ).alias("_val"),
-        )
+        ),
     )
-    cands = at_hit.unionByName(before_hit).unionByName(tail)
+    cands = scored.select(
+        "_set",
+        "_ns",
+        F.explode(
+            F.filter(
+                F.array(at_hit_c, before_hit_c, tail_c), lambda c: c.isNotNull()
+            )
+        ).alias("_cand"),
+    ).select("_set", "_ns", F.col("_cand._crank").alias("_crank"), F.col("_cand._val").alias("_val"))
     best = cands.groupBy("_set").agg(
         F.max(
             F.struct(

@@ -137,6 +137,17 @@ def scaled_row_number(
     rank_col: str = "_rank",
     num_partitions: int = 32,
 ) -> DataFrame:
+    """:func:`scaled_row_number_with_total` without the total (common case)."""
+    out, _ = scaled_row_number_with_total(df, order_by, rank_col, num_partitions)
+    return out
+
+
+def scaled_row_number_with_total(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "_rank",
+    num_partitions: int = 32,
+) -> tuple[DataFrame, int]:
     """Exact global row_number WITHOUT the single-partition window — the
     reusable two-phase rank underneath ``stats.bh_adjust_scaled``, factored
     out (VERDICT r03: make scale-safe shapes the defaults):
@@ -151,6 +162,11 @@ def scaled_row_number(
     ``order_by`` must be a TOTAL order (include a tiebreak key), exactly as
     ``Window.orderBy`` would require for a deterministic row_number.
     Driver traffic is ``num_partitions`` integers, independent of rows.
+
+    Returns ``(ranked_df, total_rows)`` — the total falls out of the
+    phase-2 partition counts for free, so callers that need N (BH, GSEA)
+    never issue a separate ``count()`` job that would recompute a derived
+    input's whole upstream.
     """
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -183,4 +199,4 @@ def scaled_row_number(
             nxt[pid] = start + len(out)
             yield out
 
-    return src.mapInPandas(assign, schema=schema).drop("_srn_pid")
+    return src.mapInPandas(assign, schema=schema).drop("_srn_pid"), acc
