@@ -398,12 +398,24 @@ def repeated_ngram_spans(
     )
     if materialize:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    dup = (
-        sh.groupBy("_h")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
-    )
+    if min_docs == 2:
+        # "appears in >= 2 DISTINCT docs" == min(id) != max(id): min/max are
+        # map-side combinable (one shuffle of partial aggs), while
+        # countDistinct plans as expand + a second aggregate pass over the
+        # position-level table — the dominant shuffle of this operator
+        dup = (
+            sh.groupBy("_h")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("_h")
+        )
+    else:
+        dup = (
+            sh.groupBy("_h")
+            .agg(F.countDistinct(id_col).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_h")
+        )
     hits = sh.join(dup, "_h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     is_new = F.when(F.col("pos") - F.lag("pos").over(w) > n, 1).otherwise(0)
