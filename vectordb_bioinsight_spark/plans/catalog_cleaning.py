@@ -342,3 +342,133 @@ FROM total t LEFT JOIN rebuilt r USING (doc_id)
 
 
 SQL_SPAN_CUT_DOCS = _sql_span_cut_docs()
+
+
+# ---------------------------------------------------------------------------
+# url_domain_stats / url_dedup_docs — web-corpus URL hygiene (operators/urls.py)
+# ---------------------------------------------------------------------------
+# The synthetic corpus has no URLs, so both entries PLANT deterministic
+# doc_id-derived URLs (mixed case, ports, www, tracking params, fragments,
+# cc-TLDs, glued punctuation) identically on both engines — the
+# normalization machinery is what is under test.
+
+
+def _plant_urls(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" see https://WWW.Example.COM:443/Articles/"),
+                    (F.col("doc_id") % 40).cast("string"),
+                    F.lit("/?utm_source=feed&id="),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 5 == 1,
+                F.concat(
+                    F.lit(" via http://blog.sample.co.uk/post/"),
+                    (F.col("doc_id") % 25).cast("string"),
+                    F.lit("#frag"),
+                ),
+            )
+            .when(F.col("doc_id") % 5 == 2, F.lit(" at https://cdn.assets.org/lib.js?v=3&gclid=xyz."))
+            .when(F.col("doc_id") % 5 == 3, F.lit(" from https://news.example.com/today/"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" and https://example.org")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_PLANT_URL_SQL = (
+    "text || CASE doc_id % 5 "
+    "WHEN 0 THEN ' see https://WWW.Example.COM:443/Articles/' || (doc_id % 40)::VARCHAR || '/?utm_source=feed&id=' || (doc_id % 7)::VARCHAR "
+    "WHEN 1 THEN ' via http://blog.sample.co.uk/post/' || (doc_id % 25)::VARCHAR || '#frag' "
+    "WHEN 2 THEN ' at https://cdn.assets.org/lib.js?v=3&gclid=xyz.' "
+    "WHEN 3 THEN ' from https://news.example.com/today/' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' and https://example.org' ELSE '' END"
+)
+
+
+def q_url_domain_stats(spark, sf_dir):
+    """Per-registered-domain URL accounting (CCNet/RefinedWeb hygiene
+    stage): extract, canonicalize (case, port, www, fragment, trailing
+    slash, tracking params), registrable-domain rollup — see
+    operators/urls.py."""
+    from vectordb_bioinsight_spark.operators.urls import url_domain_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return url_domain_stats(_plant_urls(docs), "doc_id", "text")
+
+
+# DuckDB twins of the operators/urls.py expressions (same regexes, same
+# cc-SLD approximation)
+_URL_PARTS_SQL = """
+  SELECT doc_id,
+    lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(lower(regexp_extract(url, '^https?://([^/?#]+)', 1)), ':[0-9]+$', ''), '^www\\.', '') AS host,
+    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+    array_to_string(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    x -> NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid|ref)=') AND x <> ''), '&') AS q
+"""
+
+_CANON_SQL = "scheme || '://' || host || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END"
+
+_DOMAIN_SQL = """
+  CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+       WHEN len(string_split(host, '.')) >= 3
+            AND string_split(host, '.')[-2] IN ('ac','co','com','edu','gov','net','org')
+            AND length(string_split(host, '.')[-1]) = 2
+       THEN array_to_string(string_split(host, '.')[-3:], '.')
+       ELSE array_to_string(string_split(host, '.')[-2:], '.') END
+"""
+
+SQL_URL_DOMAIN_STATS = f"""
+WITH p AS (SELECT doc_id, {_PLANT_URL_SQL} AS t FROM documents),
+raw AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\\s<>"]+')) AS u0 FROM p
+),
+u AS (SELECT doc_id, regexp_replace(u0, '[.,;:!?]+$', '') AS url FROM raw),
+parts AS ({_URL_PARTS_SQL} FROM u),
+canon AS (
+  SELECT doc_id, {_CANON_SQL} AS canonical, {_DOMAIN_SQL} AS domain FROM parts
+)
+SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(DISTINCT canonical)::BIGINT AS n_canonical
+FROM canon GROUP BY domain
+ORDER BY n_urls DESC, domain
+"""
+
+
+def q_url_dedup_docs(spark, sf_dir):
+    """URL-keyed document dedup (RefinedWeb stage 1): one survivor per
+    canonical first-URL, URL-less docs all pass — the cheapest duplicate
+    signal, run before any content dedup."""
+    from vectordb_bioinsight_spark.operators.urls import url_dedup_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = url_dedup_docs(_plant_urls(docs).join(docs.select("doc_id", "source"), "doc_id"), "doc_id", "text")
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_URL_DEDUP_DOCS = f"""
+WITH p AS (SELECT doc_id, {_PLANT_URL_SQL} AS t FROM documents),
+first_u AS (
+  SELECT doc_id, regexp_replace(regexp_extract(t, 'https?://[^\\s<>"]+', 0), '[.,;:!?]+$', '') AS url
+  FROM p
+),
+parts AS ({_URL_PARTS_SQL} FROM first_u WHERE url <> ''),
+canon AS (SELECT doc_id, {_CANON_SQL} AS canonical FROM parts),
+winners AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical),
+keep AS (
+  SELECT doc_id FROM winners
+  UNION ALL
+  SELECT doc_id FROM first_u WHERE url = ''
+)
+SELECT d.doc_id, d.source FROM documents d JOIN keep USING (doc_id)
+ORDER BY d.doc_id
+"""
