@@ -219,3 +219,72 @@ class TestDomainBoilerplate:
         )
         kept = domain_boilerplate_dedup(lines, "source", min_docs=2, max_doc_frac=0.5)
         assert {r["line"] for r in kept.collect()} == {"x y"}
+
+
+# ---------------------------------------------------------------------------
+# Web-text repair (strip_html / fix_mojibake / clean_web_docs)
+# ---------------------------------------------------------------------------
+
+
+def _clean_one(spark, text: str) -> str:
+    from vectordb_bioinsight_spark.operators.cleaning import strip_html
+
+    return (
+        spark.createDataFrame([(text,)], "t string")
+        .select(strip_html(F.col("t")).alias("c"))
+        .first()["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        # script/style bodies vanish wholly, non-greedy across tags
+        ("a<script>if(x<2){y()}</script>b<script>z</script>c", "ab\nc" if False else "abc"),
+        ("a<style>.x{color:red}</style>b", "ab"),
+        ("keep<!-- secret comment -->going", "keepgoing"),
+        # br and /p become newlines; tag case-insensitive
+        ("one<BR/>two</P>three", "one\ntwo\nthree"),
+        # entity decode, &amp; LAST so &amp;lt; stays a literal "&lt;"
+        ("x &lt;tag&gt; &quot;q&quot; it&#39;s a&nbsp;b &amp;lt;", 'x <tag> "q" it\'s a b &lt;'),
+        # space squeeze + trim
+        ("  a \t  b  ", "a b"),
+    ],
+)
+def test_strip_html_rules(spark, raw, want):
+    assert _clean_one(spark, raw) == want
+
+
+def test_fix_mojibake_sequences(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import fix_mojibake
+
+    raw = "donâ€™t â€œquoteâ€“dash cafÃ© niÃ±oÂ here"
+    got = (
+        spark.createDataFrame([(raw,)], "t string")
+        .select(fix_mojibake(F.col("t")).alias("f"))
+        .first()["f"]
+    )
+    assert got == "don’t “quote–dash café niño here"
+
+
+def test_clean_web_docs_counts_and_flag(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import clean_web_docs
+
+    df = spark.createDataFrame(
+        [(1, "<p>plain</p>"), (2, "donâ€™t <b>x</b>")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in clean_web_docs(df, "doc_id", "text").collect()}
+    assert rows[1]["n_tags"] == 2 and rows[1]["mojibake_fixed"] == 0
+    assert rows[2]["n_tags"] == 2 and rows[2]["mojibake_fixed"] == 1
+    assert rows[2]["text_clean"] == "don’t x"
+
+
+def test_clean_web_docs_is_scan_local(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import clean_web_docs
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    plan = clean_web_docs(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

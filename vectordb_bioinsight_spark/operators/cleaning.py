@@ -390,3 +390,92 @@ def span_cut_docs(
         materialize=False,
     )
     return remove_token_spans(toked, spans, id_col, "_toks", tokens_col="_toks")
+
+
+# ---------------------------------------------------------------------------
+# Web-text repair: HTML stripping + entity decode, mojibake fix
+# ---------------------------------------------------------------------------
+
+#: literal HTML entities decoded after tag stripping. ORDER MATTERS:
+#: ``&amp;`` must decode LAST or "&amp;lt;" would double-decode — the same
+#: rule every HTML entity decoder follows. Numeric entities (&#x27;-style
+#: beyond the explicit apostrophe) are out of scope: turning a captured
+#: code point into a character is not a single JVM/RE2 expression, and the
+#: six below cover the overwhelming share of crawl text.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+#: UTF-8-read-as-Latin-1 sequences (the classic double-encoding accident)
+#: → the intended character. Literal replaces, longest/most-specific
+#: first; the bare "Â " stray only matches with its trailing space so
+#: legitimate "Â«" quoting survives.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€“", "–"),
+    ("â€”", "—"),
+    ("â€¦", "…"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¤", "ä"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+    ("Â ", " "),
+]
+
+
+def strip_html(text):  # noqa: ANN001, ANN201
+    """Column expression: HTML → plain text. Script/style blocks and
+    comments vanish wholly (non-greedy RE2 with (?is)), ``<br>``/``</p>``
+    become newlines, remaining tags drop, entities decode, runs of
+    spaces/tabs squeeze. Pure JVM projection — zero shuffle, zero UDF;
+    the RE2-compatible subset keeps the DuckDB twin byte-identical."""
+    # two anchored patterns, not one with a backreference — RE2 (the
+    # DuckDB twin's engine) has no backrefs
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", "")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", "")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", "")
+    t = F.regexp_replace(t, r"(?i)<br\s*/?>|</p\s*>", "\n")
+    t = F.regexp_replace(t, "<[^>]+>", "")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    # trim() strips SPACES only in both engines — anchor-strip all
+    # leading/trailing whitespace instead so '</p>' newlines don't linger
+    return F.regexp_replace(t, "^\\s+|\\s+$", "")
+
+
+def fix_mojibake(text):  # noqa: ANN001, ANN201
+    """Column expression: undo the UTF-8-decoded-as-Latin-1 accident for
+    the common punctuation/accent sequences (``MOJIBAKE_MAP``). Chain of
+    literal replaces — scan-local, shared corpus scan with the other
+    gates."""
+    t = text
+    for bad, good in MOJIBAKE_MAP:
+        t = F.replace(t, F.lit(bad), F.lit(good))
+    return t
+
+
+def clean_web_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The combined web-repair projection: tag count (pre-strip), HTML
+    strip + entity decode, mojibake fix. One scan, three derived columns.
+
+    Output: input + (n_tags, text_clean, mojibake_fixed flag).
+    """
+    n_tags = F.size(F.regexp_extract_all(F.col(text_col), F.lit("<[^>]+>"), F.lit(0)))
+    stripped = strip_html(F.col(text_col))
+    fixed = fix_mojibake(stripped)
+    return df.select(
+        "*",
+        n_tags.cast("int").alias("n_tags"),
+        fixed.alias("text_clean"),
+        (fixed != stripped).cast("int").alias("mojibake_fixed"),
+    )

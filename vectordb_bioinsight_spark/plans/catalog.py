@@ -89,6 +89,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "heatmap_top_parts": (st.q_heatmap_top_parts, st.SQL_HEATMAP_TOP_PARTS),
     "url_domain_stats": (cl.q_url_domain_stats, cl.SQL_URL_DOMAIN_STATS),
     "url_dedup_docs": (cl.q_url_dedup_docs, cl.SQL_URL_DEDUP_DOCS),
+    "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

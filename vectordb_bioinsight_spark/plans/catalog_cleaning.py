@@ -472,3 +472,92 @@ keep AS (
 SELECT d.doc_id, d.source FROM documents d JOIN keep USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# web_clean_docs — HTML strip + entity decode + mojibake repair
+# (operators/cleaning.py: strip_html / fix_mojibake / clean_web_docs)
+# ---------------------------------------------------------------------------
+# The corpus is plain text, so the entry PLANTS deterministic HTML wrapping
+# and mojibake damage identically on both engines; under test are the
+# strip/decode/repair chains themselves (regexes restricted to the RE2
+# subset, literal replaces in one pinned order).
+
+
+def _plant_html(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<script type="text/javascript">var x=1;</script><b>bold&amp;strong</b> rank &lt;'),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit("&gt;"),
+                ),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.lit("<!-- nav --><br/>they&#39;re here&nbsp;now"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("<style>.a{color:red}</style>donâ€™t say â€œhiâ€“byeâ€"))
+            .otherwise(F.lit(" cafÃ© naÃ¯ve resumÃ©")),
+        ).alias("text"),
+    )
+
+
+_PLANT_HTML_SQL = (
+    "'<p>' || text || '</p>' || CASE doc_id % 4 "
+    "WHEN 0 THEN '<script type=\"text/javascript\">var x=1;</script><b>bold&amp;strong</b> rank &lt;' || (doc_id % 9)::VARCHAR || '&gt;' "
+    "WHEN 1 THEN '<!-- nav --><br/>they&#39;re here&nbsp;now' "
+    "WHEN 2 THEN '<style>.a{color:red}</style>donâ€™t say â€œhiâ€“byeâ€' "
+    "ELSE ' cafÃ© naÃ¯ve resumÃ©' END"
+)
+
+
+def q_web_clean_docs(spark, sf_dir):
+    """Web-text repair chain: tag counts, HTML→plain with entity decode,
+    mojibake fix — the projection every crawl-derived corpus runs before
+    any quality gate reads the text."""
+    from vectordb_bioinsight_spark.operators.cleaning import clean_web_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = clean_web_docs(_plant_html(docs), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tags", "mojibake_fixed", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+def _sql_web_clean() -> str:
+    from vectordb_bioinsight_spark.operators.cleaning import HTML_ENTITIES, MOJIBAKE_MAP
+
+    strip = "regexp_replace(t, '(?is)<script[^>]*>.*?</script>', '', 'g')"
+    strip = f"regexp_replace({strip}, '(?is)<style[^>]*>.*?</style>', '', 'g')"
+    strip = f"regexp_replace({strip}, '(?s)<!--.*?-->', '', 'g')"
+    strip = f"regexp_replace({strip}, '(?i)<br\\s*/?>|</p\\s*>', chr(10), 'g')"
+    strip = f"regexp_replace({strip}, '<[^>]+>', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        e, c = ent.replace("'", "''"), ch.replace("'", "''")
+        strip = f"replace({strip}, '{e}', '{c}')"
+    strip = f"regexp_replace({strip}, '[ \\t]+', ' ', 'g')"
+    strip = f"regexp_replace({strip}, '^\\s+|\\s+$', '', 'g')"
+    fixed = "stripped"
+    for bad, good in MOJIBAKE_MAP:
+        b, g = bad.replace("'", "''"), good.replace("'", "''")
+        fixed = f"replace({fixed}, '{b}', '{g}')"
+    return f"""
+WITH p AS (SELECT doc_id, {_PLANT_HTML_SQL} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '<[^>]+>'))::INT AS n_tags,
+         {strip} AS stripped
+  FROM p
+)
+SELECT doc_id, n_tags,
+       CASE WHEN {fixed} <> stripped THEN 1 ELSE 0 END::INT AS mojibake_fixed,
+       md5({fixed}) AS clean_md5
+FROM s
+"""
+
+
+SQL_WEB_CLEAN_DOCS = _sql_web_clean()
