@@ -288,3 +288,45 @@ def test_clean_web_docs_is_scan_local(spark):
     plan = clean_web_docs(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (split_sentences)
+# ---------------------------------------------------------------------------
+
+
+def _sents(spark, text: str) -> list[str]:
+    from vectordb_bioinsight_spark.operators.cleaning import split_sentences
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = split_sentences(df, "doc_id", "text").orderBy("sent_no").collect()
+    assert [r["sent_no"] for r in rows] == list(range(len(rows)))  # contiguous
+    return [r["sentence"] for r in rows]
+
+
+def test_split_sentences_basic(spark):
+    assert _sents(spark, "One. Two! Three? Four") == ["One.", "Two!", "Three?", "Four"]
+
+
+def test_split_sentences_abbreviations_survive(spark):
+    got = _sents(spark, "Dr. Smith et al. agree e.g. here. Next one.")
+    assert got == ["Dr. Smith et al. agree e.g. here.", "Next one."]
+
+
+def test_split_sentences_terminator_runs_and_blanks(spark):
+    # '!?' glues to its sentence; whitespace-only fragments vanish without
+    # leaving sent_no gaps
+    assert _sents(spark, "Wait!? Sure...   ") == ["Wait!?", "Sure..."]
+
+
+def test_split_sentences_empty_and_no_terminator(spark):
+    assert _sents(spark, "just a fragment") == ["just a fragment"]
+    assert _sents(spark, "") == []
+
+
+def test_split_sentences_scan_local(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import split_sentences
+
+    df = spark.createDataFrame([(1, "A. B.")], "doc_id long, text string")
+    plan = split_sentences(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

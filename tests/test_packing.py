@@ -172,3 +172,26 @@ def test_shuffle_shards_deterministic_and_complete(spark):
     # a different salt yields a different order
     c = shuffle_shards(df, "doc_id", n_shards=8, salt=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_shard_manifest_order_independent(spark):
+    """The xor fingerprints must be identical under any partitioning and
+    must change when any doc's text changes."""
+    from vectordb_bioinsight_spark.operators.packing import shard_manifest, shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    sharded = shuffle_shards(docs, "doc_id", n_shards=4, salt=0)
+    base = {r["shard"]: r for r in shard_manifest(sharded, "shard", "doc_id", "text").collect()}
+    scrambled = sharded.repartition(13).sortWithinPartitions(F.desc("text"))
+    again = {r["shard"]: r for r in shard_manifest(scrambled, "shard", "doc_id", "text").collect()}
+    assert base == again
+    mutated = sharded.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("changed")).otherwise(F.col("text"))
+    )
+    mm = {r["shard"]: r for r in shard_manifest(mutated, "shard", "doc_id", "text").collect()}
+    changed_shard = sharded.filter(F.col("doc_id") == 7).first()["shard"]
+    assert mm[changed_shard]["content_xor"] != base[changed_shard]["content_xor"]
+    assert mm[changed_shard]["id_xor"] == base[changed_shard]["id_xor"]

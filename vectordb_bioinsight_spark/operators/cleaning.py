@@ -479,3 +479,51 @@ def clean_web_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fixed.alias("text_clean"),
         (fixed != stripped).cast("int").alias("mojibake_fixed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation
+# ---------------------------------------------------------------------------
+
+#: abbreviations whose trailing '.' does NOT end a sentence. Protected by
+#: a literal sentinel swap before the terminator scan (RE2 — the DuckDB
+#: twin's engine — has no lookbehind, so the classic (?<=[.!?]) split is
+#: not portable; protect-split-restore is, exactly).
+SENTENCE_ABBREVIATIONS: tuple[str, ...] = (
+    "Dr.", "Mr.", "Mrs.", "Ms.", "Prof.", "Fig.", "No.",
+    "e.g.", "i.e.", "etc.", "vs.", "et al.", "cf.",
+)
+
+_SENTINEL = "\x01"
+
+
+def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic sentence segmentation: protect known abbreviations,
+    extract maximal ``[^.!?]+[.!?]*`` runs, restore, trim. A final
+    unterminated fragment is kept as its own sentence.
+
+    Not a learned segmenter — a pinned, engine-portable recipe (the same
+    trade the C4 pipeline makes): every rule is a literal replace or an
+    RE2-subset regex, so the DuckDB twin reproduces it byte-for-byte and
+    the whole pass stays scan-local (explode is the only row op; no
+    shuffle, no UDF).
+
+    Output: (id, sent_no 0-based, sentence) — empty/whitespace-only
+    fragments dropped.
+    """
+    t = F.col(text_col)
+    for abbr in SENTENCE_ABBREVIATIONS:
+        # EVERY dot in the abbreviation becomes the sentinel ("e.g." has an
+        # interior one that would otherwise still split)
+        t = F.replace(t, F.lit(abbr), F.lit(abbr.replace(".", _SENTINEL)))
+    sents = F.regexp_extract_all(t, F.lit("[^.!?]+[.!?]*"), F.lit(0))
+    # restore + trim + drop empties INSIDE the array, before posexplode,
+    # so sent_no stays contiguous
+    restored = F.transform(
+        sents, lambda s: F.trim(F.replace(s, F.lit(_SENTINEL), F.lit(".")))
+    )
+    kept = F.filter(restored, lambda s: s != F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(kept).alias("sent_no", "sentence"),
+    ).select(id_col, F.col("sent_no").cast("long").alias("sent_no"), "sentence")

@@ -344,3 +344,44 @@ def shuffle_shards(
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("_h")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    text_col: str,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest of a sharded training corpus — the table a
+    trainer's data loader (and the next round's incremental-ingest job)
+    reads instead of listing files: document/token/byte totals plus an
+    ORDER-INDEPENDENT content fingerprint.
+
+    The fingerprint is ``bit_xor`` of each doc's 64-bit text hash (and of
+    the id hashes): xor commutes, so the checksum is identical no matter
+    how partitions arrive — re-shuffling, AQE re-planning, or a different
+    cluster size cannot change it, while any changed/missing/extra doc
+    does. A sum would need overflow-wrapping semantics that differ across
+    engines; xor is exact in both.
+
+    One map-side-combinable groupBy on the shard key; nothing collects.
+
+    Output: (shard, n_docs, n_tokens, n_bytes, content_xor, id_xor).
+    """
+    n_tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else bpe_token_count(F.col(text_col)).cast("long")
+    )
+    return (
+        df.groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n_tokens).cast("long").alias("n_tokens"),
+            F.sum(F.octet_length(F.col(text_col))).cast("long").alias("n_bytes"),
+            F.bit_xor(portable_hash64(F.col(text_col))).alias("content_xor"),
+            F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias("id_xor"),
+        )
+        .orderBy("shard")
+    )

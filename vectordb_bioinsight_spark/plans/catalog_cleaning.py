@@ -561,3 +561,69 @@ FROM s
 
 
 SQL_WEB_CLEAN_DOCS = _sql_web_clean()
+
+
+# ---------------------------------------------------------------------------
+# sentence_split_docs — abbreviation-aware sentence segmentation
+# (operators/cleaning.py: split_sentences)
+# ---------------------------------------------------------------------------
+# The corpus has no punctuation, so the entry PLANTS sentences with
+# abbreviations, multiple terminators, and an unterminated tail fragment.
+
+
+def _plant_sentences(docs):
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Intro number "),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit(". Dr. Smith et al. said e.g. it works!  Right? "),
+            F.substring(F.col("text"), 1, 30 + (F.col("doc_id") % 20).cast("int")),
+        ).alias("text"),
+    )
+
+
+_PLANT_SENT_SQL = (
+    "'Intro number ' || (doc_id % 6)::VARCHAR || "
+    "'. Dr. Smith et al. said e.g. it works!  Right? ' || "
+    "substr(text, 1, 30 + (doc_id % 20))"
+)
+
+
+def q_sentence_split_docs(spark, sf_dir):
+    """Sentence segmentation (protect-split-restore, RE2-portable): one
+    row per sentence with contiguous 0-based sent_no; abbreviations keep
+    their periods, the unterminated tail survives as a fragment."""
+    from vectordb_bioinsight_spark.operators.cleaning import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_sentences(_plant_sentences(docs), "doc_id", "text")
+
+
+def _sql_sentence_split() -> str:
+    from vectordb_bioinsight_spark.operators.cleaning import SENTENCE_ABBREVIATIONS
+
+    prot = "t"
+    for abbr in SENTENCE_ABBREVIATIONS:
+        a = abbr.replace("'", "''")  # escape quotes FIRST, then splice the
+        # chr(1) concat pieces so they stay SQL, not literal text
+        repl = "'" + a.replace(".", "' || chr(1) || '") + "'"
+        prot = f"replace({prot}, '{a}', {repl})"
+    return f"""
+WITH p AS (SELECT doc_id, {_PLANT_SENT_SQL} AS t FROM documents),
+arr AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all({prot}, '[^.!?]+[.!?]*'),
+                          s -> trim(replace(s, chr(1), '.'))),
+           s -> s <> '') AS sents
+  FROM p
+)
+SELECT doc_id,
+       unnest(range(0, len(sents)))::BIGINT AS sent_no,
+       unnest(sents) AS sentence
+FROM arr
+"""
+
+
+SQL_SENTENCE_SPLIT_DOCS = _sql_sentence_split()

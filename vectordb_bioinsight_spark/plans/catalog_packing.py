@@ -293,3 +293,39 @@ SELECT doc_id,
           ORDER BY hv ASC, doc_id ASC) - 1)::BIGINT AS shard_pos
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest_docs — per-shard manifest with order-independent checksums
+# ---------------------------------------------------------------------------
+
+
+def q_shard_manifest_docs(spark, sf_dir):
+    """Training-shard manifest (operators/packing.py:shard_manifest) over
+    the epoch-shuffle assignment: doc/token/byte totals + bit_xor content
+    fingerprints per shard — identical under ANY partitioning/arrival
+    order, different on any changed doc."""
+    from vectordb_bioinsight_spark.operators.packing import shard_manifest, shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = shuffle_shards(docs, "doc_id", n_shards=_SHARDS, salt=0)
+    return shard_manifest(sharded, "shard", "doc_id", "text")
+
+
+_SALTED_SHARD_SQL = (
+    "((" + salted_hash64_duckdb("doc_id::VARCHAR", 0)
+    + f") % {_SHARDS} + {_SHARDS}) % {_SHARDS}"
+)
+
+SQL_SHARD_MANIFEST_DOCS = f"""
+WITH s AS (
+  SELECT doc_id, text, {_SALTED_SHARD_SQL} AS shard FROM documents
+)
+SELECT shard::INT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum({bpe_token_count_duckdb('text')}::BIGINT)::BIGINT AS n_tokens,
+       sum(strlen(text))::BIGINT AS n_bytes,
+       bit_xor({PORTABLE_HASH64_DUCKDB.format(expr='text')})::BIGINT AS content_xor,
+       bit_xor({PORTABLE_HASH64_DUCKDB.format(expr='doc_id::VARCHAR')})::BIGINT AS id_xor
+FROM s GROUP BY shard ORDER BY shard
+"""
