@@ -61,3 +61,45 @@ def test_ingest_gates_and_dedups(spark, dirs):
     run_ingest_stream(stream2, corpus, ckpt)
     got2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert got2 == {100, 1, 5, 7}
+
+
+def test_ingest_url_dedup_across_batches(spark, dirs):
+    """url_dedup=True drops a later doc whose canonical first URL matches
+    an earlier one (within batch AND against the corpus), keeps url-less
+    docs, and persists url_key with the corpus rows."""
+    landing, corpus, ckpt = dirs
+    _jsonl(
+        landing / "b1.jsonl",
+        [
+            (1, "read this https://WWW.Example.COM/a?utm_source=x today"),
+            (2, "read this https://example.com/a now"),  # same canonical as 1
+            (3, "plain document with no link at all"),
+            (4, "another plain document without links"),
+        ],
+    )
+    run_ingest_stream(
+        stream_documents_from_dir(spark, str(landing)),
+        corpus,
+        ckpt,
+        url_dedup=True,
+    )
+    got = spark.read.parquet(corpus)
+    assert "url_key" in got.columns
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 4]
+
+    # second batch: same URL again (vs corpus), plus a fresh URL
+    _jsonl(
+        landing / "b2.jsonl",
+        [
+            (10, "repost https://example.com/a once more"),
+            (11, "fresh page https://example.com/b here"),
+        ],
+    )
+    run_ingest_stream(
+        stream_documents_from_dir(spark, str(landing)),
+        corpus,
+        str(ckpt) + "2",
+        url_dedup=True,
+    )
+    final = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert final == [1, 3, 4, 11]

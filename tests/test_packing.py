@@ -195,3 +195,36 @@ def test_shard_manifest_order_independent(spark):
     changed_shard = sharded.filter(F.col("doc_id") == 7).first()["shard"]
     assert mm[changed_shard]["content_xor"] != base[changed_shard]["content_xor"]
     assert mm[changed_shard]["id_xor"] == base[changed_shard]["id_xor"]
+
+
+def test_merge_shard_manifests_equals_full_rebuild(spark):
+    """manifest(corpus ∪ batch) == merge(manifest(corpus), manifest(batch))
+    — the algebra an ingest pipeline relies on; xor also UN-folds a
+    retracted batch."""
+    from vectordb_bioinsight_spark.operators.packing import (
+        merge_shard_manifests,
+        shard_manifest,
+        shuffle_shards,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"text {i} " * (1 + i % 4)) for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    corpus, batch = mk(0, 50), mk(50, 70)
+    sh = lambda df: shuffle_shards(df, "doc_id", n_shards=4, salt=0)
+    man = lambda df: shard_manifest(sh(df), "shard", "doc_id", "text")
+    full = {r["shard"]: r for r in man(mk(0, 70)).collect()}
+    merged = {
+        r["shard"]: r
+        for r in merge_shard_manifests(man(corpus), man(batch)).collect()
+    }
+    assert full == merged
+    # retract the batch by folding it again, minus the additive counts
+    unfolded = {
+        r["shard"]: (r["content_xor"], r["id_xor"])
+        for r in merge_shard_manifests(man(mk(0, 70)), man(batch)).collect()
+    }
+    want = {r["shard"]: (r["content_xor"], r["id_xor"]) for r in man(corpus).collect()}
+    for s, pair in want.items():
+        assert unfolded[s] == pair

@@ -385,3 +385,27 @@ def shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def merge_shard_manifests(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental manifest maintenance: fold an append-batch's manifest
+    into the standing one WITHOUT touching the corpus. Counts add; the
+    xor fingerprints fold (xor is its own inverse, so re-removing a
+    retracted batch is the same operation). An ingest pipeline keeps the
+    manifest current at O(shards) cost per batch — the corpus itself is
+    never rescanned.
+
+    Both inputs must be shard_manifest outputs (same schema).
+    """
+    both = base.unionByName(delta)
+    return (
+        both.groupBy("shard")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.bit_xor("content_xor").alias("content_xor"),
+            F.bit_xor("id_xor").alias("id_xor"),
+        )
+        .orderBy("shard")
+    )

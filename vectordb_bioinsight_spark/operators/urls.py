@@ -140,17 +140,7 @@ def url_dedup_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     document per canonical first-URL; docs with no URL all survive.
     The dedup key is the canonical URL's 64-bit hash — 8 bytes shuffled
     per doc, never the text."""
-    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
-
-    first_url = F.regexp_replace(
-        F.regexp_extract(F.col(text_col), URL_RX, 0), TRAIL_RX, ""
-    )
-    keyed = df.withColumn(
-        "_ukey",
-        F.when(first_url == "", F.lit(None)).otherwise(
-            portable_hash64(normalize_url(first_url))
-        ),
-    )
+    keyed = with_url_key(df, text_col, "_ukey")
     winners = (
         keyed.filter(F.col("_ukey").isNotNull())
         .groupBy("_ukey")
@@ -160,3 +150,21 @@ def url_dedup_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     no_url = keyed.filter(F.col("_ukey").isNull()).select(id_col)
     keep = winners.unionByName(no_url)
     return df.join(keep, id_col, "left_semi")
+
+
+def with_url_key(df: DataFrame, text_col: str, out_col: str = "url_key") -> DataFrame:
+    """Adds the 64-bit canonical-first-URL key (NULL when the text has no
+    URL) — computed ONCE at ingest and persisted, so every later
+    URL-dedup pass is a join on an 8-byte column instead of a corpus
+    re-extraction."""
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    first_url = F.regexp_replace(
+        F.regexp_extract(F.col(text_col), URL_RX, 0), TRAIL_RX, ""
+    )
+    return df.withColumn(
+        out_col,
+        F.when(first_url == "", F.lit(None).cast("long")).otherwise(
+            portable_hash64(normalize_url(first_url))
+        ),
+    )

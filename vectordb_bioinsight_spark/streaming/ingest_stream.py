@@ -80,6 +80,20 @@ def _dedup_within_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+def _url_dedup_within_batch(batch: DataFrame, id_col: str) -> DataFrame:
+    """Min-id survivor per url_key; url-less docs (NULL key) each form
+    their own group via the id-hash fallback so they all survive."""
+    from pyspark.sql import Window
+
+    grp = F.coalesce(F.col("url_key"), portable_hash64(F.col(id_col).cast("string")))
+    w = Window.partitionBy(grp).orderBy(F.col(id_col).asc())
+    return (
+        batch.withColumn("_urn", F.row_number().over(w))
+        .filter(F.col("_urn") == 1)
+        .drop("_urn")
+    )
+
+
 def run_ingest_stream(
     stream_docs: DataFrame,
     corpus_path: str,
@@ -87,21 +101,32 @@ def run_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     bloom_bits: int = 1 << 16,
+    url_dedup: bool = False,
     await_termination: bool = True,
 ):
     """Start the gated, deduped append loop; with the default
     availableNow trigger it drains the landing dir and stops (the
     batch-refresh mode); pass ``await_termination=False`` to keep the query
     handle for a long-running stream.
+
+    ``url_dedup=True`` inserts the RefinedWeb stage-1 gate BEFORE content
+    dedup: the canonical-first-URL key (operators/urls.with_url_key) is
+    computed once per doc, deduped within the batch, anti-joined against
+    the corpus's persisted ``url_key`` column (8 bytes per corpus row —
+    the corpus text is never re-parsed), and stored with the appended
+    rows. NULL keys (no URL) always survive the anti-join: NULL equals
+    nothing, which is exactly the wanted semantics.
     """
     from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
+    from vectordb_bioinsight_spark.operators.urls import with_url_key
 
     spark = stream_docs.sparkSession
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
-        batch = _dedup_within_batch(
-            quality_gate(batch_df, text_col), id_col, text_col
-        )
+        gated = quality_gate(batch_df, text_col)
+        if url_dedup:
+            gated = _url_dedup_within_batch(with_url_key(gated, text_col), id_col)
+        batch = _dedup_within_batch(gated, id_col, text_col)
         # Probe the existing corpus THROUGH Spark, not the driver-local
         # filesystem: corpus_path may be an object-store prefix, a
         # partitioned layout, or a Delta table — os.listdir would report
@@ -115,6 +140,11 @@ def run_ingest_stream(
         except AnalysisException:
             pass  # first batch ever: no corpus yet
         if corpus is not None:
+            if url_dedup and "url_key" in corpus.columns:
+                seen = corpus.select("url_key").where(
+                    F.col("url_key").isNotNull()
+                ).distinct()
+                batch = batch.join(seen, "url_key", "left_anti")
             batch = dedup_against_corpus(
                 batch, corpus, id_col, text_col, num_bits=bloom_bits
             )
