@@ -90,6 +90,12 @@ HEADLINE = [
     "gsea_brand_es",
     # r04: the BPE subword encoder (scan-local replace chain, zero shuffle)
     "bpe_encode_docs",
+    # r04 session-3: the web-hygiene tier — URL canonicalize+domain rollup
+    # (scan-local regex/array exprs + one bounded groupBy), HTML/mojibake
+    # repair (pure projection), and the xor shard manifest
+    "url_domain_stats",
+    "web_clean_docs",
+    "shard_manifest_docs",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

@@ -228,3 +228,30 @@ def test_merge_shard_manifests_equals_full_rebuild(spark):
     want = {r["shard"]: (r["content_xor"], r["id_xor"]) for r in man(corpus).collect()}
     for s, pair in want.items():
         assert unfolded[s] == pair
+
+
+def test_curriculum_shards_ordering_and_balance(spark):
+    from vectordb_bioinsight_spark.operators.packing import curriculum_shards
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(200)],
+        "doc_id long, score double",
+    )
+    out = curriculum_shards(df, "doc_id", "score", n_shards=4, salt=1).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["shard_pos"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rows in by_shard.values():
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores)  # easy-first within shard
+        assert [r["shard_pos"] for r in rows] == list(range(len(rows)))
+    # same salt ⇒ same assignment as shuffle_shards (only the order differs)
+    from vectordb_bioinsight_spark.operators.packing import shuffle_shards
+
+    a = {r["doc_id"]: r["shard"] for r in out}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shuffle_shards(df, "doc_id", n_shards=4, salt=1).collect()
+    }
+    assert a == b

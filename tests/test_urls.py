@@ -129,3 +129,35 @@ def test_url_ops_are_pure_projections(spark):
     plan = ext._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_filter_blocked_domains(spark):
+    from vectordb_bioinsight_spark.operators.urls import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok https://news.example.com/a"),     # example.com blocked
+            (2, "ok https://fine.org/b"),
+            (3, "no links at all"),
+            (4, "two https://fine.org/x and https://bad.co.uk/y"),  # one hit kills
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(
+            df, ["example.com", "bad.co.uk"], "doc_id", "text"
+        ).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_filter_blocked_domains_broadcasts(spark):
+    from vectordb_bioinsight_spark.operators.urls import filter_blocked_domains
+
+    df = spark.createDataFrame([(1, "x https://a.io/p")], "doc_id long, text string")
+    plan = (
+        filter_blocked_domains(df, ["a.io"], "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

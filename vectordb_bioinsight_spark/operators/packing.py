@@ -409,3 +409,32 @@ def merge_shard_manifests(base: DataFrame, delta: DataFrame) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_shards: int,
+    salt: int = 0,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum export: :func:`shuffle_shards`' balanced deterministic
+    hash-shard ASSIGNMENT, but ``shard_pos`` follows the difficulty /
+    quality score (``ascending=True`` = easy-first) instead of the
+    pseudo-random epoch order — the ordering curriculum-learning loaders
+    consume. A different ``salt`` re-deals the shards while every shard
+    stays internally score-ordered.
+
+    Output: input + shard (int) + shard_pos (0-based long, score-ordered
+    within shard; id tiebreak).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = salted_hash64(F.col(id_col).cast("string"), salt)
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy("shard").orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+    )

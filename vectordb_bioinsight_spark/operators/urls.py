@@ -168,3 +168,30 @@ def with_url_key(df: DataFrame, text_col: str, out_col: str = "url_key") -> Data
             portable_hash64(normalize_url(first_url))
         ),
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Drop documents whose text links to ANY blocked registrable domain
+    (the C4/Gopher blocklist gate). The blocklist is a dimension —
+    broadcast; the doc side is the scan-local extract+domain projection;
+    the whole gate is one broadcast left-anti join, no corpus shuffle.
+
+    ``blocklist``: a one-column DataFrame (``domain``) or a plain list of
+    registrable domains.
+    """
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame([(d,) for d in blocklist], "domain string")
+    hit_docs = (
+        extract_urls(df, id_col, text_col)
+        .select(F.col(id_col), registered_domain(url_host(F.col("url"))).alias("domain"))
+        .join(F.broadcast(blocklist.select("domain").distinct()), "domain", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hit_docs, id_col, "left_anti")

@@ -329,3 +329,37 @@ SELECT shard::INT AS shard,
        bit_xor({PORTABLE_HASH64_DUCKDB.format(expr='doc_id::VARCHAR')})::BIGINT AS id_xor
 FROM s GROUP BY shard ORDER BY shard
 """
+
+
+# ---------------------------------------------------------------------------
+# curriculum_shards_docs — quality-ordered positions inside hash shards
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_shards_docs(spark, sf_dir):
+    """Curriculum export (operators/packing.py:curriculum_shards): balanced
+    hash-shard assignment, easy-first positions by ascending BPE token
+    count (the cheap difficulty proxy), doc_id tiebreak."""
+    from vectordb_bioinsight_spark.operators.packing import curriculum_shards, with_token_counts
+
+    docs = with_token_counts(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id", "text",
+    ).select("doc_id", "n_tokens")
+    return curriculum_shards(docs, "doc_id", "n_tokens", n_shards=_SHARDS, salt=0)
+
+
+SQL_CURRICULUM_SHARDS_DOCS = f"""
+WITH c AS (
+  SELECT doc_id,
+         {bpe_token_count_duckdb('text')}::BIGINT AS n_tokens,
+         ({salted_hash64_duckdb("doc_id::VARCHAR", 0)}) AS hv
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (((hv % {_SHARDS}) + {_SHARDS}) % {_SHARDS})::INT AS shard,
+       (row_number() OVER (
+          PARTITION BY ((hv % {_SHARDS}) + {_SHARDS}) % {_SHARDS}
+          ORDER BY n_tokens ASC, doc_id ASC) - 1)::BIGINT AS shard_pos
+FROM c
+"""
