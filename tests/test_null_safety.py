@@ -138,3 +138,40 @@ def test_r04_operators_handle_dirty_docs(spark, dirty_docs):
     assert enc[2] is None
     assert enc[3] == [] and enc[4] == [] and enc[5] == []
     assert len(enc[1]) > 0
+
+
+def test_web_tier_handles_dirty_docs(spark, dirty_docs):
+    """URL/HTML/sentence/shard ops on null/empty/whitespace text: degrade,
+    never throw."""
+    from vectordb_bioinsight_spark.operators.cleaning import clean_web_docs, split_sentences
+    from vectordb_bioinsight_spark.operators.packing import shard_manifest, shuffle_shards
+    from vectordb_bioinsight_spark.operators.urls import (
+        filter_blocked_domains,
+        url_dedup_docs,
+        url_domain_stats,
+        with_url_key,
+    )
+
+    keyed = {r["doc_id"]: r["url_key"] for r in with_url_key(dirty_docs, "text").collect()}
+    assert keyed[2] is None and keyed[3] is None and keyed[4] is None
+
+    assert url_domain_stats(dirty_docs, "doc_id", "text").count() == 0  # no URLs
+    assert sorted(
+        r["doc_id"] for r in url_dedup_docs(dirty_docs, "doc_id", "text").collect()
+    ) == [1, 2, 3, 4, 5]  # nothing to dedup, nobody lost
+    assert (
+        filter_blocked_domains(dirty_docs, ["example.com"], "doc_id", "text").count() == 5
+    )
+
+    cleaned = {r["doc_id"]: r for r in clean_web_docs(dirty_docs, "doc_id", "text").collect()}
+    assert cleaned[2]["text_clean"] is None and cleaned[2]["n_tags"] is None
+    assert cleaned[3]["text_clean"] == "" and cleaned[3]["n_tags"] == 0
+
+    sents = split_sentences(dirty_docs, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in sents} == {1, 5}  # null/empty/ws yield no rows
+
+    man = shard_manifest(
+        shuffle_shards(dirty_docs, "doc_id", n_shards=2, salt=0),
+        "shard", "doc_id", "text",
+    ).collect()
+    assert sum(r["n_docs"] for r in man) == 5  # null text still counted
