@@ -205,3 +205,27 @@ def test_ivf_append_matches_rebuild_assignment(spark):
     s1 = ivf_search((appended, cents), q, "vec_id", "embedding", k=5, n_probe=8)
     s2 = ivf_search((full_assign, cents), q, "vec_id", "embedding", k=5, n_probe=8)
     assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_contrastive_triplets_contract(spark):
+    """Every triplet pairs a labeled positive with a top-k hard negative;
+    margins exist iff the positive was inside the candidate pool."""
+    from vectordb_bioinsight_spark.operators.vector import contrastive_triplets
+
+    cands = spark.createDataFrame(
+        [  # query 1 pool: 10 (pos, in pool), 20, 21 (negs)
+            (1, 10, 0.9), (1, 20, 0.8), (1, 21, 0.7),
+        ],
+        "query_id long, cand_id long, score double",
+    )
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 11)],  # 11 is a positive OUTSIDE the pool
+        "query_id long, cand_id long",
+    )
+    rows = contrastive_triplets(cands, pos, k_neg=2).collect()
+    trips = {(r["pos_id"], r["neg_id"]): r for r in rows}
+    # 2 positives x 2 negatives
+    assert set(trips) == {(10, 20), (10, 21), (11, 20), (11, 21)}
+    assert trips[(10, 20)]["margin"] == 0.1 and trips[(10, 21)]["margin"] == 0.2
+    assert trips[(11, 20)]["margin"] is None  # pooled-out positive
+    assert trips[(10, 20)]["neg_rank"] == 1 and trips[(10, 21)]["neg_rank"] == 2

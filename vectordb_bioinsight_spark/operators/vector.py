@@ -748,3 +748,41 @@ def hard_negative_mining(
         .filter(F.col("neg_rank") <= k_neg)
         .select("query_id", "cand_id", "score", "neg_rank")
     )
+
+
+def contrastive_triplets(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 5,
+) -> DataFrame:
+    """(query, positive, negative) triplet export — the row format a
+    contrastive trainer (InfoNCE / triplet loss) actually consumes: every
+    labeled positive crossed with the query's top-``k_neg`` hard
+    negatives (:func:`hard_negative_mining`), with the score margin when
+    the positive appears in the candidate pool (NULL margin = positive
+    was outside the retrieval pool — itself a useful training-data
+    diagnostic: those are the hardest positives).
+
+    Inputs match hard_negative_mining; the per-query fan-out is
+    |positives| x k_neg, both bounded by construction.
+
+    Output: (query_id, pos_id, neg_id, neg_rank, margin).
+    """
+    negs = hard_negative_mining(candidates, positives, k_neg).select(
+        "query_id",
+        F.col("cand_id").alias("neg_id"),
+        F.col("score").alias("_neg_score"),
+        "neg_rank",
+    )
+    pos_scored = positives.join(
+        candidates, ["query_id", "cand_id"], "left"
+    ).select(
+        "query_id", F.col("cand_id").alias("pos_id"), F.col("score").alias("_pos_score")
+    )
+    return pos_scored.join(negs, "query_id").select(
+        "query_id",
+        "pos_id",
+        "neg_id",
+        "neg_rank",
+        F.round(F.col("_pos_score") - F.col("_neg_score"), 6).alias("margin"),
+    )

@@ -93,6 +93,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "shard_manifest_docs": (pk.q_shard_manifest_docs, pk.SQL_SHARD_MANIFEST_DOCS),
     "sentence_split_docs": (cl.q_sentence_split_docs, cl.SQL_SENTENCE_SPLIT_DOCS),
     "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
+    "contrastive_triplets": (vec.q_contrastive_triplets, vec.SQL_CONTRASTIVE_TRIPLETS),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

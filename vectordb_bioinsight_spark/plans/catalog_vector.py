@@ -946,3 +946,76 @@ SELECT query_id, cand_id, score, neg_rank FROM (
   FROM neg
 ) WHERE neg_rank <= {_HN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# contrastive_triplets — (query, pos, neg) export for embedding training
+# ---------------------------------------------------------------------------
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet export (operators/vector.py:contrastive_triplets): the
+    hard_negatives setup crossed with same-label positives (self
+    excluded); margin = pos_score - neg_score, NULL when the positive sat
+    outside the retrieval pool."""
+    from vectordb_bioinsight_spark.operators.vector import (
+        contrastive_triplets,
+        knn_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_HN_QUERIES))
+    cands = knn_join(queries, emb, "vec_id", "vec_id", "embedding", k=_HN_POOL)
+    pos = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("_ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("cand_id"), F.col("label")),
+            F.col("_ql") == F.col("label"),
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    return contrastive_triplets(
+        cands.select("query_id", "cand_id", "score"), pos, k_neg=_HN_K
+    )
+
+
+SQL_CONTRASTIVE_TRIPLETS = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id IN {_HN_QUERIES}
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), sums AS (
+  SELECT query_id, cand_id, sum(x*y) AS dot, sum(x*x) AS nx, sum(y*y) AS ny
+  FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT query_id, cand_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS score
+  FROM sums
+), pool AS (
+  SELECT query_id, cand_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {_HN_POOL}
+), negs AS (
+  SELECT query_id, cand_id AS neg_id, score AS neg_score, neg_rank FROM (
+    SELECT p.query_id, p.cand_id, p.score,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY p.score DESC, p.cand_id ASC) AS neg_rank
+    FROM pool p
+    JOIN q ON q.query_id = p.query_id
+    JOIN embeddings e ON e.vec_id = p.cand_id
+    WHERE e.label <> q.ql
+  ) WHERE neg_rank <= {_HN_K}
+), pos AS (
+  SELECT q.query_id, e.vec_id AS pos_id, p.score AS pos_score
+  FROM q
+  JOIN embeddings e ON e.label = q.ql AND e.vec_id <> q.query_id
+  LEFT JOIN pool p ON p.query_id = q.query_id AND p.cand_id = e.vec_id
+)
+SELECT pos.query_id, pos.pos_id, negs.neg_id, negs.neg_rank,
+       round(pos.pos_score - negs.neg_score, 6) AS margin
+FROM pos JOIN negs ON negs.query_id = pos.query_id
+"""
