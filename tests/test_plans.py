@@ -118,6 +118,14 @@ _MAX_EXCHANGES = {
     # member aggs + vote windows — more exchange NODES than the naive
     # 3-join form, but each moves the tiny neighbor table, never the corpus
     "knn_vote_ensemble": 9,
+    # r04 session-3 web-hygiene tier (audited via scripts/explain_catalog.py):
+    # the repair/segmentation projections are scan-local — ANY exchange is a
+    # regression; the rest are groupBy/window/sort shapes over bounded outputs
+    "web_clean_docs": 0,
+    "sentence_split_docs": 0,
+    "curriculum_shards_docs": 1,   # the shard-window shuffle
+    "shard_manifest_docs": 2,      # shard window + final O(shards) sort
+    "url_domain_stats": 3,         # multi-distinct agg + O(domains) sort
 }
 
 
