@@ -240,3 +240,76 @@ def test_read_jsonl_corpus_isolates_corrupt_lines(spark, tmp_path):
     assert rows[1]["text"] == "alpha beta" and rows[2]["lang"] == "de"
     bad = [r["raw_line"] for r in corrupt.collect()]
     assert len(bad) == 2 and any("not json" in b for b in bad)
+
+
+# ---------------------------------------------------------------------------
+# WARC scan (sources/readers.py: read_warc / warc_responses_to_documents)
+# ---------------------------------------------------------------------------
+
+
+def _warc_record(rtype: str, uri: str, rid: str, body: str) -> str:
+    block = (
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Date: 2024-01-15T10:00:00Z\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+    )
+    return "WARC/1.0\r\n" + block
+
+
+def test_read_warc_and_documents_handoff(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.readers import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    http1 = (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        "<p>Hello <b>crawl</b></p> see https://example.com/a"
+    )
+    http2 = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\ngone"
+    warc_text = (
+        _warc_record("warcinfo", "", "aaa", "software: test")
+        + _warc_record("request", "http://x.io/a", "bbb", "GET /a HTTP/1.1")
+        + _warc_record("response", "http://x.io/a", "ccc", http1)
+        + _warc_record("response", "http://x.io/b", "ddd", http2)
+    )
+    p = tmp_path / "seg.warc"
+    p.write_text(warc_text)
+
+    recs = read_warc(spark, str(p))
+    by_id = {r["record_id"]: r for r in recs.collect()}
+    assert len(by_id) == 4
+    assert by_id["<urn:uuid:ccc>"]["warc_type"] == "response"
+    assert by_id["<urn:uuid:ccc>"]["target_uri"] == "http://x.io/a"
+    assert by_id["<urn:uuid:ccc>"]["warc_date"] == "2024-01-15T10:00:00Z"
+    assert by_id["<urn:uuid:ccc>"]["content_length"] == len(http1)
+    assert by_id["<urn:uuid:aaa>"]["target_uri"] == ""  # warcinfo has none
+
+    docs = {r["url"]: r for r in warc_responses_to_documents(recs).collect()}
+    assert set(docs) == {"http://x.io/a", "http://x.io/b"}
+    assert docs["http://x.io/a"]["http_status"] == 200
+    assert docs["http://x.io/a"]["text"].startswith("<p>Hello")
+    assert docs["http://x.io/b"]["http_status"] == 404
+
+    # handoff into the hygiene tier: strip the HTML of the 200 response
+    from vectordb_bioinsight_spark.operators.cleaning import strip_html
+    from pyspark.sql import functions as F
+
+    cleaned = (
+        warc_responses_to_documents(recs)
+        .filter(F.col("http_status") == 200)
+        .select(strip_html(F.col("text")).alias("t"))
+        .first()["t"]
+    )
+    assert cleaned == "Hello crawl\n see https://example.com/a"
+
+
+def test_read_warc_is_scan_local(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.readers import read_warc
+
+    p = tmp_path / "one.warc"
+    p.write_text(_warc_record("response", "http://a.io", "x", "HTTP/1.1 200 OK\r\n\r\nhi"))
+    plan = read_warc(spark, str(p))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -474,3 +474,71 @@ def split_corrupt_rows(df: DataFrame, corrupt_col: str = "_corrupt"):
         corrupt_col, "raw_line"
     )
     return clean, corrupt
+
+
+# ---------------------------------------------------------------------------
+# WARC scan — the crawl-archive format a 100 TB web corpus arrives in
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Minimal WARC/1.x reader: one row per WARC record with the headers a
+    corpus pipeline routes on (type, target URI, date, record id) plus the
+    payload body.
+
+    Scale shape: ``spark.read.text`` with ``lineSep='WARC/1.0'`` splits the
+    archive into records AT THE SOURCE — each record is one row off the
+    scan, so a 100 TB crawl parallelizes by file split exactly like any
+    text source (uncompressed or per-file-gzip WARCs, which is how Common
+    Crawl ships segments — one .warc.gz per file decompresses inside the
+    file-split codec path). Header parsing is pure JVM regexp over the
+    record head; no UDF, no shuffle.
+
+    WARC is plain 8-bit text with CRLF framing (ISO 28500); the
+    version-line separator consumes the 'WARC/1.0' marker itself, and the
+    leading fragment before the first marker (empty or warcinfo preamble
+    noise) is dropped by the non-empty filter on warc-type.
+
+    Output: (warc_type, record_id, target_uri, warc_date, content_length,
+    payload) — payload is the raw block after the first blank line
+    (HTTP headers + body for response records, exactly what the
+    strip-HTML tier consumes next).
+    """
+    recs = spark.read.option("lineSep", "WARC/1.0").text(path)
+    head_body = F.split(F.col("value"), "\r\n\r\n", 2)
+    head = F.element_at(head_body, 1)
+    body = F.element_at(head_body, 2)
+
+    def _hdr(name: str):  # noqa: ANN202
+        return F.regexp_extract(head, f"(?im)^{name}:\\s*(\\S+)\\s*$", 1)
+
+    out = recs.select(
+        F.lower(_hdr("WARC-Type")).alias("warc_type"),
+        _hdr("WARC-Record-ID").alias("record_id"),
+        _hdr("WARC-Target-URI").alias("target_uri"),
+        _hdr("WARC-Date").alias("warc_date"),
+        _hdr("Content-Length").cast("long").alias("content_length"),
+        # trailing CRLFCRLF record delimiter stripped; leave interior bytes
+        F.regexp_replace(F.coalesce(body, F.lit("")), "(\r\n)+$", "").alias("payload"),
+    )
+    return out.filter(F.col("warc_type") != "")
+
+
+def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
+    """response records → (url, http_status, text) document rows: status
+    from the HTTP status line, body after the HTTP header block — the
+    handoff into the URL/HTML hygiene tier (operators/urls.py,
+    operators/cleaning.py). Pure JVM projection."""
+    http = F.split(F.col("payload"), "\r\n\r\n", 2)
+    head = F.element_at(http, 1)
+    body = F.element_at(http, 2)
+    return (
+        warc.filter(F.col("warc_type") == "response")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.regexp_extract(head, "^HTTP/[0-9.]+\\s+(\\d{3})", 1)
+            .cast("int")
+            .alias("http_status"),
+            F.coalesce(body, F.lit("")).alias("text"),
+        )
+    )
