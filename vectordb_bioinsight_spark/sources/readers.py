@@ -507,7 +507,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     recs = spark.read.option("lineSep", "WARC/1.0").text(path)
     head_body = F.split(F.col("value"), "\r\n\r\n", 2)
     head = F.element_at(head_body, 1)
-    body = F.element_at(head_body, 2)
+    # try_: a fragment with no blank line (the pre-marker preamble) has one
+    # element, and ANSI element_at would throw when Catalyst reorders the
+    # pushed filters ahead of the warc_type prune
+    body = F.try_element_at(head_body, F.lit(2))
 
     def _hdr(name: str):  # noqa: ANN202
         return F.regexp_extract(head, f"(?im)^{name}:\\s*(\\S+)\\s*$", 1)
@@ -517,7 +520,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         _hdr("WARC-Record-ID").alias("record_id"),
         _hdr("WARC-Target-URI").alias("target_uri"),
         _hdr("WARC-Date").alias("warc_date"),
-        _hdr("Content-Length").cast("long").alias("content_length"),
+        _hdr("Content-Length").try_cast("long").alias("content_length"),
         # trailing CRLFCRLF record delimiter stripped; leave interior bytes
         F.regexp_replace(F.coalesce(body, F.lit("")), "(\r\n)+$", "").alias("payload"),
     )
@@ -531,13 +534,13 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
     operators/cleaning.py). Pure JVM projection."""
     http = F.split(F.col("payload"), "\r\n\r\n", 2)
     head = F.element_at(http, 1)
-    body = F.element_at(http, 2)
+    body = F.try_element_at(http, F.lit(2))  # header-only payloads
     return (
         warc.filter(F.col("warc_type") == "response")
         .select(
             F.col("target_uri").alias("url"),
             F.regexp_extract(head, "^HTTP/[0-9.]+\\s+(\\d{3})", 1)
-            .cast("int")
+            .try_cast("int")  # ANSI: '' on malformed heads must be NULL, not a throw
             .alias("http_status"),
             F.coalesce(body, F.lit("")).alias("text"),
         )
