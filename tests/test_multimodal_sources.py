@@ -313,3 +313,21 @@ def test_read_warc_is_scan_local(spark, tmp_path):
     p.write_text(_warc_record("response", "http://a.io", "x", "HTTP/1.1 200 OK\r\n\r\nhi"))
     plan = read_warc(spark, str(p))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_read_warc_gzip_segment(spark, tmp_path):
+    """Common Crawl ships .warc.gz per segment; Spark's text source
+    decompresses per-file transparently — same rows as the plain read."""
+    import gzip
+
+    seg = _warc_record("response", "http://gz.io/a", "g1", "HTTP/1.1 200 OK\r\n\r\nzipped body")
+    plain = tmp_path / "p.warc"
+    plain.write_text(seg)
+    gz = tmp_path / "p.warc.gz"
+    gz.write_bytes(gzip.compress(seg.encode()))
+
+    from vectordb_bioinsight_spark.sources.readers import read_warc
+
+    a = sorted(map(tuple, read_warc(spark, str(plain)).collect()))
+    b = sorted(map(tuple, read_warc(spark, str(gz)).collect()))
+    assert a == b and len(a) == 1

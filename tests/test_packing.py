@@ -255,3 +255,33 @@ def test_curriculum_shards_ordering_and_balance(spark):
         for r in shuffle_shards(df, "doc_id", n_shards=4, salt=1).collect()
     }
     assert a == b
+
+
+def test_mixture_budget_plan_arithmetic(spark):
+    from vectordb_bioinsight_spark.operators.packing import mixture_budget_plan
+
+    docs = spark.createDataFrame(
+        [("big", 1, "t"), ("tiny", 2, "t")], "source string, doc_id long, text string"
+    )
+    # explicit token counts: big has 1000 avail, tiny has 10
+    counts = spark.createDataFrame(
+        [("big", 1, 1000), ("tiny", 2, 10)],
+        "source string, doc_id long, n_tokens long",
+    )
+    shares = spark.createDataFrame(
+        [("big", 3.0), ("tiny", 1.0)], "source string, share double"
+    )
+    rows = {
+        r["source"]: r
+        for r in mixture_budget_plan(
+            counts, "source", "text", 400, shares, max_epochs=2.0, token_col="n_tokens"
+        ).collect()
+    }
+    # big: want 300 of 1000 -> rate 0.3 (0 epochs + 0.3 frac), not starved
+    assert rows["big"]["want_tokens"] == 300 and rows["big"]["rate"] == 0.3
+    assert rows["big"]["n_epochs"] == 0 and rows["big"]["sample_frac"] == 0.3
+    assert rows["big"]["realized_tokens"] == 300 and not rows["big"]["starved"]
+    # tiny: want 100 of 10 -> rate 10 capped at 2 epochs, starved
+    assert rows["tiny"]["rate"] == 2.0 and rows["tiny"]["n_epochs"] == 2
+    assert rows["tiny"]["sample_frac"] == 0.0
+    assert rows["tiny"]["realized_tokens"] == 20 and rows["tiny"]["starved"]

@@ -438,3 +438,59 @@ def curriculum_shards(
         df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
         .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
     )
+
+
+def mixture_budget_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    budget_tokens: int,
+    shares: DataFrame,
+    max_epochs: float = 4.0,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Token-budget mixture plan — the accounting step between "we want
+    these domain proportions" (DoReMi / Llama-style target shares) and
+    "what do we actually sample": each source must supply
+    ``budget * share`` tokens, so its per-doc rate is want/avail —
+    ``n_epochs`` full passes plus a ``sample_frac`` partial pass — capped
+    at ``max_epochs`` (repeating a small source forever degrades models
+    faster than missing budget; the cap surfaces as ``starved`` so the
+    planner can re-normalize or source more data).
+
+    ``shares``: (source, share) rows; normalized defensively so callers
+    can pass unnormalized weights.
+
+    Scale: one map-side-combinable token count per source; everything
+    after is arithmetic on the dimension-sized plan table.
+
+    Output: (source, avail_tokens, target_share, want_tokens, rate,
+    n_epochs, sample_frac, realized_tokens, starved).
+    """
+    n_tokens = (
+        F.col(token_col).cast("long")
+        if token_col
+        else bpe_token_count(F.col(text_col)).cast("long")
+    )
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(n_tokens).cast("long").alias("avail_tokens")
+    )
+    z = shares.agg(F.sum("share").cast("double").alias("_z"))
+    norm = shares.crossJoin(F.broadcast(z)).select(
+        "source", (F.col("share") / F.col("_z")).alias("_share")
+    )
+    plan = avail.join(norm, "source")
+    want = F.col("_share") * F.lit(float(budget_tokens))
+    rate = want / F.col("avail_tokens")
+    capped = F.least(rate, F.lit(float(max_epochs)))
+    return plan.select(
+        "source",
+        "avail_tokens",
+        F.round("_share", 6).alias("target_share"),
+        F.round(want, 0).cast("long").alias("want_tokens"),
+        F.round(capped, 6).alias("rate"),
+        F.floor(capped).cast("int").alias("n_epochs"),
+        F.round(capped - F.floor(capped), 6).alias("sample_frac"),
+        F.round(capped * F.col("avail_tokens"), 0).cast("long").alias("realized_tokens"),
+        (rate > F.lit(float(max_epochs))).alias("starved"),
+    ).orderBy("source")

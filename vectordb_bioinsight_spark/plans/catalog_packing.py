@@ -363,3 +363,55 @@ SELECT doc_id, n_tokens,
           ORDER BY n_tokens ASC, doc_id ASC) - 1)::BIGINT AS shard_pos
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# mixture_budget_plan — token-budget mixture accounting
+# ---------------------------------------------------------------------------
+
+_MB_BUDGET = 1_000_000
+_MB_EPOCHS = 3.0
+
+
+def q_mixture_budget_plan(spark, sf_dir):
+    """Token-budget plan (operators/packing.py:mixture_budget_plan):
+    deterministic nonuniform target shares (∝ source index + 1) against a
+    1M-token budget, 3-epoch cap; starved sources surfaced."""
+    from vectordb_bioinsight_spark.operators.packing import mixture_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shares = (
+        docs.select("source").distinct()
+        .select(
+            "source",
+            (F.substring("source", 4, 10).cast("int") + 1).cast("double").alias("share"),
+        )
+    )
+    return mixture_budget_plan(
+        docs, "source", "text", _MB_BUDGET, shares, max_epochs=_MB_EPOCHS
+    )
+
+
+SQL_MIXTURE_BUDGET_PLAN = f"""
+WITH avail AS (
+  SELECT source, sum({bpe_token_count_duckdb('text')}::BIGINT)::BIGINT AS avail_tokens
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT source, (substr(source, 4)::INT + 1)::DOUBLE AS share
+  FROM (SELECT DISTINCT source FROM documents)
+), z AS (SELECT sum(share) AS z FROM sh),
+plan AS (
+  SELECT a.source, a.avail_tokens, sh.share / z.z AS s
+  FROM avail a JOIN sh USING (source) CROSS JOIN z
+)
+SELECT source, avail_tokens,
+       round(s, 6) AS target_share,
+       round(s * {_MB_BUDGET}, 0)::BIGINT AS want_tokens,
+       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}), 6) AS rate,
+       floor(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}))::INT AS n_epochs,
+       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS})
+             - floor(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS})), 6) AS sample_frac,
+       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}) * avail_tokens, 0)::BIGINT AS realized_tokens,
+       (s * {_MB_BUDGET} / avail_tokens) > {_MB_EPOCHS} AS starved
+FROM plan ORDER BY source
+"""
