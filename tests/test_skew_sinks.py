@@ -258,3 +258,58 @@ def test_zorder_edge_cases(spark, tmp_path):
     with pytest.raises(ValueError, match="63-bit"):
         zorder_key(spark.range(4).selectExpr(*[f"id as c{i}" for i in range(8)]),
                    [f"c{i}" for i in range(8)], bits_per_col=16)
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Shard-partitioned data + a manifest whose totals and fingerprints
+    match a from-scratch recomputation over what was written."""
+    from vectordb_bioinsight_spark.operators.packing import shard_manifest
+    from vectordb_bioinsight_spark.sources.writers import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * (1 + i % 3)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    base = str(tmp_path / "corpus")
+    write_training_shards(docs, base, "doc_id", "text", n_shards=4, salt=0)
+
+    data = spark.read.parquet(f"{base}/data")
+    assert data.count() == 60
+    assert set(r["shard"] for r in data.select("shard").distinct().collect()) == {0, 1, 2, 3}
+    # shard_pos is a dense 0..n-1 sequence within every shard
+    from pyspark.sql import functions as F
+
+    per = data.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("shard_pos").alias("mx"), F.min("shard_pos").alias("mn")
+    )
+    for r in per.collect():
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+
+    written_manifest = {
+        r["shard"]: r for r in spark.read.parquet(f"{base}/manifest").collect()
+    }
+    recomputed = {
+        r["shard"]: r
+        for r in shard_manifest(data, "shard", "doc_id", "text").collect()
+    }
+    assert written_manifest == recomputed
+
+
+def test_write_training_shards_curriculum_order(spark, tmp_path):
+    from vectordb_bioinsight_spark.sources.writers import write_training_shards
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + (i * 7) % 50), float((i * 7) % 50)) for i in range(80)],
+        "doc_id long, text string, difficulty double",
+    )
+    base = str(tmp_path / "curr")
+    write_training_shards(
+        docs, base, "doc_id", "text", n_shards=3, score_col="difficulty"
+    )
+    data = spark.read.parquet(f"{base}/data").orderBy("shard", "shard_pos").collect()
+    by_shard: dict[int, list[float]] = {}
+    for r in data:
+        by_shard.setdefault(r["shard"], []).append(r["difficulty"])
+    for scores in by_shard.values():
+        assert scores == sorted(scores)  # easy-first on disk

@@ -201,3 +201,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int,
+    salt: int = 0,
+    score_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus sink: shard-partitioned parquet plus the manifest
+    that makes the layout trustworthy — ``<path>/data/shard=K/...`` and
+    ``<path>/manifest/`` (operators/packing.shard_manifest: doc/token/
+    byte totals + order-independent xor fingerprints per shard).
+
+    ``score_col`` switches the in-shard order from the reproducible epoch
+    shuffle (shuffle_shards) to the easy-first curriculum
+    (curriculum_shards). A loader reads the manifest, not a file listing;
+    an ingest job folds batch manifests in with merge_shard_manifests
+    instead of rescanning (O(shards)/batch).
+
+    One shuffle (the shard window — the data movement the partitioned
+    write needs anyway); the manifest agg reuses the sharded frame.
+    """
+    from vectordb_bioinsight_spark.operators.packing import (
+        curriculum_shards,
+        shard_manifest,
+        shuffle_shards,
+    )
+
+    if score_col is not None:
+        sharded = curriculum_shards(df, id_col, score_col, n_shards, salt=salt)
+    else:
+        sharded = shuffle_shards(df, id_col, n_shards, salt=salt)
+    # materialize ONCE: both the data write and the manifest agg read it
+    sharded = sharded.localCheckpoint(eager=True)
+    (
+        sharded.write.mode(mode)
+        .partitionBy("shard")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(f"{path}/data")
+    )
+    shard_manifest(sharded, "shard", id_col, text_col).write.mode(mode).parquet(
+        f"{path}/manifest"
+    )
