@@ -95,6 +95,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
     "contrastive_triplets": (vec.q_contrastive_triplets, vec.SQL_CONTRASTIVE_TRIPLETS),
     "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
+    "corpus_data_card": (tx.q_corpus_data_card, tx.SQL_CORPUS_DATA_CARD),
     # === (c) window backfill: the STALEST driver greens (r01-only) ===
     "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
     "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),

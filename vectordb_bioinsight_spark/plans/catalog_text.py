@@ -1486,3 +1486,72 @@ FROM (SELECT doc_id, pos FROM toks WHERE token = 'vector') a
 JOIN (SELECT doc_id, pos FROM toks WHERE token = 'spark') b USING (doc_id)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus_data_card — the per-source release summary
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "data card" table a corpus release ships: volume
+    (docs/chars/tokens), mean quality, exact-duplicate rate, declared-
+    English share. One groupBy over one corpus scan; quality averages in
+    DECIMAL so the cross-engine sum is exact (float partial-sum order
+    would flake the hash)."""
+    from vectordb_bioinsight_spark.functions.text import bpe_token_count
+    from vectordb_bioinsight_spark.operators.text_analysis import quality_score_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_expr("text").cast("decimal(18,6)")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(bpe_token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            F.round((F.sum(q) / F.count("*")).cast("double"), 6).alias("mean_quality"),
+            F.round(
+                1.0 - F.countDistinct(F.md5("text")).cast("double") / F.count("*"), 6
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("share_en"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_corpus_data_card() -> str:
+    from vectordb_bioinsight_spark.functions.text import bpe_token_count_duckdb
+
+    quality = (
+        "round(least(length(tk) / 20.0, 1.0) * 0.4"
+        " + (1.0 - least(pr * 5.0, 1.0)) * 0.3"
+        " + least(sr * 4.0, 1.0) * 0.3, 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT source, lang, text, {_TOK3} AS tk,
+         length(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g'))::DOUBLE / length(text) AS pr
+  FROM documents
+), perdoc AS (
+  SELECT source, lang, text,
+         {bpe_token_count_duckdb('text')}::BIGINT AS n_bpe,
+         {quality.replace('sr', '(CASE WHEN length(tk) > 0 THEN length(list_filter(tk, t -> list_contains(' + _SW_SQL + ', t)))::DOUBLE / length(tk) ELSE 0.0 END)')}::DECIMAL(18,6) AS q
+  FROM base
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS n_chars,
+       sum(n_bpe)::BIGINT AS n_tokens,
+       round((sum(q) / count(*))::DOUBLE, 6) AS mean_quality,
+       round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS exact_dup_rate,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS share_en
+FROM perdoc GROUP BY source ORDER BY source
+"""
+
+
+SQL_CORPUS_DATA_CARD = _sql_corpus_data_card()
