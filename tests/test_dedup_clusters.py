@@ -73,3 +73,38 @@ def test_pipeline_rejects_unknown_resolution(spark):
 
     with pytest.raises(ValueError):
         prepare_training_data(docs, cluster_resolve="nope")
+
+
+def test_near_dedup_best_survivors_keeps_highest_score(spark):
+    """Best-score survivor: the longest copy of a near-dup chain wins;
+    exact-dup groups keep their best row too; ties break to smaller id."""
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.dedup import (
+        near_dedup_best_survivors,
+        near_dedup_survivors,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, 10.0),                       # near-dup chain member
+        (2, base + " lambda", 30.0),           # the BEST of the chain
+        (3, base + " lambda mu", 20.0),
+        (4, "completely different text about other things entirely", 5.0),
+        (5, "completely different text about other things entirely", 7.0),  # exact dup of 4, better
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    best = sorted(
+        r["doc_id"]
+        for r in near_dedup_best_survivors(
+            df, "doc_id", "text", "score", min_jaccard=0.5
+        ).collect()
+    )
+    assert best == [2, 5]
+    # the min-id rule on the same input keeps 1 and 4 — same cluster shape,
+    # different survivor
+    minid = sorted(
+        r["doc_id"]
+        for r in near_dedup_survivors(df, "doc_id", "text", min_jaccard=0.5).collect()
+    )
+    assert minid == [1, 4]

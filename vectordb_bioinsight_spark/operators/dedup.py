@@ -341,6 +341,55 @@ def near_dedup_survivors(
     return df.join(losers.unionByName(exact_losers).distinct(), id_col, "left_anti")
 
 
+def near_dedup_best_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """:func:`near_dedup_survivors` with a BEST-SCORE survivor per cluster
+    instead of min-id — the RefinedWeb/quality-aware variant (keep the
+    longest / highest-quality copy, not the one that happened to get the
+    smallest id). Ties break to the smaller id, so the rule stays total
+    and partition-independent.
+
+    Cluster correctness: the pair graph is built on exact-group min-id
+    representatives exactly as before (identical texts have identical
+    shingles, so WHICH rep carries the group into the graph cannot change
+    the near-dup edges); every doc then maps through its exact rep to its
+    transitive cluster — docs outside any near-dup cluster form
+    singleton clusters keyed by their exact group — and the max-score doc
+    of each cluster survives.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        F.col(id_col), portable_hash64(F.col(text_col)).alias("_ch")
+    ).withColumn("_erep", F.min(id_col).over(Window.partitionBy("_ch")))
+    pairs = near_dedup_pipeline(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, min_jaccard=min_jaccard
+    )
+    clusters = dedup_clusters(pairs, "doc1", "doc2").select(
+        F.col("doc_id").alias("_erep"), F.col("cluster_rep").alias("_crep")
+    )
+    member = keyed.join(clusters, "_erep", "left").withColumn(
+        "_ckey", F.coalesce(F.col("_crep"), F.col("_erep"))
+    )
+    w = Window.partitionBy("_ckey").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    winners = (
+        member.join(df.select(F.col(id_col), F.col(score_col).alias("_score")), id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 def repeated_ngram_spans(
     df: DataFrame,
     id_col: str,
