@@ -103,3 +103,32 @@ def test_ingest_url_dedup_across_batches(spark, dirs):
     )
     final = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert final == [1, 3, 4, 11]
+
+
+def test_ingest_maintains_shard_manifest(spark, dirs):
+    """manifest after two batches == manifest recomputed from the corpus
+    on disk — the O(shards)/batch fold matches a full rebuild."""
+    from vectordb_bioinsight_spark.operators.packing import shard_manifest, shuffle_shards
+
+    landing, corpus, ckpt = dirs
+    man = str(landing.parent / "manifest")
+    _jsonl(landing / "m1.jsonl", [(i, f"first batch doc {i} body words") for i in range(8)])
+    run_ingest_stream(
+        stream_documents_from_dir(spark, str(landing)), corpus, ckpt,
+        manifest_path=man, manifest_shards=4,
+    )
+    _jsonl(landing / "m2.jsonl", [(i, f"second wave doc {i} more words") for i in range(10, 16)])
+    run_ingest_stream(
+        stream_documents_from_dir(spark, str(landing)), corpus, str(ckpt) + "2",
+        manifest_path=man, manifest_shards=4,
+    )
+    standing = {r["shard"]: r for r in spark.read.parquet(man).collect()}
+    rebuilt = {
+        r["shard"]: r
+        for r in shard_manifest(
+            shuffle_shards(spark.read.parquet(corpus), "doc_id", 4, salt=0),
+            "shard", "doc_id", "text",
+        ).collect()
+    }
+    assert standing == rebuilt
+    assert sum(r["n_docs"] for r in standing.values()) == 14

@@ -102,6 +102,8 @@ def run_ingest_stream(
     text_col: str = "text",
     bloom_bits: int = 1 << 16,
     url_dedup: bool = False,
+    manifest_path: str | None = None,
+    manifest_shards: int = 16,
     await_termination: bool = True,
 ):
     """Start the gated, deduped append loop; with the default
@@ -116,6 +118,13 @@ def run_ingest_stream(
     the corpus text is never re-parsed), and stored with the appended
     rows. NULL keys (no URL) always survive the anti-join: NULL equals
     nothing, which is exactly the wanted semantics.
+
+    ``manifest_path`` keeps a shard manifest current as batches land:
+    each appended batch's manifest (operators/packing.shard_manifest over
+    the hash-shard assignment) FOLDS into the standing one with
+    merge_shard_manifests — counts add, xor fingerprints fold — so the
+    manifest stays O(shards) work per batch and the corpus is never
+    rescanned for accounting.
     """
     from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
     from vectordb_bioinsight_spark.operators.urls import with_url_key
@@ -148,6 +157,26 @@ def run_ingest_stream(
             batch = dedup_against_corpus(
                 batch, corpus, id_col, text_col, num_bits=bloom_bits
             )
+        if manifest_path is not None:
+            from vectordb_bioinsight_spark.operators.packing import (
+                merge_shard_manifests,
+                shard_manifest,
+                shuffle_shards,
+            )
+
+            batch = batch.localCheckpoint(eager=True)  # one compute, two sinks
+            delta = shard_manifest(
+                shuffle_shards(batch, id_col, manifest_shards, salt=0),
+                "shard", id_col, text_col,
+            )
+            try:
+                standing = spark.read.parquet(manifest_path)
+                merged = merge_shard_manifests(standing, delta).localCheckpoint(
+                    eager=True
+                )  # materialize BEFORE overwriting what it reads
+            except AnalysisException:
+                merged = delta
+            merged.write.mode("overwrite").parquet(manifest_path)
         batch.write.mode("append").parquet(corpus_path)
 
     q = (
