@@ -330,3 +330,25 @@ def test_split_sentences_scan_local(spark):
     df = spark.createDataFrame([(1, "A. B.")], "doc_id long, text string")
     plan = split_sentences(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nfc_normalize_unifies_dedup_keys(spark):
+    """Composed and decomposed 'café' must hash identically after NFC —
+    the miss-mode un-normalized dedup silently has."""
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+    from vectordb_bioinsight_spark.operators.cleaning import nfc_normalize
+
+    composed = "café menu"
+    decomposed = "café menu"
+    assert composed != decomposed  # truly different strings on the way in
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        nfc_normalize(F.col("text")).alias("norm"),
+    ).withColumn("h", portable_hash64(F.col("norm")))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["norm"] == rows[2]["norm"] == composed
+    assert rows[1]["h"] == rows[2]["h"]
+    assert rows[3]["norm"] is None  # nulls pass through

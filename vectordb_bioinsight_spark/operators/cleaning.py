@@ -527,3 +527,24 @@ def split_sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.posexplode(kept).alias("sent_no", "sentence"),
     ).select(id_col, F.col("sent_no").cast("long").alias("sent_no"), "sentence")
+
+
+def nfc_normalize(text):  # noqa: ANN001, ANN201
+    """Column expression: Unicode NFC normalization (Arrow-batched pandas
+    UDF over ``Series.str.normalize`` — no JVM builtin exists for this).
+
+    Run it BEFORE any hash-keyed dedup: "café" composed (U+00E9) and
+    decomposed (e + U+0301) are different STRINGS with different 64-bit
+    hashes, so un-normalized corpora silently miss exact duplicates that
+    every human would call identical. This is the one deliberate
+    Python-UDF stage in the cleaning tier — a documented Arrow slow path,
+    still scan-local (no shuffle), and only needed once per corpus at
+    ingest.
+    """
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def _nfc(s):  # noqa: ANN001, ANN202
+        return s.str.normalize("NFC")
+
+    return _nfc(text)
