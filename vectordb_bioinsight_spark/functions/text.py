@@ -58,10 +58,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(F.filter(F.split(_c(col), "\\s+"), lambda t: F.length(t) > 0))
 
 
+#: the exact character set of the regex class [a-z0-9A-Z ] — punct_ratio
+#: deletes these via translate() instead of regexp_replace: byte-identical
+#: results (finite ASCII set == the class), but NO regex engine. That
+#: matters beyond style: a StringSplit and a RegExpReplace evaluated in
+#: the SAME interpreted projection alternate pathologically (measured
+#: 23 s/1M docs vs 0.7 s for either alone — probe r04), so the quality
+#: expression that combines tokenize() with punct_ratio() was paying 17x
+#: until punct left the regex engine entirely (40 s -> 2.3 s /1M docs).
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space (quality signal)."""
     c = _c(col)
-    stripped = F.regexp_replace(c, "[a-z0-9A-Z ]", "")
+    stripped = F.translate(c, _ALNUM_SPACE, "")
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
