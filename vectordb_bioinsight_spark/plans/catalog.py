@@ -36,11 +36,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: entries per round. r01-r03 drove 146 distinct entries (r03: 50/50
 #: green). This round front-loads (a) the 23 entries that have never had
 #: a driver CORRECTNESS row (the r03-session-2 additions — the only gap
-#: VERDICT r03 named), then (b) everything NEW in r04 (ensemble vote,
+#: VERDICT r03 named), then (b) everything NEW in r04: ensemble vote,
 #: vocabulary dispatch, BPE, positional retrieval, the scale-default
-#: semdedup), then (c) backfills the window with the STALEST driver
-#: greens (r01-only), and (d/e) parks the r02/r03-confirmed blocks after
-#: the window, freshest last.
+#: semdedup, and the session-3 web-hygiene/training-export tier (URL
+#: canonicalization + dedup, HTML/mojibake repair, shard manifests,
+#: sentence split, curriculum shards, contrastive triplets, mixture
+#: budget, corpus data card) — positions 0-43, all inside the window.
+#: (c) backfills the window with the STALEST driver greens (r01-only),
+#: and (d/e) parks the r02/r03-confirmed blocks after the window,
+#: freshest last. r05 rotation: move (c/d) stale greens forward and park
+#: this round's confirmations.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === (a) r04 window: the 23 entries with NO driver CORRECTNESS row
     # yet (added r03 session 2 after the r03 window was fixed) — the only
