@@ -427,6 +427,24 @@ class TestTrendsR04:
         # a LOW z is expected, not an anomaly (self-exclusion contract)
         assert out["2024-01-13"]["is_anomaly"] is False
 
+    def test_rolling_anomalies_flat_series_yields_null_zscore(self, spark):
+        """An 11-day CONSTANT series has a zero-stddev trailing window on
+        every full-baseline day; under the session's ANSI default the
+        zscore division must yield NULL (nullif guard), never
+        DIVIDE_BY_ZERO, and no day may flag (ADVICE r04, high)."""
+        from vectordb_bioinsight_spark.operators.trends import rolling_anomalies
+
+        rows = [("flat", f"2024-02-{d:02d} 00:00:00", 50.0) for d in range(1, 12)]
+        df = spark.createDataFrame(rows, "t string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = rolling_anomalies(df, "t", "ts", "value", window_rows=7).collect()
+        assert len(out) == 4  # days 8..11 have a full baseline
+        for r in out:
+            assert r["base_std"] == 0.0
+            assert r["zscore"] is None
+            assert r["is_anomaly"] is False
+
     def test_cohort_retention_counts(self, spark):
         """Hand-built two-cohort history: retention fractions must be exact
         and week offsets must survive an ISO year boundary."""

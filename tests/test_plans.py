@@ -126,6 +126,15 @@ _MAX_EXCHANGES = {
     "curriculum_shards_docs": 1,   # the shard-window shuffle
     "shard_manifest_docs": 2,      # shard window + final O(shards) sort
     "url_domain_stats": 3,         # multi-distinct agg + O(domains) sort
+    # r05 additions (VERDICT r04 tasks 1-2): the funnel rewrite is ONE
+    # corpus-sized shuffle (the per-user fold's groupBy) + the 1-row
+    # global depth agg; every step count/conversion inlines from that row;
+    # ivfpq_knn's FINAL lineage is scan-local — its codebook/centroid
+    # fitting runs as separate bounded jobs before this plan, so any
+    # exchange appearing here means the assignment join regressed
+    "funnel_conversion": 2,
+    "ivfpq_knn": 0,
+    "gsea_brand_es": 5,
 }
 
 

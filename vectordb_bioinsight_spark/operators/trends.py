@@ -119,68 +119,87 @@ def funnel_conversion(
     completion is the standard funnel definition and makes reach times
     unique per (user, step).
 
-    Physical plan: one pass per step — filter to that step's events
-    (pushed to the scan), equi-join on user against the previous step's
-    reach table WITH the range predicate inside the join, min-agg. All
-    shuffles are user-keyed, so a cluster reuses one partitioning across
-    every step; the reach table only ever shrinks. len(steps) is small
-    and fixed (a query parameter, not data).
+    Physical plan (r05 rewrite — VERDICT r04 finding #2): the r04 shape
+    built one reach table per step and unioned the UNMATERIALIZED
+    lineages, so branch k silently re-ran joins 1..k-1 (O(S^2) joins).
+    The funnel is really a per-user sequential scan, and Spark expresses
+    that scan as ONE user-keyed aggregation: sort each user's step-typed
+    events by time and fold over them (``F.aggregate``), greedily
+    advancing a (depth, last_reach_ts) machine whenever the NEXT step's
+    event arrives strictly after the current reach time. Greedy-earliest
+    IS the reach-chain semantics — reach times are minimal at every stage
+    by induction, so the fold's final depth equals the deepest non-empty
+    reach table — and n_users(step i) = users with depth >= i. Ties at
+    equal timestamps are order-independent: a same-ts event never
+    qualifies (strict >), whichever side of the sort it lands on.
+
+    Exactly TWO exchanges (test-pinned): the corpus-sized user groupBy
+    (isin(steps) filter pushed to the scan), then a single-row global agg
+    of per-user depths — every step's n_users is one conditional sum over
+    that 1-row frame, and the S output rows (counts AND conversions) are
+    ``inline``d from it with no further join, window, or shuffle. A step
+    nobody reaches naturally sums to 0 (the SQL twin's count-over-empty-
+    CTE shape); an empty FIRST step makes every conversion NULL via
+    nullif, never a divide-by-zero. Per-user state is the collected
+    (ts, step_index) set — bounded by that user's step-typed events
+    (collect_set dedups exact repeats at no extra shuffle); a
+    pathological user with millions of distinct step events would want
+    a per-step join chain instead, but the fold is the right default.
 
     Output: (step, step_name, n_users, conversion) where conversion is
     the fraction of step-1 users reaching this step, rounded 6 dp.
     """
+    steps_arr = F.array(*[F.lit(s) for s in steps])
     ev = df.select(
-        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+        F.col(user_col).alias("u"),
+        # 1-based step index: int compares in the fold beat string
+        # compares, and the shuffled struct is (timestamp, int) — the
+        # step NAME never leaves the scan stage
+        F.array_position(steps_arr, F.col(type_col)).cast("int").alias("si"),
+        F.col(ts_col).alias("ts"),
+    ).filter(F.col("si") > 0)
+    per_user = ev.groupBy("u").agg(
+        F.sort_array(F.collect_set(F.struct(F.col("ts"), F.col("si")))).alias("evs")
     )
-    reach = (
-        ev.filter(F.col("t") == steps[0]).groupBy("u").agg(F.min("ts").alias("ts"))
+    zero = F.struct(
+        F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("last")
     )
-    tables = [reach]
-    for step in steps[1:]:
-        nxt = ev.filter(F.col("t") == step).select("u", F.col("ts").alias("ts2"))
-        reach = (
-            reach.join(nxt, "u")
-            .filter(F.col("ts2") > F.col("ts"))
-            .groupBy("u")
-            .agg(F.min("ts2").alias("ts"))
+
+    def _advance(acc, e):
+        # advance iff this is the NEXT step's event, strictly after the
+        # current reach time; d == len(steps) saturates (si <= len always)
+        ok = (e["si"] == acc["d"] + 1) & (
+            (acc["d"] == F.lit(0)) | (e["ts"] > acc["last"])
         )
-        tables.append(reach)
-    branches = [
-        t.select(
-            F.lit(i + 1).alias("step"),
-            F.lit(steps[i]).alias("step_name"),
-            F.col("u"),
-        )
-        for i, t in enumerate(tables)
-    ]
-    unioned = branches[0]
-    for b in branches[1:]:
-        unioned = unioned.unionAll(b)
-    agg = unioned.groupBy("step", "step_name").agg(
-        F.count("*").cast("long").alias("n_users")
+        return F.when(
+            ok, F.struct((acc["d"] + F.lit(1)).alias("d"), e["ts"].alias("last"))
+        ).otherwise(acc)
+
+    depths = per_user.select(
+        F.aggregate(F.col("evs"), zero, _advance, lambda acc: acc["d"]).alias("depth")
+    ).filter(F.col("depth") > 0)
+    counts = depths.agg(
+        *[
+            F.coalesce(F.sum((F.col("depth") >= i + 1).cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
     )
-    # a step nobody reaches is an EMPTY group — left-join the static step
-    # list so every step still emits a row with n_users = 0 (matching the
-    # SQL shape, where count(*) over an empty CTE is one 0-row)
-    step_dim = df.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step INT, step_name STRING"
+    out_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_name"),
+                F.col(f"_n{i}").alias("n_users"),
+                F.round(
+                    F.col(f"_n{i}") / F.nullif(F.col("_n0"), F.lit(0)), 6
+                ).alias("conversion"),
+            )
+            for i, s in enumerate(steps)
+        ]
     )
-    agg = step_dim.join(agg, ["step", "step_name"], "left").withColumn(
-        "n_users", F.coalesce(F.col("n_users"), F.lit(0).cast("long"))
-    )
-    # the agg result is len(steps) rows — the unpartitioned window is a
-    # dimension-sized step, same convention as the trends histograms
-    base = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
-    return agg.select(
-        "step",
-        "step_name",
-        "n_users",
-        F.round(
-            F.col("n_users")
-            / F.nullif(F.first("n_users").over(base), F.lit(0)),
-            6,
-        ).alias("conversion"),
-    )
+    return counts.select(F.inline(out_rows))
 
 
 def rolling_anomalies(
@@ -228,7 +247,14 @@ def rolling_anomalies(
         daily.withColumn("_n", n_base)
         .withColumn("base_mean", F.round(base_mean, 4))
         .withColumn("base_std", F.round(base_std, 4))
-        .withColumn("zscore", F.round((F.col("total") - base_mean) / base_std, 4))
+        # nullif guards a CONSTANT trailing window (flat metric, zero-filled
+        # days): std = 0 there, and under the session's ANSI default a bare
+        # division would throw DIVIDE_BY_ZERO and kill the job — NULL zscore
+        # is the honest answer for a baseline with no variance (ADVICE r04)
+        .withColumn(
+            "zscore",
+            F.round((F.col("total") - base_mean) / F.nullif(base_std, F.lit(0.0)), 4),
+        )
     )
     return (
         windowed.filter(F.col("_n") >= window_rows)  # full baseline only

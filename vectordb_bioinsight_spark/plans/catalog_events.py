@@ -573,8 +573,8 @@ WITH daily AS (
 SELECT key, day, total,
        round(m, 4) AS base_mean,
        round(s, 4) AS base_std,
-       round((total - m) / s, 4) AS zscore,
-       CASE WHEN round(s, 4) > 0 THEN abs(round((total - m) / s, 4)) >= 2.0
+       round((total - m) / nullif(s, 0), 4) AS zscore,
+       CASE WHEN round(s, 4) > 0 THEN abs(round((total - m) / nullif(s, 0), 4)) >= 2.0
             ELSE false END AS is_anomaly
 FROM win WHERE n >= 7
 """
