@@ -285,3 +285,29 @@ def test_mixture_budget_plan_arithmetic(spark):
     assert rows["tiny"]["rate"] == 2.0 and rows["tiny"]["n_epochs"] == 2
     assert rows["tiny"]["sample_frac"] == 0.0
     assert rows["tiny"]["realized_tokens"] == 20 and rows["tiny"]["starved"]
+
+
+def test_mixture_budget_plan_zero_token_source_is_starved(spark):
+    """A source whose docs all tokenize to zero must come back starved with
+    rate/realized 0 — not throw DIVIDE_BY_ZERO under the session's ANSI
+    default (ADVICE r04)."""
+    from vectordb_bioinsight_spark.operators.packing import mixture_budget_plan
+
+    counts = spark.createDataFrame(
+        [("ok", 1, 1000), ("empty", 2, 0)],
+        "source string, doc_id long, n_tokens long",
+    )
+    shares = spark.createDataFrame(
+        [("ok", 1.0), ("empty", 1.0)], "source string, share double"
+    )
+    rows = {
+        r["source"]: r
+        for r in mixture_budget_plan(
+            counts, "source", "text", 400, shares, max_epochs=2.0, token_col="n_tokens"
+        ).collect()
+    }
+    assert rows["empty"]["avail_tokens"] == 0
+    assert rows["empty"]["rate"] == 0.0 and rows["empty"]["n_epochs"] == 0
+    assert rows["empty"]["realized_tokens"] == 0
+    assert rows["empty"]["starved"] is True
+    assert rows["ok"]["starved"] is False and rows["ok"]["rate"] == 0.2

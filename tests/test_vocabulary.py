@@ -103,3 +103,33 @@ class TestReviewFixes:
         docs = load_table(spark, SF_SMALL, "documents")
         strategy, _ = dispatch_search(docs, "merged results", VOCAB_ENTRIES)
         assert strategy == "lexical"
+
+    def test_mixed_case_doc_anchors_and_keywords_hit(self, spark):
+        """Doc-side matching must be case-insensitive like the reference
+        (precision_search.py:286-341 lowercases BOTH content and term):
+        'Diabetes' anchors vocab term 'diabetes', mixed-case docs still
+        count lowercased residual keywords, and the title-zone position is
+        measured in the lowered text (ADVICE r04)."""
+        from vectordb_bioinsight_spark.operators.vocabulary import (
+            keyword_priority_scores,
+        )
+
+        entries = [("diabetes", "diabetes", "primary", 1.0)]
+        docs = spark.createDataFrame(
+            [
+                (1, "Diabetes Mellitus: INSULIN response studies"),
+                (2, "a body paragraph. " * 10 + "Then DIABETES appears late"),
+                (3, "no match here"),
+            ],
+            "doc_id long, text string",
+        )
+        vocab = vocab_dimension(spark, entries)
+        out = {r["doc_id"]: r for r in
+               vocab_match_scores(docs, vocab, "doc_id", "text", "diabetes").collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["vocab_score"] == 100.0      # title zone, full weight
+        assert out[2]["vocab_score"] == 60.0       # body zone
+        anchored = vocab_match_scores(docs, vocab, "doc_id", "text", "diabetes")
+        kw = {r["doc_id"]: r for r in
+              keyword_priority_scores(anchored, docs, "doc_id", "text", ["insulin"]).collect()}
+        assert set(kw) == {1} and kw[1]["keyword_hits"] == 1

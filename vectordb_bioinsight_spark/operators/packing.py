@@ -481,8 +481,15 @@ def mixture_budget_plan(
     )
     plan = avail.join(norm, "source")
     want = F.col("_share") * F.lit(float(budget_tokens))
-    rate = want / F.col("avail_tokens")
-    capped = F.least(rate, F.lit(float(max_epochs)))
+    # nullif: a source whose docs all tokenize to zero (possible after
+    # aggressive cleaning) must report as starved with 0 realized tokens,
+    # not throw DIVIDE_BY_ZERO under the session's ANSI default (ADVICE r04)
+    rate = want / F.nullif(F.col("avail_tokens"), F.lit(0).cast("long"))
+    # least() SKIPS nulls in both engines, so the zero-token branch must be
+    # explicit: NULL rate -> capped 0 (nothing to sample from this source)
+    capped = F.when(rate.isNull(), F.lit(0.0)).otherwise(
+        F.least(rate, F.lit(float(max_epochs)))
+    )
     return plan.select(
         "source",
         "avail_tokens",
@@ -492,5 +499,9 @@ def mixture_budget_plan(
         F.floor(capped).cast("int").alias("n_epochs"),
         F.round(capped - F.floor(capped), 6).alias("sample_frac"),
         F.round(capped * F.col("avail_tokens"), 0).cast("long").alias("realized_tokens"),
-        (rate > F.lit(float(max_epochs))).alias("starved"),
+        # NULL rate = zero-token source: nothing to supply, starved by
+        # definition whenever it owes any tokens at all
+        F.coalesce(
+            rate > F.lit(float(max_epochs)), (want > 0) & F.col("avail_tokens").eqNullSafe(0)
+        ).alias("starved"),
     ).orderBy("source")

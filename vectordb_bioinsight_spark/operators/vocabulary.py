@@ -96,9 +96,15 @@ def field_position_score(text_col: Column, term: "Column | str") -> Column:
     """V7 field-aware position score (the single source for the 40/150-char
     zone constants): 100 in the 'title' (first 40 chars), 80 in the
     'abstract' (first 150), 60 anywhere else in the body, 0 when absent.
-    ``term`` may be a literal or a column (the vocab-dimension join)."""
+    ``term`` may be a literal or a column (the vocab-dimension join).
+
+    Matching is CASE-INSENSITIVE on both sides, as in the reference
+    (precision_search.py:286-341 lowercases content and term); r04's
+    case-sensitive instr silently lost every mixed-case match on a real
+    corpus (ADVICE r04). Positions are measured in the lowered text —
+    identical offsets, lower() preserves length for the ASCII zones."""
     t = F.lit(term) if isinstance(term, str) else term
-    pos = F.instr(text_col, t)
+    pos = F.instr(F.lower(text_col), F.lower(t))
     return (
         F.when((pos > 0) & (pos <= 40), 100.0)
         .when((pos > 0) & (pos <= 150), 80.0)
@@ -132,7 +138,9 @@ def vocab_match_scores(
     rounded 4 dp.
     """
     v = vocab if vocab_key is None else vocab.filter(F.col("vocab_key") == vocab_key)
-    pos = F.instr(F.col(text_col), F.col("term"))
+    # case-insensitive anchor (ADVICE r04): lower both sides, like the
+    # reference's contains() over lowered content
+    pos = F.instr(F.lower(F.col(text_col)), F.lower(F.col("term")))
     # field_position_score's 0-when-absent branch is unreachable here (the
     # join predicate guarantees pos > 0), so the shared helper applies as is
     fscore = field_position_score(F.col(text_col), F.col("term"))
@@ -179,7 +187,9 @@ def keyword_priority_scores(
     """
     hits: Column = F.lit(0)
     for kw in keywords:
-        hits = hits + (F.instr(F.col(text_col), kw) > 0).cast("int")
+        # keywords arrive lowercased from query normalization — lower the
+        # DOC side too or mixed-case text never hits (ADVICE r04)
+        hits = hits + (F.instr(F.lower(F.col(text_col)), kw.lower()) > 0).cast("int")
     scored = docs.select(F.col(id_col), hits.alias("keyword_hits")).filter(
         F.col("keyword_hits") > 0
     )

@@ -138,8 +138,8 @@ _SQL_VOCAB_CTE = (
 )
 
 _SQL_FIELD_SCORE = (
-    "round(k.weight * (CASE WHEN strpos(d.text, k.term) BETWEEN 1 AND 40 THEN 100.0"
-    " WHEN strpos(d.text, k.term) BETWEEN 1 AND 150 THEN 80.0"
+    "round(k.weight * (CASE WHEN strpos(lower(d.text), lower(k.term)) BETWEEN 1 AND 40 THEN 100.0"
+    " WHEN strpos(lower(d.text), lower(k.term)) BETWEEN 1 AND 150 THEN 80.0"
     " ELSE 60.0 END), 4)"
 )
 
@@ -152,7 +152,7 @@ WITH {_SQL_VOCAB_CTE}, kt AS (
   SELECT * FROM vocab WHERE vocab_key = '{key}'
 ), m AS (
   SELECT d.doc_id, k.vocab_key, k.term, k.kind, {_SQL_FIELD_SCORE} AS vocab_score
-  FROM documents d JOIN kt k ON strpos(d.text, k.term) > 0
+  FROM documents d JOIN kt k ON strpos(lower(d.text), lower(k.term)) > 0
 ), top AS (
   SELECT doc_id, vocab_key, max(vocab_score) AS vocab_score FROM m GROUP BY 1, 2
 ), anchored AS (
@@ -200,12 +200,12 @@ SQL_VOCAB_DISPATCH_KEYWORDS = (
     _sql_vocab_anchor("join")
     + """
 SELECT a.doc_id, a.vocab_key, a.matched_term,
-       ((strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT) AS keyword_hits,
+       ((strpos(lower(d.text), 'vector') > 0)::INT + (strpos(lower(d.text), 'spark') > 0)::INT) AS keyword_hits,
        a.vocab_score,
-       round(((strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT) * 10.0
+       round(((strpos(lower(d.text), 'vector') > 0)::INT + (strpos(lower(d.text), 'spark') > 0)::INT) * 10.0
              + a.vocab_score, 4) AS total_score
 FROM anchored a JOIN documents d USING (doc_id)
-WHERE (strpos(d.text, 'vector') > 0)::INT + (strpos(d.text, 'spark') > 0)::INT > 0
+WHERE (strpos(lower(d.text), 'vector') > 0)::INT + (strpos(lower(d.text), 'spark') > 0)::INT > 0
 """
 )
 

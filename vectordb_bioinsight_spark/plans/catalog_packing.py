@@ -407,11 +407,12 @@ plan AS (
 SELECT source, avail_tokens,
        round(s, 6) AS target_share,
        round(s * {_MB_BUDGET}, 0)::BIGINT AS want_tokens,
-       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}), 6) AS rate,
-       floor(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}))::INT AS n_epochs,
-       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS})
-             - floor(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS})), 6) AS sample_frac,
-       round(least(s * {_MB_BUDGET} / avail_tokens, {_MB_EPOCHS}) * avail_tokens, 0)::BIGINT AS realized_tokens,
-       (s * {_MB_BUDGET} / avail_tokens) > {_MB_EPOCHS} AS starved
+       round((CASE WHEN avail_tokens = 0 THEN 0.0 ELSE least(s * {_MB_BUDGET} / nullif(avail_tokens, 0), {_MB_EPOCHS}) END), 6) AS rate,
+       floor((CASE WHEN avail_tokens = 0 THEN 0.0 ELSE least(s * {_MB_BUDGET} / nullif(avail_tokens, 0), {_MB_EPOCHS}) END))::INT AS n_epochs,
+       round((CASE WHEN avail_tokens = 0 THEN 0.0 ELSE least(s * {_MB_BUDGET} / nullif(avail_tokens, 0), {_MB_EPOCHS}) END)
+             - floor((CASE WHEN avail_tokens = 0 THEN 0.0 ELSE least(s * {_MB_BUDGET} / nullif(avail_tokens, 0), {_MB_EPOCHS}) END)), 6) AS sample_frac,
+       round((CASE WHEN avail_tokens = 0 THEN 0.0 ELSE least(s * {_MB_BUDGET} / nullif(avail_tokens, 0), {_MB_EPOCHS}) END) * avail_tokens, 0)::BIGINT AS realized_tokens,
+       coalesce((s * {_MB_BUDGET} / nullif(avail_tokens, 0)) > {_MB_EPOCHS},
+                s * {_MB_BUDGET} > 0 AND avail_tokens = 0) AS starved
 FROM plan ORDER BY source
 """
