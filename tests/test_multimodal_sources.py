@@ -331,3 +331,50 @@ def test_read_warc_gzip_segment(spark, tmp_path):
     a = sorted(map(tuple, read_warc(spark, str(plain)).collect()))
     b = sorted(map(tuple, read_warc(spark, str(gz)).collect()))
     assert a == b and len(a) == 1
+
+
+def test_read_warc_framing_validation(spark, tmp_path):
+    """ADVICE r04: the substring separator must not silently corrupt.
+    (a) A bare 'WARC/1.0' WITHOUT a version-line CRLF inside a payload no
+    longer splits the record at all (separator is anchored at
+    'WARC/1.0\\r\\n'). (b) A payload embedding a full version line DOES
+    mis-split — both fragments must come back suspect, and
+    warc_responses_to_documents must drop them. (c) Intact records pass
+    the Content-Length octet check and are not suspect."""
+    from vectordb_bioinsight_spark.sources.readers import (
+        read_warc,
+        warc_responses_to_documents,
+    )
+
+    ok_body = "HTTP/1.1 200 OK\r\n\r\npage about the WARC/1.0 format"
+    evil_body = (
+        "HTTP/1.1 200 OK\r\n\r\ncrawled spec text:\r\nWARC/1.0\r\n"
+        "WARC-Type: response\r\nlooks like a header block"
+    )
+    seg = (
+        _warc_record("response", "http://ok.io/a", "ok1", ok_body)
+        + _warc_record("response", "http://evil.io/b", "ev1", evil_body)
+        + _warc_record("response", "http://ok.io/c", "ok2", "HTTP/1.1 200 OK\r\n\r\nfine")
+    )
+    p = tmp_path / "mix.warc"
+    p.write_text(seg)
+
+    recs = read_warc(spark, str(p)).collect()
+    by_uri = {}
+    for r in recs:
+        by_uri.setdefault(r["target_uri"], []).append(r)
+    # (a) bare marker: one intact, non-suspect record containing it
+    (a,) = by_uri["http://ok.io/a"]
+    assert a["suspect"] is False and "WARC/1.0 format" in a["payload"]
+    # (b) the embedded version line split the evil record: its head
+    # fragment fails the length check, the fabricated tail either fails
+    # validation or never parses as a record — nothing clean survives
+    evil = [r for r in recs if r["target_uri"].startswith("http://evil.io")]
+    assert evil and all(r["suspect"] for r in evil)
+    # (c) intact trailing record unharmed
+    (c,) = by_uri["http://ok.io/c"]
+    assert c["suspect"] is False and c["payload"].endswith("fine")
+    # the documents handoff drops every suspect row
+    urls = {r["url"] for r in
+            warc_responses_to_documents(read_warc(spark, str(p))).collect()}
+    assert urls == {"http://ok.io/a", "http://ok.io/c"}

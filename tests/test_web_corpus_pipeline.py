@@ -17,7 +17,9 @@ def _record(uri: str, body: str, status: str = "200 OK") -> str:
         "WARC-Type: response\r\n"
         f"WARC-Record-ID: <urn:uuid:{abs(hash(uri + body)) % 10**8}>\r\n"
         f"WARC-Target-URI: {uri}\r\n"
-        f"Content-Length: {len(http)}\r\n\r\n{http}\r\n\r\n"
+        # ISO 28500 Content-Length counts OCTETS — the reader's framing
+        # validation enforces it, so the fixture must too
+        f"Content-Length: {len(http.encode('utf-8'))}\r\n\r\n{http}\r\n\r\n"
     )
 
 

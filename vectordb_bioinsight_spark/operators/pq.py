@@ -11,7 +11,7 @@ exact composition (our ``ivf_build_index`` handles the coarse routing,
 this module the in-cell compression).
 
 Reference capability anchor: the reference stores raw float vectors in
-Chroma and brute-forces (backend/app/services/vector_store.py:272-299);
+Chroma and brute-forces (backend/app/core/vector_store.py:272-299);
 PQ is the published scale-out of that capability, not a port.
 
 Distributed split (the part that must survive 100 TB):

@@ -9,9 +9,10 @@ no UDF, no shuffle until the caller aggregates, so the whole tier rides
 the same corpus scan as the other scan-local text gates.
 
 Reference parity note: the reference keeps source URLs as metadata on
-ingested papers (backend/app/services/paper_ingest.py stores `url` fields
-verbatim) but never normalizes them; this module is the scale-out
-generalization that makes URL-keyed dedup well-defined.
+ingested papers (backend/app/api/routes/crawler.py:48,406 accepts and
+stores `url` fields verbatim — DOI/PubMed/PMC URLs) but never normalizes
+them; this module is the scale-out generalization that makes URL-keyed
+dedup well-defined.
 """
 
 from __future__ import annotations

@@ -481,30 +481,39 @@ def split_corrupt_rows(df: DataFrame, corrupt_col: str = "_corrupt"):
 # ---------------------------------------------------------------------------
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Minimal WARC/1.x reader: one row per WARC record with the headers a
+def read_warc(spark: SparkSession, path: str, version: str = "1.0") -> DataFrame:
+    """Minimal WARC reader: one row per WARC record with the headers a
     corpus pipeline routes on (type, target URI, date, record id) plus the
-    payload body.
+    payload body and a ``suspect`` validity flag.
 
-    Scale shape: ``spark.read.text`` with ``lineSep='WARC/1.0'`` splits the
-    archive into records AT THE SOURCE — each record is one row off the
-    scan, so a 100 TB crawl parallelizes by file split exactly like any
-    text source (uncompressed or per-file-gzip WARCs, which is how Common
-    Crawl ships segments — one .warc.gz per file decompresses inside the
-    file-split codec path). Header parsing is pure JVM regexp over the
+    Scale shape: ``spark.read.text`` with ``lineSep='WARC/<version>\\r\\n'``
+    splits the archive into records AT THE SOURCE — each record is one row
+    off the scan, so a 100 TB crawl parallelizes by file split exactly like
+    any text source (uncompressed or per-file-gzip WARCs, which is how
+    Common Crawl ships segments — one .warc.gz per file decompresses inside
+    the file-split codec path). Header parsing is pure JVM regexp over the
     record head; no UDF, no shuffle.
 
-    WARC is plain 8-bit text with CRLF framing (ISO 28500); the
-    version-line separator consumes the 'WARC/1.0' marker itself, and the
-    leading fragment before the first marker (empty or warcinfo preamble
-    noise) is dropped by the non-empty filter on warc-type.
+    FRAMING LIMITS (ADVICE r04): ISO 28500 frames records by
+    Content-Length; a substring separator cannot. This reader anchors the
+    split at the version line's trailing CRLF (a bare 'WARC/1.0' inside a
+    payload no longer splits) and then VALIDATES every fragment two ways —
+    the head must open with a ``WARC-*`` header line, and the payload's
+    octet length must equal the record's declared Content-Length. Records
+    failing either check get ``suspect = true`` (a payload that itself
+    embeds 'WARC/1.0\\r\\nWARC-...' — crawled WARC spec text, nested
+    archives — truncates and flags rather than silently corrupting;
+    downstream, :func:`warc_responses_to_documents` drops flagged rows).
+    One version per call: a WARC/1.1 archive needs ``version='1.1'``;
+    mixed-version archives are out of scope.
 
     Output: (warc_type, record_id, target_uri, warc_date, content_length,
-    payload) — payload is the raw block after the first blank line
-    (HTTP headers + body for response records, exactly what the
-    strip-HTML tier consumes next).
+    payload, suspect) — payload is the raw block after the first blank
+    line (HTTP headers + body for response records, exactly what the
+    strip-HTML tier consumes next), with the exact ``\\r\\n\\r\\n`` record
+    delimiter stripped so its length matches Content-Length byte for byte.
     """
-    recs = spark.read.option("lineSep", "WARC/1.0").text(path)
+    recs = spark.read.option("lineSep", f"WARC/{version}\r\n").text(path)
     head_body = F.split(F.col("value"), "\r\n\r\n", 2)
     head = F.element_at(head_body, 1)
     # try_: a fragment with no blank line (the pre-marker preamble) has one
@@ -515,14 +524,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def _hdr(name: str):  # noqa: ANN202
         return F.regexp_extract(head, f"(?im)^{name}:\\s*(\\S+)\\s*$", 1)
 
+    # strip the inter-record delimiter EXACTLY (two CRLFs; one at EOF) —
+    # a greedy (\r\n)+ strip would eat the payload's own trailing newlines
+    # and break the Content-Length equality below
+    payload = F.regexp_replace(
+        F.coalesce(body, F.lit("")), "(\r\n\r\n|\r\n)$", ""
+    )
     out = recs.select(
         F.lower(_hdr("WARC-Type")).alias("warc_type"),
         _hdr("WARC-Record-ID").alias("record_id"),
         _hdr("WARC-Target-URI").alias("target_uri"),
         _hdr("WARC-Date").alias("warc_date"),
         _hdr("Content-Length").try_cast("long").alias("content_length"),
-        # trailing CRLFCRLF record delimiter stripped; leave interior bytes
-        F.regexp_replace(F.coalesce(body, F.lit("")), "(\r\n)+$", "").alias("payload"),
+        payload.alias("payload"),
+        (
+            ~(
+                head.rlike("(?i)^WARC-[\\w-]+:")
+                & F.coalesce(
+                    F.octet_length(payload) == _hdr("Content-Length").try_cast("long"),
+                    F.lit(False),
+                )
+            )
+        ).alias("suspect"),
     )
     return out.filter(F.col("warc_type") != "")
 
@@ -531,10 +554,14 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
     """response records → (url, http_status, text) document rows: status
     from the HTTP status line, body after the HTTP header block — the
     handoff into the URL/HTML hygiene tier (operators/urls.py,
-    operators/cleaning.py). Pure JVM projection."""
+    operators/cleaning.py). Pure JVM projection. Records the reader
+    flagged ``suspect`` (mis-framed split or Content-Length mismatch)
+    are dropped here — a truncated body must not enter the corpus."""
     http = F.split(F.col("payload"), "\r\n\r\n", 2)
     head = F.element_at(http, 1)
     body = F.try_element_at(http, F.lit(2))  # header-only payloads
+    if "suspect" in warc.columns:
+        warc = warc.filter(~F.col("suspect"))
     return (
         warc.filter(F.col("warc_type") == "response")
         .select(

@@ -158,13 +158,22 @@ def run_ingest_stream(
                 batch, corpus, id_col, text_col, num_bits=bloom_bits
             )
         if manifest_path is not None:
+            batch = batch.localCheckpoint(eager=True)  # one compute, two sinks
+        # corpus append FIRST, manifest fold AFTER it succeeds: if the
+        # append fails, the standing manifest must keep describing the
+        # corpus that actually exists. The failure mode this leaves —
+        # append landed, fold crashed — UNDERSTATES the corpus, which the
+        # next rebuild (or re-fold from the checkpointed batch) repairs;
+        # the r04 order permanently OVERSTATED counts and xor fingerprints
+        # with a batch that never landed (ADVICE r04).
+        batch.write.mode("append").parquet(corpus_path)
+        if manifest_path is not None:
             from vectordb_bioinsight_spark.operators.packing import (
                 merge_shard_manifests,
                 shard_manifest,
                 shuffle_shards,
             )
 
-            batch = batch.localCheckpoint(eager=True)  # one compute, two sinks
             delta = shard_manifest(
                 shuffle_shards(batch, id_col, manifest_shards, salt=0),
                 "shard", id_col, text_col,
@@ -177,7 +186,6 @@ def run_ingest_stream(
             except AnalysisException:
                 merged = delta
             merged.write.mode("overwrite").parquet(manifest_path)
-        batch.write.mode("append").parquet(corpus_path)
 
     q = (
         stream_docs.writeStream.foreachBatch(_ingest)
