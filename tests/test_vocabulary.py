@@ -133,3 +133,76 @@ class TestReviewFixes:
         kw = {r["doc_id"]: r for r in
               keyword_priority_scores(anchored, docs, "doc_id", "text", ["insulin"]).collect()}
         assert set(kw) == {1} and kw[1]["keyword_hits"] == 1
+
+
+class TestMeshSeed:
+    """The packaged MeSH-subset vocabulary (functions/mesh_seed.py) — the
+    realistic seed the reference ships as medical_vocabulary.py:62-207."""
+
+    def test_seed_breadth_and_shape(self):
+        from vectordb_bioinsight_spark.functions.mesh_seed import (
+            MESH_SEED,
+            mesh_seed_entries,
+        )
+
+        assert len(MESH_SEED) >= 60
+        entries = mesh_seed_entries()
+        assert len(entries) >= 180
+        keys = {k for k, _t, _kd, _w in entries}
+        assert keys == set(MESH_SEED)
+        # every MeSH unique ID looks like the NLM format
+        import re
+        for _k, (_p, mesh_id, _s, _a) in MESH_SEED.items():
+            assert re.fullmatch(r"D\d{6,9}", mesh_id), mesh_id
+        # short-abbreviation gate: nothing under 4 chars reaches doc-side
+        # substring anchoring by default
+        assert all(len(t) >= 4 for _k, t, kd, _w in entries if kd == "abbreviation")
+        # terms are pre-lowered (matching is lower-vs-lower; the dimension
+        # stores the canonical lowered surface form)
+        assert all(t == t.lower() for _k, t, _kd, _w in entries)
+
+    def test_query_normalization_on_seed(self):
+        from vectordb_bioinsight_spark.functions.mesh_seed import mesh_seed_entries
+
+        entries = mesh_seed_entries()
+        # longest-term-first: 'type 2 diabetes' beats bare 'diabetes'
+        key, rest = extract_key_from_query("Type 2 Diabetes treatment options", entries)
+        assert key == "diabetes_type2"
+        assert rest == "treatment options"
+        # synonym tier resolves to the canonical key
+        assert extract_key_from_query("heart attack", entries)[0] == "myocardial_infarction"
+        # abbreviation tier (>= 4 chars)
+        assert extract_key_from_query("COPD exacerbation", entries)[0] == "copd"
+        # no vocabulary term -> branch 3
+        assert extract_key_from_query("spark window hash", entries) == (
+            None,
+            "spark window hash",
+        )
+
+    def test_dispatch_anchors_mixed_case_medical_docs(self, spark):
+        from vectordb_bioinsight_spark.functions.mesh_seed import mesh_seed_entries
+
+        entries = mesh_seed_entries()
+        docs = spark.createDataFrame(
+            [
+                (1, "Alzheimer Disease progression in APOE4 carriers"),
+                (2, "A cohort with Type 2 Diabetes and hypertension"),
+                (3, "spark notes, unrelated"),
+            ],
+            "doc_id long, text string",
+        )
+        strategy, out = dispatch_search(docs, "alzheimer disease", entries)
+        assert strategy == "list_all"
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows] == [1]
+        assert rows[0]["vocab_key"] == "alzheimer"
+
+    def test_mesh_ids_join_dimension(self, spark):
+        from vectordb_bioinsight_spark.functions.mesh_seed import (
+            MESH_SEED,
+            mesh_id_dimension,
+        )
+
+        dim = {r["vocab_key"]: r["mesh_id"] for r in mesh_id_dimension(spark).collect()}
+        assert dim["alzheimer"] == "D000544"
+        assert len(dim) == len(MESH_SEED)
