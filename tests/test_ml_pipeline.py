@@ -115,3 +115,30 @@ def test_sections_from_text(spark):
     assert d1[1]["body"].startswith("Methods")
     assert d1[2]["header"] == ""  # 100-char line: too long for a header
     assert len(by_doc[2]) == 1
+
+
+def test_centroid_permutation_importance_detects_signal_feature(spark):
+    """Planted signal: dim 0 fully determines the label, dims 1-3 are
+    deterministic pseudo-noise — permuting dim 0 must crater accuracy
+    (top importance), permuting a noise dim must not. Fully relational,
+    so this is the hash-oracle-able M10 explanation member."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        centroid_permutation_importance,
+    )
+
+    rows = []
+    for i in range(200):
+        label = i % 2
+        noise = [((i * 7 + j * 13) % 11 - 5.0) / 10.0 for j in range(3)]
+        rows.append((i, [10.0 * label - 5.0] + noise, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["feature"]: r for r in
+           centroid_permutation_importance(
+               df, "vec_id", "embedding", "label", dims=[0, 2], n_buckets=16
+           ).collect()}
+    assert out[1]["base_accuracy"] == 1.0
+    # cyclic shift within even/odd-mixed buckets moves ~half the signal
+    # values across classes -> large drop
+    assert out[1]["importance"] > 0.3
+    assert abs(out[3]["importance"]) < 0.05
+    assert out[1]["importance"] > out[3]["importance"]

@@ -369,6 +369,101 @@ def linear_feature_attribution(
     return out.orderBy(F.desc("mean_abs_contrib"), F.asc("feature"))
 
 
+def centroid_permutation_importance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dims: "list[int]",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """M10's explanation tier as pure relational algebra — permutation
+    importance over a nearest-centroid classifier, every step deterministic
+    arithmetic so the WHOLE attribution is hash-oracle-able (the analog of
+    the reference's per-feature SHAP surface,
+    rnaseq_pipeline/ml/pancancer_classifier.py:1091-1534, at the same
+    boundary the ensemble drew: vote/agreement arithmetic in-engine,
+    trained-model weights out; :func:`permutation_importance` covers the
+    MLlib-scorer case, this covers the SQL-expressible one).
+
+    Model: nearest centroid — class centroids from the UNPERMUTED data
+    (avg per (label, dim), rounded 6 dp), prediction = argmin squared
+    distance (rounded 6 dp; label-asc tiebreak). Importance(d) =
+    base_accuracy − accuracy after breaking feature d's row alignment
+    with a deterministic within-bucket cyclic shift: rows bucket by the
+    PORTABLE HASH of id (functions/hashing.py — NOT ``id % n``: a modulo
+    bucket stays correlated with any id-periodic structure in the data,
+    e.g. labels striped by id parity, and the "permutation" then shuffles
+    values among same-label rows, reporting zero importance for a real
+    signal), each bucket's dim-d values rotate by one (lead + first_value
+    over the hash-ordered bucket window) — the model stays fixed, only
+    the evaluation column permutes, the standard permutation-importance
+    contract.
+
+    Scale shape: explode once; centroids are a (labels × dims) broadcast
+    dimension; every scoring pass shuffles keyed by (id) or (label, dim);
+    the permutation windows are BUCKET-partitioned (no global window).
+    len(dims) is a query parameter — each dim adds one bounded scoring
+    pass over the exploded frame.
+
+    Output: (feature, base_accuracy, permuted_accuracy, importance) —
+    feature is the 1-BASED dim index (matching SQL generate_subscripts),
+    accuracies rounded 6 dp.
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("y"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
+    ).select("id", "y", (F.col("dim0") + 1).alias("dim"), "x")
+    centroids = (
+        ex.groupBy(F.col("y").alias("label_c"), "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+
+    def _accuracy(frame: DataFrame):  # -> Column-less 1-row DF (acc double)
+        d2 = (
+            frame.join(F.broadcast(centroids), "dim")
+            .groupBy("id", "y", "label_c")
+            .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("dist"))
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("label_c"))
+        pred = (
+            d2.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        return pred.agg(
+            F.round(F.avg((F.col("label_c") == F.col("y")).cast("double")), 6).alias("acc")
+        )
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    base = _accuracy(ex).select(F.col("acc").alias("base_accuracy"))
+    out = None
+    h = portable_hash64(F.col("id").cast("string"))
+    for d in dims:
+        wp = Window.partitionBy(F.pmod(h, F.lit(n_buckets))).orderBy(h, F.col("id"))
+        sub = ex.filter(F.col("dim") == d + 1).withColumn(
+            "x", F.coalesce(F.lead("x", 1).over(wp), F.first("x").over(wp))
+        )
+        permuted = ex.filter(F.col("dim") != d + 1).unionByName(sub)
+        acc = _accuracy(permuted).select(F.col("acc").alias("permuted_accuracy"))
+        row = (
+            base.crossJoin(acc)
+            .select(
+                F.lit(d + 1).alias("feature"),
+                "base_accuracy",
+                "permuted_accuracy",
+                F.round(
+                    F.col("base_accuracy") - F.col("permuted_accuracy"), 6
+                ).alias("importance"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def permutation_importance(
     scorer,
     df: DataFrame,

@@ -86,6 +86,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL
     ),
     "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
+    "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
     "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
     "bpe_train_merges": (tx.q_bpe_train_merges, None),
     "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),

@@ -234,6 +234,83 @@ FROM agr
 """
 
 
+_CPI_DIMS = (0, 7, 32)  # 0-based input dims -> features 1/8/33
+_CPI_BUCKETS = 64
+
+
+def q_centroid_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 explanation tier (pancancer_classifier.py:1091-1534 SHAP
+    analog, VERDICT r04 task 3): permutation importance over a
+    nearest-centroid classifier on the embeddings table — centroids from
+    the unpermuted data, per-feature accuracy drop after a deterministic
+    within-bucket cyclic shift of that feature column. Pure relational
+    arithmetic end to end, so the attribution itself is hash-checked
+    against DuckDB."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        centroid_permutation_importance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_permutation_importance(
+        emb, "vec_id", "embedding", "label", dims=list(_CPI_DIMS),
+        n_buckets=_CPI_BUCKETS,
+    )
+
+
+def _sql_centroid_importance() -> str:
+    per_dim = []
+    for d in _CPI_DIMS:
+        f = d + 1
+        per_dim.append(f"""
+perm{f} AS (
+  SELECT id, y, dim, x FROM ex WHERE dim <> {f}
+  UNION ALL
+  SELECT id, y, dim,
+         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x
+  FROM ex WHERE dim = {f}
+  WINDOW w AS (
+    PARTITION BY (('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT) % {_CPI_BUCKETS}
+    ORDER BY ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT, id
+  )
+), dist{f} AS (
+  SELECT e.id, e.y, c.label_c, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+  FROM perm{f} e JOIN cent c ON e.dim = c.dim GROUP BY 1, 2, 3
+), acc{f} AS (
+  SELECT {f} AS feature, round(avg((label_c = y)::INT::DOUBLE), 6) AS permuted_accuracy
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist ASC, label_c ASC) AS rn
+    FROM dist{f}
+  ) WHERE rn = 1
+)""")
+        # noqa: the CTE chain is assembled below
+    accs = " UNION ALL ".join(f"SELECT * FROM acc{d + 1}" for d in _CPI_DIMS)
+    return f"""
+WITH ex AS (
+  SELECT vec_id AS id, label AS y,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), cent AS (
+  SELECT y AS label_c, dim, round(avg(x), 6) AS c FROM ex GROUP BY 1, 2
+), bdist AS (
+  SELECT e.id, e.y, c.label_c, round(sum((e.x - c.c) * (e.x - c.c)), 6) AS dist
+  FROM ex e JOIN cent c ON e.dim = c.dim GROUP BY 1, 2, 3
+), bacc AS (
+  SELECT round(avg((label_c = y)::INT::DOUBLE), 6) AS base_accuracy
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist ASC, label_c ASC) AS rn
+    FROM bdist
+  ) WHERE rn = 1
+),{",".join(per_dim)}
+SELECT a.feature, b.base_accuracy, a.permuted_accuracy,
+       round(b.base_accuracy - a.permuted_accuracy, 6) AS importance
+FROM ({accs}) a CROSS JOIN bacc b
+"""
+
+
+SQL_CENTROID_IMPORTANCE = _sql_centroid_importance()
+
+
 def q_hvg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 HVG selection analog: top-20 parts by sample variance of their
     per-order quantities (preprocessor.py:102-106 var(axis=1).nlargest)."""
