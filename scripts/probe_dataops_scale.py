@@ -6,7 +6,9 @@ Replicates the sf0.1 tables to 1M rows (fresh ids) and times each new
 operator end-to-end with the noop sink, confirming the linear behavior the
 plan shapes promise: the quality classifier and weighted sampler are
 scan-local; CMS is one bounded-key groupBy; exact-n-gram decontamination
-is a broadcast semi-join; the funnel is a chain of user-keyed joins.
+is a broadcast semi-join; the funnel is one user-keyed fold aggregation
+(r05 rewrite — see scripts/probe_funnel_retention.py for its dedicated
+wide/deep probe).
 
 Usage: python scripts/probe_dataops_scale.py [replication]
 """
