@@ -33,83 +33,47 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round. r01-r03 drove 146 distinct entries (r03: 50/50
-#: green). This round front-loads (a) the 23 entries that have never had
-#: a driver CORRECTNESS row (the r03-session-2 additions — the only gap
-#: VERDICT r03 named), then (b) everything NEW in r04: ensemble vote,
-#: vocabulary dispatch, BPE, positional retrieval, the scale-default
-#: semdedup, and the session-3 web-hygiene/training-export tier (URL
-#: canonicalization + dedup, HTML/mojibake repair, shard manifests,
-#: sentence split, curriculum shards, contrastive triplets, mixture
-#: budget, corpus data card) — positions 0-43, all inside the window.
-#: (c) backfills the window with the STALEST driver greens (r01-only),
-#: and (d/e) parks the r02/r03-confirmed blocks after the window,
-#: freshest last. r05 rotation: move (c/d) stale greens forward and park
-#: this round's confirmations.
+#: entries per round; r01-r04 cumulatively drove all 190 pre-r05 entries
+#: (r04: 46/50 hash + 4 rows-only, 0 errors). r05 rotation (VERDICT r04
+#: task 4 — front-load every entry whose operator changed since its last
+#: green): (a) this round's code changes and new entries (funnel fold
+#: rewrite, ANSI guards, MeSH seed + case-insensitive dispatch, centroid
+#: attribution), then (b) the quality/text-kernel family whose shared
+#: expressions changed after their last driver row, then (c) ALL 42
+#: entries whose most recent green is r01 — the stalest evidence.
+#: Positions ~50-58 spill to r06; below that, r02 / r03 / r04 blocks sit
+#: freshest-last. r06 rotation: pull the r02 block forward and park this
+#: round's confirmations.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === (a) r04 window: the 23 entries with NO driver CORRECTNESS row
-    # yet (added r03 session 2 after the r03 window was fixed) — the only
-    # gap named by VERDICT r03; hash-checkable entries first ===
-    "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
-    "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
-    "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
-    "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
-    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
-    "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
-    "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
-    "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
+    # === ORDERING: r05 rotation (driver checks roughly the FIRST 50) ===
+    # (a) entries whose CODE changed this round or that are NEW — every
+    # one must (re-)earn a driver hash row on the current implementation:
+    # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +
+    # case-insensitive dispatch, the centroid attribution, the mixture
+    # starved guard, plus their trends.py file-mates
     "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
-    "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
-    "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
-    "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
-    "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
-    "quantile_normalize_values": (ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES),
-    "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
-    "salted_supplier_volume": (rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME),
-    "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
-    "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
-    "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
-    "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
-    "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
-    # rows-only pair (driver records rows>0 only — no hash possible)
-    "approx_distinct_users": (th.q_approx_distinct_users, None),
-    "label_map_2d": (vec.q_label_map_2d, None),
-    # === (b) NEW in r04 (ensemble/dispatch/etc.) — inserted here so the
-    # ~50-entry driver window covers them on first appearance ===
-    "semdedup_auto": (vec.q_semdedup_auto, None),
-    "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),
-    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
-    "vocab_dispatch_keywords": (
-        cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS
-    ),
-    "vocab_dispatch_lexical": (
-        cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL
-    ),
+    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
     "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
     "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
-    "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
-    "bpe_train_merges": (tx.q_bpe_train_merges, None),
-    "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),
-    "term_proximity": (tx.q_term_proximity, tx.SQL_TERM_PROXIMITY),
-    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
-    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
-    "heatmap_top_parts": (st.q_heatmap_top_parts, st.SQL_HEATMAP_TOP_PARTS),
-    "url_domain_stats": (cl.q_url_domain_stats, cl.SQL_URL_DOMAIN_STATS),
-    "url_dedup_docs": (cl.q_url_dedup_docs, cl.SQL_URL_DEDUP_DOCS),
-    "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
-    "shard_manifest_docs": (pk.q_shard_manifest_docs, pk.SQL_SHARD_MANIFEST_DOCS),
-    "sentence_split_docs": (cl.q_sentence_split_docs, cl.SQL_SENTENCE_SPLIT_DOCS),
-    "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
-    "contrastive_triplets": (vec.q_contrastive_triplets, vec.SQL_CONTRASTIVE_TRIPLETS),
+    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
+    "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
+    "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),
     "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
-    "corpus_data_card": (tx.q_corpus_data_card, tx.SQL_CORPUS_DATA_CARD),
-    # === (c) window backfill: the STALEST driver greens (r01-only) ===
-    "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
-    "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
-    "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
-    "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
-    "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
-    "first_order_per_customer": (rel.q_first_order_per_customer, rel.SQL_FIRST_ORDER_PER_CUSTOMER),
+    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
+    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
+    # (b) stale-code greens: the quality/text kernel family whose shared
+    # expressions changed AFTER their last driver row (punct_ratio ->
+    # translate, da43b-era), and semdedup whose default routing changed
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
+    # (c) window backfill: every entry whose most recent driver green is
+    # r01 (text/quality kernels first) — the stalest evidence in the repo
+    "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
+    "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
+    "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
+    "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
     "supplier_nation_lookup": (rel.q_supplier_nation_lookup, rel.SQL_SUPPLIER_NATION_LOOKUP),
     "lineitem_flags": (rel.q_lineitem_flags, rel.SQL_LINEITEM_FLAGS),
     "customer_running_total": (rel.q_customer_running_total, rel.SQL_CUSTOMER_RUNNING_TOTAL),
@@ -129,15 +93,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "bh_adjust": (ev.q_bh_adjust, ev.SQL_BH_ADJUST),
     "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
-    "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
-    "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
-    "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
     "fingerprint": (tx.q_fingerprint, tx.SQL_FINGERPRINT),
     "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
     "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
     "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
-    "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
     "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
     "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
@@ -152,7 +112,53 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
-    # === (d) r02/r03 driver-green (freshest last) ===
+    # === below the window: r02-confirmed, then r03, then r04 (freshest
+    # last) — r06 rotation: pull (the rest of) the r02 block forward ===
+    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
+    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
+    "ivf_recall": (vec.q_ivf_recall, None),
+    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
+    "compression_ratio": (tx.q_compression_ratio, None),
+    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
+    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
+    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
+    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
+    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
+    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
+    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
+    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # --- most recent driver green: r03 ---
     "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
@@ -203,54 +209,49 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
     "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
     "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
-    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
-    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
-    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
-    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
-    "ivf_recall": (vec.q_ivf_recall, None),
-    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
-    "compression_ratio": (tx.q_compression_ratio, None),
-    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
-    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
-    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
-    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
-    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
-    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
-    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
-    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
-    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
-    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
-    "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
+    # --- most recent driver green: r04 ---
+    "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
+    "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
+    "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
+    "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
+    "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
+    "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
+    "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
+    "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
+    "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
+    "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
+    "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
+    "quantile_normalize_values": (ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES),
+    "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
+    "salted_supplier_volume": (rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME),
+    "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
+    "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
+    "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
+    "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
+    "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
+    "approx_distinct_users": (th.q_approx_distinct_users, None),
+    "label_map_2d": (vec.q_label_map_2d, None),
+    "semdedup_auto": (vec.q_semdedup_auto, None),
+    "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),
+    "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
+    "bpe_train_merges": (tx.q_bpe_train_merges, None),
+    "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),
+    "term_proximity": (tx.q_term_proximity, tx.SQL_TERM_PROXIMITY),
+    "heatmap_top_parts": (st.q_heatmap_top_parts, st.SQL_HEATMAP_TOP_PARTS),
+    "url_domain_stats": (cl.q_url_domain_stats, cl.SQL_URL_DOMAIN_STATS),
+    "url_dedup_docs": (cl.q_url_dedup_docs, cl.SQL_URL_DEDUP_DOCS),
+    "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
+    "shard_manifest_docs": (pk.q_shard_manifest_docs, pk.SQL_SHARD_MANIFEST_DOCS),
+    "sentence_split_docs": (cl.q_sentence_split_docs, cl.SQL_SENTENCE_SPLIT_DOCS),
+    "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
+    "contrastive_triplets": (vec.q_contrastive_triplets, vec.SQL_CONTRASTIVE_TRIPLETS),
+    "corpus_data_card": (tx.q_corpus_data_card, tx.SQL_CORPUS_DATA_CARD),
+    "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
+    "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
+    "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
+    "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
+    "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
+    "first_order_per_customer": (rel.q_first_order_per_customer, rel.SQL_FIRST_ORDER_PER_CUSTOMER),
 }
 
 
