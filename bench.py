@@ -96,6 +96,11 @@ HEADLINE = [
     "url_domain_stats",
     "web_clean_docs",
     "shard_manifest_docs",
+    # r05: the relational M10 attribution (explode + broadcast centroids +
+    # per-dim rescore) and the cohort-retention matrix (user-keyed min-agg
+    # + distinct + broadcast-back)
+    "centroid_importance",
+    "cohort_retention",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
