@@ -89,6 +89,22 @@ AUDITS: dict[str, str] = {
         "scan-local hash — the only corpus-sized shuffles are the two "
         "dedup keys."
     ),
+    "funnel_conversion": (
+        "The r05 fold rewrite (SCALING.md rule 30): the isin(steps) filter "
+        "pushes to the scan, ONE user-keyed groupBy collects each user's "
+        "step-typed events, the greedy (depth, last_reach) machine runs as "
+        "an `aggregate` expression inside the same stage, and every step "
+        "count/conversion inlines from a single-row conditional global agg "
+        "— exactly two exchanges (pinned), no join chain, no re-executed "
+        "lineage."
+    ),
+    "centroid_importance": (
+        "The relational M10 attribution: posexplode once; centroids are a "
+        "(labels x dims) broadcast dimension, so every scoring pass is a "
+        "BroadcastHashJoin + (id)-keyed argmin agg; the per-dim permutation "
+        "windows partition by the portable hash bucket (never global). "
+        "Adding a dim adds one bounded pass, nothing quadratic."
+    ),
 }
 
 
