@@ -469,3 +469,62 @@ class TestTrendsR04:
         assert got[("2023-12-25", 2)] == (2, 2, 1.0)
         assert got[("2024-01-08", 0)] == (1, 1, 1.0)
         assert got[("2024-01-08", 1)] == (1, 1, 1.0)
+
+
+class TestTrendsR05:
+    def test_touch_attribution_models(self, spark):
+        """Hand-built journeys: user 1 view->click->purchase (first=view,
+        last=click, linear split 0.5/0.5); user 2 click-only then purchase;
+        user 3 touches AFTER purchase (no credit); user 4 never converts."""
+        from vectordb_bioinsight_spark.operators.trends import touch_attribution
+
+        rows = [
+            (1, "view",     "2024-01-01 00:00:00"),
+            (1, "click",    "2024-01-02 00:00:00"),
+            (1, "purchase", "2024-01-03 00:00:00"),
+            (2, "click",    "2024-01-01 00:00:00"),
+            (2, "purchase", "2024-01-02 00:00:00"),
+            (3, "purchase", "2024-01-01 00:00:00"),
+            (3, "view",     "2024-01-02 00:00:00"),
+            (4, "view",     "2024-01-01 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "u long, t string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["channel"]: r for r in touch_attribution(
+            df, "u", "t", "ts", "purchase", ["view", "click"]
+        ).collect()}
+        assert set(out) == {"view", "click"}
+        assert out["view"]["first_touch"] == 1 and out["view"]["last_touch"] == 0
+        assert out["click"]["first_touch"] == 1 and out["click"]["last_touch"] == 2
+        assert out["view"]["linear"] == 0.5
+        assert out["click"]["linear"] == 1.5
+        assert out["view"]["touched_users"] == 1 and out["click"]["touched_users"] == 2
+
+    def test_seasonal_decompose_recovers_planted_weekly_shape(self, spark):
+        """total = 100 + 10*(is_monday) over 4 weeks: trend ~100 + 10/7,
+        seasonal ~+10-ish on Mondays (zero-centered), residual ~0;
+        total == trend + seasonal + residual exactly by construction."""
+        from vectordb_bioinsight_spark.operators.trends import seasonal_decompose_daily
+        import datetime as dt
+
+        rows = []
+        d0 = dt.date(2024, 1, 1)  # a Monday
+        for i in range(28):
+            day = d0 + dt.timedelta(days=i)
+            v = 100.0 + (10.0 if day.weekday() == 0 else 0.0)
+            rows.append(("m", f"{day} 00:00:00", v))
+        df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = seasonal_decompose_daily(df, "k", "ts", "value", period=7).collect()
+        assert len(out) == 22  # 28 days - 6 edge days without a full window
+        for r in out:
+            assert r["total"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=2e-4
+            )
+            assert abs(r["residual"]) < 0.5
+        mondays = [r for r in out if r["day"].weekday() == 0]
+        others = [r for r in out if r["day"].weekday() != 0]
+        assert mondays and min(r["seasonal"] for r in mondays) > 8.0
+        assert max(abs(r["seasonal"]) for r in others) < 2.0

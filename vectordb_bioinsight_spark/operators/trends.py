@@ -316,3 +316,131 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
         )
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    conversion_type: str,
+    touch_types: "list[str]",
+) -> DataFrame:
+    """Multi-touch attribution — the credit-assignment question every
+    marketing/product stack asks downstream of the funnel: for each
+    CONVERTING user (earliest ``conversion_type`` event), distribute one
+    unit of conversion credit across the touch events strictly BEFORE
+    their conversion time, under the three standard models at once:
+
+    * first_touch — the earliest touch channel gets the full credit,
+    * last_touch  — the latest touch before conversion gets it,
+    * linear      — each touch event gets 1/n of it.
+
+    Physical plan: conversion times are one user-keyed min-agg; touches
+    join them on user (user-keyed, range predicate inside the join);
+    per-(user, channel) counts + min/max touch times in ONE groupBy;
+    first/last channels derive from dimension-cheap struct-min/max over
+    the per-channel rows (ties break toward the lexicographically first
+    channel via the struct's second field); the final rollup is a
+    channel-cardinality agg. Every corpus-sized shuffle is user-keyed.
+
+    Output per channel: (channel, first_touch, last_touch, linear,
+    touched_users) — first/last are conversion counts (long), linear is
+    fractional credit (rounded 6 dp).
+    """
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    conv = (
+        ev.filter(F.col("t") == conversion_type)
+        .groupBy("u")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        ev.filter(F.col("t").isin(list(touch_types)))
+        .join(conv, "u")
+        .filter(F.col("ts") < F.col("conv_ts"))
+    )
+    per_uc = touches.groupBy("u", "t").agg(
+        F.count("*").cast("long").alias("n_uc"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    per_u = per_uc.groupBy("u").agg(
+        F.sum("n_uc").cast("long").alias("n_u"),
+        F.min(F.struct(F.col("min_ts"), F.col("t"))).alias("_first"),
+        F.max(F.struct(F.col("max_ts"), F.col("t"))).alias("_last"),
+    )
+    joined = per_uc.join(per_u, "u")
+    return (
+        joined.groupBy(F.col("t").alias("channel"))
+        .agg(
+            F.sum((F.col("_first")["t"] == F.col("t")).cast("long"))
+            .cast("long")
+            .alias("first_touch"),
+            F.sum((F.col("_last")["t"] == F.col("t")).cast("long"))
+            .cast("long")
+            .alias("last_touch"),
+            F.round(F.sum(F.col("n_uc") / F.col("n_u")), 6).alias("linear"),
+            F.count("*").cast("long").alias("touched_users"),
+        )
+    )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition of per-key daily totals —
+    STL-lite: total = trend + seasonal + residual, where trend is the
+    centered ``period``-day rolling mean (full windows only), seasonal is
+    the per-(key, position-in-period) mean of the detrended series
+    re-centered to sum to zero within each key, and residual is the rest.
+    The trend-break detector (:func:`rolling_anomalies`) asks "is today
+    odd?"; this answers "what is the repeating weekly shape vs the
+    drift?" — the decomposition behind every seasonality-aware forecast.
+
+    Position-in-period uses ``dayofweek`` when period=7 (calendar-locked,
+    gap-robust) and ``datediff mod period`` otherwise.
+
+    Physical plan: one (key, day) groupBy; one key-partitioned centered
+    window (calendar-bounded rows per key); one (key, pos) mean agg
+    broadcast back; arithmetic. Output: (key, day, total, trend,
+    seasonal, residual) rounded 4 dp, full-trend-window days only.
+    """
+    half = period // 2
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    if period == 7:
+        pos = F.dayofweek("day")
+    else:
+        pos = F.pmod(F.datediff("day", F.lit("1970-01-01").cast("date")), F.lit(period))
+    w = Window.partitionBy("key").orderBy("day").rowsBetween(-half, half)
+    trended = (
+        daily.withColumn("_n", F.count("total").over(w))
+        .withColumn("trend", F.round(F.avg("total").over(w), 4))
+        .filter(F.col("_n") >= 2 * half + 1)
+        .withColumn("pos", pos)
+        .withColumn("detr", F.col("total") - F.col("trend"))
+    )
+    seas = trended.groupBy("key", "pos").agg(F.avg("detr").alias("s_raw"))
+    seas_centered = seas.join(
+        seas.groupBy("key").agg(F.avg("s_raw").alias("s_mean")), "key"
+    ).select("key", "pos", F.round(F.col("s_raw") - F.col("s_mean"), 4).alias("seasonal"))
+    return (
+        trended.join(F.broadcast(seas_centered), ["key", "pos"])
+        .select(
+            "key",
+            "day",
+            "total",
+            "trend",
+            "seasonal",
+            F.round(F.col("total") - F.col("trend") - F.col("seasonal"), 4).alias(
+                "residual"
+            ),
+        )
+    )

@@ -55,6 +55,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
     "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
     "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
+    "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
+    "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
+    "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
     "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
     "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),

@@ -612,3 +612,90 @@ SELECT c.cohort_week::TIMESTAMP AS cohort_week, c.week_offset, c.n_active,
        round(c.n_active / (s.cohort_size * 1.0), 6) AS retention
 FROM counts c JOIN sizes s USING (cohort_week)
 """
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution over the events stream: purchase
+    conversions credited to the view/click touches strictly before each
+    user's first purchase, under first/last/linear models in one pass
+    (operators/trends.py::touch_attribution — every corpus shuffle
+    user-keyed)."""
+    from vectordb_bioinsight_spark.operators.trends import touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "event_type", "ts", "purchase", ["view", "click"]
+    )
+
+
+SQL_TOUCH_ATTRIBUTION = """
+WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+conv AS (SELECT u, min(ts) AS conv_ts FROM ev WHERE t = 'purchase' GROUP BY 1),
+touches AS (
+  SELECT e.u, e.t, e.ts
+  FROM ev e JOIN conv c ON c.u = e.u AND e.ts < c.conv_ts
+  WHERE e.t IN ('view', 'click')
+),
+per_uc AS (
+  SELECT u, t, count(*)::BIGINT AS n_uc, min(ts) AS min_ts, max(ts) AS max_ts
+  FROM touches GROUP BY 1, 2
+),
+per_u AS (SELECT u, sum(n_uc)::BIGINT AS n_u FROM per_uc GROUP BY 1),
+firsts AS (
+  SELECT u, t AS first_t FROM (
+    SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY min_ts ASC, t ASC) AS rn
+    FROM per_uc
+  ) WHERE rn = 1
+),
+lasts AS (
+  SELECT u, t AS last_t FROM (
+    SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY max_ts DESC, t DESC) AS rn
+    FROM per_uc
+  ) WHERE rn = 1
+)
+SELECT pc.t AS channel,
+       sum((f.first_t = pc.t)::INT)::BIGINT AS first_touch,
+       sum((l.last_t = pc.t)::INT)::BIGINT AS last_touch,
+       round(sum(pc.n_uc::DOUBLE / pu.n_u), 6) AS linear,
+       count(*)::BIGINT AS touched_users
+FROM per_uc pc
+JOIN per_u pu USING (u) JOIN firsts f USING (u) JOIN lasts l USING (u)
+GROUP BY 1
+"""
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of per-type daily value totals:
+    centered 7-day trend, zero-centered day-of-week seasonal, residual
+    (operators/trends.py::seasonal_decompose_daily)."""
+    from vectordb_bioinsight_spark.operators.trends import seasonal_decompose_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    out = seasonal_decompose_daily(ev, "event_type", "ts", "value", period=7)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+SQL_SEASONAL_DECOMPOSE = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT key, day, total,
+         count(total) OVER w AS n,
+         round(avg(total) OVER w, 4) AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), fullw AS (
+  SELECT key, day, total, trend, total - trend AS detr,
+         dayofweek(day) + 1 AS pos
+  FROM tr WHERE n >= 7
+), seas AS (
+  SELECT key, pos, avg(detr) AS s_raw FROM fullw GROUP BY 1, 2
+), seasc AS (
+  SELECT s.key, s.pos, round(s.s_raw - m.s_mean, 4) AS seasonal
+  FROM seas s JOIN (SELECT key, avg(s_raw) AS s_mean FROM seas GROUP BY 1) m USING (key)
+)
+SELECT f.key, f.day::TIMESTAMP AS day, f.total, f.trend, sc.seasonal,
+       round(f.total - f.trend - sc.seasonal, 4) AS residual
+FROM fullw f JOIN seasc sc USING (key, pos)
+"""

@@ -504,3 +504,40 @@ SELECT l_suppkey,
        round(max(l_quantity), 6) AS max_qty
 FROM lineitem GROUP BY l_suppkey
 """
+
+
+def q_target_encode_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-prep tier: smoothed leave-one-out target encoding of
+    l_suppkey against the return flag (operators/encoding.py — the
+    high-cardinality-categorical encoder a one-hot would explode on; the
+    supplier key is the table's widest categorical). The row-level
+    encoding collapses to its distinct (key, target, encoding) combos for
+    a compact hash: LOO means the encoding is a function of exactly that
+    pair."""
+    from vectordb_bioinsight_spark.operators.encoding import target_encode_loo
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_suppkey", (F.col("l_returnflag") == "R").cast("int").alias("returned")
+    )
+    enc = target_encode_loo(base, ["l_suppkey"], "returned", prior_weight=20.0)
+    return enc.groupBy("l_suppkey", "returned", "target_enc").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
+SQL_TARGET_ENCODE_SUPPLIER = """
+WITH base AS (
+  SELECT l_suppkey, (l_returnflag = 'R')::INT AS returned FROM lineitem
+), stats AS (
+  SELECT l_suppkey, sum(returned::DOUBLE) AS t_sum, count(*)::BIGINT AS t_n
+  FROM base GROUP BY 1
+), prior AS (SELECT avg(returned::DOUBLE) AS p FROM base)
+SELECT b.l_suppkey, b.returned,
+       round(CASE WHEN s.t_n > 1
+                  THEN (s.t_sum - b.returned + 20.0 * pr.p) / (s.t_n - 1 + 20.0)
+                  ELSE pr.p END, 6) AS target_enc,
+       count(*)::BIGINT AS n_rows
+FROM base b JOIN stats s USING (l_suppkey) CROSS JOIN prior pr
+GROUP BY 1, 2, 3
+"""
