@@ -528,3 +528,82 @@ class TestTrendsR05:
         others = [r for r in out if r["day"].weekday() != 0]
         assert mondays and min(r["seasonal"] for r in mondays) > 8.0
         assert max(abs(r["seasonal"]) for r in others) < 2.0
+
+    def test_event_transition_matrix_counts_and_probs(self, spark):
+        """Sessions: u1 a->b->a (one session), then a gap > 1h breaks the
+        chain; transitions crossing the gap must not count."""
+        from vectordb_bioinsight_spark.operators.trends import event_transition_matrix
+
+        rows = [
+            (1, 10, "a", "2024-01-01 10:00:00"),
+            (1, 11, "b", "2024-01-01 10:10:00"),
+            (1, 12, "a", "2024-01-01 10:20:00"),
+            (1, 13, "c", "2024-01-01 13:00:00"),   # > 1h after -> new session
+            (2, 20, "a", "2024-01-01 09:00:00"),
+            (2, 21, "b", "2024-01-01 09:30:00"),
+        ]
+        df = spark.createDataFrame(rows, "u long, eid long, t string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {(r["from_type"], r["to_type"]): (r["n"], r["p"]) for r in
+               event_transition_matrix(df, "u", "t", "ts", "eid").collect()}
+        # a->b twice (u1, u2); the only other in-session pair is b->a (u1);
+        # a->c crosses the >1h gap and must neither count nor enter the
+        # P(to|from) denominator
+        assert out[("a", "b")] == (2, 1.0)
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("a", "c") not in out
+        assert len(out) == 2
+        # P(to|from) sums to 1 within each from
+        froms = {}
+        for (f_, _t), (_n, p) in out.items():
+            froms[f_] = froms.get(f_, 0.0) + p
+        for s in froms.values():
+            assert abs(s - 1.0) < 1e-6
+
+    def test_kaplan_meier_hand_computed(self, spark):
+        """4 users: lifetimes 0w(churn), 1w(churn), 2w(censored-at-horizon),
+        0w but active in final week (censored). KM arithmetic by hand."""
+        from vectordb_bioinsight_spark.operators.trends import kaplan_meier_weeks
+
+        rows = [
+            # u1: one day only, long ago -> week 0, churned
+            (1, "2024-01-01 00:00:00"), (1, "2024-01-02 00:00:00"),
+            # u2: 8-day span ending 22 days before horizon -> week 1, churned
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-09 00:00:00"),
+            # u3: spans to the horizon (Jan 31) -> week 4, censored
+            (3, "2024-01-01 00:00:00"), (3, "2024-01-31 00:00:00"),
+            # u4: active only in the final week -> week 0, censored
+            (4, "2024-01-30 00:00:00"), (4, "2024-01-31 00:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["week"]: r for r in kaplan_meier_weeks(df, "u", "ts").collect()}
+        # week 0: risk 4, churn 1 (u1), censor 1 (u4) -> S = 3/4
+        assert out[0]["n_risk"] == 4 and out[0]["n_churned"] == 1
+        assert out[0]["n_censored"] == 1
+        assert out[0]["survival"] == 0.75
+        # week 1: risk 2 (u2, u3), churn 1 (u2) -> S = 0.75 * 0.5 = 0.375
+        assert out[1]["n_risk"] == 2 and out[1]["survival"] == 0.375
+        # week 4: risk 1 (u3), censored -> S unchanged
+        assert out[4]["n_risk"] == 1 and out[4]["n_churned"] == 0
+        assert out[4]["survival"] == 0.375
+
+    def test_kaplan_meier_total_churn_pins_zero(self, spark):
+        """A week that churns its entire risk set pins survival at 0 for
+        every later week (the ln(0)-skipping hazard)."""
+        from vectordb_bioinsight_spark.operators.trends import kaplan_meier_weeks
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),                               # week 0 churn
+            (2, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00"),   # week 0 churn
+            (3, "2024-01-01 00:00:00"), (3, "2024-03-01 00:00:00"),   # week 8 censored
+        ]
+        df = spark.createDataFrame(rows, "u long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["week"]: r for r in kaplan_meier_weeks(df, "u", "ts").collect()}
+        # week 0: risk 3, churn 2 -> S = 1/3; week 8: censored, S stays 1/3
+        assert out[0]["survival"] == round(1 / 3, 6)
+        assert out[8]["survival"] == round(1 / 3, 6)

@@ -444,3 +444,106 @@ def seasonal_decompose_daily(
             ),
         )
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    session_gap_s: int = 3600,
+) -> DataFrame:
+    """First-order Markov transition matrix over event types — the path
+    model behind "what do users do next": consecutive event pairs within
+    the same session (gap <= ``session_gap_s``, the sessionize convention)
+    counted per (from, to) with the row-conditional probability.
+
+    Physical plan: ONE user-keyed ordered window (lead of type/ts; ties
+    broken by ``id_col`` so the ordering is total in both engines), a
+    scan-local gap predicate, a (from, to) groupBy over type²-cardinality
+    keys, and a from-partitioned share window over that bounded matrix.
+    At 100 TB the only corpus-sized operation is the lead window, which
+    reuses the per-user partitioning every sessionized consumer already
+    shuffles on.
+
+    Output: (from_type, to_type, n, p) — p rounded 6 dp, P(to | from).
+    """
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    gap_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    pairs = (
+        df.withColumn("_to", F.lead(type_col).over(w))
+        .withColumn("_gap", gap_us)
+        .filter(F.col("_to").isNotNull() & (F.col("_gap") <= session_gap_s * 1_000_000))
+        .select(F.col(type_col).alias("from_type"), F.col("_to").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+def kaplan_meier_weeks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Discrete-week Kaplan-Meier survival (churn curve) over user
+    lifetimes: lifetime = floor(days between first and last activity / 7);
+    users still active in the data's final week are CENSORED (they leave
+    the risk set at their last observed week without counting as churn —
+    dropping censoring would biasedly call every fresh user a churner).
+
+        S(t) = prod_{i<=t} (1 - d_i / n_i)
+
+    with d_i = churned at week i, n_i = at risk entering week i. The
+    product is computed as exp(cumsum(ln)) with an explicit zero-factor
+    carry (a week that churns its whole risk set pins S at 0 from then
+    on; sum() skipping a NULL ln(0) would silently resurrect the curve).
+
+    Physical plan: one user-keyed min/max agg; two broadcast scalars
+    (horizon, cohort size); everything after runs on the week-cardinality
+    table (calendar-bounded) — the cumulative windows are dimension-sized
+    by construction, the same convention as the trends histograms.
+
+    Output: (week, n_risk, n_churned, n_censored, survival) rounded 6 dp.
+    """
+    spans = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.min(ts_col)).alias("first_day"),
+        F.to_date(F.max(ts_col)).alias("last_day"),
+    )
+    horizon = spans.agg(F.max("last_day").alias("_max_day"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.datediff("last_day", "first_day") / 7).cast("long").alias("week"),
+        (F.datediff("_max_day", "last_day") < 7).cast("int").alias("censored"),
+    )
+    total = per_user.count()
+    by_wk = per_user.groupBy("week").agg(
+        F.count("*").cast("long").alias("ending"),
+        F.sum(1 - F.col("censored")).cast("long").alias("n_churned"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    risked = by_wk.withColumn(
+        "n_risk",
+        (F.lit(total) - F.coalesce(F.sum("ending").over(w), F.lit(0))).cast("long"),
+    )
+    factor = 1.0 - F.col("n_churned") / F.col("n_risk")
+    stepped = risked.withColumn("_f", factor).withColumn(
+        "_dead", F.max((F.col("_f") <= 0).cast("int")).over(wc)
+    )
+    survival = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.log(F.col("_f"))).over(wc))
+    )
+    return stepped.select(
+        "week",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.round(survival, 6).alias("survival"),
+    )

@@ -58,6 +58,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
     "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
     "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
+    "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
     "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
     "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),

@@ -699,3 +699,78 @@ SELECT f.key, f.day::TIMESTAMP AS day, f.total, f.trend, sc.seasonal,
        round(f.total - f.trend - sc.seasonal, 4) AS residual
 FROM fullw f JOIN seasc sc USING (key, pos)
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types within
+    1h-gap sessions (operators/trends.py::event_transition_matrix): one
+    user-keyed lead window, a type²-bounded count, P(to | from)."""
+    from vectordb_bioinsight_spark.operators.trends import event_transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_transition_matrix(
+        ev, "user_id", "event_type", "ts", "event_id", session_gap_s=3600
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER w AS to_type,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), t AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n FROM p
+  WHERE to_type IS NOT NULL AND gap <= 3600::BIGINT * 1000000
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
+FROM t
+"""
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-week Kaplan-Meier churn curve over user lifetimes with
+    final-week censoring (operators/trends.py::kaplan_meier_weeks) — the
+    survival tier above cohort_retention."""
+    from vectordb_bioinsight_spark.operators.trends import kaplan_meier_weeks
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier_weeks(ev, "user_id", "ts")
+
+
+SQL_KAPLAN_MEIER = """
+WITH spans AS (
+  SELECT user_id AS u, min(ts)::DATE AS first_day, max(ts)::DATE AS last_day
+  FROM events GROUP BY 1
+), hz AS (SELECT max(last_day) AS max_day FROM spans),
+per_user AS (
+  SELECT CAST(datediff('day', first_day, last_day) / 7 AS BIGINT) AS week,
+         (datediff('day', last_day, h.max_day) < 7)::INT AS censored
+  FROM spans CROSS JOIN hz h
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM per_user),
+by_wk AS (
+  SELECT week, count(*)::BIGINT AS ending,
+         sum(1 - censored)::BIGINT AS n_churned,
+         sum(censored)::BIGINT AS n_censored
+  FROM per_user GROUP BY 1
+), risked AS (
+  SELECT week, n_churned, n_censored,
+         (t.n - coalesce(sum(ending) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+  FROM by_wk CROSS JOIN tot t
+), f AS (
+  SELECT *, 1.0 - n_churned::DOUBLE / n_risk AS fct FROM risked
+), g AS (
+  SELECT *, max((fct <= 0)::INT) OVER wc AS dead,
+         sum(ln(CASE WHEN fct > 0 THEN fct END)) OVER wc AS lsum
+  FROM f
+  WINDOW wc AS (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT week, n_risk, n_churned, n_censored,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival
+FROM g
+"""
