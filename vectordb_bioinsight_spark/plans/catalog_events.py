@@ -747,7 +747,9 @@ WITH spans AS (
   FROM events GROUP BY 1
 ), hz AS (SELECT max(last_day) AS max_day FROM spans),
 per_user AS (
-  SELECT CAST(datediff('day', first_day, last_day) / 7 AS BIGINT) AS week,
+  -- // (integer division, floors) — CAST(x/7 AS BIGINT) would ROUND in
+  -- DuckDB while Spark's cast truncates, splitting week buckets
+  SELECT (datediff('day', first_day, last_day) // 7)::BIGINT AS week,
          (datediff('day', last_day, h.max_day) < 7)::INT AS censored
   FROM spans CROSS JOIN hz h
 ),
