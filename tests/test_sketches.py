@@ -133,3 +133,81 @@ def test_winsorize_and_robust_scale_null_discipline(spark):
         if r["v"] is not None
     }
     assert r_clean == r_nulls
+
+
+class TestMomentShards:
+    def test_merge_equals_rebuild(self, spark):
+        """merge(profile(day shards)) == profile(whole) — the maintenance
+        property that lets ingest keep column stats in O(shards)/batch."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            merge_moment_shards,
+            moment_shards,
+            moments_to_stats,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        ev = load_table(spark, SF_SMALL, "events").withColumn(
+            "shard_day", F.to_date("ts")
+        )
+        merged = moments_to_stats(
+            merge_moment_shards(
+                moment_shards(ev, ["event_type", "shard_day"], "value"),
+                ["event_type"],
+            )
+        )
+        direct = moments_to_stats(moment_shards(ev, ["event_type"], "value"))
+        m = {r["event_type"]: r for r in merged.collect()}
+        d = {r["event_type"]: r for r in direct.collect()}
+        assert m.keys() == d.keys()
+        for k in d:
+            assert m[k]["n"] == d[k]["n"]
+            for col in ("mean", "var", "std"):
+                assert math.isclose(m[k][col], d[k][col], rel_tol=0, abs_tol=1e-6), (
+                    k, col, m[k][col], d[k][col]
+                )
+
+    def test_merge_is_incremental(self, spark):
+        """Folding a new day's shard into a standing profile equals
+        rebuilding from scratch — the streaming-batch contract."""
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            merge_moment_shards,
+            moment_shards,
+            moments_to_stats,
+        )
+
+        rows = [("a", d, float(v)) for d in (1, 2, 3) for v in range(d, d + 5)]
+        df = spark.createDataFrame(rows, "k string, day int, v double")
+        old = moment_shards(df.filter(F.col("day") < 3), ["k", "day"], "v")
+        new = moment_shards(df.filter(F.col("day") == 3), ["k", "day"], "v")
+        folded = moments_to_stats(
+            merge_moment_shards(old.unionByName(new), ["k"])
+        ).first()
+        rebuilt = moments_to_stats(moment_shards(df, ["k"], "v")).first()
+        assert folded["n"] == rebuilt["n"] == 15
+        assert folded["mean"] == rebuilt["mean"]
+        assert folded["var"] == rebuilt["var"]
+
+    def test_single_row_shards_merge(self, spark):
+        """1-row shards have NULL var_samp -> m2 must coalesce to 0, and
+        the merged variance must still be exact."""
+        from vectordb_bioinsight_spark.operators.sketches import (
+            merge_moment_shards,
+            moment_shards,
+            moments_to_stats,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(6)], "k string, shard int, v double"
+        )
+        out = moments_to_stats(
+            merge_moment_shards(moment_shards(df, ["k", "shard"], "v"), ["k"])
+        ).first()
+        assert out["n"] == 6 and out["mean"] == 2.5
+        assert out["var"] == 3.5  # var_samp of 0..5

@@ -75,3 +75,75 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moment shards — incremental statistics maintenance
+# ---------------------------------------------------------------------------
+
+
+def moment_shards(
+    df: "DataFrame",
+    shard_cols: "list[str]",
+    value_col: str,
+) -> "DataFrame":
+    """Per-shard first/second moments in the MERGEABLE representation
+    (n, mean, m2) — the numeric-column counterpart of the xor shard
+    manifest (sources/writers.py): maintain one row per shard as batches
+    land, fold with :func:`merge_moment_shards`, and the corpus is never
+    rescanned for accounting. m2 = sum((x - mean)^2); var = m2/(n-1).
+
+    One map-side-combinable groupBy; output is shard-cardinality."""
+    return df.groupBy(*shard_cols).agg(
+        F.count(value_col).cast("long").alias("n"),
+        F.avg(value_col).alias("mean"),
+        # m2 from var_samp (n-1 factor); a 1-row shard has NULL var -> m2 0
+        F.coalesce(
+            F.var_samp(value_col) * (F.count(value_col) - 1), F.lit(0.0)
+        ).alias("m2"),
+    )
+
+
+def merge_moment_shards(
+    shards: "DataFrame",
+    group_cols: "list[str]",
+) -> "DataFrame":
+    """Combine (n, mean, m2) shard rows into the same representation at a
+    coarser grain — exact, associative, ONE aggregation (no pairwise
+    Chan recursion needed; the pooled closed form is):
+
+        N    = sum(n)
+        mean = sum(n * mean) / N
+        m2   = sum(m2) + sum(n * mean_s^2) - N * mean^2
+
+    so merge(profile(day shards)) == profile(whole table) exactly up to
+    float associativity (property-tested). This is what lets a streaming
+    ingest or a partitioned backfill keep column statistics current in
+    O(shards) per batch."""
+    agg = shards.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("mean"),
+        (
+            F.sum("m2")
+            + F.sum(F.col("n") * F.col("mean") * F.col("mean"))
+        ).alias("_raw2"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "mean",
+        (F.col("_raw2") - F.col("n") * F.col("mean") * F.col("mean")).alias("m2"),
+    )
+
+
+def moments_to_stats(profile: "DataFrame") -> "DataFrame":
+    """(n, mean, m2) -> presentation stats: (n, mean, var, std) rounded
+    6 dp; var NULL for n < 2 (matching var_samp)."""
+    var = F.when(F.col("n") > 1, F.col("m2") / (F.col("n") - 1))
+    keep = [c for c in profile.columns if c not in ("mean", "m2")]
+    return profile.select(
+        *keep,
+        F.round("mean", 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(F.sqrt(var), 6).alias("std"),
+    )

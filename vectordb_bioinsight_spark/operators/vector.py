@@ -786,3 +786,29 @@ def contrastive_triplets(
         "neg_rank",
         F.round(F.col("_pos_score") - F.col("_neg_score"), 6).alias("margin"),
     )
+
+
+def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension statistics of an embedding column — the data card for
+    the vector tier (the numeric twin of the corpus data card): collapsed
+    or dead dimensions (std ~ 0), off-center dimensions (|mean| >> 0) and
+    outlier ranges are the standard diagnostics before trusting cosine
+    distances or training a quantizer on the column.
+
+    One posexplode + one dim-keyed groupBy (map-side combinable; 64-ish
+    groups however large the table). Output: (dim 1-based, mean, std,
+    lo, hi) rounded 6 dp, ordered by dim.
+    """
+    ex = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x")
+    ).select((F.col("dim0") + 1).alias("dim"), "x")
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.stddev_samp("x"), 6).alias("std"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .orderBy("dim")
+    )

@@ -60,6 +60,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
     "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
     "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
+    "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
+    "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
     "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
     "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),

@@ -776,3 +776,34 @@ SELECT week, n_risk, n_churned, n_censored,
        round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END, 6) AS survival
 FROM g
 """
+
+
+def q_value_moments_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-moments maintenance algebra EXERCISED INSIDE the oracle
+    check: per-(type, day) moment shards folded up to per-type stats
+    (operators/sketches.py::moment_shards / merge_moment_shards) must
+    equal a direct aggregate over the raw events — the property that lets
+    a streaming ingest keep column statistics current in O(shards) per
+    batch."""
+    from vectordb_bioinsight_spark.operators.sketches import (
+        merge_moment_shards,
+        moment_shards,
+        moments_to_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard_day", F.to_date("ts")
+    )
+    shards = moment_shards(ev, ["event_type", "shard_day"], "value")
+    merged = merge_moment_shards(shards, ["event_type"])
+    return moments_to_stats(merged)
+
+
+SQL_VALUE_MOMENTS_MERGED = """
+SELECT event_type,
+       count(value)::BIGINT AS n,
+       round(avg(value), 6) AS mean,
+       round(var_samp(value), 6) AS var,
+       round(stddev_samp(value), 6) AS std
+FROM events GROUP BY 1
+"""

@@ -1019,3 +1019,24 @@ SELECT pos.query_id, pos.pos_id, negs.neg_id, negs.neg_rank,
        round(pos.pos_score - negs.neg_score, 6) AS margin
 FROM pos JOIN negs ON negs.query_id = pos.query_id
 """
+
+
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-tier data card: per-dimension mean/std/range of the
+    embeddings table (operators/vector.py::embedding_dim_profile) — the
+    dead-dimension / centering diagnostic run before quantizer training."""
+    from vectordb_bioinsight_spark.operators.vector import embedding_dim_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_profile(emb, "embedding")
+
+
+SQL_EMBEDDING_DIM_PROFILE = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)
+SELECT dim, round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
+       round(min(x), 6) AS lo, round(max(x), 6) AS hi
+FROM ex GROUP BY dim
+"""
