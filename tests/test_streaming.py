@@ -279,3 +279,30 @@ def test_cms_stream_matches_batch_sketch(spark, tmp_path_factory):
                  cms_estimate(want, watch, "term", 256, 4).collect()}
     assert est_stream == est_batch
     assert est_stream["join"] > 0
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming rolling-anomaly == batch rolling_anomalies when events
+    arrive day-ordered in one batch: same rows, same rounded stats, same
+    NULL-zscore-on-flat-baseline contract."""
+    from vectordb_bioinsight_spark.operators.trends import rolling_anomalies
+    from vectordb_bioinsight_spark.streaming.trends_stream import anomaly_stream
+
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path_factory.mktemp("anomaly_stream"))
+    ev.select("event_type", "ts", "value").repartition(2, "event_type").write.mode(
+        "overwrite"
+    ).parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = anomaly_stream(stream_events_from_dir(spark, path, schema))
+    got = run_stream_to_memory(stream, "anomaly_stream_test", output_mode="append")
+    want = rolling_anomalies(ev, "event_type", "ts", "value", window_rows=7)
+
+    g = {(r["event_type"], str(r["day"])): (r["total"], r["base_mean"], r["base_std"],
+                                            r["zscore"], r["is_anomaly"])
+         for r in got.collect()}
+    w = {(r["key"], str(r["day"])): (r["total"], r["base_mean"], r["base_std"],
+                                     r["zscore"], r["is_anomaly"])
+         for r in want.collect()}
+    assert g == w and len(g) > 0

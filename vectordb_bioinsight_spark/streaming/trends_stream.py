@@ -293,3 +293,92 @@ def funnel_stage_stream(
     return stream_df.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def anomaly_stream(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Live rolling z-score anomaly detection — the streaming twin of
+    ``operators/trends.rolling_anomalies``: per-key state carries the
+    trailing ``window_rows`` OBSERVED days' totals (the batch op's
+    rows-frame, not calendar days) across micro-batches with
+    ``applyInPandasWithState``; each newly completed day is scored against
+    the self-excluded trailing baseline with the batch arithmetic
+    (stddev_samp, 4 dp rounds, NULL zscore on a flat baseline — the
+    ADVICE r04 nullif contract).
+
+    Equivalence contract (test-pinned): matches the batch op whenever
+    days arrive in event-time order and each day's events are complete
+    before the next day begins (one batch, or day-aligned batches). A
+    late event for an already-scored day updates state totals but cannot
+    retro-score — bound disorder upstream with a watermark if that
+    matters.
+
+    State per key: two aligned arrays of at most ``window_rows + 1``
+    scalars — O(active keys), independent of event volume.
+
+    Emits (key, day, total, base_mean, base_std, zscore, is_anomaly) for
+    every day that completes a full baseline in the batch.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, day date, total double, base_mean double, "
+        "base_std double, zscore double, is_anomaly boolean"
+    )
+    state_schema = "days array<int>, totals array<double>"
+
+    def update(key, pdfs, state: "GroupState"):
+        import datetime as dt
+
+        import pandas as pd
+
+        days, totals = state.get if state.exists else ([], [])
+        days, totals = list(days), list(totals)
+        ev = pd.concat([pdf[[ts_col, value_col]] for pdf in pdfs])
+        day_ints = (
+            pd.to_datetime(ev[ts_col]).dt.normalize().astype("int64") // 86_400_000_000_000
+        )
+        per_day = ev[value_col].groupby(day_ints).sum().sort_index()
+
+        out = {c: [] for c in
+               ("key", "day", "total", "base_mean", "base_std", "zscore", "is_anomaly")}
+        for day, v in per_day.items():
+            if days and day <= days[-1]:
+                # in-window (or late) refinement: fold into the stored total
+                if day in days:
+                    totals[days.index(day)] += float(v)
+                continue
+            total = round(float(v), 4)
+            if len(days) >= window_rows:
+                base = pd.Series(totals[-window_rows:], dtype="float64")
+                mean, std = float(base.mean()), float(base.std(ddof=1))
+                zscore = None if std == 0.0 else round((total - mean) / std, 4)
+                r_std = round(std, 4)
+                out["key"].append(key[0])
+                out["day"].append(dt.date(1970, 1, 1) + dt.timedelta(days=int(day)))
+                out["total"].append(total)
+                out["base_mean"].append(round(mean, 4))
+                out["base_std"].append(r_std)
+                out["zscore"].append(zscore)
+                out["is_anomaly"].append(
+                    bool(r_std > 0 and zscore is not None and abs(zscore) >= z_threshold)
+                )
+            # store the ROUNDED total: the batch op's trailing window reads
+            # the 4dp daily aggregate, so the baseline must too
+            days.append(int(day))
+            totals.append(total)
+            if len(days) > window_rows:
+                days, totals = days[-window_rows:], totals[-window_rows:]
+        state.update((days, totals))
+        yield pd.DataFrame({key_col if c == "key" else c: vs for c, vs in out.items()})
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
