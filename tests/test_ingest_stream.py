@@ -132,3 +132,57 @@ def test_ingest_maintains_shard_manifest(spark, dirs):
     }
     assert standing == rebuilt
     assert sum(r["n_docs"] for r in standing.values()) == 14
+
+
+def test_ingest_maintains_column_moments(spark, dirs, tmp_path):
+    """With moments_path set, the standing per-source (n, mean, m2)
+    profile after two batches equals a rebuild over the final corpus —
+    the merge==rebuild contract, operationally."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.sketches import (
+        moment_shards,
+        moments_to_stats,
+    )
+
+    landing, corpus, ckpt = dirs
+    moments = str(tmp_path / "moments")
+
+    # moments_col must exist on the batch, so the landing files carry an
+    # n_chars field alongside the usual doc columns
+    import json as _json
+    (landing / "b1.jsonl").write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)})
+        for i, t in [(1, "alpha words here now"), (2, "beta text body goes on")]
+    ) + "\n")
+    from pyspark.sql.types import StructType, StructField, LongType, StringType
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+        StructField("lang", StringType()), StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    stream = spark.readStream.schema(schema).json(str(landing))
+    run_ingest_stream(stream, corpus, ckpt, moments_path=moments, moments_col="n_chars")
+
+    (landing / "b2.jsonl").write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s",
+                     "n_chars": len(t)})
+        for i, t in [(3, "gamma third document with more words in it")]
+    ) + "\n")
+    stream2 = spark.readStream.schema(schema).json(str(landing))
+    run_ingest_stream(stream2, corpus, str(tmp_path / "ckpt2"),
+                      moments_path=moments, moments_col="n_chars")
+
+    standing = moments_to_stats(spark.read.parquet(moments)).first()
+    rebuilt = moments_to_stats(
+        moment_shards(
+            spark.read.parquet(corpus).withColumn("_grain", F.lit("all")),
+            ["source", "_grain"], "n_chars",
+        )
+    ).first()
+    assert standing["n"] == rebuilt["n"] == 3
+    assert math.isclose(standing["mean"], rebuilt["mean"], abs_tol=1e-6)
+    assert math.isclose(standing["var"], rebuilt["var"], abs_tol=1e-6)

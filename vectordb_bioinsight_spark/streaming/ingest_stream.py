@@ -104,6 +104,8 @@ def run_ingest_stream(
     url_dedup: bool = False,
     manifest_path: str | None = None,
     manifest_shards: int = 16,
+    moments_path: str | None = None,
+    moments_col: str | None = None,
     await_termination: bool = True,
 ):
     """Start the gated, deduped append loop; with the default
@@ -125,6 +127,15 @@ def run_ingest_stream(
     merge_shard_manifests — counts add, xor fingerprints fold — so the
     manifest stays O(shards) work per batch and the corpus is never
     rescanned for accounting.
+
+    ``moments_path`` (+ ``moments_col``, default ``n_chars``-style numeric
+    column named at call time) does the same for COLUMN STATISTICS: each
+    batch's per-source (n, mean, m2) moment shard
+    (operators/sketches.moment_shards) folds into the standing profile
+    with merge_moment_shards — exact pooled moments, merge == rebuild —
+    so downstream mixture/budget planners read current column stats
+    without a corpus scan. Folded AFTER the corpus append, same crash
+    contract as the manifest.
     """
     from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
     from vectordb_bioinsight_spark.operators.urls import with_url_key
@@ -186,6 +197,25 @@ def run_ingest_stream(
             except AnalysisException:
                 merged = delta
             merged.write.mode("overwrite").parquet(manifest_path)
+        if moments_path is not None and moments_col is not None:
+            from vectordb_bioinsight_spark.operators.sketches import (
+                merge_moment_shards,
+                moment_shards,
+            )
+
+            src = "source" if "source" in batch.columns else None
+            keys = [src] if src else []
+            delta_m = moment_shards(
+                batch.withColumn("_grain", F.lit("all")), keys + ["_grain"], moments_col
+            )
+            try:
+                standing_m = spark.read.parquet(moments_path)
+                merged_m = merge_moment_shards(
+                    standing_m.unionByName(delta_m), keys + ["_grain"]
+                ).localCheckpoint(eager=True)
+            except AnalysisException:
+                merged_m = delta_m
+            merged_m.write.mode("overwrite").parquet(moments_path)
 
     q = (
         stream_docs.writeStream.foreachBatch(_ingest)
