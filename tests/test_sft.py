@@ -1,0 +1,78 @@
+"""SFT chat-template rendering (operators/sft.py): span arithmetic,
+role masking, turn ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.sft import render_chat
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, "conv long, turn int, role string, text string")
+
+
+def test_spans_address_exactly_the_assistant_text(spark):
+    df = _turns(spark, [
+        (1, 0, "user", "hi"),
+        (1, 1, "assistant", "hello there"),
+        (1, 2, "user", "bye"),
+        (1, 3, "assistant", "ok"),
+    ])
+    r = render_chat(df, "conv", "turn", "role", "text").first()
+    assert r["n_turns"] == 4
+    assert r["rendered"].startswith("<|user|>hi<|end|><|assistant|>")
+    got = [r["rendered"][s["start"]:s["end"]] for s in r["mask_spans"]]
+    assert got == ["hello there", "ok"]
+    assert r["mask_chars"] == len("hello there") + len("ok")
+    # markers are never inside a span
+    for s in r["mask_spans"]:
+        assert "<|" not in r["rendered"][s["start"]:s["end"]]
+
+
+def test_turn_order_is_total_regardless_of_input_order(spark):
+    shuffled = _turns(spark, [
+        (1, 2, "user", "third"),
+        (1, 0, "user", "first"),
+        (1, 1, "assistant", "second"),
+    ]).repartition(3)
+    r = render_chat(shuffled, "conv", "turn", "role", "text").first()
+    assert r["rendered"] == (
+        "<|user|>first<|end|><|assistant|>second<|end|><|user|>third<|end|>"
+    )
+    (s,) = r["mask_spans"]
+    assert r["rendered"][s["start"]:s["end"]] == "second"
+
+
+def test_conversation_without_assistant_turns(spark):
+    df = _turns(spark, [(7, 0, "user", "just me"), (7, 1, "system", "rules")])
+    r = render_chat(df, "conv", "turn", "role", "text").first()
+    assert r["mask_spans"] == [] and r["mask_chars"] == 0
+    assert r["n_turns"] == 2
+
+
+def test_custom_mask_role(spark):
+    df = _turns(spark, [(1, 0, "user", "q"), (1, 1, "tool", "result!")])
+    r = render_chat(df, "conv", "turn", "role", "text", mask_role="tool").first()
+    (s,) = r["mask_spans"]
+    assert r["rendered"][s["start"]:s["end"]] == "result!"
+
+
+def test_plan_single_conversation_shuffle(spark):
+    """The render must shuffle on the conversation key only — one window
+    + one groupBy on the same key (AQE may reuse the partitioning)."""
+    import re
+
+    df = _turns(spark, [(1, 0, "user", "a"), (1, 1, "assistant", "b")])
+    plan = (
+        render_chat(df, "conv", "turn", "role", "text")
+        ._jdf.queryExecution()
+        .explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_ex <= 2
+    assert "BatchEvalPython" not in plan

@@ -416,3 +416,49 @@ SELECT source, avail_tokens,
                 s * {_MB_BUDGET} > 0 AND avail_tokens = 0) AS starved
 FROM plan ORDER BY source
 """
+
+
+def q_chat_render_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT formatting tier (operators/sft.py::render_chat): documents cut
+    into 10-word turns with alternating user/assistant roles, rendered to
+    one ChatML-ish string per conversation with the assistant-only
+    trained-character count. The span arithmetic itself is pinned by unit
+    tests; the entry hashes the rendered strings and mask totals."""
+    from vectordb_bioinsight_spark.operators.sft import render_chat
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    turns = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1),"
+                " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"
+            )
+        ).alias("turn", "ttext"),
+    ).withColumn(
+        "role",
+        F.when(F.col("turn") % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")),
+    )
+    out = render_chat(turns, "doc_id", "turn", "role", "ttext")
+    return out.select("conv", "rendered", "n_turns", "mask_chars")
+
+
+SQL_CHAT_RENDER_DOCS = """
+WITH w AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS wi,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+), t AS (
+  SELECT doc_id, (wi // 10) AS turn, string_agg(word, ' ' ORDER BY wi) AS ttext
+  FROM w GROUP BY 1, 2
+), r AS (
+  SELECT doc_id, turn, ttext,
+         CASE WHEN turn % 2 = 0 THEN 'user' ELSE 'assistant' END AS role
+  FROM t
+)
+SELECT doc_id AS conv,
+       string_agg('<|' || role || '|>' || ttext || '<|end|>', '' ORDER BY turn) AS rendered,
+       count(*)::BIGINT AS n_turns,
+       coalesce(sum(CASE WHEN role = 'assistant' THEN length(ttext) END), 0)::BIGINT AS mask_chars
+FROM r GROUP BY 1
+"""
