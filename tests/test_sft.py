@@ -76,3 +76,46 @@ def test_plan_single_conversation_shuffle(spark):
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_ex <= 2
     assert "BatchEvalPython" not in plan
+
+
+class TestPreferencePairs:
+    def test_chosen_rejected_and_cap(self, spark):
+        from vectordb_bioinsight_spark.operators.sft import preference_pairs
+
+        rows = [("c1", i, float(10 - i)) for i in range(7)]  # chosen = id 0
+        rows += [("solo", 99, 5.0)]                           # singleton: no pairs
+        rows += [("tie", 10, 3.0), ("tie", 11, 3.0)]          # tie -> min id chosen
+        df = spark.createDataFrame(rows, "cluster string, id long, score double")
+        out = preference_pairs(df, "cluster", "id", "score", max_rejected_per_cluster=3)
+        by_cluster = {}
+        for r in out.collect():
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        # cap: only the 3 hardest (highest-score) rejected survive
+        c1 = sorted(by_cluster["c1"], key=lambda r: -r["rejected_score"])
+        assert [r["rejected_id"] for r in c1] == [1, 2, 3]
+        assert all(r["chosen_id"] == 0 and r["chosen_score"] == 10.0 for r in c1)
+        assert c1[0]["margin"] == 1.0
+        assert "solo" not in by_cluster
+        (t,) = by_cluster["tie"]
+        assert t["chosen_id"] == 10 and t["rejected_id"] == 11 and t["margin"] == 0.0
+
+
+def test_kfold_assign_group_integrity(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.ml_pipeline import kfold_assign
+
+    rows = [(i % 40, i) for i in range(400)]  # 40 groups x 10 rows
+    df = spark.createDataFrame(rows, "grp long, row_id long")
+    out = kfold_assign(df, "grp", n_folds=5)
+    # every group maps to exactly one fold
+    per_group = out.groupBy("grp").agg(F.count_distinct("fold").alias("nf"))
+    assert per_group.filter(F.col("nf") != 1).count() == 0
+    # all folds populated, deterministic across invocations
+    folds = {r["fold"] for r in out.select("fold").distinct().collect()}
+    assert folds == {0, 1, 2, 3, 4}
+    again = {(r["grp"], r["fold"]) for r in
+             kfold_assign(df, "grp", n_folds=5).select("grp", "fold").distinct().collect()}
+    first = {(r["grp"], r["fold"]) for r in
+             out.select("grp", "fold").distinct().collect()}
+    assert again == first

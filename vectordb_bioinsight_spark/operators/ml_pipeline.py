@@ -514,3 +514,28 @@ def permutation_importance(
     return spark.createDataFrame(
         rows, "feature int, base_accuracy double, permuted_accuracy double, importance double"
     ).orderBy(F.desc("importance"), F.asc("feature"))
+
+
+def kfold_assign(
+    df: DataFrame,
+    group_col: str,
+    n_folds: int = 5,
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment — the cross-validation counterpart of
+    :func:`group_split`: every row of one group (patient, user, document
+    cluster) lands in the SAME fold, decided by the salted portable hash
+    of the group id, so folds are deterministic, leak-free across the
+    fold boundary, and reproducible on any cluster layout (the
+    GroupKFold analog of preprocessor.py:124-180's split discipline).
+
+    Scan-local expression — zero shuffle; fold sizes are hash-uniform in
+    expectation, not exactly equal (the price of statelessness)."""
+    from vectordb_bioinsight_spark.functions.hashing import salted_hash64
+
+    return df.withColumn(
+        fold_col,
+        F.pmod(salted_hash64(F.col(group_col).cast("string"), seed), F.lit(n_folds))
+        .cast("int"),
+    )

@@ -109,3 +109,52 @@ def render_chat(
     return assembled.select(
         "conv", "rendered", "n_turns", "mask_spans", mask_chars.alias("mask_chars")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+    max_rejected_per_cluster: int = 4,
+) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): within each
+    cluster of comparable candidates (near-duplicate group, same-prompt
+    completions, retrieval ties), the best-scoring member becomes
+    ``chosen`` and every other member a ``rejected`` partner — the
+    standard recipe for mining preference data out of a scored corpus
+    instead of paying for human rankings.
+
+    Determinism: chosen = max score, ties to the SMALLEST id; rejected
+    partners take the remaining members in DESCENDING score order (the
+    closest scores to the chosen — the hardest negatives — first) and
+    cap at ``max_rejected_per_cluster`` so a mega-cluster cannot flood
+    the pair set. Singleton clusters emit nothing.
+
+    Physical plan: one cluster-keyed window pass (rank for the cap +
+    max/argmax via first over the ordered frame); no join back — the
+    chosen row is carried by a window aggregate. Output:
+    (cluster, chosen_id, rejected_id, chosen_score, rejected_score,
+    margin) with margin rounded 6 dp.
+    """
+    w_desc = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy(cluster_col)
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w_desc))
+        .withColumn("chosen_id", F.first(id_col).over(w_desc))
+        .withColumn("chosen_score", F.first(score_col).over(w_desc))
+        .withColumn("_sz", F.count("*").over(w_all))
+    )
+    rejected = ranked.filter((F.col("_sz") > 1) & (F.col("_rn") > 1))
+    # hardest rejected first = highest remaining score = smallest _rn > 1
+    capped = rejected.filter(F.col("_rn") <= max_rejected_per_cluster + 1)
+    return capped.select(
+        F.col(cluster_col).alias("cluster"),
+        "chosen_id",
+        F.col(id_col).alias("rejected_id"),
+        "chosen_score",
+        F.col(score_col).alias("rejected_score"),
+        F.round(F.col("chosen_score") - F.col(score_col), 6).alias("margin"),
+    )

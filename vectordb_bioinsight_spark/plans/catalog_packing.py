@@ -462,3 +462,39 @@ SELECT doc_id AS conv,
        coalesce(sum(CASE WHEN role = 'assistant' THEN length(ttext) END), 0)::BIGINT AS mask_chars
 FROM r GROUP BY 1
 """
+
+
+def q_preference_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair mining (operators/sft.py::preference_pairs):
+    within each (source, lang) candidate cluster the best-scoring doc is
+    chosen and the top remaining members (hardest first, capped at 4)
+    become rejected partners. Score = n_chars here; production callers
+    pass a quality-classifier score and near-dup clusters."""
+    from vectordb_bioinsight_spark.operators.sft import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("|", "source", "lang").alias("cluster"),
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    return preference_pairs(docs, "cluster", "doc_id", "score")
+
+
+SQL_PREFERENCE_PAIRS_DOCS = """
+WITH d AS (
+  SELECT doc_id, source || '|' || lang AS cluster, n_chars::DOUBLE AS score
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number()        OVER w AS rn,
+         first_value(doc_id) OVER w AS chosen_id,
+         first_value(score)  OVER w AS chosen_score,
+         count(*) OVER (PARTITION BY cluster) AS sz
+  FROM d
+  WINDOW w AS (PARTITION BY cluster ORDER BY score DESC, doc_id ASC)
+)
+SELECT cluster, chosen_id, doc_id AS rejected_id, chosen_score,
+       score AS rejected_score,
+       round(chosen_score - score, 6) AS margin
+FROM r WHERE sz > 1 AND rn > 1 AND rn <= 5
+"""
