@@ -135,6 +135,21 @@ _MAX_EXCHANGES = {
     "funnel_conversion": 2,
     "ivfpq_knn": 0,
     "gsea_brand_es": 5,
+    # r05 session-2 additions (audited at pin time). centroid_importance
+    # is len(dims)+1 scoring passes over the exploded frame — the count
+    # scales with the dims parameter (3 here), each pass dimension-keyed;
+    # the shared centroid table is checkpoint-materialized once
+    "centroid_importance": 21,
+    "cohort_retention": 6,
+    "touch_attribution": 6,
+    "chat_render_docs": 1,     # ONE conversation-keyed shuffle, window+agg share it
+    "seasonal_decompose": 6,
+    "event_transitions": 3,
+    "kaplan_meier": 5,
+    "target_encode_supplier": 3,
+    "preference_pairs_docs": 1,
+    "value_moments_merged": 2,
+    "embedding_dim_profile": 2,
 }
 
 

@@ -417,9 +417,13 @@ def centroid_permutation_importance(
         F.col(label_col).alias("y"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
     ).select("id", "y", (F.col("dim0") + 1).alias("dim"), "x")
+    # labels x dims rows — materialize once (lazy checkpoint) so the
+    # base pass and every per-dim pass share ONE centroid computation
+    # instead of re-scanning the corpus len(dims)+1 times for it
     centroids = (
         ex.groupBy(F.col("y").alias("label_c"), "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
+        .localCheckpoint(eager=False)
     )
 
     def _accuracy(frame: DataFrame):  # -> Column-less 1-row DF (acc double)
