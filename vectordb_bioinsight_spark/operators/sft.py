@@ -48,9 +48,10 @@ def render_chat(
     mask_chars) — mask_chars is the trained-character count, the number
     the token-budget planners consume.
     """
-    open_len = F.length(
-        F.format_string(ROLE_OPEN.replace("{role}", "%s"), F.col(role_col))
-    )
+    # concat + length arithmetic, NOT format_string: the Formatter-based
+    # expression is an order of magnitude slower per row than concat and
+    # this runs twice per turn (probe: scripts/probe_sft_scale.py)
+    open_len = F.length(F.col(role_col)) + F.lit(4)  # len('<|') + len('|>')
     frag_len = open_len + F.length(text_col) + F.lit(len(TURN_CLOSE))
     w = (
         Window.partitionBy(conv_col)
@@ -61,9 +62,7 @@ def render_chat(
         "_off", F.coalesce(F.sum(frag_len).over(w), F.lit(0)).cast("long")
     )
     frag = F.concat(
-        F.format_string(ROLE_OPEN.replace("{role}", "%s"), F.col(role_col)),
-        F.col(text_col),
-        F.lit(TURN_CLOSE),
+        F.lit("<|"), F.col(role_col), F.lit("|>"), F.col(text_col), F.lit(TURN_CLOSE)
     )
     span = F.when(
         F.col(role_col) == mask_role,

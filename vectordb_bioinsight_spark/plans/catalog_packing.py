@@ -427,12 +427,14 @@ def q_chat_render_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_bioinsight_spark.operators.sft import render_chat
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    turns = docs.select(
+    # hoist split() into its own projection: inside the transform lambda
+    # it would re-tokenize the doc once PER TURN (probe: 13.1 -> ~6 s/1M)
+    turns = docs.withColumn("_w", F.split("text", " ")).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, int(ceil(size(split(text, ' ')) / 10.0)) - 1),"
-                " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"
+                "transform(sequence(0, int(ceil(size(_w) / 10.0)) - 1),"
+                " i -> array_join(slice(_w, i * 10 + 1, 10), ' '))"
             )
         ).alias("turn", "ttext"),
     ).withColumn(
