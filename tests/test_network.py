@@ -396,3 +396,34 @@ def test_pagerank_matches_numpy_recurrence(spark):
         assert got[v] == round(float(pr[idx[v]]), 6), v
     # the hub dominates; its degree-1 leaves are the minimum
     assert got["hub"] == max(got.values()) and got["a"] == min(got.values())
+
+
+class TestKCore:
+    def test_planted_peel_cascade(self, spark):
+        """Path tail hanging off a triangle: the 2-core is exactly the
+        triangle, and reaching it needs an ITERATIVE cascade (peeling t1
+        drops t2's degree below 2, and so on) — one round is not enough,
+        which is what the fixed-round unroll must cover."""
+        from vectordb_bioinsight_spark.operators.network import kcore_peel
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+                 ("a", "t1"), ("t1", "t2"), ("t2", "t3")]     # pendant path
+        df = spark.createDataFrame(edges, "s string, d string")
+        out = {r["node"]: r["core_degree"] for r in
+               kcore_peel(df, "s", "d", k=2, rounds=4).collect()}
+        assert out == {"a": 2, "b": 2, "c": 2}
+        # insufficient rounds leave the over-approximation (documented):
+        partial = {r["node"] for r in kcore_peel(df, "s", "d", k=2, rounds=1).collect()}
+        assert {"a", "b", "c"} < partial
+
+    def test_complete_graph_is_its_own_core(self, spark):
+        from itertools import combinations
+
+        from vectordb_bioinsight_spark.operators.network import kcore_peel
+
+        nodes = [f"n{i}" for i in range(5)]
+        df = spark.createDataFrame(list(combinations(nodes, 2)), "s string, d string")
+        out = {r["node"]: r["core_degree"] for r in
+               kcore_peel(df, "s", "d", k=4, rounds=2).collect()}
+        assert out == {n: 4 for n in nodes}
+        assert kcore_peel(df, "s", "d", k=5, rounds=2).count() == 0

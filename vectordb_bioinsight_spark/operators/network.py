@@ -996,3 +996,47 @@ def triangle_counts(edges: DataFrame, src: str = "item1", dst: str = "item2") ->
         "node",
         F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    k: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peel: ``rounds`` iterations of "drop every node with
+    degree < k, then recount" over the symmetrized simple graph — the
+    density backbone extractor (a node in the k-core has >= k neighbors
+    that THEMSELVES survive the same test; hubs by pagerank can still be
+    peripheral, k-core membership cannot).
+
+    ``rounds`` is a FIXED unroll, not convergence detection, so the
+    operator is deterministic relational algebra on any engine (the
+    DuckDB twin unrolls the same CTE chain) and its cost is bounded:
+    each round is one degree agg + two semi-joins, all keyed by node.
+    When the graph's peel depth <= rounds the result IS the exact k-core
+    (pinned by a planted-graph test); deeper graphs get the round-R
+    over-approximation — callers wanting certainty re-run with more
+    rounds and compare survivor counts (a fixed-point check, two cheap
+    jobs, no driver loop inside the operator).
+
+    Output: (node, core_degree) for surviving nodes, core_degree = degree
+    within the surviving subgraph (>= k at fixed point).
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    alive = sym
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("a")
+        )
+        alive = alive.join(keep, "a", "left_semi").join(
+            keep.withColumnRenamed("a", "b"), "b", "left_semi"
+        )
+    return alive.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )

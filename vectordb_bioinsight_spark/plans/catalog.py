@@ -64,6 +64,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
+    "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
     "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
     "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),

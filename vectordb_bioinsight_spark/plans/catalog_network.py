@@ -634,3 +634,64 @@ WITH dw AS (
 SELECT n.node AS word, coalesce(p.n_triangles, 0)::BIGINT AS n_triangles
 FROM nodes n LEFT JOIN per_node p ON n.node = p.node
 """
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone of the part co-purchase graph: parts co-occurring
+    in >= 2 orders form edges; a 4-round degree-2 peel strips the
+    pendant tails and keeps the recurrent-basket core
+    (operators/network.py::kcore_peel — fixed-round unroll, identical
+    CTE chain on the DuckDB side)."""
+    from vectordb_bioinsight_spark.operators.network import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return kcore_peel(pairs, "p1", "p2", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore_parts() -> str:
+    rounds = []
+    for i in range(_KCORE_ROUNDS):
+        prev = f"e{i}"
+        rounds.append(f"""
+k{i} AS (SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {_KCORE_K}),
+e{i + 1} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN k{i} ka ON e.a = ka.a
+  JOIN k{i} kb ON e.b = kb.a
+)""")
+    return f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pr AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS w
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e0 AS (
+  SELECT p1 AS a, p2 AS b FROM pr
+  UNION
+  SELECT p2, p1 FROM pr
+),{",".join(rounds)}
+SELECT a AS node, count(*)::BIGINT AS core_degree
+FROM e{_KCORE_ROUNDS} GROUP BY a
+"""
+
+
+SQL_KCORE_PARTS = _sql_kcore_parts()
