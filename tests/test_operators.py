@@ -607,3 +607,25 @@ class TestTrendsR05:
         # week 0: risk 3, churn 2 -> S = 1/3; week 8: censored, S stays 1/3
         assert out[0]["survival"] == round(1 / 3, 6)
         assert out[8]["survival"] == round(1 / 3, 6)
+
+    def test_rfm_scores_hand_computed(self, spark):
+        """5 users, distinct metrics: exact quintile ranks, recency
+        inverted (most recent = 5), monetary/frequency ascending."""
+        from vectordb_bioinsight_spark.operators.trends import rfm_scores
+
+        rows = []
+        for i, (day, n_ev, val) in enumerate(
+            [(1, 1, 10.0), (5, 2, 20.0), (10, 3, 30.0), (15, 4, 40.0), (20, 5, 50.0)]
+        ):
+            for j in range(n_ev):
+                rows.append((i, f"2024-01-{day:02d} 0{j}:00:00", val / n_ev))
+        df = spark.createDataFrame(rows, "u long, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["user"]: r for r in rfm_scores(df, "u", "ts", "value").collect()}
+        # user 4: most recent, most frequent, highest spend -> 5/5/5
+        assert (out[4]["r_score"], out[4]["f_score"], out[4]["m_score"]) == (5, 5, 5)
+        # user 0: oldest, least frequent, least spend -> 1/1/1
+        assert (out[0]["r_score"], out[0]["f_score"], out[0]["m_score"]) == (1, 1, 1)
+        assert out[4]["recency_days"] == 0 and out[0]["recency_days"] == 19
+        assert [out[i]["f_score"] for i in range(5)] == [1, 2, 3, 4, 5]

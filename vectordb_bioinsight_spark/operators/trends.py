@@ -547,3 +547,62 @@ def kaplan_meier_weeks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
         "n_censored",
         F.round(survival, 6).alias("survival"),
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile scores
+    per user, the classic customer-value grid (score n_bins = best:
+    most recent, most frequent, highest spend).
+
+    Binning is EXACT EQUAL-FREQUENCY over a total order
+    ((metric, user) tiebreak): score derives from the global rank via
+    ``floor((rank-1) * n_bins / N) + 1``. The ranks come from
+    :func:`operators.windows.scaled_row_number` — range-partitioned
+    two-phase rank, NO single-partition window — so the grid computes at
+    any user count; a billion-user table pays three parallel range
+    shuffles, not three funnel-through-one-task windows. (An
+    approxQuantile-threshold bin would be cheaper but ties cross-engine
+    hashing to sketch internals; rank binning is engine-exact.)
+
+    Output: (user, recency_days, frequency, monetary, r_score, f_score,
+    m_score) — monetary rounded 4 dp; recency measured against the
+    table's own horizon (max activity day).
+    """
+    from vectordb_bioinsight_spark.operators.windows import (
+        scaled_row_number_with_total,
+    )
+
+    spans = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.to_date(F.max(ts_col)).alias("_last"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum(value_col), 4).alias("monetary"),
+    )
+    horizon = spans.agg(F.max("_last").alias("_max"))
+    base = spans.crossJoin(F.broadcast(horizon)).select(
+        "user",
+        F.datediff("_max", "_last").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+    def _bin(frame: DataFrame, metric: str, out: str, invert: bool) -> DataFrame:
+        ranked, total = scaled_row_number_with_total(
+            frame, [F.asc(metric), F.asc("user")], rank_col="_rk"
+        )
+        bin_ = F.floor((F.col("_rk") - 1) * n_bins / F.lit(total)).cast("int")
+        score = (F.lit(n_bins) - bin_) if invert else (bin_ + 1)
+        return ranked.withColumn(out, score.cast("int")).drop("_rk")
+
+    out = _bin(base, "recency_days", "r_score", invert=True)
+    out = _bin(out, "frequency", "f_score", invert=False)
+    out = _bin(out, "monetary", "m_score", invert=False)
+    return out.select(
+        "user", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    )

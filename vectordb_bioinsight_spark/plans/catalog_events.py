@@ -807,3 +807,47 @@ SELECT event_type,
        round(stddev_samp(value), 6) AS std
 FROM events GROUP BY 1
 """
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer-value grid over the events stream
+    (operators/trends.py::rfm_scores — exact rank-quintiles via the
+    range-partitioned two-phase rank, no global window): per-user scores
+    rolled up to segment counts."""
+    from vectordb_bioinsight_spark.operators.trends import rfm_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    scores = rfm_scores(ev, "user_id", "ts", "value", n_bins=5)
+    return scores.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH spans AS (
+  SELECT user_id AS u, max(ts)::DATE AS last_day,
+         count(*)::BIGINT AS frequency, round(sum(value), 4) AS monetary
+  FROM events GROUP BY 1
+), hz AS (SELECT max(last_day) AS max_day FROM spans),
+base AS (
+  SELECT u, datediff('day', last_day, h.max_day)::BIGINT AS recency_days,
+         frequency, monetary, (SELECT count(*) FROM spans) AS n
+  FROM spans CROSS JOIN hz h
+), ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY recency_days ASC, u ASC) AS rr,
+    row_number() OVER (ORDER BY frequency ASC, u ASC) AS fr,
+    row_number() OVER (ORDER BY monetary ASC, u ASC) AS mr
+  FROM base
+), scored AS (
+  SELECT u, monetary,
+    (5 - ((rr - 1) * 5 // n))::INT AS r_score,
+    (((fr - 1) * 5 // n) + 1)::INT AS f_score,
+    (((mr - 1) * 5 // n) + 1)::INT AS m_score
+  FROM ranked
+)
+SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
+       round(avg(monetary), 4) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
