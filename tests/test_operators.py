@@ -629,3 +629,26 @@ class TestTrendsR05:
         assert (out[0]["r_score"], out[0]["f_score"], out[0]["m_score"]) == (1, 1, 1)
         assert out[4]["recency_days"] == 0 and out[0]["recency_days"] == 19
         assert [out[i]["f_score"] for i in range(5)] == [1, 2, 3, 4, 5]
+
+    def test_funnel_time_bounded_conversion_window(self, spark):
+        """max_gap_s: a step landing outside the conversion window of the
+        previous reach must not count; inside it must."""
+        from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+        rows = [
+            (1, "signup", "2024-01-01 00:00:00"),
+            (1, "view", "2024-01-01 00:30:00"),      # within 1h of signup
+            (2, "signup", "2024-01-01 00:00:00"),
+            (2, "view", "2024-01-01 02:00:00"),      # outside 1h window
+        ]
+        df = spark.createDataFrame(rows, "u long, t string, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        bounded = {r["step_name"]: r["n_users"] for r in funnel_conversion(
+            df, "u", "t", "ts", ["signup", "view"], max_gap_s=3600
+        ).collect()}
+        assert bounded == {"signup": 2, "view": 1}
+        unbounded = {r["step_name"]: r["n_users"] for r in funnel_conversion(
+            df, "u", "t", "ts", ["signup", "view"]
+        ).collect()}
+        assert unbounded == {"signup": 2, "view": 2}

@@ -306,3 +306,33 @@ def test_anomaly_stream_matches_batch(spark, tmp_path_factory):
                                      r["zscore"], r["is_anomaly"])
          for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_transition_stream_matches_batch(spark, tmp_path_factory):
+    """Summed streaming transition emissions == the batch matrix counts
+    when each user's events stay in one file (event-time order kept)."""
+    from vectordb_bioinsight_spark.operators.trends import event_transition_matrix
+    from vectordb_bioinsight_spark.streaming.trends_stream import transition_stream
+
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path_factory.mktemp("transition_stream"))
+    ev.select("user_id", "event_type", "ts", "event_id").repartition(
+        2, "user_id"
+    ).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = transition_stream(stream_events_from_dir(spark, path, schema))
+    got = run_stream_to_memory(stream, "transition_stream_test", output_mode="append")
+    stream_counts = {
+        (r["from_type"], r["to_type"]): r["total"]
+        for r in got.groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    batch = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transition_matrix(
+            ev, "user_id", "event_type", "ts", "event_id"
+        ).collect()
+    }
+    assert stream_counts == batch and len(batch) > 0

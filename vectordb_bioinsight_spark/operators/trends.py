@@ -108,6 +108,7 @@ def funnel_conversion(
     type_col: str,
     ts_col: str,
     steps: "list[str]",
+    max_gap_s: "int | None" = None,
 ) -> DataFrame:
     """Ordered funnel analysis — how many users complete step 1, then
     step 2 STRICTLY AFTER their step-1 time, and so on (the product-
@@ -146,6 +147,13 @@ def funnel_conversion(
     pathological user with millions of distinct step events would want
     a per-step join chain instead, but the fold is the right default.
 
+    ``max_gap_s`` makes the funnel TIME-BOUNDED: step i must occur within
+    that many seconds of the step-(i-1) reach time (the "conversion
+    window" most product funnels require — an unbounded funnel credits a
+    purchase a year after the view). Earliest-completion stays the
+    semantics; only the advance predicate tightens, so the plan shape is
+    unchanged.
+
     Output: (step, step_name, n_users, conversion) where conversion is
     the fraction of step-1 users reaching this step, rounded 6 dp.
     """
@@ -168,9 +176,12 @@ def funnel_conversion(
     def _advance(acc, e):
         # advance iff this is the NEXT step's event, strictly after the
         # current reach time; d == len(steps) saturates (si <= len always)
-        ok = (e["si"] == acc["d"] + 1) & (
-            (acc["d"] == F.lit(0)) | (e["ts"] > acc["last"])
-        )
+        after = e["ts"] > acc["last"]
+        if max_gap_s is not None:
+            after = after & (
+                e["ts"].cast("long") - acc["last"].cast("long") <= max_gap_s
+            )
+        ok = (e["si"] == acc["d"] + 1) & ((acc["d"] == F.lit(0)) | after)
         return F.when(
             ok, F.struct((acc["d"] + F.lit(1)).alias("d"), e["ts"].alias("last"))
         ).otherwise(acc)

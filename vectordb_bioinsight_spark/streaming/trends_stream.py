@@ -382,3 +382,58 @@ def anomaly_stream(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def transition_stream(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    session_gap_s: int = 3600,
+) -> DataFrame:
+    """Live Markov transition counting — the streaming twin of
+    ``operators/trends.event_transition_matrix``: per-user state carries
+    (last event type, last epoch) across micro-batches; each arriving
+    event whose gap to the previous one is within ``session_gap_s``
+    emits a (from, to) pair. The batch op's tie discipline is kept by
+    sorting each batch on (ts, id).
+
+    Emits per-batch per-user pair counts (from_type, to_type, n); a
+    downstream ``groupBy(from_type, to_type).sum(n)`` over the sink
+    recovers the global matrix. Equivalence contract (test-pinned):
+    summed emissions equal the batch matrix counts whenever each user's
+    events arrive in event-time order across batches.
+
+    State per user: one string + one double — O(active users).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "from_type string, to_type string, n long"
+    state_schema = "last_type string, last_epoch double"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        last_type, last_epoch = state.get if state.exists else (None, -1.0)
+        ev = pd.concat([pdf[[type_col, ts_col, id_col]] for pdf in pdfs])
+        ev = ev.sort_values([ts_col, id_col])
+        counts: "dict[tuple[str, str], int]" = {}
+        for t, ts in zip(ev[type_col], ev[ts_col]):
+            tsec = ts.timestamp()
+            if last_type is not None and tsec - last_epoch <= session_gap_s:
+                pair = (last_type, t)
+                counts[pair] = counts.get(pair, 0) + 1
+            last_type, last_epoch = t, tsec
+        state.update((last_type, float(last_epoch)))
+        yield pd.DataFrame(
+            {
+                "from_type": [p[0] for p in counts],
+                "to_type": [p[1] for p in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
