@@ -652,3 +652,34 @@ class TestTrendsR05:
             df, "u", "t", "ts", ["signup", "view"]
         ).collect()}
         assert unbounded == {"signup": 2, "view": 2}
+
+    def test_rolling_active_users_accuracy(self, spark):
+        """HLL rolling actives vs exact sliding-window distincts: within
+        the sketch's accuracy envelope on a planted 60-day history, and
+        exactly consistent day-to-day (supersets never shrink below the
+        daily floor)."""
+        from vectordb_bioinsight_spark.operators.trends import rolling_active_users
+        import datetime as dt
+
+        rows = []
+        d0 = dt.date(2024, 1, 1)
+        for i in range(60):
+            day = d0 + dt.timedelta(days=i)
+            # 50 stable users + 20 rotating per day
+            for u in range(50):
+                rows.append((u, f"{day} 08:00:00"))
+            for u in range(1000 + i * 20, 1000 + i * 20 + 20):
+                rows.append((u, f"{day} 09:00:00"))
+        df = spark.createDataFrame(rows, "u long, ts string").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["day"]: r for r in rolling_active_users(df, "u", "ts", window_days=7).collect()}
+        assert len(out) == 60
+        last = out[d0 + dt.timedelta(days=59)]
+        assert last["daily_active"] == 70
+        # exact 7-day actives = 50 stable + 7*20 rotating = 190
+        assert abs(last["rolling_active"] - 190) / 190 < 0.05
+        first = out[d0]
+        assert abs(first["rolling_active"] - 70) / 70 < 0.05
+        for r in out.values():
+            assert r["rolling_active"] >= r["daily_active"] * 0.95

@@ -617,3 +617,46 @@ def rfm_scores(
         "user", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 28,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Rolling N-day active users (the MAU/WAU curve) via MERGEABLE HLL
+    sketches — the scale answer to sliding-window distinct counting:
+
+    * exact per-day distinct re-counted per window is O(days x window)
+      scans; a COUNT(DISTINCT) OVER a sliding frame holds every user id
+      in window state (the same trap rule SCALING.md 28 bans for ranks);
+    * instead, ONE scan builds a per-day HLL sketch (``hll_sketch_agg``,
+      shuffle payload = 2^lg_k bytes per day, not per user), and the
+      trailing window unions day sketches (``hll_union_agg`` — union is
+      associative and loss-free, exactly why Datasketches HLL exists).
+
+    Estimates are deterministic for a given input set and lg_k (the
+    sketch is hash-based, not sampled) but have no cross-engine SQL
+    twin — catalog entries over this are rows-only by design, with the
+    accuracy contract (±~1.6%/sqrt(2^lg_k)) pinned by a unit test
+    against exact counts.
+
+    Output: (day, daily_active, rolling_active) — daily exact (long),
+    rolling estimated (long), one row per day with >= 1 event.
+    """
+    daily = df.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.count_distinct(F.col(user_col)).cast("long").alias("daily_active"),
+        F.hll_sketch_agg(F.col(user_col).cast("string"), F.lit(lg_k)).alias("_sk"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    # the window input is the DAY-cardinality sketch table — calendar-
+    # bounded, the trends-histogram convention for unpartitioned windows
+    return (
+        daily.withColumn(
+            "rolling_active",
+            F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w)).cast("long"),
+        )
+        .select("day", "daily_active", "rolling_active")
+    )

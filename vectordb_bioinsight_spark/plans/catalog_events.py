@@ -851,3 +851,16 @@ SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users,
        round(avg(monetary), 4) AS avg_monetary
 FROM scored GROUP BY 1, 2, 3
 """
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users via mergeable HLL day-sketches
+    (operators/trends.py::rolling_active_users) — rows-only by design:
+    the sketch estimate has no SQL twin; the accuracy envelope is pinned
+    by the planted-history unit test."""
+    from vectordb_bioinsight_spark.operators.trends import rolling_active_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7).withColumn(
+        "day", F.col("day").cast("timestamp")
+    )
