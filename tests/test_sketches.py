@@ -211,3 +211,38 @@ class TestMomentShards:
         ).first()
         assert out["n"] == 6 and out["mean"] == 2.5
         assert out["var"] == 3.5  # var_samp of 0..5
+
+    def test_hll_shards_merge_equals_rebuild_exactly(self, spark):
+        """Union-of-sketches == sketch-of-union: the merged estimate must
+        EQUAL the direct estimate (same registers), not just approximate
+        it — and both land inside the HLL envelope of the exact count."""
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            hll_shards,
+            hll_to_stats,
+            merge_hll_shards,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        ev = load_table(spark, SF_SMALL, "events").withColumn(
+            "shard_day", F.to_date("ts")
+        )
+        merged = hll_to_stats(
+            merge_hll_shards(
+                hll_shards(ev, ["event_type", "shard_day"], "user_id"),
+                ["event_type"],
+            )
+        )
+        direct = hll_to_stats(hll_shards(ev, ["event_type"], "user_id"))
+        exact = {r["event_type"]: r["n"] for r in
+                 ev.groupBy("event_type").agg(
+                     F.count_distinct("user_id").alias("n")).collect()}
+        m = {r["event_type"]: r for r in merged.collect()}
+        d = {r["event_type"]: r for r in direct.collect()}
+        assert m.keys() == d.keys() == exact.keys()
+        for k in d:
+            assert m[k]["n_distinct"] == d[k]["n_distinct"]   # exact in sketch space
+            assert m[k]["n_rows"] == d[k]["n_rows"]
+            assert abs(m[k]["n_distinct"] - exact[k]) / exact[k] < 0.03

@@ -147,3 +147,42 @@ def moments_to_stats(profile: "DataFrame") -> "DataFrame":
         F.round(var, 6).alias("var"),
         F.round(F.sqrt(var), 6).alias("std"),
     )
+
+
+def hll_shards(
+    df: "DataFrame",
+    shard_cols: "list[str]",
+    key_col: str,
+    lg_k: int = 14,
+) -> "DataFrame":
+    """Per-shard DISTINCT-COUNT state as mergeable HLL sketches — the
+    cardinality sibling of :func:`moment_shards`: one binary sketch row
+    per shard (2^lg_k bytes), foldable to any coarser grain without
+    rescanning the corpus. Union-of-sketches equals sketch-of-union by
+    construction (register-wise max), so merge == rebuild is EXACT in
+    sketch space, not approximately — only the final estimate carries
+    the HLL error envelope."""
+    return df.groupBy(*shard_cols).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias("hll"),
+        F.count(key_col).cast("long").alias("n_rows"),
+    )
+
+
+def merge_hll_shards(
+    shards: "DataFrame",
+    group_cols: "list[str]",
+) -> "DataFrame":
+    """Fold HLL shard rows to a coarser grain: sketch union + row-count
+    sum, one aggregation."""
+    return shards.groupBy(*group_cols).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def hll_to_stats(profile: "DataFrame") -> "DataFrame":
+    """Sketch rows -> presentation stats: (.., n_rows, n_distinct)."""
+    keep = [c for c in profile.columns if c != "hll"]
+    return profile.select(
+        *keep, F.hll_sketch_estimate("hll").cast("long").alias("n_distinct")
+    )
