@@ -1026,7 +1026,13 @@ def kcore_peel(
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    alive = sym
+    # checkpoint each round: round r's survivors feed TWO consumers in
+    # round r+1 (the degree count and the semi-join), so unmaterialized
+    # lineage re-executes every earlier round per consumer — 2^rounds
+    # subtree blowup (measured 7.7 s -> ~2 s at sf0.1; the same trap the
+    # funnel's union-of-lineages hit in r04). Lazy checkpoints: each
+    # materializes once at first use, nothing runs eagerly at build time.
+    alive = sym.localCheckpoint(eager=False)
     for _ in range(rounds):
         keep = (
             alive.groupBy("a")
@@ -1034,8 +1040,10 @@ def kcore_peel(
             .filter(F.col("d") >= k)
             .select("a")
         )
-        alive = alive.join(keep, "a", "left_semi").join(
-            keep.withColumnRenamed("a", "b"), "b", "left_semi"
+        alive = (
+            alive.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
         )
     return alive.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("core_degree")
