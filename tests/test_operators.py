@@ -683,3 +683,22 @@ class TestTrendsR05:
         assert abs(first["rolling_active"] - 70) / 70 < 0.05
         for r in out.values():
             assert r["rolling_active"] >= r["daily_active"] * 0.95
+
+    def test_holt_linear_hand_computed(self, spark):
+        """Series 10,12,14 with alpha .5 beta .3: level/trend/forecast by
+        hand (l1=10,t1=0 -> l=11,t=.3 -> l=12.65,t=.705 -> f=13.355);
+        single-day keys return the init state."""
+        from vectordb_bioinsight_spark.operators.trends import holt_linear
+
+        rows = [("a", f"2024-01-0{d} 00:00:00", v)
+                for d, v in [(1, 10.0), (2, 12.0), (3, 14.0)]]
+        rows.append(("solo", "2024-01-01 00:00:00", 7.0))
+        df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = {r["key"]: r for r in
+               holt_linear(df, "k", "ts", "value", 0.5, 0.3, 1).collect()}
+        assert out["a"]["level"] == 12.65 and out["a"]["trend"] == 0.705
+        assert out["a"]["forecast"] == 13.355 and out["a"]["n_days"] == 3
+        assert out["solo"]["level"] == 7.0 and out["solo"]["trend"] == 0.0
+        assert out["solo"]["forecast"] == 7.0

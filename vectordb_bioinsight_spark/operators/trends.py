@@ -660,3 +660,66 @@ def rolling_active_users(
         )
         .select("day", "daily_active", "rolling_active")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon_days: int = 1,
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing over per-key daily
+    totals — the forecasting step above :func:`seasonal_decompose_daily`:
+    level and trend update sequentially over the OBSERVED day series
+    (rows-frame, gap-robust) and the forecast extrapolates
+    ``level + trend * horizon``.
+
+    The recursion is a per-key FOLD, the same shape as the funnel:
+    sort-collect the (day, total) series inside one key-keyed groupBy and
+    ``F.aggregate`` the (level, trend) state over it — no driver loop, no
+    per-step window, one corpus shuffle. Initialization is the textbook
+    (level = first total, trend = 0). Because the fold executes the
+    identical operation sequence on any engine, the result is
+    bit-identical cross-engine (the DuckDB twin packs the state in a
+    2-element list under ``list_reduce``), so the forecast is
+    hash-oracle-able despite being a sequential recursion.
+
+    State per key is the collected day series — calendar-bounded, the
+    trends-tier convention. Output: (key, n_days, level, trend,
+    forecast) rounded 6 dp.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    per_key = daily.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "total"))),
+            lambda s: s["total"],
+        ).alias("series"),
+    )
+    a, b = float(alpha), float(beta)
+    zero = F.struct(
+        F.element_at("series", 1).alias("l"), F.lit(0.0).alias("t")
+    )
+
+    def _step(acc, x):
+        new_l = a * x + (1 - a) * (acc["l"] + acc["t"])
+        new_t = b * (new_l - acc["l"]) + (1 - b) * acc["t"]
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    st = F.aggregate(
+        F.slice("series", 2, F.greatest(F.size("series") - 1, F.lit(0))),
+        zero,
+        _step,
+    )
+    return per_key.select(
+        "key",
+        "n_days",
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["t"], 6).alias("trend"),
+        F.round(st["l"] + st["t"] * F.lit(float(horizon_days)), 6).alias("forecast"),
+    )

@@ -864,3 +864,39 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, "user_id", "ts", window_days=7).withColumn(
         "day", F.col("day").cast("timestamp")
     )
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing per event type
+    (operators/trends.py::holt_linear): level/trend fold over the daily
+    series, next-day forecast — the sequential recursion is one fold
+    expression, bit-identical cross-engine, hence hash-checked."""
+    from vectordb_bioinsight_spark.operators.trends import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(ev, "event_type", "ts", "value", _HOLT_A, _HOLT_B, 1)
+
+
+SQL_HOLT_FORECAST = f"""
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT key, count(*)::BIGINT AS n_days,
+         list_reduce(
+           list_transform(list(total::DOUBLE ORDER BY day), t -> [t, 0.0::DOUBLE]),
+           (acc, x) -> [
+             {_HOLT_A} * x[1] + {1 - _HOLT_A} * (acc[1] + acc[2]),
+             {_HOLT_B} * (({_HOLT_A} * x[1] + {1 - _HOLT_A} * (acc[1] + acc[2])) - acc[1])
+               + {1 - _HOLT_B} * acc[2]
+           ]
+         ) AS st
+  FROM daily GROUP BY key
+)
+SELECT key, n_days, round(st[1], 6) AS level, round(st[2], 6) AS trend,
+       round(st[1] + st[2] * 1.0, 6) AS forecast
+FROM arr
+"""
