@@ -67,6 +67,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
     "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
+    "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
     # rows-only by design: HLL sketch estimates have no SQL twin
     "rolling_active_users": (ev.q_rolling_active_users, None),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),

@@ -900,3 +900,46 @@ SELECT key, n_days, round(st[1], 6) AS level, round(st[2], 6) AS trend,
        round(st[1] + st[2] * 1.0, 6) AS forecast
 FROM arr
 """
+
+
+def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit of the events table
+    (operators/validation.py::table_expectations): not-null, accepted
+    values, range, timestamp-shape and uniqueness rules — all row rules
+    share one scan; the ledger inlines from a one-row aggregate."""
+    from vectordb_bioinsight_spark.operators.validation import table_expectations
+
+    ev = load_table(spark, sf_dir, "events")
+    return table_expectations(
+        ev,
+        [
+            ("not_null", "user_id"),
+            ("not_null", "ts"),
+            ("accepted", "event_type", ["signup", "view", "click", "purchase", "error"]),
+            ("range", "value", 0.0, None),
+            ("regex", "event_type", "^[a-z]+$"),
+            ("unique", ["event_id"]),
+        ],
+    )
+
+
+SQL_EVENTS_EXPECTATIONS = """
+WITH one AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((user_id IS NULL)::INT)::BIGINT AS v0,
+         sum((ts IS NULL)::INT)::BIGINT AS v1,
+         sum(coalesce(event_type NOT IN ('signup','view','click','purchase','error'), FALSE)::INT)::BIGINT AS v2,
+         sum(coalesce(value < 0.0, FALSE)::INT)::BIGINT AS v3,
+         sum(coalesce(NOT regexp_matches(event_type, '^[a-z]+$'), FALSE)::INT)::BIGINT AS v4,
+         (count(*) - count(DISTINCT event_id))::BIGINT AS vu
+  FROM events
+)
+SELECT rule, "column", n_violations, n_rows, n_violations = 0 AS passed FROM (
+  SELECT 'not_null' AS rule, 'user_id' AS "column", v0 AS n_violations, n AS n_rows FROM one
+  UNION ALL SELECT 'not_null', 'ts', v1, n FROM one
+  UNION ALL SELECT 'accepted', 'event_type', v2, n FROM one
+  UNION ALL SELECT 'range', 'value', v3, n FROM one
+  UNION ALL SELECT 'regex', 'event_type', v4, n FROM one
+  UNION ALL SELECT 'unique', 'event_id', vu, n FROM one
+)
+"""
