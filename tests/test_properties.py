@@ -265,3 +265,53 @@ def test_phrase_match_equals_python_scan(spark, texts, p1, p2):
             if toks[p] == p1 and toks[p + 1] == p2:
                 want.add((i, p))
     assert got == want
+
+
+def _funnel_reference(events, steps):
+    """Pure-python reach-chain: reach[0] = min ts of steps[0]; reach[i] =
+    min ts of steps[i] strictly after reach[i-1]. Returns n_users per step."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, t, ts in events:
+        by_user[u].append((ts, t))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        reach = None
+        for i, step in enumerate(steps):
+            cands = [ts for ts, t in evs
+                     if t == step and (i == 0 or (reach is not None and ts > reach))]
+            if not cands:
+                break
+            reach = min(cands)
+            counts[i] += 1
+    return {i + 1: c for i, c in enumerate(counts)}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # user
+            st.sampled_from(["a", "b", "c", "x"]),          # type (x = noise)
+            st.integers(min_value=0, max_value=20),         # ts (seconds; ties likely)
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_funnel_fold_matches_reach_chain_reference(spark, events):
+    """The r05 single-pass fold must equal the per-step reach-chain
+    definition on arbitrary event soup — ties, duplicates, repeated
+    steps, absent users, empty input."""
+    from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in events] or [(99, "zz", 0)],
+        "u long, t string, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    got = {r["step"]: r["n_users"] for r in
+           funnel_conversion(df, "u", "t", "ts", steps).collect()}
+    want = _funnel_reference(events, steps)
+    assert got == want

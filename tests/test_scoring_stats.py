@@ -308,3 +308,80 @@ class TestKruskalWallis:
             [("k", "a", 1.0)] * 3 + [("k", "b", 1.0)] * 3, "key string, grp string, v double"
         )
         assert kruskal_wallis(df, ["key"], "grp", "v").count() == 0
+
+
+class TestR05Stats:
+    def test_ab_test_summary_closed_form(self, spark):
+        """Hand-built arms: rates and pooled z vs scipy-style arithmetic."""
+        import math
+
+        from vectordb_bioinsight_spark.operators.stats import ab_test_summary
+
+        rows = [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 45 + [("B", 0)] * 55
+        df = spark.createDataFrame(rows, "arm string, conv int")
+        out = {r["arm"]: r for r in ab_test_summary(df, "arm", "conv").collect()}
+        assert out["A"]["n"] == 100 and out["A"]["rate"] == 0.3
+        assert out["B"]["rate"] == 0.45
+        p = 75 / 200
+        se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+        want_z = round((0.3 - 0.45) / se, 6)
+        assert out["A"]["z_stat"] == want_z == out["B"]["z_stat"]
+
+    def test_ab_test_degenerate_pool_yields_null_z(self, spark):
+        from vectordb_bioinsight_spark.operators.stats import ab_test_summary
+
+        df = spark.createDataFrame(
+            [("A", 0)] * 5 + [("B", 0)] * 5, "arm string, conv int"
+        )
+        out = ab_test_summary(df, "arm", "conv").collect()
+        assert all(r["z_stat"] is None for r in out)
+
+    def test_cusum_matches_python_oracle_and_flags_shift(self, spark):
+        """30 flat days then a +2-sigma-ish shift: CUSUM must alarm after
+        the shift, never before; the whole trace must equal the
+        pure-python recursion."""
+        from vectordb_bioinsight_spark.operators.stats import cusum_changepoints
+
+        vals = [100.0 + (i % 2) for i in range(30)] + [106.0 + (i % 2) for i in range(15)]
+        rows = [("m", f"2024-01-01 00:00:00", v) for v in []]
+        import datetime as dt
+        d0 = dt.date(2024, 1, 1)
+        rows = [("m", f"{d0 + dt.timedelta(days=i)} 00:00:00", v)
+                for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        got = {str(r["day"]): r for r in
+               cusum_changepoints(df, "k", "ts", "value", drift=0.5, threshold=4.0).collect()}
+        # python oracle
+        import statistics
+        m, s = statistics.mean(vals), statistics.stdev(vals)
+        sp = sm = 0.0
+        for i, v in enumerate(vals):
+            z = (v - m) / s
+            sp = max(0.0, sp + z - 0.5)
+            sm = max(0.0, sm - z - 0.5)
+            day = str(d0 + dt.timedelta(days=i))
+            assert abs(got[day]["s_plus"] - round(sp, 4)) < 1e-9, day
+            assert got[day]["alarm"] == (sp > 4.0 or sm > 4.0), day
+        # with key-GLOBAL standardization a level shift alarms both
+        # regimes (pre-shift sits below the global mean -> s_minus side;
+        # post-shift above it -> s_plus side) — the directional check is
+        # the meaningful one
+        pre_plus = [got[str(d0 + dt.timedelta(days=i))]["s_plus"] for i in range(30)]
+        post_plus = [got[str(d0 + dt.timedelta(days=i))]["s_plus"] for i in range(35, 45)]
+        assert max(pre_plus) <= 4.0
+        assert all(s > 4.0 for s in post_plus)
+        assert all(got[str(d0 + dt.timedelta(days=i))]["alarm"] for i in range(35, 45))
+
+    def test_cusum_flat_series_never_alarms(self, spark):
+        from vectordb_bioinsight_spark.operators.stats import cusum_changepoints
+
+        import datetime as dt
+        d0 = dt.date(2024, 2, 1)
+        rows = [("f", f"{d0 + dt.timedelta(days=i)} 00:00:00", 5.0) for i in range(10)]
+        df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        out = cusum_changepoints(df, "k", "ts", "value").collect()
+        assert len(out) == 10 and not any(r["alarm"] for r in out)

@@ -930,3 +930,122 @@ def rowwise_zscore_matrix(
             ).alias("zscore"),
         )
     )
+
+
+def ab_test_summary(
+    df: DataFrame,
+    arm_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Two-proportion A/B test: per-arm conversion counts/rates plus the
+    pooled two-sided z statistic (the launch/no-launch arithmetic every
+    experimentation platform runs). One conditional aggregation — the
+    pooled z is closed-form over the four counts, JVM-side.
+
+    Expects exactly two arm labels; the z row repeats per arm (the ledger
+    stays one-row-per-arm for the comparator). Output: (arm, n, n_converted,
+    rate, z_stat) rounded 6 dp; z is NULL when either arm is empty or the
+    pooled rate is degenerate (0 or 1 — no variance, nullif guard)."""
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col(converted_col).cast("long")).cast("long").alias("n_converted"),
+    )
+    wide = per_arm.agg(
+        F.min_by(F.struct("n", "n_converted"), "arm").alias("a"),
+        F.max_by(F.struct("n", "n_converted"), "arm").alias("b"),
+    )
+    n1, c1 = F.col("a.n"), F.col("a.n_converted")
+    n2, c2 = F.col("b.n"), F.col("b.n_converted")
+    pooled = (c1 + c2) / (n1 + n2)
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / n1 + 1.0 / n2))
+    z = ((c1 / n1) - (c2 / n2)) / F.nullif(se, F.lit(0.0))
+    zed = wide.select(F.round(z, 6).alias("z_stat"))
+    return per_arm.crossJoin(F.broadcast(zed)).select(
+        "arm",
+        "n",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n"), 6).alias("rate"),
+        "z_stat",
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    drift: float = 0.5,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over per-key daily totals —
+    the mean-SHIFT detector complementing :func:`trends.rolling_anomalies`
+    (a z-score flags one odd day; CUSUM accumulates small persistent
+    drifts until the cumulative evidence crosses the threshold):
+
+        z_i  = (total_i - mean) / std         (key-global standardization)
+        s+_i = max(0, s+_{i-1} + z_i - drift)
+        s-_i = max(0, s-_{i-1} - z_i - drift)
+        alarm at day i iff s+ or s- > threshold
+
+    Sequential recursion -> the same fold shape as Holt: sort-collect the
+    series per key, ``F.aggregate`` with an array-accumulating state, one
+    corpus shuffle, no driver loop. Standardization is exact (one agg,
+    broadcast back). Flat series (std = 0) standardize to NULL and never
+    alarm (ANSI-safe nullif). Rows-only vs SQL by design (the growing
+    accumulator has no list_reduce twin); semantics pinned by a
+    pure-python oracle test.
+
+    Output: (key, day, total, s_plus, s_minus, alarm) rounded 4 dp.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    stats = daily.groupBy("key").agg(
+        F.avg("total").alias("_m"), F.stddev_samp("total").alias("_s")
+    )
+    z = (F.col("total") - F.col("_m")) / F.nullif(F.col("_s"), F.lit(0.0))
+    per_key = (
+        daily.join(F.broadcast(stats), "key")
+        .withColumn("_z", z)
+        .groupBy("key")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day", "total", "_z"))).alias("ser")
+        )
+    )
+    d, h = float(drift), float(threshold)
+    zero = F.struct(
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sm"),
+        F.array().cast(
+            "array<struct<day:date,total:double,sp:double,sm:double,alarm:boolean>>"
+        ).alias("out"),
+    )
+
+    def _step(acc, e):
+        zi = F.coalesce(e["_z"], F.lit(0.0))
+        sp = F.greatest(F.lit(0.0), acc["sp"] + zi - d)
+        sm = F.greatest(F.lit(0.0), acc["sm"] - zi - d)
+        row = F.struct(
+            e["day"].alias("day"),
+            e["total"].alias("total"),
+            sp.alias("sp"),
+            sm.alias("sm"),
+            ((sp > h) | (sm > h)).alias("alarm"),
+        )
+        return F.struct(
+            sp.alias("sp"), sm.alias("sm"),
+            F.array_append(acc["out"], row).alias("out"),
+        )
+
+    folded = per_key.select(
+        "key", F.aggregate("ser", zero, _step, lambda acc: acc["out"]).alias("out")
+    )
+    r = folded.select("key", F.explode("out").alias("r"))
+    return r.select(
+        "key",
+        F.col("r.day").alias("day"),
+        F.col("r.total").alias("total"),
+        F.round("r.sp", 4).alias("s_plus"),
+        F.round("r.sm", 4).alias("s_minus"),
+        F.col("r.alarm").alias("alarm"),
+    )

@@ -68,6 +68,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
     "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
+    "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
+    # rows-only by design: array-accumulating fold, no list_reduce twin
+    "cusum_value_shifts": (st.q_cusum_value_shifts, None),
     # rows-only by design: HLL sketch estimates have no SQL twin
     "rolling_active_users": (ev.q_rolling_active_users, None),
     "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),

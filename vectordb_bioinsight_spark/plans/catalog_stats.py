@@ -481,3 +481,57 @@ SELECT c.l_partkey, c.l_returnflag, c.value,
        round((c.value - t.m) / (t.s + 1e-10), 6) AS zscore
 FROM cells c JOIN stats t USING (l_partkey)
 """
+
+
+def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test over the events stream: users split into
+    arms by id parity, conversion = >= 1 purchase; per-arm rates + pooled
+    z (operators/stats.py::ab_test_summary, closed-form JVM arithmetic)."""
+    from vectordb_bioinsight_spark.operators.stats import ab_test_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    armed = users.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"), "conv"
+    )
+    return ab_test_summary(armed, "arm", "conv")
+
+
+SQL_AB_CONVERSION = """
+WITH users AS (
+  SELECT user_id, max((event_type = 'purchase')::INT) AS conv
+  FROM events GROUP BY 1
+), armed AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, conv FROM users
+), per_arm AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(conv)::BIGINT AS n_converted
+  FROM armed GROUP BY 1
+), wide AS (
+  SELECT min(arm) AS a_arm, max(arm) AS b_arm FROM per_arm
+), z AS (
+  SELECT round(
+    ((a.n_converted::DOUBLE / a.n) - (b.n_converted::DOUBLE / b.n))
+    / nullif(sqrt(((a.n_converted + b.n_converted)::DOUBLE / (a.n + b.n))
+                  * (1 - (a.n_converted + b.n_converted)::DOUBLE / (a.n + b.n))
+                  * (1.0 / a.n + 1.0 / b.n)), 0), 6) AS z_stat
+  FROM per_arm a, per_arm b, wide w
+  WHERE a.arm = w.a_arm AND b.arm = w.b_arm
+)
+SELECT p.arm, p.n, p.n_converted,
+       round(p.n_converted::DOUBLE / p.n, 6) AS rate, z.z_stat
+FROM per_arm p CROSS JOIN z
+"""
+
+
+def q_cusum_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift traces per event type
+    (operators/stats.py::cusum_changepoints) — rows-only by design (the
+    array-accumulating fold has no list_reduce twin); the recursion is
+    pinned by a pure-python oracle test."""
+    from vectordb_bioinsight_spark.operators.stats import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cusum_changepoints(ev, "event_type", "ts", "value")
+    return out.withColumn("day", F.col("day").cast("timestamp"))
