@@ -385,3 +385,23 @@ class TestR05Stats:
         )
         out = cusum_changepoints(df, "k", "ts", "value").collect()
         assert len(out) == 10 and not any(r["alarm"] for r in out)
+
+    def test_bootstrap_rate_ci_sanity(self, spark):
+        """CI brackets the point rate, is deterministic across runs, and
+        tightens with more data."""
+        from vectordb_bioinsight_spark.operators.stats import bootstrap_rate_ci
+
+        small = spark.createDataFrame(
+            [(i, 1 if i % 5 == 0 else 0) for i in range(100)], "id long, conv int"
+        )
+        big = spark.createDataFrame(
+            [(i, 1 if i % 5 == 0 else 0) for i in range(2000)], "id long, conv int"
+        )
+        s1 = bootstrap_rate_ci(small, "conv", "id").first()
+        s2 = bootstrap_rate_ci(small, "conv", "id").first()
+        b = bootstrap_rate_ci(big, "conv", "id").first()
+        assert s1 == s2                           # hash-deterministic
+        assert s1["ci_lo"] <= s1["rate"] <= s1["ci_hi"]
+        assert s1["rate"] == 0.2 and b["rate"] == 0.2
+        assert (b["ci_hi"] - b["ci_lo"]) < (s1["ci_hi"] - s1["ci_lo"])
+        assert 0.1 < s1["ci_lo"] < 0.2 < s1["ci_hi"] < 0.35

@@ -1049,3 +1049,74 @@ def cusum_changepoints(
         F.round("r.sm", 4).alias("s_minus"),
         F.col("r.alarm").alias("alarm"),
     )
+
+
+#: inverse-CDF thresholds for Poisson(1): P(X <= k) for k = 0..6 — a
+#: uniform u maps to the smallest k with u < cdf(k). Shared verbatim by
+#: the DuckDB twin (POISSON_CDF_SQL below).
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _poisson1_weight(u):  # noqa: ANN001, ANN202 — Column in, Column out
+    w = F.lit(len(_POISSON1_CDF))
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < _POISSON1_CDF[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_rate_ci(
+    df: DataFrame,
+    converted_col: str,
+    id_col: str,
+    n_replicates: int = 50,
+    alpha: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Percentile bootstrap CI for a conversion rate in ONE pass — the
+    Poisson bootstrap, the distributed-systems standard: instead of
+    resampling rows with replacement (which needs global coordination),
+    each row enters replicate j with a Poisson(1) multiplicity derived
+    from the portable hash of (id, j, seed). All ``n_replicates``
+    weighted rates are conditional sums inside a single aggregation —
+    no explode, no shuffle beyond the final single-row agg — and the
+    percentile envelope sorts the replicate array IN the plan.
+
+    Everything is hash-deterministic (md5-uniform -> inverse-CDF
+    weights), so the interval itself is hash-oracle-able — rare for a
+    resampling method. Percentile convention: lo = replicate at index
+    ceil(alpha/2 * B), hi = at ceil((1-alpha/2) * B), 1-based on the
+    sorted array (deterministic, no interpolation).
+
+    Output: one row (n, rate, ci_lo, ci_hi, n_replicates) rounded 6 dp.
+    """
+    from vectordb_bioinsight_spark.functions.hashing import salted_hash64
+
+    y = F.col(converted_col).cast("double")
+    aggs = [
+        F.count("*").cast("long").alias("_n"),
+        F.round(F.avg(y), 6).alias("rate"),
+    ]
+    for j in range(n_replicates):
+        u = (
+            salted_hash64(F.col(id_col).cast("string"), seed * 1000 + j)
+            / F.lit(float(1 << 60))
+        )
+        w = _poisson1_weight(u).cast("double")
+        aggs.append(
+            (F.sum(w * y) / F.nullif(F.sum(w), F.lit(0.0))).alias(f"_r{j}")
+        )
+    one = df.agg(*aggs)
+    reps = F.array_sort(F.array(*[F.col(f"_r{j}") for j in range(n_replicates)]))
+    lo_idx = max(1, int(-(-(alpha / 2 * n_replicates) // 1)))
+    hi_idx = min(n_replicates, int(-(-((1 - alpha / 2) * n_replicates) // 1)))
+    return one.select(
+        F.col("_n").alias("n"),
+        "rate",
+        F.round(F.element_at(reps, lo_idx), 6).alias("ci_lo"),
+        F.round(F.element_at(reps, hi_idx), 6).alias("ci_hi"),
+        F.lit(n_replicates).alias("n_replicates"),
+    )

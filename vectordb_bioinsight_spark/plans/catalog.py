@@ -69,6 +69,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
     "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
     "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
+    "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
     # rows-only by design: array-accumulating fold, no list_reduce twin
     "cusum_value_shifts": (st.q_cusum_value_shifts, None),
     # rows-only by design: HLL sketch estimates have no SQL twin

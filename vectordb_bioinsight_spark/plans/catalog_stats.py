@@ -535,3 +535,56 @@ def q_cusum_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = cusum_changepoints(ev, "event_type", "ts", "value")
     return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+_BOOT_B = 50
+
+
+def q_bootstrap_purchase_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap CI for the per-user purchase rate
+    (operators/stats.py::bootstrap_rate_ci): 50 hash-deterministic
+    replicates as conditional sums in a single aggregation, percentile
+    envelope sorted in-plan — a resampling method with an exact DuckDB
+    twin."""
+    from vectordb_bioinsight_spark.operators.stats import bootstrap_rate_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    return bootstrap_rate_ci(users, "conv", "user_id", n_replicates=_BOOT_B)
+
+
+def _sql_bootstrap_purchase_ci() -> str:
+    from vectordb_bioinsight_spark.operators.stats import _POISSON1_CDF
+
+    def w(j: int) -> str:
+        u = (f"(('0x' || substr(md5('{42 * 1000 + j}|' || user_id::VARCHAR), 1, 15))::BIGINT"
+             f" / {float(1 << 60)!r})")
+        expr = str(len(_POISSON1_CDF))
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            expr = f"CASE WHEN {u} < {_POISSON1_CDF[k]!r} THEN {k} ELSE {expr} END"
+        return f"({expr})::DOUBLE"
+
+    reps = ", ".join(
+        f"sum({w(j)} * conv) / nullif(sum({w(j)}), 0) AS r{j}"
+        for j in range(_BOOT_B)
+    )
+    arr = "list_sort([" + ", ".join(f"r{j}" for j in range(_BOOT_B)) + "])"
+    return f"""
+WITH users AS (
+  SELECT user_id, max((event_type = 'purchase')::INT)::DOUBLE AS conv
+  FROM events GROUP BY 1
+), one AS (
+  SELECT count(*)::BIGINT AS n, round(avg(conv), 6) AS rate, {reps}
+  FROM users
+)
+SELECT n, rate,
+       round({arr}[2], 6) AS ci_lo,
+       round({arr}[49], 6) AS ci_hi,
+       {_BOOT_B} AS n_replicates
+FROM one
+"""
+
+
+SQL_BOOTSTRAP_PURCHASE_CI = _sql_bootstrap_purchase_ci()
