@@ -38,12 +38,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: task 4 — front-load every entry whose operator changed since its last
 #: green): (a) this round's code changes and new entries (funnel fold
 #: rewrite, ANSI guards, MeSH seed + case-insensitive dispatch, centroid
-#: attribution), then (b) the quality/text-kernel family whose shared
-#: expressions changed after their last driver row, then (c) ALL 42
-#: entries whose most recent green is r01 — the stalest evidence.
-#: Positions ~50-58 spill to r06; below that, r02 / r03 / r04 blocks sit
-#: freshest-last. r06 rotation: pull the r02 block forward and park this
-#: round's confirmations.
+#: attribution, and the 19 session-2 additions — every NEW entry has
+#: priority: it has never had ANY driver row), then (b) the quality/
+#: text-kernel family whose shared expressions changed after their last
+#: driver row, then (c) the r01-only backfill (text/quality kernels
+#: first; ~19 of the 42 fit — the other 23 sit immediately below the
+#: window for r06). Below that, r02 / r03 / r04 blocks freshest-last.
+#: r06 rotation: pull the spilled r01 block + r02 block forward and park
+#: this round's confirmations.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === ORDERING: r05 rotation (driver checks roughly the FIRST 50) ===
     # (a) entries whose CODE changed this round or that are NEW — every
