@@ -1091,25 +1091,43 @@ def bootstrap_rate_ci(
     ceil(alpha/2 * B), hi = at ceil((1-alpha/2) * B), 1-based on the
     sorted array (deterministic, no interpolation).
 
+    Cost note: the md5-based portable hash is what buys the DuckDB twin;
+    it is also the dominant per-row cost (~B md5 chains per row — probe:
+    ~5 s at 150k rows x 50 replicates on local[32]). At extreme row
+    counts bootstrap the per-partition AGGREGATES (sums/counts per
+    partition, then resample partitions) or swap in ``F.xxhash64`` for
+    the weight hash and accept a rows-only oracle.
+
     Output: one row (n, rate, ci_lo, ci_hi, n_replicates) rounded 6 dp.
     """
     from vectordb_bioinsight_spark.functions.hashing import salted_hash64
 
     y = F.col(converted_col).cast("double")
+    # project each replicate weight ONCE: the same w_j feeds two sums
+    # (w*y and w), and without the projection the md5 chain evaluates
+    # twice per replicate per row (probe: 4.4 -> ~2 s)
+    proj = df.select(
+        y.alias("_y"),
+        *[
+            _poisson1_weight(
+                salted_hash64(F.col(id_col).cast("string"), seed * 1000 + j)
+                / F.lit(float(1 << 60))
+            )
+            .cast("double")
+            .alias(f"_w{j}")
+            for j in range(n_replicates)
+        ],
+    )
     aggs = [
         F.count("*").cast("long").alias("_n"),
-        F.round(F.avg(y), 6).alias("rate"),
+        F.round(F.avg("_y"), 6).alias("rate"),
     ]
     for j in range(n_replicates):
-        u = (
-            salted_hash64(F.col(id_col).cast("string"), seed * 1000 + j)
-            / F.lit(float(1 << 60))
-        )
-        w = _poisson1_weight(u).cast("double")
+        w = F.col(f"_w{j}")
         aggs.append(
-            (F.sum(w * y) / F.nullif(F.sum(w), F.lit(0.0))).alias(f"_r{j}")
+            (F.sum(w * F.col("_y")) / F.nullif(F.sum(w), F.lit(0.0))).alias(f"_r{j}")
         )
-    one = df.agg(*aggs)
+    one = proj.agg(*aggs)
     reps = F.array_sort(F.array(*[F.col(f"_r{j}") for j in range(n_replicates)]))
     lo_idx = max(1, int(-(-(alpha / 2 * n_replicates) // 1)))
     hi_idx = min(n_replicates, int(-(-((1 - alpha / 2) * n_replicates) // 1)))
