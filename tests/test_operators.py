@@ -500,6 +500,14 @@ class TestTrendsR05:
         assert out["view"]["linear"] == 0.5
         assert out["click"]["linear"] == 1.5
         assert out["view"]["touched_users"] == 1 and out["click"]["touched_users"] == 2
+        # decayed: u1's click (1 day before conv) outweighs the view (2
+        # days before) under the 7d half-life; per-user shares sum to 1
+        import math
+        w_view = math.exp(-math.log(2) * 2 * 86400 / (7 * 86400))
+        w_click = math.exp(-math.log(2) * 1 * 86400 / (7 * 86400))
+        assert out["view"]["decayed"] == round(w_view / (w_view + w_click), 6)
+        assert out["click"]["decayed"] == round(w_click / (w_view + w_click) + 1.0, 6)
+        assert round(out["view"]["decayed"] + out["click"]["decayed"], 5) == 2.0
 
     def test_seasonal_decompose_recovers_planted_weekly_shape(self, spark):
         """total = 100 + 10*(is_monday) over 4 weeks: trend ~100 + 10/7,

@@ -336,6 +336,7 @@ def touch_attribution(
     ts_col: str,
     conversion_type: str,
     touch_types: "list[str]",
+    half_life_s: int = 7 * 86400,
 ) -> DataFrame:
     """Multi-touch attribution — the credit-assignment question every
     marketing/product stack asks downstream of the funnel: for each
@@ -345,7 +346,10 @@ def touch_attribution(
 
     * first_touch — the earliest touch channel gets the full credit,
     * last_touch  — the latest touch before conversion gets it,
-    * linear      — each touch event gets 1/n of it.
+    * linear      — each touch event gets 1/n of it,
+    * decayed     — each touch gets exp2(-age / half_life) weight,
+      normalized per user (recent touches earn more; ``half_life_s``
+      halves a touch's weight per elapsed half-life before conversion).
 
     Physical plan: conversion times are one user-keyed min-agg; touches
     join them on user (user-keyed, range predicate inside the join);
@@ -356,8 +360,9 @@ def touch_attribution(
     channel-cardinality agg. Every corpus-sized shuffle is user-keyed.
 
     Output per channel: (channel, first_touch, last_touch, linear,
-    touched_users) — first/last are conversion counts (long), linear is
-    fractional credit (rounded 6 dp).
+    decayed, touched_users) — first/last are conversion counts (long),
+    linear/decayed are fractional credit (rounded 6 dp; decayed and
+    linear both sum to the converting-user count across channels).
     """
     ev = df.select(
         F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
@@ -372,13 +377,17 @@ def touch_attribution(
         .join(conv, "u")
         .filter(F.col("ts") < F.col("conv_ts"))
     )
-    per_uc = touches.groupBy("u", "t").agg(
+    age_s = (F.unix_micros("conv_ts") - F.unix_micros("ts")) / F.lit(1e6)
+    decay_w = F.exp(F.lit(-0.6931471805599453) * age_s / F.lit(float(half_life_s)))
+    per_uc = touches.withColumn("_w", decay_w).groupBy("u", "t").agg(
         F.count("*").cast("long").alias("n_uc"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
+        F.sum("_w").alias("w_uc"),
     )
     per_u = per_uc.groupBy("u").agg(
         F.sum("n_uc").cast("long").alias("n_u"),
+        F.sum("w_uc").alias("w_u"),
         F.min(F.struct(F.col("min_ts"), F.col("t"))).alias("_first"),
         F.max(F.struct(F.col("max_ts"), F.col("t"))).alias("_last"),
     )
@@ -393,6 +402,7 @@ def touch_attribution(
             .cast("long")
             .alias("last_touch"),
             F.round(F.sum(F.col("n_uc") / F.col("n_u")), 6).alias("linear"),
+            F.round(F.sum(F.col("w_uc") / F.col("w_u")), 6).alias("decayed"),
             F.count("*").cast("long").alias("touched_users"),
         )
     )

@@ -632,15 +632,17 @@ SQL_TOUCH_ATTRIBUTION = """
 WITH ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
 conv AS (SELECT u, min(ts) AS conv_ts FROM ev WHERE t = 'purchase' GROUP BY 1),
 touches AS (
-  SELECT e.u, e.t, e.ts
+  SELECT e.u, e.t, e.ts, c.conv_ts
   FROM ev e JOIN conv c ON c.u = e.u AND e.ts < c.conv_ts
   WHERE e.t IN ('view', 'click')
 ),
 per_uc AS (
-  SELECT u, t, count(*)::BIGINT AS n_uc, min(ts) AS min_ts, max(ts) AS max_ts
+  SELECT u, t, count(*)::BIGINT AS n_uc, min(ts) AS min_ts, max(ts) AS max_ts,
+         sum(exp(-0.6931471805599453 * ((epoch_us(conv_ts) - epoch_us(ts)) / 1e6)
+                 / 604800.0)) AS w_uc
   FROM touches GROUP BY 1, 2
 ),
-per_u AS (SELECT u, sum(n_uc)::BIGINT AS n_u FROM per_uc GROUP BY 1),
+per_u AS (SELECT u, sum(n_uc)::BIGINT AS n_u, sum(w_uc) AS w_u FROM per_uc GROUP BY 1),
 firsts AS (
   SELECT u, t AS first_t FROM (
     SELECT u, t, row_number() OVER (PARTITION BY u ORDER BY min_ts ASC, t ASC) AS rn
@@ -657,6 +659,7 @@ SELECT pc.t AS channel,
        sum((f.first_t = pc.t)::INT)::BIGINT AS first_touch,
        sum((l.last_t = pc.t)::INT)::BIGINT AS last_touch,
        round(sum(pc.n_uc::DOUBLE / pu.n_u), 6) AS linear,
+       round(sum(pc.w_uc / pu.w_u), 6) AS decayed,
        count(*)::BIGINT AS touched_users
 FROM per_uc pc
 JOIN per_u pu USING (u) JOIN firsts f USING (u) JOIN lasts l USING (u)
