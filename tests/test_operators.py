@@ -710,3 +710,29 @@ class TestTrendsR05:
         assert out["a"]["forecast"] == 13.355 and out["a"]["n_days"] == 3
         assert out["solo"]["level"] == 7.0 and out["solo"]["trend"] == 0.0
         assert out["solo"]["forecast"] == 7.0
+
+
+def test_item_cf_topk_cosine_and_rank(spark):
+    """Hand-built baskets: cosine normalization and per-item rank order.
+    Baskets: {A,B} x3, {A,C} x2, {B,C} x1... with min_cooc=2 only AB and
+    AC survive; sim(A,B) = 3/sqrt(5*4), sim(A,C) = 2/sqrt(5*3)."""
+    import math
+
+    from vectordb_bioinsight_spark.operators.joins import item_cf_topk
+
+    rows = []
+    b = 0
+    for _ in range(3):
+        rows += [(b, "A"), (b, "B")]; b += 1
+    for _ in range(2):
+        rows += [(b, "A"), (b, "C")]; b += 1
+    rows += [(b, "B"), (b, "C")]; b += 1
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {(r["item"], r["neighbor"]): r for r in
+           item_cf_topk(df, "item", "basket", k=5, min_cooc=2).collect()}
+    # n_A=5, n_B=4, n_C=3
+    assert out[("A", "B")]["similarity"] == round(3 / math.sqrt(5 * 4), 6)
+    assert out[("A", "C")]["similarity"] == round(2 / math.sqrt(5 * 3), 6)
+    assert out[("A", "B")]["rank"] == 1 and out[("A", "C")]["rank"] == 2
+    assert ("B", "C") not in out          # cooc 1 < min_cooc
+    assert out[("B", "A")]["rank"] == 1 and out[("C", "A")]["rank"] == 1

@@ -161,3 +161,60 @@ def cooccurrence_edges(
         .agg(F.count("*").cast("long").alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
+
+
+def item_cf_topk(
+    df: DataFrame,
+    item_col: str,
+    basket_col: str,
+    k: int = 5,
+    min_cooc: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering — cosine-normalized co-occurrence
+    ("customers who bought X also bought"): sim(i, j) =
+    cooc(i, j) / sqrt(n_i * n_j) over basket membership, then top-k
+    neighbors per item. The memory-based CF baseline every recommender
+    starts from, and the content-free complement of the embedding
+    recommender (operators/vector.recommend analog).
+
+    Physical plan: :func:`cooccurrence_edges` (basket-keyed self-join,
+    min_cooc prunes the long tail BEFORE normalization), item counts as a
+    broadcast dimension, symmetrized edges ranked per item — the rank
+    window partitions by item, never global. Output:
+    (item, neighbor, cooc, similarity, rank) with similarity rounded 6
+    dp; ties break (similarity desc, neighbor asc).
+    """
+    from pyspark.sql import Window
+
+    edges = cooccurrence_edges(df, item_col, basket_col, min_weight=min_cooc)
+    counts = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item"))
+        .distinct()
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("n_item"))
+    )
+    sym = edges.select(
+        F.col("item1").alias("item"), F.col("item2").alias("neighbor"), "weight"
+    ).unionByName(
+        edges.select(
+            F.col("item2").alias("item"), F.col("item1").alias("neighbor"), "weight"
+        )
+    )
+    joined = (
+        sym.join(F.broadcast(counts), "item")
+        .join(
+            F.broadcast(counts.select(F.col("item").alias("neighbor"),
+                                      F.col("n_item").alias("n_nb"))),
+            "neighbor",
+        )
+        .withColumn(
+            "similarity",
+            F.round(F.col("weight") / F.sqrt(F.col("n_item") * F.col("n_nb")), 6),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("similarity"), F.asc("neighbor"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("item", "neighbor", F.col("weight").alias("cooc"), "similarity", "rank")
+    )

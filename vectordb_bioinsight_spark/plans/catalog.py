@@ -67,6 +67,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
     "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
+    "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
     "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
     "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),

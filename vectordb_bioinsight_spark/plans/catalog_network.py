@@ -695,3 +695,41 @@ FROM e{_KCORE_ROUNDS} GROUP BY a
 
 
 SQL_KCORE_PARTS = _sql_kcore_parts()
+
+
+def q_item_cf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF over order baskets (operators/joins.py::item_cf_topk):
+    top-5 'also bought' parts per part by cosine-normalized co-purchase —
+    the content-free recommender baseline next to the embedding arm."""
+    from vectordb_bioinsight_spark.operators.joins import item_cf_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cf_topk(li, "l_partkey", "l_orderkey", k=5, min_cooc=2)
+
+
+SQL_ITEM_CF_PARTS = """
+WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem),
+edges AS (
+  SELECT a.item AS item1, b.item AS item2, count(*)::BIGINT AS weight
+  FROM li a JOIN li b ON a.b = b.b AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+counts AS (SELECT item, count(*)::BIGINT AS n_item FROM li GROUP BY 1),
+sym AS (
+  SELECT item1 AS item, item2 AS neighbor, weight FROM edges
+  UNION ALL
+  SELECT item2, item1, weight FROM edges
+),
+scored AS (
+  SELECT s.item, s.neighbor, s.weight,
+         round(s.weight / sqrt(ci.n_item * cn.n_item), 6) AS similarity
+  FROM sym s
+  JOIN counts ci ON ci.item = s.item
+  JOIN counts cn ON cn.item = s.neighbor
+)
+SELECT item, neighbor, weight AS cooc, similarity, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY item
+                               ORDER BY similarity DESC, neighbor ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
