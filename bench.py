@@ -101,6 +101,11 @@ HEADLINE = [
     # + distinct + broadcast-back)
     "centroid_importance",
     "cohort_retention",
+    # r05 session-2: SFT rendering (conv-keyed window + assembly), the
+    # basket self-join CF, and the survival curve (user agg + week table)
+    "chat_render_docs",
+    "item_cf_parts",
+    "kaplan_meier",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
