@@ -315,3 +315,46 @@ def test_funnel_fold_matches_reach_chain_reference(spark, events):
            funnel_conversion(df, "u", "t", "ts", steps).collect()}
     want = _funnel_reference(events, steps)
     assert got == want
+
+
+def _transitions_reference(events, gap_s):
+    """Pure-python in-session consecutive pairs: per user sort by (ts, id),
+    count (from, to) where gap <= gap_s."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, eid, t, ts in events:
+        by_user[u].append((ts, eid, t))
+    counts = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        for (ts1, _i1, t1), (ts2, _i2, t2) in zip(evs, evs[1:]):
+            if ts2 - ts1 <= gap_s:
+                counts[(t1, t2)] += 1
+    return dict(counts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),      # user
+            st.integers(min_value=0, max_value=999),    # event id (ties broken)
+            st.sampled_from(["a", "b", "c"]),           # type
+            st.integers(min_value=0, max_value=50),     # ts seconds
+        ),
+        min_size=0,
+        max_size=50,
+        unique_by=lambda e: e[1],                       # unique event ids
+    )
+)
+@settings(**SETTINGS)
+def test_transition_matrix_matches_reference(spark, events):
+    from vectordb_bioinsight_spark.operators.trends import event_transition_matrix
+
+    df = spark.createDataFrame(
+        [(u, i, t, ts) for u, i, t, ts in events] or [(9, 0, "z", 0)],
+        "u long, eid long, t string, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in
+           event_transition_matrix(df, "u", "t", "ts", "eid", session_gap_s=10).collect()}
+    assert got == _transitions_reference(events, 10)
