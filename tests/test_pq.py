@@ -147,3 +147,38 @@ def test_ivfpq_probe_subset_of_full(spark, emb):
     assert len(probed) == 10
     for r in probed:
         assert full[r["vec_id"]] == r["adc_dist"]
+
+
+class TestSQ8:
+    def test_codes_and_reconstruction(self, spark):
+        """Extremes encode to 0/255, reconstruction error is bounded by
+        half a quantization step per dim, constant dims encode to 0."""
+        from vectordb_bioinsight_spark.operators.pq import sq8_quantize
+
+        rows = [
+            (1, [0.0, -1.0, 5.0]),
+            (2, [1.0, 1.0, 5.0]),
+            (3, [0.5, 0.0, 5.0]),
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        out = {r["id"]: r for r in sq8_quantize(df, "id", "v").collect()}
+        assert out[1]["codes"][0] == 0 and out[2]["codes"][0] == 255
+        assert out[1]["codes"][1] == 0 and out[2]["codes"][1] == 255
+        assert out[3]["codes"][0] == 128  # 0.5 of the [0,1] range, rounded
+        # constant dim 3: zero code, zero error contribution
+        assert all(out[i]["codes"][2] == 0 for i in (1, 2, 3))
+        # step = range/255; max per-dim error half a step -> mse tiny
+        assert all(out[i]["mse"] <= (2.0 / 255 / 2) ** 2 + 1e-12 for i in (1, 2, 3))
+
+    def test_roundtrip_error_on_real_embeddings(self, spark):
+        from pyspark.sql import functions as F
+
+        from tests.conftest import SF_SMALL
+        from vectordb_bioinsight_spark.operators.pq import sq8_quantize
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        out = sq8_quantize(emb, "vec_id", "embedding")
+        stats = out.agg(F.max("mse").alias("mx"), F.count("*").alias("n")).first()
+        assert stats["n"] == emb.count()
+        assert stats["mx"] < 1e-4  # 8-bit over ~[-0.4, 0.4] ranges

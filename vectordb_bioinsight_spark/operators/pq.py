@@ -327,3 +327,60 @@ def ivfpq_topk(
     )
     codes = pq_encode(members, id_col, vec_col, codebook)
     return pq_adc_topk(codes, id_col, "pq_code", codebook, query_vec, k_top=k_top)
+
+
+def sq8_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Scalar 8-bit quantization (the FAISS SQ8 layout, the 4x memory
+    lever below PQ): per-dimension [lo, hi] ranges from the data, each
+    component encoded to round((x - lo) / (hi - lo) * 255) — plus the
+    per-vector reconstruction MSE so index builders can gate on
+    quantization loss before committing to the compressed layout.
+
+    Physical plan: ONE posexplode feeds both the (dims x 2) range
+    dimension (broadcast back) and the coding join; codes re-assemble
+    with a dim-sorted collect per vector. No driver collect — the range
+    table stays a DataFrame, so the identical explode+join shape runs on
+    any engine (the DuckDB twin mirrors it; a literal-array transform
+    would need a driver round-trip and a twin that can't see the data).
+    Constant dimensions (hi == lo) encode to 0 via the nullif guard.
+
+    Output: (id, codes array<int>, mse) — mse rounded 8 dp.
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    ranges = ex.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    coded = (
+        ex.join(F.broadcast(ranges), "dim")
+        .withColumn(
+            "code",
+            F.coalesce(
+                F.round(
+                    (F.col("x") - F.col("lo"))
+                    / F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0))
+                    * 255.0,
+                    0,
+                ),
+                F.lit(0.0),
+            ).cast("int"),
+        )
+        .withColumn(
+            "deq",
+            F.col("lo")
+            + F.col("code") / 255.0 * (F.col("hi") - F.col("lo")),
+        )
+    )
+    return coded.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.round(F.avg((F.col("x") - F.col("deq")) ** 2), 8).alias("mse"),
+    )

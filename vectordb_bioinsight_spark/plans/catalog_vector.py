@@ -1040,3 +1040,34 @@ SELECT dim, round(avg(x), 6) AS mean, round(stddev_samp(x), 6) AS std,
        round(min(x), 6) AS lo, round(max(x), 6) AS hi
 FROM ex GROUP BY dim
 """
+
+
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the embeddings table
+    (operators/pq.py::sq8_quantize): per-dim data ranges, int8 codes,
+    per-vector reconstruction MSE — the 4x memory layout below PQ, with
+    the codes themselves hash-checked."""
+    from vectordb_bioinsight_spark.operators.pq import sq8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_quantize(emb, "vec_id", "embedding")
+
+
+SQL_SQ8_CODES = """
+WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), ranges AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1
+), coded AS (
+  SELECT e.id, e.dim, e.x,
+         coalesce(round((e.x - r.lo) / nullif(r.hi - r.lo, 0) * 255.0, 0), 0)::INT AS code,
+         r.lo, r.hi
+  FROM ex e JOIN ranges r USING (dim)
+)
+SELECT id,
+       list(code ORDER BY dim) AS codes,
+       round(avg(pow(x - (lo + code / 255.0 * (hi - lo)), 2)), 8) AS mse
+FROM coded GROUP BY id
+"""
