@@ -182,3 +182,24 @@ class TestSQ8:
         stats = out.agg(F.max("mse").alias("mx"), F.count("*").alias("n")).first()
         assert stats["n"] == emb.count()
         assert stats["mx"] < 1e-4  # 8-bit over ~[-0.4, 0.4] ranges
+
+    def test_adc_self_is_nearest(self, spark):
+        from pyspark.sql import functions as F
+
+        from tests.conftest import SF_SMALL
+        from vectordb_bioinsight_spark.operators.pq import (
+            sq8_adc_topk,
+            sq8_quantize,
+            sq8_ranges,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        codes = sq8_quantize(emb, "vec_id", "embedding").select("id", "codes")
+        ranges = sq8_ranges(emb, "embedding")
+        query = emb.filter(F.col("vec_id") == 7).select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "qx")
+        ).select((F.col("d0") + 1).alias("dim"), "qx")
+        top = sq8_adc_topk(codes, ranges, query, k=5).orderBy("rank").collect()
+        assert top[0]["id"] == 7           # self survives quantization
+        assert top[0]["dist"] < 1e-3       # ~quantization noise only

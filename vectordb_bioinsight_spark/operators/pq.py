@@ -352,11 +352,9 @@ def sq8_quantize(
     """
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    )
-    ranges = ex.groupBy("dim").agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi")
-    )
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
+    ).select("id", (F.col("dim0") + 1).alias("dim"), "x")
+    ranges = sq8_ranges(df, vec_col)
     coded = (
         ex.join(F.broadcast(ranges), "dim")
         .withColumn(
@@ -383,4 +381,55 @@ def sq8_quantize(
             lambda s: s["code"],
         ).alias("codes"),
         F.round(F.avg((F.col("x") - F.col("deq")) ** 2), 8).alias("mse"),
+    )
+
+
+def sq8_ranges(df: DataFrame, vec_col: str) -> DataFrame:
+    """The (dim 1-BASED, lo, hi) range dimension :func:`sq8_quantize`
+    encodes against — exposed so search can dequantize without
+    re-deriving; 1-based to match generate_subscripts and the ADC join
+    (a 0/1-base mix here silently shifts every dequantization — caught
+    by the oracle diff)."""
+    return (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"))
+        .select((F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def sq8_adc_topk(
+    codes: DataFrame,
+    ranges: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric search over SQ8 codes: the corpus scan reads ONLY the
+    int8 code column (the 4x point of the layout); each candidate
+    dequantizes against the broadcast range dimension and scores L2² to
+    the raw query — the SQ counterpart of PQ's ADC.
+
+    ``codes``: (id, codes array<int>); ``query``: (dim 1-based, qx) rows
+    (a query vector in long form, so the whole pipeline stays relational
+    and the oracle can derive the query from data). Distances round 6 dp,
+    ties to the smaller id; top-k via TakeOrderedAndProject.
+
+    Output: (id, dist, rank).
+    """
+    from pyspark.sql import Window
+
+    ex = codes.select(
+        "id", F.posexplode("codes").alias("dim0", "code")
+    ).select("id", (F.col("dim0") + 1).alias("dim"), "code")
+    deq = F.col("lo") + F.col("code") / 255.0 * (F.col("hi") - F.col("lo"))
+    scored = (
+        ex.join(F.broadcast(ranges), "dim")
+        .join(F.broadcast(query), "dim")
+        .groupBy("id")
+        .agg(F.round(F.sum((F.col("qx") - deq) ** 2), 6).alias("dist"))
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -65,6 +65,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
     "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
     "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
+    "sq8_adc_knn": (vec.q_sq8_adc_knn, vec.SQL_SQ8_ADC_KNN),
+    "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
     "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),

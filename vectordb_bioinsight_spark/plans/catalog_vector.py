@@ -1071,3 +1071,75 @@ SELECT id,
        round(avg(pow(x - (lo + code / 255.0 * (hi - lo)), 2)), 8) AS mse
 FROM coded GROUP BY id
 """
+
+
+def q_sq8_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vector 0 over SQ8 codes only (operators/pq.py::
+    sq8_adc_topk): the corpus side never touches raw floats after
+    encoding — dequantize against the broadcast ranges, L2 to the raw
+    query, TakeOrderedAndProject."""
+    from vectordb_bioinsight_spark.operators.pq import (
+        sq8_adc_topk,
+        sq8_quantize,
+        sq8_ranges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sq8_quantize(emb, "vec_id", "embedding").select(
+        F.col("id"), "codes"
+    )
+    ranges = sq8_ranges(emb, "embedding")
+    # 1-based (dim, qx) long form of vector 0 — derived from data so the
+    # oracle replays it
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "qx")
+    ).select((F.col("dim0") + 1).alias("dim"), "qx")
+    return sq8_adc_topk(codes, ranges, query, k=10)
+
+
+SQL_SQ8_ADC_KNN = """
+WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), ranges AS (
+  SELECT dim, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1
+), coded AS (
+  SELECT e.id, e.dim,
+         coalesce(round((e.x - r.lo) / nullif(r.hi - r.lo, 0) * 255.0, 0), 0)::INT AS code
+  FROM ex e JOIN ranges r USING (dim)
+), q AS (
+  SELECT dim, x AS qx FROM ex WHERE id = 0
+), scored AS (
+  SELECT c.id,
+         round(sum(pow(q.qx - (r.lo + c.code / 255.0 * (r.hi - r.lo)), 2)), 6) AS dist
+  FROM coded c JOIN ranges r USING (dim) JOIN q USING (dim)
+  GROUP BY 1
+)
+SELECT id, dist, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY dist ASC, id ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of event values per type — Spark's percentile()
+    and DuckDB's quantile_cont share the type-7 interpolation, so exact
+    latency-style summaries hash cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+"""
