@@ -736,3 +736,29 @@ def test_item_cf_topk_cosine_and_rank(spark):
     assert out[("A", "B")]["rank"] == 1 and out[("A", "C")]["rank"] == 2
     assert ("B", "C") not in out          # cooc 1 < min_cooc
     assert out[("B", "A")]["rank"] == 1 and out[("C", "A")]["rank"] == 1
+
+
+def test_maxsim_self_doc_wins_and_maxsim_semantics(spark):
+    """The doc containing the query vectors scores ~n_qtok (each token's
+    max cosine = 1 against itself); MaxSim takes the max per token, not
+    the sum over doc vectors."""
+    from vectordb_bioinsight_spark.operators.vector import maxsim_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (1, [0.0, 1.0]),        # doc 1 = the query itself
+            (2, [1.0, 0.0]), (2, [1.0, 0.0]),        # duplicates must not double-count
+            (3, [-1.0, 0.0]), (3, [0.0, -1.0]),      # anti-aligned
+        ],
+        "doc long, embedding array<double>",
+    )
+    query = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "qtok long, embedding array<double>"
+    )
+    out = {r["doc"]: r for r in
+           maxsim_topk(docs, query, "doc", "embedding", k=3).collect()}
+    assert out[1]["score"] == 2.0 and out[1]["rank"] == 1
+    assert out[2]["score"] == 1.0        # max per token: 1 (tok0) + 0 (tok1)
+    # doc 3: each token's max is the ORTHOGONAL doc vector's 0, not the
+    # anti-aligned one's -1 — MaxSim takes the max, so score 0
+    assert out[3]["score"] == 0.0 and out[3]["rank"] == 3

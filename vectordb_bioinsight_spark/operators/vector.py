@@ -812,3 +812,49 @@ def embedding_dim_profile(df: DataFrame, vec_col: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    doc_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval over multi-vector
+    documents: score(doc) = sum over query vectors of the MAX cosine
+    against any of the doc's vectors — the retrieval model between
+    single-vector ANN (cheap, lossy) and full cross-attention (accurate,
+    unshardable), and the one a token-level embedder needs.
+
+    ``doc_vecs``: (doc, vec array) — many rows per doc; ``query_vecs``:
+    (qtok, vec array) — one row per query token, broadcast-sized by
+    construction. Physical plan: broadcast the query side against the
+    doc-vector scan, cosine per pair via a zip_with dot fold (scan-local
+    expression), (doc, qtok)-keyed max, doc-keyed sum, top-k via
+    TakeOrderedAndProject. The corpus shuffles keyed by doc only.
+
+    Determinism: cosines round 6 dp BEFORE the max (cross-engine argmax
+    stability), MaxSim sums round 6; ties to the smaller doc id.
+    Output: (doc, score, rank).
+    """
+    from pyspark.sql import Window
+
+    d = doc_vecs.select(
+        F.col(doc_col).alias("doc"), F.col(vec_col).cast("array<double>").alias("dv")
+    )
+    q = query_vecs.select(
+        F.col("qtok"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("dv", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    cos = F.round(dot / F.nullif(norm(F.col("dv")) * norm(F.col("qv")), F.lit(0.0)), 6)
+    pairs = d.join(F.broadcast(q)).select("doc", "qtok", cos.alias("cos"))
+    per_tok = pairs.groupBy("doc", "qtok").agg(F.max("cos").alias("mx"))
+    scored = per_tok.groupBy("doc").agg(F.round(F.sum("mx"), 6).alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

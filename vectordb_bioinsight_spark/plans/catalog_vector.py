@@ -1143,3 +1143,44 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1
 """
+
+
+def q_maxsim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval
+    (operators/vector.py::maxsim_topk): embeddings grouped 25-per-doc as
+    multi-vector documents, query = doc 0's vectors, MaxSim top-10 —
+    broadcast query side, doc-keyed shuffles only."""
+    from vectordb_bioinsight_spark.operators.vector import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        (F.col("vec_id") / 25).cast("long").alias("doc"), F.col("embedding")
+    )
+    query = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("qtok"), F.col("embedding")
+    )
+    return maxsim_topk(docs, query, "doc", "embedding", k=10)
+
+
+SQL_MAXSIM_DOCS = """
+WITH d AS (
+  SELECT (vec_id // 25)::BIGINT AS doc, vec_id, embedding FROM embeddings
+), q AS (
+  SELECT vec_id AS qtok, embedding AS qv FROM embeddings WHERE vec_id < 25
+), pairs AS (
+  SELECT d.doc, d.vec_id, q.qtok,
+         unnest(d.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM d, q
+), cosines AS (
+  SELECT doc, vec_id, qtok,
+         round(sum(x * y) / nullif(sqrt(sum(x * x)) * sqrt(sum(y * y)), 0), 6) AS cos
+  FROM pairs GROUP BY 1, 2, 3
+), per_tok AS (
+  SELECT doc, qtok, max(cos) AS mx FROM cosines GROUP BY 1, 2
+), scored AS (
+  SELECT doc, round(sum(mx), 6) AS score FROM per_tok GROUP BY 1
+)
+SELECT doc, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""
