@@ -762,3 +762,26 @@ def test_maxsim_self_doc_wins_and_maxsim_semantics(spark):
     # doc 3: each token's max is the ORTHOGONAL doc vector's 0, not the
     # anti-aligned one's -1 — MaxSim takes the max, so score 0
     assert out[3]["score"] == 0.0 and out[3]["rank"] == 3
+
+
+def test_lagged_cross_correlation_detects_lead(spark):
+    """Series B = series A shifted by +2 days: corr at lag +2 must be ~1,
+    corr at lag 0 far lower."""
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import lagged_cross_correlation
+
+    d0 = dt.date(2024, 1, 1)
+    vals = [float((i * 13) % 7 + (i % 3)) for i in range(30)]
+    rows = []
+    for i, v in enumerate(vals):
+        rows.append(("a", f"{d0 + dt.timedelta(days=i)} 00:00:00", v))
+        rows.append(("b", f"{d0 + dt.timedelta(days=i + 2)} 00:00:00", v))
+    df = spark.createDataFrame(rows, "k string, ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["lag"]: r["corr"] for r in
+           lagged_cross_correlation(df, "k", "ts", "value", max_lag=3).collect()}
+    assert out[2] == 1.0
+    assert abs(out[0]) < 0.6
+    assert set(out) == set(range(-3, 4))

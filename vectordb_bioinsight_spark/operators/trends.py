@@ -733,3 +733,51 @@ def holt_linear(
         F.round(st["t"], 6).alias("trend"),
         F.round(st["l"] + st["t"] * F.lit(float(horizon_days)), 6).alias("forecast"),
     )
+
+
+def lagged_cross_correlation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag discovery between per-key daily series: Pearson
+    correlation of series A's total on day d against series B's on
+    day d + lag, for every ordered key pair and lag in
+    [-max_lag, max_lag] — the "does signups lead purchases by two days?"
+    question, answered for all pairs at once.
+
+    Physical plan: one (key, day) groupBy; a lag dimension (2*max_lag+1
+    literal rows) cross-joined onto one side so EVERY lag rides a single
+    day-shifted equi-join; corr() is one distributed aggregate per
+    (pair, lag) group. Output is keys² x lags — bounded however large
+    the fact table is.
+
+    Output: (key_a, key_b, lag, n_days, corr) with corr rounded 6 dp
+    (NULL when either side is constant over the overlap); key_a < key_b,
+    positive lag = A leads B.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    lags = df.sparkSession.createDataFrame(
+        [(l,) for l in range(-max_lag, max_lag + 1)], "lag INT"
+    )
+    a = daily.select(
+        F.col("key").alias("key_a"), F.col("day").alias("day_a"),
+        F.col("total").alias("ta"),
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("key").alias("key_b"), F.col("day").alias("day_b"),
+        F.col("total").alias("tb"),
+    )
+    joined = a.join(
+        b,
+        (F.date_add(F.col("day_a"), F.col("lag")) == F.col("day_b"))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    return joined.groupBy("key_a", "key_b", "lag").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.corr("ta", "tb"), 6).alias("corr"),
+    )

@@ -68,6 +68,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "sq8_adc_knn": (vec.q_sq8_adc_knn, vec.SQL_SQ8_ADC_KNN),
     "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
     "maxsim_docs": (vec.q_maxsim_docs, vec.SQL_MAXSIM_DOCS),
+    "lagged_correlation": (ev.q_lagged_correlation, ev.SQL_LAGGED_CORRELATION),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
     "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),

@@ -946,3 +946,27 @@ SELECT rule, "column", n_violations, n_rows, n_violations = 0 AS passed FROM (
   UNION ALL SELECT 'unique', 'event_id', vu, n FROM one
 )
 """
+
+
+def q_lagged_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag Pearson correlation between event-type daily totals at
+    lags -3..3 (operators/trends.py::lagged_cross_correlation) — the
+    lead-indicator scan, keys²-x-lags bounded."""
+    from vectordb_bioinsight_spark.operators.trends import lagged_cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return lagged_cross_correlation(ev, "event_type", "ts", "value", max_lag=3)
+
+
+SQL_LAGGED_CORRELATION = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), lags AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+SELECT a.key AS key_a, b.key AS key_b, l.lag,
+       count(*)::BIGINT AS n_days,
+       round(corr(a.total, b.total), 6) AS corr
+FROM daily a CROSS JOIN lags l
+JOIN daily b ON a.day + to_days(l.lag::INT) = b.day AND a.key < b.key
+GROUP BY 1, 2, 3
+"""
