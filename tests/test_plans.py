@@ -320,6 +320,15 @@ _GLOBAL_WINDOW_ALLOWED = {
     # rank assignment over an orderBy().limit(top_n) result — the window
     # input is top_n rows by construction (operators/skew.py:105-112)
     "user_skew_profile",
+    # same limit-then-rank shape (operators/vector.py::maxsim_topk,
+    # operators/pq.py::sq8_adc_topk)
+    "maxsim_docs", "sq8_adc_knn",
+    # PR curve / ECDF / PSI / skyline: one cumulative window over a
+    # tie-grouped or bin/point-grouped frame — input bounded by score
+    # cardinality (bucketed upstream), n_bins, or distinct points, never
+    # raw rows (operators/evaluation.py, drift.py, intervals.py)
+    "purchase_pr_curve", "purchase_ks_drift", "value_psi_drift",
+    "part_price_size_frontier",
 }
 
 

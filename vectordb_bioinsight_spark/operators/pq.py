@@ -428,8 +428,8 @@ def sq8_adc_topk(
         .groupBy("id")
         .agg(F.round(F.sum((F.col("qx") - deq) ** 2), 6).alias("dist"))
     )
+    # top-k FIRST (TakeOrderedAndProject — no corpus-wide single-partition
+    # sort), then rank over the k-row frame (the user_skew_profile pattern)
+    top = scored.orderBy(F.asc("dist"), F.asc("id")).limit(k)
     w = Window.orderBy(F.asc("dist"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

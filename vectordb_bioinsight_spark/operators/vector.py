@@ -856,5 +856,8 @@ def maxsim_topk(
     pairs = d.join(F.broadcast(q)).select("doc", "qtok", cos.alias("cos"))
     per_tok = pairs.groupBy("doc", "qtok").agg(F.max("cos").alias("mx"))
     scored = per_tok.groupBy("doc").agg(F.round(F.sum("mx"), 6).alias("score"))
+    # top-k FIRST (TakeOrderedAndProject — no corpus-wide single-partition
+    # sort), then rank over the k-row frame (the user_skew_profile pattern)
+    top = scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))

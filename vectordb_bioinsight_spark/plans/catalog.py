@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vectordb_bioinsight_spark.plans import catalog_cleaning as cl
 from vectordb_bioinsight_spark.plans import catalog_coverage as cov
+from vectordb_bioinsight_spark.plans import catalog_evaluation as evl
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
 from vectordb_bioinsight_spark.plans import catalog_packing as pk
@@ -48,6 +49,20 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: this round's confirmations.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === ORDERING: r05 rotation (driver checks roughly the FIRST 50) ===
+    # (a0) session-3 additions — evaluation / drift / intervals / linkage
+    # tier, never driver-checked:
+    "purchase_auc": (evl.q_purchase_auc, evl.SQL_PURCHASE_AUC),
+    "purchase_pr_curve": (evl.q_purchase_pr_curve, evl.SQL_PURCHASE_PR_CURVE),
+    "purchase_calibration": (evl.q_purchase_calibration, evl.SQL_PURCHASE_CALIBRATION),
+    "purchase_brier": (evl.q_purchase_brier, evl.SQL_PURCHASE_BRIER),
+    "purchase_confusion": (evl.q_purchase_confusion, evl.SQL_PURCHASE_CONFUSION),
+    "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
+    "purchase_ks_drift": (evl.q_purchase_ks_drift, evl.SQL_PURCHASE_KS_DRIFT),
+    "supplier_ship_islands": (evl.q_supplier_ship_islands, evl.SQL_SUPPLIER_SHIP_ISLANDS),
+    "supplier_ship_coverage": (evl.q_supplier_ship_coverage, evl.SQL_SUPPLIER_SHIP_COVERAGE),
+    "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
+    "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
+    "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -1,0 +1,464 @@
+"""Evaluation / drift / interval / linkage catalog entries (r05 session 3):
+classifier evaluation (ROC-AUC, PR curve, calibration + Brier, confusion
+tables), distribution-drift monitoring (PSI, KS), interval algebra
+(islands + coverage), Pareto frontier, and fuzzy entity resolution.
+
+The evaluation tier scores `value` as a naive purchase-propensity signal
+over the events stream (p = value/500 clamped — exact per-row arithmetic,
+so bin assignment is engine-deterministic); drift compares the first and
+second half of the event month; intervals merge supplier ship windows;
+linkage resolves the part-name dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.drift import ks_two_sample, psi_drift
+from vectordb_bioinsight_spark.operators.evaluation import (
+    calibration_bins,
+    calibration_summary,
+    confusion_at_thresholds,
+    pr_curve,
+    roc_auc,
+)
+from vectordb_bioinsight_spark.operators.intervals import (
+    coverage_stats,
+    merge_intervals,
+    pareto_frontier,
+)
+from vectordb_bioinsight_spark.operators.linkage import (
+    fuzzy_name_pairs,
+    resolve_entities,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+
+def _purchase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("p"),
+        # day as TIMESTAMP on both sides — the catalog's cross-engine hash
+        # convention for date outputs (pandas renders both as midnight)
+        F.to_date("ts").cast("timestamp").alias("day"),
+    )
+
+
+def q_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact tie-aware ROC-AUC of event value as a purchase
+    discriminator — the Mann-Whitney identity over tie-grouped ranks
+    (operators/evaluation.roc_auc; pancancer_classifier.py:214-420 trains
+    and prints sklearn metrics driver-side, this is the distributed form)."""
+    return roc_auc(_purchase_scored(spark, sf_dir), ["day"], "y", "score")
+
+
+SQL_PURCHASE_AUC = """
+WITH ev AS (
+  SELECT date_trunc('day', ts)::DATE AS day, value::DOUBLE AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), tied AS (
+  SELECT day, s, count(*)::DOUBLE AS t, sum(y)::DOUBLE AS tp FROM ev GROUP BY 1, 2
+), ranked AS (
+  SELECT day, t, tp,
+         coalesce(sum(t) OVER (PARTITION BY day ORDER BY s ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (t + 1.0) / 2.0 AS r
+  FROM tied
+), agg AS (
+  SELECT day, sum(tp) AS np, sum(t) - sum(tp) AS nn, sum(tp * r) AS rp
+  FROM ranked GROUP BY 1
+)
+SELECT day, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       round((rp - np * (np + 1.0) / 2.0) / (np * nn), 6) AS auc
+FROM agg WHERE np > 0 AND nn > 0
+"""
+
+
+def q_purchase_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve over tens-bucketed value thresholds —
+    tie-grouped cumulative counts, one bounded global window
+    (operators/evaluation.pr_curve)."""
+    df = _purchase_scored(spark, sf_dir).select(
+        # floor-bucketing, not round: round(x, -1) half-rounding differs
+        # between engines at .5 boundaries; floor is unambiguous
+        (F.floor(F.col("score") / 10.0) * 10.0).alias("score"), "y"
+    )
+    return pr_curve(df, "y", "score")
+
+
+SQL_PURCHASE_PR_CURVE = """
+WITH ev AS (
+  SELECT floor(value / 10.0) * 10.0 AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), tied AS (
+  SELECT score::DOUBLE AS score, count(*)::BIGINT AS n, sum(y)::BIGINT AS np
+  FROM ev GROUP BY 1
+)
+SELECT score,
+       (sum(np) OVER w)::BIGINT AS cum_tp,
+       (sum(n - np) OVER w)::BIGINT AS cum_fp,
+       round(sum(np) OVER w::DOUBLE
+             / nullif(sum(np) OVER w + sum(n - np) OVER w, 0), 6) AS precision,
+       round(sum(np) OVER w::DOUBLE / nullif(sum(np) OVER (), 0), 6) AS recall
+FROM tied
+WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the naive propensity p = value/500 —
+    one map-side-combinable groupBy on the bin index
+    (operators/evaluation.calibration_bins)."""
+    return calibration_bins(_purchase_scored(spark, sf_dir), "y", "p", n_bins=10)
+
+
+SQL_PURCHASE_CALIBRATION = """
+WITH ev AS (
+  SELECT least(value::DOUBLE / 500.0, 1.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT least(floor(p * 10), 9)::INT AS bin, count(*)::BIGINT AS n,
+         avg(p) AS mp, avg(y::DOUBLE) AS fp
+  FROM ev GROUP BY 1
+)
+SELECT bin, n, round(mp, 6) AS mean_prob, round(fp, 6) AS frac_pos,
+       round(mp - fp, 6) AS gap
+FROM b
+"""
+
+
+def q_purchase_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Brier score with Murphy's reliability/resolution/uncertainty
+    decomposition (operators/evaluation.calibration_summary) — two tiny
+    aggregations, base rate folded out of the same partials."""
+    return calibration_summary(_purchase_scored(spark, sf_dir), "y", "p", n_bins=10)
+
+
+SQL_PURCHASE_BRIER = """
+WITH ev AS (
+  SELECT least(value::DOUBLE / 500.0, 1.0) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), b AS (
+  SELECT least(floor(p * 10), 9)::INT AS bin, count(*)::DOUBLE AS n,
+         avg(p) AS mp, avg(y::DOUBLE) AS fp,
+         sum((p - y) * (p - y)) AS se, sum(y)::DOUBLE AS pos
+  FROM ev GROUP BY 1
+)
+SELECT sum(n)::BIGINT AS n,
+       round(sum(se) / sum(n), 6) AS brier,
+       round(sum(n * (mp - fp) * (mp - fp)) / sum(n), 6) AS reliability,
+       round(sum(n * fp * fp) / sum(n)
+             - (sum(pos) / sum(n)) * (sum(pos) / sum(n)), 6) AS resolution,
+       round((sum(pos) / sum(n)) * (1.0 - sum(pos) / sum(n)), 6) AS uncertainty
+FROM b
+"""
+
+
+_CONF_THRESHOLDS = [50.0, 150.0, 300.0]
+
+
+def q_purchase_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion table + precision/recall/F1 at three value thresholds —
+    ONE global conditional aggregation, rows inlined from the 1-row frame
+    (operators/evaluation.confusion_at_thresholds; the funnel counts shape)."""
+    return confusion_at_thresholds(
+        _purchase_scored(spark, sf_dir), "y", "score", _CONF_THRESHOLDS
+    )
+
+
+SQL_PURCHASE_CONFUSION = """
+WITH ev AS (
+  SELECT value::DOUBLE AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), t AS (
+  SELECT unnest([50.0, 150.0, 300.0]) AS threshold
+), c AS (
+  SELECT t.threshold,
+         sum(CASE WHEN s >= t.threshold AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN s >= t.threshold AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN s < t.threshold AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         sum(CASE WHEN s < t.threshold AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM ev, t GROUP BY 1
+)
+SELECT threshold, tp, fp, fn, tn,
+       round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS precision,
+       round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS recall,
+       round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+FROM c
+"""
+
+
+_DRIFT_SPLIT = "2024-01-16"
+
+
+def q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of event values, second half of the month vs the first — exact
+    reference deciles (percentile == quantile_cont, cuts rounded 4 dp for
+    engine-deterministic binning), ε-smoothed shares
+    (operators/drift.psi_drift; crawler.py refresh endpoints have no such
+    guard — this is the snapshot-drift check a refresh pipeline needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.to_timestamp(F.lit(_DRIFT_SPLIT))
+    return psi_drift(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        n_bins=10,
+    )
+
+
+SQL_VALUE_PSI_DRIFT = """
+WITH ref AS (
+  SELECT value::DOUBLE AS v FROM events WHERE ts < TIMESTAMP '2024-01-16'
+), cur AS (
+  SELECT value::DOUBLE AS v FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+), cuts AS (
+  SELECT list_transform(
+           quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           c -> round(c, 4)) AS cs
+  FROM ref
+), spine AS (
+  SELECT unnest(generate_series(0, 9)) AS bin
+), rb AS (
+  SELECT len(list_filter(cs, c -> c <= v)) AS bin, count(*)::BIGINT AS ref_n
+  FROM ref, cuts GROUP BY 1
+), cb AS (
+  SELECT len(list_filter(cs, c -> c <= v)) AS bin, count(*)::BIGINT AS cur_n
+  FROM cur, cuts GROUP BY 1
+), j AS (
+  SELECT s.bin,
+         CASE WHEN s.bin > 0 THEN cs[s.bin] END AS lo,
+         CASE WHEN s.bin < 9 THEN cs[s.bin + 1] END AS hi,
+         coalesce(rb.ref_n, 0) AS ref_n, coalesce(cb.cur_n, 0) AS cur_n
+  FROM spine s CROSS JOIN cuts
+  LEFT JOIN rb ON rb.bin = s.bin LEFT JOIN cb ON cb.bin = s.bin
+), f AS (
+  SELECT bin, lo, hi, ref_n, cur_n,
+         greatest(ref_n::DOUBLE / nullif(sum(ref_n) OVER (), 0), 1e-6) AS rf,
+         greatest(cur_n::DOUBLE / nullif(sum(cur_n) OVER (), 0), 1e-6) AS cf
+  FROM j
+)
+SELECT bin, round(lo, 6) AS lo, round(hi, 6) AS hi, ref_n, cur_n,
+       round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac,
+       round((cf - rf) * ln(cf / rf), 6) AS psi_term,
+       round(sum((cf - rf) * ln(cf / rf)) OVER (), 6) AS psi_total
+FROM f ORDER BY bin
+"""
+
+
+def q_purchase_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between purchase and non-purchase value
+    distributions — tie-grouped ECDFs, one bounded window, 1-row top-off
+    (operators/drift.ks_two_sample)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("g"),
+        F.col("value"),
+    )
+    return ks_two_sample(df, "g", "value")
+
+
+SQL_PURCHASE_KS_DRIFT = """
+WITH ev AS (
+  SELECT value::DOUBLE AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+  FROM events
+), tied AS (
+  SELECT v, sum(g)::DOUBLE AS na, sum(1 - g)::DOUBLE AS nb FROM ev GROUP BY 1
+), c AS (
+  SELECT v, sum(na) OVER w AS cna, sum(nb) OVER w AS cnb,
+         sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+  FROM tied
+  WINDOW w AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+       round(abs(cna / nullif(ta, 0) - cnb / nullif(tb, 0)), 6) AS d_stat,
+       v AS d_at_value
+FROM c ORDER BY d_stat DESC, d_at_value ASC LIMIT 1
+"""
+
+
+def _ship_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_suppkey"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int") % 3
+        ).alias("e"),
+    )
+
+
+def q_supplier_ship_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands merge of per-supplier ship windows
+    ([shipdate, shipdate + qty%3 days]) — one key-partitioned window pair
+    sharing a partitioning + one rollup (operators/intervals.merge_intervals)."""
+    return merge_intervals(
+        _ship_intervals(spark, sf_dir), ["l_suppkey"], "s", "e"
+    ).select(
+        "l_suppkey",
+        "island",
+        F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+        "n_intervals",
+    )
+
+
+SQL_SUPPLIER_SHIP_ISLANDS = """
+WITH iv AS (
+  SELECT l_suppkey, l_shipdate::DATE AS s,
+         l_shipdate::DATE + to_days(l_quantity::INT % 3) AS e
+  FROM lineitem
+), m AS (
+  SELECT l_suppkey, s, e,
+         max(e) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), fl AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+  FROM m
+), isl AS (
+  SELECT l_suppkey, s, e,
+         sum(nf) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT AS island
+  FROM fl
+)
+SELECT l_suppkey, island, min(s) AS start, max(e) AS "end",
+       count(*)::BIGINT AS n_intervals
+FROM isl GROUP BY 1, 2
+"""
+
+
+def q_supplier_ship_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier coverage summary over the merged ship islands —
+    islands + one more per-key aggregation
+    (operators/intervals.coverage_stats)."""
+    return coverage_stats(_ship_intervals(spark, sf_dir), ["l_suppkey"], "s", "e")
+
+
+SQL_SUPPLIER_SHIP_COVERAGE = """
+WITH iv AS (
+  SELECT l_suppkey, l_shipdate::DATE AS s,
+         l_shipdate::DATE + to_days(l_quantity::INT % 3) AS e
+  FROM lineitem
+), m AS (
+  SELECT l_suppkey, s, e,
+         max(e) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), fl AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+  FROM m
+), isl AS (
+  SELECT l_suppkey, s, e,
+         sum(nf) OVER (PARTITION BY l_suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT AS island
+  FROM fl
+), islands AS (
+  SELECT l_suppkey, island, min(s) AS st, max(e) AS en
+  FROM isl GROUP BY 1, 2
+), per AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_islands,
+         sum(datediff('day', st, en) + 1)::BIGINT AS covered,
+         min(st) AS lo, max(en) AS hi
+  FROM islands GROUP BY 1
+)
+SELECT l_suppkey, n_islands, covered,
+       (datediff('day', lo, hi) + 1)::BIGINT AS span,
+       ((datediff('day', lo, hi) + 1) - covered)::BIGINT AS gaps,
+       round(covered::DOUBLE / nullif(datediff('day', lo, hi) + 1, 0), 6) AS coverage
+FROM per
+"""
+
+
+def q_part_price_size_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts — cheapest price per strictly-better
+    size: distinct points + one sorted sweep, no self-join
+    (operators/intervals.pareto_frontier; generalizes the reranker's
+    scalar blend at core_paper_reranker.py:193-453 to the non-dominated
+    set)."""
+    part = load_table(spark, sf_dir, "part")
+    return pareto_frontier(part, "p_retailprice", "p_size")
+
+
+SQL_PART_PRICE_SIZE_FRONTIER = """
+WITH pts AS (
+  SELECT p_retailprice AS mn, p_size AS mx, count(*)::BIGINT AS n_rows
+  FROM part GROUP BY 1, 2
+), sw AS (
+  SELECT mn, mx, n_rows,
+         max(mx) OVER (ORDER BY mn ASC, mx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb
+  FROM pts
+)
+SELECT mn AS p_retailprice, mx AS p_size, n_rows
+FROM sw WHERE pb IS NULL OR mx > pb
+"""
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage over the distinct part-name dimension
+    — block on the noun (last token), levenshtein ≤ 1
+    (operators/linkage.fuzzy_name_pairs; the typo-tolerant upgrade of
+    medical_vocabulary.py's exact synonym lookup)."""
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(
+        part, "p_name", lambda c: F.substring_index(c, " ", -1), max_dist=1
+    )
+
+
+SQL_FUZZY_PART_NAMES = """
+WITH dim AS (
+  SELECT p_name AS name, count(*)::BIGINT AS n FROM part GROUP BY 1
+), b AS (
+  SELECT name, n, split_part(name, ' ', 2) AS blk FROM dim
+)
+SELECT a.name AS name_a, c.name AS name_b,
+       levenshtein(a.name, c.name)::INT AS dist, a.n AS n_a, c.n AS n_b
+FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+WHERE levenshtein(a.name, c.name) <= 1
+ORDER BY 1, 2
+"""
+
+
+def q_part_name_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity resolution of the part-name dimension: fuzzy pairs →
+    transitive closure (connected components, min-label) → canonical name
+    mapping (operators/linkage.resolve_entities)."""
+    part = load_table(spark, sf_dir, "part")
+    return resolve_entities(
+        part, "p_name", lambda c: F.substring_index(c, " ", -1), max_dist=1
+    )
+
+
+SQL_PART_NAME_RESOLUTION = """
+WITH RECURSIVE dim AS (
+  SELECT p_name AS name, count(*)::BIGINT AS n FROM part GROUP BY 1
+), b AS (
+  SELECT name, split_part(name, ' ', 2) AS blk FROM dim
+), pr AS (
+  SELECT a.name AS na, c.name AS nb
+  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+  WHERE levenshtein(a.name, c.name) <= 1
+), e AS (
+  SELECT na AS src, nb AS dst FROM pr UNION SELECT nb, na FROM pr
+), reach(nm, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.nm
+), comp AS (
+  SELECT nm, min(r) AS canonical FROM reach GROUP BY 1
+)
+SELECT d.name, coalesce(c.canonical, d.name) AS canonical, d.n
+FROM dim d LEFT JOIN comp c ON c.nm = d.name
+ORDER BY 1
+"""
