@@ -235,3 +235,66 @@ def test_resolve_entities_transitive_chain(spark):
     assert out["old bolt"][0] == "cold bolt"
     assert out["gold bolt"][0] == "cold bolt"
     assert out["red ring"] == ("red ring", 1)
+
+
+def test_overlap_join_equals_naive_inequality_join(spark):
+    """Bin-blocked overlap join == the naive inequality join on random
+    intervals, across bin sizes (incl. bins much smaller than interval
+    length, where each pair meets in MANY bins — owner-bin dedup must
+    keep exactly one)."""
+    import random
+
+    from vectordb_bioinsight_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(11)
+    mk = lambda n, tag: [  # noqa: E731
+        (rng.randint(0, 2), rng.randint(0, 200), 0, f"{tag}{i}")
+        for i in range(n)
+    ]
+    rows_l = [(k, s, s + rng.randint(0, 40), t) for k, s, _, t in mk(60, "L")]
+    rows_r = [(k, s, s + rng.randint(0, 40), t) for k, s, _, t in mk(60, "R")]
+    left = spark.createDataFrame(rows_l, "key int, start long, end long, tag string")
+    right = spark.createDataFrame(rows_r, "key int, start long, end long, tag string")
+
+    naive = {
+        (lk, lt, rt)
+        for lk, ls, le, lt in rows_l
+        for rk, rs, re_, rt in rows_r
+        if lk == rk and ls <= re_ and rs <= le
+    }
+    for bin_size in (5, 32, 1000):
+        got = interval_overlap_join(left, right, ["key"], bin_size=bin_size)
+        pairs = [
+            (r["key"], r["tag_l"], r["tag_r"], r["overlap"])
+            for r in got.collect()
+        ]
+        assert len(pairs) == len(naive), f"bin={bin_size}: dup or missing pairs"
+        assert {(k, a, b) for k, a, b, _ in pairs} == naive
+        for k, a, b, ov in pairs:
+            ls, le = next((s, e) for kk, s, e, t in rows_l if t == a)
+            rs, re_ = next((s, e) for kk, s, e, t in rows_r if t == b)
+            assert ov == min(le, re_) - max(ls, rs) + 1 and ov >= 1
+
+
+def test_overlap_join_is_equi_join_no_nested_loop(spark):
+    """The physical plan must contain NO BroadcastNestedLoopJoin or
+    CartesianProduct — the whole point of bin blocking."""
+    from vectordb_bioinsight_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10), (1, 20, 30)], "key int, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 25)], "key int, start long, end long"
+    )
+    df = interval_overlap_join(left, right, ["key"], bin_size=8)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

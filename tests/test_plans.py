@@ -322,7 +322,7 @@ _GLOBAL_WINDOW_ALLOWED = {
     "user_skew_profile",
     # same limit-then-rank shape (operators/vector.py::maxsim_topk,
     # operators/pq.py::sq8_adc_topk)
-    "maxsim_docs", "sq8_adc_knn",
+    "maxsim_docs", "sq8_adc_knn", "binq_knn",
     # PR curve / ECDF / PSI / skyline: one cumulative window over a
     # tie-grouped or bin/point-grouped frame — input bounded by score
     # cardinality (bucketed upstream), n_bins, or distinct points, never

@@ -149,3 +149,71 @@ def pareto_frontier(
         )
         .orderBy(minimize_col)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: "list[str]",
+    bin_size: int,
+    suffixes: "tuple[str, str]" = ("_l", "_r"),
+) -> DataFrame:
+    """Bin-blocked interval-overlap join — the genomic range-join shape
+    (bedtools intersect / ADAM's region join; the variant→gene annotation
+    step downstream of the VCF/MAF scans in sources/readers.py, reference
+    capability anchor rnaseq_pipeline/preprocessing/gene_filter.py which
+    joins per-gene rows against annotation windows one file at a time).
+
+    Both inputs carry ``key_cols`` (the chromosome analog) plus numeric
+    ``start``/``end`` (inclusive). A naive overlap join is an inequality
+    predicate — a nested-loop/cartesian per key on any SQL engine. This
+    operator turns it into an EQUI-join Catalyst can shuffle-hash: each
+    interval replicates to the fixed-width bins it touches
+    (floor(start/bin) .. floor(end/bin), one F.sequence + explode), the
+    join key is (key..., bin), and each overlapping pair is kept in
+    EXACTLY ONE bin — the bin of max(l.start, r.start), which both
+    intervals provably cover — so no distinct pass is needed.
+
+    ``bin_size`` tunes replication: ~the typical interval length gives
+    ~2 bins per interval. A pathologically long interval replicates to
+    len/bin_size bins — cap or split outliers upstream if the length
+    distribution is heavy-tailed (the skew note in SCALING.md).
+
+    Output: key cols + (start_l, end_l, start_r, end_r, rest of both
+    sides suffixed) + overlap = inclusive overlap length.
+    """
+    sl, sr = suffixes
+
+    def binned(df: DataFrame, suffix: str) -> DataFrame:
+        renamed = df.select(
+            *key_cols,
+            *[
+                F.col(c).alias(f"{c}{suffix}")
+                for c in df.columns
+                if c not in key_cols
+            ],
+        )
+        s, e = F.col(f"start{suffix}"), F.col(f"end{suffix}")
+        return renamed.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(s / bin_size).cast("long"),
+                    F.floor(e / bin_size).cast("long"),
+                )
+            ),
+        )
+
+    lb, rb = binned(left, sl), binned(right, sr)
+    l_s, l_e = F.col(f"start{sl}"), F.col(f"end{sl}")
+    r_s, r_e = F.col(f"start{sr}"), F.col(f"end{sr}")
+    owner_bin = F.floor(F.greatest(l_s, r_s) / bin_size).cast("long")
+    return (
+        lb.join(rb, [*key_cols, "bin"])
+        .filter((l_s <= r_e) & (r_s <= l_e) & (F.col("bin") == owner_bin))
+        .drop("bin")
+        .withColumn(
+            "overlap",
+            (F.least(l_e, r_e) - F.greatest(l_s, r_s) + F.lit(1)).cast("long"),
+        )
+    )

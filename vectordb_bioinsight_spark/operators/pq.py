@@ -433,3 +433,177 @@ def sq8_adc_topk(
     top = scored.orderBy(F.asc("dist"), F.asc("id")).limit(k)
     w = Window.orderBy(F.asc("dist"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (sign-bit codes + Hamming shortlist + exact rerank)
+# --------------------------------------------------------------------------
+
+#: bits packed per code word. 32 (not 64) so every shifted value stays a
+#: POSITIVE int64 on both engines — `1 << 63` wraps negative, and signed
+#: wraparound semantics are exactly the kind of cross-engine edge the
+#: oracle hash would trip on. A 64-dim vector becomes 2 bigints (16 bytes,
+#: a 16x layout below the raw floats and 4x below SQ8).
+WORD_BITS = 32
+
+
+def binary_thresholds(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension MEDIAN threshold table (dim 1-based, mu) that
+    :func:`binary_quantize` signs against.
+
+    Median (not mean): (a) it balances each bit to ~50/50, which maximizes
+    the entropy of the code — the standard ITQ/median-threshold trick for
+    sign-bit hashing; (b) it is an order statistic, so it is reproducible
+    across engines (Spark percentile() and DuckDB quantile_cont share the
+    type-7 interpolation) — a mean of doubles depends on summation order
+    and would flip borderline bits between engines.
+    """
+    return (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"))
+        .select((F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(F.percentile("x", F.lit(0.5)).alias("mu"))
+    )
+
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    thresholds: DataFrame | None = None,
+) -> DataFrame:
+    """Sign-bit binary quantization: component d contributes bit
+    ``(d-1) % 32`` of word ``(d-1) // 32`` iff x_d > median_d — the
+    1-bit-per-dimension layout (LSH sign codes / RaBitQ-family baseline)
+    that closes the quantization ladder below PQ (m bytes) and SQ8
+    (D bytes): D/8 bytes per vector.
+
+    Reference capability anchor: the reference brute-forces raw float
+    vectors (backend/app/core/vector_store.py:272-299); binary codes are
+    the published memory/scan lever for that capability at corpus scale.
+
+    Physical plan: one posexplode, one broadcast join against the 1-row-
+    per-dim threshold table, ``bit_or`` partial-aggregated per (id, word)
+    — map-side combinable, 16 bytes/vector into the shuffle — then a
+    dim-sorted reassembly per id. No driver collect, no UDF.
+
+    Output: (id, words array<bigint>, n_set) — n_set is the code
+    popcount, the quantizer's balance diagnostic (median thresholds
+    should keep sum(n_set)/N ~ D/2).
+    """
+    if thresholds is None:
+        thresholds = binary_thresholds(df, vec_col)
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
+    )
+    bit = F.when(F.col("x") > F.col("mu"), F.lit(1).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    # SQL shiftleft: the PySpark wrapper only takes a literal shift, the
+    # SQL function takes an expression
+    contrib = F.expr(f"shiftleft(_bit, cast((dim - 1) % {WORD_BITS} as int))")
+    words = (
+        ex.select("id", (F.col("dim0") + 1).alias("dim"), "x")
+        .join(F.broadcast(thresholds), "dim")
+        .withColumn("_bit", bit)
+        .select(
+            "id",
+            F.floor((F.col("dim") - 1) / WORD_BITS).cast("int").alias("word"),
+            contrib.alias("contrib"),
+        )
+        .groupBy("id", "word")
+        .agg(F.bit_or("contrib").alias("w"))
+    )
+    return words.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))),
+            lambda s: s["w"],
+        ).alias("words"),
+        F.sum(F.bit_count("w")).cast("long").alias("n_set"),
+    )
+
+
+def hamming_topk(
+    codes: DataFrame,
+    query_words: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Hamming top-k over packed binary codes: distance =
+    sum over words of ``bit_count(w XOR qw)`` — pure JVM bit arithmetic
+    inside whole-stage codegen; the corpus scan reads ONLY the code
+    column (D/8 bytes per row).
+
+    ``codes``: (id, words array<bigint>); ``query_words``: (word 0-based,
+    qw) long form, so the query stays relational and the oracle can
+    derive it from data. Ties toward the smaller id; top-k via
+    TakeOrderedAndProject, then rank over the k-row frame.
+
+    Output: (id, hamming, rank).
+    """
+    from pyspark.sql import Window
+
+    ex = codes.select("id", F.posexplode("words").alias("word", "w"))
+    scored = (
+        ex.join(F.broadcast(query_words), "word")
+        .groupBy("id")
+        .agg(
+            F.sum(F.bit_count(F.col("w").bitwiseXOR(F.col("qw"))))
+            .cast("long")
+            .alias("hamming")
+        )
+    )
+    top = scored.orderBy(F.asc("hamming"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("hamming"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def binq_search(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codes: DataFrame,
+    query_words: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    shortlist: int = 40,
+) -> DataFrame:
+    """Two-stage binary-quantized search: Hamming shortlist over the
+    packed codes (the only corpus-wide scan — D/8 bytes per row), then
+    EXACT cosine rerank of the ``shortlist`` survivors against the raw
+    vectors. The standard coarse-then-refine recipe: at 100 TB the float
+    vectors are touched for only ``shortlist`` rows, fetched by an
+    id-equi-join that broadcasts the shortlist.
+
+    ``query``: (dim 1-based, qx) long form of the raw query vector.
+    Cosine rounds 6 dp; final ties toward the smaller id.
+
+    Output: (id, hamming, cos, rank) — top ``k`` by cosine.
+    """
+    from pyspark.sql import Window
+
+    short = hamming_topk(codes, query_words, k=shortlist).drop("rank")
+    ex = vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
+    ).select("id", (F.col("dim0") + 1).alias("dim"), "x")
+    cand = ex.join(F.broadcast(short), "id")
+    qnorm = query.select(F.sqrt(F.sum(F.col("qx") ** 2)).alias("qn"))
+    scored = (
+        cand.join(F.broadcast(query), "dim")
+        .groupBy("id", "hamming")
+        .agg(
+            (F.sum(F.col("x") * F.col("qx")) / F.sqrt(F.sum(F.col("x") ** 2))).alias(
+                "_dot_over_n"
+            )
+        )
+        .join(F.broadcast(qnorm))
+        .select(
+            "id",
+            "hamming",
+            F.round(F.col("_dot_over_n") / F.col("qn"), 6).alias("cos"),
+        )
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -63,6 +63,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
     "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
     "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
+    "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
+    "binq_knn": (vec.q_binq_knn, vec.SQL_BINQ_KNN),
+    "ship_overlap_annotation": (
+        evl.q_ship_overlap_annotation,
+        evl.SQL_SHIP_OVERLAP_ANNOTATION,
+    ),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -462,3 +462,81 @@ SELECT d.name, coalesce(c.canonical, d.name) AS canonical, d.n
 FROM dim d LEFT JOIN comp c ON c.nm = d.name
 ORDER BY 1
 """
+
+
+def q_ship_overlap_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-blocked interval-overlap join (operators/intervals.py::
+    interval_overlap_join — the bedtools-intersect / variant-annotation
+    shape): ±5-day-tolerance windows around a sampled shipment set are
+    annotated against the supplier's merged activity islands; per
+    (supplier, island) the hit count and total inclusive overlap days.
+    The inequality join runs as an equi-join on (suppkey, 32-day bin)
+    with owner-bin dedup — no nested loop, no distinct pass."""
+    from vectordb_bioinsight_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1970-01-01").cast("date")
+    ship = F.datediff(F.col("l_shipdate"), epoch).cast("long")
+    # no receiptdate in the synthetic lineitem — derive a transit window
+    # of qty % 14 days (the supplier_ship_islands convention)
+    recv = ship + (F.col("l_quantity").cast("long") % 14)
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        ship.alias("start"),
+        recv.alias("end"),
+    )
+    islands = merge_intervals(iv, ["suppkey"], "start", "end").select(
+        "suppkey", "island", "start", "end"
+    )
+    sample = li.filter(F.col("l_orderkey") % 37 == 0).select(
+        F.col("l_suppkey").alias("suppkey"),
+        (ship - 5).alias("start"),
+        (recv + 5).alias("end"),
+    )
+    joined = interval_overlap_join(sample, islands, ["suppkey"], bin_size=32)
+    return joined.groupBy(
+        "suppkey", F.col("island_r").alias("island")
+    ).agg(
+        F.count("*").cast("long").alias("n_overlaps"),
+        F.sum("overlap").cast("long").alias("overlap_days"),
+    )
+
+
+SQL_SHIP_OVERLAP_ANNOTATION = """
+WITH iv AS (
+  SELECT l_suppkey AS suppkey,
+         (l_shipdate::DATE - DATE '1970-01-01') AS s,
+         (l_shipdate::DATE - DATE '1970-01-01') + (l_quantity::BIGINT % 14) AS e
+  FROM lineitem
+), m AS (
+  SELECT suppkey, s, e,
+         max(e) OVER (PARTITION BY suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+), fl AS (
+  SELECT suppkey, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nf
+  FROM m
+), isl AS (
+  SELECT suppkey, s, e,
+         sum(nf) OVER (PARTITION BY suppkey ORDER BY s ASC, e ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::INT AS island
+  FROM fl
+), islands AS (
+  SELECT suppkey, island, min(s) AS rs, max(e) AS re
+  FROM isl GROUP BY 1, 2
+), sample AS (
+  SELECT l_suppkey AS suppkey,
+         (l_shipdate::DATE - DATE '1970-01-01') - 5 AS ls,
+         (l_shipdate::DATE - DATE '1970-01-01') + (l_quantity::BIGINT % 14) + 5 AS le
+  FROM lineitem WHERE l_orderkey % 37 = 0
+)
+SELECT s.suppkey, i.island,
+       count(*)::BIGINT AS n_overlaps,
+       sum(least(s.le, i.re) - greatest(s.ls, i.rs) + 1)::BIGINT AS overlap_days
+FROM sample s JOIN islands i
+  ON s.suppkey = i.suppkey AND s.ls <= i.re AND i.rs <= s.le
+GROUP BY 1, 2
+"""

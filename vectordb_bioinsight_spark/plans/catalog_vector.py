@@ -1184,3 +1184,109 @@ SELECT doc, score, rank FROM (
   SELECT *, row_number() OVER (ORDER BY score DESC, doc ASC) AS rank FROM scored
 ) WHERE rank <= 10
 """
+
+
+def q_binq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization of the embeddings table (operators/pq.py::
+    binary_quantize): median-thresholded sign bits packed 32 per bigint
+    word — the D/8-byte layout that closes the quantization ladder below
+    PQ and SQ8, with the packed words themselves hash-checked plus the
+    per-vector popcount balance diagnostic."""
+    from vectordb_bioinsight_spark.operators.pq import binary_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_quantize(emb, "vec_id", "embedding")
+
+
+SQL_BINQ_CODES = """
+WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), med AS (
+  SELECT dim, quantile_cont(x, 0.5) AS mu FROM ex GROUP BY 1
+), bits AS (
+  SELECT e.id, ((e.dim - 1) // 32)::INT AS word,
+         CASE WHEN e.x > m.mu
+              THEN 1::BIGINT << ((e.dim - 1) % 32)::INT
+              ELSE 0::BIGINT END AS contrib
+  FROM ex e JOIN med m USING (dim)
+), words AS (
+  SELECT id, word, bit_or(contrib) AS w FROM bits GROUP BY 1, 2
+)
+SELECT id, list(w ORDER BY word) AS words,
+       sum(bit_count(w))::BIGINT AS n_set
+FROM words GROUP BY id
+"""
+
+
+def q_binq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary-quantized search for vector 0 (operators/pq.py::
+    binq_search): Hamming top-40 shortlist over the packed sign-bit codes
+    (the only corpus-wide scan — 16 bytes/row), exact cosine rerank of
+    the survivors against the raw floats, top-10."""
+    from vectordb_bioinsight_spark.operators.pq import (
+        binary_quantize,
+        binary_thresholds,
+        binq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thresholds = binary_thresholds(emb, "embedding")
+    codes = binary_quantize(emb, "vec_id", "embedding", thresholds).select(
+        "id", "words"
+    )
+    query_words = (
+        codes.filter(F.col("id") == 0)
+        .select(F.posexplode("words").alias("word", "qw"))
+    )
+    query = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim0", "qx"
+            )
+        )
+        .select((F.col("dim0") + 1).alias("dim"), "qx")
+    )
+    return binq_search(
+        emb, "vec_id", "embedding", codes, query_words, query, k=10, shortlist=40
+    )
+
+
+SQL_BINQ_KNN = """
+WITH ex AS (
+  SELECT vec_id AS id, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), med AS (
+  SELECT dim, quantile_cont(x, 0.5) AS mu FROM ex GROUP BY 1
+), bits AS (
+  SELECT e.id, ((e.dim - 1) // 32)::INT AS word,
+         CASE WHEN e.x > m.mu
+              THEN 1::BIGINT << ((e.dim - 1) % 32)::INT
+              ELSE 0::BIGINT END AS contrib
+  FROM ex e JOIN med m USING (dim)
+), words AS (
+  SELECT id, word, bit_or(contrib) AS w FROM bits GROUP BY 1, 2
+), q AS (
+  SELECT word, w AS qw FROM words WHERE id = 0
+), ham AS (
+  SELECT words.id, sum(bit_count(xor(words.w, q.qw)))::BIGINT AS hamming
+  FROM words JOIN q USING (word) GROUP BY 1
+), short AS (
+  SELECT id, hamming FROM ham ORDER BY hamming ASC, id ASC LIMIT 40
+), qv AS (
+  SELECT dim, x AS qx FROM ex WHERE id = 0
+), qn AS (
+  SELECT sqrt(sum(qx * qx)) AS qn FROM qv
+), scored AS (
+  SELECT e.id, s.hamming,
+         round(sum(e.x * q.qx) / sqrt(sum(e.x * e.x)) / (SELECT qn FROM qn), 6) AS cos
+  FROM ex e JOIN short s USING (id) JOIN qv q USING (dim)
+  GROUP BY 1, 2
+)
+SELECT id, hamming, cos, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""
