@@ -64,3 +64,67 @@ def test_approx_within_rank_tolerance(spark):
         lo = vals[max(0, math.ceil(q * n) - 1 - 3)]
         hi = vals[min(n - 1, math.ceil(q * n) - 1 + 3)]
         assert lo <= approx[name] <= hi, (name, exact[name], approx[name])
+
+
+class TestHistShards:
+    """Mergeable fixed-grid histogram quantiles (operators/sketches.py::
+    hist_shards / merge_hist_shards / hist_quantiles)."""
+
+    def test_merge_equals_rebuild_exactly(self, spark):
+        """Integer counts: shard-then-merge == one-pass build, EXACT."""
+        import random
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            hist_shards,
+            merge_hist_shards,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (f"g{i % 3}", i % 7, rng.uniform(-50, 450)) for i in range(2000)
+        ]
+        df = spark.createDataFrame(rows, "g string, day int, x double")
+        sharded = merge_hist_shards(
+            hist_shards(df, ["g", "day"], "x", lo=0.0, hi=400.0), ["g"]
+        )
+        direct = hist_shards(df, ["g"], "x", lo=0.0, hi=400.0)
+        a = {(r["g"], r["bin"]): r["cnt"] for r in sharded.collect()}
+        b = {(r["g"], r["bin"]): r["cnt"] for r in direct.collect()}
+        assert a == b
+
+    def test_quantile_error_bounded_by_bin_width(self, spark):
+        """Estimate >= exact quantile (conservative rank query) and
+        within one bin width above it, for in-range data."""
+        import random
+
+        import numpy as np
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            hist_quantiles,
+            hist_shards,
+        )
+
+        rng = random.Random(5)
+        vals = [rng.uniform(0, 400) for _ in range(5000)]
+        df = spark.createDataFrame([("a", v) for v in vals], "g string, x double")
+        n_bins, width = 128, 400.0 / 128
+        h = hist_shards(df, ["g"], "x", lo=0.0, hi=400.0, n_bins=n_bins)
+        out = hist_quantiles(h, ["g"], lo=0.0, hi=400.0, n_bins=n_bins).first()
+        assert out["n"] == 5000
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            # exact lower quantile: the ceil(q*n)-th smallest value
+            exact = float(np.sort(vals)[int(np.ceil(q * 5000)) - 1])
+            assert exact <= out[col] <= exact + width + 1e-9
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from vectordb_bioinsight_spark.operators.sketches import hist_shards
+
+        df = spark.createDataFrame(
+            [("a", -99.0), ("a", 0.0), ("a", 400.0), ("a", 9e9)],
+            "g string, x double",
+        )
+        got = {
+            r["bin"]: r["cnt"]
+            for r in hist_shards(df, ["g"], "x", 0.0, 400.0, 128).collect()
+        }
+        assert got == {0: 2, 127: 2}

@@ -186,3 +186,92 @@ def hll_to_stats(profile: "DataFrame") -> "DataFrame":
     return profile.select(
         *keep, F.hll_sketch_estimate("hll").cast("long").alias("n_distinct")
     )
+
+
+def hist_shards(
+    df: "DataFrame",
+    shard_cols: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> "DataFrame":
+    """Per-shard fixed-grid HISTOGRAM state — the quantile sibling of
+    :func:`moment_shards` / :func:`hll_shards`, closing the mergeable-
+    sketch family (moments / distinct / heavy-hitters / quantiles).
+    Values clamp into ``n_bins`` equal-width bins over the FIXED [lo, hi]
+    grid; out-of-range values land in the edge bins, so a drifting
+    production stream never errors, it shows up as edge mass.
+
+    The grid is caller-fixed (from the reference period / data contract),
+    NOT data-derived — that is what makes the state mergeable across
+    shards, days, and engines: counts are integers, so merge == rebuild
+    is EXACT (property-tested), unlike the float-associativity envelope
+    of moment shards. Quantile estimates from the merged state carry a
+    bounded error of one bin width — the standard fixed-grid trade
+    (q-digest/KLL buy adaptive grids at the cost of a custom UDAF; the
+    fixed grid stays in pure JVM expressions).
+
+    One map-side-combinable groupBy; output (shard..., bin, cnt) is
+    shard-cardinality x occupied bins."""
+    span = float(hi) - float(lo)
+    x = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((x - F.lit(float(lo))) / span * n_bins), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(*shard_cols, bin_.alias("bin"))
+        .groupBy(*shard_cols, "bin")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def merge_hist_shards(
+    shards: "DataFrame",
+    group_cols: "list[str]",
+) -> "DataFrame":
+    """Fold histogram shard rows to a coarser grain: one integer-sum
+    aggregation per (group, bin) — exact and associative."""
+    return shards.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def hist_quantiles(
+    hist: "DataFrame",
+    group_cols: "list[str]",
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+) -> "DataFrame":
+    """Quantile estimates from merged histogram state: per group, the
+    RIGHT EDGE of the first bin whose cumulative count reaches
+    ceil(q * n) — a conservative (never-underestimating) rank query with
+    error bounded by one bin width. One bin-ordered window over the
+    ≤n_bins-per-group frame + one aggregation; deterministic integer
+    arithmetic, so the estimates hash across engines.
+
+    Output: (group..., n, q50, q90, ... one column per requested q
+    rounded 6 dp)."""
+    from pyspark.sql import Window
+
+    span = float(hi) - float(lo)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for q in qs:
+        hit = F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin"))
+        aggs.append(
+            F.round(
+                F.lit(float(lo)) + (F.min(hit) + 1) / n_bins * span, 6
+            ).alias(f"q{int(round(q * 100))}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -69,6 +69,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         evl.q_ship_overlap_annotation,
         evl.SQL_SHIP_OVERLAP_ANNOTATION,
     ),
+    "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -970,3 +970,52 @@ FROM daily a CROSS JOIN lags l
 JOIN daily b ON a.day + to_days(l.lag::INT) = b.day AND a.key < b.key
 GROUP BY 1, 2, 3
 """
+
+
+def q_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HISTOGRAM-quantile algebra exercised inside the oracle
+    check (operators/sketches.py::hist_shards / merge_hist_shards /
+    hist_quantiles — the quantile member of the mergeable-sketch family):
+    per-(type, day) fixed-grid [0, 400]x128 histogram shards folded to
+    per-type state, then conservative rank queries (right bin edge at
+    ceil(q*n)). The DuckDB twin builds the histogram in ONE direct pass —
+    so the hash asserts merge == rebuild exactly, integer counts having
+    no float-associativity envelope."""
+    from vectordb_bioinsight_spark.operators.sketches import (
+        hist_quantiles,
+        hist_shards,
+        merge_hist_shards,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard_day", F.to_date("ts")
+    )
+    shards = hist_shards(
+        ev, ["event_type", "shard_day"], "value", lo=0.0, hi=400.0, n_bins=128
+    )
+    merged = merge_hist_shards(shards, ["event_type"])
+    return hist_quantiles(
+        merged, ["event_type"], lo=0.0, hi=400.0, n_bins=128, qs=(0.5, 0.9, 0.99)
+    )
+
+
+SQL_VALUE_HIST_QUANTILES = """
+WITH b AS (
+  SELECT event_type,
+         least(greatest(floor((value::DOUBLE - 0.0) / 400.0 * 128), 0), 127)::INT AS bin
+  FROM events
+), h AS (
+  SELECT event_type, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, max(n)::BIGINT AS n,
+       round(0.0 + (min(CASE WHEN cum >= ceil(0.5  * n) THEN bin END) + 1) / 128.0 * 400.0, 6) AS q50,
+       round(0.0 + (min(CASE WHEN cum >= ceil(0.9  * n) THEN bin END) + 1) / 128.0 * 400.0, 6) AS q90,
+       round(0.0 + (min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) + 1) / 128.0 * 400.0, 6) AS q99
+FROM c GROUP BY 1
+"""
