@@ -427,3 +427,90 @@ class TestKCore:
                kcore_peel(df, "s", "d", k=4, rounds=2).collect()}
         assert out == {n: 4 for n in nodes}
         assert kcore_peel(df, "s", "d", k=5, rounds=2).count() == 0
+
+
+class TestLinkPrediction:
+    def test_scores_match_networkx_style_reference(self, spark):
+        """Square + chord fixture, hand-checked: non-edge (1,3) of square
+        1-2-3-4 has CN {2,4}, Jaccard 2/2=1, AA 1/ln2+1/ln2 when degrees
+        are 2."""
+        import math
+
+        from vectordb_bioinsight_spark.operators.network import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (1, 4)], "item1 int, item2 int"
+        )
+        out = {(r["u"], r["v"]): r for r in link_prediction(edges).collect()}
+        assert set(out) == {(1, 3), (2, 4)}
+        r = out[(1, 3)]
+        assert r["cn"] == 2 and r["jaccard"] == 1.0
+        assert abs(r["aa"] - 2 / math.log(2)) < 1e-5
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        """All three scores equal a pure-python neighborhood computation
+        on a random graph (existing edges excluded)."""
+        import math
+        import random
+
+        from vectordb_bioinsight_spark.operators.network import link_prediction
+
+        rng = random.Random(17)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(12), 2)))
+                for _ in range(30)
+            }
+        )
+        nbrs: dict[int, set[int]] = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        expect = {}
+        nodes = sorted(nbrs)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if v in nbrs[u]:
+                    continue
+                common = nbrs[u] & nbrs[v]
+                if not common:
+                    continue
+                cn = len(common)
+                expect[(u, v)] = (
+                    cn,
+                    round(cn / len(nbrs[u] | nbrs[v]), 6),
+                    round(sum(1 / math.log(len(nbrs[w])) for w in common), 6),
+                )
+        df = spark.createDataFrame(edges, "item1 int, item2 int")
+        got = {
+            (r["u"], r["v"]): (r["cn"], r["jaccard"], r["aa"])
+            for r in link_prediction(df).collect()
+        }
+        assert got.keys() == expect.keys()
+        for k in expect:
+            assert got[k][0] == expect[k][0]
+            assert abs(got[k][1] - expect[k][1]) < 1e-6
+            assert abs(got[k][2] - expect[k][2]) < 1e-6
+
+    def test_max_degree_drops_hub_wedges_only(self, spark):
+        """A star hub above the cap contributes no wedges, but its
+        degree still counts in Jaccard denominators."""
+        from vectordb_bioinsight_spark.operators.network import link_prediction
+
+        # hub 0 connects to 1..5; plus chain 1-6, 2-6 (center 6, deg 2)
+        rows = [(0, i) for i in range(1, 6)] + [(1, 6), (2, 6)]
+        edges = spark.createDataFrame(rows, "item1 int, item2 int")
+        capped = {
+            (r["u"], r["v"]): r
+            for r in link_prediction(edges, max_degree=3).collect()
+        }
+        # hub-0-centered wedges (e.g. (1,3),(2,5)...) are gone; only
+        # wedges through sub-cap centers survive: (1,2) via 6, and (0,6)
+        # via centers 1 and 2
+        assert set(capped) == {(1, 2), (0, 6)}
+        r = capped[(1, 2)]
+        # deg(1)=2 (0 and 6), deg(2)=2 -> union 3 with cn 1
+        assert r["cn"] == 1 and abs(r["jaccard"] - round(1 / 3, 6)) < 1e-9
+        r06 = capped[(0, 6)]
+        # hub degree STILL counts in the denominator: 2/(5+2-2)
+        assert r06["cn"] == 2 and abs(r06["jaccard"] - 0.4) < 1e-9

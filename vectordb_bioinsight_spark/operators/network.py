@@ -1048,3 +1048,87 @@ def kcore_peel(
     return alive.groupBy(F.col("a").alias("node")).agg(
         F.count("*").cast("long").alias("core_degree")
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "item1",
+    dst: str = "item2",
+    max_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Neighborhood link prediction over an undirected graph: for every
+    NON-edge pair sharing >= ``min_common`` neighbors, the three classic
+    scores — common-neighbor count, Jaccard(N(u), N(v)), and Adamic-Adar
+    (sum over shared w of 1/ln(deg w)) — the KG "suggest a missing
+    association" capability over the same co-occurrence graphs the
+    reference builds for its network views (agent2_network.py builds the
+    graph; scoring absent edges is the published next step, Liben-Nowell
+    & Kleinberg 2003).
+
+    Plan: symmetrize, one wedge self-join on the shared-neighbor key
+    (u < v canonical), anti-join existing edges, two broadcast-sized
+    degree joins. Shuffles are all on node keys.
+
+    Scale: a hub of degree d emits d^2/2 wedges — the quadratic term.
+    ``max_degree`` drops hubs from the WEDGE ENUMERATION ONLY (their
+    pairs vanish, their degree still counts in Jaccard/AA): the standard
+    mitigation, hubs carry near-zero AA signal by construction
+    (1/ln d -> 0). Set it (~99.9th-pct degree) whenever the degree
+    distribution is heavy-tailed; leave None only on degree-capped
+    graphs.
+
+    Output: (u, v, cn, jaccard, aa) — jaccard/aa rounded 6 dp.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+
+    # wedge center = the shared neighbor: orient rows as (center, leaf)
+    ctr = sym.select(F.col("a").alias("w"), F.col("b").alias("leaf"))
+    if max_degree is not None:
+        # cap the WEDGE CENTER's fan-out only — degrees still count full
+        ctr = ctr.join(
+            deg.select(F.col("a").alias("w"), "deg").filter(
+                F.col("deg") <= max_degree
+            ),
+            "w",
+        ).drop("deg")
+    ctr = ctr.join(
+        deg.select(F.col("a").alias("w"), F.col("deg").alias("deg_w")), "w"
+    )
+    left = ctr.select("w", F.col("leaf").alias("u"), "deg_w")
+    right = ctr.select("w", F.col("leaf").alias("v"))
+    pairs = (
+        left.join(right, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(1.0 / F.log(F.col("deg_w"))).alias("_aa"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    existing = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    cand = pairs.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("a").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("a").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+            F.round("_aa", 6).alias("aa"),
+        )
+    )

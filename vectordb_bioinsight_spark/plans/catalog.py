@@ -70,6 +70,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         evl.SQL_SHIP_OVERLAP_ANNOTATION,
     ),
     "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
+    "word_link_prediction": (net.q_word_link_prediction, net.SQL_WORD_LINK_PREDICTION),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

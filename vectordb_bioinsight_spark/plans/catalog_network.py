@@ -733,3 +733,73 @@ SELECT item, neighbor, weight AS cooc, similarity, rank FROM (
   FROM scored
 ) WHERE rank <= 5
 """
+
+
+def q_word_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the word co-occurrence graph (operators/
+    network.py::link_prediction): the top-20 NON-edges by common-neighbor
+    count with Jaccard and Adamic-Adar — the "suggest a missing
+    association" step over the KG the reference builds
+    (agent2_network.py; Liben-Nowell & Kleinberg 2003). Wedge self-join
+    on the shared-neighbor key, anti-join existing edges; full tiebreak
+    (cn desc, aa desc, pair) keeps the LIMIT deterministic."""
+    from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+    from vectordb_bioinsight_spark.operators.network import link_prediction
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                    lambda t: F.length(t) >= 4,
+                )
+            )
+        ).alias("word"),
+    )
+    edges = cooccurrence_edges(pairs, "word", "doc_id", min_weight=50)
+    scored = link_prediction(edges, "item1", "item2", min_common=1)
+    return scored.orderBy(
+        F.desc("cn"), F.desc("aa"), F.asc("u"), F.asc("v")
+    ).limit(20)
+
+
+SQL_WORD_LINK_PREDICTION = """
+WITH dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          t -> length(t) >= 4)) AS word
+    FROM documents
+  )
+), e AS (
+  SELECT a.word AS a, b.word AS b
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY 1, 2
+  HAVING count(*) >= 50
+), sym AS (
+  SELECT a, b FROM e UNION SELECT b, a FROM e
+), deg AS (
+  SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+), ctr AS (
+  SELECT s.a AS w, s.b AS leaf, d.deg AS deg_w
+  FROM sym s JOIN deg d ON d.node = s.a
+), pairs AS (
+  SELECT l.leaf AS u, r.leaf AS v,
+         count(*)::BIGINT AS cn,
+         sum(1.0 / ln(l.deg_w)) AS aa_raw
+  FROM ctr l JOIN ctr r ON l.w = r.w AND l.leaf < r.leaf
+  GROUP BY 1, 2
+), cand AS (
+  SELECT p.* FROM pairs p
+  ANTI JOIN e ON e.a = p.u AND e.b = p.v
+)
+SELECT u, v, cn,
+       round(cn / (du.deg + dv.deg - cn), 6) AS jaccard,
+       round(aa_raw, 6) AS aa
+FROM cand
+JOIN deg du ON du.node = cand.u
+JOIN deg dv ON dv.node = cand.v
+ORDER BY cn DESC, aa DESC, u ASC, v ASC
+LIMIT 20
+"""
