@@ -299,3 +299,30 @@ class TestBinaryQuantization:
             )
         )
         assert "embedding" not in plan
+
+
+def test_binary_encode_inline_equals_relational(spark, emb):
+    """The scan-local inlined-threshold encoder produces byte-identical
+    words to the relational (oracle-twin) path, and its plan has ZERO
+    exchanges."""
+    import re
+
+    from vectordb_bioinsight_spark.operators.pq import (
+        binary_encode_inline,
+        binary_quantize,
+        binary_thresholds,
+    )
+
+    th = binary_thresholds(emb, "embedding")
+    mu = [r["mu"] for r in th.orderBy("dim").collect()]
+    inline = binary_encode_inline(emb, "vec_id", "embedding", mu)
+    rel = binary_quantize(emb, "vec_id", "embedding", th).select("id", "words")
+    a = {r["id"]: r["words"] for r in inline.collect()}
+    b = {r["id"]: r["words"] for r in rel.collect()}
+    assert a == b
+    plan = inline._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 0

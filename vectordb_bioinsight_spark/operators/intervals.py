@@ -160,9 +160,10 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Bin-blocked interval-overlap join — the genomic range-join shape
     (bedtools intersect / ADAM's region join; the variant→gene annotation
-    step downstream of the VCF/MAF scans in sources/readers.py, reference
-    capability anchor rnaseq_pipeline/preprocessing/gene_filter.py which
-    joins per-gene rows against annotation windows one file at a time).
+    step downstream of the VCF/MAF scans in sources/readers.py — the
+    reference matches variant positions against hotspot regions one row
+    at a time, rnaseq_pipeline/agents/agent_variant.py:242-262; the
+    interval join is that capability over two distributed tables).
 
     Both inputs carry ``key_cols`` (the chromosome analog) plus numeric
     ``start``/``end`` (inclusive). A naive overlap join is an inequality

@@ -607,3 +607,33 @@ def binq_search(
     top = scored.orderBy(F.desc("cos"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("cos"), F.asc("id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def binary_encode_inline(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    thresholds: "list[float]",
+) -> DataFrame:
+    """Scan-local binary encode — the 100 TB path. The per-dim threshold
+    vector (D floats, KBs) is INLINED into one SQL expression (the
+    semdedup/PQ-codebook trick), so encoding is a pure JVM projection:
+    zero shuffle, zero Python, embarrassingly parallel. The relational
+    :func:`binary_quantize` stays as the oracle-replayable twin that
+    derives the thresholds in-plan; equality of the two is unit-tested.
+
+    Output: (id, words array<bigint>).
+    """
+    d = len(thresholds)
+    n_words = (d + WORD_BITS - 1) // WORD_BITS
+    words = []
+    for j in range(n_words):
+        terms = [
+            f"(case when cast({vec_col}[{i}] as double) > "
+            f"{thresholds[i]!r} then cast({1 << (i % WORD_BITS)} as bigint) "
+            f"else cast(0 as bigint) end)"
+            for i in range(j * WORD_BITS, min((j + 1) * WORD_BITS, d))
+        ]
+        words.append(" + ".join(terms))
+    expr = "array(" + ", ".join(words) + ")"
+    return df.select(F.col(id_col).alias("id"), F.expr(expr).alias("words"))
