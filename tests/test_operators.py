@@ -785,3 +785,66 @@ def test_lagged_cross_correlation_detects_lead(spark):
     assert out[2] == 1.0
     assert abs(out[0]) < 0.6
     assert set(out) == set(range(-3, 4))
+
+
+class TestHoltBacktest:
+    def test_matches_per_cutoff_retraining(self, spark):
+        """The fold-accumulated one-step forecasts must equal retraining
+        holt on every prefix (the rolling-origin definition), and
+        MAE/sMAPE must equal the pure-python computation."""
+        import datetime as dt
+
+        from vectordb_bioinsight_spark.operators.trends import holt_backtest
+
+        vals = [10.0, 12.0, 9.0, 15.0, 14.0, 20.0, 18.0, 25.0]
+        d0 = dt.date(2024, 1, 1)
+        rows = [
+            ("a", dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time(9)), v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+        def holt_prefix(series):
+            l, t = series[0], 0.0
+            for x in series[1:]:
+                nl = 0.5 * x + 0.5 * (l + t)
+                nt = 0.3 * (nl - l) + 0.7 * t
+                l, t = nl, nt
+            return l + t
+
+        n_eval = 4
+        fcs = [holt_prefix(vals[: j]) for j in range(1, len(vals))]
+        actual = vals[-n_eval:]
+        fc_tail = fcs[-n_eval:]
+        mae = sum(abs(a - f) for a, f in zip(actual, fc_tail)) / n_eval
+        smape = (
+            sum(2 * abs(a - f) / (abs(a) + abs(f)) for a, f in zip(actual, fc_tail))
+            / n_eval
+        )
+        out = holt_backtest(df, "k", "ts", "v", 0.5, 0.3, n_eval).first()
+        assert out["n_days"] == len(vals) and out["n_eval"] == n_eval
+        assert abs(out["mae"] - round(mae, 6)) < 1e-9
+        assert abs(out["smape"] - round(smape, 6)) < 1e-9
+
+    def test_single_day_key_dropped(self, spark):
+        import datetime as dt
+
+        from vectordb_bioinsight_spark.operators.trends import holt_backtest
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1, 9), 5.0)],
+            "k string, ts timestamp, v double",
+        )
+        assert holt_backtest(df, "k", "ts", "v").count() == 0
+
+    def test_eval_window_clamps_to_available(self, spark):
+        import datetime as dt
+
+        from vectordb_bioinsight_spark.operators.trends import holt_backtest
+
+        rows = [
+            ("a", dt.datetime(2024, 1, 1 + i, 9), float(i)) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = holt_backtest(df, "k", "ts", "v", n_eval=99).first()
+        assert out["n_eval"] == 2  # only 2 one-step forecasts exist

@@ -781,3 +781,125 @@ def lagged_cross_correlation(
         F.count("*").cast("long").alias("n_days"),
         F.round(F.corr("ta", "tb"), 6).alias("corr"),
     )
+
+
+def daily_ols_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key OLS trend line over daily totals — slope / intercept / R²
+    via the SQL-standard ``regr_*`` aggregates (one shuffle, map-side
+    combinable): the least-squares upgrade of
+    :func:`trend_classification`'s two-bucket ratio (the reference
+    classifies trends by recent/older counts, trend_analyzer.py — a
+    fitted slope with R² is the standard quantitative form).
+
+    x is the day offset from the KEY'S OWN first day (not epoch days):
+    regr aggregates accumulate raw moments, and centering x keeps those
+    moments small enough that float summation order cannot move the
+    rounded result between engines (the same reason bench queries round
+    before LIMIT). Slope units: value per day.
+
+    Output: (key, n_days, slope, intercept, r2) rounded 4 dp.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    d0 = daily.groupBy("key").agg(F.min("day").alias("_d0"))
+    with_x = daily.join(d0, "key").withColumn(
+        "x", F.datediff(F.col("day"), F.col("_d0")).cast("double")
+    )
+    return with_x.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.regr_slope("total", "x"), 4).alias("slope"),
+        F.round(F.regr_intercept("total", "x"), 4).alias("intercept"),
+        F.round(F.regr_r2("total", "x"), 4).alias("r2"),
+    )
+
+
+def holt_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    n_eval: int = 7,
+) -> DataFrame:
+    """Rolling-origin backtest of :func:`holt_linear` — the forecast-
+    evaluation step the trends tier was missing: how good would the
+    one-step-ahead Holt forecast have been over the last ``n_eval``
+    observed days? (The reference publishes trend analyses without
+    accuracy accounting, trend_analyzer.py; rolling-origin evaluation is
+    the standard fix — Tashman 2000.)
+
+    NOT n_eval re-trainings: ONE fold pass per key accumulates every
+    one-step-ahead forecast as it goes (the forecast for observation j
+    is level+trend of the state after j-1 — appended to the accumulator
+    BEFORE the state update), so the whole backtest costs exactly one
+    corpus shuffle, same as the forecast itself. Errors are then array
+    arithmetic over the last ``n_eval`` (actual, forecast) pairs.
+
+    Output: (key, n_days, n_eval, mae, smape) rounded 6 dp; sMAPE in
+    [0, 2] (the symmetric 2|a-f|/(|a|+|f|) form). Keys with < 2 days
+    have no one-step forecast and report NULL metrics.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    per_key = daily.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "total"))),
+            lambda s: s["total"],
+        ).alias("series"),
+    )
+    a, b = float(alpha), float(beta)
+    zero = F.struct(
+        F.element_at("series", 1).alias("l"),
+        F.lit(0.0).alias("t"),
+        F.array().cast("array<double>").alias("fc"),
+    )
+
+    def _step(acc, x):
+        fc_next = acc["l"] + acc["t"]  # one-step-ahead forecast for x
+        new_l = a * x + (1 - a) * (acc["l"] + acc["t"])
+        new_t = b * (new_l - acc["l"]) + (1 - b) * acc["t"]
+        return F.struct(
+            new_l.alias("l"),
+            new_t.alias("t"),
+            F.concat(acc["fc"], F.array(fc_next)).alias("fc"),
+        )
+
+    n = F.size("series")
+    st = F.aggregate(
+        F.slice("series", 2, F.greatest(n - 1, F.lit(0))), zero, _step
+    )
+    k = F.least(F.lit(int(n_eval)), n - 1)
+    folded = per_key.select(
+        "key", "n_days", "series", st.alias("st"), k.alias("k")
+    ).filter(F.col("k") >= 1)
+    at = F.slice("series", F.size("series") - F.col("k") + 1, F.col("k"))
+    ft = F.slice(
+        F.col("st")["fc"],
+        F.size(F.col("st")["fc"]) - F.col("k") + 1,
+        F.col("k"),
+    )
+    errs = F.zip_with(at, ft, lambda x, f: F.abs(x - f))
+    sm = F.zip_with(
+        at,
+        ft,
+        lambda x, f: 2.0 * F.abs(x - f) / (F.abs(x) + F.abs(f)),
+    )
+    tot = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    return folded.select(
+        "key",
+        "n_days",
+        F.col("k").cast("long").alias("n_eval"),
+        F.round(tot(errs) / F.col("k"), 6).alias("mae"),
+        F.round(tot(sm) / F.col("k"), 6).alias("smape"),
+    )

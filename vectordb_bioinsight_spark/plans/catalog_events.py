@@ -1019,3 +1019,85 @@ SELECT event_type, max(n)::BIGINT AS n,
        round(0.0 + (min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) + 1) / 128.0 * 400.0, 6) AS q99
 FROM c GROUP BY 1
 """
+
+
+def q_daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line over daily event totals (operators/
+    trends.py::daily_ols_trend — regr_slope/intercept/r2, one map-side-
+    combinable shuffle; x centered on each key's first day so raw-moment
+    float accumulation stays engine-stable)."""
+    from vectordb_bioinsight_spark.operators.trends import daily_ols_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_ols_trend(ev, "event_type", "ts", "value")
+
+
+SQL_DAILY_TREND_OLS = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT key, min(day) AS _d0 FROM daily GROUP BY 1
+)
+SELECT d.key, count(*)::BIGINT AS n_days,
+       round(regr_slope(total, (d.day - x._d0)::DOUBLE), 4) AS slope,
+       round(regr_intercept(total, (d.day - x._d0)::DOUBLE), 4) AS intercept,
+       round(regr_r2(total, (d.day - x._d0)::DOUBLE), 4) AS r2
+FROM daily d JOIN d0 x USING (key)
+GROUP BY 1
+"""
+
+
+_HB_A, _HB_B = 0.5, 0.3
+
+
+def q_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest per event type (operators/
+    trends.py::holt_backtest): ONE fold pass accumulates every one-step-
+    ahead Holt forecast (appended before each state update), then
+    MAE/sMAPE over the last 7 observed days — forecast-accuracy
+    accounting at the cost of the forecast itself."""
+    from vectordb_bioinsight_spark.operators.trends import holt_backtest
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_backtest(ev, "event_type", "ts", "value", _HB_A, _HB_B, 7)
+
+
+SQL_HOLT_BACKTEST = f"""
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT key, count(*)::BIGINT AS n_days,
+         list(total::DOUBLE ORDER BY day) AS series
+  FROM daily GROUP BY key
+), folded AS (
+  SELECT key, n_days, series,
+         least(7, n_days - 1) AS k,
+         list_reduce(
+           list_prepend([series[1], 0.0::DOUBLE],
+                        list_transform(series[2:], t -> [t, 0.0::DOUBLE])),
+           (acc, x) -> list_concat(
+             [
+               {_HB_A} * x[1] + {1 - _HB_A} * (acc[1] + acc[2]),
+               {_HB_B} * (({_HB_A} * x[1] + {1 - _HB_A} * (acc[1] + acc[2])) - acc[1])
+                 + {1 - _HB_B} * acc[2]
+             ],
+             list_concat(acc[3:], [acc[1] + acc[2]])
+           )
+         ) AS st
+  FROM arr
+  WHERE n_days >= 2
+), tails AS (
+  SELECT key, n_days, k,
+         list_slice(series, n_days - k + 1, n_days) AS at,
+         list_slice(st[3:], len(st) - 2 - k + 1, len(st) - 2) AS ft
+  FROM folded
+)
+SELECT key, n_days, k::BIGINT AS n_eval,
+       round(list_sum(list_transform(list_zip(at, ft),
+             s -> abs(s[1] - s[2]))) / k, 6) AS mae,
+       round(list_sum(list_transform(list_zip(at, ft),
+             s -> 2.0 * abs(s[1] - s[2]) / (abs(s[1]) + abs(s[2])))) / k, 6) AS smape
+FROM tails
+"""
