@@ -106,6 +106,12 @@ HEADLINE = [
     "chat_render_docs",
     "item_cf_parts",
     "kaplan_meier",
+    # r05 session-4: the two-stage binary-quantized search (codes-only
+    # Hamming scan + exact rerank of the shortlist), the bin-blocked
+    # interval-overlap join, and the mergeable histogram-quantile fold
+    "binq_knn",
+    "ship_overlap_annotation",
+    "value_hist_quantiles",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Scale probe: the r05 session-4 tier — binary quantization / Hamming
 search at 1M vectors, interval-overlap join at ~6M intervals, histogram
-shards at 10M rows, link prediction on the sf0.1 word graph.
+shards at 10M rows, link prediction on the sf0.1 part co-purchase graph.
 
 Usage: python scripts/probe_r05s4_scale.py
 """
@@ -117,25 +117,16 @@ def main() -> None:
         hist_quantiles(merge_hist_shards(sh, ["event_type"]), ["event_type"], 0.0, 400.0),
     )
 
-    # --- link prediction on the sf0.1 word graph -----------------------
+    # --- link prediction on the sf0.1 part co-purchase graph -----------
     from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
     from vectordb_bioinsight_spark.operators.network import link_prediction
 
-    docs = load_table(spark, SF_DIR, "documents")
-    pairs = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                    lambda t: F.length(t) >= 4,
-                )
-            )
-        ).alias("word"),
+    li2 = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
     )
-    edges = cooccurrence_edges(pairs, "word", "doc_id", min_weight=50).localCheckpoint()
+    edges = cooccurrence_edges(li2, "part", "okey", min_weight=2).localCheckpoint()
     print(f"edges: {edges.count()}")
-    timed("link_prediction_sf01", link_prediction(edges))
+    timed("link_prediction_sf01", link_prediction(edges, min_common=2))
     timed("link_prediction_capped", link_prediction(edges, max_degree=200))
 
     spark.stop()

@@ -1080,11 +1080,25 @@ def link_prediction(
 
     Output: (u, v, cn, jaccard, aa) — jaccard/aa rounded 6 dp.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    deg = sym.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    # lazy checkpoints at every fan-out point: e feeds sym (twice) and the
+    # existing-edge anti-join, sym feeds deg and the wedge orientation, deg
+    # feeds the center weight + two endpoint joins — without materialization
+    # each consumer re-executes the caller's whole edge-build lineage (the
+    # k-core / funnel union-of-lineages trap; 54 Exchange nodes measured
+    # before, 6 after)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
 
     # wedge center = the shared neighbor: orient rows as (center, leaf)
     ctr = sym.select(F.col("a").alias("w"), F.col("b").alias("leaf"))

@@ -70,7 +70,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         evl.SQL_SHIP_OVERLAP_ANNOTATION,
     ),
     "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
-    "word_link_prediction": (net.q_word_link_prediction, net.SQL_WORD_LINK_PREDICTION),
+    "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "daily_trend_ols": (ev.q_daily_trend_ols, ev.SQL_DAILY_TREND_OLS),
     "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
     # (a) entries whose CODE changed this round or that are NEW — every

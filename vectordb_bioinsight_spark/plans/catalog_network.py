@@ -735,48 +735,37 @@ SELECT item, neighbor, weight AS cooc, similarity, rank FROM (
 """
 
 
-def q_word_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction over the word co-occurrence graph (operators/
-    network.py::link_prediction): the top-20 NON-edges by common-neighbor
-    count with Jaccard and Adamic-Adar — the "suggest a missing
-    association" step over the KG the reference builds
-    (agent2_network.py; Liben-Nowell & Kleinberg 2003). Wedge self-join
-    on the shared-neighbor key, anti-join existing edges; full tiebreak
-    (cn desc, aa desc, pair) keeps the LIMIT deterministic."""
+def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph (operators/
+    network.py::link_prediction): the top-20 part pairs NEVER bought
+    together whose basket neighborhoods overlap most — common-neighbor
+    count with Jaccard and Adamic-Adar, the "suggest a missing
+    association" step over the reference's KG shape (agent2_network.py
+    builds the graph; Liben-Nowell & Kleinberg 2003 scores the absent
+    edges). Wedge self-join on the shared-neighbor key, anti-join of
+    existing edges; full tiebreak (cn desc, aa desc, pair) keeps the
+    LIMIT deterministic."""
     from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
     from vectordb_bioinsight_spark.operators.network import link_prediction
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                    lambda t: F.length(t) >= 4,
-                )
-            )
-        ).alias("word"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
     )
-    edges = cooccurrence_edges(pairs, "word", "doc_id", min_weight=50)
-    scored = link_prediction(edges, "item1", "item2", min_common=1)
+    edges = cooccurrence_edges(li, "part", "okey", min_weight=2)
+    scored = link_prediction(edges, "item1", "item2", min_common=2)
     return scored.orderBy(
         F.desc("cn"), F.desc("aa"), F.asc("u"), F.asc("v")
     ).limit(20)
 
 
-SQL_WORD_LINK_PREDICTION = """
+SQL_PART_LINK_PREDICTION = """
 WITH dw AS (
-  SELECT DISTINCT doc_id, word FROM (
-    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                          t -> length(t) >= 4)) AS word
-    FROM documents
-  )
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
 ), e AS (
-  SELECT a.word AS a, b.word AS b
-  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+  SELECT a.part AS a, b.part AS b
+  FROM dw a JOIN dw b ON a.okey = b.okey AND a.part < b.part
   GROUP BY 1, 2
-  HAVING count(*) >= 50
+  HAVING count(*) >= 2
 ), sym AS (
   SELECT a, b FROM e UNION SELECT b, a FROM e
 ), deg AS (
@@ -790,6 +779,7 @@ WITH dw AS (
          sum(1.0 / ln(l.deg_w)) AS aa_raw
   FROM ctr l JOIN ctr r ON l.w = r.w AND l.leaf < r.leaf
   GROUP BY 1, 2
+  HAVING count(*) >= 2
 ), cand AS (
   SELECT p.* FROM pairs p
   ANTI JOIN e ON e.a = p.u AND e.b = p.v

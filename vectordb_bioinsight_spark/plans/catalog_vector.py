@@ -1236,10 +1236,12 @@ def q_binq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = binary_quantize(emb, "vec_id", "embedding", thresholds).select(
         "id", "words"
     )
-    query_words = (
-        codes.filter(F.col("id") == 0)
-        .select(F.posexplode("words").alias("word", "qw"))
-    )
+    # query words from the 1-row vec-0 encode (pushed-down filter +
+    # the shared thresholds) — filtering the corpus codes table instead
+    # would re-execute the full encode lineage a second time
+    query_words = binary_quantize(
+        emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", thresholds
+    ).select(F.posexplode("words").alias("word", "qw"))
     query = (
         emb.filter(F.col("vec_id") == 0)
         .select(
