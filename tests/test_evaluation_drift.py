@@ -298,3 +298,51 @@ def test_overlap_join_is_equi_join_no_nested_loop(spark):
         )
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_woe_iv_matches_pure_python(spark):
+    import math
+
+    from vectordb_bioinsight_spark.operators.encoding import woe_iv
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 9 + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "bucket string, y int")
+    tp, tn = 9.0, 16.0
+    expect = {}
+    for bk, (p, n) in {"a": (8, 2), "b": (1, 9), "c": (0, 5)}.items():
+        woe = math.log(((p + 0.5) / tp) / ((n + 0.5) / tn))
+        iv = (p / tp - n / tn) * woe
+        expect[bk] = (round(woe, 6), round(iv, 6))
+    out = {r["bucket"]: r for r in woe_iv(df, "bucket", "y").collect()}
+    for bk, (w, iv) in expect.items():
+        assert abs(out[bk]["woe"] - w) < 1e-9
+        assert abs(out[bk]["iv_contrib"] - iv) < 1e-9
+    iv_total = round(sum(v[1] for v in expect.values()), 6)
+    assert all(abs(r["iv_total"] - iv_total) < 1e-6 for r in out.values())
+    # the empty-pos bucket 'c' is finite thanks to smoothing
+    assert math.isfinite(out["c"]["woe"])
+
+
+def test_session_paths_hand_fixture(spark):
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # user 1, session 1: a>b>c>d (only first 3 kept)
+        (1, t0, "a", 1), (1, t0 + dt.timedelta(minutes=1), "b", 2),
+        (1, t0 + dt.timedelta(minutes=2), "c", 3),
+        (1, t0 + dt.timedelta(minutes=3), "d", 4),
+        # user 1, session 2 (2h gap): a>b
+        (1, t0 + dt.timedelta(hours=3), "a", 5),
+        (1, t0 + dt.timedelta(hours=3, minutes=1), "b", 6),
+        # user 2, one session: a>b>c
+        (2, t0, "a", 7), (2, t0 + dt.timedelta(minutes=5), "b", 8),
+        (2, t0 + dt.timedelta(minutes=6), "c", 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {r["path"]: r for r in session_paths(df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert out["a>b>c"]["n_sessions"] == 2 and out["a>b>c"]["n_users"] == 2
+    assert out["a>b"]["n_sessions"] == 1 and out["a>b"]["n_users"] == 1
+    assert set(out) == {"a>b>c", "a>b"}

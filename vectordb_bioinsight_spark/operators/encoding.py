@@ -115,3 +115,54 @@ def quantile_bin(
     for i in range(len(edges) - 1, -1, -1):
         c = F.when(F.col(value_col) <= F.lit(edges[i]), F.lit(i)).otherwise(c)
     return df.withColumn(out_col, c.cast("int"))
+
+
+def woe_iv(
+    df: DataFrame,
+    bucket_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value table per feature bucket —
+    the credit-scoring-standard predictiveness audit for a binned
+    feature against a binary label (Siddiqi 2006), the feature-prep
+    sibling of target encoding: WOE is the log-odds the encoder should
+    reproduce, IV contributions rank features before training.
+
+        woe_b = ln( ((pos_b + s) / pos_total) / ((neg_b + s) / neg_total) )
+        iv_b  = (pos_b/pos_total - neg_b/neg_total) * woe_b
+
+    ``smoothing`` (added to each bucket's class count) keeps empty-class
+    buckets finite instead of +-inf. One map-side-combinable groupBy on
+    the bucket; the totals fold back from a broadcast 1-row aggregate —
+    no second scan, no global window.
+
+    Output: (bucket, n_pos, n_neg, woe, iv_contrib) rounded 6 dp, plus
+    every row carries the table-level ``iv_total`` (a broadcast of the
+    bounded bucket frame's sum) so the audit reads off one table.
+    """
+    y = F.col(label_col).cast("int")
+    per = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(1 - y).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("double").alias("_tp"),
+        F.sum("n_neg").cast("double").alias("_tn"),
+    )
+    s = float(smoothing)
+    ps = (F.col("n_pos") + s) / F.col("_tp")
+    ns = (F.col("n_neg") + s) / F.col("_tn")
+    woe = F.log(ps / ns)
+    iv_c = (F.col("n_pos") / F.col("_tp") - F.col("n_neg") / F.col("_tn")) * woe
+    scored = per.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round(iv_c, 6).alias("iv_contrib"),
+    )
+    total = scored.agg(
+        F.round(F.sum("iv_contrib"), 6).alias("iv_total")
+    )
+    return scored.join(F.broadcast(total))

@@ -903,3 +903,68 @@ def holt_backtest(
         F.round(tot(errs) / F.col("k"), 6).alias("mae"),
         F.round(tot(sm) / F.col("k"), 6).alias("smape"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    gap_s: int = 3600,
+    max_steps: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top navigation paths: sessionize by silence gap (> ``gap_s``),
+    render each session's first ``max_steps`` event types as a
+    ``a>b>c`` path string, count sessions and distinct users per path —
+    the journey-analysis rollup on top of :func:`event_transition_matrix`
+    (full leading n-grams instead of bigram transitions).
+
+    Plan: ONE user-keyed window pair (gap flag + running session id,
+    shared partitioning — the sessionize shape), one (user, session)
+    aggregation with an ordered in-group collect, one path aggregation
+    over the bounded path dimension, top-n with full tiebreak.
+
+    Output: (path, n_sessions, n_users) — top_n by sessions desc,
+    path asc.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(tiebreak_col)
+    )
+    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_s * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = df.withColumn(
+        "_sid", F.sum(is_new).over(wsum).cast("long")
+    )
+    per_sess = sess.groupBy(F.col(user_col).alias("_u"), "_sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tiebreak_col).alias("k"),
+                                F.col(type_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+                1,
+                max_steps,
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = per_sess.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("_u").cast("long").alias("n_users"),
+    )
+    return agg.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_n)

@@ -73,6 +73,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "daily_trend_ols": (ev.q_daily_trend_ols, ev.SQL_DAILY_TREND_OLS),
     "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
+    "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
+    "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -540,3 +540,42 @@ FROM sample s JOIN islands i
   ON s.suppkey = i.suppkey AND s.ls <= i.re AND i.rs <= s.le
 GROUP BY 1, 2
 """
+
+
+def q_purchase_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / Information-Value audit of the 50-wide value bucket against
+    the purchase label (operators/encoding.py::woe_iv — one bucket
+    groupBy, totals folded back from broadcast 1-row aggregates): the
+    standard predictiveness screen for a binned feature, completing the
+    evaluation tier's feature-side story."""
+    from vectordb_bioinsight_spark.operators.encoding import woe_iv
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.floor(F.col("value") / 50.0).cast("int").alias("vbucket"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return woe_iv(binned, "vbucket", "y", smoothing=0.5)
+
+
+SQL_PURCHASE_WOE_IV = """
+WITH b AS (
+  SELECT floor(value / 50.0)::INT AS bucket,
+         (event_type = 'purchase')::INT AS y
+  FROM events
+), per AS (
+  SELECT bucket, sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT sum(n_pos)::DOUBLE AS tp, sum(n_neg)::DOUBLE AS tn FROM per
+), scored AS (
+  SELECT bucket, n_pos, n_neg,
+         round(ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS woe,
+         round((n_pos / tp - n_neg / tn)
+               * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS iv_contrib
+  FROM per, tot
+)
+SELECT bucket, n_pos, n_neg, woe, iv_contrib,
+       (SELECT round(sum(iv_contrib), 6) FROM scored) AS iv_total
+FROM scored
+"""

@@ -1101,3 +1101,46 @@ SELECT key, n_days, k::BIGINT AS n_eval,
              s -> 2.0 * abs(s[1] - s[2]) / (abs(s[1]) + abs(s[2])))) / k, 6) AS smape
 FROM tails
 """
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys (operators/trends.py::session_paths):
+    1-hour-gap sessionization, first-3-step event-type path per session,
+    sessions + distinct users per path — the n-gram generalization of
+    the bigram transition matrix, all in one user-keyed window pair plus
+    two bounded aggregations."""
+    from vectordb_bioinsight_spark.operators.trends import session_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_paths(
+        ev, "user_id", "ts", "event_type", "event_id",
+        gap_s=3600, max_steps=3, top_n=20,
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS nf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(nf) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), per_sess AS (
+  SELECT user_id, sid,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts ASC, event_id ASC), 1, 3),
+           '>') AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, count(*)::BIGINT AS n_sessions,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM per_sess GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
