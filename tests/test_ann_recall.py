@@ -229,3 +229,59 @@ def test_contrastive_triplets_contract(spark):
     assert trips[(10, 20)]["margin"] == 0.1 and trips[(10, 21)]["margin"] == 0.2
     assert trips[(11, 20)]["margin"] is None  # pooled-out positive
     assert trips[(10, 20)]["neg_rank"] == 1 and trips[(10, 21)]["neg_rank"] == 2
+
+
+class TestWhitening:
+    def test_output_covariance_is_identity(self, spark):
+        import numpy as np
+
+        from tests.conftest import SF_SMALL
+        from vectordb_bioinsight_spark.operators.vector import whiten_embeddings
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        out = whiten_embeddings(emb, "vec_id", "embedding")
+        Y = np.stack([r["vec"] for r in out.collect()])
+        assert Y.shape[0] == emb.count()
+        cov = np.cov(Y, rowvar=False, bias=True)
+        assert np.abs(cov - np.eye(Y.shape[1])).max() < 0.05
+
+    def test_truncation_keeps_principal_directions(self, spark):
+        """out_dim keeps the TOP-variance directions: truncating a
+        planted 3+noise-dim space to 3 dims must preserve ~all variance."""
+        import numpy as np
+
+        from vectordb_bioinsight_spark.operators.vector import whiten_embeddings
+
+        rng = np.random.default_rng(5)
+        Z = rng.normal(size=(400, 3)) @ (10.0 * rng.normal(size=(3, 8)))
+        Z += 0.01 * rng.normal(size=(400, 8))
+        df = spark.createDataFrame(
+            [(i, z.tolist()) for i, z in enumerate(Z)], "id long, v array<double>"
+        )
+        out = whiten_embeddings(df, "id", "v", out_dim=3)
+        Y = np.stack([r["vec"] for r in out.collect()])
+        assert Y.shape == (400, 3)
+        # whitened coords are ~unit variance in the kept directions
+        assert np.abs(Y.var(axis=0) - 1.0).max() < 0.2
+
+    def test_partitioning_invariance_tolerance(self, spark):
+        """1 vs 8 partitions agree within float tolerance (the documented
+        rows-only trade)."""
+        import numpy as np
+
+        from tests.conftest import SF_SMALL
+        from vectordb_bioinsight_spark.operators.vector import whiten_embeddings
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        a = {
+            r["id"]: np.asarray(r["vec"])
+            for r in whiten_embeddings(emb.coalesce(1), "vec_id", "embedding").collect()
+        }
+        b = {
+            r["id"]: np.asarray(r["vec"])
+            for r in whiten_embeddings(emb.repartition(8), "vec_id", "embedding").collect()
+        }
+        diffs = [np.abs(a[k] - b[k]).max() for k in a]
+        assert max(diffs) < 1e-6

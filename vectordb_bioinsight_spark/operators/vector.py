@@ -861,3 +861,102 @@ def maxsim_topk(
     top = scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps: float = 1e-6,
+    out_dim: int | None = None,
+) -> DataFrame:
+    """Embedding whitening (BERT-whitening, Su et al. 2021): transform
+    the corpus so its covariance is the identity — the published
+    cheap lever for anisotropic embedding spaces, where raw cosine
+    ranks are dominated by a few high-variance directions (the
+    reference consumes SentenceTransformer vectors as-is,
+    backend/app/core/vector_store.py; whitening is the standard
+    post-hoc fix). With ``out_dim`` it doubles as PCA truncation
+    (whitening-k), the memory lever the paper pairs with it.
+
+    Distributed split (the knn_join_gemm discipline):
+      1. per-partition moment partials via ``mapInPandas`` — each
+         partition emits ONE row (n, sum vector, upper-tri Gram) so the
+         driver sees O(partitions) rows, never the corpus;
+      2. driver assembles mean/covariance and takes the eigen-decomposed
+         inverse square root W = U diag(1/sqrt(lam + eps)) (numpy on a
+         d×d matrix — KBs);
+      3. apply is one BLAS ``(X - mu) @ W`` per Arrow batch, broadcast
+         inside the closure; optional column truncation to ``out_dim``.
+
+    Float partial-sum order varies with partitioning, so this is a
+    rows-only operator (unit-tested: output covariance == I within
+    tolerance, distances preserved under the full-rank transform), not a
+    hash-oracle entry — same trade as knn_join_gemm.
+
+    Output: (id, vec array<double> of len out_dim or d).
+    """
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    d = len(df.select(vec_col).first()[0])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        n, s, g = 0, np.zeros(d), np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = src.select("_v").mapInPandas(partials, part_schema).collect()
+    if not rows:
+        raise ValueError("whiten_embeddings: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    lam, U = np.linalg.eigh(cov)
+    order = np.argsort(lam)[::-1]  # principal directions first
+    lam, U = lam[order], U[:, order]
+    W = U @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))
+    if out_dim is not None:
+        if not 1 <= out_dim <= d:
+            raise ValueError(f"out_dim must be in [1, {d}]")
+        W = W[:, :out_dim]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def apply_w(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            Y = (X - mu) @ W
+            yield pd.DataFrame({"id": pdf["_id"], "vec": list(map(list, Y))})
+
+    return src.mapInPandas(apply_w, out_schema)

@@ -75,6 +75,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
     "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
     "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
+    # rows-only by design: BLAS partial-sum order varies with partitioning
+    "whitened_dim_profile": (vec.q_whitened_dim_profile, None),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -1292,3 +1292,22 @@ SELECT id, hamming, cos, rank FROM (
   SELECT *, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank FROM scored
 ) WHERE rank <= 10
 """
+
+
+def q_whitened_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening audit (operators/vector.py::whiten_embeddings, rows-only
+    — BLAS partial-sum order varies with partitioning, the knn_join_gemm
+    trade): per-dimension variance of the whitened corpus, which must sit
+    at ~1.0 for every dimension (the identity-covariance contract;
+    pinned exactly by tests/test_ann_recall.py::TestWhitening)."""
+    from vectordb_bioinsight_spark.operators.vector import whiten_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = whiten_embeddings(emb, "vec_id", "embedding")
+    ex = out.select(
+        F.posexplode(F.col("vec")).alias("dim0", "x")
+    ).select((F.col("dim0") + 1).alias("dim"), "x")
+    return ex.groupBy("dim").agg(
+        F.round(F.var_pop("x"), 4).alias("var_after"),
+        F.count("*").cast("long").alias("n"),
+    )
