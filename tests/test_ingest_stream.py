@@ -186,3 +186,61 @@ def test_ingest_maintains_column_moments(spark, dirs, tmp_path):
     assert standing["n"] == rebuilt["n"] == 3
     assert math.isclose(standing["mean"], rebuilt["mean"], abs_tol=1e-6)
     assert math.isclose(standing["var"], rebuilt["var"], abs_tol=1e-6)
+
+
+def test_ingest_maintains_histogram_state(spark, dirs, tmp_path):
+    """With hist_path set, the standing fixed-grid histogram after two
+    batches EQUALS a one-pass rebuild over the final corpus — exact
+    (integer counts), and hist_quantiles reads off the standing state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from vectordb_bioinsight_spark.operators.sketches import (
+        hist_quantiles,
+        hist_shards,
+    )
+
+    landing, corpus, ckpt = dirs
+    hist = str(tmp_path / "hist")
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+        StructField("lang", StringType()), StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+
+    def _write(name, docs):
+        (landing / name).write_text("\n".join(
+            _json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s",
+                         "n_chars": len(t)})
+            for i, t in docs
+        ) + "\n")
+
+    kw = dict(hist_path=hist, hist_col="n_chars",
+              hist_lo=0.0, hist_hi=100.0, hist_bins=10)
+    _write("b1.jsonl", [(1, "alpha words here now"), (2, "beta text body goes on")])
+    stream = spark.readStream.schema(schema).json(str(landing))
+    run_ingest_stream(stream, corpus, ckpt, **kw)
+
+    _write("b2.jsonl", [(3, "gamma third document with many more words in it")])
+    stream2 = spark.readStream.schema(schema).json(str(landing))
+    run_ingest_stream(stream2, corpus, str(tmp_path / "ckpt2"), **kw)
+
+    standing = {
+        (r["source"], r["bin"]): r["cnt"]
+        for r in spark.read.parquet(hist).collect()
+    }
+    rebuilt = {
+        (r["source"], r["bin"]): r["cnt"]
+        for r in hist_shards(
+            spark.read.parquet(corpus).withColumn("_grain", F.lit("all")),
+            ["source", "_grain"], "n_chars", lo=0.0, hi=100.0, n_bins=10,
+        ).collect()
+    }
+    assert standing == rebuilt and sum(standing.values()) == 3
+    q = hist_quantiles(
+        spark.read.parquet(hist), ["source"], lo=0.0, hi=100.0, n_bins=10,
+        qs=(0.5,),
+    ).first()
+    assert q["n"] == 3 and 0.0 < q["q50"] <= 100.0

@@ -106,6 +106,11 @@ def run_ingest_stream(
     manifest_shards: int = 16,
     moments_path: str | None = None,
     moments_col: str | None = None,
+    hist_path: str | None = None,
+    hist_col: str | None = None,
+    hist_lo: float = 0.0,
+    hist_hi: float = 1.0,
+    hist_bins: int = 128,
     await_termination: bool = True,
 ):
     """Start the gated, deduped append loop; with the default
@@ -136,6 +141,15 @@ def run_ingest_stream(
     so downstream mixture/budget planners read current column stats
     without a corpus scan. Folded AFTER the corpus append, same crash
     contract as the manifest.
+
+    ``hist_path`` (+ ``hist_col`` and the fixed ``hist_lo/hist_hi/
+    hist_bins`` grid) maintains the QUANTILE sibling the same way: each
+    batch's fixed-grid histogram shard (operators/sketches.hist_shards)
+    folds with merge_hist_shards — integer counts, so stream == batch is
+    EXACT, and hist_quantiles reads bounded-error percentiles off the
+    standing state without a corpus scan. The grid is part of the state
+    contract: changing it requires a rebuild, exactly like a data
+    contract's reference bins (the PSI convention).
     """
     from vectordb_bioinsight_spark.operators.bloom import dedup_against_corpus
     from vectordb_bioinsight_spark.operators.urls import with_url_key
@@ -216,6 +230,30 @@ def run_ingest_stream(
             except AnalysisException:
                 merged_m = delta_m
             merged_m.write.mode("overwrite").parquet(moments_path)
+        if hist_path is not None and hist_col is not None:
+            from vectordb_bioinsight_spark.operators.sketches import (
+                hist_shards,
+                merge_hist_shards,
+            )
+
+            src = "source" if "source" in batch.columns else None
+            keys = ([src] if src else []) + ["_grain"]
+            delta_h = hist_shards(
+                batch.withColumn("_grain", F.lit("all")),
+                keys,
+                hist_col,
+                lo=hist_lo,
+                hi=hist_hi,
+                n_bins=hist_bins,
+            )
+            try:
+                standing_h = spark.read.parquet(hist_path)
+                merged_h = merge_hist_shards(
+                    standing_h.unionByName(delta_h), keys
+                ).localCheckpoint(eager=True)
+            except AnalysisException:
+                merged_h = delta_h
+            merged_h.write.mode("overwrite").parquet(hist_path)
 
     q = (
         stream_docs.writeStream.foreachBatch(_ingest)
