@@ -352,3 +352,42 @@ def test_nfc_normalize_unifies_dedup_keys(spark):
     assert rows[1]["norm"] == rows[2]["norm"] == composed
     assert rows[1]["h"] == rows[2]["h"]
     assert rows[3]["norm"] is None  # nulls pass through
+
+
+def test_rake_hand_computed(spark):
+    """RAKE on the canonical toy: 'deep learning models ... deep learning'
+    — deg/freq arithmetic checked by hand, stopwords split phrases, top-n
+    and tie order deterministic."""
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    # candidates: [deep learning models], [deep learning]
+    # freq: deep 2, learning 2, models 1
+    # deg:  deep 3+2=5, learning 5, models 3
+    # wscore: deep 2.5, learning 2.5, models 3.0
+    # scores: 'deep learning models' 8.0; 'deep learning' 5.0
+    text = "deep learning models and the deep learning"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = rake_keyphrases(df, "doc_id", "text", top_n=5).orderBy("rank").collect()
+    assert [(r["phrase"], r["score"]) for r in out] == [
+        ("deep learning models", 8.0),
+        ("deep learning", 5.0),
+    ]
+    assert out[0]["n_words"] == 3 and out[0]["rank"] == 1
+
+
+def test_rake_short_and_stop_words_never_in_phrases(spark):
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+    from vectordb_bioinsight_spark.functions.text import STOPWORDS
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and a very lazy dog runs it")],
+        "doc_id long, text string",
+    )
+    out = rake_keyphrases(df, "doc_id", "text", top_n=10).collect()
+    for r in out:
+        for w in r["phrase"].split():
+            assert len(w) >= 3 and w not in STOPWORDS

@@ -150,6 +150,22 @@ _MAX_EXCHANGES = {
     "preference_pairs_docs": 1,
     "value_moments_merged": 2,
     "embedding_dim_profile": 2,
+    # r05 session-4 additions (audited at pin time). binq_knn's corpus
+    # scan is the codes table only; the 8 exchanges move the 64-row
+    # threshold dim, the k-row shortlist, and the bounded rerank frames.
+    # part_link_prediction is 10 AFTER the fan-out checkpoints (was 54
+    # with unmaterialized lineage). woe_iv's 7 are all 1-row/bounded
+    # total folds.
+    "binq_knn": 8,
+    "binq_codes": 3,
+    "ship_overlap_annotation": 3,
+    "value_hist_quantiles": 3,
+    "part_link_prediction": 10,
+    "rake_keyphrases": 3,
+    "session_paths": 2,
+    "purchase_woe_iv": 7,
+    "daily_trend_ols": 3,
+    "holt_backtest_daily": 2,
 }
 
 

@@ -766,3 +766,89 @@ def class_tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .select(F.col("cls").alias(class_col), "term", "tf", "ctfidf", "rank")
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_phrase_len: int = 4,
+    top_n: int = 3,
+    min_word_len: int = 3,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — phrase-level
+    keywords where the tfidf/keyword tier is word-level: candidate
+    phrases are maximal stopword-free token runs, each word scores
+    deg/freq over the DOCUMENT'S candidates, a phrase scores the sum of
+    its word scores. The reference extracts keywords by frequency with
+    a stopword list (trend_analyzer.py:216-230); RAKE is the published
+    multi-word upgrade on the same ingredients.
+
+    Plan: one posexplode, a doc-keyed window pair (stop-flag running sum
+    = phrase id — the sessionize shape over token positions), then
+    doc-keyed aggregations for word stats and phrase scores; the final
+    top-n rank window reuses the doc partitioning. Every shuffle is
+    keyed by doc; nothing is corpus-global.
+
+    Output: (doc_id, phrase, n_words, score, rank) — top_n per doc,
+    score rounded 4 dp, ties to the lexicographically smaller phrase.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.text import STOPWORDS
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("pos", "tok"),
+    ).filter(F.length("tok") > 0)
+    is_stop = (
+        F.col("tok").isin(list(STOPWORDS)) | (F.length("tok") < min_word_len)
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = tok.withColumn("_stop", is_stop).withColumn(
+        "phrase_id", F.sum("_stop").over(wsum)
+    )
+    phrases = (
+        marked.filter(F.col("_stop") == 0)
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("words")
+        )
+        .filter(F.size("words").between(1, max_phrase_len))
+    )
+    pw = phrases.select(
+        "doc_id",
+        "phrase_id",
+        F.size("words").alias("plen"),
+        F.explode("words").alias("word"),
+    )
+    wstats = pw.groupBy("doc_id", "word").agg(
+        (F.sum("plen") / F.count("*")).alias("wscore")
+    )
+    scored = (
+        pw.join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.round(F.sum("wscore"), 4).alias("score"))
+        .join(phrases, ["doc_id", "phrase_id"])
+        .select(
+            "doc_id",
+            F.array_join("words", " ").alias("phrase"),
+            F.size("words").cast("int").alias("n_words"),
+            "score",
+        )
+        .groupBy("doc_id", "phrase", "n_words")
+        .agg(F.max("score").alias("score"))
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -77,6 +77,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
     # rows-only by design: BLAS partial-sum order varies with partitioning
     "whitened_dim_profile": (vec.q_whitened_dim_profile, None),
+    "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -1555,3 +1555,66 @@ FROM perdoc GROUP BY source ORDER BY source
 
 
 SQL_CORPUS_DATA_CARD = _sql_corpus_data_card()
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases per document (operators/text_analysis.py::
+    rake_keyphrases): stopword-free token runs scored by the sum of
+    their words' deg/freq — the phrase-level upgrade of the word-level
+    keyword tier; every shuffle doc-keyed, top-3 per doc."""
+    from vectordb_bioinsight_spark.operators.text_analysis import (
+        rake_keyphrases,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, "doc_id", "text", max_phrase_len=4, top_n=3)
+
+
+def _sql_stoplist() -> str:
+    from vectordb_bioinsight_spark.functions.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+SQL_RAKE_KEYPHRASES = f"""
+WITH tok0 AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS a
+        FROM documents)
+), tok AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({_sql_stoplist()}) OR length(tok) < 3
+              THEN 1 ELSE 0 END AS st
+  FROM tok0 WHERE length(tok) > 0
+), marked AS (
+  SELECT doc_id, pos, tok, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+  FROM tok
+), phrases AS (
+  SELECT doc_id, phrase_id, list(tok ORDER BY pos) AS words
+  FROM marked WHERE st = 0
+  GROUP BY 1, 2
+  HAVING len(list(tok ORDER BY pos)) BETWEEN 1 AND 4
+), pw AS (
+  SELECT doc_id, phrase_id, len(words) AS plen, unnest(words) AS word
+  FROM phrases
+), wstats AS (
+  SELECT doc_id, word, sum(plen)::DOUBLE / count(*) AS wscore
+  FROM pw GROUP BY 1, 2
+), ps AS (
+  SELECT pw.doc_id, pw.phrase_id, round(sum(w.wscore), 4) AS score
+  FROM pw JOIN wstats w ON w.doc_id = pw.doc_id AND w.word = pw.word
+  GROUP BY 1, 2
+), named AS (
+  SELECT p.doc_id, array_to_string(p.words, ' ') AS phrase,
+         len(p.words)::INT AS n_words, max(s.score) AS score
+  FROM phrases p JOIN ps s ON s.doc_id = p.doc_id AND s.phrase_id = p.phrase_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, phrase, n_words, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, phrase ASC) AS rank
+  FROM named
+) WHERE rank <= 3
+"""
