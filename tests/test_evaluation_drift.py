@@ -346,3 +346,56 @@ def test_session_paths_hand_fixture(spark):
     assert out["a>b>c"]["n_sessions"] == 2 and out["a>b>c"]["n_users"] == 2
     assert out["a>b"]["n_sessions"] == 1 and out["a>b"]["n_users"] == 1
     assert set(out) == {"a>b>c", "a>b"}
+
+
+class TestDPAggregates:
+    def test_noise_distribution_scale(self, spark):
+        """Across many keys, the injected noise behaves like Laplace(b):
+        mean ~0, mean |noise| ~ b, and higher epsilon means less noise."""
+        import statistics
+
+        from vectordb_bioinsight_spark.operators.privacy import dp_counts
+
+        # 400 keys x 50 exact rows each
+        rows = [(f"k{i:03d}",) for i in range(400) for _ in range(50)]
+        df = spark.createDataFrame(rows, "k string")
+        for eps, tol in ((1.0, 0.25), (10.0, 0.05)):
+            out = dp_counts(df, ["k"], epsilon=eps, seed=7).collect()
+            noise = [r["n_dp"] - 50 for r in out]
+            assert abs(statistics.mean(noise)) < 3.0 / eps
+            mad = statistics.mean(abs(x) for x in noise)
+            # E|Laplace(b)| = b = 1/eps; rounding to int adds <= .5
+            assert mad <= 1.0 / eps + 0.55, (eps, mad)
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from vectordb_bioinsight_spark.operators.privacy import dp_counts
+
+        df = spark.createDataFrame([(f"k{i}",) for i in range(40) for _ in range(9)], "k string")
+        a = {r["k"]: r["n_dp"] for r in dp_counts(df, ["k"], seed=1).collect()}
+        b = {r["k"]: r["n_dp"] for r in dp_counts(df, ["k"], seed=1).collect()}
+        c = {r["k"]: r["n_dp"] for r in dp_counts(df, ["k"], seed=2).collect()}
+        assert a == b
+        assert a != c  # independent draw under a different seed
+
+    def test_sum_clipping_bounds_sensitivity(self, spark):
+        """An adversarial outlier row moves the DP sum by at most
+        clip (plus nothing — noise is key-deterministic)."""
+        from vectordb_bioinsight_spark.operators.privacy import dp_sum
+
+        base = [("g", 10.0)] * 20
+        df1 = spark.createDataFrame(base, "g string, v double")
+        df2 = spark.createDataFrame(base + [("g", 1e9)], "g string, v double")
+        s1 = dp_sum(df1, ["g"], "v", clip=50.0, epsilon=1.0).first()["sum_dp"]
+        s2 = dp_sum(df2, ["g"], "v", clip=50.0, epsilon=1.0).first()["sum_dp"]
+        assert abs(s2 - s1) <= 50.0 + 1e-6
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from vectordb_bioinsight_spark.operators.privacy import dp_counts, dp_sum
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with _pytest.raises(ValueError):
+            dp_counts(df, ["g"], epsilon=0.0)
+        with _pytest.raises(ValueError):
+            dp_sum(df, ["g"], "v", clip=-1.0)

@@ -78,6 +78,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # rows-only by design: BLAS partial-sum order varies with partitioning
     "whitened_dim_profile": (vec.q_whitened_dim_profile, None),
     "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
+    "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

@@ -579,3 +579,43 @@ SELECT bucket, n_pos, n_neg, woe, iv_contrib,
        (SELECT round(sum(iv_contrib), 6) FROM scored) AS iv_total
 FROM scored
 """
+
+
+_DP_EPS, _DP_CLIP, _DP_SEED_N, _DP_SEED_S = 1.0, 400.0, 101, 202
+
+
+def q_dp_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release of per-type event counts and clipped value totals
+    (operators/privacy.py::dp_counts / dp_sum — Laplace mechanism with
+    PRF-derived noise, seed fixed HERE because this entry's job is
+    cross-engine verification; a real release keeps its seed secret).
+    One exact groupBy each + a scan-local noise projection."""
+    from vectordb_bioinsight_spark.operators.privacy import dp_counts, dp_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    n = dp_counts(ev, ["event_type"], epsilon=_DP_EPS, seed=_DP_SEED_N)
+    s = dp_sum(
+        ev, ["event_type"], "value", clip=_DP_CLIP, epsilon=_DP_EPS,
+        seed=_DP_SEED_S,
+    )
+    return n.join(s, "event_type")
+
+
+SQL_DP_TYPE_STATS = f"""
+WITH per AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(least(greatest(value::DOUBLE, 0.0), {_DP_CLIP})) AS s
+  FROM events GROUP BY 1
+), noised AS (
+  SELECT event_type, n, s,
+         ((('0x' || substr(md5('{_DP_SEED_N}|' || event_type), 1, 15))::BIGINT + 0.5)
+           / 1152921504606846976.0) - 0.5 AS cn,
+         ((('0x' || substr(md5('{_DP_SEED_S}|' || event_type), 1, 15))::BIGINT + 0.5)
+           / 1152921504606846976.0) - 0.5 AS cs
+  FROM per
+)
+SELECT event_type,
+       greatest(round(n + (-(1.0 / {_DP_EPS}) * sign(cn) * ln(1.0 - 2.0 * abs(cn))), 0), 0.0)::BIGINT AS n_dp,
+       round(greatest(s + (-({_DP_CLIP} / {_DP_EPS}) * sign(cs) * ln(1.0 - 2.0 * abs(cs))), 0.0), 4) AS sum_dp
+FROM noised
+"""
