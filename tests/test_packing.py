@@ -311,3 +311,50 @@ def test_mixture_budget_plan_zero_token_source_is_starved(spark):
     assert rows["empty"]["realized_tokens"] == 0
     assert rows["empty"]["starved"] is True
     assert rows["ok"]["starved"] is False and rows["ok"]["rate"] == 0.2
+
+
+def test_next_fit_bins_matches_greedy_reference(spark):
+    """Fold output == the textbook next-fit walk, incl. oversized items
+    (own bin) and exact-fit boundaries (fill == target does NOT spill)."""
+    import random
+
+    from vectordb_bioinsight_spark.operators.packing import next_fit_bins
+
+    rng = random.Random(9)
+    rows = [("g", i, float(rng.choice([100, 400, 900, 1600]))) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id long, size double")
+
+    def greedy(sizes, target):
+        fill, b, out = 0.0, 0, []
+        for s in sizes:
+            if fill + s > target and fill > 0:
+                b, fill = b + 1, s
+            else:
+                fill += s
+            out.append(b)
+        return out
+
+    expect = greedy([s for _, _, s in rows], 1500.0)
+    got = {
+        r["id"]: r["bin"]
+        for r in next_fit_bins(df, ["g"], "id", "size", 1500.0).collect()
+    }
+    assert [got[i] for i in range(40)] == expect
+    # oversized item 1600 sits alone: its bin contains exactly one item
+    from collections import Counter
+
+    per_bin = Counter(got[i] for i in range(40))
+    for (_, i, s) in rows:
+        if s > 1500.0:
+            assert per_bin[got[i]] == 1
+
+
+def test_next_fit_bins_exact_fit_boundary(spark):
+    from vectordb_bioinsight_spark.operators.packing import next_fit_bins
+
+    df = spark.createDataFrame(
+        [("g", 1, 750.0), ("g", 2, 750.0), ("g", 3, 1.0)],
+        "g string, id long, size double",
+    )
+    got = {r["id"]: r["bin"] for r in next_fit_bins(df, ["g"], "id", "size", 1500.0).collect()}
+    assert got == {1: 0, 2: 0, 3: 1}  # 750+750 == target stays; +1 spills

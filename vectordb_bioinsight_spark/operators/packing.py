@@ -505,3 +505,77 @@ def mixture_budget_plan(
             rate > F.lit(float(max_epochs)), (want > 0) & F.col("avail_tokens").eqNullSafe(0)
         ).alias("starved"),
     ).orderBy("source")
+
+
+def next_fit_bins(
+    df: DataFrame,
+    key_cols: "list[str]",
+    id_col: str,
+    size_col: str,
+    target: float,
+) -> DataFrame:
+    """Generic next-fit bin packing per key — the compaction planner:
+    walk items in id order, open a new bin whenever adding the next item
+    would overflow ``target`` (an item larger than ``target`` gets a bin
+    of its own). This is the plan an OPTIMIZE/small-file-compaction job
+    executes: which files merge into which output file (the same
+    maintenance tier as sources/maintenance.py's snapshot compaction;
+    pack_next_fit is the token-counting specialization of this shape for
+    training sequences).
+
+    The reset-on-overflow recursion is a per-key FOLD (the Holt/funnel
+    convention): sort-collect the (id, size) list inside one key-keyed
+    groupBy, F.aggregate a (fill, bin, bins[]) accumulator over it, zip
+    the bin ids back onto the items, explode. One corpus shuffle; state
+    per key is the item list — callers key by partition/table so that
+    list is the file listing of one partition, thousands at most.
+
+    Output: (key..., id, size, bin) — bin is 0-based in id order.
+    """
+    if target <= 0:
+        raise ValueError("target must be > 0")
+    per = df.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col(size_col).cast("double").alias("s"),
+                )
+            )
+        ).alias("items")
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("fill"),
+        F.lit(0).alias("b"),
+        F.array().cast("array<int>").alias("bins"),
+    )
+    t = F.lit(float(target))
+
+    def _step(acc, x):
+        overflow = (acc["fill"] + x["s"] > t) & (acc["fill"] > 0.0)
+        nb = F.when(overflow, acc["b"] + 1).otherwise(acc["b"])
+        nf = F.when(overflow, x["s"]).otherwise(acc["fill"] + x["s"])
+        return F.struct(
+            nf.alias("fill"),
+            nb.alias("b"),
+            F.concat(acc["bins"], F.array(nb)).alias("bins"),
+        )
+
+    folded = per.withColumn("_st", F.aggregate("items", zero, _step))
+    return folded.select(
+        *key_cols,
+        F.explode(
+            F.zip_with(
+                "items",
+                F.col("_st")["bins"],
+                lambda it, b: F.struct(
+                    it["i"].alias("i"), it["s"].alias("s"), b.alias("b")
+                ),
+            )
+        ).alias("z"),
+    ).select(
+        *key_cols,
+        F.col("z")["i"].alias(id_col),
+        F.col("z")["s"].alias(size_col),
+        F.col("z")["b"].alias("bin"),
+    )

@@ -79,6 +79,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "whitened_dim_profile": (vec.q_whitened_dim_profile, None),
     "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
     "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
+    "compaction_plan_events": (pk.q_compaction_plan_events, pk.SQL_COMPACTION_PLAN_EVENTS),
     # (a) entries whose CODE changed this round or that are NEW — every
     # one must (re-)earn a driver hash row on the current implementation:
     # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +

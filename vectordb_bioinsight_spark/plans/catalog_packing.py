@@ -500,3 +500,66 @@ SELECT cluster, chosen_id, doc_id AS rejected_id, chosen_score,
        round(chosen_score - score, 6) AS margin
 FROM r WHERE sz > 1 AND rn > 1 AND rn <= 5
 """
+
+
+def q_compaction_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/packing.py::next_fit_bins):
+    the per-(type, day) event 'files' pack next-fit into ~1500-row
+    output bins per type — the OPTIMIZE planner as a per-key fold, then
+    a per-bin rollup (n_files, total_rows, day span)."""
+    from vectordb_bioinsight_spark.operators.packing import next_fit_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n_rows"))
+    plan = next_fit_bins(files, ["event_type"], "day", "n_rows", target=1500.0)
+    return plan.groupBy("event_type", "bin").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("n_rows").cast("long")).cast("long").alias("total_rows"),
+        F.min("day").cast("timestamp").alias("first_day"),
+        F.max("day").cast("timestamp").alias("last_day"),
+    )
+
+
+SQL_COMPACTION_PLAN_EVENTS = """
+WITH files AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_rows
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT event_type,
+         list(day ORDER BY day) AS days,
+         list(n_rows::DOUBLE ORDER BY day) AS sizes
+  FROM files GROUP BY 1
+), folded AS (
+  SELECT event_type, days, sizes,
+         list_reduce(
+           list_prepend([0.0, 0.0],
+                        list_transform(sizes, s -> [s, 0.0])),
+           (acc, x) -> list_concat(
+             [
+               CASE WHEN acc[1] + x[1] > 1500.0 AND acc[1] > 0.0
+                    THEN x[1] ELSE acc[1] + x[1] END,
+               CASE WHEN acc[1] + x[1] > 1500.0 AND acc[1] > 0.0
+                    THEN acc[2] + 1.0 ELSE acc[2] END
+             ],
+             list_concat(acc[3:],
+               [CASE WHEN acc[1] + x[1] > 1500.0 AND acc[1] > 0.0
+                     THEN acc[2] + 1.0 ELSE acc[2] END])
+           )
+         ) AS st
+  FROM per
+), items AS (
+  SELECT event_type,
+         unnest(days) AS day,
+         unnest(list_transform(sizes, s -> s::BIGINT)) AS n_rows,
+         unnest(list_transform(st[3:], b -> b::INT)) AS bin
+  FROM folded
+)
+SELECT event_type, bin,
+       count(*)::BIGINT AS n_files,
+       sum(n_rows)::BIGINT AS total_rows,
+       min(day)::TIMESTAMP AS first_day,
+       max(day)::TIMESTAMP AS last_day
+FROM items GROUP BY 1, 2
+"""
