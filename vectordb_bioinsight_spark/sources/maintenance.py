@@ -398,3 +398,45 @@ def snapshot_diff(
             "_change_type",
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str]",
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table BUCKETED on its join key — the co-located-join
+    layout (SURVEY §2.3 scale note): two tables bucketed the same way
+    join with ZERO exchanges, because every bucket pair is already
+    co-partitioned on disk. At 100 TB this converts the fact-to-fact
+    shuffle (the single most expensive stage in a big join) into a
+    metadata no-op, at the cost of one up-front bucketed write — the
+    same amortization as the reference's prebuilt Chroma index
+    (backend/app/core/vector_store.py builds once, queries many).
+    Pinned by tests/test_bucketed_join.py: the joined plan contains no
+    Exchange on either side.
+
+    ``sort`` additionally orders within buckets so the join needs no
+    per-task sort either (SortMergeJoin reads both sides pre-sorted).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be > 0")
+    if mode == "overwrite":
+        # overwrite must also clear an ORPHANED managed location (table
+        # dropped from a fresh session's catalog but directory left on
+        # disk) — saveAsTable refuses it with LOCATION_ALREADY_EXISTS
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.isdir(loc):
+            import shutil
+
+            shutil.rmtree(loc)
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table)
