@@ -161,7 +161,10 @@ _MAX_EXCHANGES = {
     "ship_overlap_annotation": 3,
     "value_hist_quantiles": 3,
     "part_link_prediction": 10,
-    "rake_keyphrases": 3,
+    # 4 after the fold rewrite: word-stat groupBy, per-doc map fold,
+    # map join, dedupe — all doc-keyed; the token-position window that
+    # cost 100 s/1M docs is gone (SCALING rule 36)
+    "rake_keyphrases": 4,
     "session_paths": 2,
     "purchase_woe_iv": 7,
     "daily_trend_ols": 3,

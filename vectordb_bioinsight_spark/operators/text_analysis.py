@@ -784,11 +784,14 @@ def rake_keyphrases(
     a stopword list (trend_analyzer.py:216-230); RAKE is the published
     multi-word upgrade on the same ingredients.
 
-    Plan: one posexplode, a doc-keyed window pair (stop-flag running sum
-    = phrase id — the sessionize shape over token positions), then
-    doc-keyed aggregations for word stats and phrase scores; the final
-    top-n rank window reuses the doc partitioning. Every shuffle is
-    keyed by doc; nothing is corpus-global.
+    Plan: phrase segmentation is a SCAN-LOCAL fold over the token array
+    (accumulator = open run + closed phrases — no posexplode, no
+    token-position window; the first formulation windowed 200M token
+    rows and cost 100 s/1M docs, the fold cut it to the shuffles below),
+    then doc-keyed aggregations over PHRASE-level rows for word stats
+    and phrase scores; the final top-n rank window reuses the doc
+    partitioning. Every shuffle is keyed by doc; nothing is
+    corpus-global.
 
     Output: (doc_id, phrase, n_words, score, rank) — top_n per doc,
     score rounded 4 dp, ties to the lexicographically smaller phrase.
@@ -797,50 +800,73 @@ def rake_keyphrases(
 
     from vectordb_bioinsight_spark.functions.text import STOPWORDS
 
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
-        ).alias("pos", "tok"),
-    ).filter(F.length("tok") > 0)
-    is_stop = (
-        F.col("tok").isin(list(STOPWORDS)) | (F.length("tok") < min_word_len)
-    ).cast("int")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
-    marked = tok.withColumn("_stop", is_stop).withColumn(
-        "phrase_id", F.sum("_stop").over(wsum)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+
+    def _is_stop(t):
+        return F.array_contains(stop_arr, t) | (F.length(t) < min_word_len)
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: F.length(t) > 0,
     )
-    phrases = (
-        marked.filter(F.col("_stop") == 0)
-        .groupBy("doc_id", "phrase_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ).alias("words")
+    empty_cur = F.array().cast("array<string>")
+    zero = F.struct(
+        empty_cur.alias("cur"),
+        F.array().cast("array<array<string>>").alias("out"),
+    )
+
+    def _close(acc):
+        return F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["out"], F.array(acc["cur"]))
+        ).otherwise(acc["out"])
+
+    def _step(acc, t):
+        return F.when(
+            _is_stop(t),
+            F.struct(empty_cur.alias("cur"), _close(acc).alias("out")),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["cur"], F.array(t)).alias("cur"),
+                acc["out"].alias("out"),
+            )
         )
-        .filter(F.size("words").between(1, max_phrase_len))
+
+    phrase_arrays = F.filter(
+        F.aggregate(toks, zero, _step, _close),
+        lambda p: F.size(p) <= max_phrase_len,
     )
-    pw = phrases.select(
-        "doc_id",
-        "phrase_id",
-        F.size("words").alias("plen"),
-        F.explode("words").alias("word"),
+    ph = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(phrase_arrays).alias("phrase_id", "words"),
+    )
+    # word stats are DOC-LOCAL in RAKE, so they fold back as a per-doc
+    # map instead of a word-level join (the join formulation moved ~100M
+    # word-occurrence rows through one more exchange at 1M docs)
+    pw = ph.select(
+        "doc_id", F.size("words").alias("plen"), F.explode("words").alias("word")
     )
     wstats = pw.groupBy("doc_id", "word").agg(
         (F.sum("plen") / F.count("*")).alias("wscore")
     )
+    wmap = wstats.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "wscore"))
+        ).alias("wmap")
+    )
     scored = (
-        pw.join(wstats, ["doc_id", "word"])
-        .groupBy("doc_id", "phrase_id")
-        .agg(F.round(F.sum("wscore"), 4).alias("score"))
-        .join(phrases, ["doc_id", "phrase_id"])
+        ph.join(wmap, "doc_id")
         .select(
             "doc_id",
             F.array_join("words", " ").alias("phrase"),
             F.size("words").cast("int").alias("n_words"),
-            "score",
+            F.round(
+                F.aggregate(
+                    "words",
+                    F.lit(0.0),
+                    lambda acc, w: acc + F.element_at(F.col("wmap"), w),
+                ),
+                4,
+            ).alias("score"),
         )
         .groupBy("doc_id", "phrase", "n_words")
         .agg(F.max("score").alias("score"))
