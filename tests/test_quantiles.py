@@ -128,3 +128,57 @@ class TestHistShards:
             for r in hist_shards(df, ["g"], "x", 0.0, 400.0, 128).collect()
         }
         assert got == {0: 2, 127: 2}
+
+
+class TestKMV:
+    def test_unsaturated_is_exact_and_merge_equals_rebuild(self, spark):
+        from vectordb_bioinsight_spark.operators.sketches import (
+            kmv_shards,
+            kmv_to_stats,
+            merge_kmv_shards,
+        )
+
+        rows = [(f"s{i % 4}", i % 120) for i in range(2000)]
+        df = spark.createDataFrame(rows, "shard string, k int")
+        sh = kmv_shards(df, ["shard"], "k", k=256)
+        merged = merge_kmv_shards(sh.withColumnRenamed("shard", "s"), ["s"], k=256)
+        # shard s_j holds keys {i%120 : i ≡ j mod 4} = 30 distinct each;
+        # < 256 -> exact counts
+        for r in kmv_to_stats(sh, k=256).collect():
+            assert r["n_distinct_est"] == 30.0
+        # merge to one grain == rebuild from all keys
+        all_m = merge_kmv_shards(
+            sh.withColumn("g", F.lit(1)), ["g"], k=256
+        )
+        direct = kmv_shards(df.withColumn("g", F.lit(1)), ["g"], "k", k=256)
+        assert all_m.first()["kmv"] == direct.first()["kmv"]
+
+    def test_saturated_estimate_within_kmv_error(self, spark):
+        """n = 20k distinct >> k = 256: estimate within ~3/sqrt(k) rel
+        error (the KMV envelope)."""
+        from vectordb_bioinsight_spark.operators.sketches import (
+            kmv_shards,
+            kmv_to_stats,
+        )
+
+        df = spark.range(20_000).select(F.lit("g").alias("g"), F.col("id"))
+        sh = kmv_shards(df, ["g"], "id", k=256)
+        est = kmv_to_stats(sh, k=256).first()["n_distinct_est"]
+        assert abs(est - 20_000) / 20_000 < 3 / (256 ** 0.5)
+
+    def test_overlap_estimates_known_jaccard(self, spark):
+        """A = 0..9999, B = 5000..14999: true Jaccard 1/3, intersection
+        5000 — estimates within the sketch envelope."""
+        from vectordb_bioinsight_spark.operators.sketches import (
+            kmv_overlap,
+            kmv_shards,
+        )
+
+        a = spark.range(0, 10_000).select(F.lit("g").alias("g"), "id")
+        b = spark.range(5_000, 15_000).select(F.lit("g").alias("g"), "id")
+        sa = kmv_shards(a, ["g"], "id", k=256)
+        sb = kmv_shards(b, ["g"], "id", k=256)
+        r = kmv_overlap(sa, sb, k=256).first()
+        assert abs(r["jaccard"] - 1 / 3) < 0.12
+        assert abs(r["est_intersect"] - 5_000) / 5_000 < 0.4
+        assert abs(r["est_union"] - 15_000) / 15_000 < 0.2

@@ -275,3 +275,133 @@ def hist_quantiles(
             ).alias(f"q{int(round(q * 100))}")
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def kmv_shards(
+    df: "DataFrame",
+    shard_cols: "list[str]",
+    key_col: str,
+    k: int = 256,
+) -> "DataFrame":
+    """Per-shard K-Minimum-Values sketch (Bar-Yossef et al. 2002) — the
+    DETERMINISTIC distinct-count state: the k smallest 60-bit portable
+    hashes of the key, sorted. Where the HLL shards trade exact replay
+    for fixed 2^lg_k bytes, KMV's state is a pure function of the key
+    set — identical on every engine — so the sketch itself (and every
+    estimate derived from it) is hash-oracle-able, and set INTERSECTIONS
+    are estimable (HLL unions only).
+
+    Plan: hash projection, (shard, hash) distinct pre-aggregation
+    (map-side combinable), then a shard-partitioned min-k rank — the
+    per-group top-k shape (sort-based, spills, never collects).
+
+    Output: (shard..., kmv array<bigint> ascending, n_rows)."""
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    if k <= 1:
+        raise ValueError("k must be > 1")
+    h = portable_hash64(F.col(key_col).cast("string"))
+    rows = df.groupBy(*shard_cols).agg(F.count("*").cast("long").alias("n_rows"))
+    per = (
+        df.select(*shard_cols, h.alias("h"))
+        .groupBy(*shard_cols, "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = Window.partitionBy(*shard_cols).orderBy("h")
+    mins = (
+        per.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(*shard_cols)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+    )
+    return mins.join(rows, list(shard_cols))
+
+
+def merge_kmv_shards(
+    shards: "DataFrame",
+    group_cols: "list[str]",
+    k: int = 256,
+) -> "DataFrame":
+    """Fold KMV shard rows to a coarser grain: union the hash sets, keep
+    the k smallest again — closed under merge, and EXACTLY equal to
+    rebuilding from the union of the underlying key sets (the min-k of a
+    union is the min-k of the per-part min-k's)."""
+    ex = shards.select(
+        *group_cols, F.explode("kmv").alias("h"), "n_rows"
+    )
+    rows = shards.groupBy(*group_cols).agg(
+        F.sum("n_rows").cast("long").alias("n_rows")
+    )
+    merged = (
+        ex.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("h")), 1, k
+            ).alias("kmv")
+        )
+    )
+    return merged.join(rows, list(group_cols))
+
+
+#: hash range of portable_hash64
+_KMV_RANGE = float(1 << 60)
+
+
+def kmv_to_stats(profile: "DataFrame", k: int = 256) -> "DataFrame":
+    """Sketch rows -> distinct-count estimate: exact when the sketch is
+    unsaturated (fewer than k distinct keys — the k-th min never
+    materialized), else the classic (k-1) / normalized k-th minimum.
+    Deterministic arithmetic, rounded 4 dp."""
+    size = F.size("kmv")
+    kth = F.element_at("kmv", k).cast("double")
+    est = F.when(size < k, size.cast("double")).otherwise(
+        F.round((k - 1) / (kth / F.lit(_KMV_RANGE)), 4)
+    )
+    keep = [c for c in profile.columns if c != "kmv"]
+    return profile.select(*keep, est.alias("n_distinct_est"))
+
+
+def kmv_overlap(
+    a: "DataFrame",
+    b: "DataFrame",
+    k: int = 256,
+) -> "DataFrame":
+    """Set-overlap estimates from two single-row KMV sketches (columns
+    ``kmv``, ``n_rows``): distinct estimates for each side, the union,
+    the Jaccard similarity, and the intersection — the audience-overlap
+    query HLL cannot answer. Method: the union's min-k is the k smallest
+    of the combined arrays; Jaccard = fraction of those present in BOTH
+    sketches; intersection = Jaccard x union estimate. All
+    deterministic; rounded 4 dp (6 for Jaccard).
+
+    Output: one row (est_a, est_b, est_union, jaccard, est_intersect).
+    """
+    sa = a.select(F.col("kmv").alias("ka"))
+    sb = b.select(F.col("kmv").alias("kb"))
+    x = sa.join(sb)
+
+    def _est(col):
+        size = F.size(col)
+        kth = F.element_at(col, k).cast("double")
+        return F.when(size < k, size.cast("double")).otherwise(
+            F.round((k - 1) / (kth / F.lit(_KMV_RANGE)), 4)
+        )
+
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, k
+    )
+    both = F.filter(
+        union_k,
+        lambda h: F.array_contains(F.col("ka"), h)
+        & F.array_contains(F.col("kb"), h),
+    )
+    jac = F.round(F.size(both) / F.size(union_k).cast("double"), 6)
+    return x.select(
+        _est(F.col("ka")).alias("est_a"),
+        _est(F.col("kb")).alias("est_b"),
+        _est(union_k).alias("est_union"),
+        jac.alias("jaccard"),
+        F.round(jac * _est(union_k), 4).alias("est_intersect"),
+    )

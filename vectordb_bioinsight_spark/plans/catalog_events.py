@@ -1144,3 +1144,56 @@ FROM per_sess GROUP BY 1
 ORDER BY n_sessions DESC, path ASC
 LIMIT 20
 """
+
+
+def q_audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via K-Minimum-Values sketches (operators/
+    sketches.py::kmv_shards / kmv_overlap): viewers vs purchasers —
+    distinct estimates per side, union, Jaccard, intersection. KMV state
+    is a pure function of the key set (min-k portable hashes), so unlike
+    HLL the whole sketch pipeline hash-matches the DuckDB twin; and
+    unlike HLL it answers INTERSECTIONS."""
+    from vectordb_bioinsight_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_shards,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("_g", F.lit("all"))
+    a = kmv_shards(ev.filter(F.col("event_type") == "view"), ["_g"], "user_id")
+    b = kmv_shards(
+        ev.filter(F.col("event_type") == "purchase"), ["_g"], "user_id"
+    )
+    return kmv_overlap(a, b, k=256)
+
+
+SQL_AUDIENCE_OVERLAP_KMV = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'view'
+), hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'purchase'
+), ka AS (
+  SELECT list(h ORDER BY h) AS ka FROM (SELECT h FROM ha ORDER BY h LIMIT 256)
+), kb AS (
+  SELECT list(h ORDER BY h) AS kb FROM (SELECT h FROM hb ORDER BY h LIMIT 256)
+), u AS (
+  SELECT ka, kb,
+         list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, 256) AS ku
+  FROM ka, kb
+), est AS (
+  SELECT ka, kb, ku,
+         CASE WHEN len(ka) < 256 THEN len(ka)::DOUBLE
+              ELSE round(255.0 / (ka[256]::DOUBLE / 1152921504606846976.0), 4) END AS est_a,
+         CASE WHEN len(kb) < 256 THEN len(kb)::DOUBLE
+              ELSE round(255.0 / (kb[256]::DOUBLE / 1152921504606846976.0), 4) END AS est_b,
+         CASE WHEN len(ku) < 256 THEN len(ku)::DOUBLE
+              ELSE round(255.0 / (ku[256]::DOUBLE / 1152921504606846976.0), 4) END AS est_union,
+         round(len(list_filter(ku, h -> list_contains(ka, h) AND list_contains(kb, h)))
+               / len(ku)::DOUBLE, 6) AS jaccard
+  FROM u
+)
+SELECT est_a, est_b, est_union, jaccard,
+       round(jaccard * est_union, 4) AS est_intersect
+FROM est
+"""
