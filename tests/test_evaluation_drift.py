@@ -399,3 +399,43 @@ class TestDPAggregates:
             dp_counts(df, ["g"], epsilon=0.0)
         with _pytest.raises(ValueError):
             dp_sum(df, ["g"], "v", clip=-1.0)
+
+
+def test_nelson_aalen_matches_lifelines_arithmetic(spark):
+    """Hand fixture: H(t) == sum d/n with end-of-data censoring, var
+    == sum d/n^2 — checked against pure-python arithmetic."""
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import nelson_aalen_weeks
+
+    d0 = dt.datetime(2024, 1, 1, 9)
+    rows = []
+    # u1: weeks 0 (single day); u2,u3: ~2 weeks; u4 active till the end
+    spans = {1: 0, 2: 15, 3: 15, 4: 30}
+    for u, days in spans.items():
+        rows += [(u, d0), (u, d0 + dt.timedelta(days=days))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["week"]: r for r in nelson_aalen_weeks(df, "user_id", "ts").collect()}
+    # week0: risk 4, churn 1 (u1); week2: risk 3, churn 2; week4: risk 1 censored
+    assert out[0]["n_risk"] == 4 and out[0]["n_churned"] == 1
+    assert abs(out[0]["cum_hazard"] - 0.25) < 1e-9
+    assert abs(out[2]["cum_hazard"] - (0.25 + 2 / 3)) < 1e-6
+    assert abs(out[2]["hazard_var"] - (1 / 16 + 2 / 9)) < 1e-6
+    assert out[4]["n_censored"] == 1 and out[4]["n_churned"] == 0
+
+
+def test_cumulative_gains_perfect_score_front_loads(spark):
+    """A perfectly separating score captures 100% of positives in the
+    top bucket(s); lift in bucket 1 ~ 1/positive-rate; final row is
+    (1.0, 1.0, 1.0)."""
+    from vectordb_bioinsight_spark.operators.trends import cumulative_gains
+
+    rows = [(float(i), 1 if i >= 900 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = {r["bucket"]: r for r in cumulative_gains(df, "y", "s").collect()}
+    assert abs(out[1]["cum_capture"] - 1.0) < 1e-6
+    assert abs(out[1]["lift"] - 1.0 / out[1]["cum_pop_share"]) < 1e-4
+    last = out[max(out)]
+    assert abs(last["cum_capture"] - 1.0) < 1e-9
+    assert abs(last["cum_pop_share"] - 1.0) < 1e-9
+    assert abs(last["lift"] - 1.0) < 1e-9

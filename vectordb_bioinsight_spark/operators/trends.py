@@ -512,6 +512,33 @@ def event_transition_matrix(
     )
 
 
+def _survival_risk_frame(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Shared discrete-week risk table for the survival estimators
+    (KM / Nelson-Aalen): per-week (n_risk, n_churned, n_censored) with
+    end-of-data censoring. One user-keyed agg; everything downstream is
+    week-cardinality."""
+    spans = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.min(ts_col)).alias("first_day"),
+        F.to_date(F.max(ts_col)).alias("last_day"),
+    )
+    horizon = spans.agg(F.max("last_day").alias("_max_day"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.datediff("last_day", "first_day") / 7).cast("long").alias("week"),
+        (F.datediff("_max_day", "last_day") < 7).cast("int").alias("censored"),
+    )
+    total = per_user.count()
+    by_wk = per_user.groupBy("week").agg(
+        F.count("*").cast("long").alias("ending"),
+        F.sum(1 - F.col("censored")).cast("long").alias("n_churned"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    return by_wk.withColumn(
+        "n_risk",
+        (F.lit(total) - F.coalesce(F.sum("ending").over(w), F.lit(0))).cast("long"),
+    )
+
+
 def kaplan_meier_weeks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
     """Discrete-week Kaplan-Meier survival (churn curve) over user
     lifetimes: lifetime = floor(days between first and last activity / 7);
@@ -533,27 +560,8 @@ def kaplan_meier_weeks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
 
     Output: (week, n_risk, n_churned, n_censored, survival) rounded 6 dp.
     """
-    spans = df.groupBy(F.col(user_col).alias("u")).agg(
-        F.to_date(F.min(ts_col)).alias("first_day"),
-        F.to_date(F.max(ts_col)).alias("last_day"),
-    )
-    horizon = spans.agg(F.max("last_day").alias("_max_day"))
-    per_user = spans.crossJoin(F.broadcast(horizon)).select(
-        (F.datediff("last_day", "first_day") / 7).cast("long").alias("week"),
-        (F.datediff("_max_day", "last_day") < 7).cast("int").alias("censored"),
-    )
-    total = per_user.count()
-    by_wk = per_user.groupBy("week").agg(
-        F.count("*").cast("long").alias("ending"),
-        F.sum(1 - F.col("censored")).cast("long").alias("n_churned"),
-        F.sum("censored").cast("long").alias("n_censored"),
-    )
-    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    risked = _survival_risk_frame(df, user_col, ts_col)
     wc = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
-    risked = by_wk.withColumn(
-        "n_risk",
-        (F.lit(total) - F.coalesce(F.sum("ending").over(w), F.lit(0))).cast("long"),
-    )
     factor = 1.0 - F.col("n_churned") / F.col("n_risk")
     stepped = risked.withColumn("_f", factor).withColumn(
         "_dead", F.max((F.col("_f") <= 0).cast("int")).over(wc)
@@ -968,3 +976,88 @@ def session_paths(
         F.countDistinct("_u").cast("long").alias("n_users"),
     )
     return agg.orderBy(F.desc("n_sessions"), F.asc("path")).limit(top_n)
+
+
+def nelson_aalen_weeks(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same discrete-week risk
+    table as :func:`kaplan_meier_weeks`:
+
+        H(t) = sum_{i<=t} d_i / n_i,   var(H) = sum d_i / n_i^2
+
+    — the estimator survival analysts read NEXT TO the KM curve (hazard
+    is additive, so it localizes WHEN churn risk spikes, which the
+    multiplicative survival curve smears). Same single user-keyed agg,
+    week-cardinality windows.
+
+    Output: (week, n_risk, n_churned, n_censored, cum_hazard,
+    hazard_var) rounded 6 dp.
+    """
+    risked = _survival_risk_frame(df, user_col, ts_col)
+    wc = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    h = F.col("n_churned") / F.col("n_risk")
+    v = F.col("n_churned") / (F.col("n_risk") * F.col("n_risk"))
+    return risked.select(
+        "week",
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.round(F.sum(h).over(wc), 6).alias("cum_hazard"),
+        F.round(F.sum(v).over(wc), 6).alias("hazard_var"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 10,
+    round_cuts: int = 4,
+) -> DataFrame:
+    """Cumulative gains / lift chart — the campaign-targeting view of the
+    PR curve: bucket the population by score decile (equal-frequency cut
+    points from exact percentiles, rounded like the PSI cuts so bin
+    assignment is engine-deterministic), then per decile the cumulative
+    share of positives captured and the lift over random targeting.
+
+    Plan: one tiny percentile agg broadcast back (cut points), scan-local
+    bucket assignment (count cuts <= score), one bucket groupBy, one
+    bucket-cardinality cumulative window.
+
+    Output: (bucket 1 = highest scores, n, n_pos, cum_pop_share,
+    cum_capture, lift) rounded 6 dp.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.array(
+            *[
+                F.round(F.percentile(score_col, F.lit(q)), round_cuts)
+                for q in qs
+            ]
+        ).alias("_cuts")
+    )
+    y = F.col(label_col).cast("int")
+    binned = df.select(F.col(score_col).alias("_s"), y.alias("_y")).join(
+        F.broadcast(cuts)
+    )
+    # bucket 1 = top scores: count cuts the score EXCEEDS, from the top
+    bucket = (
+        F.lit(n_buckets)
+        - F.size(F.filter(F.col("_cuts"), lambda c: F.col("_s") > c))
+    ).alias("bucket")
+    per = binned.select(bucket, "_y").groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot_n = F.sum("n").over(Window.partitionBy())
+    tot_pos = F.sum("n_pos").over(Window.partitionBy())
+    cum_share = F.sum("n").over(wc) / tot_n
+    cum_cap = F.sum("n_pos").over(wc) / F.nullif(tot_pos, F.lit(0))
+    return per.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(cum_share, 6).alias("cum_pop_share"),
+        F.round(cum_cap, 6).alias("cum_capture"),
+        F.round(cum_cap / cum_share, 6).alias("lift"),
+    )

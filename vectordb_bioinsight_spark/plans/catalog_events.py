@@ -1197,3 +1197,82 @@ SELECT est_a, est_b, est_union, jaccard,
        round(jaccard * est_union, 4) AS est_intersect
 FROM est
 """
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard (operators/trends.py::
+    nelson_aalen_weeks) over the same discrete-week risk table as the
+    KM curve — additive hazard localizes WHEN churn risk spikes."""
+    from vectordb_bioinsight_spark.operators.trends import nelson_aalen_weeks
+
+    ev = load_table(spark, sf_dir, "events")
+    return nelson_aalen_weeks(ev, "user_id", "ts")
+
+
+SQL_NELSON_AALEN = """
+WITH spans AS (
+  SELECT user_id AS u, min(ts)::DATE AS first_day, max(ts)::DATE AS last_day
+  FROM events GROUP BY 1
+), hz AS (SELECT max(last_day) AS max_day FROM spans),
+per_user AS (
+  SELECT ((last_day - first_day) // 7)::BIGINT AS week,
+         (max_day - last_day < 7)::INT AS censored
+  FROM spans, hz
+), by_wk AS (
+  SELECT week, count(*)::BIGINT AS ending,
+         sum(1 - censored)::BIGINT AS n_churned,
+         sum(censored)::BIGINT AS n_censored
+  FROM per_user GROUP BY 1
+), risked AS (
+  SELECT week, n_churned, n_censored,
+         ((SELECT count(*) FROM per_user)
+          - coalesce(sum(ending) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+  FROM by_wk
+)
+SELECT week, n_risk, n_churned, n_censored,
+       round(sum(n_churned::DOUBLE / n_risk) OVER wc, 6) AS cum_hazard,
+       round(sum(n_churned::DOUBLE / (n_risk * n_risk)) OVER wc, 6) AS hazard_var
+FROM risked
+WINDOW wc AS (ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_purchase_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift of event value as a purchase targeting
+    score (operators/trends.py::cumulative_gains): PSI-style rounded
+    decile cuts broadcast back, scan-local bucket assignment, one
+    bucket groupBy + bucket-cardinality cumulative window."""
+    from vectordb_bioinsight_spark.operators.trends import cumulative_gains
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return cumulative_gains(ev, "y", "value", n_buckets=10)
+
+
+SQL_PURCHASE_GAINS = """
+WITH ev AS (
+  SELECT value::DOUBLE AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), cuts AS (
+  SELECT list_transform(
+           quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           c -> round(c, 4)) AS cuts
+  FROM ev
+), b AS (
+  SELECT 10 - len(list_filter(cuts, c -> s > c)) AS bucket, y
+  FROM ev, cuts
+), per AS (
+  SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+  FROM b GROUP BY 1
+)
+SELECT bucket, n, n_pos,
+       round((sum(n) OVER wc)::DOUBLE / (sum(n) OVER ()), 6) AS cum_pop_share,
+       round((sum(n_pos) OVER wc)::DOUBLE / nullif(sum(n_pos) OVER (), 0), 6) AS cum_capture,
+       round(((sum(n_pos) OVER wc)::DOUBLE / nullif(sum(n_pos) OVER (), 0))
+             / ((sum(n) OVER wc)::DOUBLE / (sum(n) OVER ())), 6) AS lift
+FROM per
+WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
