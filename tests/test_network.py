@@ -514,3 +514,25 @@ class TestLinkPrediction:
         r06 = capped[(0, 6)]
         # hub degree STILL counts in the denominator: 2/(5+2-2)
         assert r06["cn"] == 2 and abs(r06["jaccard"] - 0.4) < 1e-9
+
+
+def test_association_rules_hand_computed(spark):
+    """3 baskets: {x,y}, {x,y}, {x,z} — rule x->y: n_ab 2, conf 2/3,
+    lift (2/3)/(2/3)=1.0; y->x: conf 1.0, lift 1.0/(3/3)=1.0;
+    x->z filtered by min_cooc 2."""
+    from vectordb_bioinsight_spark.operators.joins import association_rules
+
+    rows = [("x", 1), ("y", 1), ("x", 2), ("y", 2), ("x", 3), ("z", 3)]
+    df = spark.createDataFrame(rows, "item string, basket int")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "item", "basket", min_cooc=2).collect()
+    }
+    assert set(out) == {("x", "y"), ("y", "x")}
+    xy = out[("x", "y")]
+    assert xy["n_ab"] == 2 and xy["n_a"] == 3 and xy["n_b"] == 2
+    assert abs(xy["support"] - round(2 / 3, 6)) < 1e-9
+    assert abs(xy["confidence"] - round(2 / 3, 6)) < 1e-9
+    assert abs(xy["lift"] - 1.0) < 1e-6
+    yx = out[("y", "x")]
+    assert yx["confidence"] == 1.0 and abs(yx["lift"] - 1.0) < 1e-6

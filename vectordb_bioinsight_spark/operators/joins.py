@@ -218,3 +218,68 @@ def item_cf_topk(
         .filter(F.col("rank") <= k)
         .select("item", "neighbor", F.col("weight").alias("cooc"), "similarity", "rank")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    item_col: str,
+    basket_col: str,
+    min_cooc: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Directed association rules A -> B over baskets — the
+    support/confidence/lift view of the co-occurrence graph (Agrawal &
+    Srikant 1994; the rule form of the same counts item_cf_topk ranks by
+    cosine):
+
+        support    = n_AB / N           confidence = n_AB / n_A
+        lift       = confidence / (n_B / N)
+
+    Plan: one basket-keyed co-occurrence self-join for pair counts (the
+    cooccurrence_edges shuffle — skew note there applies), one item-count
+    aggregate broadcast back twice, the basket total folded from a 1-row
+    aggregate. Rules emit in BOTH directions from each undirected pair
+    (confidence is asymmetric).
+
+    Output: (antecedent, consequent, n_ab, n_a, n_b, support,
+    confidence, lift) rounded 6 dp.
+    """
+    pairs = cooccurrence_edges(df, item_col, basket_col, min_weight=min_cooc)
+    both = pairs.select(
+        F.col("item1").alias("a"), F.col("item2").alias("b"), "weight"
+    ).unionByName(
+        pairs.select(
+            F.col("item2").alias("a"), F.col("item1").alias("b"), "weight"
+        )
+    )
+    items = (
+        df.select(F.col(item_col).alias("_i"), F.col(basket_col).alias("_b"))
+        .distinct()
+        .groupBy("_i")
+        .agg(F.count("*").cast("long").alias("n_i"))
+    )
+    total = df.agg(
+        F.countDistinct(basket_col).cast("double").alias("_n")
+    )
+    out = (
+        both.join(
+            F.broadcast(items.select(F.col("_i").alias("a"), F.col("n_i").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("_i").alias("b"), F.col("n_i").alias("n_b"))),
+            "b",
+        )
+        .join(F.broadcast(total))
+    )
+    conf = F.col("weight") / F.col("n_a")
+    return out.filter(conf >= min_confidence).select(
+        F.col("a").alias("antecedent"),
+        F.col("b").alias("consequent"),
+        F.col("weight").alias("n_ab"),
+        "n_a",
+        "n_b",
+        F.round(F.col("weight") / F.col("_n"), 6).alias("support"),
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / (F.col("n_b") / F.col("_n")), 6).alias("lift"),
+    )

@@ -793,3 +793,44 @@ JOIN deg dv ON dv.node = cand.v
 ORDER BY cn DESC, aa DESC, u ASC, v ASC
 LIMIT 20
 """
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (operators/joins.py::
+    association_rules): directed part -> part rules with
+    support/confidence/lift, co-orders >= 3, confidence >= 0.5 — the
+    rule-form reading of the same co-occurrence counts item_cf ranks."""
+    from vectordb_bioinsight_spark.operators.joins import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
+    )
+    return association_rules(li, "part", "okey", min_cooc=3, min_confidence=0.5)
+
+
+SQL_BASKET_RULES = """
+WITH dw AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), e AS (
+  SELECT a.part AS a, b.part AS b, count(*)::BIGINT AS w
+  FROM dw a JOIN dw b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), bo AS (
+  SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e
+), items AS (
+  SELECT part AS i, count(*)::BIGINT AS n_i FROM dw GROUP BY 1
+), tot AS (
+  SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM lineitem
+)
+SELECT bo.a AS antecedent, bo.b AS consequent, w AS n_ab,
+       ia.n_i AS n_a, ib.n_i AS n_b,
+       round(w / t.n, 6) AS support,
+       round(w::DOUBLE / ia.n_i, 6) AS confidence,
+       round((w::DOUBLE / ia.n_i) / (ib.n_i / t.n), 6) AS lift
+FROM bo
+JOIN items ia ON ia.i = bo.a
+JOIN items ib ON ib.i = bo.b
+CROSS JOIN tot t
+WHERE w::DOUBLE / ia.n_i >= 0.5
+"""
