@@ -536,3 +536,38 @@ def test_association_rules_hand_computed(spark):
     assert abs(xy["lift"] - 1.0) < 1e-6
     yx = out[("y", "x")]
     assert yx["confidence"] == 1.0 and abs(yx["lift"] - 1.0) < 1e-6
+
+
+class TestPersonalizedPageRank:
+    def test_restart_concentrates_at_seed_and_fast_equals_distributed(self, spark):
+        from vectordb_bioinsight_spark.operators.network import (
+            personalized_pagerank,
+        )
+
+        # barbell: clique a0-a1-a2 — bridge — clique b0-b1-b2; seed a0
+        edges = spark.createDataFrame(
+            [("a0", "a1"), ("a1", "a2"), ("a0", "a2"),
+             ("a2", "b0"), ("b0", "b1"), ("b1", "b2"), ("b0", "b2")],
+            "entity1 string, entity2 string",
+        )
+        fast = {r["entity"]: r["ppr"]
+                for r in personalized_pagerank(edges, ["a0"]).collect()}
+        dist = {r["entity"]: r["ppr"]
+                for r in personalized_pagerank(edges, ["a0"], collect_below=0).collect()}
+        assert fast == dist
+        # total mass ~1 (walk with restart conserves probability)
+        assert abs(sum(fast.values()) - 1.0) < 1e-3
+        # seed side dominates: a-nodes outrank the far clique's b1/b2
+        assert fast["a0"] == max(fast.values())
+        assert min(fast["a1"], fast["a2"]) > max(fast["b1"], fast["b2"])
+
+    def test_empty_sources_guard(self, spark):
+        import pytest as _pytest
+
+        from vectordb_bioinsight_spark.operators.network import (
+            personalized_pagerank,
+        )
+
+        edges = spark.createDataFrame([("a", "b")], "entity1 string, entity2 string")
+        with _pytest.raises(ValueError):
+            personalized_pagerank(edges, [])

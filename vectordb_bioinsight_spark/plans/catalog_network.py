@@ -834,3 +834,79 @@ JOIN items ib ON ib.i = bo.b
 CROSS JOIN tot t
 WHERE w::DOUBLE / ia.n_i >= 0.5
 """
+
+
+def _ppr_chain_cte(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank CTEs mirroring operators/
+    network.personalized_pagerank with a single data-derived source
+    (the minimum part key in the graph): restart mass 1 at the source,
+    every node keeps a row each round (LEFT JOIN + coalesce 0)."""
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src FROM sym)",
+        "dg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY 1)",
+        "s0 AS (SELECT min(src) AS m FROM nodes)",
+        "p0 AS MATERIALIZED (SELECT src AS entity, "
+        "CASE WHEN src = (SELECT m FROM s0) THEN 1.0 ELSE 0.0 END AS score "
+        "FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT n.src AS entity, "
+            f"(1.0 - {damping}) * (CASE WHEN n.src = (SELECT m FROM s0) THEN 1.0 ELSE 0.0 END) "
+            f"+ {damping} * coalesce(mass.mm, 0.0) AS score "
+            f"FROM nodes n LEFT JOIN ("
+            f"SELECT e.dst, sum(p.score / dg.d) AS mm "
+            f"FROM sym e JOIN p{t-1} p ON e.src = p.entity JOIN dg ON dg.src = e.src "
+            f"GROUP BY e.dst) mass ON mass.dst = n.src)"
+        )
+    return ",\n".join(parts)
+
+
+_PPR_ITERS, _PPR_D = 6, 0.85
+
+
+def q_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the minimum part key over the
+    co-purchase graph (operators/network.py::personalized_pagerank):
+    the walk-with-restart proximity recommender — top-20 parts nearest
+    the seed through basket neighborhoods; fixed 6-iteration unroll,
+    identical chained-CTE twin."""
+    from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+    from vectordb_bioinsight_spark.operators.network import (
+        personalized_pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
+    )
+    edges = cooccurrence_edges(li, "part", "okey", min_weight=2).localCheckpoint(
+        eager=False
+    )
+    seed = edges.agg(
+        F.min(F.least("item1", "item2")).alias("m")
+    ).first()["m"]
+    scored = personalized_pagerank(
+        edges.withColumnRenamed("item1", "entity1").withColumnRenamed(
+            "item2", "entity2"
+        ),
+        [seed],
+        damping=_PPR_D,
+        max_iter=_PPR_ITERS,
+    )
+    return scored.orderBy(F.desc("ppr"), F.asc("entity")).limit(20)
+
+
+SQL_PART_PPR = f"""
+WITH dw AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), e AS (
+  SELECT a.part AS a, b.part AS b
+  FROM dw a JOIN dw b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e
+),
+{_ppr_chain_cte(_PPR_ITERS, _PPR_D)}
+SELECT entity, round(score, 6) AS ppr FROM p{_PPR_ITERS}
+ORDER BY ppr DESC, entity ASC LIMIT 20
+"""
