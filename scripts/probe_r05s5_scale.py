@@ -85,6 +85,33 @@ def main() -> None:
     print(f"docs: {bigd.count()}")
     timed("rake_1m_docs", rake_keyphrases(bigd, "doc_id", "text"))
 
+    # --- graph + sketch tier on the sf0.1 co-purchase graph / 1M events ---
+    from vectordb_bioinsight_spark.operators.joins import (
+        association_rules,
+        cooccurrence_edges,
+    )
+    from vectordb_bioinsight_spark.operators.network import personalized_pagerank
+    from vectordb_bioinsight_spark.operators.sketches import kmv_overlap, kmv_shards
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
+    )
+    timed("basket_rules_sf01", association_rules(li, "part", "okey", min_cooc=2))
+    edges = cooccurrence_edges(li, "part", "okey", min_weight=2).localCheckpoint()
+    e2 = edges.withColumnRenamed("item1", "entity1").withColumnRenamed("item2", "entity2")
+    seed = edges.agg(F.min(F.least("item1", "item2"))).first()[0]
+    # the distributed loop does its work in eager per-round checkpoints,
+    # so time construction + action together
+    t0 = time.perf_counter()
+    personalized_pagerank(e2, [seed], max_iter=6, collect_below=0).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    print(f"ppr_sf01\t{time.perf_counter() - t0:.1f}s")
+    big2 = big.withColumn("_g", F.lit("all"))
+    ka = kmv_shards(big2.filter(F.col("event_type") == "view"), ["_g"], "user_id")
+    kb = kmv_shards(big2.filter(F.col("event_type") == "purchase"), ["_g"], "user_id")
+    timed("kmv_overlap_1m", kmv_overlap(ka, kb))
+
     spark.stop()
 
 

@@ -291,9 +291,13 @@ def kmv_shards(
     estimate derived from it) is hash-oracle-able, and set INTERSECTIONS
     are estimable (HLL unions only).
 
-    Plan: hash projection, (shard, hash) distinct pre-aggregation
-    (map-side combinable), then a shard-partitioned min-k rank — the
-    per-group top-k shape (sort-based, spills, never collects).
+    Plan (two-phase min-k — min-k of a union IS the min-k of per-part
+    min-k's, the same closure property merge relies on): hash
+    projection, (shard, salt, hash) distinct pre-aggregation (map-side
+    combinable), per-(shard, salt) min-k rank over 64 salt buckets, then
+    the final min-k folds <= 64k candidate rows per shard in one
+    aggregation. No shard-wide window: a single global sketch would
+    otherwise sort ALL distinct keys in one partition.
 
     Output: (shard..., kmv array<bigint> ascending, n_rows)."""
     from pyspark.sql import Window
@@ -306,15 +310,18 @@ def kmv_shards(
     rows = df.groupBy(*shard_cols).agg(F.count("*").cast("long").alias("n_rows"))
     per = (
         df.select(*shard_cols, h.alias("h"))
-        .groupBy(*shard_cols, "h")
+        .withColumn("_salt", F.pmod(F.col("h"), F.lit(64)))
+        .groupBy(*shard_cols, "_salt", "h")
         .agg(F.lit(1).alias("_one"))
     )
-    w = Window.partitionBy(*shard_cols).orderBy("h")
+    w = Window.partitionBy(*shard_cols, "_salt").orderBy("h")
     mins = (
         per.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= k)
         .groupBy(*shard_cols)
-        .agg(F.sort_array(F.collect_list("h")).alias("kmv"))
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("kmv")
+        )
     )
     return mins.join(rows, list(shard_cols))
 
