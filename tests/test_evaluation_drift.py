@@ -439,3 +439,48 @@ def test_cumulative_gains_perfect_score_front_loads(spark):
     assert abs(last["cum_capture"] - 1.0) < 1e-9
     assert abs(last["cum_pop_share"] - 1.0) < 1e-9
     assert abs(last["lift"] - 1.0) < 1e-9
+
+
+def test_shapley_attribution_hand_computed(spark):
+    """2-channel exact lattice, worked by hand:
+    {A}: 2 users 1 conv (v=.5); {B}: 1 user 0 conv (v=0);
+    {A,B}: 2 users 2 conv (v=1); {}: 1 direct conv (v:=0).
+    phi_A = .5*(.5-0) + .5*(1-0) = .75 ; phi_B = .5*0 + .5*(1-.5) = .25.
+    Efficiency: phi_A + phi_B = v(grand) = 1."""
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import shapley_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = []
+
+    def user(u, touches, converts):
+        for i, ch in enumerate(touches):
+            rows.append((u, ch, t0 + dt.timedelta(minutes=i)))
+        if converts:
+            rows.append((u, "buy", t0 + dt.timedelta(hours=1)))
+
+    user(1, ["A"], True); user(2, ["A"], False)
+    user(3, ["B"], False)
+    user(4, ["A", "B"], True); user(5, ["B", "A"], True)
+    user(6, [], True)  # direct conversion
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            df, "user_id", "event_type", "ts", "buy", ["A", "B"]
+        ).collect()
+    }
+    assert abs(out["A"]["shapley"] - 0.75) < 1e-9
+    assert abs(out["B"]["shapley"] - 0.25) < 1e-9
+    assert out["A"]["n_users_touched"] == 4 and out["B"]["n_users_touched"] == 3
+    # post-conversion touches are excluded
+    rows.append((6, "A", t0 + dt.timedelta(hours=2)))
+    df2 = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out2 = {
+        r["channel"]: r
+        for r in shapley_attribution(
+            df2, "user_id", "event_type", "ts", "buy", ["A", "B"]
+        ).collect()
+    }
+    assert out2 == out

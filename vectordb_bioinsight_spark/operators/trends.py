@@ -1061,3 +1061,121 @@ def cumulative_gains(
         F.round(cum_cap, 6).alias("cum_capture"),
         F.round(cum_cap / cum_share, 6).alias("lift"),
     )
+
+
+#: factorials 0!..8! for the Shapley weight — channel counts beyond 8
+#: explode the subset lattice and belong in a sampled estimator
+_FACT = [1, 1, 2, 6, 24, 120, 720, 5040, 40320]
+
+
+def shapley_attribution(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    conversion_type: str,
+    touch_types: "list[str]",
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; the
+    simplified data-driven form of Zhao et al. 2018) — the
+    game-theoretic upgrade of :func:`touch_attribution`'s heuristics:
+    each channel's credit is its average marginal lift in conversion
+    rate across every observed channel coalition,
+
+        phi_i = sum_{S not containing i} |S|!(n-|S|-1)!/n! * (v(S u i) - v(S))
+
+    with v(S) = the observed conversion rate of users whose touched-
+    channel set is exactly S, v(empty) := 0 (direct conversions
+    attribute nothing to channels), and unobserved coalitions
+    contributing no marginal term — the standard data-driven
+    conventions, documented rather than silent.
+
+    Plan: ONE user-keyed aggregation builds (conv_ts, touch events),
+    pre-conversion filtering happens inside the collected array (the
+    funnel convention — per-user state is that user's events); a
+    bounded groupBy gives the <= 2^n coalition table; the Shapley sum is
+    a self-join of that broadcast-sized table against the channel
+    dimension. Nothing after the first agg is corpus-scale.
+    ``touch_types`` is capped at 8 (exact lattice = 2^n rows).
+
+    Output: (channel, shapley, n_users_touched) rounded 6 dp.
+    """
+    n_ch = len(touch_types)
+    if not 1 <= n_ch <= 8:
+        raise ValueError("touch_types must have 1..8 channels (exact lattice)")
+    per_user = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.min(
+            F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+        ).alias("_conv_ts"),
+        F.collect_list(
+            F.when(
+                F.col(type_col).isin(list(touch_types)),
+                F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")),
+            )
+        ).alias("_touches"),
+    )
+    eligible = F.filter(
+        F.col("_touches"),
+        lambda x: F.col("_conv_ts").isNull() | (x["t"] < F.col("_conv_ts")),
+    )
+    sets = per_user.select(
+        F.sort_array(
+            F.array_distinct(F.transform(eligible, lambda x: x["e"]))
+        ).alias("cset"),
+        F.col("_conv_ts").isNotNull().cast("int").alias("_conv"),
+    )
+    combos = sets.groupBy("cset").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_conv").cast("long").alias("n_conv"),
+    )
+    combos = combos.withColumn(
+        "v",
+        F.when(F.size("cset") == 0, F.lit(0.0)).otherwise(
+            F.col("n_conv") / F.col("n")
+        ),
+    ).localCheckpoint(eager=False)
+    channels = df.sparkSession.createDataFrame(
+        [(c,) for c in sorted(touch_types)], "channel string"
+    )
+    c2 = combos.select(
+        F.col("cset").alias("cset2"), F.col("v").alias("v2")
+    )
+    fact = F.array(*[F.lit(float(f)) for f in _FACT])
+    sz = F.size("cset")
+    w = (
+        F.element_at(fact, sz + 1)
+        * F.element_at(fact, F.lit(n_ch) - sz)
+        / F.lit(float(_FACT[n_ch]))
+    )
+    pairs = (
+        combos.crossJoin(F.broadcast(channels))
+        .filter(~F.array_contains(F.col("cset"), F.col("channel")))
+        .join(
+            F.broadcast(c2),
+            F.col("cset2")
+            == F.array_sort(F.array_union("cset", F.array(F.col("channel")))),
+        )
+        .select(
+            "channel",
+            (w * (F.col("v2") - F.col("v"))).alias("_contrib"),
+        )
+    )
+    touched = (
+        combos.select(F.explode("cset").alias("channel"), "n")
+        .groupBy("channel")
+        .agg(F.sum("n").cast("long").alias("n_users_touched"))
+    )
+    phi = pairs.groupBy("channel").agg(
+        F.round(F.sum("_contrib"), 6).alias("shapley")
+    )
+    return (
+        channels.join(phi, "channel", "left")
+        .join(touched, "channel", "left")
+        .select(
+            "channel",
+            F.coalesce("shapley", F.lit(0.0)).alias("shapley"),
+            F.coalesce("n_users_touched", F.lit(0).cast("long")).alias(
+                "n_users_touched"
+            ),
+        )
+    )

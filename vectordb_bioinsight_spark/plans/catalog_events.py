@@ -1276,3 +1276,65 @@ SELECT bucket, n, n_pos,
 FROM per
 WINDOW wc AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+_SHAP_CH = ["click", "error", "signup", "view"]
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value channel attribution for purchases over the
+    4-channel event lattice (operators/trends.py::shapley_attribution):
+    one user-keyed agg builds the coalition table (<= 16 rows), the
+    Shapley sum is a broadcast self-join against the channel dimension —
+    the game-theoretic upgrade of the touch-attribution heuristics."""
+    from vectordb_bioinsight_spark.operators.trends import shapley_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, "user_id", "event_type", "ts", "purchase", _SHAP_CH
+    )
+
+
+SQL_SHAPLEY_ATTRIBUTION = """
+WITH per AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS conv_ts,
+         list(struct_pack(t := ts, e := event_type))
+           FILTER (WHERE event_type IN ('click','error','signup','view')) AS touches
+  FROM events GROUP BY 1
+), sets AS (
+  SELECT list_sort(list_distinct(list_transform(
+           list_filter(coalesce(touches, []),
+                       x -> conv_ts IS NULL OR x.t < conv_ts),
+           x -> x.e))) AS cset,
+         (conv_ts IS NOT NULL)::INT AS conv
+  FROM per
+), combos AS (
+  SELECT cset, count(*)::BIGINT AS n, sum(conv)::BIGINT AS n_conv
+  FROM sets GROUP BY 1
+), cv AS (
+  SELECT cset, n,
+         CASE WHEN len(cset) = 0 THEN 0.0 ELSE n_conv::DOUBLE / n END AS v
+  FROM combos
+), ch AS (
+  SELECT unnest(['click','error','signup','view']) AS channel
+), pairs AS (
+  SELECT ch.channel,
+         ([1.0,1,2,6,24,120,720,5040,40320][len(c.cset) + 1]
+          * [1.0,1,2,6,24,120,720,5040,40320][4 - len(c.cset)]
+          / 24.0) * (c2.v - c.v) AS contrib
+  FROM cv c
+  JOIN ch ON NOT list_contains(c.cset, ch.channel)
+  JOIN cv c2 ON c2.cset = list_sort(list_append(c.cset, ch.channel))
+), phi AS (
+  SELECT channel, round(sum(contrib), 6) AS shapley FROM pairs GROUP BY 1
+), touched AS (
+  SELECT unnest(cset) AS channel, n FROM cv
+), tt AS (
+  SELECT channel, sum(n)::BIGINT AS n_users_touched FROM touched GROUP BY 1
+)
+SELECT ch.channel,
+       coalesce(phi.shapley, 0.0) AS shapley,
+       coalesce(tt.n_users_touched, 0)::BIGINT AS n_users_touched
+FROM ch LEFT JOIN phi USING (channel) LEFT JOIN tt USING (channel)
+"""
