@@ -848,3 +848,41 @@ class TestHoltBacktest:
         df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
         out = holt_backtest(df, "k", "ts", "v", n_eval=99).first()
         assert out["n_eval"] == 2  # only 2 one-step forecasts exist
+
+
+def test_holt_conformal_coverage_and_rank_rule(spark):
+    """The interval half-width equals the ceil((1-mc)(m+1))-th smallest
+    |one-step residual| (pure-python replay), bounds = forecast +- q,
+    and too-few-days keys report NULL bounds."""
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import holt_conformal
+
+    vals = [10.0, 12.0, 9.0, 15.0, 14.0, 20.0, 18.0, 25.0, 23.0, 30.0]
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        ("a", dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time(9)), v)
+        for i, v in enumerate(vals)
+    ] + [("tiny", dt.datetime(2024, 1, 1, 9), 5.0), ("tiny", dt.datetime(2024, 1, 2, 9), 6.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    l, t, fcs = vals[0], 0.0, []
+    for x in vals[1:]:
+        fcs.append(l + t)
+        nl = 0.5 * x + 0.5 * (l + t)
+        nt = 0.3 * (nl - l) + 0.7 * t
+        l, t = nl, nt
+    resid = sorted(abs(a - f) for a, f in zip(vals[1:], fcs))
+    m = len(resid)
+    import math
+
+    q = resid[math.ceil(0.8 * (m + 1)) - 1]
+    out = {r["key"]: r for r in holt_conformal(df, "k", "ts", "v", miscoverage=0.2).collect()}
+    r = out["a"]
+    assert r["n_cal"] == m
+    assert abs(r["q_resid"] - round(q, 6)) < 1e-9
+    assert abs(r["lo"] - round(l + t - q, 6)) < 1e-6
+    assert abs(r["hi"] - round(l + t + q, 6)) < 1e-6
+    # 1 calibration point cannot support 80% coverage: ceil(.8*2)=2 > 1
+    tiny = out["tiny"]
+    assert tiny["n_cal"] == 1 and tiny["q_resid"] is None and tiny["lo"] is None

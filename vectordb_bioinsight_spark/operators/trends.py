@@ -1179,3 +1179,85 @@ def shapley_attribution(
             ),
         )
     )
+
+
+def holt_conformal(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    miscoverage: float = 0.2,
+) -> DataFrame:
+    """Split-conformal prediction interval for the one-step Holt
+    forecast (Vovk et al. 2005; the modern distribution-free upgrade of
+    a Gaussian +-z*sigma band): the calibration scores are the
+    one-step-ahead absolute residuals the backtest fold already
+    accumulates, and the interval half-width is the
+    ceil((1-miscoverage)(m+1))-th smallest of the m scores — finite-
+    sample coverage >= 1-miscoverage under exchangeability, no
+    distributional assumption on the residuals.
+
+    Plan: the SAME single fold as :func:`holt_backtest` (forecast list
+    accumulated before each state update); residual ranking is array
+    arithmetic on the per-key series — one corpus shuffle total. Keys
+    whose calibration rank exceeds the available residuals (too few
+    days for the requested coverage) report NULL bounds rather than a
+    fake interval.
+
+    Output: (key, n_days, n_cal, forecast, q_resid, lo, hi) rounded
+    6 dp — forecast for the next unobserved day, [lo, hi] its
+    conformal interval.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    per_key = daily.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "total"))),
+            lambda s: s["total"],
+        ).alias("series"),
+    )
+    a, b = float(alpha), float(beta)
+    zero = F.struct(
+        F.element_at("series", 1).alias("l"),
+        F.lit(0.0).alias("t"),
+        F.array().cast("array<double>").alias("fc"),
+    )
+
+    def _step(acc, x):
+        fc_next = acc["l"] + acc["t"]
+        new_l = a * x + (1 - a) * (acc["l"] + acc["t"])
+        new_t = b * (new_l - acc["l"]) + (1 - b) * acc["t"]
+        return F.struct(
+            new_l.alias("l"),
+            new_t.alias("t"),
+            F.concat(acc["fc"], F.array(fc_next)).alias("fc"),
+        )
+
+    n = F.size("series")
+    st = F.aggregate(
+        F.slice("series", 2, F.greatest(n - 1, F.lit(0))), zero, _step
+    )
+    folded = per_key.select("key", "n_days", "series", st.alias("st")).filter(
+        F.size("series") >= 2
+    )
+    actual_tail = F.slice("series", 2, F.size("series") - 1)
+    resid = F.array_sort(
+        F.zip_with(actual_tail, F.col("st")["fc"], lambda x, f: F.abs(x - f))
+    )
+    m = F.size(resid)
+    rank = F.ceil(F.lit(1.0 - float(miscoverage)) * (m + 1)).cast("int")
+    q = F.when(rank <= m, F.element_at(resid, rank))
+    fc = F.col("st")["l"] + F.col("st")["t"]
+    return folded.select(
+        "key",
+        "n_days",
+        m.cast("long").alias("n_cal"),
+        F.round(fc, 6).alias("forecast"),
+        F.round(q, 6).alias("q_resid"),
+        F.round(fc - q, 6).alias("lo"),
+        F.round(fc + q, 6).alias("hi"),
+    )

@@ -1338,3 +1338,61 @@ SELECT ch.channel,
        coalesce(tt.n_users_touched, 0)::BIGINT AS n_users_touched
 FROM ch LEFT JOIN phi USING (channel) LEFT JOIN tt USING (channel)
 """
+
+
+def q_holt_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval around the next-day Holt forecast per
+    event type (operators/trends.py::holt_conformal): calibration scores
+    are the one-step residuals the backtest fold accumulates; the
+    half-width is the ceil(0.8(m+1))-th smallest — distribution-free
+    80% coverage at the cost of the forecast itself."""
+    from vectordb_bioinsight_spark.operators.trends import holt_conformal
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_conformal(ev, "event_type", "ts", "value", 0.5, 0.3, 0.2)
+
+
+SQL_HOLT_CONFORMAL = f"""
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), arr AS (
+  SELECT key, count(*)::BIGINT AS n_days,
+         list(total::DOUBLE ORDER BY day) AS series
+  FROM daily GROUP BY key
+), folded AS (
+  SELECT key, n_days, series,
+         list_reduce(
+           list_prepend([series[1], 0.0::DOUBLE],
+                        list_transform(series[2:], t -> [t, 0.0::DOUBLE])),
+           (acc, x) -> list_concat(
+             [
+               {_HB_A} * x[1] + {1 - _HB_A} * (acc[1] + acc[2]),
+               {_HB_B} * (({_HB_A} * x[1] + {1 - _HB_A} * (acc[1] + acc[2])) - acc[1])
+                 + {1 - _HB_B} * acc[2]
+             ],
+             list_concat(acc[3:], [acc[1] + acc[2]])
+           )
+         ) AS st
+  FROM arr
+  WHERE n_days >= 2
+), scored AS (
+  SELECT key, n_days,
+         list_sort(list_transform(
+           list_zip(series[2:], st[3:]),
+           s -> abs(s[1] - s[2]))) AS resid,
+         st[1] + st[2] AS fc
+  FROM folded
+), ranked AS (
+  SELECT key, n_days, len(resid)::BIGINT AS n_cal, fc,
+         CASE WHEN ceil(0.8 * (len(resid) + 1))::INT <= len(resid)
+              THEN resid[ceil(0.8 * (len(resid) + 1))::INT] END AS q
+  FROM scored
+)
+SELECT key, n_days, n_cal,
+       round(fc, 6) AS forecast,
+       round(q, 6) AS q_resid,
+       round(fc - q, 6) AS lo,
+       round(fc + q, 6) AS hi
+FROM ranked
+"""
