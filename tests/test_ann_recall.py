@@ -285,3 +285,51 @@ class TestWhitening:
         }
         diffs = [np.abs(a[k] - b[k]).max() for k in a]
         assert max(diffs) < 1e-6
+
+
+class TestMaxSimIVF:
+    def _fixture(self, spark):
+        from tests.conftest import SF_SMALL
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        docs = emb.select(
+            (F.col("vec_id") / 25).cast("long").alias("doc"), "embedding"
+        )
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qtok"), "embedding"
+        )
+        return docs, q
+
+    def test_full_probe_equals_exact_maxsim(self, spark):
+        from vectordb_bioinsight_spark.operators.vector import (
+            maxsim_ivf,
+            maxsim_topk,
+        )
+
+        docs, q = self._fixture(spark)
+        exact = [tuple(r) for r in maxsim_topk(docs, q, "doc", "embedding", k=10).collect()]
+        full = [
+            tuple(r)
+            for r in maxsim_ivf(
+                docs, q, "doc", "embedding", n_cells=8, n_probe=8, k=10
+            ).collect()
+        ]
+        assert full == exact
+
+    def test_pruned_probe_recall_floor(self, spark):
+        from vectordb_bioinsight_spark.operators.vector import (
+            maxsim_ivf,
+            maxsim_topk,
+        )
+
+        docs, q = self._fixture(spark)
+        exact = {r["doc"] for r in maxsim_topk(docs, q, "doc", "embedding", k=10).collect()}
+        pruned = {
+            r["doc"]
+            for r in maxsim_ivf(
+                docs, q, "doc", "embedding", n_cells=8, n_probe=3, k=10
+            ).collect()
+        }
+        # multi-token queries probe the union of cells — recall stays high
+        assert len(pruned & exact) >= 5

@@ -960,3 +960,55 @@ def whiten_embeddings(
             yield pd.DataFrame({"id": pdf["_id"], "vec": list(map(list, Y))})
 
     return src.mapInPandas(apply_w, out_schema)
+
+
+def maxsim_ivf(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    doc_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-routed MaxSim — the scale path for late-interaction retrieval
+    (the PLAID/ColBERTv2 candidate-generation recipe): cluster the DOC
+    TOKEN vectors once (ivf_build_index), route each query token to its
+    ``n_probe`` nearest cells, take the union of docs owning any token
+    in any probed cell, and run the EXACT MaxSim only on that pruned doc
+    set. Full-probe degrades to exact :func:`maxsim_topk` (tested);
+    smaller probes trade recall for touching ~n_probe/n_cells of the
+    token corpus — the same contract as single-vector IVF.
+
+    Plan: centroid dimension broadcasts everywhere; candidate docs come
+    from one cell-equi-join + distinct; the exact rescore inherits
+    maxsim_topk's doc-keyed shape. Rows-only operator (KMeans centroids
+    have no SQL twin); recall pinned by tests.
+
+    Output: (doc, score, rank) — same contract as maxsim_topk.
+    """
+    from pyspark.sql import Window
+
+    assigned, cent_df = ivf_build_index(
+        doc_vecs, doc_col, vec_col, n_cells=n_cells, seed=seed
+    )
+    q = query_vecs.select(
+        F.col("qtok"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    probe_w = Window.partitionBy("qtok").orderBy(F.asc("_cdist"), F.asc("_cell"))
+    probed_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("_cell")
+        .distinct()
+    )
+    cand_docs = (
+        assigned.join(F.broadcast(probed_cells), "_cell")
+        .select(F.col("cand_id").alias(doc_col))
+        .distinct()
+    )
+    pruned = doc_vecs.join(cand_docs, doc_col, "left_semi")
+    return maxsim_topk(pruned, query_vecs, doc_col, vec_col, k=k)

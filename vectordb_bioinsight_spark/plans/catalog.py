@@ -85,6 +85,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
     "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
+    # rows-only by design: KMeans centroids have no SQL twin
+    "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, None),
     "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),
     "purchase_gains": (ev.q_purchase_gains, ev.SQL_PURCHASE_GAINS),
     # (a) entries whose CODE changed this round or that are NEW — every

@@ -1311,3 +1311,22 @@ def q_whitened_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("x"), 4).alias("var_after"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+def q_maxsim_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed MaxSim (operators/vector.py::maxsim_ivf, rows-only —
+    KMeans centroids have no SQL twin; full-probe == exact maxsim and
+    the recall floor are test-pinned): the PLAID-style candidate
+    generation that keeps late interaction viable at corpus scale —
+    query tokens probe 3 of 8 token cells, exact MaxSim rescored on the
+    pruned doc union."""
+    from vectordb_bioinsight_spark.operators.vector import maxsim_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = emb.select(
+        (F.col("vec_id") / 25).cast("long").alias("doc"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qtok"), "embedding"
+    )
+    return maxsim_ivf(docs, q, "doc", "embedding", n_cells=8, n_probe=3, k=10)
