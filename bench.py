@@ -112,6 +112,10 @@ HEADLINE = [
     "binq_knn",
     "ship_overlap_annotation",
     "value_hist_quantiles",
+    # r05 session-6: the coalition-lattice attribution (one user-keyed
+    # agg + broadcast self-join) and the walk-with-restart recommender
+    "shapley_attribution",
+    "part_ppr",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
