@@ -348,6 +348,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     # raw rows (operators/evaluation.py, drift.py, intervals.py)
     "purchase_pr_curve", "purchase_ks_drift", "value_psi_drift",
     "part_price_size_frontier",
+    # cumulative windows over CALENDAR-WEEK / n_buckets frames — input
+    # bounded by the week count (the kaplan_meier shared risk frame) and
+    # the decile count, never raw rows
+    "nelson_aalen_churn", "purchase_gains",
+    # limit-then-rank over the k-row MaxSim result (the maxsim_docs shape)
+    "maxsim_ivf_docs",
 }
 
 
