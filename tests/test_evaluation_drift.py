@@ -484,3 +484,69 @@ def test_shapley_attribution_hand_computed(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_log_rank_matches_pure_python(spark):
+    """Log-rank z/chi2 equal a pure-python Mantel computation on a
+    synthetic two-cohort lifetime table with censoring."""
+    import datetime as dt
+    import math
+    import random
+
+    from vectordb_bioinsight_spark.operators.trends import log_rank_test
+
+    rng = random.Random(13)
+    d0 = dt.date(2024, 1, 1)
+    rows, lives = [], {}
+    for u in range(120):
+        grp = "a" if u % 2 == 0 else "b"
+        # cohort b systematically longer-lived
+        weeks = rng.randint(0, 5) + (3 if grp == "b" else 0)
+        last = d0 + dt.timedelta(days=7 * weeks + rng.randint(0, 3))
+        rows.append((u, grp, dt.datetime.combine(d0, dt.time(9))))
+        rows.append((u, grp, dt.datetime.combine(last, dt.time(9))))
+        lives[u] = (grp, last)
+    df = spark.createDataFrame(rows, "user_id long, cohort string, ts timestamp")
+    out = log_rank_test(df, "user_id", "ts", "cohort").first()
+
+    max_day = max(l for _, l in lives.values())
+    per = [
+        ((l - d0).days // 7, g, 0 if (max_day - l).days < 7 else 1)
+        for g, l in lives.values()
+    ]
+    weeks = sorted({w for w, _, _ in per})
+    num = var = obs_a = exp_a = 0.0
+    for w in weeks:
+        r_a = sum(1 for ww, g, _ in per if ww >= w and g == "a")
+        r_t = sum(1 for ww, g, _ in per if ww >= w)
+        d_a = sum(c for ww, g, c in per if ww == w and g == "a")
+        d_t = sum(c for ww, g, c in per if ww == w)
+        if r_t <= 1 or d_t == 0:
+            continue
+        sh = r_a / r_t
+        num += d_a - d_t * sh
+        obs_a += d_a
+        exp_a += d_t * sh
+        var += d_t * sh * (1 - sh) * (r_t - d_t) / (r_t - 1)
+    z = num / math.sqrt(var)
+    assert out["group_a"] == "a" and out["n_a"] == 60 and out["n_b"] == 60
+    assert out["observed_a"] == obs_a
+    assert abs(out["expected_a"] - round(exp_a, 6)) < 1e-6
+    assert abs(out["z"] - round(z, 6)) < 1e-6
+    # cohort a churns earlier -> significantly positive z
+    assert out["z"] > 2.0
+
+
+def test_log_rank_group_constancy_guard(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from vectordb_bioinsight_spark.operators.trends import log_rank_test
+
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1)), (1, "b", dt.datetime(2024, 1, 2))],
+        "user_id long, cohort string, ts timestamp",
+    )
+    with _pytest.raises(ValueError, match="constant per user"):
+        log_rank_test(df, "user_id", "ts", "cohort")

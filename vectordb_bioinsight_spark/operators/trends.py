@@ -1261,3 +1261,124 @@ def holt_conformal(
         F.round(fc - q, 6).alias("lo"),
         F.round(fc + q, 6).alias("hi"),
     )
+
+
+def log_rank_test(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test over the discrete-week churn lifetimes —
+    the inferential companion of :func:`kaplan_meier_weeks` /
+    :func:`nelson_aalen_weeks` (Mantel 1966): per week, group A's
+    observed churn is compared against its hypergeometric expectation
+    under the pooled-hazard null,
+
+        e_a(w) = d(w) * n_a(w) / n(w)
+        v(w)   = d(w) * (n_a/n) * (1 - n_a/n) * (n - d) / (n - 1)
+        z      = sum(d_a - e_a) / sqrt(sum(v)),   chi2 = z^2
+
+    End-of-data censoring as in the KM frame. The group label is each
+    user's value of ``group_col`` (must be user-constant; enforced by
+    taking min and max and requiring equality).
+
+    Plan: one user-keyed agg, a (group x week) aggregation, a week-spine
+    cross so BOTH groups carry risk on every week (a group without an
+    ending that week still has members at risk), cumulative windows over
+    the calendar-bounded week frame, one final 1-row fold.
+
+    Output: one row (group_a, n_a, n_b, observed_a, expected_a, z,
+    chi2) rounded 6 dp — group_a is the lexicographically smaller label.
+    """
+    spans = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.to_date(F.min(ts_col)).alias("first_day"),
+        F.to_date(F.max(ts_col)).alias("last_day"),
+        F.min(group_col).alias("grp"),
+        F.max(group_col).alias("_gmax"),
+    )
+    bad = spans.filter(F.col("grp") != F.col("_gmax")).limit(1).count()
+    if bad:
+        raise ValueError(f"{group_col} must be constant per user")
+    horizon = spans.agg(F.max("last_day").alias("_max_day"))
+    per_user = spans.crossJoin(F.broadcast(horizon)).select(
+        "grp",
+        (F.datediff("last_day", "first_day") / 7).cast("long").alias("week"),
+        (F.datediff("_max_day", "last_day") < 7).cast("int").alias("censored"),
+    )
+    totals = per_user.groupBy("grp").agg(F.count("*").cast("long").alias("n_g"))
+    by = per_user.groupBy("grp", "week").agg(
+        F.count("*").cast("long").alias("ending"),
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+    )
+    weeks = per_user.select("week").distinct()
+    spine = weeks.crossJoin(F.broadcast(totals))
+    filled = spine.join(by, ["grp", "week"], "left").select(
+        "grp",
+        "week",
+        "n_g",
+        F.coalesce("ending", F.lit(0)).cast("long").alias("ending"),
+        F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+    )
+    w_prior = (
+        Window.partitionBy("grp")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risked = filled.withColumn(
+        "n_risk",
+        (F.col("n_g") - F.coalesce(F.sum("ending").over(w_prior), F.lit(0))).cast(
+            "long"
+        ),
+    )
+    ga = risked.agg(F.min("grp").alias("_ga"))
+    wk = (
+        risked.join(F.broadcast(ga))
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("grp") == F.col("_ga"), F.col("d"))).alias("d_a"),
+            F.sum(F.when(F.col("grp") == F.col("_ga"), F.col("n_risk"))).alias(
+                "r_a"
+            ),
+            F.sum("d").alias("d_t"),
+            F.sum("n_risk").alias("r_t"),
+        )
+        .filter((F.col("r_t") > 1) & (F.col("d_t") > 0))
+    )
+    share = F.col("r_a") / F.col("r_t")
+    e_a = F.col("d_t") * share
+    v = (
+        F.col("d_t")
+        * share
+        * (1.0 - share)
+        * (F.col("r_t") - F.col("d_t"))
+        / (F.col("r_t") - 1.0)
+    )
+    one = wk.agg(
+        F.sum("d_a").cast("long").alias("observed_a"),
+        F.round(F.sum(e_a), 6).alias("expected_a"),
+        F.sum(F.col("d_a") - e_a).alias("_num"),
+        F.sum(v).alias("_var"),
+    )
+    g_names = totals.join(F.broadcast(ga)).agg(
+        F.min("grp").alias("group_a"),
+        F.sum(F.when(F.col("grp") == F.col("_ga"), F.col("n_g"))).cast(
+            "long"
+        ).alias("n_a"),
+        F.sum(F.when(F.col("grp") != F.col("_ga"), F.col("n_g"))).cast(
+            "long"
+        ).alias("n_b"),
+    )
+    z = F.col("_num") / F.nullif(F.sqrt(F.col("_var")), F.lit(0.0))
+    return (
+        one.join(F.broadcast(g_names))
+        .select(
+            "group_a",
+            "n_a",
+            "n_b",
+            "observed_a",
+            "expected_a",
+            F.round(z, 6).alias("z"),
+            F.round(z * z, 6).alias("chi2"),
+        )
+    )

@@ -85,6 +85,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
     "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
+    "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
     # rows-only by design: KMeans centroids have no SQL twin
     "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, None),
     "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),

@@ -1396,3 +1396,72 @@ SELECT key, n_days, n_cal,
        round(fc + q, 6) AS hi
 FROM ranked
 """
+
+
+def q_cohort_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-cohort log-rank churn test (operators/trends.py::
+    log_rank_test — Mantel 1966): even- vs odd-id users' discrete-week
+    lifetimes under the pooled-hazard null; the inferential companion
+    of the KM/Nelson-Aalen curves."""
+    from vectordb_bioinsight_spark.operators.trends import log_rank_test
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    return log_rank_test(ev, "user_id", "ts", "cohort")
+
+
+SQL_COHORT_LOG_RANK = """
+WITH spans AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+         min(ts)::DATE AS fd, max(ts)::DATE AS ld
+  FROM events GROUP BY 1, 2
+), hz AS (SELECT max(ld) AS md FROM spans),
+per AS (
+  SELECT grp, ((ld - fd) // 7)::BIGINT AS week,
+         (md - ld < 7)::INT AS censored
+  FROM spans, hz
+), tot AS (
+  SELECT grp, count(*)::BIGINT AS n_g FROM per GROUP BY 1
+), byg AS (
+  SELECT grp, week, count(*)::BIGINT AS ending,
+         sum(1 - censored)::BIGINT AS d
+  FROM per GROUP BY 1, 2
+), wks AS (SELECT DISTINCT week FROM per),
+spine AS (SELECT w.week, t.grp, t.n_g FROM wks w CROSS JOIN tot t),
+filled AS (
+  SELECT s.grp, s.week, s.n_g,
+         coalesce(b.ending, 0) AS ending, coalesce(b.d, 0) AS d
+  FROM spine s LEFT JOIN byg b ON b.grp = s.grp AND b.week = s.week
+), risked AS (
+  SELECT grp, week, d,
+         (n_g - coalesce(sum(ending) OVER (PARTITION BY grp ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n_risk
+  FROM filled
+), wk AS (
+  SELECT week,
+         sum(CASE WHEN grp = 'even' THEN d END) AS d_a,
+         sum(CASE WHEN grp = 'even' THEN n_risk END) AS r_a,
+         sum(d) AS d_t, sum(n_risk) AS r_t
+  FROM risked GROUP BY 1
+  HAVING sum(n_risk) > 1 AND sum(d) > 0
+), one AS (
+  SELECT sum(d_a)::BIGINT AS observed_a,
+         round(sum(d_t * (r_a::DOUBLE / r_t)), 6) AS expected_a,
+         sum(d_a - d_t * (r_a::DOUBLE / r_t)) AS num,
+         sum(d_t * (r_a::DOUBLE / r_t) * (1 - r_a::DOUBLE / r_t)
+             * (r_t - d_t) / (r_t - 1.0)) AS var
+  FROM wk
+)
+SELECT 'even' AS group_a,
+       (SELECT n_g FROM tot WHERE grp = 'even') AS n_a,
+       (SELECT n_g FROM tot WHERE grp = 'odd') AS n_b,
+       observed_a, expected_a,
+       round(num / sqrt(var), 6) AS z,
+       round((num / sqrt(var)) * (num / sqrt(var)), 6) AS chi2
+FROM one
+"""
