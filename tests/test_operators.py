@@ -886,3 +886,35 @@ def test_holt_conformal_coverage_and_rank_rule(spark):
     # 1 calibration point cannot support 80% coverage: ceil(.8*2)=2 > 1
     tiny = out["tiny"]
     assert tiny["n_cal"] == 1 and tiny["q_resid"] is None and tiny["lo"] is None
+
+
+def test_theil_sen_robust_to_outlier_day(spark):
+    """A clean linear series recovers its exact slope; spiking ONE day
+    leaves Theil-Sen unchanged while OLS moves substantially."""
+    import datetime as dt
+
+    from vectordb_bioinsight_spark.operators.trends import (
+        daily_ols_trend,
+        theil_sen_trend,
+    )
+
+    d0 = dt.date(2024, 1, 1)
+
+    def frame(vals):
+        rows = [
+            ("a", dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time(9)), v)
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    clean = [10.0 + 2.0 * i for i in range(15)]
+    ts = theil_sen_trend(frame(clean), "k", "ts", "v").first()
+    assert ts["slope"] == 2.0 and ts["intercept"] == 10.0
+    assert ts["n_pairs"] == 15 * 14 // 2
+
+    spiked = list(clean)
+    spiked[7] = 500.0
+    ts2 = theil_sen_trend(frame(spiked), "k", "ts", "v").first()
+    ols2 = daily_ols_trend(frame(spiked), "k", "ts", "v").first()
+    assert abs(ts2["slope"] - 2.0) < 0.1          # robust
+    assert abs(ols2["slope"] - 2.0) > 1.0          # dragged

@@ -1382,3 +1382,66 @@ def log_rank_test(
             F.round(z * z, 6).alias("chi2"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per key — the median of all pairwise
+    slopes over the daily series (Theil 1950; Sen 1968): up to ~29%
+    contaminated days cannot move the estimate, where one spiked day
+    drags the OLS line (:func:`daily_ols_trend`) arbitrarily. Report
+    both and diverging slopes flag the outlier.
+
+    Plan: the pairwise self-join runs WITHIN each key over the daily
+    table — the frame is calendar-bounded (~30 rows/key → ~435
+    pairs/key), the trends-tier convention, so the quadratic term is a
+    constant, not a scale factor. Medians are exact percentiles
+    (type-7, cross-engine). Intercept = median(y - slope*x), the
+    standard robust intercept.
+
+    Output: (key, n_days, n_pairs, slope, intercept) rounded 4 dp.
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.round(F.sum(value_col), 4).alias("total"))
+    d0 = daily.groupBy("key").agg(
+        F.min("day").alias("_d0"), F.count("*").cast("long").alias("n_days")
+    )
+    pts = daily.join(d0, "key").select(
+        "key",
+        "n_days",
+        F.datediff(F.col("day"), F.col("_d0")).cast("double").alias("x"),
+        F.col("total").alias("y"),
+    )
+    a = pts.select("key", "n_days", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select("key", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "key").filter(F.col("x1") < F.col("x2"))
+    slope_per_key = pairs.groupBy("key", "n_days").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.percentile(
+            (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")),
+            F.lit(0.5),
+        ).alias("_slope"),
+    )
+    with_slope = pts.join(
+        slope_per_key.select("key", "_slope"), "key"
+    )
+    icept = with_slope.groupBy("key").agg(
+        F.percentile(
+            F.col("y") - F.col("_slope") * F.col("x"), F.lit(0.5)
+        ).alias("_icept")
+    )
+    return (
+        slope_per_key.join(icept, "key")
+        .select(
+            "key",
+            "n_days",
+            "n_pairs",
+            F.round("_slope", 4).alias("slope"),
+            F.round("_icept", 4).alias("intercept"),
+        )
+    )

@@ -1465,3 +1465,44 @@ SELECT 'even' AS group_a,
        round((num / sqrt(var)) * (num / sqrt(var)), 6) AS chi2
 FROM one
 """
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily trend per event type (operators/trends.py::
+    theil_sen_trend): the median-of-pairwise-slopes estimator a spiked
+    day cannot move — reported beside the OLS line; the pair join is
+    bounded by the calendar (~435 pairs/key)."""
+    from vectordb_bioinsight_spark.operators.trends import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "event_type", "ts", "value")
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT key, min(day) AS _d0, count(*)::BIGINT AS n_days
+  FROM daily GROUP BY 1
+), pts AS (
+  SELECT d.key, x.n_days, (d.day - x._d0)::DOUBLE AS x, d.total AS y
+  FROM daily d JOIN d0 x USING (key)
+), pairs AS (
+  SELECT a.key, a.n_days,
+         (b.y - a.y) / (b.x - a.x) AS s
+  FROM pts a JOIN pts b ON a.key = b.key AND a.x < b.x
+), sl AS (
+  SELECT key, n_days, count(*)::BIGINT AS n_pairs,
+         quantile_cont(s, 0.5) AS slope
+  FROM pairs GROUP BY 1, 2
+), ic AS (
+  SELECT p.key, quantile_cont(p.y - sl.slope * p.x, 0.5) AS icept
+  FROM pts p JOIN sl USING (key)
+  GROUP BY 1
+)
+SELECT sl.key, sl.n_days, sl.n_pairs,
+       round(sl.slope, 4) AS slope,
+       round(ic.icept, 4) AS intercept
+FROM sl JOIN ic USING (key)
+"""
