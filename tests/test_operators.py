@@ -912,8 +912,10 @@ def test_theil_sen_robust_to_outlier_day(spark):
     assert ts["slope"] == 2.0 and ts["intercept"] == 10.0
     assert ts["n_pairs"] == 15 * 14 // 2
 
+    # spike an END day — the center day sits at x = x-bar where OLS is
+    # insensitive by construction (caught by this test's first version)
     spiked = list(clean)
-    spiked[7] = 500.0
+    spiked[14] = 500.0
     ts2 = theil_sen_trend(frame(spiked), "k", "ts", "v").first()
     ols2 = daily_ols_trend(frame(spiked), "k", "ts", "v").first()
     assert abs(ts2["slope"] - 2.0) < 0.1          # robust
