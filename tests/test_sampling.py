@@ -181,3 +181,56 @@ class TestWeightedHashSample:
         df = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
         got = [r["id"] for r in weighted_hash_sample(df, "id", "w", k=10).collect()]
         assert got == [3]
+
+
+class TestNeymanAllocation:
+    def test_allocation_proportional_to_n_times_std(self, spark):
+        """Two equal-size strata, one with 4x the std, gets ~4x the
+        seats; caps at stratum size; single-row strata get floor 1."""
+        import random
+
+        from vectordb_bioinsight_spark.operators.sampling import (
+            neyman_allocation,
+        )
+
+        rng = random.Random(3)
+        rows = (
+            [("lo", i, 100 + rng.uniform(-1, 1)) for i in range(500)]
+            + [("hi", 1000 + i, 100 + rng.uniform(-4, 4)) for i in range(500)]
+            + [("solo", 9999, 5.0)]
+        )
+        df = spark.createDataFrame(rows, "s string, id long, v double")
+        out = {r["s"]: r for r in neyman_allocation(df, ["s"], "v", 100).collect()}
+        assert out["solo"]["n_alloc"] == 1          # floor
+        ratio = out["hi"]["n_alloc"] / out["lo"]["n_alloc"]
+        assert 3.0 < ratio < 5.5                    # ~4x
+        # tiny stratum cap: budget larger than a stratum cannot oversample
+        out2 = {r["s"]: r for r in neyman_allocation(df, ["s"], "v", 10_000).collect()}
+        assert out2["hi"]["n_alloc"] <= 500 and out2["lo"]["n_alloc"] <= 500
+
+    def test_sample_matches_allocation_and_is_deterministic(self, spark):
+        from vectordb_bioinsight_spark.operators.sampling import (
+            neyman_allocation,
+            sample_by_allocation,
+        )
+
+        rows = [("a", i, float(i % 7)) for i in range(300)] + [
+            ("b", 1000 + i, float(i % 31)) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "s string, id long, v double")
+        alloc = neyman_allocation(df, ["s"], "v", 50)
+        want = {r["s"]: r["n_alloc"] for r in alloc.collect()}
+        s1 = sample_by_allocation(df, alloc, ["s"], "id", salt=5)
+        got = {
+            r["s"]: r["n"]
+            for r in s1.groupBy("s").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want
+        ids1 = sorted(r["id"] for r in s1.collect())
+        ids2 = sorted(
+            r["id"]
+            for r in sample_by_allocation(
+                df.repartition(13), alloc, ["s"], "id", salt=5
+            ).collect()
+        )
+        assert ids1 == ids2  # repartition-invariant draw

@@ -236,3 +236,93 @@ def weighted_hash_sample(
         .orderBy(F.desc("es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_cols: "list[str]",
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """Neyman-optimal stratified allocation (Neyman 1934): split a
+    sampling budget across strata proportionally to N_h * S_h — the
+    allocation that minimizes the variance of the stratified mean for a
+    fixed budget, vs plain proportional N_h. The eval-set construction
+    question ("how many docs per source should the human-review sample
+    take?") answered with the survey-sampling optimum.
+
+    n_h = round(n_total * N_h S_h / sum(N_h S_h)), capped at N_h and
+    floored at 1 for non-degenerate strata (every stratum stays
+    auditable); a single-row stratum has S_h = 0 under stddev_samp and
+    still gets its floor seat. Rounding can leave the realized total a
+    few seats off n_total — reported, not silently rebalanced.
+
+    One map-side-combinable aggregation; the output is the
+    stratum-cardinality allocation table to feed
+    :func:`sample_by_allocation`.
+
+    Output: (stratum..., n_rows, std, n_alloc) — std rounded 6 dp.
+    """
+    if n_total <= 0:
+        raise ValueError("n_total must be > 0")
+    per = df.groupBy(*stratum_cols).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.coalesce(F.stddev_samp(F.col(value_col).cast("double")), F.lit(0.0)).alias(
+            "_s"
+        ),
+    )
+    tot = per.agg(F.sum(F.col("n_rows") * F.col("_s")).alias("_t"))
+    alloc = (
+        per.join(F.broadcast(tot))
+        .withColumn(
+            "n_alloc",
+            F.least(
+                F.greatest(
+                    F.round(
+                        F.lit(float(n_total))
+                        * F.col("n_rows")
+                        * F.col("_s")
+                        / F.nullif(F.col("_t"), F.lit(0.0)),
+                        0,
+                    ).cast("long"),
+                    F.lit(1).cast("long"),
+                ),
+                F.col("n_rows"),
+            ),
+        )
+        .select(
+            *stratum_cols,
+            "n_rows",
+            F.round("_s", 6).alias("std"),
+            F.coalesce("n_alloc", F.lit(1).cast("long")).alias("n_alloc"),
+        )
+    )
+    return alloc
+
+
+def sample_by_allocation(
+    df: DataFrame,
+    allocation: DataFrame,
+    stratum_cols: "list[str]",
+    key_col: str,
+    salt: int = 0,
+) -> DataFrame:
+    """Draw the per-stratum sample sizes an allocation table dictates
+    (:func:`neyman_allocation` or any (stratum..., n_alloc) frame) with
+    the deterministic bottom-k-hash draw of :func:`reservoir_per_group`
+    — stable across runs, engines, and repartitioning. One broadcast
+    join + one stratum-keyed rank window."""
+    from pyspark.sql import Window
+
+    h = salted_hash64(F.col(key_col).cast("string"), salt)
+    w = Window.partitionBy(*stratum_cols).orderBy(F.asc("_h"), F.asc(key_col))
+    return (
+        df.join(
+            F.broadcast(allocation.select(*stratum_cols, "n_alloc")),
+            list(stratum_cols),
+        )
+        .withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("n_alloc"))
+        .drop("_h", "_rn", "n_alloc")
+    )

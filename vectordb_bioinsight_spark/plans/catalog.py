@@ -87,6 +87,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
     "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
     "theil_sen_trend": (ev.q_theil_sen_trend, ev.SQL_THEIL_SEN_TREND),
+    "neyman_review_sample": (tx.q_neyman_review_sample, tx.SQL_NEYMAN_REVIEW_SAMPLE),
     # rows-only by design: KMeans centroids have no SQL twin
     "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, None),
     "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),

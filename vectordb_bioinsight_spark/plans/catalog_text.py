@@ -1618,3 +1618,48 @@ SELECT doc_id, phrase, n_words, score, rank FROM (
   FROM named
 ) WHERE rank <= 3
 """
+
+
+def q_neyman_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated human-review sample (operators/sampling.py::
+    neyman_allocation + sample_by_allocation): a 200-doc budget split
+    across language strata proportional to N_h * S_h of document length
+    (the survey-sampling optimum), drawn with the deterministic
+    bottom-k-hash reservoir — the whole pipeline, allocation arithmetic
+    AND draw, replays on the oracle."""
+    from vectordb_bioinsight_spark.operators.sampling import (
+        neyman_allocation,
+        sample_by_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars", F.length("text").cast("double")
+    )
+    alloc = neyman_allocation(docs, ["lang"], "n_chars", n_total=200)
+    sampled = sample_by_allocation(docs, alloc, ["lang"], "doc_id", salt=5)
+    return sampled.select("lang", "doc_id")
+
+
+SQL_NEYMAN_REVIEW_SAMPLE = """
+WITH d AS (
+  SELECT lang, doc_id, length(text)::DOUBLE AS n_chars FROM documents
+), per AS (
+  SELECT lang, count(*)::BIGINT AS n_rows,
+         coalesce(stddev_samp(n_chars), 0.0) AS s
+  FROM d GROUP BY 1
+), tot AS (
+  SELECT sum(n_rows * s) AS t FROM per
+), alloc AS (
+  SELECT lang,
+         least(greatest(round(200.0 * n_rows * s / nullif(t, 0.0), 0)::BIGINT,
+                        1), n_rows) AS n_alloc
+  FROM per, tot
+), ranked AS (
+  SELECT d.lang, d.doc_id, a.n_alloc,
+         row_number() OVER (PARTITION BY d.lang
+           ORDER BY ('0x' || substr(md5('5|' || d.doc_id::VARCHAR), 1, 15))::BIGINT ASC,
+                    d.doc_id ASC) AS rn
+  FROM d JOIN alloc a USING (lang)
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= n_alloc
+"""
