@@ -137,6 +137,22 @@ def test_psi_empty_current_bin_uses_epsilon(spark):
     assert math.isfinite(total) and total > 0.5  # half the mass moved
 
 
+def test_psi_nulls_surface_as_counts_not_bin0_mass(spark):
+    """ADVICE r05: NULL values must not read as low-end drift — they are
+    excluded from the bins and reported in ref_null/cur_null."""
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    cur_clean = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    cur_dirty = cur_clean.unionByName(
+        spark.createDataFrame([(None,)] * 40, "v double")
+    )
+    clean = {r["bin"]: r for r in psi_drift(ref, cur_clean, "v", n_bins=10).collect()}
+    dirty = {r["bin"]: r for r in psi_drift(ref, cur_dirty, "v", n_bins=10).collect()}
+    # bins and PSI identical to the NULL-free batch; NULLs visible as a count
+    assert all(dirty[b]["cur_n"] == clean[b]["cur_n"] for b in clean)
+    assert dirty[0]["psi_total"] == pytest.approx(clean[0]["psi_total"], abs=1e-9)
+    assert dirty[0]["cur_null"] == 40 and dirty[0]["ref_null"] == 0
+
+
 def test_psi_bin_edges_come_from_reference(spark):
     ref = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
     out = {r["bin"]: r for r in psi_drift(ref, ref, "v", n_bins=10).collect()}

@@ -661,6 +661,31 @@ class TestTrendsR05:
         ).collect()}
         assert unbounded == {"signup": 2, "view": 2}
 
+    def test_funnel_windowed_restarts_from_later_anchor(self, spark):
+        """ADVICE r05: A@0, A@50, B@100 with max_gap_s=60 — the earliest
+        anchor (A@0) is out of window, but the A@50 -> B@100 chain
+        qualifies: depth must be 2, and a 3-step chain must re-anchor
+        through the middle step the same way."""
+        from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+        rows = [
+            (1, "a", 0), (1, "a", 50), (1, "b", 100),
+            # user 2: qualifying chain a@0 -> b@30 -> c@200 is out of
+            # window at c, but b@150 (within 60 of NOTHING: a@0 expired,
+            # a@100 -> b@150 -> c@200 qualifies end-to-end)
+            (2, "a", 0), (2, "b", 30), (2, "a", 100), (2, "b", 150), (2, "c", 200),
+            # user 3: no qualifying chain (b before any a, c expired)
+            (3, "b", 10), (3, "a", 20), (3, "c", 300),
+        ]
+        df = spark.createDataFrame(rows, "u long, t string, off long").withColumn(
+            "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_dt_interval(
+                secs=F.col("off").cast("double"))
+        )
+        out = {r["step_name"]: r["n_users"] for r in funnel_conversion(
+            df, "u", "t", "ts", ["a", "b", "c"], max_gap_s=60
+        ).collect()}
+        assert out == {"a": 3, "b": 2, "c": 1}
+
     def test_rolling_active_users_accuracy(self, spark):
         """HLL rolling actives vs exact sliding-window distincts: within
         the sketch's accuracy envelope on a planted 60-day history, and
@@ -736,6 +761,37 @@ def test_item_cf_topk_cosine_and_rank(spark):
     assert out[("A", "B")]["rank"] == 1 and out[("A", "C")]["rank"] == 2
     assert ("B", "C") not in out          # cooc 1 < min_cooc
     assert out[("B", "A")]["rank"] == 1 and out[("C", "A")]["rank"] == 1
+
+
+def test_cooccurrence_edges_basket_cap(spark, caplog):
+    """max_basket_size truncates deterministically (first N in item sort
+    order), logs the truncation, and leaves in-cap inputs byte-identical
+    to the uncapped path."""
+    import logging
+
+    from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
+
+    # basket 0: items a..e (5 items); basket 1: items a,b (in cap)
+    rows = [(0, x) for x in "abcde"] + [(1, "a"), (1, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+
+    uncapped = {(r["item1"], r["item2"]): r["weight"]
+                for r in cooccurrence_edges(df, "item", "basket",
+                                            max_basket_size=None).collect()}
+    in_cap = {(r["item1"], r["item2"]): r["weight"]
+              for r in cooccurrence_edges(df, "item", "basket",
+                                          max_basket_size=5).collect()}
+    assert in_cap == uncapped                     # in-cap: identical
+
+    with caplog.at_level(logging.WARNING,
+                         logger="vectordb_bioinsight_spark.operators.joins"):
+        capped = {(r["item1"], r["item2"]): r["weight"]
+                  for r in cooccurrence_edges(df, "item", "basket",
+                                              max_basket_size=3).collect()}
+    # basket 0 keeps a,b,c (item order); basket 1 untouched
+    assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    assert any("max_basket_size=3 truncated 1 context" in m
+               for m in caplog.messages)
 
 
 def test_maxsim_self_doc_wins_and_maxsim_semantics(spark):

@@ -43,6 +43,25 @@ def test_ledger_counts(spark, dirty):
     assert out[("range", "v")]["passed"] is False
 
 
+def test_unique_rule_ignores_null_keys(spark):
+    """ADVICE r05: NULL-keyed rows are not duplicates — a table whose
+    non-null keys are unique must pass 'unique' regardless of NULLs."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,), (None,)], "id int"
+    )
+    out = {r["rule"]: r for r in table_expectations(
+        df, [("unique", ["id"]), ("not_null", "id")]
+    ).collect()}
+    assert out["unique"]["n_violations"] == 0 and out["unique"]["passed"] is True
+    assert out["not_null"]["n_violations"] == 3       # NULLs surface HERE
+    # and real duplicates still count among the non-null keys
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "id int")
+    out2 = {r["rule"]: r for r in table_expectations(
+        dup, [("unique", ["id"])]
+    ).collect()}
+    assert out2["unique"]["n_violations"] == 1 and out2["unique"]["n_rows"] == 3
+
+
 def test_single_scan_for_row_rules(spark, dirty):
     """All row rules must share ONE scan — a rule is an expression, not a
     pass."""

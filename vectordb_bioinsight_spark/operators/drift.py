@@ -53,10 +53,16 @@ def psi_drift(
     still appear with share ε. Everything after the two fact-table aggs
     operates on ≤ n_bins rows.
 
+    NULL values never reach the bins (an all-NULL batch would otherwise
+    read as low-end mass drift — ADVICE r05): each side's single
+    aggregation routes NULLs to a NULL bin group, reported as the
+    constant ``ref_null``/``cur_null`` columns — missing data surfaces
+    as its own signal, and the PSI fractions are over non-null mass only.
+
     Output: (bin, lo, hi, ref_n, cur_n, ref_frac, cur_frac, psi_term,
-    psi_total) ordered by bin — lo/hi are the bin's cut bounds (NULL at
-    the open ends), psi_total repeats the summed index on every row.
-    Rounded 6 dp.
+    psi_total, ref_null, cur_null) ordered by bin — lo/hi are the bin's
+    cut bounds (NULL at the open ends), psi_total and the null counts
+    repeat on every row. Rounded 6 dp.
     """
     v = F.col(value_col).cast("double")
     fracs = [i / n_bins for i in range(1, n_bins)]
@@ -68,11 +74,22 @@ def psi_drift(
     )
 
     def _binned(df: DataFrame, out: str) -> DataFrame:
-        b = F.size(F.filter(F.col("_cuts"), lambda c: c <= v)).alias("bin")
+        # NULL v -> NULL bin group: null counting rides the same single
+        # pass instead of polluting bin 0 or needing a second scan
+        b = F.when(
+            v.isNotNull(), F.size(F.filter(F.col("_cuts"), lambda c: c <= v))
+        ).alias("bin")
         return (
             df.crossJoin(F.broadcast(cuts_row))
             .groupBy(b)
             .agg(F.count("*").cast("long").alias(out))
+        )
+
+    def _null_row(binned: DataFrame, out: str) -> DataFrame:
+        return binned.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bin").isNull(), F.col(out))), F.lit(0)
+            ).cast("long").alias(f"{out[:3]}_null")
         )
 
     spine = cuts_row.select(
@@ -87,9 +104,11 @@ def psi_drift(
             F.col("bin") < n_bins - 1, F.element_at(F.col("_cuts"), F.col("bin") + 1)
         ).alias("hi"),
     )
+    ref_b = _binned(ref, "ref_n")
+    cur_b = _binned(cur, "cur_n")
     joined = (
-        spine.join(_binned(ref, "ref_n"), "bin", "left")
-        .join(_binned(cur, "cur_n"), "bin", "left")
+        spine.join(ref_b.filter(F.col("bin").isNotNull()), "bin", "left")
+        .join(cur_b.filter(F.col("bin").isNotNull()), "bin", "left")
         .select(
             "bin",
             "lo",
@@ -118,6 +137,8 @@ def psi_drift(
         F.round(cf, 6).alias("cur_frac"),
         F.round(term, 6).alias("psi_term"),
         F.round(F.sum(term).over(totals), 6).alias("psi_total"),
+    ).crossJoin(F.broadcast(_null_row(ref_b, "ref_n"))).crossJoin(
+        F.broadcast(_null_row(cur_b, "cur_n"))
     )
     return with_term.orderBy("bin")
 

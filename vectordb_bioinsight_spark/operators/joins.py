@@ -7,10 +7,13 @@ range-cross-join, which would be quadratic per key at scale.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def broadcast_lookup(
@@ -143,17 +146,54 @@ def cooccurrence_edges(
     item_col: str,
     context_col: str,
     min_weight: int = 1,
+    max_basket_size: int | None = 1000,
 ) -> DataFrame:
     """J7: co-occurrence self-join — items sharing a context become weighted
     edges (keyword pairs weighted by shared papers, graph.py:352-368).
 
     Output: (item1, item2, weight) with item1 < item2 (upper triangle).
     Scale: shuffle on context; hot contexts are the skew risk — AQE skew-join
-    handles moderate skew, and callers should cap context fan-out first
-    (e.g. top-N items per context) exactly like the reference caps inputs.
+    handles moderate skew, and the pair fan-out is quadratic in basket size,
+    so ``max_basket_size`` (default 1000 -> <= ~500k pairs per context) is
+    ENFORCED here rather than left to caller discipline (the reference caps
+    its inputs the same way, agent2_network.py:127-132). Truncation is
+    deterministic (the first N items in item sort order, streamed through a
+    rank window — no per-context collect, so a pathological 10M-item context
+    cannot OOM the cap itself) and LOGGED (context + dropped-row counts, one
+    cheap sizes-only aggregation job), never silent; in-cap inputs are
+    byte-identical to the uncapped path. ``max_basket_size=None`` disables
+    both the cap and the extra job, restoring the original plan shape.
     """
-    a = df.select(F.col(context_col).alias("_ctx"), F.col(item_col).alias("item1")).distinct()
-    b = df.select(F.col(context_col).alias("_ctx"), F.col(item_col).alias("item2")).distinct()
+    pairs = df.select(
+        F.col(context_col).alias("_ctx"), F.col(item_col).alias("_item")
+    ).distinct()
+    if max_basket_size is not None:
+        over = (
+            pairs.groupBy("_ctx")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_basket_size)
+            .agg(
+                F.count("*").cast("long").alias("ctxs"),
+                F.sum(F.col("_n") - max_basket_size).cast("long").alias("dropped"),
+            )
+            .first()
+        )
+        if over["ctxs"]:
+            _LOG.warning(
+                "cooccurrence_edges: max_basket_size=%d truncated %d context(s), "
+                "dropping %d context-item row(s) (deterministic item-order cut)",
+                max_basket_size,
+                over["ctxs"],
+                over["dropped"],
+            )
+            w = Window.partitionBy("_ctx").orderBy("_item")
+            pairs = (
+                pairs.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_basket_size)
+                .drop("_rk")
+            )
+    a = pairs.select("_ctx", F.col("_item").alias("item1"))
+    b = pairs.select("_ctx", F.col("_item").alias("item2"))
     return (
         a.join(b, "_ctx")
         .filter(F.col("item1") < F.col("item2"))

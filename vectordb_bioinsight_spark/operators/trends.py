@@ -150,9 +150,17 @@ def funnel_conversion(
     ``max_gap_s`` makes the funnel TIME-BOUNDED: step i must occur within
     that many seconds of the step-(i-1) reach time (the "conversion
     window" most product funnels require — an unbounded funnel credits a
-    purchase a year after the view). Earliest-completion stays the
-    semantics; only the advance predicate tightens, so the plan shape is
-    unchanged.
+    purchase a year after the view). The bounded machine is a DIFFERENT
+    fold (ADVICE r05): greedy-earliest anchoring undercounts once windows
+    can expire (A@0, A@50, B@100 with gap 60 — the A@0 anchor misses the
+    qualifying A@50->B@100 chain), so the accumulator becomes the per-
+    depth LATEST reach time array: every step-1 event refreshes the
+    anchor, and step i advances from reach[i-1] when it lands inside the
+    window. Latest-reach is optimal for window feasibility (all candidate
+    reaches precede the event, so the latest is the one most likely still
+    inside [ts - gap, ts)), hence the fold's depth equals the true
+    longest qualifying chain. State grows from 2 fields to S timestamps
+    per user; the plan shape (two exchanges) is unchanged.
 
     Output: (step, step_name, n_users, conversion) where conversion is
     the fraction of step-1 users reaching this step, rounded 6 dp.
@@ -169,26 +177,55 @@ def funnel_conversion(
     per_user = ev.groupBy("u").agg(
         F.sort_array(F.collect_set(F.struct(F.col("ts"), F.col("si")))).alias("evs")
     )
-    zero = F.struct(
-        F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("last")
-    )
+    if max_gap_s is None:
+        zero = F.struct(
+            F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("last")
+        )
 
-    def _advance(acc, e):
-        # advance iff this is the NEXT step's event, strictly after the
-        # current reach time; d == len(steps) saturates (si <= len always)
-        after = e["ts"] > acc["last"]
-        if max_gap_s is not None:
-            after = after & (
-                e["ts"].cast("long") - acc["last"].cast("long") <= max_gap_s
+        def _advance(acc, e):
+            # advance iff this is the NEXT step's event, strictly after the
+            # current reach time; d == len(steps) saturates (si <= len always)
+            ok = (e["si"] == acc["d"] + 1) & (
+                (acc["d"] == F.lit(0)) | (e["ts"] > acc["last"])
             )
-        ok = (e["si"] == acc["d"] + 1) & ((acc["d"] == F.lit(0)) | after)
-        return F.when(
-            ok, F.struct((acc["d"] + F.lit(1)).alias("d"), e["ts"].alias("last"))
-        ).otherwise(acc)
+            return F.when(
+                ok, F.struct((acc["d"] + F.lit(1)).alias("d"), e["ts"].alias("last"))
+            ).otherwise(acc)
 
-    depths = per_user.select(
-        F.aggregate(F.col("evs"), zero, _advance, lambda acc: acc["d"]).alias("depth")
-    ).filter(F.col("depth") > 0)
+        depth_expr = F.aggregate(F.col("evs"), zero, _advance, lambda acc: acc["d"])
+    else:
+        # windowed machine: per-depth LATEST reach times (see docstring)
+        zero = F.array_repeat(F.lit(None).cast("timestamp"), len(steps))
+
+        def _advance(acc, e):
+            # greatest() guards the 1-based element_at against index 0 on
+            # step-1 events, whose branch never reads prev
+            prev = F.element_at(
+                acc, F.greatest(e["si"] - 1, F.lit(1)).cast("int")
+            )
+            ok = F.when(e["si"] == 1, F.lit(True)).otherwise(
+                prev.isNotNull()
+                & (e["ts"] > prev)
+                & (e["ts"].cast("long") - prev.cast("long") <= max_gap_s)
+            )
+            return F.zip_with(
+                acc,
+                F.sequence(F.lit(1), F.lit(len(steps))),
+                lambda v, i: F.when(
+                    ok & (i == e["si"]), F.greatest(v, e["ts"])
+                ).otherwise(v),
+            )
+
+        depth_expr = F.aggregate(
+            F.col("evs"),
+            zero,
+            _advance,
+            # reaches are monotone (reach[i] only sets from reach[i-1]),
+            # so depth = number of non-null reach slots
+            lambda acc: F.size(F.filter(acc, lambda v: v.isNotNull())),
+        )
+
+    depths = per_user.select(depth_expr.alias("depth")).filter(F.col("depth") > 0)
     counts = depths.agg(
         *[
             F.coalesce(F.sum((F.col("depth") >= i + 1).cast("long")), F.lit(0))

@@ -53,7 +53,10 @@ def table_expectations(df: DataFrame, rules: "list[Rule]") -> DataFrame:
     (rule, column, n_violations, n_rows, passed) — one row per rule,
     ``passed`` iff zero violations. Row rules share ONE scan; each
     ``unique`` rule adds one groupBy whose violation count is the number
-    of surplus rows (total − distinct keys)."""
+    of surplus rows among fully-NON-NULL keys (keyed rows − distinct
+    keys): count_distinct skips NULL-keyed rows, so counting them on the
+    total side would report a spurious violation per NULL (ADVICE r05) —
+    NULL keys are not duplicates; cover them with ``not_null``."""
     row_rules = [r for r in rules if r[0] != "unique"]
     uniq_rules = [r for r in rules if r[0] == "unique"]
 
@@ -78,13 +81,17 @@ def table_expectations(df: DataFrame, rules: "list[Rule]") -> DataFrame:
         out = one.select(F.inline(ledger))
     for r in uniq_rules:
         _, cols = r
+        keyed = F.lit(True)
+        for c in cols:
+            keyed = keyed & F.col(c).isNotNull()
         u = df.agg(
             F.count("*").cast("long").alias("_n"),
+            F.coalesce(F.sum(keyed.cast("long")), F.lit(0)).cast("long").alias("_k"),
             F.count_distinct(*[F.col(c) for c in cols]).cast("long").alias("_d"),
         ).select(
             F.lit("unique").alias("rule"),
             F.lit(",".join(cols)).alias("column"),
-            (F.col("_n") - F.col("_d")).cast("long").alias("n_violations"),
+            (F.col("_k") - F.col("_d")).cast("long").alias("n_violations"),
             F.col("_n").alias("n_rows"),
         )
         out = u if out is None else out.unionByName(u)

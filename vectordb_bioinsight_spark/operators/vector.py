@@ -971,6 +971,7 @@ def maxsim_ivf(
     n_probe: int = 4,
     k: int = 10,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-routed MaxSim — the scale path for late-interaction retrieval
     (the PLAID/ColBERTv2 candidate-generation recipe): cluster the DOC
@@ -983,23 +984,64 @@ def maxsim_ivf(
 
     Plan: centroid dimension broadcasts everywhere; candidate docs come
     from one cell-equi-join + distinct; the exact rescore inherits
-    maxsim_topk's doc-keyed shape. Rows-only operator (KMeans centroids
-    have no SQL twin); recall pinned by tests.
+    maxsim_topk's doc-keyed shape.
+
+    ``centroids`` (a tiny frozen ``(_cell int, _centroid array<double>)``
+    dimension, e.g. a deterministic slice of the corpus — the
+    pq_fixed_codebook discipline) replaces the KMeans fit so the WHOLE
+    routing pipeline replays in ANSI SQL: assignment is an argmin over
+    the centroid literals with 6-dp-rounded distances (ties break on
+    cell id), making the pruned-probe path hash-oracle-able. Default
+    (``centroids=None``) keeps seeded KMeans — production quality,
+    rows-only vs SQL; recall pinned by tests either way.
 
     Output: (doc, score, rank) — same contract as maxsim_topk.
     """
     from pyspark.sql import Window
 
-    assigned, cent_df = ivf_build_index(
-        doc_vecs, doc_col, vec_col, n_cells=n_cells, seed=seed
-    )
+    if centroids is None:
+        assigned, cent_df = ivf_build_index(
+            doc_vecs, doc_col, vec_col, n_cells=n_cells, seed=seed
+        )
+    else:
+        cent_df = centroids.select(
+            F.col("_cell").cast("int").alias("_cell"),
+            F.col("_centroid").cast("array<double>").alias("_centroid"),
+        )
+        # frozen centroids are caller-bounded (n_cells rows) — collecting
+        # them inlines the argmin as one codegen expression per token row,
+        # zero extra shuffles on the corpus side
+        rows = sorted(cent_df.collect(), key=lambda r: r["_cell"])
+        choices = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        l2_distance(
+                            F.col("_dv"),
+                            F.array(*[F.lit(float(x)) for x in r["_centroid"]]),
+                        ),
+                        6,
+                    ).alias("d"),
+                    F.lit(int(r["_cell"])).alias("c"),
+                )
+                for r in rows
+            ]
+        )
+        assigned = (
+            doc_vecs.select(
+                F.col(doc_col).alias("cand_id"),
+                F.col(vec_col).cast("array<double>").alias("_dv"),
+            )
+            .withColumn("_cell", F.array_min(choices)["c"])
+            .select("cand_id", "_cell")
+        )
     q = query_vecs.select(
         F.col("qtok"), F.col(vec_col).cast("array<double>").alias("_qv")
     )
     probe_w = Window.partitionBy("qtok").orderBy(F.asc("_cdist"), F.asc("_cell"))
     probed_cells = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_cdist", F.round(l2_distance(F.col("_qv"), F.col("_centroid")), 6))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
         .select("_cell")

@@ -34,113 +34,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round; r01-r04 cumulatively drove all 190 pre-r05 entries
-#: (r04: 46/50 hash + 4 rows-only, 0 errors). r05 rotation (VERDICT r04
-#: task 4 — front-load every entry whose operator changed since its last
-#: green): (a) this round's code changes and new entries (funnel fold
-#: rewrite, ANSI guards, MeSH seed + case-insensitive dispatch, centroid
-#: attribution, and the 19 session-2 additions — every NEW entry has
-#: priority: it has never had ANY driver row), then (b) the quality/
-#: text-kernel family whose shared expressions changed after their last
-#: driver row, then (c) the r01-only backfill (text/quality kernels
-#: first; ~19 of the 42 fit — the other 23 sit immediately below the
-#: window for r06). Below that, r02 / r03 / r04 blocks freshest-last.
-#: r06 rotation: pull the spilled r01 block + r02 block forward and park
-#: this round's confirmations.
+#: entries per round; r01-r05 cumulatively drove 238 of the 251 entries.
+#: r06 rotation (VERDICT r05 tasks 1-3): (a) entries whose code or output
+#: changed this round — the binq/sq8 CSV flattening, PSI null counts,
+#: the three rows-only→oracle upgrades, the cooccurrence basket cap's
+#: callers, the unique-rule null fix; then (b) the entries that have
+#: NEVER had a driver row; then (c) the stalest (r01-green) backfill
+#: (27 of 41 fit; the spilled 14 sit immediately below the line for
+#: r07). All 50 window entries are hash-oracle-backed — rows-only-by-
+#: design entries are parked below the line so no window slot scores as
+#: a no_oracle error. r07 rotation: this round's confirmations drop
+#: below; pull the r01 spill + the r02 block forward.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === ORDERING: r05 rotation (driver checks roughly the FIRST 50) ===
-    # (a0) session-3 additions — evaluation / drift / intervals / linkage
-    # tier, never driver-checked:
-    "purchase_auc": (evl.q_purchase_auc, evl.SQL_PURCHASE_AUC),
-    "purchase_pr_curve": (evl.q_purchase_pr_curve, evl.SQL_PURCHASE_PR_CURVE),
-    "purchase_calibration": (evl.q_purchase_calibration, evl.SQL_PURCHASE_CALIBRATION),
-    "purchase_brier": (evl.q_purchase_brier, evl.SQL_PURCHASE_BRIER),
-    "purchase_confusion": (evl.q_purchase_confusion, evl.SQL_PURCHASE_CONFUSION),
-    "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
-    "purchase_ks_drift": (evl.q_purchase_ks_drift, evl.SQL_PURCHASE_KS_DRIFT),
-    "supplier_ship_islands": (evl.q_supplier_ship_islands, evl.SQL_SUPPLIER_SHIP_ISLANDS),
-    "supplier_ship_coverage": (evl.q_supplier_ship_coverage, evl.SQL_SUPPLIER_SHIP_COVERAGE),
-    "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
-    "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
-    "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
+    # === ORDERING: r06 rotation (driver checks roughly the FIRST 50) ===
+    # (a) entries whose CODE or OUTPUT changed this round — every one must
+    # (re-)earn a driver hash row on the current implementation: the
+    # binq/sq8 codes CSV flattening, the PSI null-count columns, the three
+    # rows-only entries upgraded to hash oracles (CUSUM list_reduce twin,
+    # whitening identity-contract twin, frozen-centroid maxsim_ivf twin),
+    # the enforced cooccurrence_edges basket cap (in-cap hashes unchanged
+    # by construction — these rows PROVE it), and the events_expectations
+    # null-key unique fix:
     "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
-    "binq_knn": (vec.q_binq_knn, vec.SQL_BINQ_KNN),
-    "ship_overlap_annotation": (
-        evl.q_ship_overlap_annotation,
-        evl.SQL_SHIP_OVERLAP_ANNOTATION,
-    ),
-    "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
-    "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
-    "daily_trend_ols": (ev.q_daily_trend_ols, ev.SQL_DAILY_TREND_OLS),
-    "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
-    "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
-    "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
-    # rows-only by design: BLAS partial-sum order varies with partitioning
-    "whitened_dim_profile": (vec.q_whitened_dim_profile, None),
-    "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
-    "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
-    "compaction_plan_events": (pk.q_compaction_plan_events, pk.SQL_COMPACTION_PLAN_EVENTS),
-    "audience_overlap_kmv": (ev.q_audience_overlap_kmv, ev.SQL_AUDIENCE_OVERLAP_KMV),
-    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
-    "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
-    "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
-    "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
-    "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
-    "theil_sen_trend": (ev.q_theil_sen_trend, ev.SQL_THEIL_SEN_TREND),
-    "neyman_review_sample": (tx.q_neyman_review_sample, tx.SQL_NEYMAN_REVIEW_SAMPLE),
-    # rows-only by design: KMeans centroids have no SQL twin
-    "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, None),
-    "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),
-    "purchase_gains": (ev.q_purchase_gains, ev.SQL_PURCHASE_GAINS),
-    # (a) entries whose CODE changed this round or that are NEW — every
-    # one must (re-)earn a driver hash row on the current implementation:
-    # the funnel fold rewrite, the ANSI zscore guard, the MeSH seed +
-    # case-insensitive dispatch, the centroid attribution, the mixture
-    # starved guard, plus their trends.py file-mates
-    "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
-    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
-    "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
-    "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
-    "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
-    "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
-    "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
-    "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
-    "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
-    "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
-    "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
     "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
-    "sq8_adc_knn": (vec.q_sq8_adc_knn, vec.SQL_SQ8_ADC_KNN),
-    "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
+    "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
+    "cusum_value_shifts": (st.q_cusum_value_shifts, st.SQL_CUSUM_VALUE_SHIFTS),
+    "whitened_dim_profile": (vec.q_whitened_dim_profile, vec.SQL_WHITENED_DIM_PROFILE),
+    "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, vec.SQL_MAXSIM_IVF_DOCS),
+    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
+    "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
+    "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
+    "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
+    "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
+    "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
+    # (b) never driver-checked (r05 verdict task 2 — local-green only,
+    # zero sf0.01 evidence after five rounds):
+    "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
+    "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
     "maxsim_docs": (vec.q_maxsim_docs, vec.SQL_MAXSIM_DOCS),
     "lagged_correlation": (ev.q_lagged_correlation, ev.SQL_LAGGED_CORRELATION),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
-    "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
-    "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
     "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
-    "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
     "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
     "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
-    # rows-only by design: array-accumulating fold, no list_reduce twin
-    "cusum_value_shifts": (st.q_cusum_value_shifts, None),
-    # rows-only by design: HLL sketch estimates have no SQL twin
-    "rolling_active_users": (ev.q_rolling_active_users, None),
-    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
-    "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
-    "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),
-    "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
-    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
-    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
-    # (b) stale-code greens: the quality/text kernel family whose shared
-    # expressions changed AFTER their last driver row (punct_ratio ->
-    # translate, da43b-era), and semdedup whose default routing changed
-    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    # (c) window backfill: every entry whose most recent driver green is
-    # r01 (text/quality kernels first) — the stalest evidence in the repo
+    # (c) stalest-evidence backfill: every remaining entry whose most
+    # recent driver green is r01 that fits the window (27 of 41; the other
+    # 14 sit immediately below the line for r07):
     "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
     "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
     "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
@@ -168,7 +110,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
     "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
     "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
-    "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
+    # === below the window ===
+    # r01-green spill (FIRST in line for the r07 window):
     "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
     "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
@@ -183,8 +126,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
-    # === below the window: r02-confirmed, then r03, then r04 (freshest
-    # last) — r06 rotation: pull (the rest of) the r02 block forward ===
+    # r02/r03/r04/r05-confirmed blocks, freshest last; rows-only-by-design
+    # entries (no SQL twin possible: Datasketches HLL estimates, seeded
+    # KMeans codebooks, zlib ratios, driver-side BPE merge tables) are
+    # parked here so driver-window slots only go to hash-checkable rows:
+    "rolling_active_users": (ev.q_rolling_active_users, None),
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
     "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
     "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
     "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
@@ -198,7 +148,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
     "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
     "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
     "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
@@ -229,7 +178,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
     "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    # --- most recent driver green: r03 ---
     "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
@@ -249,7 +197,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
     "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
     "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (th.q_wealthy_inactive_customers, th.SQL_WEALTHY_INACTIVE_CUSTOMERS),
+    "wealthy_inactive_customers": (
+        th.q_wealthy_inactive_customers,
+        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
+    ),
     "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
     "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
     "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
@@ -258,7 +209,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
     "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
     "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
-    "returned_revenue_customers": (th2.q_returned_revenue_customers, th2.SQL_RETURNED_REVENUE_CUSTOMERS),
+    "returned_revenue_customers": (
+        th2.q_returned_revenue_customers,
+        th2.SQL_RETURNED_REVENUE_CUSTOMERS,
+    ),
     "order_count_distribution": (th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION),
     "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
     "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
@@ -280,10 +234,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
     "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
     "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
-    # --- most recent driver green: r04 ---
+    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
+    "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
+    "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),
+    "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
+    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
+    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
     "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
     "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
-    "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
     "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
     "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
     "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
@@ -323,6 +281,48 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
     "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
     "first_order_per_customer": (rel.q_first_order_per_customer, rel.SQL_FIRST_ORDER_PER_CUSTOMER),
+    "purchase_auc": (evl.q_purchase_auc, evl.SQL_PURCHASE_AUC),
+    "purchase_pr_curve": (evl.q_purchase_pr_curve, evl.SQL_PURCHASE_PR_CURVE),
+    "purchase_calibration": (evl.q_purchase_calibration, evl.SQL_PURCHASE_CALIBRATION),
+    "purchase_brier": (evl.q_purchase_brier, evl.SQL_PURCHASE_BRIER),
+    "purchase_confusion": (evl.q_purchase_confusion, evl.SQL_PURCHASE_CONFUSION),
+    "purchase_ks_drift": (evl.q_purchase_ks_drift, evl.SQL_PURCHASE_KS_DRIFT),
+    "supplier_ship_islands": (evl.q_supplier_ship_islands, evl.SQL_SUPPLIER_SHIP_ISLANDS),
+    "supplier_ship_coverage": (evl.q_supplier_ship_coverage, evl.SQL_SUPPLIER_SHIP_COVERAGE),
+    "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
+    "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
+    "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
+    "binq_knn": (vec.q_binq_knn, vec.SQL_BINQ_KNN),
+    "ship_overlap_annotation": (evl.q_ship_overlap_annotation, evl.SQL_SHIP_OVERLAP_ANNOTATION),
+    "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
+    "daily_trend_ols": (ev.q_daily_trend_ols, ev.SQL_DAILY_TREND_OLS),
+    "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
+    "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
+    "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
+    "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
+    "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
+    "compaction_plan_events": (pk.q_compaction_plan_events, pk.SQL_COMPACTION_PLAN_EVENTS),
+    "audience_overlap_kmv": (ev.q_audience_overlap_kmv, ev.SQL_AUDIENCE_OVERLAP_KMV),
+    "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
+    "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
+    "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
+    "theil_sen_trend": (ev.q_theil_sen_trend, ev.SQL_THEIL_SEN_TREND),
+    "neyman_review_sample": (tx.q_neyman_review_sample, tx.SQL_NEYMAN_REVIEW_SAMPLE),
+    "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),
+    "purchase_gains": (ev.q_purchase_gains, ev.SQL_PURCHASE_GAINS),
+    "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
+    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
+    "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
+    "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
+    "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
+    "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
+    "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
+    "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
+    "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
+    "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
+    "sq8_adc_knn": (vec.q_sq8_adc_knn, vec.SQL_SQ8_ADC_KNN),
+    "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
 }
 
 

@@ -228,10 +228,14 @@ WITH ref AS (
   SELECT unnest(generate_series(0, 9)) AS bin
 ), rb AS (
   SELECT len(list_filter(cs, c -> c <= v)) AS bin, count(*)::BIGINT AS ref_n
-  FROM ref, cuts GROUP BY 1
+  FROM ref, cuts WHERE v IS NOT NULL GROUP BY 1
 ), cb AS (
   SELECT len(list_filter(cs, c -> c <= v)) AS bin, count(*)::BIGINT AS cur_n
-  FROM cur, cuts GROUP BY 1
+  FROM cur, cuts WHERE v IS NOT NULL GROUP BY 1
+), rnull AS (
+  SELECT count(*)::BIGINT AS ref_null FROM ref WHERE v IS NULL
+), cnull AS (
+  SELECT count(*)::BIGINT AS cur_null FROM cur WHERE v IS NULL
 ), j AS (
   SELECT s.bin,
          CASE WHEN s.bin > 0 THEN cs[s.bin] END AS lo,
@@ -248,8 +252,9 @@ WITH ref AS (
 SELECT bin, round(lo, 6) AS lo, round(hi, 6) AS hi, ref_n, cur_n,
        round(rf, 6) AS ref_frac, round(cf, 6) AS cur_frac,
        round((cf - rf) * ln(cf / rf), 6) AS psi_term,
-       round(sum((cf - rf) * ln(cf / rf)) OVER (), 6) AS psi_total
-FROM f ORDER BY bin
+       round(sum((cf - rf) * ln(cf / rf)) OVER (), 6) AS psi_total,
+       ref_null, cur_null
+FROM f CROSS JOIN rnull CROSS JOIN cnull ORDER BY bin
 """
 
 

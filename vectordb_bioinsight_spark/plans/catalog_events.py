@@ -934,7 +934,7 @@ WITH one AS (
          sum(coalesce(event_type NOT IN ('signup','view','click','purchase','error'), FALSE)::INT)::BIGINT AS v2,
          sum(coalesce(value < 0.0, FALSE)::INT)::BIGINT AS v3,
          sum(coalesce(NOT regexp_matches(event_type, '^[a-z]+$'), FALSE)::INT)::BIGINT AS v4,
-         (count(*) - count(DISTINCT event_id))::BIGINT AS vu
+         (count(event_id) - count(DISTINCT event_id))::BIGINT AS vu
   FROM events
 )
 SELECT rule, "column", n_violations, n_rows, n_violations = 0 AS passed FROM (

@@ -527,14 +527,59 @@ FROM per_arm p CROSS JOIN z
 
 def q_cusum_value_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM mean-shift traces per event type
-    (operators/stats.py::cusum_changepoints) — rows-only by design (the
-    array-accumulating fold has no list_reduce twin); the recursion is
-    pinned by a pure-python oracle test."""
+    (operators/stats.py::cusum_changepoints) — hash-oracled: the
+    sequential fold executes the identical op sequence cross-engine, so
+    the DuckDB twin replays it with a growing-accumulator list_reduce
+    (prepend convention — st = [sp_n, sm_n, sp_{n-1}, sm_{n-1}, ...,
+    sp_0, sm_0], the Holt-backtest trick)."""
     from vectordb_bioinsight_spark.operators.stats import cusum_changepoints
 
     ev = load_table(spark, sf_dir, "events")
     out = cusum_changepoints(ev, "event_type", "ts", "value")
     return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+SQL_CUSUM_VALUE_SHIFTS = """
+WITH daily AS (
+  SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT key, avg(total) AS m, stddev_samp(total) AS s FROM daily GROUP BY 1
+), ser AS (
+  SELECT d.key,
+         list(d.day ORDER BY d.day) AS days,
+         list(d.total ORDER BY d.day) AS totals,
+         list(coalesce((d.total - st.m) / nullif(st.s, 0.0), 0.0)::DOUBLE
+              ORDER BY d.day) AS zs
+  FROM daily d JOIN stats st USING (key)
+  GROUP BY 1
+), folded AS (
+  SELECT key, days, totals,
+         list_reduce(
+           list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+                        list_transform(zs, z -> [z])),
+           (acc, x) -> list_concat(
+             [greatest(0.0, acc[1] + x[1] - 0.5),
+              greatest(0.0, acc[2] - x[1] - 0.5)],
+             acc
+           )
+         ) AS st
+  FROM ser
+), expanded AS (
+  SELECT key,
+         unnest(days) AS day,
+         unnest(totals) AS total,
+         generate_subscripts(days, 1) AS i,
+         len(days) AS n,
+         st
+  FROM folded
+)
+SELECT key, day::TIMESTAMP AS day, total,
+       round(st[2 * (n - i) + 1], 4) AS s_plus,
+       round(st[2 * (n - i) + 2], 4) AS s_minus,
+       (st[2 * (n - i) + 1] > 4.0 OR st[2 * (n - i) + 2] > 4.0) AS alarm
+FROM expanded
+"""
 
 
 _BOOT_B = 50

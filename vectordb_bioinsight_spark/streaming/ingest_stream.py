@@ -182,8 +182,12 @@ def run_ingest_stream(
             batch = dedup_against_corpus(
                 batch, corpus, id_col, text_col, num_bits=bloom_bits
             )
-        if manifest_path is not None:
-            batch = batch.localCheckpoint(eager=True)  # one compute, two sinks
+        if manifest_path is not None or moments_path is not None or hist_path is not None:
+            # one compute, many sinks: without this, the corpus append AND
+            # every stats fold would each re-execute the full dedup lineage,
+            # and the post-append re-read of the corpus could see the batch
+            # it is folding (ADVICE r05)
+            batch = batch.localCheckpoint(eager=True)
         # corpus append FIRST, manifest fold AFTER it succeeds: if the
         # append fails, the standing manifest must keep describing the
         # corpus that actually exists. The failure mode this leaves —
