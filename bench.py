@@ -116,6 +116,12 @@ HEADLINE = [
     # agg + broadcast self-join) and the walk-with-restart recommender
     "shapley_attribution",
     "part_ppr",
+    # r06: exact MaxSim next to the IVF-routed (frozen-centroid) variant —
+    # the pruning speedup is measured, not asserted — and the CUSUM
+    # sequential fold (sort-collect + array-accumulating aggregate)
+    "maxsim_docs",
+    "maxsim_ivf_docs",
+    "cusum_value_shifts",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
