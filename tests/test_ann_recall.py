@@ -317,6 +317,37 @@ class TestMaxSimIVF:
         ]
         assert full == exact
 
+    def test_frozen_centroids_full_probe_equals_exact(self, spark):
+        """The SQL-replayable frozen-centroid mode must inherit the same
+        contract: probing every cell degrades to exact MaxSim regardless
+        of which vectors serve as centroids."""
+        from vectordb_bioinsight_spark.operators.vector import (
+            maxsim_ivf,
+            maxsim_topk,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+
+        docs, q = self._fixture(spark)
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        cent = emb.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 108)
+        ).select(
+            (F.col("vec_id") - 100).cast("int").alias("_cell"),
+            F.col("embedding").cast("array<double>").alias("_centroid"),
+        )
+        exact = [
+            tuple(r)
+            for r in maxsim_topk(docs, q, "doc", "embedding", k=10).collect()
+        ]
+        frozen_full = [
+            tuple(r)
+            for r in maxsim_ivf(
+                docs, q, "doc", "embedding",
+                n_cells=8, n_probe=8, k=10, centroids=cent,
+            ).collect()
+        ]
+        assert frozen_full == exact
+
     def test_pruned_probe_recall_floor(self, spark):
         from vectordb_bioinsight_spark.operators.vector import (
             maxsim_ivf,

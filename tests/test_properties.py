@@ -358,3 +358,59 @@ def test_transition_matrix_matches_reference(spark, events):
     got = {(r["from_type"], r["to_type"]): r["n"] for r in
            event_transition_matrix(df, "u", "t", "ts", "eid", session_gap_s=10).collect()}
     assert got == _transitions_reference(events, 10)
+
+
+def _funnel_depth_reference(user_events, n_steps, gap_s):
+    """Exhaustive feasibility DP: reach[j] is True iff a full chain of
+    steps 1..s_j with strict time order and per-hop gap <= gap_s ends at
+    event j. Independent of the engine's latest-reach fold."""
+    evs = sorted(set(user_events))  # the fold dedups exact (ts, step) repeats
+    reach = [False] * len(evs)
+    best = 0
+    for j, (t, s) in enumerate(evs):
+        if s == 1:
+            reach[j] = True
+        else:
+            for i, (t2, s2) in enumerate(evs[:j]):
+                if s2 == s - 1 and reach[i] and t > t2 and t - t2 <= gap_s:
+                    reach[j] = True
+                    break
+        if reach[j]:
+            best = max(best, s)
+    return best
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),     # user
+            st.integers(min_value=1, max_value=3),     # step index 1..3
+            st.integers(min_value=0, max_value=40),    # ts seconds
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.sampled_from([5, 12, 1000]),                    # conversion window
+)
+@settings(**SETTINGS)
+def test_windowed_funnel_matches_exhaustive_chain_dp(spark, events, gap):
+    """The windowed funnel's latest-reach fold must count exactly the users
+    with a qualifying chain (ADVICE r05: greedy-earliest undercounted)."""
+    from collections import defaultdict
+
+    from vectordb_bioinsight_spark.operators.trends import funnel_conversion
+
+    steps = ["s1", "s2", "s3"]
+    df = spark.createDataFrame(
+        [(u, steps[s - 1], ts) for u, s, ts in events] or [(9, "zz", 0)],
+        "u long, t string, sec long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    got = {r["step"]: r["n_users"] for r in funnel_conversion(
+        df, "u", "t", "ts", steps, max_gap_s=gap
+    ).collect()}
+    per_user = defaultdict(list)
+    for u, s, ts in events:
+        per_user[u].append((ts, s))
+    depths = [_funnel_depth_reference(evs, 3, gap) for evs in per_user.values()]
+    want = {i + 1: sum(1 for d in depths if d >= i + 1) for i in range(3)}
+    assert got == want, (events, gap)
