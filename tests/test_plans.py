@@ -169,6 +169,22 @@ _MAX_EXCHANGES = {
     "purchase_woe_iv": 7,
     "daily_trend_ols": 3,
     "holt_backtest_daily": 2,
+    # r06 additions (audited at pin time). sq8_codes: dim-range agg +
+    # per-id reassembly. maxsim_ivf_docs: the frozen-centroid argmin is
+    # scan-local codegen; the 4 exchanges move the 8-row probe set, the
+    # pruned doc ids, and the bounded rescore frames. cusum: daily agg,
+    # key-stats broadcast-back, per-key fold collect, explode — all
+    # key-bounded. whitened: one dim-keyed agg after the mapInPandas
+    # moment partials. psi: 11 nodes but the corpus touches only the two
+    # fact-side bin aggs; spine/null/window frames are <= n_bins rows.
+    # item_cf: basket self-join + counts dim + symmetrize + per-item rank.
+    "sq8_codes": 2,
+    "maxsim_docs": 2,
+    "maxsim_ivf_docs": 4,
+    "cusum_value_shifts": 4,
+    "whitened_dim_profile": 1,
+    "value_psi_drift": 11,
+    "item_cf_parts": 11,
 }
 
 
