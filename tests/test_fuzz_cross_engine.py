@@ -449,3 +449,48 @@ def test_fuzz_bpe_replace_chain_cross_engine(spark, texts, merges):
         assert sp[i] == want, (t, merges, sp[i], want)
         dk = con.execute(sql, [t]).fetchone()[0]
         assert dk == want, (t, merges, dk, want)
+
+
+# ------------------------------------------------------------------ cusum
+cusum_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["x", "y"]),                                 # event_type
+        st.integers(min_value=0, max_value=20),                      # day offset
+        st.one_of(st.none(),
+                  st.integers(min_value=-10_000, max_value=10_000)
+                  .map(lambda c: c / 100.0)),                        # nullable value
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(rows=cusum_rows)
+@settings(**SETTINGS)
+def test_cusum_fold_twin_matches_on_random_series(spark, rows):
+    """The growing-accumulator list_reduce twin (SQL_CUSUM_VALUE_SHIFTS)
+    must replay the Spark fold on arbitrary series: NULL values, constant
+    series (std=0 -> z NULL -> coalesce 0), single-day keys, duplicates."""
+    import datetime
+
+    from vectordb_bioinsight_spark.operators.stats import cusum_changepoints
+    from vectordb_bioinsight_spark.plans.catalog_stats import SQL_CUSUM_VALUE_SHIFTS
+    from vectordb_bioinsight_spark.plans.verify import compare
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(t, base + datetime.timedelta(days=d), v) for t, d, v in rows]
+    sdf = spark.createDataFrame(
+        data or [("z", base, 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    got = cusum_changepoints(sdf, "event_type", "ts", "value").withColumn(
+        "day", F.col("day").cast("timestamp")
+    )
+    pdf = pd.DataFrame(
+        data or [("z", base, 1.0)], columns=["event_type", "ts", "value"]
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = con.execute(SQL_CUSUM_VALUE_SHIFTS).fetchdf()
+    problems = compare(got, oracle)
+    assert not problems, (rows, problems)
