@@ -972,6 +972,7 @@ def maxsim_ivf(
     k: int = 10,
     seed: int = 42,
     centroids: DataFrame | None = None,
+    index: "tuple[DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """IVF-routed MaxSim — the scale path for late-interaction retrieval
     (the PLAID/ColBERTv2 candidate-generation recipe): cluster the DOC
@@ -995,11 +996,21 @@ def maxsim_ivf(
     (``centroids=None``) keeps seeded KMeans — production quality,
     rows-only vs SQL; recall pinned by tests either way.
 
+    ``index`` — a prebuilt ``(assigned, cent_df)`` pair where ``assigned``
+    carries ``(cand_id, _cell)`` over the token corpus (e.g. from
+    :func:`ivf_build_index`, persisted/partitioned by ``_cell``) — skips
+    the per-call assignment entirely: the ivf_search discipline, build
+    once / query many. At scale the assignment is index-BUILD cost, not
+    query cost.
+
     Output: (doc, score, rank) — same contract as maxsim_topk.
     """
     from pyspark.sql import Window
 
-    if centroids is None:
+    if index is not None:
+        assigned, cent_df = index
+        assigned = assigned.select(F.col("cand_id"), F.col("_cell"))
+    elif centroids is None:
         assigned, cent_df = ivf_build_index(
             doc_vecs, doc_col, vec_col, n_cells=n_cells, seed=seed
         )
@@ -1008,32 +1019,47 @@ def maxsim_ivf(
             F.col("_cell").cast("int").alias("_cell"),
             F.col("_centroid").cast("array<double>").alias("_centroid"),
         )
-        # frozen centroids are caller-bounded (n_cells rows) — collecting
-        # them inlines the argmin as one codegen expression per token row,
-        # zero extra shuffles on the corpus side
+        # frozen centroids are caller-bounded (n_cells rows) — collect them
+        # and assign via one Arrow-batched GEMM per partition (the
+        # knn_join_gemm discipline): a higher-order-function argmin costs
+        # n_cells x dim interpreted ops PER TOKEN (measured 22.5 s/1M
+        # tokens x 64 cells — slower than exact MaxSim); the BLAS form is
+        # one (batch x dim) @ (dim x cells) multiply. Distances round to
+        # 6 dp BEFORE the argmin (ties break on the ascending cell order),
+        # so the assignment replays exactly in the SQL twin.
+        import numpy as np
+
         rows = sorted(cent_df.collect(), key=lambda r: r["_cell"])
-        choices = F.array(
-            *[
-                F.struct(
-                    F.round(
-                        l2_distance(
-                            F.col("_dv"),
-                            F.array(*[F.lit(float(x)) for x in r["_centroid"]]),
-                        ),
-                        6,
-                    ).alias("d"),
-                    F.lit(int(r["_cell"])).alias("c"),
+        C = np.array([r["_centroid"] for r in rows], dtype=np.float64)
+        cell_ids = [int(r["_cell"]) for r in rows]
+        c_norms = (C * C).sum(axis=1)
+
+        def _assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf["_dv"].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_norms[None, :]
+                d = np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+                # argmin takes the FIRST minimum; rows are cell-ascending,
+                # so equal rounded distances break to the smallest cell
+                best = d.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cand_id": pdf["cand_id"].to_numpy(),
+                        "_cell": [cell_ids[i] for i in best],
+                    }
                 )
-                for r in rows
-            ]
+
+        tok = doc_vecs.select(
+            F.col(doc_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("_dv"),
         )
-        assigned = (
-            doc_vecs.select(
-                F.col(doc_col).alias("cand_id"),
-                F.col(vec_col).cast("array<double>").alias("_dv"),
-            )
-            .withColumn("_cell", F.array_min(choices)["c"])
-            .select("cand_id", "_cell")
+        id_type = tok.schema["cand_id"].dataType.simpleString()
+        assigned = tok.mapInPandas(
+            _assign, schema=f"cand_id {id_type}, _cell int"
         )
     q = query_vecs.select(
         F.col("qtok"), F.col(vec_col).cast("array<double>").alias("_qv")
