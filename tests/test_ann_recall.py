@@ -348,6 +348,31 @@ class TestMaxSimIVF:
         ]
         assert frozen_full == exact
 
+    def test_prebuilt_index_equals_oneshot(self, spark):
+        """index=(assigned, cent_df) must produce exactly the one-shot
+        result — assignment is build cost, not a semantic knob."""
+        from vectordb_bioinsight_spark.operators.vector import (
+            ivf_build_index,
+            maxsim_ivf,
+        )
+
+        docs, q = self._fixture(spark)
+        oneshot = [
+            tuple(r)
+            for r in maxsim_ivf(
+                docs, q, "doc", "embedding", n_cells=8, n_probe=3, k=10
+            ).collect()
+        ]
+        assigned, cent_df = ivf_build_index(docs, "doc", "embedding", n_cells=8)
+        prebuilt = [
+            tuple(r)
+            for r in maxsim_ivf(
+                docs, q, "doc", "embedding", n_probe=3, k=10,
+                index=(assigned, cent_df),
+            ).collect()
+        ]
+        assert prebuilt == oneshot
+
     def test_pruned_probe_recall_floor(self, spark):
         from vectordb_bioinsight_spark.operators.vector import (
             maxsim_ivf,
