@@ -217,6 +217,33 @@ def test_parse_pdf_binary_end_to_end_sections(spark):
     assert "hash partitioning (fast)" in bodies
 
 
+def test_parse_pdf_binary_ocr_fallback_seam(spark):
+    """pdf_parser.py:469-475 semantics: a doc whose text layer is under
+    ocr_min_chars retries through the injectable OCR callable and keeps
+    the longer text, flagged ocr_used; text-rich docs never flip."""
+    from vectordb_bioinsight_spark.sources.readers import parse_pdf_binary
+
+    # local def -> cloudpickle serializes it BY VALUE (a module-level fake
+    # would pickle by reference to a module executors can't import)
+    def _fake_ocr(data: bytes) -> str:
+        return f"\n[PAGE_0]\nOCR RECOVERED {len(data)} BYTES OF SCANNED TEXT"
+
+    scanned = b"%PDF-1.4\n% no text layer at all\ntrailer\n%%EOF"
+    rich = _mini_pdf(["Results\n" + ("real text-layer words " * 40)])
+    df = spark.createDataFrame(
+        [(1, bytearray(scanned)), (2, bytearray(rich))], ["media_id", "payload"]
+    )
+    rows = {r["id"]: r for r in parse_pdf_binary(df, ocr=_fake_ocr).collect()}
+    assert rows[1]["ocr_used"] is True
+    assert "OCR RECOVERED" in rows[1]["text"]
+    assert rows[2]["ocr_used"] is False and "real text-layer" in rows[2]["text"]
+    # disabled OCR keeps the (empty) text layer and stays un-flagged
+    off = {r["id"]: r for r in parse_pdf_binary(
+        df, ocr=_fake_ocr, ocr_min_chars=0
+    ).collect()}
+    assert off[1]["ocr_used"] is False and off[1]["n_chars"] == 0
+
+
 def test_read_jsonl_corpus_isolates_corrupt_lines(spark, tmp_path):
     import json as _json
 

@@ -210,7 +210,34 @@ def extract_pdf_text_minimal(data: bytes) -> str:
     return "\n".join(texts)
 
 
-def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+def _default_pdf_ocr(data: bytes) -> "str | None":
+    """OCR a scanned PDF's pages when the OCR stack is installed
+    (pytesseract + pdf2image — the reference's optional dependency pair,
+    pdf_parser.py:8-14); returns None when unavailable or on failure so
+    the caller keeps the text-layer result. Pages are tagged ``[PAGE_i]``
+    exactly like pdf_parser.py:513-532."""
+    try:
+        import pytesseract  # type: ignore[import-not-found]
+        from pdf2image import convert_from_bytes  # type: ignore[import-not-found]
+    except ImportError:
+        return None
+    try:
+        images = convert_from_bytes(data, dpi=200)
+        return "".join(
+            f"\n[PAGE_{i}]\n" + pytesseract.image_to_string(img, lang="eng")
+            for i, img in enumerate(images)
+        )
+    except Exception:  # noqa: BLE001 - OCR failure keeps the text layer
+        return None
+
+
+def parse_pdf_binary(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    ocr_min_chars: int = 500,
+    ocr=None,
+) -> DataFrame:
     """S3 PDF parse: decode payload bytes per executor inside mapInPandas.
 
     Uses PyMuPDF when importable on executors (the reference's
@@ -219,7 +246,18 @@ def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str =
     BT/ET operator scan; limitations documented there). Either way the
     downstream section structuring is ``sections_from_text`` (JVM-side).
 
-    Output: (id, text, n_chars).
+    OCR fallback (pdf_parser.py:469-475 semantics): a document whose text
+    layer comes back under ``ocr_min_chars`` characters (the scanned-PDF
+    signature) is retried through ``ocr`` — an injectable
+    ``bytes -> str | None`` callable, defaulting to
+    :func:`_default_pdf_ocr` (pytesseract + pdf2image when installed,
+    None otherwise) — and keeps whichever text is LONGER, exactly the
+    reference's rule. The ``ocr_used`` output column makes the fallback
+    visible per document, never silent. Pass ``ocr_min_chars=0`` to
+    disable. OCR libs are not baked into this container, so CI pins the
+    seam with an injected deterministic fake (tests/test_multimodal_sources).
+
+    Output: (id, text, n_chars, ocr_used).
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -229,8 +267,10 @@ def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str =
             T.StructField("id", df.schema[id_col].dataType),
             T.StructField("text", T.StringType()),
             T.StructField("n_chars", T.LongType()),
+            T.StructField("ocr_used", T.BooleanType()),
         ]
     )
+    ocr_fn = ocr if ocr is not None else _default_pdf_ocr
 
     def decode(batches):  # noqa: ANN001
         try:
@@ -244,12 +284,28 @@ def parse_pdf_binary(df: DataFrame, id_col: str = "media_id", payload_col: str =
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            texts = [one(bytes(b)) if b is not None else "" for b in pdf[payload_col]]
+            texts: list[str] = []
+            used: list[bool] = []
+            for b in pdf[payload_col]:
+                if b is None:
+                    texts.append("")
+                    used.append(False)
+                    continue
+                data = bytes(b)
+                text = one(data)
+                took_ocr = False
+                if ocr_min_chars and len(text.strip()) < ocr_min_chars:
+                    alt = ocr_fn(data)
+                    if alt and len(alt) > len(text):
+                        text, took_ocr = alt, True
+                texts.append(text)
+                used.append(took_ocr)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "text": texts,
                     "n_chars": [len(t) for t in texts],
+                    "ocr_used": used,
                 }
             )
 
