@@ -391,3 +391,95 @@ def test_rake_short_and_stop_words_never_in_phrases(spark):
     for r in out:
         for w in r["phrase"].split():
             assert len(w) >= 3 and w not in STOPWORDS
+
+
+# ---------------------------------------------------------------- garbled
+def _garbled_reference(line: str) -> bool:
+    """Pure-python port of GarbledTextDetector.is_garbled
+    (pdf_parser.py:116-206) as the independent oracle."""
+    import re
+
+    if len(line.strip()) < 10:
+        return False
+    words = line.split()
+    if not words:
+        return False
+    patterns = ["lfs", "pdb", "bgk", "hth", "lfsr", "pdbgk", "jcj",
+                "clfs", "fsrj", "fsrg", "sosrh", "map of", "1/4 p", "j2c"]
+
+    def score(word: str) -> int:
+        wl = word.lower().strip(".,;:()[]{}")
+        if len(wl) < 2:
+            return 0
+        s = 0
+        if len(wl) >= 4:
+            vowels = sum(1 for c in wl if c in "aeiou")
+            consonants = sum(1 for c in wl if c.isalpha() and c not in "aeiou")
+            if consonants > 0 and vowels / len(wl) < 0.15:
+                s += 2
+        if any(p in wl for p in patterns):
+            s += 3
+        if len(word) >= 3 and re.search(r"[a-z][A-Z][a-z]", word):
+            s += 2
+        return s
+
+    if sum(score(w) for w in words) / max(len(words), 1) > 0.3:
+        return True
+    unusual = len(re.findall(
+        r"[;:]\s*[a-z]\s*[;:]|1/4\s+[a-z]|[a-z]\s*<\s*[a-z]{2,}\s*>", line))
+    return unusual >= 2
+
+
+GARBLED_CASES = [
+    "lfsr pdbgk clfs jcj sosrh fsrg",            # TeX-garble fragments
+    "xkcd qwrtz bcdfg hjklm npqrst vwxyz",       # vowel-free junk
+    "the hTh oddity aTb repeats cDc everywhere", # mixed-case flips
+    "results ; a : b ; c : significance",        # unusual sequences
+    "This is a perfectly ordinary sentence about results.",
+    "short",
+    "Methods and materials were described previously in section two.",
+    "",
+    "   ",
+    "a1 b2 c3 d4 e5 f6",
+]
+
+
+def test_garbled_line_flag_matches_reference_port(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import garbled_line_flag
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(GARBLED_CASES)], "i long, line string"
+    )
+    got = {r["i"]: r["g"] for r in df.select(
+        "i", garbled_line_flag(F.col("line")).alias("g")
+    ).collect()}
+    for i, s in enumerate(GARBLED_CASES):
+        assert got[i] == _garbled_reference(s), (i, s)
+    # sanity: the crafted garbled lines DO flag and the clean ones don't
+    assert got[0] and got[1] and got[3]
+    assert not got[4] and not got[6]
+
+
+def test_strip_garbled_lines_keeps_order_and_drops_junk(spark):
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        garbled_text_stats,
+        strip_garbled_lines,
+    )
+
+    text = (
+        "A clean first line about methods.\n"
+        "lfsr pdbgk clfs jcj sosrh fsrg\n"
+        "A clean closing line about results."
+    )
+    df = spark.createDataFrame([(1, text), (2, "all good here today")],
+                               "doc_id long, text string")
+    out = {r["id"]: r["text"] for r in
+           strip_garbled_lines(df, "doc_id", "text").collect()}
+    assert out[1] == ("A clean first line about methods.\n"
+                      "A clean closing line about results.")
+    assert out[2] == "all good here today"
+    stats = {r["id"]: r for r in
+             garbled_text_stats(df, "doc_id", "text").collect()}
+    assert stats[1]["n_lines"] == 3 and stats[1]["n_garbled"] == 1
+    assert stats[1]["garbled_frac"] == pytest.approx(round(1 / 3, 6))
+    assert stats[2]["n_garbled"] == 0

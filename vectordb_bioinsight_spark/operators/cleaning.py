@@ -548,3 +548,116 @@ def nfc_normalize(text):  # noqa: ANN001, ANN201
         return s.str.normalize("NFC")
 
     return _nfc(text)
+
+
+# ------------------------------------------------------------- garbled text
+#: Known TeX-font mojibake fragments (pdf_parser.py:129-134). The two
+#: space-containing entries can never match a whitespace-split word — kept
+#: for behavioral parity with the reference, where they are equally inert
+#: at word level.
+GARBLED_PATTERNS = [
+    "lfs", "pdb", "bgk", "hth", "lfsr", "pdbgk",
+    "jcj", "clfs", "fsrj", "fsrg", "sosrh",
+    "map of", "1/4 p", "j2c",
+]
+
+#: unusual character sequences at LINE level (pdf_parser.py:149-153)
+_UNUSUAL_SEQ = r"[;:]\s*[a-z]\s*[;:]|1/4\s+[a-z]|[a-z]\s*<\s*[a-z]{2,}\s*>"
+
+
+def garbled_line_flag(line):  # noqa: ANN001, ANN201
+    """Boolean column: is this line garbled TeX-font mojibake?
+
+    The reference's ``GarbledTextDetector.is_garbled`` scoring
+    (pdf_parser.py:116-206), re-expressed as ONE JVM expression tree per
+    line (no UDF, RE2-compatible so the DuckDB twin replays it):
+
+    * per word (lowercased, ``.,;:()[]{}`` stripped at both ends,
+      length >= 2): +2 if length >= 4 with at least one consonant and a
+      vowel ratio under 0.15, +3 if it contains a known TeX-garble
+      fragment, +2 if the ORIGINAL word has an interior lower-Upper-lower
+      case flip (the 'hTh' signature);
+    * line is garbled when mean word score > 0.3, or when >= 2 unusual
+      punctuation sequences (``; a :``-style) appear — lines under 10
+      chars after trimming never flag.
+    """
+    line = F.regexp_replace(line, r"^\s+|\s+$", "")
+    words = F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
+    strip = r"^[.,;:()\[\]{}]+|[.,;:()\[\]{}]+$"
+
+    def word_score(w):
+        wl = F.lower(F.regexp_replace(w, strip, ""))
+        n = F.length(wl)
+        vowels = n - F.length(F.regexp_replace(wl, "[aeiou]", ""))
+        consonants = F.length(F.regexp_replace(wl, "[^b-df-hj-np-tv-z]", ""))
+        low_vowel = (
+            (n >= 4) & (consonants > 0)
+            & (vowels.cast("double") / n.cast("double") < 0.15)
+        )
+        # substring containment == unanchored rlike; no pattern contains a
+        # regex metacharacter ('/' and ' ' are literals in RE2 and Java)
+        has_pattern = wl.rlike("|".join(GARBLED_PATTERNS))
+        mixed = w.rlike("[a-z][A-Z][a-z]")
+        score = (
+            F.when(low_vowel, 2).otherwise(0)
+            + F.when(has_pattern, 3).otherwise(0)
+            + F.when(mixed & (F.length(w) >= 3), 2).otherwise(0)
+        )
+        return F.when(n >= 2, score).otherwise(F.lit(0))
+
+    total = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + word_score(w)
+    )
+    n_words = F.greatest(F.size(words), F.lit(1))
+    unusual = F.regexp_count(line, F.lit(_UNUSUAL_SEQ))
+    return (F.length(line) >= 10) & (
+        (total.cast("double") / n_words.cast("double") > 0.3) | (unusual >= 2)
+    )
+
+
+def garbled_text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document garbled-line profile over newline-split text: the
+    triage view run before deciding to re-OCR or drop a scan-heavy
+    ingest batch. One posexplode + one doc-keyed groupBy.
+
+    Output: (id, n_lines, n_garbled, garbled_frac) — lines are the
+    non-empty trimmed ones; frac rounded 6 dp, 0.0 for line-less docs.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), "\n")).alias("_l")
+    ).withColumn("_t", F.regexp_replace(F.col("_l"), r"^\s+|\s+$", "")).filter(
+        F.length("_t") > 0
+    )
+    flagged = lines.withColumn("_g", garbled_line_flag(F.col("_l")))
+    return flagged.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_g").cast("long")).cast("long").alias("n_garbled"),
+        F.round(
+            F.sum(F.col("_g").cast("int")) / F.count("*"), 6
+        ).alias("garbled_frac"),
+    )
+
+
+def strip_garbled_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Remove garbled lines and reassemble each document (the reference's
+    OCR post-clean applies the same detector line-by-line) — a projection
+    plus one doc-keyed groupBy, composing with the C4 line rules.
+
+    Output: (id, text) with only the non-garbled, non-empty lines kept in
+    original order.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_l"),
+    ).withColumn("_t", F.regexp_replace(F.col("_l"), r"^\s+|\s+$", "")).filter(
+        F.length("_t") > 0
+    )
+    kept = lines.filter(~garbled_line_flag(F.col("_l")))
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_l"))), lambda s: s["_l"]
+            ),
+            "\n",
+        ).alias("text")
+    )

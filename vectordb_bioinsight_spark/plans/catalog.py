@@ -68,6 +68,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
+    # NEW this round: the reference's TeX-mojibake detector (S3's last
+    # uncovered sub-capability) — new entries always enter the window
+    "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
@@ -109,9 +112,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "fingerprint": (tx.q_fingerprint, tx.SQL_FINGERPRINT),
     "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
     "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
-    "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
     # === below the window ===
     # r01-green spill (FIRST in line for the r07 window):
+    "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
     "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
     "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),

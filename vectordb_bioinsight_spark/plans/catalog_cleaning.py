@@ -627,3 +627,82 @@ FROM arr
 
 
 SQL_SENTENCE_SPLIT_DOCS = _sql_sentence_split()
+
+
+_GARBLE_LINE = "lfsr pdbgk clfs jcj sosrh fsrg hTh"
+
+
+def q_garbled_docs(spark, sf_dir):
+    """Per-document garbled-text (TeX-font mojibake) profile
+    (operators/cleaning.py::garbled_text_stats — the reference's
+    GarbledTextDetector scoring, pdf_parser.py:116-206, as one JVM
+    expression tree): the scanned-ingest triage view that decides
+    re-OCR-vs-drop before text reaches the quality ladder. The synthetic
+    corpus is clean, so every 7th doc gets one planted TeX-garble line —
+    the DETECTION branch earns driver-hash coverage, not just the
+    all-clean verdict."""
+    from vectordb_bioinsight_spark.operators.cleaning import garbled_text_stats
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n" + _GARBLE_LINE)),
+        ).otherwise(F.col("text")),
+    )
+    return garbled_text_stats(docs, "doc_id", "text")
+
+
+def _sql_garbled() -> str:
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        GARBLED_PATTERNS,
+        _UNUSUAL_SEQ,
+    )
+
+    strip = r"^[.,;:()\[\]{}]+|[.,;:()\[\]{}]+$"
+    wl = f"lower(regexp_replace(w, '{strip}', '', 'g'))"
+    pats = "|".join(GARBLED_PATTERNS)
+    # the word-score CASE tree; DuckDB lambdas have no let-binding, so the
+    # stripped-lowered word expression repeats inline
+    word_score = f"""(
+      CASE WHEN length({wl}) >= 2 THEN
+        (CASE WHEN length({wl}) >= 4
+              AND length(regexp_replace({wl}, '[^b-df-hj-np-tv-z]', '', 'g')) > 0
+              AND (length({wl}) - length(regexp_replace({wl}, '[aeiou]', '', 'g')))::DOUBLE
+                  / length({wl}) < 0.15
+         THEN 2 ELSE 0 END)
+        + (CASE WHEN regexp_matches({wl}, '{pats}') THEN 3 ELSE 0 END)
+        + (CASE WHEN length(w) >= 3 AND regexp_matches(w, '[a-z][A-Z][a-z]')
+           THEN 2 ELSE 0 END)
+      ELSE 0 END)"""
+    return f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || '{_GARBLE_LINE}'
+              ELSE text END AS text
+  FROM documents
+), lines AS (
+  SELECT id, regexp_replace(l, '^\\s+|\\s+$', '', 'g') AS t
+  FROM (SELECT id, unnest(string_split(text, chr(10))) AS l FROM src)
+  WHERE length(regexp_replace(l, '^\\s+|\\s+$', '', 'g')) > 0
+), flagged AS (
+  SELECT id,
+         (length(t) >= 10 AND (
+            list_sum(list_transform(
+              list_filter(string_split_regex(t, '\\s+'), w -> length(w) > 0),
+              w -> {word_score}
+            ))::DOUBLE
+            / greatest(len(list_filter(string_split_regex(t, '\\s+'), w -> length(w) > 0)), 1)
+            > 0.3
+            OR len(regexp_extract_all(t, '{_UNUSUAL_SEQ}')) >= 2
+         )) AS g
+  FROM lines
+)
+SELECT id, count(*)::BIGINT AS n_lines,
+       sum(g::INT)::BIGINT AS n_garbled,
+       round(sum(g::INT)::DOUBLE / count(*), 6) AS garbled_frac
+FROM flagged GROUP BY id
+"""
+
+
+SQL_GARBLED_DOCS = _sql_garbled()
