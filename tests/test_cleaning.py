@@ -483,3 +483,47 @@ def test_strip_garbled_lines_keeps_order_and_drops_junk(spark):
     assert stats[1]["n_lines"] == 3 and stats[1]["n_garbled"] == 1
     assert stats[1]["garbled_frac"] == pytest.approx(round(1 / 3, 6))
     assert stats[2]["n_garbled"] == 0
+
+
+def test_garbled_flag_fuzz_vs_reference_port(spark):
+    """Seeded fuzz: 400 random lines mixing clean words, TeX-garble
+    fragments, vowel-free junk, case flips and punctuation runs — the
+    Spark expression tree must agree with the pure-python reference port
+    on every one (single job, not per-example)."""
+    import random
+
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        GARBLED_PATTERNS,
+        garbled_line_flag,
+    )
+
+    rng = random.Random(20260815)
+    clean = ["the", "results", "significant", "methods", "analysis",
+             "tumor", "expression", "data", "observed", "between", "a", "of"]
+    junk = ["bcdfgh", "qwrtz", "xkcd", "mnpqrs", "zz", "q"]
+    flips = ["hTh", "aTb", "cDc", "xYz", "AbC"]
+    punct = ["; a :", "1/4 p", "a < bc >", ";", ":", "(", ")", "[x]", "{y}"]
+
+    def make_line() -> str:
+        n = rng.randint(0, 14)
+        pools = [clean, junk, flips, list(GARBLED_PATTERNS), punct]
+        weights = [10, 2, 2, 2, 2]
+        words = [rng.choices(pools, weights)[0] for _ in range(n)]
+        toks = [rng.choice(p) for p in words]
+        if rng.random() < 0.3:
+            toks = ["  "] + toks + [" "]
+        return " ".join(toks)
+
+    lines = [make_line() for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "i long, line string"
+    )
+    got = {r["i"]: r["g"] for r in df.select(
+        "i", garbled_line_flag(F.col("line")).alias("g")
+    ).collect()}
+    flagged = 0
+    for i, s in enumerate(lines):
+        assert got[i] == _garbled_reference(s), (i, repr(s))
+        flagged += got[i]
+    # the generator must actually exercise BOTH branches
+    assert 0 < flagged < len(lines)
