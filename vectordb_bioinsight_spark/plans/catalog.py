@@ -71,6 +71,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # NEW this round: the reference's TeX-mojibake detector (S3's last
     # uncovered sub-capability) — new entries always enter the window
     "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
+    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
+    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

@@ -354,3 +354,144 @@ SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
        round(sum(o_totalprice), 4) AS total_price
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
+
+
+# ------------------------------------------------------------------ trends
+#: deterministic trend-bearing titles planted on every 4th doc (the
+#: synthetic corpus is trend-free word salad, so the detection branches
+#: would otherwise be dead code at driver scale — same discipline as
+#: garbled_docs' planted mojibake line)
+_TREND_SNIPS = [
+    "CAR-T chimeric antigen receptor therapy with CD19 targeting",
+    "KRAS G12C inhibitor sotorasib response and the RAS pathway",
+    "extrachromosomal DNA ecDNA amplification with double minute chromosomes",
+    "circulating tumor DNA ctDNA liquid biopsy for minimal residual disease",
+    "synthetic lethality of PARP inhibitor under homologous recombination deficiency",
+    "EMT lineage plasticity with SOX2 driving cell state transition",
+]
+
+
+def _trend_papers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snip = F.lit(None).cast("string")
+    for i, s in enumerate(_TREND_SNIPS):
+        snip = F.when(F.expr("(doc_id div 4) % 6") == i, F.lit(s)).otherwise(snip)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, snip)
+        .otherwise(F.substring("text", 1, 60))
+        .alias("title"),
+        F.col("text").alias("abstract"),
+    )
+
+
+def q_trend_primary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-to-trend mapping (oncology_trends.py:62-98, 344-385 — trends
+    defined FIRST, papers mapped TO them): each paper's best-scoring
+    trend from the packaged seed dimension (functions/trend_seed.py).
+    Score = 15/keyword + 10/gene(word-boundary) + 8/MeSH + 20/top-3
+    keyword-in-title, capped at 100, min 30 to qualify, seed order on
+    ties — the whole paper x trend score is one JVM expression over the
+    broadcast dim's arrays (no UDF, no explode)."""
+    from vectordb_bioinsight_spark.functions.trend_seed import trend_dimension
+    from vectordb_bioinsight_spark.operators.trend_match import primary_trends
+
+    prim = primary_trends(
+        _trend_papers(spark, sf_dir), trend_dimension(spark),
+        "doc_id", "title", "abstract",
+    )
+    return prim.select(
+        "id", "trend_id", "score",
+        F.size("matched_terms").cast("long").alias("n_matched"),
+        F.concat_ws(",", "matched_terms").alias("matched_csv"),
+    )
+
+
+def q_trend_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The briefing rollup (group_papers_by_trend,
+    oncology_trends.py:387-464): papers grouped by their primary trend's
+    category — per (category, trend) paper count and mean match score;
+    empty trends drop, matching the reference's non-empty-only output."""
+    from vectordb_bioinsight_spark.functions.trend_seed import trend_dimension
+    from vectordb_bioinsight_spark.operators.trend_match import (
+        trend_category_census,
+    )
+
+    return trend_category_census(
+        _trend_papers(spark, sf_dir), trend_dimension(spark),
+        "doc_id", "title", "abstract",
+    )
+
+
+def _trend_ranked_ctes() -> str:
+    """The shared dim -> papers -> scored pairs -> ranked CTE chain:
+    the DuckDB replay of the seed dimension (inlined as VALUES list
+    literals) and the exact score expression of
+    operators/trend_match._score_cols."""
+    from vectordb_bioinsight_spark.functions.trend_seed import trend_seed_rows
+
+    def lst(xs):
+        return "[" + ", ".join("'" + x.replace("'", "''") + "'" for x in xs) + "]"
+
+    dim_rows = ",\n    ".join(
+        f"({rank}, '{tid}', '{name.replace(chr(39), chr(39) * 2)}', '{cat}', "
+        f"{lst(kws)}, {lst(top3)}, {lst(genes)}, {lst(mesh)})"
+        for rank, tid, name, cat, kws, top3, genes, mesh in trend_seed_rows()
+    )
+    snip_case = "\n             ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_TREND_SNIPS)
+    )
+    text = "lower(p.title || ' ' || p.abstract)"
+    return f"""
+WITH dim(trend_rank, trend_id, trend_name, category, keywords, top3, genes, mesh)
+AS (VALUES
+    {dim_rows}
+), papers AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           CASE (doc_id // 4) % 6
+             {snip_case}
+           END
+         ELSE substr(text, 1, 60) END AS title,
+         text AS abstract
+  FROM documents
+), pairs AS (
+  SELECT p.id, d.trend_rank, d.trend_id, d.trend_name, d.category,
+         least(100,
+             15 * len(list_filter(d.keywords, k -> contains({text}, k)))
+           + 10 * len(list_filter(d.genes,
+                     g -> regexp_matches({text}, '\\b' || g || '\\b')))
+           +  8 * len(list_filter(d.mesh, m -> contains({text}, m)))
+           + 20 * len(list_filter(d.top3, k -> contains(lower(p.title), k)))
+         )::INT AS score,
+         list_concat(
+           list_filter(d.keywords, k -> contains({text}, k)),
+           list_filter(d.genes,
+                       g -> regexp_matches({text}, '\\b' || g || '\\b'))
+         ) AS matched
+  FROM papers p CROSS JOIN dim d
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, trend_rank) AS rn
+  FROM pairs WHERE score >= 30
+)"""
+
+
+SQL_TREND_PRIMARY_DOCS = (
+    _trend_ranked_ctes()
+    + """
+SELECT id, trend_id, score, len(matched)::BIGINT AS n_matched,
+       array_to_string(matched, ',') AS matched_csv
+FROM ranked WHERE rn = 1
+"""
+)
+
+
+SQL_TREND_CENSUS = (
+    _trend_ranked_ctes()
+    + """
+SELECT category, trend_id, trend_name, count(*)::BIGINT AS n_papers,
+       round(avg(score), 4) AS avg_score
+FROM ranked WHERE rn = 1
+GROUP BY 1, 2, 3
+"""
+)
