@@ -1,0 +1,380 @@
+"""Paper-insights extraction: study design, sample size, quality score,
+effect-size outcomes and population — the reference's regex tier.
+
+``PaperInsightsExtractor`` (backend/app/core/paper_insights.py:100-494)
+gives researchers a <10-second read on a paper: detect the study design
+from an evidence-hierarchy pattern ladder, pull the sample size, score
+quality 0-10 (design base + sample-size and methodology adjustments),
+extract HR/OR/RR effect sizes with confidence intervals and the outcome
+they attach to, and profile the study population. Everything except the
+LLM "bottom line" (paper_insights.py:182-273 — declared out of scope
+with the rest of the generation surface, SURVEY §3.3) is deterministic
+regex work, re-expressed here as JVM expression trees: `when` ladders
+over `regexp_extract`/`regexp_like`, and for the positional outcome
+context a split-by-pattern offset reconstruction — no UDFs anywhere.
+
+Deviations (documented, unit-test-pinned):
+
+* ``condition`` is title-cased per whitespace-split word (upper first
+  char, rest kept — both engines), not Python ``str.title()``; the two
+  differ only on words with interior digits/underscores.
+* the effect interpretation's percentage uses half-even rounding
+  (``bround``), matching Python's ``"%.0f"`` format semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DESIGNS",
+    "SAMPLE_PATTERNS",
+    "EFFECT_PATTERNS",
+    "OUTCOME_KEYWORDS",
+    "study_design_col",
+    "sample_size_col",
+    "study_quality",
+    "key_outcomes",
+    "population_info",
+]
+
+#: evidence hierarchy, FIRST MATCH WINS in this order
+#: (paper_insights.py:19-33 scores, :108-139 patterns)
+DESIGNS: "list[tuple[str, int, list[str]]]" = [
+    ("Meta-Analysis", 10, [r"meta-analysis", r"meta analysis", r"pooled analysis"]),
+    ("Systematic Review", 9, [r"systematic review", r"systematic literature review"]),
+    ("Randomized Controlled Trial", 8,
+     [r"randomized", r"randomised", r"RCT", r"phase [IViv123]+",
+      r"double-blind", r"placebo-controlled", r"clinical trial"]),
+    ("Cohort Study", 6,
+     [r"cohort study", r"prospective study", r"retrospective study",
+      r"longitudinal", r"follow-up study"]),
+    ("Case-Control", 5, [r"case-control", r"case control"]),
+    ("Cross-Sectional", 4,
+     [r"cross-sectional", r"cross sectional", r"prevalence study"]),
+    ("Case Series", 3, [r"case series", r"consecutive patients", r"patient series"]),
+    ("Case Report", 2, [r"case report", r"case presentation"]),
+    ("In Vitro/Animal", 0,
+     [r"in vitro", r"cell line", r"mouse model", r"animal model",
+      r"xenograft", r"preclinical"]),
+]
+
+#: first pattern whose FIRST match parses into [1, 1e6] wins
+#: (paper_insights.py:142-152, :464-475)
+SAMPLE_PATTERNS: "list[str]" = [
+    r"n\s*=\s*(\d+)",
+    r"(\d+)\s*patients",
+    r"(\d+)\s*participants",
+    r"(\d+)\s*subjects",
+    r"sample size of\s*(\d+)",
+    r"enrolled\s*(\d+)",
+    r"included\s*(\d+)",
+    r"(\d+)\s*individuals",
+]
+
+#: metric -> (value, ci_lower, ci_upper) groups (paper_insights.py:155-159)
+EFFECT_PATTERNS: "dict[str, str]" = {
+    "HR": r"(?:hazard ratio|HR)\s*[=:]?\s*([\d.]+)\s*(?:\(|,|;)?\s*(?:95%?\s*CI)?[:\s]*([\d.]+)\s*[-–to]+\s*([\d.]+)",
+    "OR": r"(?:odds ratio|OR)\s*[=:]?\s*([\d.]+)\s*(?:\(|,|;)?\s*(?:95%?\s*CI)?[:\s]*([\d.]+)\s*[-–to]+\s*([\d.]+)",
+    "RR": r"(?:relative risk|risk ratio|RR)\s*[=:]?\s*([\d.]+)\s*(?:\(|,|;)?\s*(?:95%?\s*CI)?[:\s]*([\d.]+)\s*[-–to]+\s*([\d.]+)",
+}
+
+#: first keyword found in the 100 chars BEFORE the effect match names the
+#: outcome (paper_insights.py:355-364, dict order)
+OUTCOME_KEYWORDS: "list[tuple[str, str]]" = [
+    ("overall survival", "OS"),
+    ("progression-free survival", "PFS"),
+    ("disease-free survival", "DFS"),
+    ("response rate", "ORR"),
+    ("complete response", "CR"),
+    ("mortality", "Mortality"),
+    ("recurrence", "Recurrence"),
+]
+
+
+def _any(text: Column, patterns: "list[str]") -> Column:
+    return F.regexp_like(text, F.lit("(?i)" + "|".join(f"(?:{p})" for p in patterns)))
+
+
+def study_design_col(text_lower: Column) -> "tuple[Column, Column]":
+    """(design label, evidence score) — the first design in the hierarchy
+    whose any pattern matches (paper_insights.py:456-462)."""
+    label = F.lit("Unknown")
+    score = F.lit(0)
+    for name, ev, pats in reversed(DESIGNS):
+        hit = _any(text_lower, pats)
+        label = F.when(hit, F.lit(name)).otherwise(label)
+        score = F.when(hit, F.lit(ev)).otherwise(score)
+    return label, score
+
+
+def sample_size_col(text_lower: Column) -> Column:
+    """First sample pattern whose first match lands in [1, 1e6]
+    (paper_insights.py:464-475); NULL when none do."""
+    out = F.lit(None).cast("long")
+    for pat in reversed(SAMPLE_PATTERNS):
+        got = F.regexp_extract(text_lower, "(?i)" + pat, 1)
+        # <= 7 digits: anything longer is out of [1, 1e6] anyway, and the
+        # guard keeps the ANSI cast from overflowing on pathological input
+        n = F.when((got != "") & (F.length(got) <= 7), got.cast("long"))
+        out = F.when((n >= 1) & (n <= 1_000_000), n).otherwise(out)
+    return out
+
+
+def study_quality(
+    df: DataFrame, id_col: str, title_col: str, abstract_col: str,
+    text_col: "str | None" = None,
+) -> DataFrame:
+    """Per-paper quality profile (extract_quality,
+    paper_insights.py:274-345): design base score, sample-size
+    adjustment, strength bumps, limitation list, bias-risk ladder.
+
+    Output: (id, design, evidence, sample_size, quality_score,
+    bias_risk, strengths_csv, limitations_csv).
+    """
+    full = F.concat_ws(
+        " ",
+        F.coalesce(F.col(title_col), F.lit("")),
+        F.coalesce(F.col(abstract_col), F.lit("")),
+        F.coalesce(F.col(text_col), F.lit("")) if text_col else F.lit(""),
+    )
+    t = F.lower(full)
+    design, base = study_design_col(t)
+    ss = sample_size_col(t)
+
+    q = base.cast("double")
+    q = (
+        F.when(ss >= 1000, F.least(F.lit(10.0), q + 1))
+        .when(ss >= 100, F.least(F.lit(10.0), q + 0.5))
+        .when(ss < 30, F.greatest(F.lit(0.0), q - 1))
+        .otherwise(q)
+    )
+    multi = F.contains(t, F.lit("multicenter")) | F.contains(t, F.lit("multi-center"))
+    dblind = F.contains(t, F.lit("double-blind"))
+    q = F.when(multi, F.least(F.lit(10.0), q + 0.5)).otherwise(q)
+    q = F.when(dblind, F.least(F.lit(10.0), q + 0.5)).otherwise(q)
+
+    strengths = F.filter(
+        F.array(
+            F.when(multi, F.lit("Multicenter study")),
+            F.when(dblind, F.lit("Double-blind design")),
+            F.when(
+                F.contains(t, F.lit("intention-to-treat")) | F.contains(t, F.lit("itt")),
+                F.lit("Intention-to-treat analysis"),
+            ),
+            F.when(
+                F.contains(t, F.lit("pre-registered")) | F.contains(t, F.lit("registered")),
+                F.lit("Pre-registered"),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    single = F.contains(t, F.lit("single-center")) | F.contains(t, F.lit("single center"))
+    limitations = F.filter(
+        F.array(
+            F.when(single, F.lit("Single-center")),
+            F.when(
+                F.contains(t, F.lit("retrospective")) & (design != "Cohort Study"),
+                F.lit("Retrospective design"),
+            ),
+            F.when(
+                F.contains(t, F.lit("small sample")) | (ss < 50),
+                F.lit("Small sample size"),
+            ),
+            F.when(F.contains(t, F.lit("selection bias")), F.lit("Potential selection bias noted")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    bias = (
+        F.when(
+            design.isin("Randomized Controlled Trial", "Meta-Analysis") & dblind,
+            F.lit("Low"),
+        )
+        .when(design.isin("Case Report", "Case Series"), F.lit("High"))
+        .when(
+            F.contains(t, F.lit("bias")) | F.contains(t, F.lit("confound")),
+            F.when(F.contains(t, F.lit("adjusted")), F.lit("Medium")).otherwise(F.lit("High")),
+        )
+        .otherwise(F.lit("Medium"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        design.alias("design"),
+        base.cast("int").alias("evidence"),
+        ss.alias("sample_size"),
+        F.round(q, 1).alias("quality_score"),
+        bias.alias("bias_risk"),
+        F.concat_ws(";", strengths).alias("strengths_csv"),
+        F.concat_ws(";", limitations).alias("limitations_csv"),
+    )
+
+
+def _interpret(metric_is_ratio: Column, value: Column) -> Column:
+    """'{pct:.0f}% reduced/increased risk' (paper_insights.py:477-492);
+    half-even integer rounding matches Python's format semantics."""
+    reduced = F.concat(
+        F.bround((1 - value) * 100, 0).cast("long").cast("string"),
+        F.lit("% reduced risk"),
+    )
+    increased = F.concat(
+        F.bround((value - 1) * 100, 0).cast("long").cast("string"),
+        F.lit("% increased risk"),
+    )
+    return F.when(
+        ~metric_is_ratio, F.lit("")
+    ).when(value < 1, reduced).otherwise(increased)
+
+
+def key_outcomes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Effect sizes with CIs and their outcome names (extract_outcomes,
+    paper_insights.py:347-402), long form: (id, outcome_idx,
+    outcome_name, metric_type, value, ci_lower, ci_upper,
+    interpretation), outcome_idx 1..3 in (HR, OR, RR) x match order —
+    the reference's ``outcomes[:3]`` cap.
+
+    Positional shape: for each metric the text splits ON the effect
+    pattern, so match i's character offset is the running sum of the
+    preceding fragment and match lengths — that exact offset re-derives
+    the reference's 100-char look-behind context window, all inside one
+    expression tree (no UDF)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    per_metric = []
+    for metric, pat in EFFECT_PATTERNS.items():
+        p = "(?i)" + pat
+        matches = F.regexp_extract_all(text, F.lit(p), 0)
+        # text == parts[1] + matches[1] + parts[2] + ... + parts[n+1]:
+        # one left fold over zip(parts, matches) recovers every match's
+        # 0-based char offset (acc = (starts so far, running cursor))
+        parts = F.split(text, p, -1)
+        pairs = F.zip_with(
+            F.slice(parts, 1, F.size(matches)),
+            matches,
+            lambda part, m: F.struct(
+                F.length(part).alias("pl"), F.length(m).alias("ml")
+            ),
+        )
+        starts = F.aggregate(
+            pairs,
+            F.struct(
+                F.array().cast("array<int>").alias("starts"),
+                F.lit(0).alias("cum"),
+            ),
+            lambda acc, x: F.struct(
+                F.concat(acc["starts"], F.array(acc["cum"] + x["pl"])).alias("starts"),
+                (acc["cum"] + x["pl"] + x["ml"]).alias("cum"),
+            ),
+            lambda acc: acc["starts"],
+        )
+        # the reference's 100-char look-behind window, lowered
+        # (paper_insights.py:374-376)
+        ctx = F.transform(
+            starts,
+            lambda s: F.lower(
+                F.substring(text, F.greatest(F.lit(1), s + 1 - 100), F.least(F.lit(100), s))
+            ),
+        )
+
+        def outcome_struct(m, c):
+            name = F.lit("Primary Outcome")
+            for kw, abbrev in reversed(OUTCOME_KEYWORDS):
+                name = F.when(F.contains(c, F.lit(kw)), F.lit(abbrev)).otherwise(name)
+            v = F.regexp_extract(m, p, 1).try_cast("double")
+            lo = F.regexp_extract(m, p, 2).try_cast("double")
+            hi = F.regexp_extract(m, p, 3).try_cast("double")
+            return F.struct(
+                name.alias("outcome_name"),
+                F.lit(metric).alias("metric_type"),
+                v.alias("value"),
+                lo.alias("ci_lower"),
+                hi.alias("ci_upper"),
+                _interpret(F.lit(True), v).alias("interpretation"),
+            )
+
+        structs = F.zip_with(matches, ctx, outcome_struct)
+        # float('1.2.3') raises in the reference -> outcome skipped; the
+        # try_cast-to-NULL twin of that is dropping any NULL field here
+        structs = F.filter(
+            structs,
+            lambda s: s["value"].isNotNull()
+            & s["ci_lower"].isNotNull()
+            & s["ci_upper"].isNotNull(),
+        )
+        per_metric.append(structs)
+    allo = F.slice(F.concat(*per_metric), 1, 3)
+    out = df.select(F.col(id_col).alias("id"), F.posexplode(allo))
+    return out.select(
+        "id",
+        (F.col("pos") + 1).cast("int").alias("outcome_idx"),
+        F.col("col.outcome_name").alias("outcome_name"),
+        F.col("col.metric_type").alias("metric_type"),
+        F.col("col.value").alias("value"),
+        F.col("col.ci_lower").alias("ci_lower"),
+        F.col("col.ci_upper").alias("ci_upper"),
+        F.col("col.interpretation").alias("interpretation"),
+    )
+
+
+#: condition patterns, first match wins (paper_insights.py:427-432)
+CONDITION_PATTERNS: "list[str]" = [
+    r"patients with ([\w\s]+(?:cancer|carcinoma|disease|syndrome))",
+    r"([\w\s]+(?:cancer|carcinoma)) patients",
+    r"diagnosed with ([\w\s]+)",
+]
+
+_AGE_PATTERN = r"(?:median age|mean age|age)[:\s]*(\d+)(?:\s*[-–to]\s*(\d+))?(?:\s*years)?"
+_GENDER_PATTERN = r"(\d+(?:\.\d+)?)\s*%?\s*(?:female|women)"
+
+
+def _title_case(s: Column) -> Column:
+    """Per-whitespace-word title case (documented deviation from
+    str.title(): interior digits/underscores don't re-capitalize)."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.split(s, r"\s+", -1),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 2_000_000)),
+        ),
+    )
+
+
+def population_info(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Study population profile (extract_population,
+    paper_insights.py:403-454): sample size, age range, % female,
+    condition (first disease pattern, trimmed + title-cased), setting
+    ladder. Output: (id, total_n, age_range, female_percent, condition,
+    setting)."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    total_n = sample_size_col(t)
+    age1 = F.regexp_extract(t, _AGE_PATTERN, 1)
+    age2 = F.regexp_extract(t, _AGE_PATTERN, 2)
+    age_range = (
+        F.when(age1 == "", F.lit(""))
+        .when(age2 != "", F.concat(age1, F.lit("-"), age2))
+        .otherwise(F.concat(F.lit("median "), age1))
+    )
+    fem = F.regexp_extract(t, _GENDER_PATTERN, 1)
+    female_percent = F.when(fem != "", fem.cast("double"))
+    condition = F.lit("")
+    for pat in reversed(CONDITION_PATTERNS):
+        got = F.regexp_extract(t, pat, 1)
+        condition = F.when(got != "", _title_case(F.trim(got))).otherwise(condition)
+    setting = (
+        F.when(
+            F.contains(t, F.lit("multicenter")) | F.contains(t, F.lit("multi-center")),
+            F.lit("Multicenter"),
+        )
+        .when(
+            F.contains(t, F.lit("single-center")) | F.contains(t, F.lit("single center")),
+            F.lit("Single-center"),
+        )
+        .otherwise(F.lit("Not specified"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        total_n.alias("total_n"),
+        age_range.alias("age_range"),
+        female_percent.alias("female_percent"),
+        condition.alias("condition"),
+        setting.alias("setting"),
+    )
