@@ -73,6 +73,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
     "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
     "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
+    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
+    "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
+    "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

@@ -495,3 +495,285 @@ FROM ranked WHERE rn = 1
 GROUP BY 1, 2, 3
 """
 )
+
+
+# ---------------------------------------------------------- paper insights
+#: deterministic clinical sentences planted on every 3rd doc (same
+#: discipline as the trend/garbled plants: the synthetic corpus has no
+#: clinical text, so these buy driver-hash coverage for every branch of
+#: the insights regex tier)
+_INSIGHT_SNIPS = [
+    "A phase III randomized double-blind multicenter trial enrolled 1250 "
+    "patients with metastatic gastric cancer; median age 61-75 years; 44.2% "
+    "female; overall survival hazard ratio = 0.72 (95% CI 0.58-0.89); "
+    "pre-registered.",
+    "This meta-analysis pooled analysis included 48210 participants; "
+    "mortality odds ratio = 1.35 (95% CI 1.12 to 1.63) after adjusted "
+    "models for confounding.",
+    "A retrospective study included 85 patients with pancreatic cancer; "
+    "mean age 58 years; recurrence relative risk = 2.10 (95% CI 1.40-3.15); "
+    "single-center cohort with selection bias noted.",
+    "Case report of a single patient; n = 1; diagnosed with amyloidosis.",
+    "A cross-sectional prevalence study surveyed 420 individuals; 63% "
+    "women; intention-to-treat analysis was not applicable.",
+    "In vitro cell line and xenograft mouse model preclinical work; "
+    "enrolled 12 patients in a pilot; hazard ratio = 0.65 (95% CI "
+    "0.52-0.81) for progression-free survival.",
+]
+
+
+def _insight_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snip = F.lit(None).cast("string")
+    for i, s in enumerate(_INSIGHT_SNIPS):
+        snip = F.when(F.expr("(doc_id div 3) % 6") == i, F.lit(s)).otherwise(snip)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" "), snip))
+        .otherwise(F.col("text"))
+        .alias("abstract"),
+    )
+
+
+def q_paper_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Study-quality profile per paper (paper_insights.py:274-345 as one
+    JVM expression tree — operators/paper_insights.py::study_quality):
+    evidence-hierarchy design detection, sample-size extraction, the
+    0-10 quality score with methodology adjustments, strength and
+    limitation lists, bias-risk ladder."""
+    from vectordb_bioinsight_spark.operators.paper_insights import study_quality
+
+    df = _insight_docs(spark, sf_dir).withColumn("title", F.lit(""))
+    return study_quality(df, "doc_id", "title", "abstract")
+
+
+def q_paper_outcomes_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HR/OR/RR effect sizes with CIs and outcome naming
+    (paper_insights.py:347-402 — operators/paper_insights.py::
+    key_outcomes): the 100-char look-behind context is recovered exactly
+    by a split-by-pattern offset fold, so the positional semantics are
+    replayable in SQL; top 3 per paper in (HR, OR, RR) x match order."""
+    from vectordb_bioinsight_spark.operators.paper_insights import key_outcomes
+
+    out = key_outcomes(_insight_docs(spark, sf_dir), "doc_id", "abstract")
+    return out.select(
+        "id", "outcome_idx", "outcome_name", "metric_type",
+        F.round("value", 4).alias("value"),
+        F.round("ci_lower", 4).alias("ci_lower"),
+        F.round("ci_upper", 4).alias("ci_upper"),
+        "interpretation",
+    )
+
+
+def q_paper_population_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Study-population profile (paper_insights.py:403-454 —
+    operators/paper_insights.py::population_info): sample size, age
+    range, % female, first-matching condition pattern (trimmed,
+    title-cased), setting ladder."""
+    from vectordb_bioinsight_spark.operators.paper_insights import population_info
+
+    pop = population_info(_insight_docs(spark, sf_dir), "doc_id", "abstract")
+    return pop.select(
+        "id", "total_n", "age_range",
+        F.round("female_percent", 4).alias("female_percent"),
+        "condition", "setting",
+    )
+
+
+def _insight_src_cte() -> str:
+    snip_case = "\n             ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_INSIGHT_SNIPS)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' ' ||
+           CASE (doc_id // 3) % 6
+             {snip_case}
+           END
+         ELSE text END AS abstract
+  FROM documents
+)"""
+
+
+def _sql_sample_size(t: str) -> str:
+    """COALESCE over the sample patterns: first pattern whose first match
+    lands in [1, 1e6] (the <=7-digit guard mirrors the engine's)."""
+    from vectordb_bioinsight_spark.operators.paper_insights import SAMPLE_PATTERNS
+
+    cases = []
+    for p in SAMPLE_PATTERNS:
+        g = f"regexp_extract({t}, '(?i){p}', 1)"
+        cases.append(
+            f"(CASE WHEN {g} <> '' AND length({g}) <= 7 "
+            f"AND {g}::BIGINT BETWEEN 1 AND 1000000 THEN {g}::BIGINT END)"
+        )
+    return "COALESCE(" + ", ".join(cases) + ")"
+
+
+def _sql_design(t: str) -> "tuple[str, str]":
+    """(design label CASE, evidence score CASE) — first design whose any
+    pattern matches, in hierarchy order."""
+    from vectordb_bioinsight_spark.operators.paper_insights import DESIGNS
+
+    whens_l, whens_s = [], []
+    for name, score, pats in DESIGNS:
+        alt = "|".join(f"(?:{p})" for p in pats)
+        cond = f"regexp_matches({t}, '(?i){alt}')"
+        whens_l.append(f"WHEN {cond} THEN '{name}'")
+        whens_s.append(f"WHEN {cond} THEN {score}")
+    return (
+        "CASE " + " ".join(whens_l) + " ELSE 'Unknown' END",
+        "CASE " + " ".join(whens_s) + " ELSE 0 END",
+    )
+
+
+def _sql_quality() -> str:
+    design, score = _sql_design("t")
+    ss = _sql_sample_size("t")
+    return (
+        _insight_src_cte()
+        + f"""
+, base AS (
+  SELECT id, lower(' ' || abstract || ' ') AS t FROM src
+), s1 AS (
+  SELECT id, t, {design} AS design, {score} AS evidence, {ss} AS sample_size,
+         (contains(t, 'multicenter') OR contains(t, 'multi-center')) AS multi,
+         contains(t, 'double-blind') AS dblind
+  FROM base
+), s2 AS (
+  SELECT *, CASE WHEN sample_size >= 1000 THEN least(10, evidence::DOUBLE + 1)
+                 WHEN sample_size >= 100 THEN least(10, evidence::DOUBLE + 0.5)
+                 WHEN sample_size < 30 THEN greatest(0, evidence::DOUBLE - 1)
+                 ELSE evidence::DOUBLE END AS q1
+  FROM s1
+), s3 AS (
+  SELECT *, CASE WHEN dblind THEN least(10, q2 + 0.5) ELSE q2 END AS q3
+  FROM (SELECT *, CASE WHEN multi THEN least(10, q1 + 0.5) ELSE q1 END AS q2 FROM s2)
+)
+SELECT id, design, evidence::INT AS evidence, sample_size,
+       round(q3, 1) AS quality_score,
+       CASE WHEN design IN ('Randomized Controlled Trial', 'Meta-Analysis') AND dblind THEN 'Low'
+            WHEN design IN ('Case Report', 'Case Series') THEN 'High'
+            WHEN contains(t, 'bias') OR contains(t, 'confound') THEN
+              CASE WHEN contains(t, 'adjusted') THEN 'Medium' ELSE 'High' END
+            ELSE 'Medium' END AS bias_risk,
+       coalesce(array_to_string(list_filter([
+         CASE WHEN multi THEN 'Multicenter study' END,
+         CASE WHEN dblind THEN 'Double-blind design' END,
+         CASE WHEN contains(t, 'intention-to-treat') OR contains(t, 'itt')
+              THEN 'Intention-to-treat analysis' END,
+         CASE WHEN contains(t, 'pre-registered') OR contains(t, 'registered')
+              THEN 'Pre-registered' END
+       ], x -> x IS NOT NULL), ';'), '') AS strengths_csv,
+       coalesce(array_to_string(list_filter([
+         CASE WHEN contains(t, 'single-center') OR contains(t, 'single center')
+              THEN 'Single-center' END,
+         CASE WHEN contains(t, 'retrospective') AND design <> 'Cohort Study'
+              THEN 'Retrospective design' END,
+         CASE WHEN contains(t, 'small sample') OR sample_size < 50
+              THEN 'Small sample size' END,
+         CASE WHEN contains(t, 'selection bias')
+              THEN 'Potential selection bias noted' END
+       ], x -> x IS NOT NULL), ';'), '') AS limitations_csv
+FROM s3
+"""
+    )
+
+
+SQL_PAPER_QUALITY_DOCS = _sql_quality()
+
+
+def _sql_outcomes() -> str:
+    from vectordb_bioinsight_spark.operators.paper_insights import (
+        EFFECT_PATTERNS,
+        OUTCOME_KEYWORDS,
+    )
+
+    pats = ", ".join(
+        f"({rank}, '{metric}', '(?i){pat}')"
+        for rank, (metric, pat) in enumerate(EFFECT_PATTERNS.items(), 1)
+    )
+    name_case = " ".join(
+        f"WHEN contains(ctx, '{kw}') THEN '{ab}'" for kw, ab in OUTCOME_KEYWORDS
+    )
+    return (
+        _insight_src_cte()
+        + f"""
+, mx AS (
+  SELECT id, abstract, mr.metric_rank, mr.metric, mr.pat,
+         regexp_extract_all(abstract, mr.pat, 0) AS ms,
+         list_transform(string_split_regex(abstract, mr.pat), x -> length(x)) AS plen
+  FROM src CROSS JOIN (VALUES {pats}) mr(metric_rank, metric, pat)
+), e AS (
+  SELECT id, abstract, metric_rank, metric, pat, u.i AS i, ms[u.i] AS mt,
+         (coalesce(list_sum(plen[1:u.i]), 0)
+           + coalesce(list_sum(list_transform(ms[1:u.i - 1], x -> length(x))), 0))::BIGINT AS st
+  FROM mx CROSS JOIN unnest(generate_series(1, len(ms))) AS u(i)
+), g AS (
+  SELECT id, metric_rank, metric, i,
+         lower(substr(abstract, greatest(1, st + 1 - 100), least(100, st))) AS ctx,
+         try_cast(regexp_extract(mt, pat, 1) AS DOUBLE) AS v,
+         try_cast(regexp_extract(mt, pat, 2) AS DOUBLE) AS lo,
+         try_cast(regexp_extract(mt, pat, 3) AS DOUBLE) AS hi
+  FROM e
+), valid AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY metric_rank, i) AS rn
+  FROM g WHERE v IS NOT NULL AND lo IS NOT NULL AND hi IS NOT NULL
+)
+SELECT id, rn::INT AS outcome_idx,
+       CASE {name_case} ELSE 'Primary Outcome' END AS outcome_name,
+       metric AS metric_type,
+       round(v, 4) AS value, round(lo, 4) AS ci_lower, round(hi, 4) AS ci_upper,
+       CASE WHEN v < 1
+            THEN roundbankers((1 - v) * 100, 0)::BIGINT || '% reduced risk'
+            ELSE roundbankers((v - 1) * 100, 0)::BIGINT || '% increased risk'
+       END AS interpretation
+FROM valid WHERE rn <= 3
+"""
+    )
+
+
+SQL_PAPER_OUTCOMES_DOCS = _sql_outcomes()
+
+
+def _sql_population() -> str:
+    from vectordb_bioinsight_spark.operators.paper_insights import (
+        _AGE_PATTERN,
+        _GENDER_PATTERN,
+        CONDITION_PATTERNS,
+    )
+
+    ss = _sql_sample_size("t")
+    cond_cases = []
+    for p in CONDITION_PATTERNS:
+        g = f"regexp_extract(t, '{p}', 1)"
+        title = (
+            "array_to_string(list_transform("
+            f"string_split_regex(trim({g}), '\\s+'), "
+            "w -> upper(w[1]) || w[2:]), ' ')"
+        )
+        cond_cases.append(f"(CASE WHEN {g} <> '' THEN {title} END)")
+    return (
+        _insight_src_cte()
+        + f"""
+, base AS (
+  SELECT id, lower(abstract) AS t FROM src
+)
+SELECT id, {ss} AS total_n,
+       CASE WHEN regexp_extract(t, '{_AGE_PATTERN}', 1) = '' THEN ''
+            WHEN regexp_extract(t, '{_AGE_PATTERN}', 2) <> ''
+            THEN regexp_extract(t, '{_AGE_PATTERN}', 1) || '-' || regexp_extract(t, '{_AGE_PATTERN}', 2)
+            ELSE 'median ' || regexp_extract(t, '{_AGE_PATTERN}', 1) END AS age_range,
+       round(CASE WHEN regexp_extract(t, '{_GENDER_PATTERN}', 1) <> ''
+             THEN regexp_extract(t, '{_GENDER_PATTERN}', 1)::DOUBLE END, 4) AS female_percent,
+       COALESCE({", ".join(cond_cases)}, '') AS condition,
+       CASE WHEN contains(t, 'multicenter') OR contains(t, 'multi-center') THEN 'Multicenter'
+            WHEN contains(t, 'single-center') OR contains(t, 'single center') THEN 'Single-center'
+            ELSE 'Not specified' END AS setting
+FROM base
+"""
+    )
+
+
+SQL_PAPER_POPULATION_DOCS = _sql_population()
