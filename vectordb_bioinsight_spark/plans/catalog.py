@@ -76,6 +76,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
     "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
     "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
+    "trend_validation_brands": (cov.q_trend_validation_brands, cov.SQL_TREND_VALIDATION_BRANDS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

@@ -777,3 +777,139 @@ FROM base
 
 
 SQL_PAPER_POPULATION_DOCS = _sql_population()
+
+
+# ------------------------------------------------------- trend validation
+def q_trend_validation_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend validation over the brand 'keywords'
+    (trend_validator.py:316-346, 498-534 signal collection as ONE
+    conditional-aggregate pass; :561-733 ladder scoring as one expression
+    tree — operators/trend_validation.py). TPC-H mapping: paper =
+    lineitem (1994-1998 window), journal = supplier (high-IF: acctbal >
+    5000), systematic review / meta-analysis = urgent / high order
+    priority, active trial = open order (phase 3: > 200k total), research
+    -gap mention = returned lineitem."""
+    from vectordb_bioinsight_spark.operators.trend_validation import (
+        corpus_trend_signals,
+        validate_trend_scores,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    papers = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderpriority", "o_orderstatus",
+                            "o_totalprice"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_acctbal")),
+              li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("p_brand").alias("kw"),
+            F.year("l_shipdate").alias("yr"),
+            F.col("l_suppkey").alias("journal"),
+            (F.col("s_acctbal") > 5000).alias("high_if"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", "systematic")
+            .when(F.col("o_orderpriority") == "2-HIGH", "meta")
+            .otherwise("none").alias("review_kind"),
+            (F.col("o_orderstatus") == "O").alias("trial"),
+            ((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000)
+             ).alias("phase3"),
+            (F.col("l_returnflag") == "R").alias("gapm"),
+        )
+    )
+    sig = corpus_trend_signals(
+        papers, "kw", "yr", 1998, "journal", "high_if",
+        review_kind_col="review_kind", trial_col="trial",
+        phase3_col="phase3", gap_mention_col="gapm",
+    )
+    return validate_trend_scores(sig)
+
+
+def _sql_ladder(expr: str, steps: "list[tuple[float, int]]", base: int = 0) -> str:
+    whens = " ".join(f"WHEN {expr} >= {thr} THEN {pts}" for thr, pts in steps)
+    return f"(CASE {whens} ELSE {base} END)"
+
+
+def _sql_trend_validation() -> str:
+    pub = (
+        "least(100, "
+        + _sql_ladder("g5", [(100, 50), (50, 40), (25, 30), (10, 20)])
+        + " + (CASE WHEN g5 > 0 AND g5 < 10 THEN 10 ELSE 0 END) + "
+        + _sql_ladder("yoy", [(30, 30), (15, 20), (5, 10)])
+        + " + "
+        + _sql_ladder("total", [(10000, 20), (5000, 15), (1000, 10), (100, 5)])
+        + ")::DOUBLE"
+    )
+    div = (
+        "least(100, "
+        + _sql_ladder("uj", [(50, 60), (30, 45), (15, 30), (5, 15)])
+        + " + " + _sql_ladder("hij", [(5, 40), (3, 30), (1, 15)])
+        + ")::DOUBLE"
+    )
+    rev = (
+        "least(100, "
+        + _sql_ladder("sr", [(50, 60), (20, 45), (10, 30), (5, 20), (1, 10)])
+        + " + " + _sql_ladder("ma", [(20, 40), (10, 30), (5, 20), (1, 10)])
+        + ")::DOUBLE"
+    )
+    clin = (
+        "least(100, "
+        + _sql_ladder("trials", [(100, 70), (50, 55), (20, 40), (10, 25), (1, 10)])
+        + " + " + _sql_ladder("p3", [(10, 30), (5, 20), (1, 10)])
+        + ")::DOUBLE"
+    )
+    gap = _sql_ladder("gapr", [(10, 100), (7, 80), (5, 60), (3, 40), (1, 20)], 10) + "::DOUBLE"
+    return f"""
+WITH papers AS (
+  SELECT p.p_brand AS keyword, year(l.l_shipdate) AS yr, l.l_suppkey AS journal,
+         (s.s_acctbal > 5000) AS high_if,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'systematic'
+              WHEN o.o_orderpriority = '2-HIGH' THEN 'meta'
+              ELSE 'none' END AS review_kind,
+         (o.o_orderstatus = 'O') AS trial,
+         (o.o_orderstatus = 'O' AND o.o_totalprice > 200000) AS phase3,
+         (l.l_returnflag = 'R') AS gapm
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE year(l.l_shipdate) BETWEEN 1994 AND 1998
+), sig AS (
+  SELECT keyword, count(*)::BIGINT AS total,
+         sum(CASE WHEN yr = 1994 THEN 1 ELSE 0 END) AS first_n,
+         sum(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS last_n,
+         sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS prev_n,
+         count(DISTINCT journal)::BIGINT AS uj,
+         count(DISTINCT CASE WHEN high_if THEN journal END)::BIGINT AS hij,
+         sum(CASE WHEN review_kind = 'systematic' THEN 1 ELSE 0 END) AS sr,
+         sum(CASE WHEN review_kind = 'meta' THEN 1 ELSE 0 END) AS ma,
+         sum(CASE WHEN trial THEN 1 ELSE 0 END) AS trials,
+         sum(CASE WHEN phase3 THEN 1 ELSE 0 END) AS p3,
+         sum(CASE WHEN gapm THEN 1 ELSE 0 END) AS fut
+  FROM papers GROUP BY 1
+), g AS (
+  SELECT keyword, total, uj, hij, sr, ma, trials, p3,
+         CASE WHEN first_n > 0 THEN (last_n - first_n)::DOUBLE / first_n * 100 ELSE 0 END AS g5,
+         CASE WHEN prev_n > 0 THEN (last_n - prev_n)::DOUBLE / prev_n * 100 ELSE 0 END AS yoy,
+         CASE WHEN total > 0 THEN fut::DOUBLE / total * 100 ELSE 0 END AS gapr
+  FROM sig
+), scored AS (
+  SELECT keyword, {pub} AS pub, {div} AS div, {rev} AS rev, {clin} AS clin, {gap} AS gap
+  FROM g
+), tot AS (
+  SELECT *, pub * 0.25 + div * 0.20 + rev * 0.20 + clin * 0.20 + gap * 0.15 AS total_raw
+  FROM scored
+)
+SELECT keyword, round(pub, 1) AS publication_score, round(div, 1) AS diversity_score,
+       round(rev, 1) AS review_score, round(clin, 1) AS clinical_score,
+       round(gap, 1) AS gap_score, round(total_raw, 1) AS total_score,
+       CASE WHEN total_raw >= 80 THEN 'high' WHEN total_raw >= 50 THEN 'medium'
+            WHEN total_raw >= 30 THEN 'emerging' ELSE 'uncertain' END AS confidence_level
+FROM tot
+"""
+
+
+SQL_TREND_VALIDATION_BRANDS = _sql_trend_validation()
