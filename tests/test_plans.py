@@ -185,6 +185,19 @@ _MAX_EXCHANGES = {
     "whitened_dim_profile": 1,
     "value_psi_drift": 11,
     "item_cf_parts": 11,
+    # r06 gap-closing tier (audited at pin time). The paper-insights
+    # entries are PURE SCAN-LOCAL expression trees — any exchange is a
+    # regression. garbled: the one doc-keyed stats groupBy. trend match:
+    # broadcast 17-row dim cross join, per-doc window (primary), +census
+    # agg. validation: the brand agg's distinct-journal expand pair; the
+    # three dims (part/supplier/orders-at-this-SF) broadcast.
+    "garbled_docs": 1,
+    "trend_primary_docs": 1,
+    "trend_census": 2,
+    "paper_quality_docs": 0,
+    "paper_outcomes_docs": 0,
+    "paper_population_docs": 0,
+    "trend_validation_brands": 2,
 }
 
 
