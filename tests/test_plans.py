@@ -44,7 +44,7 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_topk_compiles_to_take_ordered(spark):
-    for name in ["knn_cosine", "top_orders", "hvg_parts"]:
+    for name in ["knn_cosine", "top_orders", "hvg_parts", "news_headline"]:
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
 
@@ -198,6 +198,10 @@ _MAX_EXCHANGES = {
     "paper_outcomes_docs": 0,
     "paper_population_docs": 0,
     "trend_validation_brands": 2,
+    # news prioritizer: pure scan-local scoring; the headline pick is
+    # TakeOrderedAndProject (asserted below), never a full sort
+    "news_priority_docs": 0,
+    "news_headline": 0,
 }
 
 

@@ -77,6 +77,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
     "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
     "trend_validation_brands": (cov.q_trend_validation_brands, cov.SQL_TREND_VALIDATION_BRANDS),
+    "news_priority_docs": (cov.q_news_priority_docs, cov.SQL_NEWS_PRIORITY_DOCS),
+    "news_headline": (cov.q_news_headline, cov.SQL_NEWS_HEADLINE),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

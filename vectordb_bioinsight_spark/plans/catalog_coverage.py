@@ -913,3 +913,170 @@ FROM tot
 
 
 SQL_TREND_VALIDATION_BRANDS = _sql_trend_validation()
+
+
+# ------------------------------------------------------- news prioritizer
+_NEWS_AS_OF = "1998-06-10"
+_NEWS_TITLES = [
+    "FDA approves first-in-class GLP-1 therapy from novo nordisk",
+    "semaglutide phase 3 readout shows breakthrough obesity benefit",
+    "checkpoint inhibitor pd-l1 collaboration with pfizer announced",
+    "routine industry roundup with nothing notable",
+]
+_NEWS_SOURCES = ["FDA", "ClinicalTrials", "PubMed", "bioRxiv", "RSS"]
+_NEWS_TYPES = ["drug_approval", "safety_warning", "phase3_positive",
+               "new_trial", "research", "preprint", "blog"]
+_NEWS_JOURNALS = ["", "nature medicine", "trade weekly", "the lancet"]
+_NEWS_DATES = ["1998-06-10", "1998-06-09", "1998-06-08", "1998-06-01",
+               "", "1998-06-12"]
+
+
+def _case_mod(col_expr: str, mod: int, values: "list[str]") -> "F.Column":
+    out = F.lit(None).cast("string")
+    for i, v in enumerate(values):
+        out = F.when(F.expr(f"({col_expr}) % {mod}") == i, F.lit(v)).otherwise(out)
+    return out
+
+
+def _news_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("nid"),
+        _case_mod("doc_id", 5, _NEWS_SOURCES).alias("source"),
+        _case_mod("doc_id", 7, _NEWS_TYPES).alias("type"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            _case_mod("doc_id div 2", 4, _NEWS_TITLES),
+        ).otherwise(F.substring("text", 1, 60)).alias("title"),
+        F.substring("text", 61, 80).alias("summary"),
+        _case_mod("doc_id", 4, _NEWS_JOURNALS).alias("journal"),
+        _case_mod("doc_id", 6, _NEWS_DATES).alias("dt"),
+    )
+
+
+def q_news_priority_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-briefing priority feed (prioritizer.py:94-153, 245-287
+    — operators/news_priority.py): additive source/type weights, one-shot
+    hot-keyword / big-pharma / journal / breakthrough bonuses, recency
+    ladder against a pinned as-of date, plus the category ladder. The
+    synthetic feed derives every field deterministically from doc_id
+    (source/type/journal/date rotations, planted pharma titles on even
+    ids) so all scoring branches carry driver-hash coverage."""
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        categorize_news,
+        priority_scores,
+    )
+
+    feed = _news_feed(spark, sf_dir)
+    scored = priority_scores(
+        feed, "nid", "source", "type", "title", "summary", "journal",
+        "dt", _NEWS_AS_OF,
+    )
+    return scored.select(
+        "nid", categorize_news(scored, "source", "type").alias("category"),
+        "priority_score",
+    )
+
+
+def q_news_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven-tier headline pick (select_headline,
+    prioritizer.py:170-243): lowest tier, then highest priority, id
+    tie-break — one global top-1 over the scored feed."""
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        priority_scores,
+        select_headline,
+    )
+
+    feed = _news_feed(spark, sf_dir)
+    scored = priority_scores(
+        feed, "nid", "source", "type", "title", "summary", "journal",
+        "dt", _NEWS_AS_OF,
+    )
+    return select_headline(scored, "nid", "source", "type").select(
+        "nid", "tier", "priority_score"
+    )
+
+
+def _sql_news() -> "tuple[str, str]":
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        BIG_PHARMA,
+        HIGH_IMPACT_JOURNALS,
+        HOT_KEYWORDS,
+        SOURCE_WEIGHTS,
+        TYPE_WEIGHTS,
+    )
+
+    def mod_case(expr, mod, values):
+        whens = " ".join(
+            f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+        )
+        return f"(CASE ({expr}) % {mod} {whens} END)"
+
+    def weight_case(col, table, default):
+        whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in table.items())
+        return f"(CASE coalesce({col}, '') {whens} ELSE {default} END)"
+
+    def any_contains(expr, terms):
+        lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        return f"len(list_filter([{lits}], k -> contains({expr}, k))) > 0"
+
+    feed = f"""
+WITH feed AS (
+  SELECT doc_id AS nid,
+         {mod_case('doc_id', 5, _NEWS_SOURCES)} AS source,
+         {mod_case('doc_id', 7, _NEWS_TYPES)} AS type,
+         CASE WHEN doc_id % 2 = 0 THEN {mod_case('doc_id // 2', 4, _NEWS_TITLES)}
+              ELSE substr(text, 1, 60) END AS title,
+         substr(text, 61, 80) AS summary,
+         {mod_case('doc_id', 4, _NEWS_JOURNALS)} AS journal,
+         {mod_case('doc_id', 6, _NEWS_DATES)} AS dt
+  FROM documents
+), scored AS (
+  SELECT nid, source, type,
+         ({weight_case('source', SOURCE_WEIGHTS, 20)}
+          + {weight_case('type', TYPE_WEIGHTS, 10)}
+          + (CASE WHEN {any_contains("lower(coalesce(title,'') || ' ' || coalesce(summary,''))", HOT_KEYWORDS)} THEN 30 ELSE 0 END)
+          + (CASE WHEN {any_contains("lower(coalesce(title,'') || ' ' || coalesce(summary,''))", BIG_PHARMA)} THEN 25 ELSE 0 END)
+          + (CASE WHEN {any_contains("lower(coalesce(journal,''))", HIGH_IMPACT_JOURNALS)} THEN 40 ELSE 0 END)
+          + (CASE WHEN contains(lower(coalesce(title,'') || ' ' || coalesce(summary,'')), 'first')
+                    OR contains(lower(coalesce(title,'') || ' ' || coalesce(summary,'')), 'breakthrough')
+                    OR contains(lower(coalesce(title,'') || ' ' || coalesce(summary,'')), 'novel')
+             THEN 50 ELSE 0 END)
+          + (CASE (DATE '{_NEWS_AS_OF}' - try_cast(substr(coalesce(dt,''), 1, 10) AS DATE))
+               WHEN 0 THEN 30
+               ELSE CASE WHEN (DATE '{_NEWS_AS_OF}' - try_cast(substr(coalesce(dt,''), 1, 10) AS DATE)) <= 1 THEN 20
+                         WHEN (DATE '{_NEWS_AS_OF}' - try_cast(substr(coalesce(dt,''), 1, 10) AS DATE)) <= 3 THEN 10
+                         ELSE 0 END END)
+         )::INT AS priority_score,
+         CASE WHEN source = 'FDA' THEN 'regulatory'
+              WHEN source = 'ClinicalTrials' THEN 'clinical'
+              WHEN source IN ('bioRxiv', 'medRxiv') THEN 'preprints'
+              WHEN contains(lower(coalesce(type,'')), 'preprint') THEN 'preprints'
+              ELSE 'research' END AS category
+  FROM feed
+)"""
+    priority = feed + """
+SELECT nid, category, priority_score FROM scored
+"""
+    headline = feed + """
+, tiered AS (
+  SELECT nid, priority_score,
+         CASE WHEN category = 'regulatory' AND contains(lower(coalesce(type,'')), 'approval') THEN 1
+              WHEN category = 'regulatory' AND (contains(lower(coalesce(type,'')), 'warning')
+                   OR contains(lower(coalesce(type,'')), 'safety')
+                   OR contains(lower(coalesce(type,'')), 'reject')) THEN 2
+              WHEN category = 'clinical' AND contains(lower(coalesce(type,'')), 'positive') THEN 3
+              WHEN category = 'clinical' THEN 4
+              WHEN category = 'research' THEN 5
+              WHEN category = 'preprints' THEN 6
+              WHEN category = 'regulatory' THEN 7
+         END AS tier
+  FROM scored
+)
+SELECT nid, tier, priority_score FROM tiered
+ORDER BY tier, priority_score DESC, nid LIMIT 1
+"""
+    return priority, headline
+
+
+SQL_NEWS_PRIORITY_DOCS, SQL_NEWS_HEADLINE = _sql_news()
