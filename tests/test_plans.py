@@ -202,6 +202,11 @@ _MAX_EXCHANGES = {
     # TakeOrderedAndProject (asserted below), never a full sort
     "news_priority_docs": 0,
     "news_headline": 0,
+    # hybrid hot topics: three topic-keyed count aggs (today/yesterday/
+    # week) over the broadcast keyword dim; emerging: two keyword-keyed
+    # count aggs. Both reports end in TakeOrdered, never a full sort.
+    "hot_topic_trends": 3,
+    "emerging_keywords_docs": 2,
 }
 
 

@@ -1080,3 +1080,168 @@ ORDER BY tier, priority_score DESC, nid LIMIT 1
 
 
 SQL_NEWS_PRIORITY_DOCS, SQL_NEWS_HEADLINE = _sql_news()
+
+
+# ---------------------------------------------------------- hot topics
+def _topic_dim_from_seed(spark: SparkSession):
+    """The predefined-topic dimension reuses the packaged trend seed
+    (functions/trend_seed.py) as PREDEFINED_HOT_TOPICS: name ->
+    (category, keywords)."""
+    from vectordb_bioinsight_spark.functions.trend_seed import TREND_SEED
+    from vectordb_bioinsight_spark.operators.hot_topics import (
+        topic_keyword_dimension,
+    )
+
+    topics = {tid: (cat, kws) for tid, (_n, cat, kws, _g, _m) in TREND_SEED.items()}
+    return topic_keyword_dimension(spark, topics)
+
+
+def q_hot_topic_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track 1 of the hybrid hot-topic analyzer
+    (trend_analyzer.py:316-341, 441-467, 34-66 —
+    operators/hot_topics.py): boundary-aware topic counting over the
+    trend-planted corpus for three deterministic history snapshots
+    (today = all docs, yesterday = even ids, week-ago = ids % 3 == 0),
+    min-count gate, week-over-week deltas, hot/up/down/flat ladder."""
+    from vectordb_bioinsight_spark.operators.hot_topics import (
+        hot_topic_counts,
+        predefined_trend_report,
+    )
+
+    papers = _trend_papers(spark, sf_dir)
+    dim = _topic_dim_from_seed(spark)
+
+    def counts(df):
+        return hot_topic_counts(df, dim, "title", "abstract")
+
+    today = counts(papers)
+    yesterday = counts(papers.filter(F.col("doc_id") % 2 == 0)).select("topic", "n")
+    week = counts(papers.filter(F.col("doc_id") % 3 == 0)).select("topic", "n")
+    return predefined_trend_report(today, yesterday, week, min_count=5, top_n=10)
+
+
+def q_emerging_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Track 2 (trend_analyzer.py:344-381, 492-527 + the bidirectional
+    predefined-overlap exclusion, hot_topics.py:191-198): author/MeSH
+    keyword frequencies (first two corpus tokens stand in for the
+    metadata arrays), today-vs-yesterday (even ids) counts, NEW/RISING
+    flags, top 3."""
+    from vectordb_bioinsight_spark.functions.trend_seed import TREND_SEED
+    from vectordb_bioinsight_spark.operators.hot_topics import (
+        emerging_keywords,
+        keyword_frequency,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    papers = docs.select(
+        "doc_id",
+        F.array(F.split("text", " ").getItem(0)).alias("mesh"),
+        F.array(F.split("text", " ").getItem(1)).alias("kws"),
+    )
+    today = keyword_frequency(papers, ["mesh", "kws"])
+    yesterday = keyword_frequency(
+        papers.filter(F.col("doc_id") % 2 == 0), ["mesh", "kws"]
+    )
+    pre = [k for (_n, _c, kws, _g, _m) in TREND_SEED.values() for k in kws]
+    return emerging_keywords(today, yesterday, pre, min_count=5, max_out=3)
+
+
+def _sql_hot_topics() -> "tuple[str, str]":
+    from vectordb_bioinsight_spark.functions.trend_seed import TREND_SEED
+    from vectordb_bioinsight_spark.operators.hot_topics import (
+        KEYWORD_STOPWORDS,
+        SHORT_KEYWORDS_NEED_BOUNDARY,
+    )
+    import re as _re
+
+    kw_rows = []
+    for tid, (_n, cat, kws, _g, _m) in TREND_SEED.items():
+        for kw in kws:
+            k = kw.lower()
+            boundary = len(k) <= 4 or k in SHORT_KEYWORDS_NEED_BOUNDARY
+            pat = "\\b" + _re.escape(k) + "\\b"
+            kw_rows.append(
+                f"('{tid}', '{cat}', '{k.replace(chr(39), chr(39)*2)}', "
+                f"{str(boundary).upper()}, '{pat.replace(chr(39), chr(39)*2)}')"
+            )
+    kw_cte = "kw(topic, category, k, boundary, pat) AS (VALUES " + ", ".join(kw_rows) + ")"
+    # the same trend-planted papers as the trend_* entries
+    snip_case = "\n             ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_TREND_SNIPS)
+    )
+    base = f"""
+WITH {kw_cte}, papers AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           CASE (doc_id // 4) % 6
+             {snip_case}
+           END
+         ELSE substr(text, 1, 60) END AS title,
+         text AS abstract,
+         doc_id
+  FROM documents
+), hits AS (
+  SELECT p.doc_id, k.topic, k.category
+  FROM papers p JOIN kw k
+    ON (k.boundary AND regexp_matches(lower(p.title || ' ' || p.abstract), k.pat))
+    OR ((NOT k.boundary) AND contains(lower(p.title || ' ' || p.abstract), k.k))
+), today AS (
+  SELECT topic, category, count(DISTINCT doc_id)::BIGINT AS n FROM hits GROUP BY 1, 2
+), yesterday AS (
+  SELECT topic, count(DISTINCT doc_id)::BIGINT AS n FROM hits WHERE doc_id % 2 = 0 GROUP BY 1
+), week AS (
+  SELECT topic, count(DISTINCT doc_id)::BIGINT AS n FROM hits WHERE doc_id % 3 = 0 GROUP BY 1
+), j AS (
+  SELECT t.topic, t.category, t.n AS count,
+         coalesce(y.n, 0) AS previous_count, coalesce(w.n, 0) AS week_ago_count
+  FROM today t LEFT JOIN yesterday y USING (topic) LEFT JOIN week w USING (topic)
+  WHERE t.n >= 5
+), c AS (
+  SELECT *, CASE WHEN week_ago_count = 0 THEN (CASE WHEN count > 0 THEN 100.0 ELSE 0.0 END)
+                 ELSE (count - week_ago_count)::DOUBLE / week_ago_count * 100 END AS ch
+  FROM j
+)
+SELECT topic, category, count, previous_count, week_ago_count,
+       round(ch, 4) AS week_change,
+       CASE WHEN ch >= 50 THEN 'hot' WHEN ch >= 10 THEN 'up'
+            WHEN ch <= -10 THEN 'down' ELSE 'flat' END AS indicator
+FROM c ORDER BY count DESC, topic LIMIT 10
+"""
+    stop = sorted(KEYWORD_STOPWORDS)
+    stop_lits = ", ".join("'" + s + "'" for s in stop)
+    pre = [k for (_n, _c, kws, _g, _m) in TREND_SEED.values() for k in kws]
+    pre_lits = ", ".join("'" + k.lower().replace("'", "''") + "'" for k in pre)
+    emerging = f"""
+WITH papers AS (
+  SELECT doc_id,
+         [string_split(text, ' ')[1]] AS mesh,
+         [string_split(text, ' ')[2]] AS kws
+  FROM documents
+), expl AS (
+  SELECT doc_id, lower(trim(u.w)) AS keyword
+  FROM papers, unnest(list_concat(mesh, kws)) AS u(w)
+), valid AS (
+  SELECT doc_id, keyword FROM expl
+  WHERE length(keyword) >= 3 AND keyword NOT IN ({stop_lits})
+), today AS (
+  SELECT keyword, count(*)::BIGINT AS n FROM valid GROUP BY 1
+), yesterday AS (
+  SELECT keyword, count(*)::BIGINT AS n FROM valid WHERE doc_id % 2 = 0 GROUP BY 1
+), gated AS (
+  SELECT t.keyword, t.n, coalesce(y.n, 0) AS prev
+  FROM today t LEFT JOIN yesterday y USING (keyword)
+  WHERE t.n >= 5
+    AND NOT EXISTS (
+      SELECT 1 FROM unnest([{pre_lits}]) AS p(kw)
+      WHERE contains(p.kw, t.keyword) OR contains(t.keyword, p.kw)
+    )
+)
+SELECT keyword, n AS count, prev AS previous_count, (prev < 3) AS is_new
+FROM gated
+WHERE (prev < 3) OR (prev > 0 AND n::DOUBLE / prev >= 2.0)
+ORDER BY count DESC, keyword LIMIT 3
+"""
+    return base, emerging
+
+
+SQL_HOT_TOPIC_TRENDS, SQL_EMERGING_KEYWORDS_DOCS = _sql_hot_topics()
