@@ -170,3 +170,33 @@ def test_priority_fuzz_vs_port(spark):
     ).collect()}
     for n in rows:
         assert got[n["nid"]] == _ref_priority(n), n
+
+
+def test_classify_feed_items_ladder_and_metadata(spark):
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        classify_feed_items,
+    )
+
+    rows = [
+        (0, "FDA approves biologics BLA for lymphoma", ""),
+        (1, "Approval granted for semaglutide tablets", ""),
+        (2, "Safety warning and recall notice", ""),
+        (3, "Complete response letter rejects application", ""),
+        (4, "Breakthrough therapy designation granted", ""),
+        (5, "Advisory committee meeting", ""),
+        (6, "Quarterly corporate update", "new data from pfizer and merck"),
+        (7, "Routine roundup", "pembrolizumab plus nivolumab combo"),
+    ]
+    df = spark.createDataFrame(rows, "nid long, title string, summary string")
+    out = {r["nid"]: r for r in classify_feed_items(
+        df.withColumn("feed_name", F.lit("press_release")),
+        "title", "summary", "feed_name",
+    ).collect()}
+    want_types = ["biologics_approval", "drug_approval", "safety_warning",
+                  "rejection", "designation", "advisory", "press_release",
+                  "press_release"]
+    assert [out[i]["news_type"] for i in range(8)] == want_types
+    assert out[1]["drug_name"] == "Semaglutide"
+    assert out[6]["company"] == "Pfizer"   # list order, not text order
+    assert out[7]["drug_name"] == "Pembrolizumab"  # first pattern hit
+    assert out[0]["company"] == "" and out[0]["drug_name"] == ""

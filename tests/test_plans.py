@@ -207,6 +207,7 @@ _MAX_EXCHANGES = {
     # count aggs. Both reports end in TakeOrdered, never a full sort.
     "hot_topic_trends": 3,
     "emerging_keywords_docs": 2,
+    "fda_feed_classified": 0,  # pure scan-local classification
 }
 
 

@@ -211,3 +211,82 @@ def select_headline(
         .orderBy(F.col("tier").asc(), F.col("priority_score").desc(), F.col(id_col).asc())
         .limit(1)
     )
+
+
+#: common drug-name patterns (fda_fetcher.py:211-217) — first match wins
+DRUG_PATTERNS: "list[str]" = [
+    r"(semaglutide|tirzepatide|liraglutide)",
+    r"(lecanemab|donanemab|aducanumab)",
+    r"(pembrolizumab|nivolumab)",
+]
+
+
+def _title_words(s: Column) -> Column:
+    """Per-whitespace-word title case (the engine's portable stand-in
+    for str.title(); deviation documented in operators/paper_insights)."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.split(s, r"\s+", -1),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 2_000_000)),
+        ),
+    )
+
+
+def classify_feed_items(
+    feed: DataFrame, title_col: str, summary_col: str, feed_name_col: str
+) -> DataFrame:
+    """FDA feed-item classification + metadata extraction
+    (fda_fetcher.py:173-222): the news-type keyword ladder over the
+    lowered title (approvals split biologics/drug, warnings/recalls,
+    rejections, designations, advisory; else the feed name), the first
+    big-pharma company mention, and the first drug-name pattern hit —
+    all scan-local expressions. Adds (news_type, company, drug_name)."""
+    title = F.lower(F.coalesce(F.col(title_col), F.lit("")))
+    text = F.lower(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col(title_col), F.lit("")),
+            F.coalesce(F.col(summary_col), F.lit("")),
+        )
+    )
+    news_type = (
+        F.when(
+            F.contains(title, F.lit("approv")),
+            F.when(
+                F.contains(title, F.lit("biologic")) | F.contains(title, F.lit("bla")),
+                "biologics_approval",
+            ).otherwise("drug_approval"),
+        )
+        .when(
+            F.contains(title, F.lit("warning"))
+            | F.contains(title, F.lit("safety"))
+            | F.contains(title, F.lit("recall")),
+            "safety_warning",
+        )
+        .when(
+            F.contains(title, F.lit("complete response")) | F.contains(title, F.lit("reject")),
+            "rejection",
+        )
+        .when(
+            F.contains(title, F.lit("breakthrough"))
+            | F.contains(title, F.lit("fast track"))
+            | F.contains(title, F.lit("accelerated")),
+            "designation",
+        )
+        .when(
+            F.contains(title, F.lit("advisory")) | F.contains(title, F.lit("committee")),
+            "advisory",
+        )
+        .otherwise(F.col(feed_name_col))
+    )
+    company = F.lit("")
+    for c in reversed(BIG_PHARMA):
+        company = F.when(F.contains(text, F.lit(c)), _title_words(F.lit(c))).otherwise(company)
+    drug = F.lit("")
+    for p in reversed(DRUG_PATTERNS):
+        got = F.regexp_extract(text, p, 1)
+        drug = F.when(got != "", _title_words(got)).otherwise(drug)
+    return feed.withColumns(
+        {"news_type": news_type, "company": company, "drug_name": drug}
+    )

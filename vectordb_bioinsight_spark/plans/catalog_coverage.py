@@ -1245,3 +1245,93 @@ ORDER BY count DESC, keyword LIMIT 3
 
 
 SQL_HOT_TOPIC_TRENDS, SQL_EMERGING_KEYWORDS_DOCS = _sql_hot_topics()
+
+
+# ------------------------------------------------------- FDA feed classify
+_FDA_TITLES = [
+    "FDA approves biologics BLA for lymphoma",
+    "Agency approval granted for semaglutide tablets",
+    "Safety warning and recall notice issued",
+    "Complete response letter rejects application",
+    "Breakthrough therapy designation with fast track status",
+    "Advisory committee meeting scheduled",
+    "Quarterly corporate update from pfizer",
+    "New data for pembrolizumab from merck",
+]
+
+
+def q_fda_feed_classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FDA feed-item classification + metadata extraction
+    (fda_fetcher.py:173-222 — operators/news_priority.py::
+    classify_feed_items): the news-type keyword ladder over the title,
+    first big-pharma mention, first drug-name pattern — every branch
+    exercised by an 8-title rotation over the corpus."""
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        classify_feed_items,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feed = docs.select(
+        F.col("doc_id").alias("nid"),
+        _case_mod("doc_id", 8, _FDA_TITLES).alias("title"),
+        F.substring("text", 1, 60).alias("summary"),
+        F.lit("press_release").alias("feed_name"),
+    )
+    out = classify_feed_items(feed, "title", "summary", "feed_name")
+    return out.select("nid", "news_type", "company", "drug_name")
+
+
+def _sql_fda_feed() -> str:
+    from vectordb_bioinsight_spark.operators.news_priority import (
+        BIG_PHARMA,
+        DRUG_PATTERNS,
+    )
+
+    def title_words(s: str) -> str:
+        return " ".join(w[:1].upper() + w[1:] for w in s.split())
+
+    def mod_case(expr, mod, values):
+        whens = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(values))
+        return f"(CASE ({expr}) % {mod} {whens} END)"
+
+    company_whens = " ".join(
+        f"WHEN contains(tx, '{c.replace(chr(39), chr(39)*2)}') "
+        f"THEN '{title_words(c).replace(chr(39), chr(39)*2)}'"
+        for c in BIG_PHARMA
+    )
+    drug_cases = ", ".join(
+        f"(CASE WHEN regexp_extract(tx, '{p}', 1) <> '' THEN "
+        f"upper(regexp_extract(tx, '{p}', 1)[1]) || regexp_extract(tx, '{p}', 1)[2:] END)"
+        for p in DRUG_PATTERNS
+    )
+    return f"""
+WITH feed AS (
+  SELECT doc_id AS nid,
+         {mod_case('doc_id', 8, _FDA_TITLES)} AS title,
+         substr(text, 1, 60) AS summary
+  FROM documents
+), t AS (
+  SELECT nid, lower(title) AS ti,
+         lower(coalesce(title, '') || ' ' || coalesce(summary, '')) AS tx
+  FROM feed
+)
+SELECT nid,
+       CASE WHEN contains(ti, 'approv') THEN
+              CASE WHEN contains(ti, 'biologic') OR contains(ti, 'bla')
+                   THEN 'biologics_approval' ELSE 'drug_approval' END
+            WHEN contains(ti, 'warning') OR contains(ti, 'safety') OR contains(ti, 'recall')
+              THEN 'safety_warning'
+            WHEN contains(ti, 'complete response') OR contains(ti, 'reject')
+              THEN 'rejection'
+            WHEN contains(ti, 'breakthrough') OR contains(ti, 'fast track') OR contains(ti, 'accelerated')
+              THEN 'designation'
+            WHEN contains(ti, 'advisory') OR contains(ti, 'committee')
+              THEN 'advisory'
+            ELSE 'press_release' END AS news_type,
+       coalesce(CASE {company_whens} END, '') AS company,
+       coalesce({drug_cases}, '') AS drug_name
+FROM t
+"""
+
+
+SQL_FDA_FEED_CLASSIFIED = _sql_fda_feed()
