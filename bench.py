@@ -122,6 +122,12 @@ HEADLINE = [
     "maxsim_docs",
     "maxsim_ivf_docs",
     "cusum_value_shifts",
+    # r06 gap-closing tier: the garbled-line word-score lambda (heaviest
+    # per-row expression in the repo), the 17-trend broadcast cross join,
+    # and the effect-size extraction with the offset fold
+    "garbled_docs",
+    "trend_primary_docs",
+    "paper_outcomes_docs",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
