@@ -39,12 +39,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: changed this round — the binq/sq8 CSV flattening, PSI null counts,
 #: the three rows-only→oracle upgrades, the cooccurrence basket cap's
 #: callers, the unique-rule null fix; then (b) the entries that have
-#: NEVER had a driver row; then (c) the stalest (r01-green) backfill
-#: (27 of 41 fit; the spilled 14 sit immediately below the line for
-#: r07). All 50 window entries are hash-oracle-backed — rows-only-by-
-#: design entries are parked below the line so no window slot scores as
-#: a no_oracle error. r07 rotation: this round's confirmations drop
-#: below; pull the r01 spill + the r02 block forward.
+#: NEVER had a driver row; then (c) the stalest (r01-green) backfill.
+#: Mid-round the gap-closing tier added 12 more NEW entries at the top
+#: (garbled/trend/paper-insights/validation/news/hot-topics/FDA), so the
+#: r06 window is ~25 new/changed + 10 never-checked + ~15 r01 backfill;
+#: the spilled r01 block sits immediately below the line for r07. All 50
+#: window entries are hash-oracle-backed — rows-only-by-design entries
+#: are parked below the line so no window slot scores as a no_oracle
+#: error. r07 rotation: this round's confirmations drop below; pull the
+#: r01 spill + the r02 block forward.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === ORDERING: r06 rotation (driver checks roughly the FIRST 50) ===
     # (a) entries whose CODE or OUTPUT changed this round — every one must
@@ -68,8 +71,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
-    # NEW this round: the reference's TeX-mojibake detector (S3's last
-    # uncovered sub-capability) — new entries always enter the window
+    # NEW this round — the r06 gap-closing tier (the last uncovered
+    # reference rule systems: TeX-mojibake detection, trend-definition
+    # matching, paper insights, trend validation, news prioritization,
+    # hybrid hot topics, FDA feed classification) — new entries always
+    # enter the window:
     "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
     "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
     "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
