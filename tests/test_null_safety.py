@@ -236,3 +236,41 @@ def test_r05_render_chat_null_text_turn(spark):
     # the null-text fragment drops out of concat (null-propagating) but
     # the call must not throw; the user turn survives
     assert r["rendered"].startswith("<|user|>hi<|end|>")
+
+
+def test_r06_insights_tier_handles_nulls(spark, dirty_docs):
+    from vectordb_bioinsight_spark.functions.trend_seed import trend_dimension
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        garbled_text_stats,
+        strip_garbled_lines,
+    )
+    from vectordb_bioinsight_spark.operators.paper_insights import (
+        key_outcomes,
+        population_info,
+        study_quality,
+    )
+    from vectordb_bioinsight_spark.operators.trend_match import primary_trends
+
+    # garbled: NULL/empty docs produce no line rows but never throw;
+    # the strip repair keeps one row per doc
+    stats = {r["id"]: r for r in garbled_text_stats(dirty_docs, "doc_id", "text").collect()}
+    assert 1 in stats and stats[1]["n_garbled"] == 0
+    assert 2 not in stats  # NULL text -> no lines -> no stats row
+    # docs with NO surviving line (NULL/empty/whitespace text) drop from
+    # the repair output rather than emitting empty text — pinned semantics
+    stripped = {r["id"] for r in strip_garbled_lines(dirty_docs, "doc_id", "text").collect()}
+    assert stripped == {1, 5}
+
+    # paper insights: one row per doc, null-safe fields
+    docs = dirty_docs.withColumn("title", F.lit(None).cast("string"))
+    q = {r["id"]: r for r in study_quality(docs, "doc_id", "title", "text").collect()}
+    assert len(q) == 5 and q[2]["design"] == "Unknown" and q[2]["sample_size"] is None
+    assert key_outcomes(dirty_docs, "doc_id", "text").count() == 0
+    p = {r["id"]: r for r in population_info(dirty_docs, "doc_id", "text").collect()}
+    assert len(p) == 5 and p[2]["condition"] == "" and p[2]["total_n"] is None
+
+    # trend match: NULL title/abstract score as empty, never as NULL
+    prim = primary_trends(
+        docs, trend_dimension(spark), "doc_id", "title", "text"
+    ).collect()
+    assert prim == []  # nothing qualifies, and nothing throws

@@ -114,18 +114,25 @@ def hot_topic_counts(
     (MeSH + author keyword) text; omitted -> primary only. Topics with
     zero matches still emit a 0 row (the reference initializes every
     topic's counter)."""
-    primary = F.lower(
-        F.concat_ws(
-            " ",
-            F.coalesce(F.col(title_col), F.lit("")),
-            F.coalesce(F.col(abstract_col), F.lit("")),
-        )
+    # pre-project the lambda-captured texts into plain ATTRIBUTES before
+    # the broadcast join: Spark 4.1 codegen mis-binds captured stream-side
+    # EXPRESSIONS when score evaluation is split across the join
+    # (see operators/trend_match._score_cols)
+    pre = papers.select(
+        F.lower(
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col(title_col), F.lit("")),
+                F.coalesce(F.col(abstract_col), F.lit("")),
+            )
+        ).alias("_ht_primary"),
+        (
+            F.lower(F.coalesce(F.col(meta_col), F.lit(""))) if meta_col else F.lit("")
+        ).alias("_ht_secondary"),
     )
-    secondary = (
-        F.lower(F.coalesce(F.col(meta_col), F.lit(""))) if meta_col else F.lit("")
-    )
-    pairs = papers.crossJoin(F.broadcast(dim)).select(
-        "topic", "category", _topic_match(primary, secondary).alias("m")
+    pairs = pre.crossJoin(F.broadcast(dim)).select(
+        "topic", "category",
+        _topic_match(F.col("_ht_primary"), F.col("_ht_secondary")).alias("m"),
     )
     counts = pairs.groupBy("topic", "category").agg(
         F.sum(F.when(F.col("m"), 1).otherwise(0)).cast("long").alias("n")

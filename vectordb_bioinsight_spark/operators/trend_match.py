@@ -29,12 +29,16 @@ from pyspark.sql import functions as F
 __all__ = ["trend_match_scores", "primary_trends", "trend_category_census"]
 
 
-def _score_cols(title: Column, abstract: Column, paper_kws: "Column | None"):
-    """The four score components + matched-term array for one dim row."""
-    title = F.coalesce(title, F.lit(""))  # NULL-safe: a NULL field scores
-    abstract = F.coalesce(abstract, F.lit(""))  # as empty, never as NULL
-    text = F.lower(F.concat_ws(" ", title, abstract))
-    title_l = F.lower(title)
+def _score_cols(text: Column, title_l: Column, paper_kws: "Column | None"):
+    """The four score components + matched-term array for one dim row.
+
+    ``text``/``title_l`` MUST be plain attributes (pre-projected on the
+    paper side), not expression trees: Spark 4.1's codegen mis-binds a
+    lambda-captured stream-side EXPRESSION when the score is split
+    across the broadcast join by a downstream exchange
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — found via the constant-NULL
+    -title null-safety probe), while a captured attribute binds fine.
+    """
     kw_hits = F.filter("keywords", lambda k: F.contains(text, k))
     gene_hits = F.filter(
         "genes",
@@ -45,9 +49,9 @@ def _score_cols(title: Column, abstract: Column, paper_kws: "Column | None"):
     if paper_kws is None:
         mesh_pred = lambda m: F.contains(text, m)  # noqa: E731
     else:
-        lowered = F.transform(paper_kws, F.lower)
+        # paper_kws is pre-lowered in the projection (attribute rule above)
         mesh_pred = lambda m: F.contains(text, m) | F.array_contains(  # noqa: E731
-            lowered, m
+            paper_kws, m
         )
     mesh_hits = F.filter("mesh", mesh_pred)
     title_hits = F.filter("top3", lambda k: F.contains(title_l, k))
@@ -77,15 +81,31 @@ def trend_match_scores(
     arrays. Output: (id, trend_rank, trend_id, trend_name, category,
     score, matched_terms array) — one row per qualifying pair.
     """
+    pre_cols = [
+        F.col(id_col).alias("_tm_id"),
+        F.lower(
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col(title_col), F.lit("")),  # NULL-safe: a NULL
+                F.coalesce(F.col(abstract_col), F.lit("")),  # field scores as ''
+            )
+        ).alias("_tm_text"),
+        F.lower(F.coalesce(F.col(title_col), F.lit(""))).alias("_tm_title"),
+    ]
+    if keywords_col:
+        pre_cols.append(
+            F.transform(F.col(keywords_col), F.lower).alias("_tm_kws")
+        )
+    pre = papers.select(*pre_cols)
     score, matched = _score_cols(
-        F.col(title_col),
-        F.col(abstract_col),
-        F.col(keywords_col) if keywords_col else None,
+        F.col("_tm_text"),
+        F.col("_tm_title"),
+        F.col("_tm_kws") if keywords_col else None,
     )
     return (
-        papers.crossJoin(F.broadcast(dim))
+        pre.crossJoin(F.broadcast(dim))
         .select(
-            F.col(id_col).alias("id"),
+            F.col("_tm_id").alias("id"),
             "trend_rank",
             "trend_id",
             "trend_name",
