@@ -75,6 +75,31 @@ def main() -> None:
     timed("study_quality/1M", study_quality(withtitle, "doc_id", "title", "text"))
     timed("key_outcomes/1M", key_outcomes(big, "doc_id", "text"))
     timed("population_info/1M", population_info(big, "doc_id", "text"))
+
+    from vectordb_bioinsight_spark.functions.trend_seed import TREND_SEED
+    from vectordb_bioinsight_spark.operators.hot_topics import (
+        hot_topic_counts,
+        topic_keyword_dimension,
+    )
+    from vectordb_bioinsight_spark.operators.news_priority import priority_scores
+
+    feed = withtitle.select(
+        F.col("doc_id").alias("nid"), "title",
+        F.substring("text", 61, 200).alias("summary"),
+        F.lit("FDA").alias("source"), F.lit("drug_approval").alias("type"),
+        F.lit("nature").alias("journal"), F.lit("1998-06-09").alias("dt"),
+    )
+    timed(
+        "priority_scores/1M",
+        priority_scores(feed, "nid", "source", "type", "title", "summary",
+                        "journal", "dt", "1998-06-10"),
+    )
+    topics = {tid: (cat, kws) for tid, (_n, cat, kws, _g, _m) in TREND_SEED.items()}
+    timed(
+        "hot_topic_counts x17/1M",
+        hot_topic_counts(withtitle, topic_keyword_dimension(spark, topics),
+                         "title", "text"),
+    )
     spark.stop()
 
 
