@@ -208,6 +208,14 @@ _MAX_EXCHANGES = {
     "hot_topic_trends": 3,
     "emerging_keywords_docs": 2,
     "fda_feed_classified": 0,  # pure scan-local classification
+    # research validation: summary/claim are one paper-/claim-keyed agg
+    # after broadcast joins; consistency's 9 are the corpus-sized
+    # (paper, section, dim) mean agg ONCE, then sections-distinct /
+    # count / two resolution windows / mean self-joins / pair sums —
+    # every post-mean stage bounded by papers x sections (<= 5/paper)
+    "summary_validation_docs": 1,
+    "claim_support_docs": 1,
+    "paper_consistency_docs": 9,
 }
 
 

@@ -88,6 +88,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hot_topic_trends": (cov.q_hot_topic_trends, cov.SQL_HOT_TOPIC_TRENDS),
     "emerging_keywords_docs": (cov.q_emerging_keywords_docs, cov.SQL_EMERGING_KEYWORDS_DOCS),
     "fda_feed_classified": (cov.q_fda_feed_classified, cov.SQL_FDA_FEED_CLASSIFIED),
+    "summary_validation_docs": (cov.q_summary_validation_docs, cov.SQL_SUMMARY_VALIDATION_DOCS),
+    "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
+    "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

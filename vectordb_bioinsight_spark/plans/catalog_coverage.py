@@ -1335,3 +1335,267 @@ FROM t
 
 
 SQL_FDA_FEED_CLASSIFIED = _sql_fda_feed()
+
+
+# --------------------------------------------------- research validation
+_WORD_PAT = r"\b[a-z]{4,}\b"
+
+
+def _val_chunks(spark: SparkSession, sf_dir: str):
+    """(summaries, chunks) for the validator entries: papers are groups
+    of 5 vectors (vec_id div 5); the 0-slot is the 'summary', slots 1-4
+    the stored chunks; texts join in from documents by id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id",
+        F.expr("vec_id div 5").alias("paper"),
+        (F.col("vec_id") % 5 == 0).alias("is_sum"),
+        "embedding", "text",
+    )
+    summaries = both.filter("is_sum").select(
+        "paper", F.col("embedding").alias("s_emb"), F.col("text").alias("s_text")
+    )
+    chunks = both.filter("NOT is_sum").select(
+        "paper", F.col("embedding").alias("c_emb"), F.col("text").alias("c_text")
+    )
+    return summaries, chunks
+
+
+def q_summary_validation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary-confidence scoring (validate_summary, validator.py:102-166
+    — operators/research_validation.py): avg/max cosine of the summary
+    vector to the paper's stored chunks, 4+-char key-concept coverage,
+    the 0.4/0.3/0.3 weighted overall."""
+    from vectordb_bioinsight_spark.operators.research_validation import (
+        summary_validation,
+    )
+
+    summaries, chunks = _val_chunks(spark, sf_dir)
+    return summary_validation(
+        summaries, chunks, "paper", "s_emb", "s_text", "c_emb", "c_text"
+    )
+
+
+_VAL_SECTIONS = ["Abstract", "Results", "Methods", "Conclusions", "Discussion"]
+
+
+def q_paper_consistency_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-consistency scoring (validate_paper_consistency,
+    validator.py:245-320): per-section mean embeddings, the four
+    canonical pairs (Abstract-Conclusion resolves through the PLURAL
+    fallback here — the section rotation ships 'Conclusions';
+    Introduction-Discussion drops, its lhs never exists)."""
+    from vectordb_bioinsight_spark.operators.research_validation import (
+        paper_consistency,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sec = F.lit(None).cast("string")
+    for i, s in enumerate(_VAL_SECTIONS):
+        sec = F.when(F.col("vec_id") % 5 == i, F.lit(s)).otherwise(sec)
+    chunks = emb.select(
+        F.expr("vec_id div 5").alias("paper"),
+        sec.alias("section"),
+        "embedding",
+    )
+    return paper_consistency(chunks, "paper", "section", "embedding")
+
+
+def q_claim_support_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claim-evidence scoring (validate_claim, validator.py:167-245):
+    three stored vectors act as claims, top-10 cosine retrieval over the
+    corpus feeds the supporting(>0.6)/conflicting(<0.3) split,
+    unique-label coverage normalized by corpus_count/50, and the
+    weighted overall."""
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.vector import cosine_similarity
+    from vectordb_bioinsight_spark.operators.research_validation import (
+        claim_validation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    claims = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("claim"), F.col("embedding").alias("q")
+    )
+    sims = emb.crossJoin(F.broadcast(claims)).select(
+        "claim", "vec_id", "label",
+        F.coalesce(cosine_similarity("embedding", "q"), F.lit(0.0)).alias("sim"),
+    )
+    w = Window.partitionBy("claim").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    top = sims.withColumn("rn", F.row_number().over(w)).filter("rn <= 10")
+    return claim_validation(top, "claim", "label", "sim", corpus_count=n)
+
+
+def _sql_val_base() -> str:
+    return """
+WITH emb AS (
+  SELECT vec_id, embedding, label, vec_id // 5 AS paper, vec_id % 5 = 0 AS is_sum
+  FROM embeddings
+), s AS (
+  SELECT e.paper, e.embedding AS s_emb, d.text AS s_text
+  FROM emb e JOIN documents d ON e.vec_id = d.doc_id WHERE e.is_sum
+), c AS (
+  SELECT e.paper, e.vec_id, e.embedding AS c_emb, d.text AS c_text
+  FROM emb e JOIN documents d ON e.vec_id = d.doc_id WHERE NOT e.is_sum
+)"""
+
+
+SQL_SUMMARY_VALIDATION_DOCS = (
+    _sql_val_base()
+    + f"""
+, pr AS (
+  SELECT c.paper, c.vec_id,
+         unnest(c.c_emb)::DOUBLE AS x, unnest(s.s_emb)::DOUBLE AS y
+  FROM c JOIN s USING (paper)
+), cs AS (
+  SELECT paper, vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pr GROUP BY 1, 2
+), sims AS (
+  SELECT paper, vec_id,
+         CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN 0.0
+              ELSE dot / (sqrt(nx) * sqrt(ny)) END AS cos
+  FROM cs
+), simagg AS (
+  SELECT paper, count(*)::BIGINT AS n_chunks, avg(cos) AS avg_sim, max(cos) AS max_sim
+  FROM sims GROUP BY 1
+), ow AS (
+  SELECT DISTINCT paper, w.word FROM c,
+    unnest(regexp_extract_all(lower(c_text), '{_WORD_PAT}')) AS w(word)
+  WHERE w.word NOT IN ('this','that','with','from','have','been','were','which','their','more')
+), sw AS (
+  SELECT DISTINCT paper, w.word FROM s,
+    unnest(regexp_extract_all(lower(s_text), '{_WORD_PAT}')) AS w(word)
+  WHERE w.word NOT IN ('this','that','with','from','have','been','were','which','their','more')
+), cov AS (
+  SELECT o.paper, count(*)::BIGINT AS n_o,
+         sum(CASE WHEN sw.word IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_i
+  FROM ow o LEFT JOIN sw ON o.paper = sw.paper AND o.word = sw.word
+  GROUP BY 1
+), j AS (
+  SELECT a.paper, a.n_chunks, a.avg_sim, a.max_sim,
+         CASE WHEN coalesce(cov.n_o, 0) > 0 THEN cov.n_i::DOUBLE / cov.n_o ELSE 0.0 END AS coverage
+  FROM simagg a LEFT JOIN cov USING (paper)
+)
+SELECT paper, n_chunks,
+       round(avg_sim, 6) AS avg_similarity, round(max_sim, 6) AS max_similarity,
+       round(coverage, 6) AS coverage,
+       round(avg_sim * 100, 6) AS similarity_score,
+       round(coverage * 100, 6) AS coverage_score,
+       round((max_sim * 0.6 + avg_sim * 0.4) * 100, 6) AS consistency_score,
+       round(avg_sim * 100 * 0.4 + coverage * 100 * 0.3
+             + (max_sim * 0.6 + avg_sim * 0.4) * 100 * 0.3, 6) AS overall_confidence
+FROM j
+"""
+)
+
+
+def _sql_paper_consistency() -> str:
+    from vectordb_bioinsight_spark.operators.research_validation import (
+        CONSISTENCY_PAIRS,
+    )
+
+    sec_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_VAL_SECTIONS)
+    )
+    pairs = ", ".join(
+        f"({i}, '{s1}', '{s2}')" for i, (s1, s2) in enumerate(CONSISTENCY_PAIRS)
+    )
+    return f"""
+WITH chunks AS (
+  SELECT vec_id // 5 AS paper,
+         CASE vec_id % 5 {sec_case} END AS section,
+         embedding
+  FROM embeddings
+), dims AS (
+  SELECT paper, section, dim, avg(v) AS m FROM (
+    SELECT paper, section,
+           unnest(generate_series(1, len(embedding))) AS dim,
+           unnest(embedding)::DOUBLE AS v
+    FROM chunks
+  ) GROUP BY 1, 2, 3
+), nsec AS (
+  SELECT paper, count(DISTINCT section)::BIGINT AS n_sections FROM dims GROUP BY 1
+), pd(pair_id, s1, s2) AS (VALUES {pairs}),
+res1 AS (
+  SELECT d.paper, p.pair_id, d.section,
+         row_number() OVER (PARTITION BY d.paper, p.pair_id
+                            ORDER BY (d.section = p.s1) DESC, d.section) AS rn
+  FROM (SELECT DISTINCT paper, section FROM dims) d
+  JOIN pd p ON d.section IN (p.s1, p.s1 || 's')
+), res2 AS (
+  SELECT d.paper, p.pair_id, d.section,
+         row_number() OVER (PARTITION BY d.paper, p.pair_id
+                            ORDER BY (d.section = p.s2) DESC, d.section) AS rn
+  FROM (SELECT DISTINCT paper, section FROM dims) d
+  JOIN pd p ON d.section IN (p.s2, p.s2 || 's')
+), pc AS (
+  SELECT a.paper, a.pair_id,
+         sum(m1.m * m2.m) AS dot, sum(m1.m * m1.m) AS n1, sum(m2.m * m2.m) AS n2
+  FROM (SELECT * FROM res1 WHERE rn = 1) a
+  JOIN (SELECT * FROM res2 WHERE rn = 1) b USING (paper, pair_id)
+  JOIN dims m1 ON m1.paper = a.paper AND m1.section = a.section
+  JOIN dims m2 ON m2.paper = b.paper AND m2.section = b.section AND m1.dim = m2.dim
+  GROUP BY 1, 2
+), cosr AS (
+  SELECT paper, pair_id,
+         CASE WHEN sqrt(n1) * sqrt(n2) = 0 THEN 0.0
+              ELSE dot / (sqrt(n1) * sqrt(n2)) END AS cos
+  FROM pc
+), agg AS (
+  SELECT paper, count(*)::BIGINT AS n_pairs, avg(cos) AS avg_cos, max(cos) AS max_cos
+  FROM cosr GROUP BY 1
+)
+SELECT a.paper, n.n_sections, a.n_pairs,
+       round(a.avg_cos * 100, 6) AS consistency_score,
+       round(n.n_sections::DOUBLE / 5 * 100, 6) AS coverage_score,
+       round(a.max_cos * 100, 6) AS similarity_score,
+       round(a.avg_cos * 100, 6) AS overall_confidence
+FROM agg a JOIN nsec n USING (paper)
+"""
+
+
+SQL_PAPER_CONSISTENCY_DOCS = _sql_paper_consistency()
+
+
+SQL_CLAIM_SUPPORT_DOCS = """
+WITH claims AS (
+  SELECT vec_id AS claim, embedding AS q FROM embeddings WHERE vec_id < 3
+), pr AS (
+  SELECT c.claim, e.vec_id, e.label,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.q)::DOUBLE AS y
+  FROM embeddings e CROSS JOIN claims c
+), cs AS (
+  SELECT claim, vec_id, label,
+         sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+  FROM pr GROUP BY 1, 2, 3
+), sims AS (
+  SELECT claim, vec_id, label,
+         CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN 0.0
+              ELSE dot / (sqrt(nx) * sqrt(ny)) END AS sim
+  FROM cs
+), top AS (
+  SELECT *, row_number() OVER (PARTITION BY claim ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+), g AS (
+  SELECT claim, count(*)::BIGINT AS n_results,
+         sum(CASE WHEN sim > 0.6 THEN 1 ELSE 0 END)::BIGINT AS n_supporting,
+         sum(CASE WHEN sim < 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_conflicting,
+         avg(sim) AS avg_sim, max(sim) AS max_sim,
+         count(DISTINCT label)::BIGINT AS n_unique_papers
+  FROM top WHERE rn <= 10 GROUP BY 1
+), denom AS (
+  SELECT greatest(count(*) / 50.0, 1.0) AS d FROM embeddings
+)
+SELECT claim, n_results, n_supporting, n_conflicting, n_unique_papers,
+       round(max_sim, 6) AS max_similarity,
+       round(avg_sim * 100, 6) AS similarity_score,
+       round(least(n_unique_papers / denom.d * 100, 100.0), 6) AS coverage_score,
+       round(n_supporting::DOUBLE / n_results * 100, 6) AS consistency_score,
+       round(avg_sim * 100 * 0.4
+             + least(n_unique_papers / denom.d * 100, 100.0) * 0.3
+             + n_supporting::DOUBLE / n_results * 100 * 0.3, 6) AS overall_confidence
+FROM g, denom
+"""
