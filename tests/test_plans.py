@@ -216,6 +216,10 @@ _MAX_EXCHANGES = {
     "summary_validation_docs": 1,
     "claim_support_docs": 1,
     "paper_consistency_docs": 9,
+    # gap mining: the per-(doc, type) cap window; priority adds the
+    # source totals agg + evidence agg (both type/source-bounded)
+    "gap_sentences_docs": 1,
+    "research_gap_priority": 3,
 }
 
 

@@ -91,6 +91,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "summary_validation_docs": (cov.q_summary_validation_docs, cov.SQL_SUMMARY_VALIDATION_DOCS),
     "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
     "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
+    "gap_sentences_docs": (cov.q_gap_sentences_docs, cov.SQL_GAP_SENTENCES_DOCS),
+    "research_gap_priority": (cov.q_research_gap_priority, cov.SQL_RESEARCH_GAP_PRIORITY),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

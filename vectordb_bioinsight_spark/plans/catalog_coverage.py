@@ -1599,3 +1599,142 @@ SELECT claim, n_results, n_supporting, n_conflicting, n_unique_papers,
              + n_supporting::DOUBLE / n_results * 100 * 0.3, 6) AS overall_confidence
 FROM g, denom
 """
+
+
+# ------------------------------------------------------- research gaps
+_GAP_SNIPS = [
+    "Future research is needed to validate these findings across larger cohorts.",
+    "The signaling mechanism remains unclear in most treated patient populations.",
+    "There is limited evidence about durability of response in elderly patients.",
+    "It is unclear whether the benefit extends to earlier disease stages.",
+]
+
+
+def _gap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snip = F.lit(None).cast("string")
+    for i, s in enumerate(_GAP_SNIPS):
+        snip = F.when(F.expr("(doc_id div 2) % 4") == i, F.lit(s)).otherwise(snip)
+    return docs.select(
+        "doc_id", "source",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(". "), snip))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_gap_sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sentence mining (extract_gap_sentences,
+    research_gaps.py:221-238 — operators/research_gaps.py): the four
+    regex families over marker-split sentences, 300-char truncation,
+    >50-char floor, 5-per-(doc, type) cap. Every 2nd doc carries one
+    planted gap sentence rotating through the four families."""
+    from vectordb_bioinsight_spark.operators.research_gaps import gap_sentences
+
+    return gap_sentences(_gap_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_research_gap_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap opportunity scoring (calculate_priority_score,
+    research_gaps.py:272-301): per (source, gap_type) the gap-doc
+    evidence count, corpus volume and gap ratio feed the ratio/evidence
+    /volume ladders and the 0.4/0.35/0.25 weighted priority."""
+    from vectordb_bioinsight_spark.operators.research_gaps import (
+        gap_priority_scores,
+        gap_sentences,
+    )
+
+    docs = _gap_docs(spark, sf_dir)
+    gaps = gap_sentences(docs, "doc_id", "text")
+    per_doc = gaps.select("id", "gap_type").distinct()
+    totals = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("total_papers")
+    )
+    ev = (
+        per_doc.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source", "gap_type")
+        .agg(F.count("*").cast("long").alias("evidence_count"))
+    )
+    sig = ev.join(F.broadcast(totals), "source").withColumn(
+        "gap_ratio", F.col("evidence_count") / F.col("total_papers")
+    )
+    out = gap_priority_scores(sig)
+    return out.select(
+        "source", "gap_type", "evidence_count", "total_papers",
+        F.round("gap_ratio", 6).alias("gap_ratio"), "priority_score",
+    )
+
+
+def _sql_gap_base() -> str:
+    from vectordb_bioinsight_spark.operators.research_gaps import GAP_PATTERNS
+
+    snip_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_GAP_SNIPS)
+    )
+    type_rows = ", ".join(
+        "('" + t + "', '(?i)" + "|".join(f"(?:{p})" for p in pats) + "')"
+        for t, pats in GAP_PATTERNS.items()
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id AS id, source,
+         CASE WHEN doc_id % 2 = 0 THEN text || '. ' ||
+           CASE (doc_id // 2) % 4 {snip_case} END
+         ELSE text END AS text
+  FROM documents
+), sents AS (
+  SELECT id, string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(31), 'g'), chr(31)) AS ss
+  FROM src
+), sent AS (
+  SELECT id, unnest(generate_series(1, len(ss))) AS sent_idx, unnest(ss) AS sentence
+  FROM sents
+), gt(gap_type, pat) AS (VALUES {type_rows}),
+matched AS (
+  SELECT s.id, g.gap_type, s.sent_idx,
+         substr(trim(s.sentence), 1, 300) AS clean
+  FROM sent s JOIN gt g ON regexp_matches(s.sentence, g.pat)
+), kept AS (
+  SELECT id, gap_type, sent_idx, clean,
+         row_number() OVER (PARTITION BY id, gap_type ORDER BY sent_idx) AS rn
+  FROM matched WHERE length(clean) > 50
+)"""
+
+
+SQL_GAP_SENTENCES_DOCS = (
+    _sql_gap_base()
+    + """
+SELECT id, gap_type, rn::INT AS gap_idx, clean AS sentence
+FROM kept WHERE rn <= 5
+"""
+)
+
+
+SQL_RESEARCH_GAP_PRIORITY = (
+    _sql_gap_base()
+    + """
+, per_doc AS (
+  SELECT DISTINCT id, gap_type FROM kept WHERE rn <= 5
+), totals AS (
+  SELECT source, count(*)::BIGINT AS total_papers FROM src GROUP BY 1
+), ev AS (
+  SELECT s.source, p.gap_type, count(*)::BIGINT AS evidence_count
+  FROM per_doc p JOIN src s ON p.id = s.id
+  GROUP BY 1, 2
+), sig AS (
+  SELECT e.source, e.gap_type, e.evidence_count, t.total_papers,
+         e.evidence_count::DOUBLE / t.total_papers AS gap_ratio
+  FROM ev e JOIN totals t USING (source)
+)
+SELECT source, gap_type, evidence_count, total_papers,
+       round(gap_ratio, 6) AS gap_ratio,
+       round(least(100.0, gap_ratio * 1000) * 0.4
+             + (CASE WHEN evidence_count < 5 THEN 30
+                     WHEN evidence_count < 20 THEN 80
+                     WHEN evidence_count < 50 THEN 60 ELSE 40 END) * 0.35
+             + (CASE WHEN total_papers < 100 THEN 90
+                     WHEN total_papers < 500 THEN 70
+                     WHEN total_papers < 2000 THEN 50 ELSE 30 END) * 0.25, 1)
+         AS priority_score
+FROM sig
+"""
+)
