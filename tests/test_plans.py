@@ -220,6 +220,10 @@ _MAX_EXCHANGES = {
     # source totals agg + evidence agg (both type/source-bounded)
     "gap_sentences_docs": 1,
     "research_gap_priority": 3,
+    # keyword discovery: one keyword-keyed count agg (+ the growth
+    # split's second period agg and full-outer join)
+    "discovered_keywords": 1,
+    "keyword_growth_docs": 2,
 }
 
 

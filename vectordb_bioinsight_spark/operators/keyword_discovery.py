@@ -1,0 +1,215 @@
+"""Dynamic keyword discovery: n-gram extraction, ranking, growth split.
+
+The reference's dynamic-trends surface (backend/app/api/routes/
+dynamic_trends.py:75-505) discovers trending keywords WITHOUT a
+predefined list: 1-3-gram candidates from lowered, punctuation-cleaned
+text (unigrams past a stopword wall, bigrams unless BOTH words are
+stopwords, trigrams only around priority terms), a meaningfulness
+filter (min count, no digits, no 4-char shorts, no bigram stopwords, no
+stopword-boundary n-grams unless a priority term rides inside, 2x score
+boost for priority terms), and a two-period growth split (emerging
+> +30%, declining < -30%, else stable; zero-baseline growth is +100
+when present now, emerging also when strictly new or > +50).
+
+Spark-first shape: candidate generation is one expression tree per doc
+(split + filtered transforms over the token array — no UDF), counting
+is one keyword groupBy, and the growth split is a full-outer join of
+two period count tables. The stopword/priority tables ride in array
+literals (KB-scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BIO_STOPWORDS",
+    "PRIORITY_TERMS",
+    "BIGRAM_STOPWORDS",
+    "extract_keywords",
+    "keyword_counts",
+    "meaningful_keywords",
+    "keyword_growth",
+]
+
+#: the discovery stopword wall (dynamic_trends.py:75-109 tiers)
+BIO_STOPWORDS = {
+    "the", "and", "for", "with", "this", "that", "from", "were", "was", "are",
+    "been", "have", "has", "had", "will", "would", "could", "should", "may",
+    "can", "not", "but", "all", "some", "any", "each", "more", "most", "other",
+    "than", "then", "only", "also", "such", "both", "into", "over", "after",
+    "before", "between", "through", "during", "under", "about", "however",
+    "these", "those", "their", "there", "here", "where", "when", "which",
+    "while", "being", "because", "very", "well", "first", "second",
+    "study", "studies", "analysis", "results", "result", "effect", "effects",
+    "role", "using", "based", "novel", "new", "recent", "review", "case",
+    "report", "reports", "patients", "patient", "treatment", "treatments",
+    "clinical", "data", "group", "method", "methods", "approach", "research",
+    "findings", "outcomes", "outcome", "associated", "association",
+    "relationship", "impact", "evidence", "showed", "model", "models",
+    "development", "evaluation", "assessment", "compared", "total", "mean",
+    "average", "median", "standard", "significantly",
+    "disease", "diseases", "disorder", "disorders", "syndrome", "condition",
+    "therapy", "therapies", "diagnosis", "prognosis", "risk", "factor",
+    "factors", "mechanism", "mechanisms", "pathway", "pathways",
+    "high", "low", "increased", "decreased", "human", "animal", "cell",
+    "cells", "tissue", "tissues", "level", "levels", "expression", "higher",
+    "activity", "function", "potential", "significant", "important", "lower",
+    "conclusion", "conclusions", "background", "objective", "objectives",
+    "purpose", "aim", "aims", "introduction", "abstract", "keywords",
+}
+
+#: terms that force trigram capture and double a keyword's score
+#: (dynamic_trends.py:111-124 — the field's canonical technology list)
+PRIORITY_TERMS = {
+    "crispr", "car-t", "mrna", "single-cell", "spatial", "organoid",
+    "multiomics", "proteomics", "metabolomics", "epigenomics",
+    "machine learning", "deep learning", "artificial intelligence",
+    "neural network", "transformer", "foundation model",
+    "immunotherapy", "checkpoint", "microbiome", "gut-brain",
+    "liquid biopsy", "ctdna", "exosome", "nanoparticle",
+    "gene editing", "base editing", "prime editing",
+}
+
+#: bigram stopword phrases (dynamic_trends.py:166-172)
+BIGRAM_STOPWORDS = {
+    "in the", "of the", "to the", "on the", "for the", "at the",
+    "and the", "is the", "was the", "are the", "be the", "by the",
+    "as the", "it is", "we have", "we found", "our study", "this study",
+    "in this", "of this", "to this", "in our", "of our",
+}
+
+
+def _arr(terms) -> Column:
+    return F.array(*[F.lit(t) for t in sorted(terms)])
+
+
+def extract_keywords(text: Column, min_length: int = 3) -> Column:
+    """extract_keywords_from_text (dynamic_trends.py:127-159) as one
+    expression: lower + strip [^\\w\\s-] + split; unigrams past the
+    stopword wall, bigrams unless both halves are stopwords (and >= 6
+    chars), trigrams only when a priority term appears inside. Returns
+    the keyword array WITH multiplicity (the reference appends)."""
+    stop = _arr(BIO_STOPWORDS)
+    prio = _arr(PRIORITY_TERMS)
+    cleaned = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"[^\w\s-]", " ")
+    words = F.filter(F.split(cleaned, r"\s+", -1), lambda w: F.length(w) > 0)
+    unis = F.filter(
+        words,
+        lambda w: (F.length(w) >= min_length) & ~F.array_contains(stop, w),
+    )
+    n = F.size(words)
+    bigrams = F.filter(
+        F.zip_with(
+            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.when(
+                (~F.array_contains(stop, a) | ~F.array_contains(stop, b)),
+                F.concat_ws(" ", a, b),
+            ),
+        ),
+        lambda g: g.isNotNull() & (F.length(g) >= 6),
+    )
+    trigrams = F.filter(
+        F.zip_with(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(n - 2, F.lit(0))),
+                F.slice(words, 2, F.greatest(n - 2, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+        lambda t: F.exists(prio, lambda p: F.contains(t, p)),
+    )
+    return F.concat(unis, bigrams, trigrams)
+
+
+def keyword_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus keyword frequencies: explode the candidates (with
+    multiplicity, matching the reference's Counter) and count."""
+    return (
+        df.select(F.explode(extract_keywords(F.col(text_col))).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def meaningful_keywords(counts: DataFrame, min_count: int = 3) -> DataFrame:
+    """filter_meaningful_keywords (dynamic_trends.py:161-211): the
+    min-count gate, digit/short/stopword/bigram-stopword skips, the
+    stopword-boundary rule with its priority-term exception, and the 2x
+    priority boost. Output: (keyword, n, score)."""
+    stop = _arr(BIO_STOPWORDS)
+    prio = _arr(PRIORITY_TERMS)
+    bstop = _arr(BIGRAM_STOPWORDS)
+    kw = F.col("keyword")
+    words = F.split(kw, " ", -1)
+    has_prio = F.exists(prio, lambda p: F.contains(kw, p))
+    boundary_bad = (
+        (F.size(words) >= 2)
+        & (
+            F.array_contains(stop, F.element_at(words, 1))
+            | F.array_contains(stop, F.element_at(words, -1))
+        )
+        & ~has_prio
+    )
+    keep = (
+        (F.col("n") >= min_count)
+        & ~kw.rlike(r"^\d+$")
+        & (F.length(kw) >= 4)
+        & ~F.array_contains(stop, kw)
+        & ~F.array_contains(bstop, kw)
+        & ~boundary_bad
+    )
+    return counts.filter(keep).select(
+        "keyword", "n",
+        F.when(has_prio, F.col("n") * 2).otherwise(F.col("n")).cast("long").alias("score"),
+    )
+
+
+def keyword_growth(
+    recent: DataFrame, previous: DataFrame, min_either: int = 2
+) -> DataFrame:
+    """analyze_keyword_growth's split (dynamic_trends.py:455-496): full
+    outer join of the two period counts, stopword/short skips, the
+    low-frequency gate (both periods under ``min_either``), growth rate
+    with the zero-baseline=+100 rule, is_emerging = strictly-new or
+    > +50, and the band label (> +30 emerging / < -30 declining / else
+    stable). Output: (keyword, recent_count, previous_count,
+    growth_rate, is_emerging, band)."""
+    stop = _arr(BIO_STOPWORDS)
+    r = recent.select("keyword", F.col("n").alias("recent_count"))
+    p = previous.select("keyword", F.col("n").alias("previous_count"))
+    j = (
+        r.join(p, "keyword", "full_outer")
+        .withColumn("recent_count", F.coalesce("recent_count", F.lit(0)))
+        .withColumn("previous_count", F.coalesce("previous_count", F.lit(0)))
+        .filter(~F.array_contains(stop, F.col("keyword")) & (F.length("keyword") >= 4))
+        .filter(
+            (F.col("recent_count") >= min_either)
+            | (F.col("previous_count") >= min_either)
+        )
+    )
+    growth = F.when(
+        F.col("previous_count") > 0,
+        (F.col("recent_count") - F.col("previous_count"))
+        / F.col("previous_count") * 100.0,
+    ).otherwise(
+        F.when(F.col("recent_count") > 0, F.lit(100.0)).otherwise(F.lit(0.0))
+    )
+    is_emerging = (
+        (F.col("recent_count") > 0) & (F.col("previous_count") == 0)
+    ) | (growth > 50)
+    band = (
+        F.when(growth > 30, "emerging")
+        .when(growth < -30, "declining")
+        .otherwise("stable")
+    )
+    return j.select(
+        "keyword", "recent_count", "previous_count",
+        F.round(growth, 1).alias("growth_rate"),
+        is_emerging.alias("is_emerging"),
+        band.alias("band"),
+    )

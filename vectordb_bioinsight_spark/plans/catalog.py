@@ -93,6 +93,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
     "gap_sentences_docs": (cov.q_gap_sentences_docs, cov.SQL_GAP_SENTENCES_DOCS),
     "research_gap_priority": (cov.q_research_gap_priority, cov.SQL_RESEARCH_GAP_PRIORITY),
+    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
+    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     # (b) never driver-checked (r05 verdict task 2 — local-green only,
     # zero sf0.01 evidence after five rounds):
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),

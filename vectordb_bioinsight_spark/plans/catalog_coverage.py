@@ -1738,3 +1738,167 @@ SELECT source, gap_type, evidence_count, total_papers,
 FROM sig
 """
 )
+
+
+# --------------------------------------------------- keyword discovery
+_KD_SNIP = (
+    " single-cell spatial profiling with crispr base editing improves "
+    "organoid models"
+)
+
+
+def _kd_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_KD_SNIP)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_discovered_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic keyword discovery (extract_keywords_from_text +
+    filter_meaningful_keywords, dynamic_trends.py:127-211 —
+    operators/keyword_discovery.py): 1-3-gram candidates, the
+    meaningfulness filter, the 2x priority boost. Every 3rd doc carries
+    a planted technology phrase so the trigram/priority branches run."""
+    from vectordb_bioinsight_spark.operators.keyword_discovery import (
+        keyword_counts,
+        meaningful_keywords,
+    )
+
+    return meaningful_keywords(keyword_counts(_kd_docs(spark, sf_dir), "text"))
+
+
+def q_keyword_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-period growth split (analyze_keyword_growth,
+    dynamic_trends.py:455-496): recent = the full corpus, previous = the
+    even-id half; emerging/declining/stable bands with the zero-baseline
+    +100 rule."""
+    from vectordb_bioinsight_spark.operators.keyword_discovery import (
+        keyword_counts,
+        keyword_growth,
+    )
+
+    docs = _kd_docs(spark, sf_dir)
+    recent = keyword_counts(docs, "text")
+    previous = keyword_counts(docs.filter("doc_id % 2 = 0"), "text")
+    return keyword_growth(recent, previous)
+
+
+def _sql_kd_parts() -> "tuple[str, str, str]":
+    from vectordb_bioinsight_spark.operators.keyword_discovery import (
+        BIGRAM_STOPWORDS,
+        BIO_STOPWORDS,
+        PRIORITY_TERMS,
+    )
+
+    def lst(xs):
+        return "[" + ", ".join("'" + x + "'" for x in sorted(xs)) + "]"
+
+    stop, prio, bstop = lst(BIO_STOPWORDS), lst(PRIORITY_TERMS), lst(BIGRAM_STOPWORDS)
+    extract = f"""
+  SELECT doc_id, u.kw AS keyword FROM (
+    SELECT doc_id,
+      list_concat(list_concat(
+        list_filter(w, x -> length(x) >= 3 AND NOT list_contains({stop}, x)),
+        list_filter(
+          list_transform(list_zip(w[1:len(w) - 1], w[2:len(w)]),
+            p -> CASE WHEN NOT list_contains({stop}, p[1])
+                        OR NOT list_contains({stop}, p[2])
+                 THEN p[1] || ' ' || p[2] END),
+          g -> g IS NOT NULL AND length(g) >= 6)),
+        list_filter(
+          list_transform(list_zip(w[1:len(w) - 2], w[2:len(w) - 1], w[3:len(w)]),
+            p -> p[1] || ' ' || p[2] || ' ' || p[3]),
+          t -> len(list_filter({prio}, q -> contains(t, q))) > 0)
+      ) AS kws
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^\\w\\s-]', ' ', 'g'), '\\s+'),
+               x -> length(x) > 0) AS w
+      FROM src
+    )
+  ), unnest(kws) AS u(kw)"""
+    meaningful_where = f"""
+  n >= 3 AND NOT regexp_matches(keyword, '^\\d+$') AND length(keyword) >= 4
+  AND NOT list_contains({stop}, keyword)
+  AND NOT list_contains({bstop}, keyword)
+  AND NOT (
+    len(string_split(keyword, ' ')) >= 2
+    AND (list_contains({stop}, string_split(keyword, ' ')[1])
+         OR list_contains({stop}, string_split(keyword, ' ')[-1]))
+    AND len(list_filter({prio}, q -> contains(keyword, q))) = 0
+  )"""
+    boost = f"""CASE WHEN len(list_filter({prio}, q -> contains(keyword, q))) > 0
+         THEN n * 2 ELSE n END"""
+    return extract, meaningful_where, boost
+
+
+def _sql_kd_src() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{_KD_SNIP}' ELSE text END AS text
+  FROM documents
+)"""
+
+
+def _sql_discovered_keywords() -> str:
+    extract, where, boost = _sql_kd_parts()
+    return (
+        _sql_kd_src()
+        + f"""
+, ex AS ({extract}
+), counts AS (
+  SELECT keyword, count(*)::BIGINT AS n FROM ex GROUP BY 1
+)
+SELECT keyword, n, ({boost})::BIGINT AS score
+FROM counts WHERE {where}
+"""
+    )
+
+
+SQL_DISCOVERED_KEYWORDS = _sql_discovered_keywords()
+
+
+def _sql_keyword_growth() -> str:
+    from vectordb_bioinsight_spark.operators.keyword_discovery import (
+        BIO_STOPWORDS,
+    )
+
+    stop = "[" + ", ".join("'" + x + "'" for x in sorted(BIO_STOPWORDS)) + "]"
+    extract, _w, _b = _sql_kd_parts()
+    return (
+        _sql_kd_src()
+        + f"""
+, ex AS ({extract}
+), recent AS (
+  SELECT keyword, count(*)::BIGINT AS n FROM ex GROUP BY 1
+), previous AS (
+  SELECT keyword, count(*)::BIGINT AS n FROM ex WHERE doc_id % 2 = 0 GROUP BY 1
+), j AS (
+  SELECT coalesce(r.keyword, p.keyword) AS keyword,
+         coalesce(r.n, 0) AS recent_count, coalesce(p.n, 0) AS previous_count
+  FROM recent r FULL OUTER JOIN previous p ON r.keyword = p.keyword
+), gated AS (
+  SELECT * FROM j
+  WHERE NOT list_contains({stop}, keyword) AND length(keyword) >= 4
+    AND (recent_count >= 2 OR previous_count >= 2)
+), g AS (
+  SELECT *, CASE WHEN previous_count > 0
+                 THEN (recent_count - previous_count)::DOUBLE / previous_count * 100
+                 ELSE CASE WHEN recent_count > 0 THEN 100.0 ELSE 0.0 END END AS gr
+  FROM gated
+)
+SELECT keyword, recent_count, previous_count, round(gr, 1) AS growth_rate,
+       ((recent_count > 0 AND previous_count = 0) OR gr > 50) AS is_emerging,
+       CASE WHEN gr > 30 THEN 'emerging' WHEN gr < -30 THEN 'declining'
+            ELSE 'stable' END AS band
+FROM g
+"""
+    )
+
+
+SQL_KEYWORD_GROWTH_DOCS = _sql_keyword_growth()
