@@ -100,6 +100,18 @@ def main() -> None:
         hot_topic_counts(withtitle, topic_keyword_dimension(spark, topics),
                          "title", "text"),
     )
+
+    from vectordb_bioinsight_spark.operators.keyword_discovery import (
+        keyword_counts,
+        meaningful_keywords,
+    )
+    from vectordb_bioinsight_spark.operators.research_gaps import gap_sentences
+
+    timed("gap_sentences/1M", gap_sentences(big, "doc_id", "text"))
+    timed(
+        "keyword_discovery/1M",
+        meaningful_keywords(keyword_counts(big, "text")),
+    )
     spark.stop()
 
 

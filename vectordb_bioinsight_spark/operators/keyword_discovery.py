@@ -90,23 +90,38 @@ def extract_keywords(text: Column, min_length: int = 3) -> Column:
     expression: lower + strip [^\\w\\s-] + split; unigrams past the
     stopword wall, bigrams unless both halves are stopwords (and >= 6
     chars), trigrams only when a priority term appears inside. Returns
-    the keyword array WITH multiplicity (the reference appends)."""
-    stop = _arr(BIO_STOPWORDS)
+    the keyword array WITH multiplicity (the reference appends).
+
+    Perf shape (probed at 50k docs): stopword membership is ONE anchored
+    alternation regex per word, evaluated ONCE into a flag array that
+    the unigram and bigram passes reuse (the naive per-lambda
+    array_contains re-scans the 120-entry wall ~3x per word and made
+    this the repo's slowest text operator); the trigram priority probe
+    stays exists+contains — indexOf beats the NFA alternation there."""
+    import re as _re
+
     prio = _arr(PRIORITY_TERMS)
+    stop_re = "^(?:" + "|".join(_re.escape(s) for s in sorted(BIO_STOPWORDS)) + ")$"
     cleaned = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"[^\w\s-]", " ")
     words = F.filter(F.split(cleaned, r"\s+", -1), lambda w: F.length(w) > 0)
-    unis = F.filter(
+    toks = F.transform(
         words,
-        lambda w: (F.length(w) >= min_length) & ~F.array_contains(stop, w),
+        lambda w: F.struct(w.alias("w"), w.rlike(stop_re).alias("s")),
+    )
+    unis = F.filter(
+        F.transform(
+            toks,
+            lambda x: F.when((F.length(x["w"]) >= min_length) & ~x["s"], x["w"]),
+        ),
+        lambda w: w.isNotNull(),
     )
     n = F.size(words)
     bigrams = F.filter(
         F.zip_with(
-            F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
             lambda a, b: F.when(
-                (~F.array_contains(stop, a) | ~F.array_contains(stop, b)),
-                F.concat_ws(" ", a, b),
+                ~a["s"] | ~b["s"], F.concat_ws(" ", a["w"], b["w"])
             ),
         ),
         lambda g: g.isNotNull() & (F.length(g) >= 6),
