@@ -471,13 +471,17 @@ def test_strip_garbled_lines_keeps_order_and_drops_junk(spark):
         "lfsr pdbgk clfs jcj sosrh fsrg\n"
         "A clean closing line about results."
     )
-    df = spark.createDataFrame([(1, text), (2, "all good here today")],
-                               "doc_id long, text string")
+    df = spark.createDataFrame(
+        [(1, text), (2, "all good here today"),
+         (3, "lfsr pdbgk clfs jcj sosrh fsrg hTh bCd qzx")],
+        "doc_id long, text string")
     out = {r["id"]: r["text"] for r in
            strip_garbled_lines(df, "doc_id", "text").collect()}
     assert out[1] == ("A clean first line about methods.\n"
                       "A clean closing line about results.")
     assert out[2] == "all good here today"
+    # an ALL-garbled doc still emits its row, as empty text (ADVICE r06)
+    assert out[3] == ""
     stats = {r["id"]: r for r in
              garbled_text_stats(df, "doc_id", "text").collect()}
     assert stats[1]["n_lines"] == 3 and stats[1]["n_garbled"] == 1

@@ -256,10 +256,15 @@ def test_r06_insights_tier_handles_nulls(spark, dirty_docs):
     stats = {r["id"]: r for r in garbled_text_stats(dirty_docs, "doc_id", "text").collect()}
     assert 1 in stats and stats[1]["n_garbled"] == 0
     assert 2 not in stats  # NULL text -> no lines -> no stats row
-    # docs with NO surviving line (NULL/empty/whitespace text) drop from
-    # the repair output rather than emitting empty text — pinned semantics
-    stripped = {r["id"] for r in strip_garbled_lines(dirty_docs, "doc_id", "text").collect()}
-    assert stripped == {1, 5}
+    # the repair keeps ONE ROW PER INPUT DOC (ADVICE r06): docs with no
+    # surviving line (NULL/empty/whitespace/all-garbled text) come back
+    # as (id, '') instead of vanishing from downstream joins
+    stripped = {r["id"]: r["text"] for r in
+                strip_garbled_lines(dirty_docs, "doc_id", "text").collect()}
+    assert set(stripped) == {1, 2, 3, 4, 5}
+    assert stripped[1] == "normal text with merge join words"
+    assert stripped[2] == "" and stripped[3] == "" and stripped[4] == ""
+    assert stripped[5] == "ab"
 
     # paper insights: one row per doc, null-safe fields
     docs = dirty_docs.withColumn("title", F.lit(None).cast("string"))

@@ -788,8 +788,17 @@ def test_cooccurrence_edges_basket_cap(spark, caplog):
         capped = {(r["item1"], r["item2"]): r["weight"]
                   for r in cooccurrence_edges(df, "item", "basket",
                                               max_basket_size=3).collect()}
-    # basket 0 keeps a,b,c (item order); basket 1 untouched
-    assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+        # basket 0 keeps a,b,c (item order); basket 1 untouched
+        assert capped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+        # the truncation warning comes from the observation watcher thread
+        # (the cap is lazy, ADVICE r06) — give it a moment to fire
+        import time
+
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline and not any(
+            "max_basket_size=3 truncated 1 context" in m for m in caplog.messages
+        ):
+            time.sleep(0.05)
     assert any("max_basket_size=3 truncated 1 context" in m
                for m in caplog.messages)
 

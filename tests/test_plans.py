@@ -184,7 +184,12 @@ _MAX_EXCHANGES = {
     "cusum_value_shifts": 4,
     "whitened_dim_profile": 1,
     "value_psi_drift": 11,
-    "item_cf_parts": 11,
+    # 15 after the r07 lazy basket cap (ADVICE r06): cooccurrence_edges'
+    # rank window now sits unconditionally in-plan, so each pairs-derived
+    # branch (self-join sides + item counts) carries it — the window
+    # SHUFFLE is written once and ReusedExchange'd; the old version's 11
+    # hid an eager full-fact-table guard job outside the plan
+    "item_cf_parts": 15,
     # r06 gap-closing tier (audited at pin time). The paper-insights
     # entries are PURE SCAN-LOCAL expression trees — any exchange is a
     # regression. garbled: the one doc-keyed stats groupBy. trend match:

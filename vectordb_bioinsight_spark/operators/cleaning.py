@@ -644,19 +644,30 @@ def strip_garbled_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     plus one doc-keyed groupBy, composing with the C4 line rules.
 
     Output: (id, text) with only the non-garbled, non-empty lines kept in
-    original order.
+    original order. Every input id yields exactly one row — a document
+    whose lines are ALL garbled (or all empty) comes back as (id, '')
+    rather than vanishing (ADVICE r06: downstream joins expect one row
+    per input doc). That contract costs no extra shuffle: instead of
+    pre-filtering kept lines, the keep-condition moves inside the
+    collect (collect_list skips the NULLs the when() leaves behind, and
+    array_join over the resulting empty array is '').
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_i", "_l"),
-    ).withColumn("_t", F.regexp_replace(F.col("_l"), r"^\s+|\s+$", "")).filter(
-        F.length("_t") > 0
+        # coalesce: a NULL text must still explode to one (empty) line so
+        # the id keeps its output row
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_i", "_l"),
+    ).withColumn("_t", F.regexp_replace(F.col("_l"), r"^\s+|\s+$", ""))
+    kept_line = F.when(
+        (F.length("_t") > 0) & ~garbled_line_flag(F.col("_l")),
+        F.struct("_i", "_l"),
     )
-    kept = lines.filter(~garbled_line_flag(F.col("_l")))
-    return kept.groupBy("id").agg(
+    return lines.groupBy("id").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_i", "_l"))), lambda s: s["_l"]
+                F.array_sort(F.collect_list(kept_line)), lambda s: s["_l"]
             ),
             "\n",
         ).alias("text")

@@ -8,12 +8,39 @@ range-cross-join, which would be quadratic per key at scale.
 from __future__ import annotations
 
 import logging
+import threading
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
+
+
+def _watch_cap_observation(obs: Observation, max_basket_size: int) -> None:
+    """Log cooccurrence_edges truncation when (and only when) the observed
+    query actually executes. ``Observation.get`` blocks until the first
+    action over the plan completes; a daemon thread keeps the operator's
+    lazy contract — constructing the DataFrame runs no Spark job, and a
+    plan that is never executed never logs (the thread just parks)."""
+
+    def _watch() -> None:
+        try:
+            m = obs.get
+        except Exception:  # session torn down before the query ran
+            return
+        if m["ctxs"]:
+            _LOG.warning(
+                "cooccurrence_edges: max_basket_size=%d truncated %d context(s), "
+                "dropping %d context-item row(s) (deterministic item-order cut)",
+                max_basket_size,
+                m["ctxs"],
+                m["dropped"],
+            )
+
+    threading.Thread(
+        target=_watch, name="cooccurrence-cap-watch", daemon=True
+    ).start()
 
 
 def broadcast_lookup(
@@ -159,53 +186,37 @@ def cooccurrence_edges(
     its inputs the same way, agent2_network.py:127-132). Truncation is
     deterministic (the first N items in item sort order, streamed through a
     rank window — no per-context collect, so a pathological 10M-item context
-    cannot OOM the cap itself) and LOGGED (context + dropped-row counts, one
-    cheap sizes-only aggregation job), never silent; in-cap inputs are
-    byte-identical to the uncapped path. ``max_basket_size=None`` disables
-    both the cap and the extra job, restoring the original plan shape.
+    cannot OOM the cap itself), LAZY (the window is a no-op under the cap
+    and runs unconditionally IN the plan — building the DataFrame never
+    triggers a Spark job, ADVICE r06), and LOGGED, never silent: an
+    ``observe`` node counts truncated contexts/rows at execution time and a
+    daemon watcher emits the warning when the query actually runs. The
+    window costs nothing extra: its (_ctx, _item) sort + _ctx partitioning
+    is exactly the distribution the self-join needs, so the join reuses it.
+    In-cap inputs are byte-identical to the uncapped path.
+    ``max_basket_size=None`` disables the cap, restoring the original plan.
     """
     pairs = df.select(
         F.col(context_col).alias("_ctx"), F.col(item_col).alias("_item")
     ).distinct()
     if max_basket_size is not None:
-        # cheap guard first: the RAW per-context row count upper-bounds the
-        # distinct item count and partial-aggregates map-side (no distinct
-        # shuffle) — when no context can exceed the cap (the common case;
-        # measured ~1.5 s saved on the sf0.1 co-purchase graph), the exact
-        # sizes job and the rank window are skipped entirely
-        raw_max = (
-            df.groupBy(F.col(context_col).alias("_ctx"))
-            .agg(F.count("*").alias("_n"))
-            .agg(F.max("_n"))
-            .first()[0]
+        w = Window.partitionBy("_ctx").orderBy("_item")
+        ranked = pairs.withColumn("_rk", F.row_number().over(w))
+        # row_number gives each over-cap context exactly one row with
+        # _rk == cap+1, so both metrics are plain sums (observe() allows
+        # no distinct aggregates)
+        obs = Observation()
+        ranked = ranked.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("_rk") == max_basket_size + 1).cast("long")), F.lit(0)
+            ).alias("ctxs"),
+            F.coalesce(
+                F.sum((F.col("_rk") > max_basket_size).cast("long")), F.lit(0)
+            ).alias("dropped"),
         )
-        if raw_max is not None and raw_max > max_basket_size:
-            over = (
-                pairs.groupBy("_ctx")
-                .agg(F.count("*").alias("_n"))
-                .filter(F.col("_n") > max_basket_size)
-                .agg(
-                    F.count("*").cast("long").alias("ctxs"),
-                    F.sum(F.col("_n") - max_basket_size).cast("long").alias("dropped"),
-                )
-                .first()
-            )
-        else:
-            over = {"ctxs": 0, "dropped": 0}
-        if over["ctxs"]:
-            _LOG.warning(
-                "cooccurrence_edges: max_basket_size=%d truncated %d context(s), "
-                "dropping %d context-item row(s) (deterministic item-order cut)",
-                max_basket_size,
-                over["ctxs"],
-                over["dropped"],
-            )
-            w = Window.partitionBy("_ctx").orderBy("_item")
-            pairs = (
-                pairs.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= max_basket_size)
-                .drop("_rk")
-            )
+        _watch_cap_observation(obs, max_basket_size)
+        pairs = ranked.filter(F.col("_rk") <= max_basket_size).drop("_rk")
     a = pairs.select("_ctx", F.col("_item").alias("item1"))
     b = pairs.select("_ctx", F.col("_item").alias("item2"))
     return (

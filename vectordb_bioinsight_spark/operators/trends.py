@@ -159,7 +159,10 @@ def funnel_conversion(
     window. Latest-reach is optimal for window feasibility (all candidate
     reaches precede the event, so the latest is the one most likely still
     inside [ts - gap, ts)), hence the fold's depth equals the true
-    longest qualifying chain. State grows from 2 fields to S timestamps
+    longest qualifying chain. Because this machine REFRESHES anchors, tie
+    order matters (ADVICE r06): events fold in (ts, -si) order so a
+    same-ts step-1 refresh cannot overwrite the anchor a same-ts step-i
+    event must read from a strictly earlier time. State grows from 2 fields to S timestamps
     per user; the plan shape (two exchanges) is unchanged.
 
     Output: (step, step_name, n_users, conversion) where conversion is
@@ -175,7 +178,16 @@ def funnel_conversion(
         F.col(ts_col).alias("ts"),
     ).filter(F.col("si") > 0)
     per_user = ev.groupBy("u").agg(
-        F.sort_array(F.collect_set(F.struct(F.col("ts"), F.col("si")))).alias("evs")
+        # ascending (ts, -si): within equal timestamps HIGHER steps fold
+        # first, so an event only reads reach values written at strictly
+        # earlier times — a same-ts step-1 refresh must not overwrite the
+        # anchor a same-ts step-2 event is about to read (same-ts chains
+        # stay impossible via the strict > check). The unwindowed machine
+        # never refreshes anchors, so it is tie-order-independent and the
+        # shared sort is safe for both.
+        F.sort_array(
+            F.collect_set(F.struct(F.col("ts"), (-F.col("si")).alias("nsi"), F.col("si")))
+        ).alias("evs")
     )
     if max_gap_s is None:
         zero = F.struct(

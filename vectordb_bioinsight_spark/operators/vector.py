@@ -1020,19 +1020,22 @@ def maxsim_ivf(
             F.col("_centroid").cast("array<double>").alias("_centroid"),
         )
         # frozen centroids are caller-bounded (n_cells rows) — collect them
-        # and assign via one Arrow-batched GEMM per partition (the
-        # knn_join_gemm discipline): a higher-order-function argmin costs
-        # n_cells x dim interpreted ops PER TOKEN (measured 22.5 s/1M
-        # tokens x 64 cells — slower than exact MaxSim); the BLAS form is
-        # one (batch x dim) @ (dim x cells) multiply. Distances round to
-        # 6 dp BEFORE the argmin (ties break on the ascending cell order),
-        # so the assignment replays exactly in the SQL twin.
+        # and assign via one Arrow-batched vectorized pass per partition
+        # (the knn_join_gemm discipline): a higher-order-function argmin
+        # costs n_cells x dim interpreted ops PER TOKEN (measured 22.5
+        # s/1M tokens x 64 cells — slower than exact MaxSim). The distance
+        # is the DIRECT sum of squared differences accumulated in DIM
+        # order — bit-identical to l2_distance's sequential fold and the
+        # SQL twin's list sum (ADVICE r06: the expanded x^2-2xy+y^2 GEMM
+        # form cancels catastrophically when a token sits near a centroid
+        # and can flip a 6-dp-rounded argmin across engines). Distances
+        # round to 6 dp BEFORE the argmin (ties break on the ascending
+        # cell order), so the assignment replays exactly in the SQL twin.
         import numpy as np
 
         rows = sorted(cent_df.collect(), key=lambda r: r["_cell"])
         C = np.array([r["_centroid"] for r in rows], dtype=np.float64)
         cell_ids = [int(r["_cell"]) for r in rows]
-        c_norms = (C * C).sum(axis=1)
 
         def _assign(batches):
             import pandas as pd
@@ -1041,8 +1044,11 @@ def maxsim_ivf(
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf["_dv"].to_numpy()).astype(np.float64)
-                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_norms[None, :]
-                d = np.round(np.sqrt(np.maximum(d2, 0.0)), 6)
+                d2 = np.zeros((X.shape[0], C.shape[0]))
+                for j in range(C.shape[1]):
+                    diff = X[:, j : j + 1] - C[None, :, j]
+                    d2 += diff * diff
+                d = np.round(np.sqrt(d2), 6)
                 # argmin takes the FIRST minimum; rows are cell-ascending,
                 # so equal rounded distances break to the smallest cell
                 best = d.argmin(axis=1)
