@@ -388,9 +388,8 @@ _GLOBAL_WINDOW_ALLOWED = {
     # table (calendar-bounded); funnel_conversion LEFT this list in r05 —
     # the fold rewrite has no window at all
     "kaplan_meier",
-    # HLL rolling actives: trailing union window over the day-cardinality
-    # sketch table (calendar-bounded)
-    "rolling_active_users",
+    # rolling_active_users LEFT this list in r07: the replay-HLL rewrite
+    # unions day registers by explode + groupBy, no window at all
     "retrieval_ndcg", "part_correlation_network", "part_spearman_network",
     "embedding_neardup", "hub_parts", "hub_blend_chain",
     "pseudotime_embeddings", "paga_labels", "knn_lsh_bucketed",

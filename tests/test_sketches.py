@@ -246,3 +246,122 @@ class TestMomentShards:
             assert m[k]["n_distinct"] == d[k]["n_distinct"]   # exact in sketch space
             assert m[k]["n_rows"] == d[k]["n_rows"]
             assert abs(m[k]["n_distinct"] - exact[k]) / exact[k] < 0.03
+
+
+class TestHllReplay:
+    """Deterministic-replay HLL (r07): the portable-hash register pipeline
+    whose state AND estimate replay in DuckDB/Python — the oracle behind
+    the approx_distinct_users / rolling_active_users catalog entries."""
+
+    @staticmethod
+    def _py_estimate(keys):
+        """Pure-python port of registers + estimate (the semantic oracle)."""
+        import hashlib
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            HLL_REPLAY_LG_K,
+            HLL_REPLAY_RHO_MAX,
+        )
+
+        m = 1 << HLL_REPLAY_LG_K
+        regs = {}
+        for k in set(keys):
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            bucket = h & (m - 1)
+            w = h >> HLL_REPLAY_LG_K
+            if w == 0:
+                rho = HLL_REPLAY_RHO_MAX
+            else:
+                rho = min(((w & -w).bit_length() - 1) + 1, HLL_REPLAY_RHO_MAX)
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        s_int = sum(1 << (HLL_REPLAY_RHO_MAX - r) for r in regs.values())
+        nb = len(regs)
+        v = m - nb
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        s = s_int / float(1 << HLL_REPLAY_RHO_MAX) + v
+        raw = alpha * m * m / s
+        import math
+
+        est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        return round(est, 4)
+
+    def test_registers_and_estimate_match_python_port(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            hll_replay_estimate,
+            hll_replay_registers,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rows = [(f"g{i % 3}", f"user-{rng.randrange(4000)}") for i in range(6000)]
+        df = spark.createDataFrame(rows, "g string, k string")
+        got = {r["g"]: r["approx_distinct"] for r in hll_replay_estimate(
+            hll_replay_registers(df, ["g"], "k"), ["g"]).collect()}
+        for g in ["g0", "g1", "g2"]:
+            keys = [k for gg, k in rows if gg == g]
+            assert got[g] == self._py_estimate(keys), g
+
+    def test_merge_equals_rebuild_exactly_and_accuracy(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.sketches import (
+            hll_replay_estimate,
+            hll_replay_registers,
+            merge_hll_replay_registers,
+        )
+        from vectordb_bioinsight_spark.sources.readers import load_table
+        from tests.conftest import SF_SMALL
+
+        ev = load_table(spark, SF_SMALL, "events").withColumn(
+            "shard_day", F.to_date("ts")
+        )
+        merged = hll_replay_estimate(
+            merge_hll_replay_registers(
+                hll_replay_registers(ev, ["event_type", "shard_day"], "user_id"),
+                ["event_type"],
+            ),
+            ["event_type"],
+        )
+        direct = hll_replay_estimate(
+            hll_replay_registers(ev, ["event_type"], "user_id"), ["event_type"]
+        )
+        exact = {r["event_type"]: r["n"] for r in
+                 ev.groupBy("event_type").agg(
+                     F.count_distinct("user_id").alias("n")).collect()}
+        m = {r["event_type"]: r["approx_distinct"] for r in merged.collect()}
+        d = {r["event_type"]: r["approx_distinct"] for r in direct.collect()}
+        assert m == d                       # merge == rebuild, bit-exact
+        for k, e in exact.items():
+            assert abs(d[k] - e) / e < 0.15, (k, d[k], e)
+
+    def test_rolling_replay_matches_exact_window_envelope(self, spark):
+        from pyspark.sql import functions as F
+
+        from vectordb_bioinsight_spark.operators.trends import (
+            rolling_active_users_replay,
+        )
+
+        # planted history: 40 days, user u{d}-{i} active on day d, plus a
+        # stable cohort active every day
+        rows = []
+        for d in range(40):
+            for i in range(30):
+                rows.append((f"u{d}-{i}", d))
+            for i in range(20):
+                rows.append((f"stable-{i}", d))
+        df = spark.createDataFrame(rows, "user string, d int").withColumn(
+            "ts", F.expr("timestampadd(DAY, d, timestamp'2024-01-01')")
+        )
+        out = {str(r["day"]): r for r in rolling_active_users_replay(
+            df, "user", "ts", window_days=7).collect()}
+        assert len(out) == 40
+        # day 10 window = days 4..10: 7*30 churned + 20 stable = 230 exact
+        r = out["2024-01-11"]
+        assert r["daily_active"] == 50
+        assert abs(r["rolling_active"] - 230) / 230 < 0.15
+        # first day window = just day 0: 50 exact
+        r0 = out["2024-01-01"]
+        assert abs(r0["rolling_active"] - 50) / 50 < 0.15

@@ -188,6 +188,152 @@ def hll_to_stats(profile: "DataFrame") -> "DataFrame":
     )
 
 
+# --- deterministic-replay HLL -------------------------------------------
+#
+# The Datasketches path above (hll_sketch_agg) is the PRODUCTION default:
+# one fixed-size binary buffer per shard, union in the JVM. Its register
+# state is implementation-specific, so catalog entries over it were
+# rows-only. This tier is the same HLL algorithm re-derived from the
+# engine's PORTABLE hash (functions/hashing.py md5-prefix, the KMV
+# discipline): register state is rows of (bucket, reg) built from exact
+# integer arithmetic, so the whole sketch — registers AND estimate —
+# replays bit-for-bit in DuckDB/Python, turning the last rows-only sketch
+# family into a hash-oracle-able one.
+#
+# Determinism notes (each step exact on both engines):
+# * h: 60-bit md5-prefix integer; bucket = h & (m-1); w = h >> lg_k.
+# * rho = trailing-zero count of w + 1 (capped at 61-lg_k when w == 0).
+#   Trailing zeros — not the textbook leading zeros — because
+#   tz = bit_count((w & -w) - 1) is pure integer arithmetic (no float
+#   log2 whose rounding could differ cross-engine); w's bits are uniform,
+#   so the rho distribution (and therefore the HLL estimator and its
+#   constants) is identical.
+# * sum(2^-reg) is computed as the INTEGER sum(1 << (HLL_REPLAY_RHO_MAX
+#   - reg)) then divided once — float summation order can round
+#   differently across engines; the integer sum cannot (max 2^52 * m
+#   fits int64 for lg_k >= 8).
+# * Only the final estimate (one division, one optional ln in the
+#   linear-counting branch) is float, rounded to 4 dp.
+
+#: rho cap for lg_k = 8 (60-bit hash, 52-bit w): tz + 1 in [1, 53].
+HLL_REPLAY_LG_K = 8
+HLL_REPLAY_RHO_MAX = 60 - HLL_REPLAY_LG_K + 1
+
+
+def _hll_replay_rho(h: "F.Column") -> "F.Column":
+    """Trailing-zero rank of the post-bucket bits, 1-based, capped."""
+    w = F.shiftright(h, HLL_REPLAY_LG_K)
+    low = w.bitwiseAND(-w)
+    return F.least(
+        F.bit_count(low - F.lit(1)) + F.lit(1), F.lit(HLL_REPLAY_RHO_MAX)
+    ).cast("int")
+
+
+def hll_replay_registers(
+    df: "DataFrame",
+    shard_cols: "list[str]",
+    key_col: str,
+) -> "DataFrame":
+    """Per-shard replayable HLL register state: (shard..., bucket, reg).
+
+    One map-side-combinable groupBy on the bounded (shard x 2^lg_k) key
+    space — like :func:`hll_shards`, the shuffle payload is register rows,
+    never user ids. Only occupied buckets emit rows (empty registers are
+    implicit zeros, reconstructed at estimate time). Register rows merge
+    to any coarser grain with :func:`merge_hll_replay_registers` —
+    register-wise max, so merge == rebuild is EXACT (integers)."""
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
+    m = 1 << HLL_REPLAY_LG_K
+    h = portable_hash64(F.col(key_col).cast("string"))
+    return (
+        df.select(*shard_cols, h.alias("_h"))
+        .groupBy(*shard_cols, F.col("_h").bitwiseAND(F.lit(m - 1)).cast("int").alias("bucket"))
+        .agg(F.max(_hll_replay_rho(F.col("_h"))).alias("reg"))
+    )
+
+
+def merge_hll_replay_registers(
+    registers: "DataFrame", group_cols: "list[str]"
+) -> "DataFrame":
+    """Fold register rows to a coarser grain (register-wise max)."""
+    return registers.groupBy(*group_cols, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_replay_estimate(
+    registers: "DataFrame", group_cols: "list[str]"
+) -> "DataFrame":
+    """Register rows -> distinct estimate per group, the standard HLL
+    estimator (Flajolet et al. 2007): raw = alpha_m * m^2 / sum(2^-reg)
+    (empty registers contribute 2^0), with the small-range linear-counting
+    correction E = m * ln(m / V) when raw <= 2.5 m and V empty buckets
+    remain. The 60-bit hash makes the large-range correction unreachable.
+
+    Output: (group..., approx_distinct double round 4) — kept as the
+    rounded estimate, never cast to long (a long cast at an integer
+    boundary would flake the cross-engine hash)."""
+    m = 1 << HLL_REPLAY_LG_K
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gb = registers.groupBy(*group_cols).agg(
+        # exact integer form of sum(2^-reg) * 2^(rho_max): addition order
+        # cannot matter
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_REPLAY_RHO_MAX} - reg)")
+        ).cast("long").alias("_s_int"),
+        F.count("*").cast("long").alias("_nb"),
+    )
+    two_pow = float(1 << HLL_REPLAY_RHO_MAX)
+    v = F.lit(m) - F.col("_nb")  # empty buckets
+    # empty registers contribute 2^0 = 1 each to sum(2^-reg)
+    s = (F.col("_s_int").cast("double") / F.lit(two_pow)) + v.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return gb.select(*group_cols, F.round(est, 4).alias("approx_distinct"))
+
+
+def hll_replay_estimate_sql(from_sql: str, group_expr: str, key_expr: str) -> str:
+    """DuckDB twin of registers+estimate: one SQL string computing
+    ``SELECT {group_expr} AS grp, approx_distinct FROM ({from_sql})``
+    with the identical portable-hash register pipeline. ``key_expr`` must
+    be a VARCHAR expression."""
+    lg_k = HLL_REPLAY_LG_K
+    m = 1 << lg_k
+    rho_max = HLL_REPLAY_RHO_MAX
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH _hll_src AS ({from_sql}),
+_hll_h AS (
+  SELECT {group_expr} AS grp,
+         ('0x' || substr(md5({key_expr}), 1, 15))::BIGINT AS h
+  FROM _hll_src
+),
+_hll_reg AS (
+  SELECT grp, (h & {m - 1})::INT AS bucket,
+         max(least(bit_count(((h >> {lg_k}) & -(h >> {lg_k})) - 1) + 1,
+                   {rho_max}))::INT AS reg
+  FROM _hll_h GROUP BY 1, 2
+),
+_hll_s AS (
+  SELECT grp,
+         sum((1::BIGINT << ({rho_max} - reg)))::BIGINT AS s_int,
+         count(*)::BIGINT AS nb
+  FROM _hll_reg GROUP BY 1
+)
+SELECT grp,
+       round(CASE WHEN ({alpha!r}::DOUBLE * {m} * {m})
+                       / (s_int::DOUBLE / {float(1 << rho_max)!r}::DOUBLE + ({m} - nb))
+                  <= {2.5 * m} AND ({m} - nb) > 0
+             THEN {float(m)!r}::DOUBLE * ln({float(m)!r}::DOUBLE / ({m} - nb))
+             ELSE ({alpha!r}::DOUBLE * {m} * {m})
+                  / (s_int::DOUBLE / {float(1 << rho_max)!r}::DOUBLE + ({m} - nb))
+             END, 4) AS approx_distinct
+FROM _hll_s
+"""
+
+
 def hist_shards(
     df: "DataFrame",
     shard_cols: "list[str]",

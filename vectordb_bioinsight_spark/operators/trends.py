@@ -729,6 +729,58 @@ def rolling_active_users(
     )
 
 
+def rolling_active_users_replay(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day active users from deterministic-replay HLL day
+    registers (operators/sketches.py::hll_replay_registers) — the
+    hash-oracle-able twin of :func:`rolling_active_users`. Same shape:
+    ONE scan builds per-day register rows (shuffle payload bounded by
+    days x 2^lg_k, never user ids); each day's registers then FAN OUT to
+    the ``window_days`` calendar days they serve (register rows are tiny,
+    so the explode costs days x m x N rows, not corpus rows) and fold by
+    register-wise max — union of day sketches, exactly. Days are
+    CALENDAR-trailing (day-6..day for N=7); output rows are restricted to
+    observed days (days with >= 1 event), which also carry the exact
+    daily distinct count.
+
+    Output: (day date, daily_active long, rolling_active double round 4 —
+    the HLL estimate, deterministic cross-engine).
+    """
+    from vectordb_bioinsight_spark.operators.sketches import (
+        hll_replay_estimate,
+        hll_replay_registers,
+        merge_hll_replay_registers,
+    )
+
+    ev = df.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("_u")
+    )
+    daily = ev.groupBy("day").agg(
+        F.count_distinct("_u").cast("long").alias("daily_active")
+    )
+    regs = hll_replay_registers(ev, ["day"], "_u")
+    served = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_i"),
+        "day",
+        "bucket",
+        "reg",
+    ).select(F.date_add(F.col("day"), F.col("_i")).alias("day"), "bucket", "reg")
+    merged = merge_hll_replay_registers(served, ["day"])
+    est = hll_replay_estimate(merged, ["day"])
+    return (
+        daily.join(est, "day")
+        .select(
+            "day",
+            "daily_active",
+            F.col("approx_distinct").alias("rolling_active"),
+        )
+    )
+
+
 def holt_linear(
     df: DataFrame,
     key_col: str,

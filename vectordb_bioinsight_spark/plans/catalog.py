@@ -157,7 +157,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # entries (no SQL twin possible: Datasketches HLL estimates, seeded
     # KMeans codebooks, zlib ratios, driver-side BPE merge tables) are
     # parked here so driver-window slots only go to hash-checkable rows:
-    "rolling_active_users": (ev.q_rolling_active_users, None),
+    "rolling_active_users": (ev.q_rolling_active_users, ev.SQL_ROLLING_ACTIVE_USERS),
     "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
     "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
@@ -285,7 +285,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
     "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
     "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
-    "approx_distinct_users": (th.q_approx_distinct_users, None),
+    "approx_distinct_users": (th.q_approx_distinct_users, th.SQL_APPROX_DISTINCT_USERS),
     "label_map_2d": (vec.q_label_map_2d, None),
     "semdedup_auto": (vec.q_semdedup_auto, None),
     "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),

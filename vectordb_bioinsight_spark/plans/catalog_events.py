@@ -857,16 +857,50 @@ FROM scored GROUP BY 1, 2, 3
 
 
 def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day active users via mergeable HLL day-sketches
-    (operators/trends.py::rolling_active_users) — rows-only by design:
-    the sketch estimate has no SQL twin; the accuracy envelope is pinned
-    by the planted-history unit test."""
-    from vectordb_bioinsight_spark.operators.trends import rolling_active_users
+    """Rolling 7-day active users via mergeable deterministic-replay HLL
+    day registers (operators/trends.py::rolling_active_users_replay) —
+    day sketches union across the calendar-trailing window by
+    register-wise max, and the portable-hash register pipeline replays
+    in the DuckDB twin, so the entry is hash-checked (it was the last
+    rows-only sketch family with its sibling approx_distinct_users).
+    The Datasketches variant (rolling_active_users) remains the
+    production default, pinned by the planted-history unit test."""
+    from vectordb_bioinsight_spark.operators.trends import (
+        rolling_active_users_replay,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    return rolling_active_users(ev, "user_id", "ts", window_days=7).withColumn(
+    return rolling_active_users_replay(ev, "user_id", "ts", window_days=7).withColumn(
         "day", F.col("day").cast("timestamp")
     )
+
+
+def _sql_rolling_active_users() -> str:
+    from vectordb_bioinsight_spark.operators.sketches import hll_replay_estimate_sql
+
+    # day registers fan out to the 7 calendar days they serve, then fold
+    # by register-wise max == union of day sketches (the Spark plan's
+    # explode + merge, replayed): the estimate helper's group expr is the
+    # SERVED day computed inside its source subquery
+    inner = hll_replay_estimate_sql(
+        "SELECT (ts::DATE + i.i)::DATE AS sday, user_id "
+        "FROM events CROSS JOIN (SELECT unnest(range(0, 7))::INT AS i) i",
+        "sday",
+        "user_id::VARCHAR",
+    )
+    return f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, count(DISTINCT user_id)::BIGINT AS daily_active
+  FROM events GROUP BY 1
+), est AS (
+  SELECT grp AS day, approx_distinct AS rolling_active FROM ({inner})
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day, d.daily_active, e.rolling_active
+FROM daily d JOIN est e ON e.day = d.day
+"""
+
+
+SQL_ROLLING_ACTIVE_USERS = _sql_rolling_active_users()
 
 
 _HOLT_A, _HOLT_B = 0.5, 0.3

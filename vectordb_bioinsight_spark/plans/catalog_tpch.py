@@ -387,15 +387,40 @@ FROM events GROUP BY 1
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++, rsd=0.01) per event type — the
-    sketch that replaces exact distinct at 100 TB (no per-key value set, one
-    fixed-size buffer per group). Sketch values are implementation-specific,
-    so this entry is rows-only checked; the exact twin above is the
-    hash-matched semantics anchor."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).cast("long").alias("approx_users")
+    """Approximate distinct users per event type via the deterministic-
+    replay HLL (operators/sketches.py::hll_replay_registers /
+    hll_replay_estimate) — the sketch that replaces exact distinct at
+    100 TB (register rows per group, never a per-key value set). Built on
+    the engine's portable hash with integer-exact register sums, the
+    WHOLE pipeline (registers and estimate) replays in the DuckDB twin,
+    so this entry is hash-checked — the r06 verdict's last rows-only
+    sketch family closed. The Datasketches variant (hll_shards) remains
+    the production default; its register state is pinned by
+    merge==rebuild unit tests."""
+    from vectordb_bioinsight_spark.operators.sketches import (
+        hll_replay_estimate,
+        hll_replay_registers,
     )
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_replay_registers(ev, ["event_type"], "user_id")
+    return hll_replay_estimate(regs, ["event_type"]).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    )
+
+
+def _sql_approx_distinct_users() -> str:
+    from vectordb_bioinsight_spark.operators.sketches import hll_replay_estimate_sql
+
+    inner = hll_replay_estimate_sql(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "user_id::VARCHAR",
+    )
+    return f"SELECT grp AS event_type, approx_distinct AS approx_users FROM ({inner})"
+
+
+SQL_APPROX_DISTINCT_USERS = _sql_approx_distinct_users()
 
 
 def q_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
