@@ -58,6 +58,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # the enforced cooccurrence_edges basket cap (in-cap hashes unchanged
     # by construction — these rows PROVE it), and the events_expectations
     # null-key unique fix:
+    "dataset_type": (sc.q_dataset_type, sc.SQL_DATASET_TYPE),
     "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
     "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
     "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),

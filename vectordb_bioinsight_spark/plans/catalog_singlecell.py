@@ -354,3 +354,145 @@ SELECT cell_id, s_score, g2m_score,
             ELSE 'G2M' END AS phase
 FROM scored
 """
+
+
+#: planted per-dataset metadata headers and directory listings for the
+#: dataset-type detector entry — mixed-evidence rows on purpose (click
+#: carries a bulk 'batch' column; signup a single-cell 'cell_type') so the
+#: blended-score path earns driver-hash coverage, not just the clean cases
+_DTYPE_META = [
+    ("view", "cell_type"), ("view", "cluster"), ("view", "umap_1"),
+    ("click", "barcode"), ("click", "leiden"), ("click", "batch"),
+    ("purchase", "condition"), ("purchase", "batch"), ("purchase", "patient_id"),
+    ("signup", "sample_id"), ("signup", "replicate"), ("signup", "tissue"),
+    ("signup", "cell_type"),
+]
+_DTYPE_FILES = [
+    ("view", "data.h5ad"), ("view", "barcodes.tsv"),
+    ("click", "matrix.mtx.gz"), ("click", "barcodes.tsv.gz"),
+    ("purchase", "count_matrix.csv"),
+    ("signup", "expression_counts.csv"), ("signup", "metadata.csv"),
+]
+
+
+def q_dataset_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-family bulk-vs-single-cell routing
+    (operators/dataset_type.py::detect_dataset_type — the reference's
+    DataTypeDetector rule ladder, data_type_detector.py:58-331): each
+    event_type becomes a pending 'upload' whose long-form count matrix is
+    the (gene = event_id % 37, sample) cell aggregation — view/click get a
+    997-wide sample space (the >= 500-sample single-cell shape branch at
+    sf0.01+), the rest a 24-wide one (the <= 200 bulk branch) — plus
+    planted metadata headers and directory listings ('error' has neither,
+    exercising the hintless left-join path)."""
+    from vectordb_bioinsight_spark.operators.dataset_type import detect_dataset_type
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.select(
+            F.col("event_type").alias("ds"),
+            (F.col("event_id") % 37).alias("gene_id"),
+            F.when(
+                F.col("event_type").isin("view", "click"), F.col("event_id") % 997
+            )
+            .otherwise(F.col("event_id") % 24)
+            .alias("sample_id"),
+            "value",
+        )
+        .groupBy("ds", "gene_id", "sample_id")
+        .agg(F.sum("value").alias("v"))
+    )
+    meta = spark.createDataFrame(_DTYPE_META, "ds string, col_name string")
+    files = spark.createDataFrame(_DTYPE_FILES, "ds string, file_name string")
+    return detect_dataset_type(
+        cell, "ds", "gene_id", "sample_id", "v", meta_cols=meta, files=files
+    )
+
+
+def _sql_dataset_type() -> str:
+    from vectordb_bioinsight_spark.operators.dataset_type import (
+        BULK_HINTS,
+        PIPELINE_BULK,
+        PIPELINE_BULK_SMALL,
+        PIPELINE_SINGLECELL,
+        PIPELINE_UNKNOWN,
+        SINGLECELL_HINTS,
+    )
+
+    meta_vals = ",".join(f"('{d}','{c}')" for d, c in _DTYPE_META)
+    file_vals = ",".join(f"('{d}','{f}')" for d, f in _DTYPE_FILES)
+    sc_list = ",".join(f"'{h}'" for h in SINGLECELL_HINTS)
+    bulk_list = ",".join(f"'{h}'" for h in BULK_HINTS)
+    return f"""
+WITH cell AS (
+  SELECT event_type AS ds, event_id % 37 AS gene_id,
+         CASE WHEN event_type IN ('view','click') THEN event_id % 997
+              ELSE event_id % 24 END AS sample_id,
+         sum(value) AS v
+  FROM events GROUP BY 1, 2, 3
+), shape AS (
+  SELECT ds, count(DISTINCT gene_id)::BIGINT AS n_genes,
+         count(DISTINCT sample_id)::BIGINT AS n_samples,
+         sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::BIGINT AS nnz
+  FROM cell GROUP BY 1
+), meta AS (SELECT * FROM (VALUES {meta_vals}) m(ds, col_name)),
+files AS (SELECT * FROM (VALUES {file_vals}) f(ds, file_name)),
+ms AS (
+  SELECT ds,
+         sum(CASE WHEN lower(col_name) IN ({sc_list}) THEN 1 ELSE 0 END) AS m_sc,
+         sum(CASE WHEN lower(col_name) IN ({bulk_list}) THEN 1 ELSE 0 END) AS m_bulk
+  FROM (SELECT DISTINCT ds, col_name FROM meta) GROUP BY 1
+), fs AS (
+  SELECT ds,
+         max(CASE WHEN lower(file_name) LIKE '%.h5ad' THEN 1 ELSE 0 END) AS f_h5ad,
+         max(CASE WHEN lower(file_name) IN ('matrix.mtx','matrix.mtx.gz') THEN 1 ELSE 0 END) AS f_mtx,
+         max(CASE WHEN lower(file_name) IN ('barcodes.tsv','barcodes.tsv.gz') THEN 1 ELSE 0 END) AS f_barcodes,
+         max(CASE WHEN lower(file_name) LIKE 'count%.csv'
+                    OR lower(file_name) LIKE '%counts%.csv' THEN 1 ELSE 0 END) AS f_csv
+  FROM files GROUP BY 1
+), joined AS (
+  SELECT s.ds, s.n_genes, s.n_samples, s.nnz,
+         coalesce(m_sc, 0) AS m_sc, coalesce(m_bulk, 0) AS m_bulk,
+         coalesce(f_h5ad, 0) AS f_h5ad, coalesce(f_mtx, 0) AS f_mtx,
+         coalesce(f_barcodes, 0) AS f_barcodes, coalesce(f_csv, 0) AS f_csv,
+         (s.n_genes * s.n_samples - s.nnz)::DOUBLE
+           / nullif((s.n_genes * s.n_samples)::DOUBLE, 0.0) * 100.0 AS sparsity
+  FROM shape s LEFT JOIN ms ON ms.ds = s.ds LEFT JOIN fs ON fs.ds = s.ds
+), scored AS (
+  SELECT *,
+         f_h5ad * 3 + f_mtx * 3 + f_barcodes * 2 + m_sc
+           + CASE WHEN n_samples >= 500 THEN 4 ELSE 0 END
+           + CASE WHEN sparsity > 80.0 THEN 2 ELSE 0 END AS score_sc,
+         CASE WHEN f_csv = 1 AND f_h5ad = 0 THEN 1 ELSE 0 END + m_bulk
+           + CASE WHEN n_samples <= 200 THEN 4 ELSE 0 END
+           + CASE WHEN sparsity < 30.0 THEN 2 ELSE 0 END AS score_bulk
+  FROM joined
+), typed AS (
+  SELECT *,
+         CASE WHEN score_sc + score_bulk = 0 THEN 'unknown'
+              WHEN score_sc > score_bulk THEN 'singlecell'
+              ELSE 'bulk' END AS data_type
+  FROM scored
+)
+SELECT ds AS dataset, n_genes, n_samples,
+       round(sparsity, 4) AS sparsity_pct,
+       score_bulk::INT AS score_bulk, score_sc::INT AS score_singlecell,
+       data_type,
+       CASE WHEN score_sc + score_bulk = 0 THEN 0.0
+            ELSE round(greatest(score_sc, score_bulk)::DOUBLE
+                       / (score_sc + score_bulk)::DOUBLE, 4) END AS confidence,
+       CASE WHEN data_type = 'singlecell' THEN '{PIPELINE_SINGLECELL}'
+            WHEN data_type = 'bulk' AND n_samples >= 6 THEN '{PIPELINE_BULK}'
+            WHEN data_type = 'bulk' THEN '{PIPELINE_BULK_SMALL}'
+            ELSE '{PIPELINE_UNKNOWN}' END AS recommended_pipeline,
+       CASE WHEN n_samples >= 500 THEN 'ge_500_singlecell'
+            WHEN n_samples <= 200 THEN 'le_200_bulk'
+            ELSE 'ambiguous' END AS shape_evidence,
+       CASE WHEN sparsity > 80.0 THEN 'high_sparsity_singlecell'
+            WHEN sparsity < 30.0 THEN 'low_sparsity_bulk'
+            ELSE 'moderate_sparsity' END AS sparsity_evidence
+FROM typed
+"""
+
+
+SQL_DATASET_TYPE = _sql_dataset_type()
