@@ -59,6 +59,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # by construction — these rows PROVE it), and the events_expectations
     # null-key unique fix:
     "dataset_type": (sc.q_dataset_type, sc.SQL_DATASET_TYPE),
+    "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
+    "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
+    "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
     "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
     "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
     "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),

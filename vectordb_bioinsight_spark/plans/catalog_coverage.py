@@ -1902,3 +1902,204 @@ FROM g
 
 
 SQL_KEYWORD_GROWTH_DOCS = _sql_keyword_growth()
+
+
+# --- r07 briefing ladders (the last unported deterministic reference
+# surfaces: ArticleTypeClassifier, the high-impact journal filter, and the
+# aggregator-level headline pick) ---------------------------------------
+
+#: planted publication-type lists keyed by doc_id % 8 — chosen to exercise
+#: every branch: the Journal-Article fallback (0), BOTH orders of the tied
+#: 1.0 pair (1/2 — first position wins), a mixed ladder (3), all-unmapped
+#: (4), unmapped-plus-mapped (5), empty (6), and a mid-ladder beat (7)
+_PUB_TYPE_SETS = [
+    ["Journal Article"],
+    ["Meta-Analysis", "Systematic Review"],
+    ["Systematic Review", "Meta-Analysis"],
+    ["Letter", "Review", "Comment"],
+    ["Weird Type", "Another Thing"],
+    ["Clinical Trial, Phase II", "Journal Article"],
+    [],
+    ["Randomized Controlled Trial", "Practice Guideline"],
+]
+
+
+def q_article_type_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-type -> article-type priority ladder
+    (operators/briefing.py::article_type_classify — the reference's
+    ArticleTypeClassifier, corpus_builder.py:359-404): each document gets
+    a planted pub-type list (doc_id % 8 rotation) covering the fallback,
+    tie-order, unmapped and empty branches."""
+    from vectordb_bioinsight_spark.operators.briefing import article_type_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = F.element_at(
+        F.array(
+            *[
+                F.array(*[F.lit(s) for s in group])
+                if group
+                else F.array().cast("array<string>")
+                for group in _PUB_TYPE_SETS
+            ]
+        ),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return article_type_classify(
+        docs.select("doc_id", pts.alias("pub_types")), "doc_id", "pub_types"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_article_type() -> str:
+    from vectordb_bioinsight_spark.operators.briefing import (
+        ARTICLE_TYPE_PRIORITY,
+        TYPE_MAPPINGS,
+    )
+
+    lists = ",".join(
+        "[" + ",".join(f"'{s}'" for s in group) + "]" for group in _PUB_TYPE_SETS
+    )
+    map_case = "CASE pt " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_MAPPINGS.items()
+    ) + " ELSE 'unknown' END"
+    prio_case = (
+        "CASE t "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in ARTICLE_TYPE_PRIORITY.items())
+        + " ELSE 0.0 END"
+    )
+    return f"""
+WITH sets(i, pts) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{lists}] AS l), range(8) r(i)
+), docs AS (
+  SELECT doc_id, pts FROM documents JOIN sets ON sets.i = doc_id % 8
+), exploded AS (
+  SELECT doc_id, u.e.pt AS pt, u.e.i AS idx
+  FROM docs, unnest(list_transform(pts, (x, j) -> {{'pt': x, 'i': j}})) u(e)
+), mapped AS (
+  SELECT doc_id, idx, {map_case} AS t
+  FROM (SELECT doc_id, pt, idx FROM exploded)
+), ranked AS (
+  SELECT doc_id, t,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY ({prio_case}) DESC, idx ASC) AS rk
+  FROM mapped
+), best AS (
+  SELECT doc_id, t AS raw_type FROM ranked WHERE rk = 1
+), final AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(b.raw_type, 'unknown') = 'unknown'
+                   AND list_contains(d.pts, 'Journal Article')
+              THEN 'original_research'
+              ELSE coalesce(b.raw_type, 'unknown') END AS article_type
+  FROM docs d LEFT JOIN best b ON b.doc_id = d.doc_id
+)
+SELECT doc_id, article_type,
+       round((CASE article_type {" ".join(f"WHEN '{k}' THEN {v}" for k, v in ARTICLE_TYPE_PRIORITY.items())} ELSE 0.0 END), 4) AS type_priority
+FROM final
+"""
+
+
+SQL_ARTICLE_TYPE_DOCS = _sql_article_type()
+
+
+def q_high_impact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-impact-journal substring filter
+    (operators/briefing.py::high_impact_filter, aggregator.py:341-360):
+    planted journal names by doc_id % 7 — two exact names, two SUBSTRING
+    hits ('Nature Reviews Cancer' via 'nature', 'Advances in Gut
+    Microbiome' via 'gut') and three misses."""
+    from vectordb_bioinsight_spark.operators.briefing import high_impact_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    journal = F.element_at(
+        F.array(
+            F.lit("Nature Reviews Cancer"),
+            F.lit("Journal of Pickled Research"),
+            F.lit("The Lancet Oncology"),
+            F.lit("Annals of Improbable Things"),
+            F.lit("Cell Stem Cell"),
+            F.lit("Advances in Gut Microbiome"),
+            F.lit("Quarterly Bulletin"),
+        ),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    return high_impact_filter(
+        docs.select("doc_id", journal.alias("journal")), "journal"
+    )
+
+
+def _sql_high_impact() -> str:
+    from vectordb_bioinsight_spark.operators.briefing import HIGH_IMPACT_JOURNALS
+
+    likes = " OR ".join(f"lower(journal) LIKE '%{j}%'" for j in HIGH_IMPACT_JOURNALS)
+    return f"""
+WITH j(i, journal) AS (VALUES
+  (0, 'Nature Reviews Cancer'), (1, 'Journal of Pickled Research'),
+  (2, 'The Lancet Oncology'), (3, 'Annals of Improbable Things'),
+  (4, 'Cell Stem Cell'), (5, 'Advances in Gut Microbiome'),
+  (6, 'Quarterly Bulletin')
+), docs AS (
+  SELECT doc_id, journal FROM documents JOIN j ON j.i = doc_id % 7
+)
+SELECT doc_id, journal FROM docs WHERE {likes}
+"""
+
+
+SQL_HIGH_IMPACT_DOCS = _sql_high_impact()
+
+
+def q_aggregator_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregator's five-tier headline pick
+    (operators/briefing.py::aggregator_headline, aggregator.py:362-394):
+    documents become news items — category from doc_id % 3, news_type
+    from doc_id % 5, priority (doc_id * 37) % 100 — and the ladder
+    resolves to ONE row (approvals beat warnings beat trials beat
+    preprints beat any-regulatory; max priority, id tie-break)."""
+    from vectordb_bioinsight_spark.operators.briefing import aggregator_headline
+
+    docs = load_table(spark, sf_dir, "documents")
+    news = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("regulatory"), F.lit("trials"), F.lit("preprints")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("category"),
+        F.element_at(
+            F.array(
+                F.lit("drug_approval"),
+                F.lit("safety_warning"),
+                F.lit("trial_result"),
+                F.lit("preprint_paper"),
+                F.lit("fda_update"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("news_type"),
+        ((F.col("doc_id") * 37) % 100).cast("long").alias("priority"),
+    )
+    return aggregator_headline(news, "doc_id", "category", "news_type", "priority")
+
+
+SQL_AGGREGATOR_HEADLINE = """
+WITH news AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'regulatory' WHEN 1 THEN 'trials'
+              ELSE 'preprints' END AS category,
+         CASE doc_id % 5 WHEN 0 THEN 'drug_approval' WHEN 1 THEN 'safety_warning'
+              WHEN 2 THEN 'trial_result' WHEN 3 THEN 'preprint_paper'
+              ELSE 'fda_update' END AS news_type,
+         (doc_id * 37) % 100 AS priority
+  FROM documents
+), tiered AS (
+  SELECT doc_id AS id, category, news_type, priority,
+         CASE WHEN category = 'regulatory' AND news_type LIKE '%approval%' THEN 1
+              WHEN category = 'regulatory'
+                   AND (news_type LIKE '%warning%' OR news_type LIKE '%safety%') THEN 2
+              WHEN category = 'trials' THEN 3
+              WHEN category = 'preprints' THEN 4
+              WHEN category = 'regulatory' THEN 5 END AS tier
+  FROM news
+)
+SELECT id, tier, category, news_type, priority
+FROM tiered WHERE tier IS NOT NULL
+ORDER BY tier ASC, priority DESC, id ASC LIMIT 1
+"""
