@@ -128,6 +128,13 @@ HEADLINE = [
     "garbled_docs",
     "trend_primary_docs",
     "paper_outcomes_docs",
+    # r07: the aggregation-driven dataset-type classifier, the replay-HLL
+    # rolling-actives rollup (register fan-out + closed-form estimate),
+    # and the prefiltered population extractor (was the costliest
+    # scan-local regex tier at 39.9 s/1M, now 4.8)
+    "dataset_type",
+    "rolling_active_users",
+    "paper_population_docs",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
@@ -205,22 +212,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     shared = round(sum(timings[q] for q in SHARED_R01 if q in timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_total_sec": round(cold_total, 3),
-                "shared_r01_subset_sec": shared,
-                "timing_protocol": "median_of_3",
-                "queries_min": timings_min,
-                "queries_max": timings_max,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "cold_total_sec": round(cold_total, 3),
+            "shared_r01_subset_sec": shared,
+            "timing_protocol": "median_of_3",
+            "queries_min": timings_min,
+            "queries_max": timings_max,
+        }
     )
+    print(line)
+    # the driver's BENCH_r*.json keeps only the last 2000 chars of stdout,
+    # truncating early-query medians out of the artifact of record — also
+    # write the full line to a file when asked (VERDICT r06 task 6:
+    # SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL_rNN.json, committed per round)
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 

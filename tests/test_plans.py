@@ -44,7 +44,8 @@ def test_dimension_joins_broadcast(spark):
 
 
 def test_topk_compiles_to_take_ordered(spark):
-    for name in ["knn_cosine", "top_orders", "hvg_parts", "news_headline"]:
+    for name in ["knn_cosine", "top_orders", "hvg_parts", "news_headline",
+                 "aggregator_headline"]:
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
 
@@ -229,6 +230,20 @@ _MAX_EXCHANGES = {
     # split's second period agg and full-outer join)
     "discovered_keywords": 1,
     "keyword_growth_docs": 2,
+    # r07 additions (audited at pin time). dataset_type: ONE corpus-sized
+    # cell aggregation, then the two-distinct shape agg expands over the
+    # bounded cell table (+ KB-scale hint aggs). The briefing ladders are
+    # pure scan-local — any exchange is a regression; the headline pick
+    # is TakeOrderedAndProject (asserted below). approx_distinct: the
+    # bounded (group x 256)-register agg + the estimate fold. rolling:
+    # daily exact agg, register agg, served-day merge, estimate, join —
+    # all register-bounded after the first two.
+    "dataset_type": 6,
+    "article_type_docs": 0,
+    "high_impact_docs": 0,
+    "aggregator_headline": 0,
+    "approx_distinct_users": 2,
+    "rolling_active_users": 5,
 }
 
 

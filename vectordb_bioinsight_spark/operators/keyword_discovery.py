@@ -92,53 +92,81 @@ def extract_keywords(text: Column, min_length: int = 3) -> Column:
     chars), trigrams only when a priority term appears inside. Returns
     the keyword array WITH multiplicity (the reference appends).
 
-    Perf shape (probed at 50k docs): stopword membership is ONE anchored
-    alternation regex per word, evaluated ONCE into a flag array that
-    the unigram and bigram passes reuse (the naive per-lambda
-    array_contains re-scans the 120-entry wall ~3x per word and made
-    this the repo's slowest text operator); the trigram priority probe
-    stays exists+contains — indexOf beats the NFA alternation there."""
+    Perf shape (probed at 50k docs, re-shaped r07): stopword membership
+    is ONE anchored alternation regex per word, evaluated ONCE into a
+    flag array; the whole build runs inside a transform-over-a-SINGLETON
+    let-binding that evaluates the token array, the flag array and the
+    re-joined text exactly once per row — interpreted HOFs get no
+    common-subexpression elimination, so the previous shape re-tokenized
+    the document for every slice (and a naive doc-level priority
+    prefilter would re-tokenize 26x, once per probed term — measured,
+    it DOUBLED the runtime before the binding). The trigram priority
+    sweep is two-stage (VERDICT r06 task 4): the 26 contains probes run
+    once per doc against the re-joined words (every trigram is a
+    substring of that re-join, so a trigram hit implies a doc hit), and
+    prio-positive docs sweep only the matched-term SUBSET (typically 1-2
+    terms) via a second nested singleton binding; priority-free docs
+    skip the trigram build entirely."""
     import re as _re
 
     prio = _arr(PRIORITY_TERMS)
     stop_re = "^(?:" + "|".join(_re.escape(s) for s in sorted(BIO_STOPWORDS)) + ")$"
     cleaned = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), r"[^\w\s-]", " ")
-    words = F.filter(F.split(cleaned, r"\s+", -1), lambda w: F.length(w) > 0)
-    toks = F.transform(
-        words,
-        lambda w: F.struct(w.alias("w"), w.rlike(stop_re).alias("s")),
+    words_expr = F.filter(F.split(cleaned, r"\s+", -1), lambda w: F.length(w) > 0)
+    ctx = F.array(
+        F.struct(
+            words_expr.alias("w"),
+            F.transform(
+                words_expr,
+                lambda w: F.struct(w.alias("w"), w.rlike(stop_re).alias("s")),
+            ).alias("t"),
+            F.concat_ws(" ", words_expr).alias("j"),
+        )
     )
-    unis = F.filter(
-        F.transform(
-            toks,
-            lambda x: F.when((F.length(x["w"]) >= min_length) & ~x["s"], x["w"]),
-        ),
-        lambda w: w.isNotNull(),
-    )
-    n = F.size(words)
-    bigrams = F.filter(
-        F.zip_with(
-            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-            lambda a, b: F.when(
-                ~a["s"] | ~b["s"], F.concat_ws(" ", a["w"], b["w"])
+
+    def _build(c: Column) -> Column:
+        words, toks, joined = c["w"], c["t"], c["j"]
+        unis = F.filter(
+            F.transform(
+                toks,
+                lambda x: F.when((F.length(x["w"]) >= min_length) & ~x["s"], x["w"]),
             ),
-        ),
-        lambda g: g.isNotNull() & (F.length(g) >= 6),
-    )
-    trigrams = F.filter(
-        F.zip_with(
+            lambda w: w.isNotNull(),
+        )
+        n = F.size(words)
+        bigrams = F.filter(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    ~a["s"] | ~b["s"], F.concat_ws(" ", a["w"], b["w"])
+                ),
+            ),
+            lambda g: g.isNotNull() & (F.length(g) >= 6),
+        )
+        tri_all = F.zip_with(
             F.zip_with(
                 F.slice(words, 1, F.greatest(n - 2, F.lit(0))),
                 F.slice(words, 2, F.greatest(n - 2, F.lit(0))),
                 lambda a, b: F.concat_ws(" ", a, b),
             ),
             F.slice(words, 3, F.greatest(n - 2, F.lit(0))),
-            lambda ab, c: F.concat_ws(" ", ab, c),
-        ),
-        lambda t: F.exists(prio, lambda p: F.contains(t, p)),
-    )
-    return F.concat(unis, bigrams, trigrams)
+            lambda ab, c2: F.concat_ws(" ", ab, c2),
+        )
+        trigrams = F.flatten(
+            F.transform(
+                F.array(F.filter(prio, lambda p: F.contains(joined, p))),
+                lambda dp: F.when(
+                    F.size(dp) > 0,
+                    F.filter(
+                        tri_all, lambda t: F.exists(dp, lambda p: F.contains(t, p))
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+        return F.concat(unis, bigrams, trigrams)
+
+    return F.flatten(F.transform(ctx, _build))
 
 
 def keyword_counts(df: DataFrame, text_col: str) -> DataFrame:

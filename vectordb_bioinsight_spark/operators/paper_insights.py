@@ -346,19 +346,44 @@ def population_info(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     setting)."""
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     total_n = sample_size_col(t)
-    age1 = F.regexp_extract(t, _AGE_PATTERN, 1)
-    age2 = F.regexp_extract(t, _AGE_PATTERN, 2)
+    # r07 perf pass (VERDICT r06 task 4 — 39.9 s/1M measured): every
+    # full-document regex now (a) hides behind a contains() prefilter on
+    # a literal fragment the pattern REQUIRES — substring search is ~10x
+    # cheaper than a regex scan and most corpus docs miss — and (b) runs
+    # at most ONCE: the age groups re-extract from the match-0 FRAGMENT
+    # (self-contained pattern, so the fragment reproduces its own
+    # groups), and the condition ladder is a short-circuiting coalesce
+    # (a pattern-1 hit never runs patterns 2-3; the old when-ladder
+    # embedded each extract twice and evaluated every pattern).
+    age_m = F.when(
+        t.contains("age"), F.nullif(F.regexp_extract(t, _AGE_PATTERN, 0), F.lit(""))
+    )
+    age1 = F.regexp_extract(age_m, _AGE_PATTERN, 1)
+    age2 = F.regexp_extract(age_m, _AGE_PATTERN, 2)
     age_range = (
-        F.when(age1 == "", F.lit(""))
+        F.when(age_m.isNull(), F.lit(""))
         .when(age2 != "", F.concat(age1, F.lit("-"), age2))
         .otherwise(F.concat(F.lit("median "), age1))
     )
-    fem = F.regexp_extract(t, _GENDER_PATTERN, 1)
-    female_percent = F.when(fem != "", fem.cast("double"))
-    condition = F.lit("")
-    for pat in reversed(CONDITION_PATTERNS):
-        got = F.regexp_extract(t, pat, 1)
-        condition = F.when(got != "", _title_case(F.trim(got))).otherwise(condition)
+    female_percent = F.when(
+        t.contains("female") | t.contains("women"),
+        F.nullif(F.regexp_extract(t, _GENDER_PATTERN, 1), F.lit("")).cast("double"),
+    )
+    _cond_prefilter = ["patients with", "patients", "diagnosed with"]
+    condition = _title_case(
+        F.trim(
+            F.coalesce(
+                *[
+                    F.when(
+                        t.contains(lit_frag),
+                        F.nullif(F.regexp_extract(t, pat, 1), F.lit("")),
+                    )
+                    for pat, lit_frag in zip(CONDITION_PATTERNS, _cond_prefilter)
+                ],
+                F.lit(""),
+            )
+        )
+    )
     setting = (
         F.when(
             F.contains(t, F.lit("multicenter")) | F.contains(t, F.lit("multi-center")),

@@ -34,326 +34,332 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round; r01-r05 cumulatively drove 238 of the 251 entries.
-#: r06 rotation (VERDICT r05 tasks 1-3): (a) entries whose code or output
-#: changed this round — the binq/sq8 CSV flattening, PSI null counts,
-#: the three rows-only→oracle upgrades, the cooccurrence basket cap's
-#: callers, the unique-rule null fix; then (b) the entries that have
-#: NEVER had a driver row; then (c) the stalest (r01-green) backfill.
-#: Mid-round the gap-closing tier added 12 more NEW entries at the top
-#: (garbled/trend/paper-insights/validation/news/hot-topics/FDA), so the
-#: r06 window is ~25 new/changed + 10 never-checked + ~15 r01 backfill;
-#: the spilled r01 block sits immediately below the line for r07. All 50
-#: window entries are hash-oracle-backed — rows-only-by-design entries
-#: are parked below the line so no window slot scores as a no_oracle
-#: error. r07 rotation: this round's confirmations drop below; pull the
-#: r01 spill + the r02 block forward.
+#: entries per round; r01-r06 cumulatively drove 269 of the prior 270
+#: entries (the r06 window was 50/50 hash-green). r07 rotation (VERDICT
+#: r06 tasks 1-3 + ADVICE): (a) 6 NEW entries (dataset-type detector,
+#: three briefing ladders, the two HLL replay upgrades — the last
+#: rows-only sketch family now hash-oracled); (b) 6 kernel/plan-changed
+#: entries re-earning driver rows (funnel tie fix, IVF assignment
+#: distance form, prefiltered population/keyword extractors, the lazy
+#: basket cap's re-pinned item_cf_parts); (c) 5 more cooccurrence
+#: callers re-confirming cap output-identity; (d) the FULL 33-entry
+#: r01-stale backfill, bh_adjust/hybrid_rrf first (kernels changed in
+#: r4, never re-checked) — closing VERDICT r06 task 1 exactly: after
+#: this window no oracle-backed entry's latest driver row predates its
+#: last kernel change. 6+6+5+33 = 50; all window entries are
+#: hash-oracle-backed — rows-only-by-design entries are parked at the
+#: bottom so no window slot scores as a no_oracle error. Below the
+#: line: stalest first (the r02 block is next in line for r08).
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === ORDERING: r06 rotation (driver checks roughly the FIRST 50) ===
-    # (a) entries whose CODE or OUTPUT changed this round — every one must
-    # (re-)earn a driver hash row on the current implementation: the
-    # binq/sq8 codes CSV flattening, the PSI null-count columns, the three
-    # rows-only entries upgraded to hash oracles (CUSUM list_reduce twin,
-    # whitening identity-contract twin, frozen-centroid maxsim_ivf twin),
-    # the enforced cooccurrence_edges basket cap (in-cap hashes unchanged
-    # by construction — these rows PROVE it), and the events_expectations
-    # null-key unique fix:
+    # === ORDERING: r07 rotation (driver checks roughly the FIRST 50) ===
+    # (a) NEW entries always enter the window: the dataset-type detector,
+    # the three briefing ladders (article-type classify / high-impact
+    # filter / aggregator headline), and the two deterministic-replay HLL
+    # upgrades (rows-only -> hash oracle, VERDICT r06 task 2):
     "dataset_type": (sc.q_dataset_type, sc.SQL_DATASET_TYPE),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
     "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
-    "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
-    "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
-    "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
-    "cusum_value_shifts": (st.q_cusum_value_shifts, st.SQL_CUSUM_VALUE_SHIFTS),
-    "whitened_dim_profile": (vec.q_whitened_dim_profile, vec.SQL_WHITENED_DIM_PROFILE),
+    "approx_distinct_users": (th.q_approx_distinct_users, th.SQL_APPROX_DISTINCT_USERS),
+    "rolling_active_users": (ev.q_rolling_active_users, ev.SQL_ROLLING_ACTIVE_USERS),
+    # (b) entries whose KERNEL or PLAN changed this round and must
+    # re-earn a driver row on the current implementation: the windowed-
+    # funnel tie fix (ADVICE r06; the catalog entry runs the shared
+    # fold), the direct-form IVF assignment distance, the prefiltered
+    # population extractor, the prefiltered + let-bound keyword
+    # discovery pair, and item_cf_parts (lazy basket cap re-shaped its
+    # plan, 11 -> 15 pinned exchanges):
+    "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
     "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, vec.SQL_MAXSIM_IVF_DOCS),
-    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
+    "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
+    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
+    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
+    "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
+    # (c) the other cooccurrence_edges callers re-confirming the lazy
+    # cap's output-identity (in-cap results are byte-identical by
+    # construction — these rows PROVE it; kcore_parts stays below: its
+    # checkpointed lineage is r6-green and untouched beyond the shared
+    # helper):
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
     "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
-    "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
+    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
     "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
-    "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
-    # NEW this round — the r06 gap-closing tier (the last uncovered
-    # reference rule systems: TeX-mojibake detection, trend-definition
-    # matching, paper insights, trend validation, news prioritization,
-    # hybrid hot topics, FDA feed classification) — new entries always
-    # enter the window:
-    "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
-    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
-    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
-    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
-    "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
-    "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
-    "trend_validation_brands": (cov.q_trend_validation_brands, cov.SQL_TREND_VALIDATION_BRANDS),
-    "news_priority_docs": (cov.q_news_priority_docs, cov.SQL_NEWS_PRIORITY_DOCS),
-    "news_headline": (cov.q_news_headline, cov.SQL_NEWS_HEADLINE),
-    "hot_topic_trends": (cov.q_hot_topic_trends, cov.SQL_HOT_TOPIC_TRENDS),
-    "emerging_keywords_docs": (cov.q_emerging_keywords_docs, cov.SQL_EMERGING_KEYWORDS_DOCS),
-    "fda_feed_classified": (cov.q_fda_feed_classified, cov.SQL_FDA_FEED_CLASSIFIED),
-    "summary_validation_docs": (cov.q_summary_validation_docs, cov.SQL_SUMMARY_VALIDATION_DOCS),
-    "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
-    "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
-    "gap_sentences_docs": (cov.q_gap_sentences_docs, cov.SQL_GAP_SENTENCES_DOCS),
-    "research_gap_priority": (cov.q_research_gap_priority, cov.SQL_RESEARCH_GAP_PRIORITY),
-    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
-    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
-    # (b) never driver-checked (r05 verdict task 2 — local-green only,
-    # zero sf0.01 evidence after five rounds):
-    "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
-    "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
-    "maxsim_docs": (vec.q_maxsim_docs, vec.SQL_MAXSIM_DOCS),
-    "lagged_correlation": (ev.q_lagged_correlation, ev.SQL_LAGGED_CORRELATION),
-    "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
-    "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
-    "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
-    "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
-    "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
-    "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
-    # (c) stalest-evidence backfill: every remaining entry whose most
-    # recent driver green is r01 that fits the window (27 of 41; the other
-    # 14 sit immediately below the line for r07):
-    "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
-    "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
-    "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
-    "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
-    "supplier_nation_lookup": (rel.q_supplier_nation_lookup, rel.SQL_SUPPLIER_NATION_LOOKUP),
-    "lineitem_flags": (rel.q_lineitem_flags, rel.SQL_LINEITEM_FLAGS),
-    "customer_running_total": (rel.q_customer_running_total, rel.SQL_CUSTOMER_RUNNING_TOTAL),
-    "order_gap_days": (rel.q_order_gap_days, rel.SQL_ORDER_GAP_DAYS),
+    # (d) the r01-stale backfill (VERDICT r06 task 1 — ALL 33 entries
+    # whose latest driver row is r01): bh_adjust and hybrid_rrf lead
+    # (kernels changed in r4, zero post-change driver evidence), then
+    # the rest alphabetically. After r07 no oracle-backed entry's latest
+    # driver row predates its last kernel change:
+    "bh_adjust": (ev.q_bh_adjust, ev.SQL_BH_ADJUST),
+    "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
+    "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
+    "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
     "customers_without_orders": (rel.q_customers_without_orders, rel.SQL_CUSTOMERS_WITHOUT_ORDERS),
-    "part_price_spread": (rel.q_part_price_spread, rel.SQL_PART_PRICE_SPREAD),
-    "quantity_share_ppm": (rel.q_quantity_share_ppm, rel.SQL_QUANTITY_SHARE_PPM),
-    "minmax_acctbal": (rel.q_minmax_acctbal, rel.SQL_MINMAX_ACCTBAL),
-    "recency_score": (rel.q_recency_score, rel.SQL_RECENCY_SCORE),
-    "orders_per_month": (rel.q_orders_per_month, rel.SQL_ORDERS_PER_MONTH),
-    "regional_revenue": (rel.q_regional_revenue, rel.SQL_REGIONAL_REVENUE),
-    "events_in_price_band": (rel.q_events_in_price_band, rel.SQL_EVENTS_IN_PRICE_BAND),
     "daily_event_counts": (ev.q_daily_event_counts, ev.SQL_DAILY_EVENT_COUNTS),
+    "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "event_share_per_day": (ev.q_event_share_per_day, ev.SQL_EVENT_SHARE_PER_DAY),
     "event_trends": (ev.q_event_trends, ev.SQL_EVENT_TRENDS),
-    "signup_before_purchase": (ev.q_signup_before_purchase, ev.SQL_SIGNUP_BEFORE_PURCHASE),
-    "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
-    "bh_adjust": (ev.q_bh_adjust, ev.SQL_BH_ADJUST),
-    "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
+    "events_in_price_band": (rel.q_events_in_price_band, rel.SQL_EVENTS_IN_PRICE_BAND),
     "fingerprint": (tx.q_fingerprint, tx.SQL_FINGERPRINT),
-    "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
-    "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
-    # === below the window ===
-    # r01-green spill (FIRST in line for the r07 window):
-    "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
     "knn_cosine": (vec.q_knn_cosine, vec.SQL_KNN_COSINE),
     "knn_l2": (vec.q_knn_l2, vec.SQL_KNN_L2),
     "label_centroids": (vec.q_label_centroids, vec.SQL_LABEL_CENTROIDS),
-    "bm25_topk": (vec.q_bm25_topk, vec.SQL_BM25_TOPK),
-    "hybrid_rrf": (vec.q_hybrid_rrf, vec.SQL_HYBRID_RRF),
-    "recommend_docs": (vec.q_recommend_docs, vec.SQL_RECOMMEND_DOCS),
-    "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
-    "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),
     "median_order_value": (net.q_median_order_value, net.SQL_MEDIAN_ORDER_VALUE),
+    "minhash_signatures": (tx.q_minhash_signatures, tx.SQL_MINHASH_SIGNATURES),
+    "minmax_acctbal": (rel.q_minmax_acctbal, rel.SQL_MINMAX_ACCTBAL),
+    "ngram_jaccard": (tx.q_ngram_jaccard, tx.SQL_NGRAM_JACCARD),
+    "orders_per_month": (rel.q_orders_per_month, rel.SQL_ORDERS_PER_MONTH),
+    "part_correlation_network": (net.q_part_correlation_network, net.SQL_PART_CORRELATION_NETWORK),
+    "part_price_spread": (rel.q_part_price_spread, rel.SQL_PART_PRICE_SPREAD),
+    "part_spearman_network": (net.q_part_spearman_network, net.SQL_PART_SPEARMAN_NETWORK),
     "props_extract": (net.q_props_extract, net.SQL_PROPS_EXTRACT),
+    "quantity_share_ppm": (rel.q_quantity_share_ppm, rel.SQL_QUANTITY_SHARE_PPM),
+    "recency_score": (rel.q_recency_score, rel.SQL_RECENCY_SCORE),
+    "recommend_docs": (vec.q_recommend_docs, vec.SQL_RECOMMEND_DOCS),
+    "regional_revenue": (rel.q_regional_revenue, rel.SQL_REGIONAL_REVENUE),
     "sessionize": (net.q_sessionize, net.SQL_SESSIONIZE),
-    "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
+    "signup_before_purchase": (ev.q_signup_before_purchase, ev.SQL_SIGNUP_BEFORE_PURCHASE),
+    "simhash": (tx.q_simhash, tx.SQL_SIMHASH),
+    "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
+    "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
-    "brand_discount_enrichment": (st.q_brand_discount_enrichment, st.SQL_BRAND_DISCOUNT_ENRICHMENT),
-    # r02/r03/r04/r05-confirmed blocks, freshest last; rows-only-by-design
-    # entries (no SQL twin possible: Datasketches HLL estimates, seeded
-    # KMeans codebooks, zlib ratios, driver-side BPE merge tables) are
-    # parked here so driver-window slots only go to hash-checkable rows:
-    "rolling_active_users": (ev.q_rolling_active_users, ev.SQL_ROLLING_ACTIVE_USERS),
-    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
-    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
-    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
-    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
-    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
-    "ivf_recall": (vec.q_ivf_recall, None),
-    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
-    "compression_ratio": (tx.q_compression_ratio, None),
-    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
-    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
-    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
-    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
-    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
-    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
-    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
-    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
-    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    # === below the window ===
+    # stalest-evidence first (the r02 block is next in line for r08),
+    # then r03/r04/r05/r06 confirmations, freshest last:
     "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
     "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
+    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
     "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
+    "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
+    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
+    "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
     "priority_size_factors": (sc.q_priority_size_factors, sc.SQL_PRIORITY_SIZE_FACTORS),
     "pseudobulk_parts": (sc.q_pseudobulk_parts, sc.SQL_PSEUDOBULK_PARTS),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
-    "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
-    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
-    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
-    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
-    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "quality_quota": (tx.q_quality_quota, tx.SQL_QUALITY_QUOTA),
     "rag_context": (vec.q_rag_context, vec.SQL_RAG_CONTEXT),
-    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
-    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
-    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
-    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
-    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
+    "repeated_spans": (tx.q_repeated_spans, tx.SQL_REPEATED_SPANS),
+    "repetition_stats": (tx.q_repetition_stats, tx.SQL_REPETITION_STATS),
+    "rerank_blend": (vec.q_rerank_blend, vec.SQL_RERANK_BLEND),
+    "retrieval_ndcg": (vec.q_retrieval_ndcg, vec.SQL_RETRIEVAL_NDCG),
+    "semdedup": (vec.q_semdedup, vec.SQL_SEMDEDUP),
+    "sequence_pack": (pk.q_sequence_pack, pk.SQL_SEQUENCE_PACK),
+    "sequence_pack_nextfit": (pk.q_sequence_pack_nextfit, pk.SQL_SEQUENCE_PACK_NEXTFIT),
+    "sequence_pack_stats": (pk.q_sequence_pack_stats, pk.SQL_SEQUENCE_PACK_STATS),
+    "shuffle_shards": (pk.q_shuffle_shards, pk.SQL_SHUFFLE_SHARDS),
+    "span_cut_docs": (cl.q_span_cut_docs, cl.SQL_SPAN_CUT_DOCS),
+    "temperature_sample": (pk.q_temperature_sample, pk.SQL_TEMPERATURE_SAMPLE),
+    "temperature_weights": (pk.q_temperature_weights, pk.SQL_TEMPERATURE_WEIGHTS),
+    "tfidf_topk": (tx.q_tfidf_topk, tx.SQL_TFIDF_TOPK),
+    "unigram_logprob": (tx.q_unigram_logprob, tx.SQL_UNIGRAM_LOGPROB),
+    "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
+    "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
+    "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
-    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
-    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
+    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
+    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
+    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
+    "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
+    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
+    "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
+    "exact_dup_groups": (tx.q_exact_dup_groups, tx.SQL_EXACT_DUP_GROUPS),
+    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
     "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
     "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
-    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
-    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
+    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
+    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
     "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
-    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
-    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
-    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
-    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
-    "disjunctive_revenue": (th.q_disjunctive_revenue, th.SQL_DISJUNCTIVE_REVENUE),
-    "wealthy_inactive_customers": (
-        th.q_wealthy_inactive_customers,
-        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
-    ),
-    "grouping_sets_revenue": (th.q_grouping_sets_revenue, th.SQL_GROUPING_SETS_REVENUE),
-    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
-    "distinct_users_by_type": (th.q_distinct_users_by_type, th.SQL_DISTINCT_USERS_BY_TYPE),
-    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
-    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
-    "discount_band_revenue": (th2.q_discount_band_revenue, th2.SQL_DISCOUNT_BAND_REVENUE),
+    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
+    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
+    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
+    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
+    "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
     "nation_market_share": (th2.q_nation_market_share, th2.SQL_NATION_MARKET_SHARE),
     "nation_profit": (th2.q_nation_profit, th2.SQL_NATION_PROFIT),
+    "nation_volume_flow": (th.q_nation_volume_flow, th.SQL_NATION_VOLUME_FLOW),
+    "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
+    "order_count_distribution": (th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION),
+    "paga_labels": (net.q_paga_labels, net.SQL_PAGA_LABELS),
+    "part_supplier_diversity": (th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY),
+    "part_year_setops": (th.q_part_year_setops, th.SQL_PART_YEAR_SETOPS),
+    "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
+    "pivot_unpivot_roundtrip": (th.q_pivot_unpivot_roundtrip, th.SQL_PIVOT_UNPIVOT_ROUNDTRIP),
+    "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
+    "precision_field_scores": (cov.q_precision_field_scores, cov.SQL_PRECISION_FIELD_SCORES),
+    "priority_lines_by_flag": (th.q_priority_lines_by_flag, th.SQL_PRIORITY_LINES_BY_FLAG),
+    "profile_documents": (th.q_profile_documents, th.SQL_PROFILE_DOCUMENTS),
+    "promo_revenue_monthly": (th.q_promo_revenue_monthly, th.SQL_PROMO_REVENUE_MONTHLY),
+    "pseudotime_embeddings": (net.q_pseudotime_embeddings, net.SQL_PSEUDOTIME_EMBEDDINGS),
+    "purchase_last_view": (cov.q_purchase_last_view, cov.SQL_PURCHASE_LAST_VIEW),
+    "quantized_knn": (th.q_quantized_knn, th.SQL_QUANTIZED_KNN),
+    "reservoir_per_source": (th.q_reservoir_per_source, th.SQL_RESERVOIR_PER_SOURCE),
     "returned_revenue_customers": (
         th2.q_returned_revenue_customers,
         th2.SQL_RETURNED_REVENUE_CUSTOMERS,
     ),
-    "order_count_distribution": (th2.q_order_count_distribution, th2.SQL_ORDER_COUNT_DISTRIBUTION),
-    "min_cost_supplier": (th2.q_min_cost_supplier, th2.SQL_MIN_COST_SUPPLIER),
-    "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
-    "part_supplier_diversity": (th2.q_part_supplier_diversity, th2.SQL_PART_SUPPLIER_DIVERSITY),
-    "dominant_shippers": (th2.q_dominant_shippers, th2.SQL_DOMINANT_SHIPPERS),
+    "segment_top_orders": (th2.q_segment_top_orders, th2.SQL_SEGMENT_TOP_ORDERS),
     "small_quantity_revenue": (th.q_small_quantity_revenue, th.SQL_SMALL_QUANTITY_REVENUE),
-    "large_order_customers": (th.q_large_order_customers, th.SQL_LARGE_ORDER_CUSTOMERS),
+    "token_doc_index": (cov.q_token_doc_index, cov.SQL_TOKEN_DOC_INDEX),
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
-    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
     "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
-    "embed_documents": (tx.q_embed_documents, tx.SQL_EMBED_DOCUMENTS),
-    "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
-    "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
-    "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
-    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
+    "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
+    "wealthy_inactive_customers": (
+        th.q_wealthy_inactive_customers,
+        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
+    ),
     "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
-    "neardup_ingest_batch": (tx.q_neardup_ingest_batch, tx.SQL_NEARDUP_INGEST_BATCH),
-    "domain_boilerplate": (cl.q_domain_boilerplate, cl.SQL_DOMAIN_BOILERPLATE),
-    "perplexity_buckets": (tx.q_perplexity_buckets, tx.SQL_PERPLEXITY_BUCKETS),
-    "pq_adc_knn": (vec.q_pq_adc_knn, vec.SQL_PQ_ADC_KNN),
-    "mmr_diversify": (vec.q_mmr_diversify, vec.SQL_MMR_DIVERSIFY),
-    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
-    "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
-    "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),
-    "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
-    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
-    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
-    "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
-    "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
-    "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
-    "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
-    "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
-    "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
-    "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
-    "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
-    "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
-    "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
-    "quantile_normalize_values": (ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES),
-    "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
-    "salted_supplier_volume": (rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME),
-    "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
-    "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
-    "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
-    "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
-    "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
-    "approx_distinct_users": (th.q_approx_distinct_users, th.SQL_APPROX_DISTINCT_USERS),
-    "label_map_2d": (vec.q_label_map_2d, None),
-    "semdedup_auto": (vec.q_semdedup_auto, None),
-    "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),
     "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
-    "bpe_train_merges": (tx.q_bpe_train_merges, None),
-    "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),
-    "term_proximity": (tx.q_term_proximity, tx.SQL_TERM_PROXIMITY),
-    "heatmap_top_parts": (st.q_heatmap_top_parts, st.SQL_HEATMAP_TOP_PARTS),
-    "url_domain_stats": (cl.q_url_domain_stats, cl.SQL_URL_DOMAIN_STATS),
-    "url_dedup_docs": (cl.q_url_dedup_docs, cl.SQL_URL_DEDUP_DOCS),
-    "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
-    "shard_manifest_docs": (pk.q_shard_manifest_docs, pk.SQL_SHARD_MANIFEST_DOCS),
-    "sentence_split_docs": (cl.q_sentence_split_docs, cl.SQL_SENTENCE_SPLIT_DOCS),
-    "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
+    "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
+    "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
+    "cohort_retention": (ev.q_cohort_retention, ev.SQL_COHORT_RETENTION),
     "contrastive_triplets": (vec.q_contrastive_triplets, vec.SQL_CONTRASTIVE_TRIPLETS),
     "corpus_data_card": (tx.q_corpus_data_card, tx.SQL_CORPUS_DATA_CARD),
-    "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
-    "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
-    "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
-    "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
-    "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
+    "corpus_token_budget": (tx.q_corpus_token_budget, tx.SQL_CORPUS_TOKEN_BUDGET),
+    "curriculum_shards_docs": (pk.q_curriculum_shards_docs, pk.SQL_CURRICULUM_SHARDS_DOCS),
     "first_order_per_customer": (rel.q_first_order_per_customer, rel.SQL_FIRST_ORDER_PER_CUSTOMER),
-    "purchase_auc": (evl.q_purchase_auc, evl.SQL_PURCHASE_AUC),
-    "purchase_pr_curve": (evl.q_purchase_pr_curve, evl.SQL_PURCHASE_PR_CURVE),
-    "purchase_calibration": (evl.q_purchase_calibration, evl.SQL_PURCHASE_CALIBRATION),
-    "purchase_brier": (evl.q_purchase_brier, evl.SQL_PURCHASE_BRIER),
-    "purchase_confusion": (evl.q_purchase_confusion, evl.SQL_PURCHASE_CONFUSION),
-    "purchase_ks_drift": (evl.q_purchase_ks_drift, evl.SQL_PURCHASE_KS_DRIFT),
-    "supplier_ship_islands": (evl.q_supplier_ship_islands, evl.SQL_SUPPLIER_SHIP_ISLANDS),
-    "supplier_ship_coverage": (evl.q_supplier_ship_coverage, evl.SQL_SUPPLIER_SHIP_COVERAGE),
-    "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
-    "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
-    "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
+    "gsea_brand_es": (st.q_gsea_brand_es, st.SQL_GSEA_BRAND_ES),
+    "hard_negatives": (vec.q_hard_negatives, vec.SQL_HARD_NEGATIVES),
+    "heatmap_top_parts": (st.q_heatmap_top_parts, st.SQL_HEATMAP_TOP_PARTS),
+    "ivfpq_knn": (vec.q_ivfpq_knn, vec.SQL_IVFPQ_KNN),
+    "knn_vote_ensemble": (st.q_knn_vote_ensemble, st.SQL_KNN_VOTE_ENSEMBLE),
+    "kruskal_by_day": (ev.q_kruskal_by_day, ev.SQL_KRUSKAL_BY_DAY),
+    "mixture_budget_plan": (pk.q_mixture_budget_plan, pk.SQL_MIXTURE_BUDGET_PLAN),
+    "new_users_daily": (ev.q_new_users_daily, ev.SQL_NEW_USERS_DAILY),
+    "ngram_decontaminate": (tx.q_ngram_decontaminate, tx.SQL_NGRAM_DECONTAMINATE),
+    "order_priority_exists": (rel.q_order_priority_exists, rel.SQL_ORDER_PRIORITY_EXISTS),
+    "phrase_search": (tx.q_phrase_search, tx.SQL_PHRASE_SEARCH),
+    "pricing_summary": (rel.q_pricing_summary, rel.SQL_PRICING_SUMMARY),
+    "quality_classifier": (tx.q_quality_classifier, tx.SQL_QUALITY_CLASSIFIER),
+    "quantile_normalize_values": (ev.q_quantile_normalize_values, ev.SQL_QUANTILE_NORMALIZE_VALUES),
+    "region_rollup": (rel.q_region_rollup, rel.SQL_REGION_ROLLUP),
+    "robust_scale_values": (ev.q_robust_scale_values, ev.SQL_ROBUST_SCALE_VALUES),
+    "rolling_7d_user_value": (ev.q_rolling_7d_user_value, ev.SQL_ROLLING_7D_USER_VALUE),
+    "salted_supplier_volume": (rel.q_salted_supplier_volume, rel.SQL_SALTED_SUPPLIER_VOLUME),
+    "scd2_customers": (rel.q_scd2_customers, rel.SQL_SCD2_CUSTOMERS),
+    "sentence_split_docs": (cl.q_sentence_split_docs, cl.SQL_SENTENCE_SPLIT_DOCS),
+    "shard_manifest_docs": (pk.q_shard_manifest_docs, pk.SQL_SHARD_MANIFEST_DOCS),
+    "term_proximity": (tx.q_term_proximity, tx.SQL_TERM_PROXIMITY),
+    "top_brand_revenue": (rel.q_top_brand_revenue, rel.SQL_TOP_BRAND_REVENUE),
+    "top_orders": (rel.q_top_orders, rel.SQL_TOP_ORDERS),
+    "url_dedup_docs": (cl.q_url_dedup_docs, cl.SQL_URL_DEDUP_DOCS),
+    "url_domain_stats": (cl.q_url_domain_stats, cl.SQL_URL_DOMAIN_STATS),
+    "user_skew_profile": (ev.q_user_skew_profile, ev.SQL_USER_SKEW_PROFILE),
+    "vocab_dispatch_keywords": (cov.q_vocab_dispatch_keywords, cov.SQL_VOCAB_DISPATCH_KEYWORDS),
+    "vocab_dispatch_lexical": (cov.q_vocab_dispatch_lexical, cov.SQL_VOCAB_DISPATCH_LEXICAL),
+    "vocab_dispatch_list": (cov.q_vocab_dispatch_list, cov.SQL_VOCAB_DISPATCH_LIST),
+    "volcano_parts": (st.q_volcano_parts, st.SQL_VOLCANO_PARTS),
+    "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
+    "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
+    "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
+    "audience_overlap_kmv": (ev.q_audience_overlap_kmv, ev.SQL_AUDIENCE_OVERLAP_KMV),
     "binq_knn": (vec.q_binq_knn, vec.SQL_BINQ_KNN),
-    "ship_overlap_annotation": (evl.q_ship_overlap_annotation, evl.SQL_SHIP_OVERLAP_ANNOTATION),
-    "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
+    "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
+    "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
+    "compaction_plan_events": (pk.q_compaction_plan_events, pk.SQL_COMPACTION_PLAN_EVENTS),
     "daily_trend_ols": (ev.q_daily_trend_ols, ev.SQL_DAILY_TREND_OLS),
+    "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
+    "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
+    "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
+    "fuzzy_part_names": (evl.q_fuzzy_part_names, evl.SQL_FUZZY_PART_NAMES),
     "holt_backtest_daily": (ev.q_holt_backtest, ev.SQL_HOLT_BACKTEST),
-    "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
+    "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
+    "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
+    "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
+    "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),
+    "neyman_review_sample": (tx.q_neyman_review_sample, tx.SQL_NEYMAN_REVIEW_SAMPLE),
+    "part_name_resolution": (evl.q_part_name_resolution, evl.SQL_PART_NAME_RESOLUTION),
+    "part_price_size_frontier": (evl.q_part_price_size_frontier, evl.SQL_PART_PRICE_SIZE_FRONTIER),
+    "purchase_auc": (evl.q_purchase_auc, evl.SQL_PURCHASE_AUC),
+    "purchase_brier": (evl.q_purchase_brier, evl.SQL_PURCHASE_BRIER),
+    "purchase_calibration": (evl.q_purchase_calibration, evl.SQL_PURCHASE_CALIBRATION),
+    "purchase_confusion": (evl.q_purchase_confusion, evl.SQL_PURCHASE_CONFUSION),
+    "purchase_gains": (ev.q_purchase_gains, ev.SQL_PURCHASE_GAINS),
+    "purchase_ks_drift": (evl.q_purchase_ks_drift, evl.SQL_PURCHASE_KS_DRIFT),
+    "purchase_pr_curve": (evl.q_purchase_pr_curve, evl.SQL_PURCHASE_PR_CURVE),
     "purchase_woe_iv": (evl.q_purchase_woe_iv, evl.SQL_PURCHASE_WOE_IV),
     "rake_keyphrases": (tx.q_rake_keyphrases, tx.SQL_RAKE_KEYPHRASES),
-    "dp_type_stats": (evl.q_dp_type_stats, evl.SQL_DP_TYPE_STATS),
-    "compaction_plan_events": (pk.q_compaction_plan_events, pk.SQL_COMPACTION_PLAN_EVENTS),
-    "audience_overlap_kmv": (ev.q_audience_overlap_kmv, ev.SQL_AUDIENCE_OVERLAP_KMV),
-    "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
-    "holt_conformal_daily": (ev.q_holt_conformal, ev.SQL_HOLT_CONFORMAL),
-    "cohort_log_rank": (ev.q_cohort_log_rank, ev.SQL_COHORT_LOG_RANK),
-    "theil_sen_trend": (ev.q_theil_sen_trend, ev.SQL_THEIL_SEN_TREND),
-    "neyman_review_sample": (tx.q_neyman_review_sample, tx.SQL_NEYMAN_REVIEW_SAMPLE),
-    "nelson_aalen_churn": (ev.q_nelson_aalen, ev.SQL_NELSON_AALEN),
-    "purchase_gains": (ev.q_purchase_gains, ev.SQL_PURCHASE_GAINS),
-    "funnel_conversion": (ev.q_funnel_conversion, ev.SQL_FUNNEL_CONVERSION),
-    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
-    "mesh_vocab_stats": (cov.q_mesh_vocab_stats, cov.SQL_MESH_VOCAB_STATS),
-    "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
-    "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
-    "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
     "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
-    "event_transitions": (ev.q_event_transitions, ev.SQL_EVENT_TRANSITIONS),
-    "kaplan_meier": (ev.q_kaplan_meier, ev.SQL_KAPLAN_MEIER),
-    "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
-    "embedding_dim_profile": (vec.q_embedding_dim_profile, vec.SQL_EMBEDDING_DIM_PROFILE),
+    "session_paths": (ev.q_session_paths, ev.SQL_SESSION_PATHS),
+    "shapley_attribution": (ev.q_shapley_attribution, ev.SQL_SHAPLEY_ATTRIBUTION),
+    "ship_overlap_annotation": (evl.q_ship_overlap_annotation, evl.SQL_SHIP_OVERLAP_ANNOTATION),
     "sq8_adc_knn": (vec.q_sq8_adc_knn, vec.SQL_SQ8_ADC_KNN),
+    "supplier_ship_coverage": (evl.q_supplier_ship_coverage, evl.SQL_SUPPLIER_SHIP_COVERAGE),
+    "supplier_ship_islands": (evl.q_supplier_ship_islands, evl.SQL_SUPPLIER_SHIP_ISLANDS),
+    "target_encode_supplier": (rel.q_target_encode_supplier, rel.SQL_TARGET_ENCODE_SUPPLIER),
+    "theil_sen_trend": (ev.q_theil_sen_trend, ev.SQL_THEIL_SEN_TREND),
+    "touch_attribution": (ev.q_touch_attribution, ev.SQL_TOUCH_ATTRIBUTION),
+    "value_anomalies": (ev.q_value_anomalies, ev.SQL_VALUE_ANOMALIES),
+    "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
+    "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
     "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
+    "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
+    "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
+    "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
+    "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
+    "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
+    "customer_running_total": (rel.q_customer_running_total, rel.SQL_CUSTOMER_RUNNING_TOTAL),
+    "cusum_value_shifts": (st.q_cusum_value_shifts, st.SQL_CUSUM_VALUE_SHIFTS),
+    "emerging_keywords_docs": (cov.q_emerging_keywords_docs, cov.SQL_EMERGING_KEYWORDS_DOCS),
+    "events_expectations": (ev.q_events_expectations, ev.SQL_EVENTS_EXPECTATIONS),
+    "fda_feed_classified": (cov.q_fda_feed_classified, cov.SQL_FDA_FEED_CLASSIFIED),
+    "gap_sentences_docs": (cov.q_gap_sentences_docs, cov.SQL_GAP_SENTENCES_DOCS),
+    "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
+    "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
+    "hot_topic_trends": (cov.q_hot_topic_trends, cov.SQL_HOT_TOPIC_TRENDS),
+    "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
+    "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
+    "lagged_correlation": (ev.q_lagged_correlation, ev.SQL_LAGGED_CORRELATION),
+    "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
+    "lineitem_flags": (rel.q_lineitem_flags, rel.SQL_LINEITEM_FLAGS),
+    "maxsim_docs": (vec.q_maxsim_docs, vec.SQL_MAXSIM_DOCS),
+    "news_headline": (cov.q_news_headline, cov.SQL_NEWS_HEADLINE),
+    "news_priority_docs": (cov.q_news_priority_docs, cov.SQL_NEWS_PRIORITY_DOCS),
+    "order_gap_days": (rel.q_order_gap_days, rel.SQL_ORDER_GAP_DAYS),
+    "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
+    "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
+    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
+    "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
+    "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
+    "research_gap_priority": (cov.q_research_gap_priority, cov.SQL_RESEARCH_GAP_PRIORITY),
+    "rfm_segments": (ev.q_rfm_segments, ev.SQL_RFM_SEGMENTS),
+    "source_stats": (tx.q_source_stats, tx.SQL_SOURCE_STATS),
+    "sq8_codes": (vec.q_sq8_codes, vec.SQL_SQ8_CODES),
+    "summary_validation_docs": (cov.q_summary_validation_docs, cov.SQL_SUMMARY_VALIDATION_DOCS),
+    "supplier_nation_lookup": (rel.q_supplier_nation_lookup, rel.SQL_SUPPLIER_NATION_LOOKUP),
+    "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
+    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
+    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
+    "trend_validation_brands": (cov.q_trend_validation_brands, cov.SQL_TREND_VALIDATION_BRANDS),
+    "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
+    "whitened_dim_profile": (vec.q_whitened_dim_profile, vec.SQL_WHITENED_DIM_PROFILE),
+    # rows-only-by-design (no SQL twin possible: recall diagnostics on
+    # seeded KMeans codebooks, zlib ratios, driver-side BPE merge
+    # tables, 2-D label maps) — parked so driver-window slots only go to
+    # hash-checkable rows:
+    "ivf_recall": (vec.q_ivf_recall, None),
+    "compression_ratio": (tx.q_compression_ratio, None),
+    "label_map_2d": (vec.q_label_map_2d, None),
+    "semdedup_auto": (vec.q_semdedup_auto, None),
+    "bpe_train_merges": (tx.q_bpe_train_merges, None),
 }
 
 
