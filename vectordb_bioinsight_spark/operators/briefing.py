@@ -98,13 +98,17 @@ def article_type_classify(
     rounded 4 dp.
     """
     pts = F.col(pub_types_col)
+    # two-stage: map to types FIRST so the 17-branch mapping CASE runs
+    # once per element (referencing _pt_type(x) in both the priority and
+    # the type field would evaluate it twice — probed 2x at 1M docs)
+    types = F.transform(pts, _pt_type)
     best = F.array_max(
         F.transform(
-            pts,
-            lambda x, i: F.struct(
-                _type_priority(_pt_type(x)).alias("p"),
+            types,
+            lambda t, i: F.struct(
+                _type_priority(t).alias("p"),
                 (-i).cast("int").alias("ni"),
-                _pt_type(x).alias("t"),
+                t.alias("t"),
             ),
         )
     )
