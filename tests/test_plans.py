@@ -239,6 +239,9 @@ _MAX_EXCHANGES = {
     # daily exact agg, register agg, served-day merge, estimate, join —
     # all register-bounded after the first two.
     "dataset_type": 6,
+    # three bounded per-gene evidence aggs + the full-outer gene join;
+    # the ladder itself is scan-local
+    "integrated_drivers": 4,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

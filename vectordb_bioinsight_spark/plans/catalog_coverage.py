@@ -2103,3 +2103,179 @@ SELECT id, tier, category, news_type, priority
 FROM tiered WHERE tier IS NOT NULL
 ORDER BY tier ASC, priority DESC, id ASC LIMIT 1
 """
+
+
+def q_integrated_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-omic integrated driver scoring
+    (operators/driver_integration.py::integrated_driver_scores — the
+    reference's IntegratedDriverAgent ladder,
+    agent_integrated_driver.py:438-634): 40 planted 'genes' from part
+    (ten mapped onto REAL role-table symbols so the oncogene-up /
+    TSG-down consistency bonus fires both ways), expression tiers and
+    padj tiers planted by CASE rotation, hub membership on every third
+    gene, and 1-2 mutation rows on every second gene (hotspot on every
+    fifth) — all six classifications reachable."""
+    from vectordb_bioinsight_spark.operators.driver_integration import (
+        integrated_driver_scores,
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 40)
+    k = F.col("p_partkey")
+    gene = (
+        F.when(k % 40 == 1, "TP53").when(k % 40 == 2, "PTEN")
+        .when(k % 40 == 3, "BRCA1").when(k % 40 == 4, "RB1")
+        .when(k % 40 == 5, "APC").when(k % 40 == 6, "KRAS")
+        .when(k % 40 == 7, "EGFR").when(k % 40 == 8, "MYC")
+        .when(k % 40 == 9, "BRAF").when(k % 40 == 10, "ALK")
+        .otherwise(F.concat(F.lit("G"), (k % 40).cast("string")))
+    )
+    log2fc = (
+        F.when(k % 5 == 0, 2.5).when(k % 5 == 1, 1.8)
+        .when(k % 5 == 2, 1.2).when(k % 5 == 3, 0.5).otherwise(-2.2)
+    )
+    padj = (
+        F.when(k % 7 == 0, 0.0005).when(k % 7 == 1, 0.005)
+        .when(k % 7 == 2, 0.03).otherwise((k * 13 % 100).cast("double") / 100.0)
+    )
+    deg = part.filter(k % 4 != 3).select(
+        gene.alias("gene"), log2fc.alias("log2fc"), padj.alias("padj")
+    )
+    hub = part.filter(k % 3 == 0).select(
+        gene.alias("gene"),
+        ((k * 11 % 100).cast("double") / 100.0).alias("hub_score"),
+    )
+    muts = part.filter(k % 2 == 0).select(
+        gene.alias("gene"),
+        F.explode(
+            F.when(k % 8 == 0, F.array(F.lit(1), F.lit(2))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("rep"),
+        k.alias("k"),
+    ).select(
+        "gene",
+        (
+            F.when(F.col("k") % 4 == 0, 85.0).when(F.col("k") % 4 == 1, 40.0)
+            .when(F.col("k") % 4 == 2, 10.0).otherwise(70.0)
+            + F.col("rep").cast("double")
+        ).alias("driver_score"),
+        (
+            F.when(F.col("k") % 3 == 0, 0.45).when(F.col("k") % 3 == 1, 0.2)
+            .otherwise(0.05)
+        ).alias("vaf"),
+        ((F.col("k") + F.col("rep")) % 5 == 0).alias("is_hotspot"),
+        F.concat(
+            F.lit("p.A"), (F.col("k") * 3 + F.col("rep")).cast("string"), F.lit("T")
+        ).alias("amino_acid_change"),
+    )
+    return integrated_driver_scores(deg, hub, muts)
+
+
+SQL_INTEGRATED_DRIVERS = """
+WITH base AS (
+  SELECT p_partkey AS k,
+         CASE p_partkey % 40
+           WHEN 1 THEN 'TP53' WHEN 2 THEN 'PTEN' WHEN 3 THEN 'BRCA1'
+           WHEN 4 THEN 'RB1' WHEN 5 THEN 'APC' WHEN 6 THEN 'KRAS'
+           WHEN 7 THEN 'EGFR' WHEN 8 THEN 'MYC' WHEN 9 THEN 'BRAF'
+           WHEN 10 THEN 'ALK'
+           ELSE 'G' || (p_partkey % 40)::VARCHAR END AS gene
+  FROM part WHERE p_partkey <= 40
+), deg AS (
+  SELECT gene,
+         max(CASE k % 5 WHEN 0 THEN 2.5 WHEN 1 THEN 1.8 WHEN 2 THEN 1.2
+             WHEN 3 THEN 0.5 ELSE -2.2 END) AS log2fc,
+         min(CASE k % 7 WHEN 0 THEN 0.0005 WHEN 1 THEN 0.005 WHEN 2 THEN 0.03
+             ELSE (k * 13 % 100)::DOUBLE / 100.0 END) AS padj
+  FROM base WHERE k % 4 <> 3 GROUP BY 1
+), degd AS (
+  SELECT gene, TRUE AS has_expr, log2fc, padj,
+         CASE WHEN log2fc > 0 THEN 'up' ELSE 'down' END AS direction
+  FROM deg
+), hub AS (
+  SELECT gene, TRUE AS is_hub, max((k * 11 % 100)::DOUBLE / 100.0) AS hub_score
+  FROM base WHERE k % 3 = 0 GROUP BY 1
+), mut_rows AS (
+  SELECT gene, k, r.rep
+  FROM base, (SELECT unnest([1, 2]) AS rep) r
+  WHERE k % 2 = 0 AND (r.rep = 1 OR k % 8 = 0)
+), mutv AS (
+  SELECT gene, k, rep,
+         (CASE k % 4 WHEN 0 THEN 85.0 WHEN 1 THEN 40.0 WHEN 2 THEN 10.0
+          ELSE 70.0 END + rep) AS driver_score,
+         CASE k % 3 WHEN 0 THEN 0.45 WHEN 1 THEN 0.2 ELSE 0.05 END AS vaf,
+         ((k + rep) % 5 = 0) AS hot,
+         'p.A' || (k * 3 + rep)::VARCHAR || 'T' AS aa
+  FROM mut_rows
+), muta AS (
+  SELECT gene, TRUE AS has_mutation, count(*)::BIGINT AS mutation_count,
+         max(driver_score) AS mutation_driver_score,
+         max(vaf) AS mutation_vaf,
+         bool_or(hot) AS is_hotspot,
+         max(CASE WHEN hot THEN aa END) AS hotspot_variant
+  FROM mutv GROUP BY 1
+), joined AS (
+  SELECT coalesce(d.gene, h.gene, m.gene) AS gene,
+         coalesce(d.has_expr, FALSE) AS has_expr, d.log2fc, d.padj, d.direction,
+         coalesce(h.is_hub, FALSE) AS is_hub, h.hub_score,
+         coalesce(m.has_mutation, FALSE) AS has_mutation,
+         coalesce(m.mutation_count, 0)::BIGINT AS mutation_count,
+         m.mutation_driver_score, m.mutation_vaf,
+         coalesce(m.is_hotspot, FALSE) AS is_hotspot, m.hotspot_variant
+  FROM degd d
+  FULL OUTER JOIN hub h ON h.gene = d.gene
+  FULL OUTER JOIN muta m ON m.gene = coalesce(d.gene, h.gene)
+), roled AS (
+  SELECT *,
+         CASE WHEN gene IN ('TP53','RB1','PTEN','APC','BRCA1','BRCA2','CDKN2A',
+                            'NF1','NF2','VHL','STK11','SMAD4','ATM','CHEK2',
+                            'CDH1','ARID1A','BAP1','FBXW7','MLH1','MSH2','MSH6',
+                            'PALB2','SETD2','SMARCA4','WT1') THEN 'TSG'
+              WHEN gene IN ('KRAS','NRAS','HRAS','BRAF','PIK3CA','EGFR','ERBB2',
+                            'MET','ALK','ROS1','RET','FGFR1','FGFR2','FGFR3',
+                            'KIT','PDGFRA','ABL1','JAK2','MYC','MYCN','CCND1',
+                            'CDK4','CDK6','MDM2','BCL2','CTNNB1','IDH1','IDH2',
+                            'FLT3','NPM1','DNMT3A','SF3B1') THEN 'Oncogene'
+              ELSE 'Unknown' END AS role
+  FROM joined
+), scored AS (
+  SELECT *,
+    least(100.0,
+      CASE WHEN has_mutation THEN
+        least(30.0, coalesce(mutation_driver_score, 0.0) * 0.5)
+        + CASE WHEN is_hotspot THEN 15.0 ELSE 0.0 END
+        + CASE WHEN coalesce(mutation_vaf, 0.0) >= 0.3 THEN 5.0 ELSE 0.0 END
+      ELSE 0.0 END
+      + CASE WHEN has_expr THEN
+          (CASE WHEN abs(coalesce(log2fc, 0.0)) > 2 THEN 15.0
+                WHEN abs(coalesce(log2fc, 0.0)) > 1.5 THEN 12.0
+                WHEN abs(coalesce(log2fc, 0.0)) > 1 THEN 8.0 ELSE 0.0 END)
+          + (CASE WHEN coalesce(padj, 1.0) < 0.001 THEN 10.0
+                  WHEN coalesce(padj, 1.0) < 0.01 THEN 7.0
+                  WHEN coalesce(padj, 1.0) < 0.05 THEN 4.0 ELSE 0.0 END)
+          + (CASE WHEN role <> 'Unknown'
+                   AND coalesce(CASE WHEN role = 'Oncogene' THEN direction = 'up'
+                                     WHEN role = 'TSG' THEN direction = 'down'
+                                     ELSE TRUE END, FALSE)
+              THEN 5.0 ELSE 0.0 END)
+        ELSE 0.0 END
+      + CASE WHEN is_hub
+             THEN least(15.0, coalesce(hub_score, 0.0) * 25.0) ELSE 0.0 END
+      + CASE WHEN has_mutation AND has_expr THEN 10.0 ELSE 0.0 END
+    ) AS score
+  FROM roled
+)
+SELECT gene, role, round(score, 4) AS score,
+       CASE WHEN score >= 80 THEN
+              CASE WHEN has_mutation AND has_expr THEN 'confirmed_driver'
+                   ELSE 'high_confidence' END
+            WHEN score >= 60 THEN 'high_confidence'
+            WHEN score >= 40 THEN 'candidate'
+            WHEN has_mutation THEN 'mutation_only'
+            WHEN has_expr THEN 'expression_only'
+            ELSE 'insufficient_evidence' END AS classification,
+       has_mutation, has_expr, is_hub,
+       mutation_count, mutation_driver_score, mutation_vaf,
+       is_hotspot, hotspot_variant, log2fc, padj, direction, hub_score
+FROM scored
+"""
