@@ -147,3 +147,105 @@ def test_branch_semantics(spark):
     assert got["NF1"]["score"] == 10.0
     assert got["NF1"]["classification"] == "mutation_only"
     assert got["TP53X"]["classification"] == "expression_only"
+
+
+def _two_track_port(data, db):
+    """_score_known_drivers / _score_novel_drivers, ported
+    (driver_predictor.py:764-943) + get_literature_support (:403-448)."""
+    def lit_support(d):
+        if d.get("is_cosmic_tier1"):
+            return "well_established"
+        if d.get("is_intogen") or d.get("is_pancancer") or d.get("is_cosmic_tier2") \
+           or d.get("in_gene_roles") or d.get("is_emerging_regulator"):
+            return "emerging"
+        return "uncharacterized"
+
+    out = {}
+    for g, gd in data.items():
+        d = db.get(g, {})
+        if d.get("is_known"):
+            cosmic = 0 if d.get("cosmic_tier") is None else (
+                25 if d["cosmic_tier"] == "Tier1" else 15)
+            score = (cosmic + min(25, d.get("tcga_freq", 0) * 50)
+                     + (25 if abs(gd["log2fc"]) > 2 else 20 if abs(gd["log2fc"]) > 1
+                        else 10 if abs(gd["log2fc"]) > 0.5 else 0)
+                     + (15 if gd["padj"] < 0.001 else 12 if gd["padj"] < 0.01
+                        else 8 if gd["padj"] < 0.05 else 0)
+                     + (10 if gd["is_hub"] else 0))
+            out[g] = ("known", round(score, 4))
+        else:
+            if abs(gd["log2fc"]) < 1.0 or gd["padj"] > 0.05:
+                continue
+            l2 = abs(gd["log2fc"])
+            score = ((30 if l2 > 3 else 25 if l2 > 2 else 20 if l2 > 1.5
+                      else 15 if l2 > 1 else 0)
+                     + (30 if gd["is_hub"] else 20 if gd["hub_score"] > 0.5
+                        else 10 if gd["hub_score"] > 0.3 else 0)
+                     + (20 if gd["padj"] < 0.0001 else 15 if gd["padj"] < 0.001
+                        else 10 if gd["padj"] < 0.01 else 5 if gd["padj"] < 0.05 else 0)
+                     + min(10, gd["pathway_count"] * 2)
+                     + (10 if gd["db_matched"] else 0))
+            if score < 40:
+                continue
+            out[g] = ("candidate_regulator", round(score, 4))
+    return out
+
+
+def test_two_track_fuzz_vs_port(spark):
+    from vectordb_bioinsight_spark.operators.driver_integration import (
+        two_track_driver_scores,
+    )
+
+    rng = random.Random(17)
+    data, db = {}, {}
+    gd_rows, db_rows = [], []
+    for i in range(80):
+        g = f"Z{i}"
+        gd = dict(
+            log2fc=round(rng.uniform(-4, 4), 2),
+            padj=rng.choice([0.00005, 0.0005, 0.005, 0.03, 0.3]),
+            is_hub=rng.random() < 0.4,
+            hub_score=round(rng.uniform(0, 1), 2),
+            pathway_count=rng.randrange(0, 9),
+            db_matched=rng.random() < 0.5,
+        )
+        data[g] = gd
+        gd_rows.append((g, gd["log2fc"], gd["padj"],
+                        "up" if gd["log2fc"] > 0 else "down", gd["is_hub"],
+                        gd["hub_score"], gd["pathway_count"], gd["db_matched"]))
+        if rng.random() < 0.8:
+            tier = rng.choice(["Tier1", "Tier2", None])
+            d = dict(
+                is_known=rng.random() < 0.4,
+                cosmic_tier=tier,
+                tcga_freq=round(rng.uniform(0, 0.8), 3),
+                is_cosmic_tier1=tier == "Tier1",
+                is_cosmic_tier2=tier == "Tier2",
+                is_intogen=rng.random() < 0.3,
+                is_pancancer=rng.random() < 0.3,
+                in_gene_roles=rng.random() < 0.5,
+                is_emerging_regulator=rng.random() < 0.2,
+            )
+            db[g] = d
+            db_rows.append((g, d["is_known"], tier, "Oncogene", d["tcga_freq"], 1,
+                            ["V600E"] if rng.random() < 0.5 else [],
+                            d["is_intogen"], d["is_pancancer"], ["LUAD"],
+                            d["is_cosmic_tier1"], d["is_cosmic_tier2"],
+                            d["in_gene_roles"], d["is_emerging_regulator"]))
+    gene_data = spark.createDataFrame(
+        gd_rows,
+        "gene string, log2fc double, padj double, direction string,"
+        " is_hub boolean, hub_score double, pathway_count int, db_matched boolean",
+    )
+    driver_db = spark.createDataFrame(
+        db_rows,
+        "gene string, is_known boolean, cosmic_tier string, cosmic_role string,"
+        " tcga_freq double, tcga_count long, hotspots array<string>,"
+        " is_intogen boolean, is_pancancer boolean, pancancer_cancers array<string>,"
+        " is_cosmic_tier1 boolean, is_cosmic_tier2 boolean, in_gene_roles boolean,"
+        " is_emerging_regulator boolean",
+    )
+    got = {r["gene"]: (r["track"], r["score"]) for r in
+           two_track_driver_scores(gene_data, driver_db).collect()}
+    want = _two_track_port(data, db)
+    assert got == want

@@ -242,6 +242,9 @@ _MAX_EXCHANGES = {
     # three bounded per-gene evidence aggs + the full-outer gene join;
     # the ladder itself is scan-local
     "integrated_drivers": 4,
+    # broadcast dim join + scan-local ladders + union: ANY exchange is a
+    # regression
+    "driver_tracks": 0,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

@@ -219,3 +219,192 @@ def integrated_driver_scores(
         "is_hotspot", "hotspot_variant",
         "log2fc", "padj", "direction", "hub_score",
     )
+
+
+def literature_support_col(
+    is_cosmic_tier1: Column,
+    is_intogen: Column,
+    is_pancancer: Column,
+    is_cosmic_tier2: Column,
+    in_gene_roles: Column,
+    is_emerging_regulator: Column,
+) -> Column:
+    """get_literature_support (driver_predictor.py:403-448): the database-
+    presence heuristic ladder. COSMIC Tier1 (with or without IntOGen) ->
+    well_established; IntOGen-this-cancer / pan-cancer / Tier2 / any
+    known role / curated emerging list -> emerging; else uncharacterized.
+    The flags are DIM columns here — the reference's curated tables are
+    data, not logic."""
+    t = F.coalesce
+    return (
+        F.when(t(is_cosmic_tier1, F.lit(False)), "well_established")
+        .when(t(is_intogen, F.lit(False)), "emerging")
+        .when(t(is_pancancer, F.lit(False)), "emerging")
+        .when(t(is_cosmic_tier2, F.lit(False)), "emerging")
+        .when(t(in_gene_roles, F.lit(False)), "emerging")
+        .when(t(is_emerging_regulator, F.lit(False)), "emerging")
+        .otherwise("uncharacterized")
+    )
+
+
+def _validation_suggestion(gene: Column, hotspots: Column, cosmic_tier: Column,
+                           cosmic_role: Column) -> "tuple[Column, Column]":
+    """get_validation_suggestion (driver_predictor.py:484-511): hotspot-
+    string dispatch (codon 12/13, V600, exon panels) else role-based NGS
+    defaults else the expression-correlation fallback."""
+    hs3 = F.array_join(F.slice(hotspots, 1, 3), ", ")
+    has_hs = F.coalesce(F.size(hotspots) > 0, F.lit(False))
+    method = F.when(
+        has_hs,
+        F.when(hs3.contains("G12") | hs3.contains("G13"), "PCR/Sanger")
+        .when(hs3.contains("V600"), "PCR/Sanger")
+        .otherwise("Targeted NGS"),
+    ).otherwise(
+        F.when(cosmic_tier.isNotNull(), "Targeted NGS").otherwise(
+            "WES/RNA-seq validation"
+        )
+    )
+    detail = F.when(
+        has_hs,
+        F.when(
+            hs3.contains("G12") | hs3.contains("G13"),
+            F.concat(gene, F.lit(" codon 12/13 hotspot sequencing")),
+        )
+        .when(hs3.contains("V600"), F.concat(gene, F.lit(" V600 mutation detection")))
+        .when(F.lower(hs3).contains("exon"), F.concat(gene, F.lit(" exon sequencing")))
+        .otherwise(F.concat(gene, F.lit(" hotspot panel ("), hs3, F.lit(")"))),
+    ).otherwise(
+        F.when(
+            cosmic_tier.isNotNull(),
+            F.when(
+                cosmic_role == "TSG",
+                F.concat(gene, F.lit(" full gene sequencing (TSG)")),
+            ).otherwise(F.concat(gene, F.lit(" kinase domain / hotspot panel"))),
+        ).otherwise(F.concat(gene, F.lit(" expression-mutation correlation")))
+    )
+    return method, detail
+
+
+def two_track_driver_scores(
+    gene_data: DataFrame,
+    driver_db: DataFrame,
+) -> DataFrame:
+    """The DriverPredictor's two scoring tracks (driver_predictor.py:
+    764-943) as one broadcast dim join + scan-local ladders + union.
+
+    ``gene_data``: (gene, log2fc, padj, direction, is_hub, hub_score,
+    pathway_count, db_matched) — the per-gene evidence table the
+    reference assembles in ``_prepare_gene_data`` (:702-762).
+    ``driver_db``: curated dimension (gene, is_known, cosmic_tier,
+    cosmic_role, tcga_freq, tcga_count, hotspots array<string>,
+    is_intogen, is_pancancer, pancancer_cancers array<string>,
+    is_cosmic_tier1, is_cosmic_tier2, in_gene_roles,
+    is_emerging_regulator) — the reference loads this from COSMIC /
+    IntOGen / curated files (:103-290); here it broadcasts as a dim.
+
+    KNOWN track (:764-843, genes with is_known): COSMIC tier 25/15,
+    TCGA min(25, freq*50), |log2FC| 25/20/10 (>2/>1/>0.5), padj 15/12/8,
+    +10 hub; validation suggestion from the hotspot dispatch.
+    CANDIDATE-REGULATOR track (:844-943, not known, |log2FC| >= 1 and
+    padj <= 0.05): |log2FC| 30/25/20/15 (>3/>2/>1.5/>1), hub 30 /
+    hub_score>0.5 -> 20 / >0.3 -> 10, padj 20/15/10/5
+    (<1e-4/<1e-3/<0.01/<0.05), pathway min(10, count*2), +10 db match;
+    kept only at total >= 40; validation method by literature-support
+    ladder (emerging -> literature+functional, pan-cancer ->
+    cross-cancer, else functional).
+
+    Output: (gene, track, score, log2fc, padj, direction, is_hub,
+    hub_score, cosmic_tier, cosmic_role, tcga_mutation_freq,
+    literature_support, is_pancancer_driver, validation_method,
+    validation_detail) — score/tcga freq rounded 4 dp.
+    """
+    j = gene_data.join(F.broadcast(driver_db), "gene", "left")
+    gene = F.col("gene")
+    l2 = F.abs(F.coalesce(F.col("log2fc"), F.lit(0.0)))
+    padj = F.coalesce(F.col("padj"), F.lit(1.0))
+    is_known = F.coalesce(F.col("is_known"), F.lit(False))
+    lit = literature_support_col(
+        F.col("is_cosmic_tier1"), F.col("is_intogen"), F.col("is_pancancer"),
+        F.col("is_cosmic_tier2"), F.col("in_gene_roles"),
+        F.col("is_emerging_regulator"),
+    )
+    is_pan = F.coalesce(F.col("is_pancancer"), F.lit(False))
+
+    cosmic_score = F.when(F.col("cosmic_tier").isNull(), 0.0).when(
+        F.col("cosmic_tier") == "Tier1", 25.0
+    ).otherwise(15.0)
+    tcga_score = F.least(F.lit(25.0), F.coalesce(F.col("tcga_freq"), F.lit(0.0)) * 50.0)
+    known_expr = F.when(l2 > 2, 25.0).when(l2 > 1, 20.0).when(l2 > 0.5, 10.0).otherwise(0.0)
+    known_sig = F.when(padj < 0.001, 15.0).when(padj < 0.01, 12.0).when(padj < 0.05, 8.0).otherwise(0.0)
+    hub_bonus = F.when(F.coalesce(F.col("is_hub"), F.lit(False)), 10.0).otherwise(0.0)
+    known_score = cosmic_score + tcga_score + known_expr + known_sig + hub_bonus
+    kv_method, kv_detail = _validation_suggestion(
+        gene, F.col("hotspots"), F.col("cosmic_tier"), F.col("cosmic_role")
+    )
+    known = j.filter(is_known).select(
+        gene, F.lit("known").alias("track"),
+        F.round(known_score, 4).alias("score"),
+        "log2fc", "padj", "direction", "is_hub", "hub_score",
+        "cosmic_tier", "cosmic_role",
+        F.round(F.coalesce(F.col("tcga_freq"), F.lit(0.0)), 4).alias("tcga_mutation_freq"),
+        lit.alias("literature_support"),
+        is_pan.alias("is_pancancer_driver"),
+        kv_method.alias("validation_method"),
+        kv_detail.alias("validation_detail"),
+    )
+
+    novel_expr = (
+        F.when(l2 > 3, 30.0).when(l2 > 2, 25.0).when(l2 > 1.5, 20.0)
+        .when(l2 > 1, 15.0).otherwise(0.0)
+    )
+    hubv = F.coalesce(F.col("hub_score"), F.lit(0.0))
+    novel_hub = (
+        F.when(F.coalesce(F.col("is_hub"), F.lit(False)), 30.0)
+        .when(hubv > 0.5, 20.0).when(hubv > 0.3, 10.0).otherwise(0.0)
+    )
+    novel_sig = (
+        F.when(padj < 0.0001, 20.0).when(padj < 0.001, 15.0)
+        .when(padj < 0.01, 10.0).when(padj < 0.05, 5.0).otherwise(0.0)
+    )
+    pathway_score = F.least(
+        F.lit(10.0), F.coalesce(F.col("pathway_count"), F.lit(0)).cast("double") * 2.0
+    )
+    db_score = F.when(F.coalesce(F.col("db_matched"), F.lit(False)), 10.0).otherwise(0.0)
+    novel_score = novel_expr + novel_hub + novel_sig + pathway_score + db_score
+    nv_method = (
+        F.when(lit == "emerging", "Literature validation + Functional")
+        .when(is_pan, "Cross-cancer validation")
+        .otherwise("Functional validation")
+    )
+    nv_detail = (
+        F.when(
+            lit == "emerging",
+            F.concat(gene, F.lit(": Review existing literature, then knockdown/overexpression assay")),
+        )
+        .when(
+            is_pan,
+            F.concat(
+                gene, F.lit(": Compare with "),
+                F.array_join(F.slice(F.coalesce(F.col("pancancer_cancers"),
+                                                F.array().cast("array<string>")), 1, 2), ", "),
+                F.lit(" datasets"),
+            ),
+        )
+        .otherwise(F.concat(gene, F.lit(" knockdown/overexpression + phenotype assay")))
+    )
+    novel = (
+        j.filter(~is_known & (l2 >= 1.0) & (padj <= 0.05))
+        .filter(novel_score >= 40.0)
+        .select(
+            gene, F.lit("candidate_regulator").alias("track"),
+            F.round(novel_score, 4).alias("score"),
+            "log2fc", "padj", "direction", "is_hub", "hub_score",
+            "cosmic_tier", "cosmic_role",
+            F.round(F.coalesce(F.col("tcga_freq"), F.lit(0.0)), 4).alias("tcga_mutation_freq"),
+            lit.alias("literature_support"),
+            is_pan.alias("is_pancancer_driver"),
+            nv_method.alias("validation_method"),
+            nv_detail.alias("validation_detail"),
+        )
+    )
+    return known.unionByName(novel)

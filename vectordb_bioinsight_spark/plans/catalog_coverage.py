@@ -2279,3 +2279,198 @@ SELECT gene, role, round(score, 4) AS score,
        is_hotspot, hotspot_variant, log2fc, padj, direction, hub_score
 FROM scored
 """
+
+
+def q_driver_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-track driver prediction
+    (operators/driver_integration.py::two_track_driver_scores — the
+    DriverPredictor ladders, driver_predictor.py:764-943, with the
+    literature-support heuristic :403-448 and the hotspot validation
+    dispatch :484-511): 60 planted genes from part with a 45-gene curated
+    dim (15 genes dim-less to exercise the left join), hotspot arrays
+    covering every dispatch branch (codon 12/13, V600, exon, other,
+    none), and expression/significance rotations straddling every tier
+    boundary of both tracks."""
+    from vectordb_bioinsight_spark.operators.driver_integration import (
+        two_track_driver_scores,
+    )
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 60)
+    k = F.col("p_partkey")
+    gene = F.concat(F.lit("G"), k.cast("string"))
+    log2fc = (
+        F.when(k % 6 == 0, 3.5).when(k % 6 == 1, 2.4).when(k % 6 == 2, 1.7)
+        .when(k % 6 == 3, 1.1).when(k % 6 == 4, 0.7).otherwise(-2.8)
+    )
+    padj = (
+        F.when(k % 5 == 0, 0.00005).when(k % 5 == 1, 0.0004)
+        .when(k % 5 == 2, 0.004).when(k % 5 == 3, 0.03).otherwise(0.4)
+    )
+    gene_data = part.select(
+        gene.alias("gene"),
+        log2fc.alias("log2fc"),
+        padj.alias("padj"),
+        F.when(log2fc > 0, "up").otherwise("down").alias("direction"),
+        (k % 3 == 0).alias("is_hub"),
+        ((k * 9 % 100).cast("double") / 100.0).alias("hub_score"),
+        (k % 8).cast("int").alias("pathway_count"),
+        (k % 2 == 1).alias("db_matched"),
+    )
+    tier = (
+        F.when(k % 9 == 0, F.lit(None).cast("string"))
+        .when(k % 2 == 0, "Tier1")
+        .otherwise("Tier2")
+    )
+    hotspots = (
+        F.when(k % 6 == 0, F.array(F.lit("G12D"), F.lit("G13C")))
+        .when(k % 6 == 1, F.array(F.lit("V600E")))
+        .when(k % 6 == 2, F.array(F.lit("exon 19 del")))
+        .when(k % 6 == 3, F.array(F.lit("R175H"), F.lit("R248Q")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    driver_db = part.filter(k <= 45).select(
+        gene.alias("gene"),
+        (k % 3 == 0).alias("is_known"),
+        tier.alias("cosmic_tier"),
+        F.when(k % 4 == 0, "TSG").otherwise("Oncogene").alias("cosmic_role"),
+        ((k * 3 % 80).cast("double") / 100.0).alias("tcga_freq"),
+        (k * 2).cast("long").alias("tcga_count"),
+        hotspots.alias("hotspots"),
+        (k % 4 == 0).alias("is_intogen"),
+        (k % 5 == 0).alias("is_pancancer"),
+        F.when(
+            k % 5 == 0, F.array(F.lit("LUAD"), F.lit("BRCA"), F.lit("COAD"))
+        ).otherwise(F.array().cast("array<string>")).alias("pancancer_cancers"),
+        (tier == "Tier1").alias("is_cosmic_tier1"),
+        (tier == "Tier2").alias("is_cosmic_tier2"),
+        (k % 2 == 0).alias("in_gene_roles"),
+        (k % 7 == 0).alias("is_emerging_regulator"),
+    )
+    return two_track_driver_scores(gene_data, driver_db)
+
+
+SQL_DRIVER_TRACKS = """
+WITH base AS (
+  SELECT p_partkey AS k, 'G' || p_partkey::VARCHAR AS gene FROM part
+  WHERE p_partkey <= 60
+), gd AS (
+  SELECT gene, k,
+         CASE k % 6 WHEN 0 THEN 3.5 WHEN 1 THEN 2.4 WHEN 2 THEN 1.7
+              WHEN 3 THEN 1.1 WHEN 4 THEN 0.7 ELSE -2.8 END AS log2fc,
+         CASE k % 5 WHEN 0 THEN 0.00005 WHEN 1 THEN 0.0004 WHEN 2 THEN 0.004
+              WHEN 3 THEN 0.03 ELSE 0.4 END AS padj,
+         (k % 3 = 0) AS is_hub,
+         (k * 9 % 100)::DOUBLE / 100.0 AS hub_score,
+         (k % 8)::INT AS pathway_count,
+         (k % 2 = 1) AS db_matched
+  FROM base
+), gdd AS (
+  SELECT *, CASE WHEN log2fc > 0 THEN 'up' ELSE 'down' END AS direction FROM gd
+), db AS (
+  SELECT gene, k,
+         (k % 3 = 0) AS is_known,
+         CASE WHEN k % 9 = 0 THEN NULL WHEN k % 2 = 0 THEN 'Tier1'
+              ELSE 'Tier2' END AS cosmic_tier,
+         CASE WHEN k % 4 = 0 THEN 'TSG' ELSE 'Oncogene' END AS cosmic_role,
+         (k * 3 % 80)::DOUBLE / 100.0 AS tcga_freq,
+         CASE k % 6 WHEN 0 THEN ['G12D','G13C'] WHEN 1 THEN ['V600E']
+              WHEN 2 THEN ['exon 19 del'] WHEN 3 THEN ['R175H','R248Q']
+              ELSE []::VARCHAR[] END AS hotspots,
+         (k % 4 = 0) AS is_intogen,
+         (k % 5 = 0) AS is_pancancer,
+         CASE WHEN k % 5 = 0 THEN ['LUAD','BRCA','COAD']
+              ELSE []::VARCHAR[] END AS pancancer_cancers,
+         (CASE WHEN k % 9 = 0 THEN NULL WHEN k % 2 = 0 THEN 'Tier1'
+               ELSE 'Tier2' END = 'Tier1') AS is_cosmic_tier1,
+         (CASE WHEN k % 9 = 0 THEN NULL WHEN k % 2 = 0 THEN 'Tier1'
+               ELSE 'Tier2' END = 'Tier2') AS is_cosmic_tier2,
+         (k % 2 = 0) AS in_gene_roles,
+         (k % 7 = 0) AS is_emerging_regulator
+  FROM base WHERE k <= 45
+), j AS (
+  SELECT g.*, d.is_known, d.cosmic_tier, d.cosmic_role, d.tcga_freq,
+         d.hotspots, d.is_intogen, d.is_pancancer, d.pancancer_cancers,
+         d.is_cosmic_tier1, d.is_cosmic_tier2, d.in_gene_roles,
+         d.is_emerging_regulator
+  FROM gdd g LEFT JOIN db d ON d.gene = g.gene
+), lits AS (
+  SELECT *,
+         CASE WHEN coalesce(is_cosmic_tier1, FALSE) THEN 'well_established'
+              WHEN coalesce(is_intogen, FALSE) THEN 'emerging'
+              WHEN coalesce(is_pancancer, FALSE) THEN 'emerging'
+              WHEN coalesce(is_cosmic_tier2, FALSE) THEN 'emerging'
+              WHEN coalesce(in_gene_roles, FALSE) THEN 'emerging'
+              WHEN coalesce(is_emerging_regulator, FALSE) THEN 'emerging'
+              ELSE 'uncharacterized' END AS lit,
+         abs(coalesce(log2fc, 0.0)) AS l2,
+         coalesce(padj, 1.0) AS pj,
+         array_to_string(hotspots[1:3], ', ') AS hs3,
+         coalesce(len(hotspots) > 0, FALSE) AS has_hs
+  FROM j
+), known AS (
+  SELECT gene, 'known' AS track,
+         round(
+           (CASE WHEN cosmic_tier IS NULL THEN 0.0
+                 WHEN cosmic_tier = 'Tier1' THEN 25.0 ELSE 15.0 END)
+           + least(25.0, coalesce(tcga_freq, 0.0) * 50.0)
+           + (CASE WHEN l2 > 2 THEN 25.0 WHEN l2 > 1 THEN 20.0
+                   WHEN l2 > 0.5 THEN 10.0 ELSE 0.0 END)
+           + (CASE WHEN pj < 0.001 THEN 15.0 WHEN pj < 0.01 THEN 12.0
+                   WHEN pj < 0.05 THEN 8.0 ELSE 0.0 END)
+           + (CASE WHEN coalesce(is_hub, FALSE) THEN 10.0 ELSE 0.0 END), 4) AS score,
+         log2fc, padj, direction, is_hub, hub_score, cosmic_tier, cosmic_role,
+         round(coalesce(tcga_freq, 0.0), 4) AS tcga_mutation_freq,
+         lit AS literature_support,
+         coalesce(is_pancancer, FALSE) AS is_pancancer_driver,
+         CASE WHEN has_hs THEN
+                CASE WHEN hs3 LIKE '%G12%' OR hs3 LIKE '%G13%' THEN 'PCR/Sanger'
+                     WHEN hs3 LIKE '%V600%' THEN 'PCR/Sanger'
+                     ELSE 'Targeted NGS' END
+              WHEN cosmic_tier IS NOT NULL THEN 'Targeted NGS'
+              ELSE 'WES/RNA-seq validation' END AS validation_method,
+         CASE WHEN has_hs THEN
+                CASE WHEN hs3 LIKE '%G12%' OR hs3 LIKE '%G13%'
+                       THEN gene || ' codon 12/13 hotspot sequencing'
+                     WHEN hs3 LIKE '%V600%' THEN gene || ' V600 mutation detection'
+                     WHEN lower(hs3) LIKE '%exon%' THEN gene || ' exon sequencing'
+                     ELSE gene || ' hotspot panel (' || hs3 || ')' END
+              WHEN cosmic_tier IS NOT NULL THEN
+                CASE WHEN cosmic_role = 'TSG' THEN gene || ' full gene sequencing (TSG)'
+                     ELSE gene || ' kinase domain / hotspot panel' END
+              ELSE gene || ' expression-mutation correlation' END AS validation_detail
+  FROM lits WHERE coalesce(is_known, FALSE)
+), novel0 AS (
+  SELECT *,
+         (CASE WHEN l2 > 3 THEN 30.0 WHEN l2 > 2 THEN 25.0
+               WHEN l2 > 1.5 THEN 20.0 WHEN l2 > 1 THEN 15.0 ELSE 0.0 END)
+         + (CASE WHEN coalesce(is_hub, FALSE) THEN 30.0
+                 WHEN coalesce(hub_score, 0.0) > 0.5 THEN 20.0
+                 WHEN coalesce(hub_score, 0.0) > 0.3 THEN 10.0 ELSE 0.0 END)
+         + (CASE WHEN pj < 0.0001 THEN 20.0 WHEN pj < 0.001 THEN 15.0
+                 WHEN pj < 0.01 THEN 10.0 WHEN pj < 0.05 THEN 5.0 ELSE 0.0 END)
+         + least(10.0, coalesce(pathway_count, 0)::DOUBLE * 2.0)
+         + (CASE WHEN coalesce(db_matched, FALSE) THEN 10.0 ELSE 0.0 END)
+         AS nscore
+  FROM lits
+  WHERE NOT coalesce(is_known, FALSE) AND l2 >= 1.0 AND pj <= 0.05
+), novel AS (
+  SELECT gene, 'candidate_regulator' AS track, round(nscore, 4) AS score,
+         log2fc, padj, direction, is_hub, hub_score, cosmic_tier, cosmic_role,
+         round(coalesce(tcga_freq, 0.0), 4) AS tcga_mutation_freq,
+         lit AS literature_support,
+         coalesce(is_pancancer, FALSE) AS is_pancancer_driver,
+         CASE WHEN lit = 'emerging' THEN 'Literature validation + Functional'
+              WHEN coalesce(is_pancancer, FALSE) THEN 'Cross-cancer validation'
+              ELSE 'Functional validation' END AS validation_method,
+         CASE WHEN lit = 'emerging'
+                THEN gene || ': Review existing literature, then knockdown/overexpression assay'
+              WHEN coalesce(is_pancancer, FALSE)
+                THEN gene || ': Compare with '
+                     || array_to_string(coalesce(pancancer_cancers, []::VARCHAR[])[1:2], ', ')
+                     || ' datasets'
+              ELSE gene || ' knockdown/overexpression + phenotype assay'
+         END AS validation_detail
+  FROM novel0 WHERE nscore >= 40.0
+)
+SELECT * FROM known UNION ALL SELECT * FROM novel
+"""
