@@ -245,6 +245,10 @@ _MAX_EXCHANGES = {
     # broadcast dim join + scan-local ladders + union: ANY exchange is a
     # regression
     "driver_tracks": 0,
+    # corpus-enrichment extractors + quality scorer: pure scan-local
+    "gene_mentions_docs": 0,
+    "pathway_mentions_docs": 0,
+    "paper_quality_score_docs": 0,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

@@ -36,17 +36,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
 #: entries per round; r01-r06 cumulatively drove 269 of the prior 270
 #: entries (the r06 window was 50/50 hash-green). r07 rotation (VERDICT
-#: r06 tasks 1-3 + ADVICE): (a) 8 NEW entries (dataset-type detector,
-#: the integrated-driver + two-track predictor ladders, three briefing
-#: ladders, the two HLL replay upgrades); (b) 6 kernel/plan-changed
+#: r06 tasks 1-3 + ADVICE): (a) 11 NEW entries (dataset-type detector,
+#: the integrated-driver + two-track predictor ladders, gene/pathway
+#: extractors + paper quality score, three briefing ladders, the two
+#: HLL replay upgrades); (b) 6 kernel/plan-changed
 #: entries re-earning driver rows (funnel tie fix, IVF assignment
 #: distance form, prefiltered population/keyword extractors, the lazy
-#: basket cap's re-pinned item_cf_parts); (c) 3 more cooccurrence
-#: callers re-confirming cap output-identity; (d) the FULL 33-entry
+#: basket cap's re-pinned item_cf_parts — the other cooccurrence
+#: callers sit first below the line, r6-green with outputs unchanged
+#: by construction); (c) the FULL 33-entry
 #: r01-stale backfill, bh_adjust/hybrid_rrf first (kernels changed in
 #: r4, never re-checked) — closing VERDICT r06 task 1 exactly: after
 #: this window no oracle-backed entry's latest driver row predates its
-#: last kernel change. 8+6+3+33 = 50; all window entries are
+#: last kernel change. 11+6+33 = 50; all window entries are
 #: hash-oracle-backed — rows-only-by-design entries are parked at the
 #: bottom so no window slot scores as a no_oracle error. Below the
 #: line: stalest first (the r02 block is next in line for r08).
@@ -59,6 +61,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dataset_type": (sc.q_dataset_type, sc.SQL_DATASET_TYPE),
     "integrated_drivers": (cov.q_integrated_drivers, cov.SQL_INTEGRATED_DRIVERS),
     "driver_tracks": (cov.q_driver_tracks, cov.SQL_DRIVER_TRACKS),
+    "gene_mentions_docs": (cov.q_gene_mentions_docs, cov.SQL_GENE_MENTIONS_DOCS),
+    "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
+    "paper_quality_score_docs": (cov.q_paper_quality_score_docs, cov.SQL_PAPER_QUALITY_SCORE_DOCS),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
     "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
@@ -77,15 +82,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
     "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
-    # (c) the other cooccurrence_edges callers re-confirming the lazy
-    # cap's output-identity (in-cap results are byte-identical by
-    # construction — these rows PROVE it; kcore_parts, word_triangles and
-    # part_link_prediction stay below: r6-green, untouched beyond the
-    # shared helper):
-    "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
-    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
-    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
-    # (d) the r01-stale backfill (VERDICT r06 task 1 — ALL 33 entries
+    # (c) the r01-stale backfill (VERDICT r06 task 1 — ALL 33 entries
     # whose latest driver row is r01): bh_adjust and hybrid_rrf lead
     # (kernels changed in r4, zero post-change driver evidence), then
     # the rest alphabetically. After r07 no oracle-backed entry's latest
@@ -124,6 +121,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
+    "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
+    "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
+    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
     # stalest-evidence first (the r02 block is next in line for r08),
     # then r03/r04/r05/r06 confirmations, freshest last:

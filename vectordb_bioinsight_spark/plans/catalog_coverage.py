@@ -2474,3 +2474,215 @@ WITH base AS (
 )
 SELECT * FROM known UNION ALL SELECT * FROM novel
 """
+
+
+def q_gene_mentions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene-symbol extraction (operators/corpus_enrich.py::extract_genes —
+    GeneExtractor, corpus_builder.py:489-529): planted gene sentences by
+    doc_id % 5 exercise the known-gene wall, the digit-bearing fallback,
+    the hyphenated form, and the no-hit path; output is the sorted CSV."""
+    from vectordb_bioinsight_spark.operators.corpus_enrich import extract_genes
+
+    docs = load_table(spark, sf_dir, "documents")
+    plant = (
+        F.when(F.col("doc_id") % 5 == 0, " KRAS and TP53 with the ABC123 variant")
+        .when(F.col("doc_id") % 5 == 1, " the BRCA1-IRIS isoform and HER2 status")
+        .when(F.col("doc_id") % 5 == 2, " MTHFR C677T genotype via CYP2D6")
+        .when(F.col("doc_id") % 5 == 3, " no symbols here beyond AA and BB")
+        .otherwise("")
+    )
+    return docs.select(
+        "doc_id",
+        extract_genes(F.concat(F.col("text"), plant)).alias("genes"),
+    )
+
+
+def _sql_gene_mentions() -> str:
+    from vectordb_bioinsight_spark.operators.corpus_enrich import (
+        GENE_PATTERN,
+        KNOWN_GENES,
+    )
+
+    known = ",".join(f"'{g}'" for g in KNOWN_GENES)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5
+           WHEN 0 THEN ' KRAS and TP53 with the ABC123 variant'
+           WHEN 1 THEN ' the BRCA1-IRIS isoform and HER2 status'
+           WHEN 2 THEN ' MTHFR C677T genotype via CYP2D6'
+           WHEN 3 THEN ' no symbols here beyond AA and BB'
+           ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_sort(list_filter(
+           list_distinct(regexp_extract_all(t, '{GENE_PATTERN}', 1)),
+           c -> c IN ({known})
+                OR (length(c) >= 3 AND regexp_matches(c, '[0-9]'))
+         )), ','), '') AS genes
+FROM src
+"""
+
+
+SQL_GENE_MENTIONS_DOCS = _sql_gene_mentions()
+
+
+def q_pathway_mentions_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pathway-mention extraction (operators/corpus_enrich.py::
+    extract_pathways — PathwayExtractor, corpus_builder.py:531-572):
+    planted pathway phrases by doc_id % 4; ordered CSV output."""
+    from vectordb_bioinsight_spark.operators.corpus_enrich import extract_pathways
+
+    docs = load_table(spark, sf_dir, "documents")
+    plant = (
+        F.when(F.col("doc_id") % 4 == 0, " acts on the PI3K/AKT axis and Wnt signaling")
+        .when(F.col("doc_id") % 4 == 1, " dopaminergic tone in the striatum")
+        .when(F.col("doc_id") % 4 == 2, " NF-kB driven glycolysis shift")
+        .otherwise("")
+    )
+    return docs.select(
+        "doc_id",
+        extract_pathways(F.concat(F.col("text"), plant)).alias("pathways"),
+    )
+
+
+def _sql_pathway_mentions() -> str:
+    from vectordb_bioinsight_spark.operators.corpus_enrich import PATHWAY_KEYWORDS
+
+    lst = ",".join(f"'{p}'" for p in PATHWAY_KEYWORDS)
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         lower(text || CASE doc_id % 4
+           WHEN 0 THEN ' acts on the PI3K/AKT axis and Wnt signaling'
+           WHEN 1 THEN ' dopaminergic tone in the striatum'
+           WHEN 2 THEN ' NF-kB driven glycolysis shift'
+           ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_filter([{lst}], p -> contains(t, lower(p))), ','), '') AS pathways
+FROM src
+"""
+
+
+SQL_PATHWAY_MENTIONS_DOCS = _sql_pathway_mentions()
+
+
+_QSCORE_YEAR = 2026  # parameterized 'current year' (reference reads now())
+
+
+def q_paper_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper quality scoring (operators/corpus_enrich.py::
+    paper_quality_score — QualityScorer, corpus_builder.py:407-487):
+    planted publication-type lists (the article-type rotation), MeSH
+    counts 0-12 (the min-cap at 10), the documents text as the abstract
+    (real length spread), and a year rotation covering every recency
+    tier plus the empty / unparseable branches."""
+    from vectordb_bioinsight_spark.operators.corpus_enrich import paper_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = F.element_at(
+        F.array(
+            *[
+                F.array(*[F.lit(s) for s in group])
+                if group
+                else F.array().cast("array<string>")
+                for group in _PUB_TYPE_SETS
+            ]
+        ),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    year = (
+        F.when(F.col("doc_id") % 6 == 0, "2026").when(F.col("doc_id") % 6 == 1, "2024")
+        .when(F.col("doc_id") % 6 == 2, "2020").when(F.col("doc_id") % 6 == 3, "2010")
+        .when(F.col("doc_id") % 6 == 4, "").otherwise("n/a")
+    )
+    enriched = docs.select(
+        "doc_id",
+        pts.alias("pub_types"),
+        F.array_repeat(F.lit("m"), (F.col("doc_id") % 13).cast("int")).alias("mesh"),
+        F.col("text").alias("abstract"),
+        year.alias("year"),
+    )
+    return paper_quality_score(
+        enriched, "doc_id", "pub_types", "mesh", "abstract", "year",
+        current_year=_QSCORE_YEAR,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_paper_quality_score() -> str:
+    from vectordb_bioinsight_spark.operators.briefing import (
+        ARTICLE_TYPE_PRIORITY,
+        TYPE_MAPPINGS,
+    )
+
+    lists = ",".join(
+        "[" + ",".join(f"'{s}'" for s in group) + "]" for group in _PUB_TYPE_SETS
+    )
+    map_case = "CASE pt " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in TYPE_MAPPINGS.items()
+    ) + " ELSE 'unknown' END"
+    prio_case = (
+        "CASE t "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in ARTICLE_TYPE_PRIORITY.items())
+        + " ELSE 0.0 END"
+    )
+    final_prio = (
+        "CASE article_type "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in ARTICLE_TYPE_PRIORITY.items())
+        + " ELSE 0.0 END"
+    )
+    return f"""
+WITH sets(i, pts) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{lists}] AS l), range(8) r(i)
+), docs AS (
+  SELECT doc_id, pts, text AS abstract,
+         (doc_id % 13)::INT AS mesh_n,
+         CASE doc_id % 6 WHEN 0 THEN '2026' WHEN 1 THEN '2024' WHEN 2 THEN '2020'
+              WHEN 3 THEN '2010' WHEN 4 THEN '' ELSE 'n/a' END AS year
+  FROM documents JOIN sets ON sets.i = doc_id % 8
+), exploded AS (
+  SELECT doc_id, u.e.pt AS pt, u.e.i AS idx
+  FROM docs, unnest(list_transform(pts, (x, j) -> {{'pt': x, 'i': j}})) u(e)
+), mapped AS (
+  SELECT doc_id, {map_case} AS t, idx FROM exploded
+), ranked2 AS (
+  SELECT doc_id, t,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ({prio_case}) DESC, idx ASC) AS rk
+  FROM mapped
+), best AS (
+  SELECT doc_id, t AS raw_type FROM ranked2 WHERE rk = 1
+), typed AS (
+  SELECT d.doc_id, d.abstract, d.mesh_n, d.year,
+         CASE WHEN coalesce(b.raw_type, 'unknown') = 'unknown'
+                   AND list_contains(d.pts, 'Journal Article')
+              THEN 'original_research'
+              ELSE coalesce(b.raw_type, 'unknown') END AS article_type
+  FROM docs d LEFT JOIN best b ON b.doc_id = d.doc_id
+), scored AS (
+  SELECT doc_id, article_type,
+         ({final_prio}) * 40.0
+         + CASE WHEN mesh_n > 0
+                THEN least(mesh_n::DOUBLE / 10.0, 1.0) * 15.0 ELSE 0.0 END
+         + CASE WHEN length(abstract) > 1500 THEN 20.0
+                WHEN length(abstract) > 800 THEN 15.0
+                WHEN length(abstract) > 300 THEN 10.0
+                WHEN length(abstract) > 100 THEN 5.0 ELSE 0.0 END
+         + CASE WHEN try_cast(year AS INT) IS NULL OR year = '' THEN 0.0
+                WHEN {_QSCORE_YEAR} - try_cast(year AS INT) <= 2 THEN 15.0
+                WHEN {_QSCORE_YEAR} - try_cast(year AS INT) <= 5 THEN 12.0
+                WHEN {_QSCORE_YEAR} - try_cast(year AS INT) <= 10 THEN 8.0
+                ELSE 3.0 END AS s
+  FROM typed
+)
+SELECT doc_id, article_type, round(least(100.0, s), 4) AS quality_score
+FROM scored
+"""
+
+
+SQL_PAPER_QUALITY_SCORE_DOCS = _sql_paper_quality_score()
