@@ -566,3 +566,57 @@ def test_log_rank_group_constancy_guard(spark):
     )
     with _pytest.raises(ValueError, match="constant per user"):
         log_rank_test(df, "user_id", "ts", "cohort")
+
+
+def test_silhouette_exact_matches_numpy_port(spark):
+    """Exact silhouette vs a numpy port of the sklearn statistic
+    (sc_pipeline_evaluator.py:911-953) on three planted gaussian blobs."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.evaluation import (
+        silhouette_exact,
+        silhouette_simplified,
+    )
+
+    rng = np.random.default_rng(3)
+    pts, labels = [], []
+    for c, center in enumerate([(0, 0), (8, 1), (3, 9)]):
+        for _ in range(25):
+            pts.append(rng.normal(center, 1.0, 2))
+            labels.append(c)
+    pts = np.array(pts)
+    # numpy port
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1))
+    d = np.round(d, 6)  # the operators' 6-dp replay contract
+    labels = np.array(labels)
+    svals = []
+    for i in range(len(pts)):
+        same = (labels == labels[i]) & (np.arange(len(pts)) != i)
+        a = d[i][same].mean()
+        b = min(d[i][labels == c].mean() for c in set(labels) if c != labels[i])
+        svals.append((b - a) / max(a, b))
+    want = {
+        int(c): round(float(np.mean([s for s, l in zip(svals, labels) if l == c])), 6)
+        for c in set(labels)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p], int(l)) for i, (p, l) in enumerate(zip(pts, labels))],
+        "id long, v array<double>, lbl int",
+    )
+    got = {r["label"]: r for r in silhouette_exact(df, "id", "v", "lbl").collect()}
+    for c, s in want.items():
+        assert got[c]["mean_silhouette"] == pytest.approx(s, abs=2e-6), c
+        assert got[c]["n_points"] == 25
+    # simplified: same well-separated blobs score high and agree in sign
+    simp = {r["label"]: r["mean_silhouette"]
+            for r in silhouette_simplified(df, "id", "v", "lbl").collect()}
+    for c in want:
+        assert simp[c] > 0.4
+    # singleton cluster scores 0 (sklearn convention) in the exact form
+    df2 = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [9.0, 9.0], 1)],
+        "id long, v array<double>, lbl int",
+    )
+    got2 = {r["label"]: r["mean_silhouette"]
+            for r in silhouette_exact(df2, "id", "v", "lbl").collect()}
+    assert got2[1] == 0.0

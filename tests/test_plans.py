@@ -249,6 +249,11 @@ _MAX_EXCHANGES = {
     "gene_mentions_docs": 0,
     "pathway_mentions_docs": 0,
     "paper_quality_score_docs": 0,
+    # silhouettes: centroid agg (labels x dim) + broadcast-back + one
+    # label mean (simplified); the exact twin's self-join is a broadcast
+    # nested loop over the bounded diagnostic sample + two bounded aggs
+    "cluster_silhouette": 4,
+    "cluster_silhouette_exact": 3,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

@@ -244,3 +244,150 @@ def confusion_at_thresholds(
             )
         )
     return counts.select(F.inline(F.array(*rows)))
+
+
+# ------------------------------------------------------- clustering quality
+def silhouette_simplified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette — the linear-time centroid form:
+    a(i) = distance to the OWN cluster centroid, b(i) = min distance to
+    any other centroid, s(i) = (b - a) / max(a, b) (0 for single-cluster
+    inputs and zero-distance degenerates).
+
+    Reference parity: the single-cell evaluator scores clustering with
+    sklearn's silhouette and maps it to 0-100 via (s + 1) / 2 * 100
+    (scripts/sc_pipeline_evaluator.py:911-959); the simplified form is
+    the standard linear surrogate — at 100 TB the exact all-pairs
+    statistic is a diagnostic for samples, not a corpus pass
+    (:func:`silhouette_exact`).
+
+    Plan: element-wise centroid aggregation (labels x dim rows), rebuilt
+    to arrays and BROADCAST back — the corpus is touched once, scan-local
+    per-point scoring, one label-keyed mean agg.
+
+    Output: (label, n_points, mean_silhouette, eval_score) — 6/4 dp.
+    """
+    from vectordb_bioinsight_spark.functions.vector import l2_distance
+
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cent = (
+        pts.select("_lbl", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("_lbl", "_pos")
+        .agg(F.avg("_val").alias("_m"))
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cent")
+        )
+    )
+    joined = pts.crossJoin(
+        F.broadcast(
+            cent.groupBy().agg(
+                F.collect_list(F.struct("_lbl", "_cent")).alias("_cents")
+            )
+        )
+    )
+    dists = joined.select(
+        "_id",
+        "_lbl",
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                c["_lbl"].alias("l"),
+                # 6-dp distances: the statistic replays bit-for-bit in an
+                # external SQL oracle; the 1e-6 perturbation is far below
+                # any clustering-quality decision threshold
+                F.round(l2_distance(F.col("_v"), c["_cent"]), 6).alias("d"),
+            ),
+        ).alias("_ds"),
+    )
+    a = F.element_at(
+        F.filter(F.col("_ds"), lambda x: x["l"] == F.col("_lbl")), 1
+    )["d"]
+    b = F.array_min(
+        F.transform(
+            F.filter(F.col("_ds"), lambda x: x["l"] != F.col("_lbl")),
+            lambda x: x["d"],
+        )
+    )
+    s = F.when(
+        b.isNull() | (F.greatest(a, b) == 0), F.lit(0.0)
+    ).otherwise((b - a) / F.greatest(a, b))
+    per_point = dists.select("_lbl", s.alias("_s"))
+    agg = per_point.groupBy(F.col("_lbl").alias("label")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.avg("_s").alias("_ms"),
+    )
+    return agg.select(
+        "label",
+        "n_points",
+        F.round("_ms", 6).alias("mean_silhouette"),
+        F.round((F.col("_ms") + 1.0) / 2.0 * 100.0, 4).alias("eval_score"),
+    )
+
+
+def silhouette_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-cluster EXACT mean silhouette (the sklearn statistic,
+    sc_pipeline_evaluator.py:911-953): a(i) = mean distance to the other
+    points of i's cluster, b(i) = min over other clusters of the mean
+    distance to that cluster, s(i) = (b - a) / max(a, b); singleton
+    clusters score 0 (sklearn's convention).
+
+    All-pairs by construction (one self-join, i != j) — O(n^2) distance
+    evaluations, the small-sample diagnostic path; the corpus-scale
+    surrogate is :func:`silhouette_simplified`.
+
+    Output: (label, n_points, mean_silhouette, eval_score).
+    """
+    from vectordb_bioinsight_spark.functions.vector import l2_distance
+
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    o = pts.select(
+        F.col("_id").alias("_jid"),
+        F.col("_lbl").alias("_jlbl"),
+        F.col("_v").alias("_jv"),
+    )
+    pair_means = (
+        pts.join(o, F.col("_id") != F.col("_jid"))
+        .groupBy("_id", "_lbl", "_jlbl")
+        # 6-dp per-pair distances (cross-engine replay; see simplified)
+        .agg(F.avg(F.round(l2_distance(F.col("_v"), F.col("_jv")), 6)).alias("_md"))
+    )
+    per_point = pair_means.groupBy("_id", "_lbl").agg(
+        F.max(F.when(F.col("_jlbl") == F.col("_lbl"), F.col("_md"))).alias("_a"),
+        F.min(F.when(F.col("_jlbl") != F.col("_lbl"), F.col("_md"))).alias("_b"),
+    )
+    s = F.when(
+        F.col("_a").isNull() | F.col("_b").isNull()
+        | (F.greatest(F.col("_a"), F.col("_b")) == 0),
+        F.lit(0.0),
+    ).otherwise((F.col("_b") - F.col("_a")) / F.greatest(F.col("_a"), F.col("_b")))
+    agg = per_point.groupBy(F.col("_lbl").alias("label")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.avg(s).alias("_ms"),
+    )
+    return agg.select(
+        "label",
+        "n_points",
+        F.round("_ms", 6).alias("mean_silhouette"),
+        F.round((F.col("_ms") + 1.0) / 2.0 * 100.0, 4).alias("eval_score"),
+    )

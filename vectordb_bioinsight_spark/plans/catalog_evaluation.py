@@ -624,3 +624,87 @@ SELECT event_type,
        round(greatest(s + (-({_DP_CLIP} / {_DP_EPS}) * sign(cs) * ln(1.0 - 2.0 * abs(cs))), 0.0), 4) AS sum_dp
 FROM noised
 """
+
+
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SIMPLIFIED silhouette over the embeddings table
+    (operators/evaluation.py::silhouette_simplified — the linear
+    centroid form of the evaluator's clustering score,
+    sc_pipeline_evaluator.py:911-959)."""
+    from vectordb_bioinsight_spark.operators.evaluation import silhouette_simplified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_simplified(emb, "vec_id", "embedding", "label")
+
+
+SQL_CLUSTER_SILHOUETTE = """
+WITH cent AS (
+  SELECT label, gs AS pos, avg(v) AS m
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings)
+  GROUP BY 1, 2
+), centarr AS (
+  SELECT label AS clbl, list(m ORDER BY pos) AS c FROM cent GROUP BY 1
+), d AS (
+  SELECT p.vec_id AS id, p.label AS lbl, c.clbl,
+         round(sqrt(list_sum(list_transform(
+           list_zip(p.embedding, c.c), z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2])
+         ))), 6) AS d
+  FROM embeddings p CROSS JOIN centarr c
+), pp AS (
+  SELECT id, lbl,
+         min(CASE WHEN clbl = lbl THEN d END) AS a,
+         min(CASE WHEN clbl <> lbl THEN d END) AS b
+  FROM d GROUP BY 1, 2
+), s AS (
+  SELECT lbl,
+         CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) = 0 THEN 0.0
+              ELSE (b - a) / greatest(a, b) END AS s
+  FROM pp
+)
+SELECT lbl AS label, count(*)::BIGINT AS n_points,
+       round(avg(s), 6) AS mean_silhouette,
+       round((avg(s) + 1.0) / 2.0 * 100.0, 4) AS eval_score
+FROM s GROUP BY 1
+"""
+
+
+def q_cluster_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mean silhouette (all-pairs, the sklearn statistic the
+    reference evaluator computes, sc_pipeline_evaluator.py:911-953) on a
+    deterministic 1-in-5 sample — the small-n diagnostic path; the
+    corpus-scale surrogate is cluster_silhouette."""
+    from vectordb_bioinsight_spark.operators.evaluation import silhouette_exact
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    return silhouette_exact(emb, "vec_id", "embedding", "label")
+
+
+SQL_CLUSTER_SILHOUETTE_EXACT = """
+WITH pts AS (
+  SELECT vec_id AS id, label, embedding FROM embeddings WHERE vec_id % 5 = 0
+), pm AS (
+  SELECT a.id, a.label AS lbl, b.label AS jlbl,
+         avg(round(sqrt(list_sum(list_transform(
+           list_zip(a.embedding, b.embedding),
+           z -> (z[1]::DOUBLE - z[2]::DOUBLE) * (z[1]::DOUBLE - z[2]::DOUBLE)
+         ))), 6)) AS md
+  FROM pts a JOIN pts b ON a.id <> b.id
+  GROUP BY 1, 2, 3
+), pp AS (
+  SELECT id, lbl,
+         max(CASE WHEN jlbl = lbl THEN md END) AS a,
+         min(CASE WHEN jlbl <> lbl THEN md END) AS b
+  FROM pm GROUP BY 1, 2
+), s AS (
+  SELECT lbl,
+         CASE WHEN a IS NULL OR b IS NULL OR greatest(a, b) = 0 THEN 0.0
+              ELSE (b - a) / greatest(a, b) END AS s
+  FROM pp
+)
+SELECT lbl AS label, count(*)::BIGINT AS n_points,
+       round(avg(s), 6) AS mean_silhouette,
+       round((avg(s) + 1.0) / 2.0 * 100.0, 4) AS eval_score
+FROM s GROUP BY 1
+"""
