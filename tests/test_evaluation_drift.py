@@ -620,3 +620,50 @@ def test_silhouette_exact_matches_numpy_port(spark):
     got2 = {r["label"]: r["mean_silhouette"]
             for r in silhouette_exact(df2, "id", "v", "lbl").collect()}
     assert got2[1] == 0.0
+
+
+def test_classification_report_matches_python_port(spark):
+    """Multiclass report vs a pure-python port of the sklearn formulas
+    (robust_model_validation.py:30-31,201-216): random 4-class
+    predictions including a class never predicted and one never true."""
+    import random
+    from collections import Counter
+
+    from vectordb_bioinsight_spark.operators.evaluation import classification_report
+
+    rng = random.Random(77)
+    trues = [rng.choice(["a", "b", "c"]) for _ in range(400)]
+    preds = [t if rng.random() < 0.7 else rng.choice(["a", "b", "d"])
+             for t in trues]
+    df = spark.createDataFrame(list(zip(trues, preds)), "t string, p string")
+    got = {(r["scope"], r["metric"]): r["value"]
+           for r in classification_report(df, "t", "p").collect()}
+
+    labels = sorted(set(trues) | set(preds))
+    tn, pn = Counter(trues), Counter(preds)
+    tp = Counter(t for t, p in zip(trues, preds) if t == p)
+    per = {}
+    for l in labels:
+        prec = tp[l] / pn[l] if pn[l] else 0.0
+        rec = tp[l] / tn[l] if tn[l] else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        per[l] = (prec, rec, f1)
+        assert got[(l, "precision")] == pytest.approx(round(prec, 6))
+        assert got[(l, "recall")] == pytest.approx(round(rec, 6))
+        assert got[(l, "f1")] == pytest.approx(round(f1, 6))
+        assert got[(l, "support")] == tn[l]
+    s = len(trues)
+    c = sum(tp.values())
+    assert got[("overall", "accuracy")] == pytest.approx(round(c / s, 6))
+    assert got[("macro", "f1")] == pytest.approx(
+        round(sum(f for _, _, f in per.values()) / len(labels), 6))
+    assert got[("weighted", "f1")] == pytest.approx(
+        round(sum(per[l][2] * tn[l] for l in labels) / s, 6))
+    pt = sum(pn[l] * tn[l] for l in labels)
+    pp = sum(pn[l] ** 2 for l in labels)
+    tt = sum(tn[l] ** 2 for l in labels)
+    mcc = (c * s - pt) / ((s * s - pp) * (s * s - tt)) ** 0.5
+    assert got[("overall", "mcc")] == pytest.approx(round(mcc, 6), abs=1e-6)
+    pe = pt / (s * s)
+    kappa = (c / s - pe) / (1 - pe)
+    assert got[("overall", "kappa")] == pytest.approx(round(kappa, 6), abs=1e-6)

@@ -254,6 +254,9 @@ _MAX_EXCHANGES = {
     # nested loop over the bounded diagnostic sample + two bounded aggs
     "cluster_silhouette": 4,
     "cluster_silhouette_exact": 3,
+    # multiclass report: the checkpointed confusion table feeds five
+    # consumers — every exchange after it is classes^2-bounded
+    "classification_report_events": 8,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

@@ -391,3 +391,135 @@ def silhouette_exact(
         F.round("_ms", 6).alias("mean_silhouette"),
         F.round((F.col("_ms") + 1.0) / 2.0 * 100.0, 4).alias("eval_score"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Multiclass classification report — the metric suite the
+    reference's model-validation scripts compute with sklearn
+    (scripts/robust_model_validation.py:30-31, 201-216: accuracy,
+    per-class + macro/weighted precision/recall/F1, the multiclass
+    Matthews correlation) plus Cohen's kappa, re-expressed as ONE
+    confusion aggregation + bounded arithmetic.
+
+    sklearn conventions: the label set is the UNION of true and
+    predicted labels; zero-denominator precision/recall/F1 are 0; macro
+    averages over the full union; weighted weights by true support;
+    micro == accuracy for single-label multiclass. Multiclass MCC uses
+    the c*s - sum(p_k t_k) identity; kappa = (po - pe) / (1 - pe).
+
+    Scale: groupBy(true, pred) partial-aggregates map-side; everything
+    after is classes^2-bounded. Output: (scope, metric, value) long rows
+    — scope is the class label, 'macro', 'weighted' or 'overall'; value
+    rounded 6 dp.
+    """
+    cm = (
+        df.select(
+            F.col(true_col).cast("string").alias("t"),
+            F.col(pred_col).cast("string").alias("p"),
+        )
+        .groupBy("t", "p")
+        .agg(F.count("*").cast("double").alias("n"))
+        # the confusion table fans out to FIVE consumers (label union x2,
+        # true/pred margins, diagonal) — materialize it once so the
+        # corpus is scanned once, not per consumer (classes^2 rows; the
+        # part_link_prediction checkpoint discipline)
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        cm.select(F.col("t").alias("lbl"))
+        .unionByName(cm.select(F.col("p").alias("lbl")))
+        .distinct()
+    )
+    per_class = (
+        labels.join(
+            cm.groupBy("t").agg(F.sum("n").alias("true_n")),
+            labels["lbl"] == F.col("t"),
+            "left",
+        )
+        .drop("t")
+        .join(
+            cm.groupBy("p").agg(F.sum("n").alias("pred_n")),
+            F.col("lbl") == F.col("p"),
+            "left",
+        )
+        .drop("p")
+        .join(
+            cm.filter(F.col("t") == F.col("p")).select(
+                F.col("t").alias("_d"), F.col("n").alias("tp")
+            ),
+            F.col("lbl") == F.col("_d"),
+            "left",
+        )
+        .drop("_d")
+        .select(
+            "lbl",
+            F.coalesce("true_n", F.lit(0.0)).alias("true_n"),
+            F.coalesce("pred_n", F.lit(0.0)).alias("pred_n"),
+            F.coalesce("tp", F.lit(0.0)).alias("tp"),
+        )
+    )
+    prec = F.when(F.col("pred_n") > 0, F.col("tp") / F.col("pred_n")).otherwise(0.0)
+    rec = F.when(F.col("true_n") > 0, F.col("tp") / F.col("true_n")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    scored = per_class.select(
+        "lbl", "true_n", "pred_n", "tp",
+        prec.alias("prec"), rec.alias("rec"), f1.alias("f1"),
+    )
+    class_rows = scored.select(
+        F.col("lbl").alias("scope"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("precision").alias("metric"), F.round("prec", 6).alias("value")),
+                F.struct(F.lit("recall").alias("metric"), F.round("rec", 6).alias("value")),
+                F.struct(F.lit("f1").alias("metric"), F.round("f1", 6).alias("value")),
+                F.struct(F.lit("support").alias("metric"), F.col("true_n").alias("value")),
+            )
+        ).alias("mv"),
+    ).select("scope", F.col("mv.metric"), F.col("mv.value"))
+    total = scored.agg(
+        F.sum("tp").alias("c"),
+        F.sum("true_n").alias("s"),
+        F.sum(F.col("pred_n") * F.col("true_n")).alias("pt"),
+        F.sum(F.col("pred_n") * F.col("pred_n")).alias("pp"),
+        F.sum(F.col("true_n") * F.col("true_n")).alias("tt"),
+        F.avg("prec").alias("macro_p"),
+        F.avg("rec").alias("macro_r"),
+        F.avg("f1").alias("macro_f1"),
+        (F.sum(F.col("f1") * F.col("true_n")) / F.sum("true_n")).alias("w_f1"),
+        (F.sum(F.col("prec") * F.col("true_n")) / F.sum("true_n")).alias("w_p"),
+        (F.sum(F.col("rec") * F.col("true_n")) / F.sum("true_n")).alias("w_r"),
+    )
+    s = F.col("s")
+    mcc_den = F.sqrt((s * s - F.col("pp")) * (s * s - F.col("tt")))
+    mcc = F.when(mcc_den > 0, (F.col("c") * s - F.col("pt")) / mcc_den).otherwise(0.0)
+    pe = F.col("pt") / (s * s)
+    kappa = F.when(pe < 1.0, (F.col("c") / s - pe) / (1 - pe)).otherwise(0.0)
+    summary_rows = total.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("overall").alias("scope"), F.lit("accuracy").alias("metric"),
+                         F.round(F.col("c") / s, 6).alias("value")),
+                F.struct(F.lit("overall").alias("scope"), F.lit("mcc").alias("metric"),
+                         F.round(mcc, 6).alias("value")),
+                F.struct(F.lit("overall").alias("scope"), F.lit("kappa").alias("metric"),
+                         F.round(kappa, 6).alias("value")),
+                F.struct(F.lit("macro").alias("scope"), F.lit("precision").alias("metric"),
+                         F.round("macro_p", 6).alias("value")),
+                F.struct(F.lit("macro").alias("scope"), F.lit("recall").alias("metric"),
+                         F.round("macro_r", 6).alias("value")),
+                F.struct(F.lit("macro").alias("scope"), F.lit("f1").alias("metric"),
+                         F.round("macro_f1", 6).alias("value")),
+                F.struct(F.lit("weighted").alias("scope"), F.lit("precision").alias("metric"),
+                         F.round("w_p", 6).alias("value")),
+                F.struct(F.lit("weighted").alias("scope"), F.lit("recall").alias("metric"),
+                         F.round("w_r", 6).alias("value")),
+                F.struct(F.lit("weighted").alias("scope"), F.lit("f1").alias("metric"),
+                         F.round("w_f1", 6).alias("value")),
+            )
+        ).alias("r")
+    ).select("r.scope", "r.metric", "r.value")
+    return class_rows.unionByName(summary_rows)

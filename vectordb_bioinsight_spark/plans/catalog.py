@@ -62,9 +62,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "integrated_drivers": (cov.q_integrated_drivers, cov.SQL_INTEGRATED_DRIVERS),
     "driver_tracks": (cov.q_driver_tracks, cov.SQL_DRIVER_TRACKS),
     "gene_mentions_docs": (cov.q_gene_mentions_docs, cov.SQL_GENE_MENTIONS_DOCS),
-    "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
     "paper_quality_score_docs": (cov.q_paper_quality_score_docs, cov.SQL_PAPER_QUALITY_SCORE_DOCS),
     "cluster_silhouette": (evl.q_cluster_silhouette, evl.SQL_CLUSTER_SILHOUETTE),
+    "classification_report_events": (evl.q_classification_report_events, evl.SQL_CLASSIFICATION_REPORT_EVENTS),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
     "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
@@ -121,10 +121,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
-    # first in line for r08: the exact-silhouette twin (its simplified
+    # first in line for r08: the pathway sweep (its corpus_enrich
+    # siblings gene_mentions + paper_quality_score are in-window),
+    # the exact-silhouette twin (its simplified
     # sibling is in-window), keyword_growth (its changed extract kernel
     # is driver-covered by discovered_keywords; the growth split itself
     # is r6-green and untouched), and the cooccurrence callers:
+    "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
     "cluster_silhouette_exact": (evl.q_cluster_silhouette_exact, evl.SQL_CLUSTER_SILHOUETTE_EXACT),
     "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),

@@ -708,3 +708,88 @@ SELECT lbl AS label, count(*)::BIGINT AS n_points,
        round((avg(s) + 1.0) / 2.0 * 100.0, 4) AS eval_score
 FROM s GROUP BY 1
 """
+
+
+def q_classification_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass classification report (operators/evaluation.py::
+    classification_report — the sklearn metric suite of the reference's
+    validation scripts, robust_model_validation.py:30-31,201-216):
+    event_type as the true label, a planted noisy predictor (5-in-7
+    correct, rotating confusions) as the prediction."""
+    from vectordb_bioinsight_spark.operators.evaluation import classification_report
+
+    ev = load_table(spark, sf_dir, "events")
+    types = F.array(
+        F.lit("signup"), F.lit("view"), F.lit("click"),
+        F.lit("purchase"), F.lit("error"),
+    )
+    pred = F.when(F.col("event_id") % 7 < 5, F.col("event_type")).otherwise(
+        F.element_at(types, (F.col("event_id") % 5 + 1).cast("int"))
+    )
+    return classification_report(
+        ev.select(F.col("event_type").alias("t"), pred.alias("p")), "t", "p"
+    )
+
+
+SQL_CLASSIFICATION_REPORT_EVENTS = """
+WITH scored0 AS (
+  SELECT event_type AS t,
+         CASE WHEN event_id % 7 < 5 THEN event_type
+              ELSE ['signup','view','click','purchase','error'][(event_id % 5 + 1)::INT]
+         END AS p
+  FROM events
+), cm AS (
+  SELECT t, p, count(*)::DOUBLE AS n FROM scored0 GROUP BY 1, 2
+), labels AS (
+  SELECT t AS lbl FROM cm UNION SELECT p FROM cm
+), pc AS (
+  SELECT l.lbl,
+         coalesce(tn.true_n, 0.0) AS true_n,
+         coalesce(pn.pred_n, 0.0) AS pred_n,
+         coalesce(dg.tp, 0.0) AS tp
+  FROM labels l
+  LEFT JOIN (SELECT t, sum(n) AS true_n FROM cm GROUP BY 1) tn ON tn.t = l.lbl
+  LEFT JOIN (SELECT p, sum(n) AS pred_n FROM cm GROUP BY 1) pn ON pn.p = l.lbl
+  LEFT JOIN (SELECT t, n AS tp FROM cm WHERE t = p) dg ON dg.t = l.lbl
+), sc AS (
+  SELECT lbl, true_n, pred_n, tp,
+         CASE WHEN pred_n > 0 THEN tp / pred_n ELSE 0.0 END AS prec,
+         CASE WHEN true_n > 0 THEN tp / true_n ELSE 0.0 END AS rec
+  FROM pc
+), scf AS (
+  SELECT *, CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+                 ELSE 0.0 END AS f1
+  FROM sc
+), class_rows AS (
+  SELECT lbl AS scope, 'precision' AS metric, round(prec, 6) AS value FROM scf
+  UNION ALL SELECT lbl, 'recall', round(rec, 6) FROM scf
+  UNION ALL SELECT lbl, 'f1', round(f1, 6) FROM scf
+  UNION ALL SELECT lbl, 'support', true_n FROM scf
+), tot AS (
+  SELECT sum(tp) AS c, sum(true_n) AS s,
+         sum(pred_n * true_n) AS pt, sum(pred_n * pred_n) AS pp,
+         sum(true_n * true_n) AS tt,
+         avg(prec) AS macro_p, avg(rec) AS macro_r, avg(f1) AS macro_f1,
+         sum(f1 * true_n) / sum(true_n) AS w_f1,
+         sum(prec * true_n) / sum(true_n) AS w_p,
+         sum(rec * true_n) / sum(true_n) AS w_r
+  FROM scf
+), summary_rows AS (
+  SELECT 'overall' AS scope, 'accuracy' AS metric, round(c / s, 6) AS value FROM tot
+  UNION ALL SELECT 'overall', 'mcc',
+    round(CASE WHEN sqrt((s * s - pp) * (s * s - tt)) > 0
+               THEN (c * s - pt) / sqrt((s * s - pp) * (s * s - tt))
+               ELSE 0.0 END, 6) FROM tot
+  UNION ALL SELECT 'overall', 'kappa',
+    round(CASE WHEN pt / (s * s) < 1.0
+               THEN (c / s - pt / (s * s)) / (1 - pt / (s * s))
+               ELSE 0.0 END, 6) FROM tot
+  UNION ALL SELECT 'macro', 'precision', round(macro_p, 6) FROM tot
+  UNION ALL SELECT 'macro', 'recall', round(macro_r, 6) FROM tot
+  UNION ALL SELECT 'macro', 'f1', round(macro_f1, 6) FROM tot
+  UNION ALL SELECT 'weighted', 'precision', round(w_p, 6) FROM tot
+  UNION ALL SELECT 'weighted', 'recall', round(w_r, 6) FROM tot
+  UNION ALL SELECT 'weighted', 'f1', round(w_f1, 6) FROM tot
+)
+SELECT * FROM class_rows UNION ALL SELECT * FROM summary_rows
+"""
