@@ -667,3 +667,45 @@ def test_classification_report_matches_python_port(spark):
     pe = pt / (s * s)
     kappa = (c / s - pe) / (1 - pe)
     assert got[("overall", "kappa")] == pytest.approx(round(kappa, 6), abs=1e-6)
+
+
+def test_cluster_quality_indices_match_numpy_port(spark):
+    """DB/CH vs numpy ports of the sklearn formulas on planted blobs."""
+    import numpy as np
+
+    from vectordb_bioinsight_spark.operators.evaluation import (
+        cluster_variance_indices,
+    )
+
+    rng = np.random.default_rng(11)
+    pts, labels = [], []
+    for c, center in enumerate([(0, 0), (7, 2), (2, 8), (9, 9)]):
+        for _ in range(20):
+            pts.append(rng.normal(center, 1.2, 2))
+            labels.append(c)
+    pts, labels = np.array(pts), np.array(labels)
+    ks = sorted(set(labels))
+    cents = {c: pts[labels == c].mean(0) for c in ks}
+    # per-point distances rounded 6 dp (the operators' replay contract)
+    d_own = {c: np.round(np.sqrt(((pts[labels == c] - cents[c]) ** 2).sum(1)), 6)
+             for c in ks}
+    n, k = len(pts), len(ks)
+    W = sum((d_own[c] ** 2).sum() for c in ks)
+    grand = sum(cents[c] * (labels == c).sum() for c in ks) / n
+    B = sum((labels == c).sum()
+            * np.round(np.sqrt(((cents[c] - grand) ** 2).sum()), 6) ** 2 for c in ks)
+    ch = (B / (k - 1)) / (W / (n - k))
+    s = {c: d_own[c].mean() for c in ks}
+    db = np.mean([
+        max((s[i] + s[j]) / np.round(np.sqrt(((cents[i] - cents[j]) ** 2).sum()), 6)
+            for j in ks if j != i)
+        for i in ks
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p], int(l)) for i, (p, l) in enumerate(zip(pts, labels))],
+        "id long, v array<double>, lbl int",
+    )
+    r = cluster_variance_indices(df, "id", "v", "lbl").collect()[0]
+    assert r["n_points"] == n and r["n_clusters"] == k
+    assert r["calinski_harabasz"] == pytest.approx(round(ch, 4), abs=1e-3)
+    assert r["davies_bouldin"] == pytest.approx(round(db, 4), abs=1e-3)

@@ -257,6 +257,9 @@ _MAX_EXCHANGES = {
     # multiclass report: the checkpointed confusion table feeds five
     # consumers — every exchange after it is classes^2-bounded
     "classification_report_events": 8,
+    # DB/CH indices: checkpointed centroid + per-label frames (corpus
+    # scanned twice at build); all final exchanges k-bounded
+    "cluster_quality_indices": 7,
     "article_type_docs": 0,
     "high_impact_docs": 0,
     "aggregator_headline": 0,

@@ -523,3 +523,125 @@ def classification_report(
         ).alias("r")
     ).select("r.scope", "r.metric", "r.value")
     return class_rows.unionByName(summary_rows)
+
+
+def cluster_variance_indices(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Davies-Bouldin and Calinski-Harabasz in ONE linear pass — the two
+    centroid-based clustering-quality indices that complete the
+    evaluator family next to :func:`silhouette_simplified` (the
+    reference scores clustering quality in its single-cell evaluator,
+    sc_pipeline_evaluator.py:908-959; sklearn's index trio is the
+    standard instrument).
+
+    * CH = (B / (k-1)) / (W / (n-k)): between/within SQUARED-distance
+      dispersion — cluster-aggregable exactly (no sqrt inside sums).
+    * DB = mean over clusters of max_j (s_i + s_j) / d_ij with
+      s_i = mean distance to the own centroid and d_ij the
+      centroid-centroid distance — the pairwise stage is k^2-bounded.
+
+    Distances round 6 dp (the cross-engine replay contract). Plan: one
+    corpus scan into per-label (n, s_i, W_i) aggregates against
+    broadcast centroids; everything after is k-bounded.
+
+    Output: one row (n_points, n_clusters, calinski_harabasz,
+    davies_bouldin) rounded 4 dp; both NULL for k < 2.
+    """
+    from vectordb_bioinsight_spark.functions.vector import l2_distance
+
+    pts = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cent = (
+        pts.select("_lbl", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("_lbl", "_pos")
+        .agg(F.avg("_val").alias("_m"))
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_cent")
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = F.round(l2_distance(F.col("_v"), F.col("_cent")), 6)
+    per_label = (
+        pts.join(F.broadcast(cent), "_lbl")
+        .groupBy("_lbl")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.avg(dist).alias("_s"),
+            F.sum(dist * dist).alias("_w"),
+        )
+        # k-bounded, five consumers (grand mean, totals, B-term, both DB
+        # pair sides) — materialize so the corpus is scanned once for it
+        .localCheckpoint(eager=False)
+    )
+    # grand centroid: size-weighted mean of the label centroids per
+    # dimension (== the global element-wise mean), as PLAIN aggregates so
+    # both engines compute the same simple k-term sums (a collect-fold
+    # would sum in partition order — nondeterministic even within Spark)
+    grand_long = (
+        cent.select("_lbl", F.posexplode("_cent").alias("_pos", "_cm"))
+        .join(per_label.select("_lbl", "_n"), "_lbl")
+        .groupBy("_pos")
+        .agg((F.sum(F.col("_cm") * F.col("_n")) / F.sum("_n")).alias("_gm"))
+    )
+    grand_arr = grand_long.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_gm"))),
+            lambda s: s["_gm"],
+        ).alias("_g")
+    )
+    totk = per_label.agg(
+        F.sum("_n").alias("_tot"), F.count("*").cast("long").alias("_k")
+    )
+    grand = totk.crossJoin(F.broadcast(grand_arr))
+    stats = per_label.join(cent, "_lbl").crossJoin(F.broadcast(grand))
+    b_term = F.col("_n").cast("double") * F.pow(
+        F.round(l2_distance(F.col("_cent"), F.col("_g")), 6), 2
+    )
+    totals = stats.agg(
+        F.sum("_w").alias("W"),
+        F.sum(b_term).alias("B"),
+        F.max("_tot").alias("n"),
+        F.max("_k").alias("k"),
+    )
+    # DB: k^2 centroid-pair stage
+    a = per_label.join(cent, "_lbl").select(
+        F.col("_lbl").alias("_i"), F.col("_s").alias("_si"), F.col("_cent").alias("_ci")
+    )
+    b = per_label.join(cent, "_lbl").select(
+        F.col("_lbl").alias("_j"), F.col("_s").alias("_sj"), F.col("_cent").alias("_cj")
+    )
+    rij = (
+        a.join(b, F.col("_i") != F.col("_j"))
+        .select(
+            "_i",
+            (
+                (F.col("_si") + F.col("_sj"))
+                / F.nullif(F.round(l2_distance(F.col("_ci"), F.col("_cj")), 6), F.lit(0.0))
+            ).alias("_r"),
+        )
+        .groupBy("_i")
+        .agg(F.max("_r").alias("_rmax"))
+        .agg(F.avg("_rmax").alias("DB"))
+    )
+    return totals.crossJoin(rij).select(
+        F.col("n").alias("n_points"),
+        F.col("k").alias("n_clusters"),
+        F.round(
+            F.when(
+                (F.col("k") > 1) & (F.col("W") > 0),
+                (F.col("B") / (F.col("k") - 1)) / (F.col("W") / (F.col("n") - F.col("k"))),
+            ),
+            4,
+        ).alias("calinski_harabasz"),
+        F.round(F.when(F.col("k") > 1, F.col("DB")), 4).alias("davies_bouldin"),
+    )

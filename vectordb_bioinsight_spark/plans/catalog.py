@@ -65,8 +65,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "paper_quality_score_docs": (cov.q_paper_quality_score_docs, cov.SQL_PAPER_QUALITY_SCORE_DOCS),
     "cluster_silhouette": (evl.q_cluster_silhouette, evl.SQL_CLUSTER_SILHOUETTE),
     "classification_report_events": (evl.q_classification_report_events, evl.SQL_CLASSIFICATION_REPORT_EVENTS),
+    "cluster_quality_indices": (evl.q_cluster_quality_indices, evl.SQL_CLUSTER_QUALITY_INDICES),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
-    "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
     "approx_distinct_users": (th.q_approx_distinct_users, th.SQL_APPROX_DISTINCT_USERS),
     "rolling_active_users": (ev.q_rolling_active_users, ev.SQL_ROLLING_ACTIVE_USERS),
@@ -121,12 +121,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
-    # first in line for r08: the pathway sweep (its corpus_enrich
+    # first in line for r08: the high-impact filter (a 17-LIKE dim
+    # filter; its briefing siblings article_type + aggregator_headline
+    # are in-window), the pathway sweep (its corpus_enrich
     # siblings gene_mentions + paper_quality_score are in-window),
     # the exact-silhouette twin (its simplified
     # sibling is in-window), keyword_growth (its changed extract kernel
     # is driver-covered by discovered_keywords; the growth split itself
     # is r6-green and untouched), and the cooccurrence callers:
+    "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
     "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
     "cluster_silhouette_exact": (evl.q_cluster_silhouette_exact, evl.SQL_CLUSTER_SILHOUETTE_EXACT),
     "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),

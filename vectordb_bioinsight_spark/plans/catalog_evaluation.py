@@ -793,3 +793,72 @@ WITH scored0 AS (
 )
 SELECT * FROM class_rows UNION ALL SELECT * FROM summary_rows
 """
+
+
+def q_cluster_quality_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin + Calinski-Harabasz over the embeddings table
+    (operators/evaluation.py::cluster_variance_indices — the
+    centroid-based index pair completing the clustering-quality family
+    next to the silhouettes, sc_pipeline_evaluator.py:908-959)."""
+    from vectordb_bioinsight_spark.operators.evaluation import (
+        cluster_variance_indices,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_variance_indices(emb, "vec_id", "embedding", "label")
+
+
+SQL_CLUSTER_QUALITY_INDICES = """
+WITH cent AS (
+  SELECT label, gs AS pos, avg(v) AS m
+  FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS gs
+        FROM embeddings)
+  GROUP BY 1, 2
+), centarr AS (
+  SELECT label, list(m ORDER BY pos) AS c FROM cent GROUP BY 1
+), pts AS (
+  SELECT p.label, round(sqrt(list_sum(list_transform(
+           list_zip(p.embedding, ca.c),
+           z -> (z[1]::DOUBLE - z[2]) * (z[1]::DOUBLE - z[2])
+         ))), 6) AS d
+  FROM embeddings p JOIN centarr ca ON ca.label = p.label
+), per_label AS (
+  SELECT label, count(*)::BIGINT AS n, avg(d) AS s, sum(d * d) AS w
+  FROM pts GROUP BY 1
+), grandarr AS (
+  SELECT list(gm ORDER BY pos) AS g FROM (
+    SELECT u.pos, sum(u.cv * pl.n) / sum(pl.n) AS gm
+    FROM centarr ca
+    JOIN per_label pl ON pl.label = ca.label,
+    LATERAL (SELECT unnest(ca.c) AS cv, generate_subscripts(ca.c, 1) AS pos) u
+    GROUP BY u.pos)
+), grand2 AS (
+  SELECT t.tot, t.k, ga.g
+  FROM (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS k FROM per_label) t
+  CROSS JOIN grandarr ga
+), bterm AS (
+  SELECT sum(pl.n::DOUBLE * pow(round(sqrt(list_sum(list_transform(
+           list_zip(ca.c, g2.g), z -> (z[1] - z[2]) * (z[1] - z[2])
+         ))), 6), 2)) AS B,
+         sum(pl.w) AS W
+  FROM per_label pl JOIN centarr ca ON ca.label = pl.label CROSS JOIN grand2 g2
+), db AS (
+  SELECT avg(rmax) AS DB FROM (
+    SELECT a.label, max((pa.s + pb.s)
+           / nullif(round(sqrt(list_sum(list_transform(
+               list_zip(a.c, b.c), z -> (z[1] - z[2]) * (z[1] - z[2])
+             ))), 6), 0.0)) AS rmax
+    FROM centarr a JOIN centarr b ON a.label <> b.label
+    JOIN per_label pa ON pa.label = a.label
+    JOIN per_label pb ON pb.label = b.label
+    GROUP BY 1
+  )
+)
+SELECT g2.tot AS n_points, g2.k AS n_clusters,
+       round(CASE WHEN g2.k > 1 AND bt.W > 0
+                  THEN (bt.B / (g2.k - 1)) / (bt.W / (g2.tot - g2.k)) END, 4)
+         AS calinski_harabasz,
+       round(CASE WHEN g2.k > 1 THEN db.DB END, 4) AS davies_bouldin
+FROM grand2 g2 CROSS JOIN bterm bt CROSS JOIN db
+"""
