@@ -45,7 +45,7 @@ def test_dimension_joins_broadcast(spark):
 
 def test_topk_compiles_to_take_ordered(spark):
     for name in ["knn_cosine", "top_orders", "hvg_parts", "news_headline",
-                 "aggregator_headline"]:
+                 "aggregator_headline", "landmark_docs"]:
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
 
@@ -265,6 +265,17 @@ _MAX_EXCHANGES = {
     "aggregator_headline": 0,
     "approx_distinct_users": 2,
     "rolling_active_users": 5,
+    # citation-analytics tier (audited at pin time). landmark: scan-local
+    # ladder + global top-20 (TakeOrderedAndProject, asserted below) —
+    # ANY exchange is a regression. trends: (cited, year) groupBy + the
+    # cited-keyed peak window. network: id-keyed node/edge aggs + the
+    # citer-vs-reference anti-join, every post-agg frame per-paper-
+    # bounded. related: the (center, related) dedup window + the
+    # center-keyed rank window.
+    "landmark_docs": 0,
+    "citation_trends_docs": 2,
+    "citation_network_docs": 7,
+    "related_docs": 2,
 }
 
 

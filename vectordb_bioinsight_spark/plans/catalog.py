@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from vectordb_bioinsight_spark.plans import catalog_citations as cit
 from vectordb_bioinsight_spark.plans import catalog_cleaning as cl
 from vectordb_bioinsight_spark.plans import catalog_coverage as cov
 from vectordb_bioinsight_spark.plans import catalog_evaluation as evl
@@ -121,7 +122,16 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
-    # first in line for r08: the high-impact filter (a 17-LIKE dim
+    # first in line for r08: the citation-analytics tier (NEW mid-r07,
+    # after the 50-slot window above was already allocated to the
+    # VERDICT r06 contract — 12 new + 5 changed + 33 stale-backfill;
+    # all four verified hash-green locally at sf0.001 AND sf0.01 on
+    # landing, see tests/test_citations_tier.py):
+    "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
+    "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
+    "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
+    "related_docs": (cit.q_related_docs, cit.SQL_RELATED_DOCS),
+    # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich
     # siblings gene_mentions + paper_quality_score are in-window),

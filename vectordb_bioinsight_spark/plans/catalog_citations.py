@@ -1,0 +1,253 @@
+"""Catalog entries for the citation-analytics tier
+(operators/citations.py — backend/app/api/routes/citations.py:287-695).
+
+The reference's citation data arrives from Semantic Scholar over HTTP (a
+declared S8 snapshot boundary); here each document doubles as a paper with
+PLANTED citation metadata and a planted 3-out-regular citation graph, all
+integer modular arithmetic so Spark and DuckDB agree bit-for-bit:
+
+* ``year``: NULL when ``doc_id % 11 = 0`` (exercises the no-year branch),
+  else ``1985 + (doc_id * 7) % 40`` — ages 1..40 at current_year 2025.
+* ``citation_count``: ``(doc_id * 137) % 20011`` — crosses every ladder
+  break (50/500/1000/10000 citations, all velocity tiers).
+* ``influential_citations``: ``(doc_id * 911) % (citation_count + 1)`` —
+  always <= citation_count.
+* ``n_fields``: ``doc_id % 6``; ``is_open_access``: ``doc_id % 3 = 0``.
+* edges: every doc cites ``(3d+1) % 500``, ``(5d+2) % 500``,
+  ``(7d+3) % 500`` — provably distinct and never self-citing (each
+  coincidence needs an even residue to equal an odd one mod 500), and the
+  cited ids 0..499 exist at every SF, so low-id papers accumulate citers
+  as SF grows while every paper has exactly 3 references.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators.citations import (
+    citation_network_stats,
+    citation_yearly_trends,
+    landmark_papers,
+    related_papers,
+)
+from vectordb_bioinsight_spark.sources.readers import load_table
+
+#: modular base for planted cited ids — constant across SFs so the edge
+#: set at sf0.001 is a prefix of the edge set at every larger SF.
+_CITE_MOD = 500
+
+# SQL fragments shared by every twin (DuckDB):
+_SQL_META = f"""
+  SELECT doc_id AS paper_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE 1985 + (doc_id * 7) % 40 END AS year,
+         (doc_id * 137) % 20011 AS cc,
+         (doc_id * 911) % ((doc_id * 137) % 20011 + 1) AS infl,
+         doc_id % 6 AS nf,
+         doc_id % 3 = 0 AS oa
+  FROM documents
+"""
+
+_SQL_EDGES = f"""
+  SELECT doc_id AS citing_id, unnest([
+           (doc_id * 3 + 1) % {_CITE_MOD},
+           (doc_id * 5 + 2) % {_CITE_MOD},
+           (doc_id * 7 + 3) % {_CITE_MOD}
+         ]) AS cited_id
+  FROM documents
+"""
+
+
+def _paper_meta(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    cc = (d * 137) % 20011
+    return docs.select(
+        d.alias("paper_id"),
+        F.when(d % 11 == 0, F.lit(None).cast("int"))
+        .otherwise((F.lit(1985) + (d * 7) % 40).cast("int"))
+        .alias("year"),
+        cc.cast("long").alias("citation_count"),
+        ((d * 911) % (cc + 1)).cast("long").alias("influential_citations"),
+        (d % 6).cast("int").alias("n_fields"),
+        (d % 3 == 0).alias("is_open_access"),
+    )
+
+
+def _citation_edges(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.select(
+        d.alias("citing_id"),
+        F.explode(
+            F.array(
+                (d * 3 + 1) % _CITE_MOD,
+                (d * 5 + 2) % _CITE_MOD,
+                (d * 7 + 3) % _CITE_MOD,
+            )
+        ).alias("cited_id"),
+    )
+
+
+def q_landmark_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-papers pipeline (citations.py:287-461): >=50-citation gate,
+    four-factor score, reason ladder, top-20 by (score desc, id asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return landmark_papers(_paper_meta(docs), limit=20).withColumnRenamed(
+        "paper_id", "doc_id"
+    )
+
+
+SQL_LANDMARK_DOCS = f"""
+WITH meta AS ({_SQL_META}),
+gated AS (SELECT * FROM meta WHERE cc >= 50),
+scored AS (
+  SELECT paper_id, year, cc, infl, nf, oa,
+         greatest(1, 2025 - year) AS age,
+         cc::DOUBLE / greatest(1, 2025 - year)::DOUBLE AS cpy,
+         greatest(1, 2025 - coalesce(year, 2025)) AS r_age
+  FROM gated
+), s2 AS (
+  SELECT *,
+         CASE WHEN year IS NULL THEN 0.0 ELSE
+           least(100.0,
+             (CASE WHEN cpy >= 500 THEN 100.0
+                   WHEN cpy >= 200 THEN 80.0
+                   WHEN cpy >= 100 THEN 60.0
+                   WHEN cpy >= 50 THEN 40.0
+                   ELSE least(40.0, cpy * 0.8) END)
+             + (infl::DOUBLE / greatest(1, cc)::DOUBLE) * 20.0
+             + least(10.0, nf::DOUBLE * 2.0)
+             + (CASE WHEN age >= 10 AND cc >= 1000 THEN 10.0
+                     WHEN age >= 5 AND cc >= 500 THEN 5.0
+                     ELSE 0.0 END))
+         END AS raw_score,
+         cc::DOUBLE / r_age::DOUBLE AS r_cpy
+  FROM scored
+), reasons AS (
+  SELECT *,
+    list_filter([
+      CASE WHEN cc >= 10000 THEN 'Exceptionally high citations (' || format('{{:,}}', cc) || ')'
+           WHEN cc >= 1000 THEN 'Highly cited (' || format('{{:,}}', cc) || ' citations)' END,
+      CASE WHEN r_cpy >= 200 THEN 'High citation velocity (' || round(r_cpy, 0)::BIGINT::VARCHAR || '/year)' END,
+      CASE WHEN infl >= 100 THEN 'High influential citations (' || infl::VARCHAR || ')' END,
+      CASE WHEN nf >= 3 THEN 'Cross-disciplinary impact (' || nf::VARCHAR || ' fields)' END,
+      CASE WHEN r_age >= 10 AND cc >= 1000 THEN 'Established foundational work' END,
+      CASE WHEN oa THEN 'Open access - widely accessible' END
+    ], x -> x IS NOT NULL) AS rl
+  FROM s2
+), final AS (
+  SELECT paper_id AS doc_id,
+         round(raw_score, 4) AS landmark_score,
+         CASE WHEN len(rl) = 0 THEN ['Significant contribution to the field']
+              ELSE rl[1:4] END AS rl2
+  FROM reasons
+)
+SELECT doc_id, landmark_score,
+       len(rl2) AS n_reasons,
+       list_aggregate(rl2, 'string_agg', ' | ') AS reasons,
+       row_number() OVER (ORDER BY landmark_score DESC, doc_id ASC) AS rk
+FROM final
+QUALIFY rk <= 20
+"""
+
+
+def q_citation_trends_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly citation trends + peak year (citations.py:609-643) over the
+    planted 3-regular citation graph; NULL citing years skipped."""
+    docs = load_table(spark, sf_dir, "documents")
+    return citation_yearly_trends(_citation_edges(docs), _paper_meta(docs))
+
+
+SQL_CITATION_TRENDS_DOCS = f"""
+WITH meta AS ({_SQL_META}), edges AS ({_SQL_EDGES}),
+yearly AS (
+  SELECT e.cited_id, m.year, count(*) AS n_citing
+  FROM edges e JOIN meta m ON m.paper_id = e.citing_id
+  WHERE m.year IS NOT NULL
+  GROUP BY e.cited_id, m.year
+)
+SELECT cited_id, year, n_citing,
+       (row_number() OVER (PARTITION BY cited_id
+                           ORDER BY n_citing DESC, year ASC) = 1)::INT AS is_peak
+FROM yearly
+"""
+
+
+def q_citation_network_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-center citation-network stats (citations.py:465-568): seen-ids
+    node dedup (reference beats citation), unconditional edge append,
+    avg citation count over the deduped node set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return citation_network_stats(_citation_edges(docs), _paper_meta(docs))
+
+
+SQL_CITATION_NETWORK_DOCS = f"""
+WITH meta AS ({_SQL_META}), edges AS ({_SQL_EDGES}),
+refs AS (SELECT citing_id AS center, cited_id AS nbr FROM edges),
+cits AS (SELECT cited_id AS center, citing_id AS nbr FROM edges),
+new_citers AS (
+  SELECT DISTINCT c.center, c.nbr FROM cits c
+  WHERE c.nbr <> c.center
+    AND NOT EXISTS (SELECT 1 FROM refs r
+                    WHERE r.center = c.center AND r.nbr = c.nbr)
+),
+ref_nodes AS (
+  SELECT center, count(*) AS n_ref_nodes, sum(m.cc) AS ref_cc
+  FROM (SELECT DISTINCT center, nbr FROM refs WHERE nbr <> center) r
+  JOIN meta m ON m.paper_id = r.nbr GROUP BY center
+),
+ref_edges AS (SELECT center, count(*) AS n_ref_edges FROM refs GROUP BY center),
+cit_edges AS (SELECT center, count(*) AS n_cit_edges FROM cits GROUP BY center),
+cit_nodes AS (
+  SELECT center, count(*) AS n_cit_nodes, sum(m.cc) AS cit_cc
+  FROM new_citers n JOIN meta m ON m.paper_id = n.nbr GROUP BY center
+)
+SELECT m.paper_id AS center,
+       1 + coalesce(rn.n_ref_nodes, 0) + coalesce(cn.n_cit_nodes, 0) AS total_nodes,
+       coalesce(re.n_ref_edges, 0) + coalesce(ce.n_cit_edges, 0) AS total_edges,
+       coalesce(rn.n_ref_nodes, 0) AS references_count,
+       coalesce(cn.n_cit_nodes, 0) AS citations_count,
+       round((m.cc + coalesce(rn.ref_cc, 0) + coalesce(cn.cit_cc, 0))::DOUBLE
+             / (1 + coalesce(rn.n_ref_nodes, 0) + coalesce(cn.n_cit_nodes, 0))::DOUBLE,
+             4) AS avg_citations
+FROM meta m
+LEFT JOIN ref_edges re ON re.center = m.paper_id
+LEFT JOIN cit_edges ce ON ce.center = m.paper_id
+LEFT JOIN ref_nodes rn ON rn.center = m.paper_id
+LEFT JOIN cit_nodes cn ON cn.center = m.paper_id
+"""
+
+
+def q_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related papers by shared citation edges (citations.py:644-695):
+    citers + references ranked by the related paper's citation count,
+    cites_this-wins dedup, top 10 per center."""
+    docs = load_table(spark, sf_dir, "documents")
+    return related_papers(_citation_edges(docs), _paper_meta(docs), limit=10)
+
+
+SQL_RELATED_DOCS = f"""
+WITH meta AS ({_SQL_META}), edges AS ({_SQL_EDGES}),
+pool AS (
+  SELECT cited_id AS center, citing_id AS related_id,
+         'cites_this' AS relation, 0 AS rel_ord
+  FROM edges
+  UNION ALL
+  SELECT citing_id AS center, cited_id AS related_id,
+         'cited_by_this' AS relation, 1 AS rel_ord
+  FROM edges
+), scored AS (
+  SELECT p.center, p.related_id, p.relation, p.rel_ord, m.cc AS relevance
+  FROM pool p JOIN meta m ON m.paper_id = p.related_id
+  WHERE p.related_id <> p.center
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY center, related_id
+                               ORDER BY rel_ord) AS dup
+  FROM scored
+)
+SELECT center, related_id, relation, relevance,
+       row_number() OVER (PARTITION BY center
+                          ORDER BY relevance DESC, rel_ord, related_id ASC) AS rk
+FROM dedup WHERE dup = 1
+QUALIFY rk <= 10
+"""
