@@ -276,6 +276,12 @@ _MAX_EXCHANGES = {
     "citation_trends_docs": 2,
     "citation_network_docs": 7,
     "related_docs": 2,
+    # rule-based explanation tier: pure scan-local expression trees
+    # (keyword contains-chains, regex gene extraction, string assembly) —
+    # ANY exchange is a regression
+    "explain_docs": 0,
+    "gene_confidence_docs": 0,
+    "prediction_recs_docs": 0,
 }
 
 

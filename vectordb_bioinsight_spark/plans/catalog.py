@@ -18,6 +18,7 @@ from vectordb_bioinsight_spark.plans import catalog_citations as cit
 from vectordb_bioinsight_spark.plans import catalog_cleaning as cl
 from vectordb_bioinsight_spark.plans import catalog_coverage as cov
 from vectordb_bioinsight_spark.plans import catalog_evaluation as evl
+from vectordb_bioinsight_spark.plans import catalog_explainers as ex
 from vectordb_bioinsight_spark.plans import catalog_events as ev
 from vectordb_bioinsight_spark.plans import catalog_multimodal as mm
 from vectordb_bioinsight_spark.plans import catalog_packing as pk
@@ -131,6 +132,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
     "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
     "related_docs": (cit.q_related_docs, cit.SQL_RELATED_DOCS),
+    # ... and the rule-based explanation tier (the reference's no-LLM
+    # fallback paths, same mid-r07 landing, same local sf0.001+sf0.01
+    # hash evidence — tests/test_explainers.py):
+    "explain_docs": (ex.q_explain_docs, ex.SQL_EXPLAIN_DOCS),
+    "gene_confidence_docs": (ex.q_gene_confidence_docs, ex.SQL_GENE_CONFIDENCE_DOCS),
+    "prediction_recs_docs": (ex.q_prediction_recs_docs, ex.SQL_PREDICTION_RECS_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich
