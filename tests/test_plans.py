@@ -282,6 +282,10 @@ _MAX_EXCHANGES = {
     "explain_docs": 0,
     "gene_confidence_docs": 0,
     "prediction_recs_docs": 0,
+    # QA retrieval path: ONE query-keyed shuffle shared by the any-pass
+    # window, the renumber window, and the context groupBy
+    "qa_context_docs": 1,
+    "answer_confidence_docs": 0,
 }
 
 

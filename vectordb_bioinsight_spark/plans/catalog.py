@@ -138,6 +138,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "explain_docs": (ex.q_explain_docs, ex.SQL_EXPLAIN_DOCS),
     "gene_confidence_docs": (ex.q_gene_confidence_docs, ex.SQL_GENE_CONFIDENCE_DOCS),
     "prediction_recs_docs": (ex.q_prediction_recs_docs, ex.SQL_PREDICTION_RECS_DOCS),
+    # ... and the QA paper-agent retrieval path (same landing/evidence —
+    # tests/test_qa_agent.py):
+    "qa_context_docs": (ex.q_qa_context_docs, ex.SQL_QA_CONTEXT_DOCS),
+    "answer_confidence_docs": (ex.q_answer_confidence_docs, ex.SQL_ANSWER_CONFIDENCE_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

@@ -258,3 +258,176 @@ SELECT doc_id,
        len(rl) AS n_recommendations
 FROM recs
 """
+
+
+# --- QA paper-agent retrieval path (operators/qa_agent.py —
+# paper_agent.py:21-98, 297-333) ------------------------------------------
+
+#: doc_id % 6 content rotation: 0 = author-contribution junk (>=4
+#: keywords), 1 = reference-line junk, 2-5 = normal prose; queries 0-2
+#: (doc_id % 25) are planted with sub-floor scores so the top-3-non-junk
+#: fallback branch is exercised alongside the strict path.
+_QA_CONTENTS = [
+    "Author contributions: writing, editing, review, conceptualization and methodology by all.",
+    "1. Smith A, Jones B. Cancer genomics studies. J Oncol 2019.",
+    "The experiment measured tumor growth under EGFR inhibition.",
+    "Results show significant pathway enrichment in treated samples.",
+    "Methods describe the RNA extraction and sequencing protocol.",
+    "Discussion covers limitations and future clinical directions.",
+]
+
+
+def q_qa_context_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QA retrieval filter + context assembly (paper_agent.py:297-333):
+    documents grouped into 25 retrieval result sets (query_id = doc_id %
+    25, rank = arrival order), junk/normal planted contents, strict
+    relevance floor 10.0 with the top-3-non-junk fallback, numbered
+    [Source i] context per query."""
+    from vectordb_bioinsight_spark.operators.qa_agent import (
+        build_context,
+        filter_results,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frame = docs.select(
+        "doc_id",
+        (d % 25).cast("int").alias("query_id"),
+        (F.floor(d / 25) + 1).cast("int").alias("rank"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _QA_CONTENTS]), (d % 6 + 1).cast("int")
+        ).alias("content"),
+        F.when(d % 25 < 3, ((d * 7) % 10).cast("double") / 2.0)
+        .otherwise(((d * 7) % 100).cast("double"))
+        .alias("relevance_score"),
+        F.element_at(
+            F.array(F.lit("Results"), F.lit("Methods"), F.lit(None).cast("string")),
+            (d % 3 + 1).cast("int"),
+        ).alias("section"),
+    )
+    kept = filter_results(frame, "tumor growth")
+    return build_context(kept)
+
+
+def _sql_qa_context() -> str:
+    from vectordb_bioinsight_spark.operators.qa_agent import (
+        JUNK_KEYWORDS,
+        JUNK_KEYWORD_THRESHOLD,
+        MIN_RELEVANCE_SCORE,
+    )
+
+    contents = ",".join("'" + c.replace("'", "''") + "'" for c in _QA_CONTENTS)
+    kw_count = " + ".join(
+        f"CASE WHEN contains(lower(content), '{kw}') THEN 1 ELSE 0 END"
+        for kw in JUNK_KEYWORDS
+    )
+    return f"""
+WITH contents(i, c) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{contents}] AS l), range(6) r(i)
+), results AS (
+  SELECT d.doc_id,
+         d.doc_id % 25 AS query_id,
+         (d.doc_id // 25 + 1) AS rank,
+         ct.c AS content,
+         CASE WHEN d.doc_id % 25 < 3 THEN ((d.doc_id * 7) % 10)::DOUBLE / 2.0
+              ELSE ((d.doc_id * 7) % 100)::DOUBLE END AS relevance_score,
+         (['Results', 'Methods', NULL])[d.doc_id % 3 + 1] AS section
+  FROM documents d JOIN contents ct ON ct.i = d.doc_id % 6
+), flagged AS (
+  SELECT *,
+         (({kw_count}) >= {JUNK_KEYWORD_THRESHOLD}
+          OR regexp_matches(content, '^\\d+\\.\\s+[A-Z][a-z]+\\s+[A-Z]{{1,2}}[,.]')) AS junk
+  FROM results
+), marked AS (
+  SELECT *,
+         relevance_score >= {MIN_RELEVANCE_SCORE} AND NOT junk AS strict,
+         max(CASE WHEN relevance_score >= {MIN_RELEVANCE_SCORE} AND NOT junk
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY query_id) = 1 AS any_strict
+  FROM flagged
+), kept AS (
+  SELECT *, CASE WHEN any_strict THEN 0 ELSE 1 END AS used_fallback
+  FROM marked
+  WHERE CASE WHEN any_strict THEN strict ELSE rank <= 3 AND NOT junk END
+), numbered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank ASC) AS i
+  FROM kept
+)
+SELECT query_id,
+       string_agg('[Source ' || i::VARCHAR || '] Section: '
+                  || coalesce(section, 'Unknown') || e'\\nContent: ' || content,
+                  e'\\n\\n---\\n\\n' ORDER BY i) AS context,
+       count(*) AS n_sources,
+       max(used_fallback) AS used_fallback
+FROM numbered
+GROUP BY query_id
+"""
+
+
+SQL_QA_CONTEXT_DOCS = _sql_qa_context()
+
+#: doc_id % 8 answer rotation crossing uncertainty x citation branches:
+#: none, one uncertainty phrase, two phrases (penalty applied once),
+#: 1/3/5/6 citations (bonus caps at 4), both combined.
+_QA_ANSWERS = [
+    "The study demonstrates clear tumor suppression.",
+    "The effect is unclear from the provided sections.",
+    "It may help; results might vary across cohorts.",
+    "Growth slowed by 40% [1].",
+    "Three analyses agree [1] [2] [3].",
+    "Five sources support this [1] [2] [3] [4] [5].",
+    "All sections concur [1] [2] [3] [4] [5] [6].",
+    "Possibly effective per [1] [2] [3] [4] [5].",
+]
+
+
+def q_answer_confidence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Answer-confidence estimation (paper_agent.py:82-98): planted
+    answers (doc_id % 8) crossing the uncertainty-penalty and
+    citation-bonus branches, including the +0.2 cap and the
+    penalty-applied-once rule."""
+    from vectordb_bioinsight_spark.operators.qa_agent import answer_confidence
+
+    docs = load_table(spark, sf_dir, "documents")
+    answer = F.element_at(
+        F.array(*[F.lit(a) for a in _QA_ANSWERS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(answer_confidence(answer), 4).alias("confidence"),
+    )
+
+
+def _sql_answer_confidence() -> str:
+    from vectordb_bioinsight_spark.operators.qa_agent import (
+        BASE_CONFIDENCE,
+        CITATION_BONUS,
+        MAX_CITATION_BONUS,
+        UNCERTAINTY_PENALTY,
+        UNCERTAINTY_PHRASES,
+    )
+
+    answers = ",".join("'" + a.replace("'", "''") + "'" for a in _QA_ANSWERS)
+    uncertain = " OR ".join(
+        f"contains(lower(a), '{p}')" for p in UNCERTAINTY_PHRASES
+    )
+    return f"""
+WITH answers(i, a) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{answers}] AS l), range(8) r(i)
+), joined AS (
+  SELECT d.doc_id, ans.a
+  FROM documents d JOIN answers ans ON ans.i = d.doc_id % 8
+)
+SELECT doc_id,
+       round(greatest(0.0, least(1.0,
+         {BASE_CONFIDENCE}
+         - CASE WHEN ({uncertain}) THEN {UNCERTAINTY_PENALTY} ELSE 0.0 END
+         + least(len(regexp_extract_all(a, '\\[\\d+\\]'))::DOUBLE * {CITATION_BONUS},
+                 {MAX_CITATION_BONUS}))), 4) AS confidence
+FROM joined
+"""
+
+
+SQL_ANSWER_CONFIDENCE_DOCS = _sql_answer_confidence()
