@@ -275,7 +275,9 @@ _MAX_EXCHANGES = {
     "landmark_docs": 0,
     "citation_trends_docs": 2,
     "citation_network_docs": 7,
-    "related_docs": 2,
+    # 1 after the lag-dedup rewrite (SCALING rule 42): the dedup shares
+    # the rank window's center-keyed shuffle
+    "related_docs": 1,
     # rule-based explanation tier: pure scan-local expression trees
     # (keyword contains-chains, regex gene extraction, string assembly) —
     # ANY exchange is a regression

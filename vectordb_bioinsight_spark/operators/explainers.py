@@ -95,20 +95,36 @@ def rule_based_explain(
             _contains_any(text, [k.lower() for k in kws]), F.lit(stype)
         ).otherwise(study_type)
 
-    tech_arr = F.array_compact(
-        F.array(
-            *[
-                F.when(_contains_any(text, [k.lower() for k in kws]), F.lit(tech))
-                for tech, kws in TECHNIQUE_KEYWORDS.items()
-            ]
-        )
-    )
+    # lambda-free by design (the landmark_reasons lesson —
+    # operators/citations.py): array_compact/filter compile to
+    # CodegenFallback lambdas that re-evaluate per consuming column.
+    # Technique flags are evaluated once; the joins are concat_ws (skips
+    # NULLs) with a prefix-sum gate standing in for the [:2] slice.
+    tech_flags = [
+        _contains_any(text, [k.lower() for k in kws])
+        for kws in TECHNIQUE_KEYWORDS.values()
+    ]
+    tech_names = list(TECHNIQUE_KEYWORDS)
+    tech_parts = [F.when(f, F.lit(n)) for f, n in zip(tech_flags, tech_names)]
+    n_techs = sum((F.when(f, 1).otherwise(0) for f in tech_flags), F.lit(0))
+    top2_parts, prefix = [], F.lit(0)
+    for f, n in zip(tech_flags, tech_names):
+        top2_parts.append(F.when(f & (prefix < 2), F.lit(n)))
+        prefix = prefix + F.when(f, 1).otherwise(0)
 
-    genes = F.array_distinct(
-        F.regexp_extract_all(raw, F.lit(r"\b([A-Z][A-Z0-9]{1,5})\b"), 1)
-    )
+    # gene pipeline stays array-typed but codegen-native throughout:
+    # regexp_extract_all -> array_distinct (order-preserving) ->
+    # array_except (order-preserving on its first argument, replacing
+    # the filter-lambda exclude wall) -> slice.
     genes = F.slice(
-        F.filter(genes, lambda g: ~g.isin(GENE_EXCLUDE)), 1, 5
+        F.array_except(
+            F.array_distinct(
+                F.regexp_extract_all(raw, F.lit(r"\b([A-Z][A-Z0-9]{1,5})\b"), 1)
+            ),
+            F.array(*[F.lit(g) for g in GENE_EXCLUDE]),
+        ),
+        1,
+        5,
     )
 
     q_terms = [t for t in query.lower().split()]
@@ -120,9 +136,9 @@ def rule_based_explain(
         F.lit(f"검색어 '{query}'와 관련된 "), study_type, F.lit(" 논문입니다.")
     )
     why = F.when(
-        F.size(tech_arr) > 0,
+        n_techs > 0,
         F.concat(
-            why, F.lit(" "), F.array_join(F.slice(tech_arr, 1, 2), ", "),
+            why, F.lit(" "), F.concat_ws(", ", *top2_parts),
             F.lit(" 기법을 사용합니다."),
         ),
     ).otherwise(why)
@@ -136,7 +152,7 @@ def rule_based_explain(
 
     return (
         df.withColumn("study_type", study_type)
-        .withColumn("techniques", F.array_join(tech_arr, ", "))
+        .withColumn("techniques", F.concat_ws(", ", *tech_parts))
         .withColumn("key_genes", F.array_join(genes, ", "))
         .withColumn("n_relevance_factors", n_factors)
         .withColumn("why_recommended", why)

@@ -247,7 +247,7 @@ pool AS (
 )
 SELECT center, related_id, relation, relevance,
        row_number() OVER (PARTITION BY center
-                          ORDER BY relevance DESC, rel_ord, related_id ASC) AS rk
+                          ORDER BY relevance DESC, related_id ASC) AS rk
 FROM dedup WHERE dup = 1
 QUALIFY rk <= 10
 """
