@@ -288,6 +288,11 @@ _MAX_EXCHANGES = {
     # window, the renumber window, and the context groupBy
     "qa_context_docs": 1,
     "answer_confidence_docs": 0,
+    # summary parser: the line-fold windows, the (doc, inst) groupBy and
+    # the section pivot all share ONE doc-keyed shuffle; the wide join
+    # back to the JSON-routed base broadcasts (measured 1; ceiling 2
+    # allows the broadcast to flip to SMJ at larger inputs)
+    "summary_parse_docs": 2,
 }
 
 

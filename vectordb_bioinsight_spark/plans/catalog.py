@@ -142,6 +142,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_qa_agent.py):
     "qa_context_docs": (ex.q_qa_context_docs, ex.SQL_QA_CONTEXT_DOCS),
     "answer_confidence_docs": (ex.q_answer_confidence_docs, ex.SQL_ANSWER_CONFIDENCE_DOCS),
+    "summary_parse_docs": (ex.q_summary_parse_docs, ex.SQL_SUMMARY_PARSE_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

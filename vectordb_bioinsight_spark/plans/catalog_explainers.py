@@ -431,3 +431,140 @@ FROM joined
 
 
 SQL_ANSWER_CONFIDENCE_DOCS = _sql_answer_confidence()
+
+
+# --- structured-summary parsing (operators/summary_parse.py —
+# summarizer.py:374-484) ---------------------------------------------------
+
+#: doc_id % 8 summary templates crossing the JSON and text paths: fenced
+#: JSON with a list field, raw JSON, empty {} (still JSON path),
+#: malformed JSON falling back to text, marker/bullet/overwrite text
+#: forms, markerless prose, and an empty-remaining marker with blank
+#: lines. <N> is replaced with the doc id so every hash row differs.
+_SUMMARY_TEMPLATES = [
+    'noise\n```json\n{"PURPOSE": "study <N>", "KEY_FINDINGS": ["a<N>", "b"], "LIMITATIONS": "small n"}\n```\ntail',
+    '{"METHODS": "RNA-seq run <N>", "RESULTS": "up", "CONCLUSIONS": "ok"}',
+    "{}",
+    "PURPOSE: find <N>\nsecond line\nMETHODS\n- step one\n- step two\nRESULTS: good\nKEY FINDINGS:\n- f<N>\n• f2\nLIMITATIONS: few\nRESULTS: better later",
+    "preamble dropped\n**PURPOSE:** bold <N>\nMETHODOLOGY: alt marker\n1. numbered\n3. third",
+    "no markers at all, plain text <N>",
+    "broken json {not valid} but PURPOSE: fallback <N> works",
+    "CONCLUSIONS:\n\nfirst <N>\n\nsecond",
+]
+
+
+def q_summary_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-summary parsing (summarizer.py:374-484): planted
+    summary templates (doc_id % 8) through the JSON-first,
+    text-fallback parser; one wide row per document."""
+    from vectordb_bioinsight_spark.operators.summary_parse import parse_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    template = F.element_at(
+        F.array(*[F.lit(t) for t in _SUMMARY_TEMPLATES]), (d % 8 + 1).cast("int")
+    )
+    frame = docs.select(
+        "doc_id",
+        F.replace(template, F.lit("<N>"), d.cast("string")).alias("summary_text"),
+    )
+    out = parse_summary(frame)
+    # text-path sections that never appeared come back NULL; normalize to
+    # '' for canonicalizer-stable scalars (limitations keeps its
+    # reference default, already non-null)
+    for c in ["purpose", "methods", "results", "conclusions", "key_findings"]:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("")))
+    return out
+
+
+def _sql_summary_parse() -> str:
+    from vectordb_bioinsight_spark.operators.summary_parse import SECTION_MARKERS
+
+    templates = ",".join(
+        "'" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+        for t in _SUMMARY_TEMPLATES
+    )
+    marker_struct = "CASE " + " ".join(
+        f"WHEN starts_with(upper(line), '{mk.upper()}') THEN {{'s': '{sec}', 'l': {len(mk)}}}"
+        for sec, markers in SECTION_MARKERS.items()
+        for mk in markers
+    ) + " ELSE NULL END"
+    json_schema = (
+        '{"PURPOSE":"VARCHAR","METHODS":"VARCHAR","RESULTS":"VARCHAR",'
+        '"CONCLUSIONS":"VARCHAR","KEY_FINDINGS":["VARCHAR"],"LIMITATIONS":"VARCHAR"}'
+    )
+    return f"""
+WITH templates(i, t) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{templates}] AS l), range(8) r(i)
+), docs AS (
+  SELECT d.doc_id, replace(t.t, '<N>', d.doc_id::VARCHAR) AS summary_text
+  FROM documents d JOIN templates t ON t.i = d.doc_id % 8
+), jsoned AS (
+  SELECT doc_id, summary_text,
+         CASE WHEN regexp_extract(summary_text, '(?s)```(?:json)?\\s*(\\{{.*?\\}})\\s*```', 1) <> ''
+              THEN regexp_extract(summary_text, '(?s)```(?:json)?\\s*(\\{{.*?\\}})\\s*```', 1)
+              ELSE regexp_extract(summary_text, '(?s)(\\{{.*\\}})', 1) END AS js
+  FROM docs
+), routed AS (
+  SELECT doc_id, summary_text, js,
+         js <> '' AND json_valid(js) AS json_ok,
+         CASE WHEN js <> '' AND json_valid(js)
+              THEN json_transform(js, '{json_schema}') END AS pj
+  FROM jsoned
+), lines AS (
+  SELECT doc_id, u.e.pos AS pos, trim(u.e.line) AS line
+  FROM routed, unnest(list_transform(string_split(summary_text, chr(10)),
+         (x, j) -> {{'line': x, 'pos': j}})) u(e)
+  WHERE NOT json_ok
+), marked AS (
+  SELECT doc_id, pos, line, {marker_struct} AS mk FROM lines
+), staged AS (
+  SELECT doc_id, pos, line, mk,
+         sum(CASE WHEN mk IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS inst,
+         last_value(mk.s IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS cursec
+  FROM marked
+), contentful AS (
+  SELECT doc_id, pos, inst, cursec,
+         CASE WHEN mk IS NOT NULL THEN trim(substring(line, mk.l + 1))
+              WHEN regexp_matches(line, '^(-|•|\\*|1\\.|2\\.|3\\.)')
+              THEN regexp_replace(line, '^[-•*0-9. ]+', '')
+              ELSE line END AS content
+  FROM staged WHERE inst > 0
+), blocks AS (
+  SELECT doc_id, inst, any_value(cursec) AS section,
+         string_agg(content, chr(31) ORDER BY pos) AS joined
+  FROM contentful WHERE content <> ''
+  GROUP BY doc_id, inst
+), resolved AS (
+  SELECT doc_id, section,
+         replace(joined, chr(31),
+                 CASE WHEN section = 'key_findings' THEN ' | ' ELSE ' ' END) AS content,
+         row_number() OVER (PARTITION BY doc_id, section ORDER BY inst DESC) AS rk
+  FROM blocks
+), wide AS (
+  SELECT doc_id,
+         max(CASE WHEN section = 'purpose' THEN content END) AS purpose,
+         max(CASE WHEN section = 'methods' THEN content END) AS methods,
+         max(CASE WHEN section = 'results' THEN content END) AS results,
+         max(CASE WHEN section = 'conclusions' THEN content END) AS conclusions,
+         max(CASE WHEN section = 'key_findings' THEN content END) AS key_findings,
+         max(CASE WHEN section = 'limitations' THEN content END) AS limitations
+  FROM resolved WHERE rk = 1 GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CASE WHEN r.json_ok THEN 'json' ELSE 'text' END AS parsed_from,
+       CASE WHEN r.json_ok THEN coalesce(r.pj.PURPOSE, '') ELSE coalesce(w.purpose, '') END AS purpose,
+       CASE WHEN r.json_ok THEN coalesce(r.pj.METHODS, '') ELSE coalesce(w.methods, '') END AS methods,
+       CASE WHEN r.json_ok THEN coalesce(r.pj.RESULTS, '') ELSE coalesce(w.results, '') END AS results,
+       CASE WHEN r.json_ok THEN coalesce(r.pj.CONCLUSIONS, '') ELSE coalesce(w.conclusions, '') END AS conclusions,
+       CASE WHEN r.json_ok THEN coalesce(list_aggregate(r.pj.KEY_FINDINGS, 'string_agg', ' | '), '')
+            ELSE coalesce(w.key_findings, '') END AS key_findings,
+       CASE WHEN r.json_ok THEN coalesce(r.pj.LIMITATIONS, 'Not specified')
+            ELSE coalesce(w.limitations, 'Not specified') END AS limitations
+FROM routed r LEFT JOIN wide w ON w.doc_id = r.doc_id
+"""
+
+
+SQL_SUMMARY_PARSE_DOCS = _sql_summary_parse()
