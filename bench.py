@@ -135,6 +135,14 @@ HEADLINE = [
     "dataset_type",
     "rolling_active_users",
     "paper_population_docs",
+    # r07 session-2 tier: the citation-graph shapes (single-sort related
+    # dedup, node/edge network stats), the lambda-free landmark ladder
+    # (SCALING rule 42), and the doc-keyed summary-parse line fold
+    "landmark_docs",
+    "related_docs",
+    "citation_network_docs",
+    "explain_docs",
+    "summary_parse_docs",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the
