@@ -293,6 +293,10 @@ _MAX_EXCHANGES = {
     # back to the JSON-routed base broadcasts (measured 1; ceiling 2
     # allows the broadcast to flip to SMJ at larger inputs)
     "summary_parse_docs": 2,
+    # domain adaptation: ONE per-sample rank shuffle + broadcast ref
+    # join; the recalibration's global stats row broadcasts back
+    "ref_quantile_dims": 1,
+    "zscore_recal_values": 1,
 }
 
 

@@ -894,6 +894,75 @@ def kruskal_wallis(
     )
 
 
+def reference_quantile_map(
+    df: DataFrame,
+    sample_col: str,
+    feature_col: str,
+    value_col: str,
+    ref: DataFrame,
+    rank_col: str = "rank",
+    ref_col: str = "ref_q",
+) -> DataFrame:
+    """Domain adaptation by reference-quantile mapping
+    (``rnaseq_pipeline/ml/domain_adapter.py:131-171``,
+    ``DomainAdapter._quantile_normalize``): within each sample, rank the
+    values (``np.argsort(np.argsort(x))``; ties pinned by feature id —
+    the reference's unstable quicksort order is unreplayable) and replace
+    each value with the REFERENCE quantile holding that rank, forcing
+    every sample onto the stored TCGA distribution. Differs from
+    :func:`quantile_normalize` (limma variant), which targets the
+    cross-sample mean instead of a fixed reference vector.
+
+    ``ref`` is the (rank, quantile) dimension — model-KB-scale, so the
+    rank join broadcasts. One per-sample rank window is the only
+    corpus-sized shuffle.
+    """
+    w = Window.partitionBy(sample_col).orderBy(
+        F.col(value_col).asc(), F.col(feature_col).asc()
+    )
+    ranked = (
+        df.select(sample_col, feature_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .withColumn("_r", F.row_number().over(w))
+    )
+    dim = F.broadcast(
+        ref.select(F.col(rank_col).alias("_r"), F.col(ref_col).alias("_q"))
+    )
+    return ranked.join(dim, "_r").select(
+        sample_col,
+        feature_col,
+        value_col,
+        F.round("_q", 6).alias("adapted"),
+    )
+
+
+def zscore_recalibrate(
+    df: DataFrame,
+    value_col: str,
+    target_mean: float = 0.0,
+    target_std: float = 0.8,
+    out_col: str = "recalibrated",
+) -> DataFrame:
+    """Domain adaptation by global z-score recalibration
+    (``domain_adapter.py:172-198``, ``DomainAdapter._zscore_recalibrate``):
+    shift and scale the WHOLE matrix so its global mean/std match the
+    reference stats (TCGA post-StandardScaler: mean 0, std 0.8). The
+    current stats use population std (numpy ``.std()`` is ddof=0); the
+    std=0 degenerate branch shifts only. One 1-row global aggregate,
+    broadcast back — no second corpus shuffle.
+    """
+    stats = df.agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+    )
+    out = df.join(F.broadcast(stats))
+    adapted = F.when(
+        F.col("_sd") > 0,
+        (F.col(value_col) - F.col("_mu")) / F.col("_sd") * target_std + target_mean,
+    ).otherwise(F.col(value_col) - F.col("_mu") + target_mean)
+    return out.withColumn(out_col, F.round(adapted, 6)).drop("_mu", "_sd")
+
+
 def rowwise_zscore_matrix(
     long_df: DataFrame,
     row_col: str,

@@ -143,6 +143,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "qa_context_docs": (ex.q_qa_context_docs, ex.SQL_QA_CONTEXT_DOCS),
     "answer_confidence_docs": (ex.q_answer_confidence_docs, ex.SQL_ANSWER_CONFIDENCE_DOCS),
     "summary_parse_docs": (ex.q_summary_parse_docs, ex.SQL_SUMMARY_PARSE_DOCS),
+    # ... and the domain-adaptation pair (ml/domain_adapter.py:110-198 —
+    # tests/test_domain_adapt.py):
+    "ref_quantile_dims": (st.q_ref_quantile_dims, st.SQL_REF_QUANTILE_DIMS),
+    "zscore_recal_values": (st.q_zscore_recal_values, st.SQL_ZSCORE_RECAL_VALUES),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

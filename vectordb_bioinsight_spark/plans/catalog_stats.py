@@ -633,3 +633,66 @@ FROM one
 
 
 SQL_BOOTSTRAP_PURCHASE_CI = _sql_bootstrap_purchase_ci()
+
+
+# --- domain adaptation (operators/stats.py::reference_quantile_map /
+# zscore_recalibrate — ml/domain_adapter.py:110-198) -----------------------
+
+
+def q_ref_quantile_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-quantile domain adaptation (domain_adapter.py:131-171):
+    each embedding vector is a sample, its 64 dimensions the features;
+    per-sample ranks map onto a planted sorted reference vector
+    q(r) = 0.8 * (2r/64 - 1), the narrowed-normal stand-in for the
+    stored TCGA quantiles."""
+    from vectordb_bioinsight_spark.operators.stats import reference_quantile_map
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frame = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.round(F.col("val").cast("double"), 6))
+    ref = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("rank"),
+        F.round(0.8 * (2.0 * F.col("id").cast("double") / 64.0 - 1.0), 6).alias("ref_q"),
+    )
+    return reference_quantile_map(frame, "vec_id", "pos", "val", ref)
+
+
+SQL_REF_QUANTILE_DIMS = """
+WITH m AS (
+  SELECT vec_id, u.e.pos AS pos, round(u.e.val::DOUBLE, 6) AS val
+  FROM read_embeddings, unnest(list_transform(embedding, (x, j) -> {'val': x, 'pos': j - 1})) u(e)
+), ranked AS (
+  SELECT vec_id, pos, val,
+         row_number() OVER (PARTITION BY vec_id ORDER BY val ASC, pos ASC) AS r
+  FROM m WHERE val IS NOT NULL
+)
+SELECT vec_id, pos, val,
+       round(round(0.8 * (2.0 * r / 64.0 - 1.0), 6), 6) AS adapted
+FROM ranked
+""".replace("read_embeddings", "embeddings")
+
+
+def q_zscore_recal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score recalibration (domain_adapter.py:172-198): shift
+    and scale event values so the corpus-wide mean/std hit the TCGA
+    reference stats (0, 0.8); population std, NULL values pass through
+    the shift-scale as NULL."""
+    from vectordb_bioinsight_spark.operators.stats import zscore_recalibrate
+
+    ev = load_table(spark, sf_dir, "events")
+    frame = ev.select("event_id", F.col("value"))
+    return zscore_recalibrate(frame, "value").select(
+        "event_id", "value", "recalibrated"
+    )
+
+
+SQL_ZSCORE_RECAL_VALUES = """
+WITH stats AS (
+  SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events
+)
+SELECT e.event_id, e.value,
+       round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd * 0.8 + 0.0
+                  ELSE e.value - s.mu + 0.0 END, 6) AS recalibrated
+FROM events e CROSS JOIN stats s
+"""
