@@ -297,6 +297,10 @@ _MAX_EXCHANGES = {
     # join; the recalibration's global stats row broadcasts back
     "ref_quantile_dims": 1,
     "zscore_recal_values": 1,
+    # SHAP aggregation: gene agg + the genes-bounded rank window; the
+    # per-sample top-k shares one sample-keyed shuffle
+    "shap_gene_stats_dims": 2,
+    "shap_top_genes_dims": 1,
 }
 
 

@@ -16,7 +16,7 @@ the split is deterministic and reproducible across engines/runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -542,4 +542,78 @@ def kfold_assign(
         fold_col,
         F.pmod(salted_hash64(F.col(group_col).cast("string"), seed), F.lit(n_folds))
         .cast("int"),
+    )
+
+
+def shap_gene_stats(
+    attributions: DataFrame,
+    gene_col: str = "gene",
+    shap_col: str = "shap_value",
+    value_col: str = "feature_value",
+) -> DataFrame:
+    """SHAP aggregation — the deterministic half of the reference's
+    explainer (``rnaseq_pipeline/ml/explainer.py:96-125, 168-246``; the
+    SHAP values themselves come from the trained CatBoost model, a
+    declared boundary; everything computed FROM the attribution matrix
+    is ported here).
+
+    Per gene over a long (sample, gene, shap, feature_value) table:
+    ``mean_shap``, ``abs_mean_shap`` (the global-importance statistic,
+    ``get_global_importance``), the status card's expression ``mean``/
+    ``std`` (population, numpy ``.std()``), ``direction`` (the card's
+    contributes-to-cancer vs maintains-normal split on mean_shap > 0),
+    and ``rank`` — the card's exact rule: ``(global_importance >
+    abs_mean_shap).sum() + 1``, i.e. STRICTLY-greater count over all
+    genes including itself, so exact ties share the same rank.
+
+    One gene-keyed aggregation; the rank is a window over the
+    genes-sized aggregate (bounded). ``rank()`` on the descending sort
+    IS the card's rule: ties share 1 + the count of strictly-greater
+    rows.
+    """
+    per_gene = attributions.groupBy(gene_col).agg(
+        F.round(F.avg(shap_col), 6).alias("mean_shap"),
+        F.round(F.avg(F.abs(F.col(shap_col))), 6).alias("abs_mean_shap"),
+        F.round(F.avg(value_col), 6).alias("mean_expr"),
+        F.round(F.stddev_pop(value_col), 6).alias("std_expr"),
+    )
+    # strictly-greater count +1: rank() assigns ties the MINIMUM position,
+    # which equals strict-superior-count + 1 exactly — the card's rule.
+    w = Window.orderBy(F.col("abs_mean_shap").desc())
+    return per_gene.withColumn("rank", F.rank().over(w)).withColumn(
+        "direction",
+        F.when(F.col("mean_shap") > 0, F.lit("up")).otherwise(F.lit("down")),
+    )
+
+
+def shap_top_genes_per_sample(
+    attributions: DataFrame,
+    sample_col: str = "sample_id",
+    gene_col: str = "gene",
+    shap_col: str = "shap_value",
+    value_col: str = "feature_value",
+    top_k: int = 20,
+) -> DataFrame:
+    """explainer.py:126-167 (``explain_sample``): per sample, the top-k
+    genes by |SHAP| with direction (> 0 -> up) and the sample's total
+    SHAP. Tie pin: equal |SHAP| resolves by gene id ascending (numpy's
+    argsort order over the reference's unordered feature array is not
+    replayable). One sample-keyed window."""
+    w = Window.partitionBy(sample_col).orderBy(
+        F.abs(F.col(shap_col)).desc(), F.col(gene_col).asc()
+    )
+    total = Window.partitionBy(sample_col)
+    return (
+        attributions.withColumn("rk", F.row_number().over(w))
+        .withColumn("total_shap", F.round(F.sum(shap_col).over(total), 6))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            sample_col,
+            gene_col,
+            F.round(F.col(shap_col), 6).alias("shap_value"),
+            F.when(F.col(shap_col) > 0, F.lit("up")).otherwise(F.lit("down")).alias("direction"),
+            F.round(F.col(value_col), 6).alias("feature_value"),
+            "rk",
+            "total_shap",
+        )
     )

@@ -147,6 +147,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_domain_adapt.py):
     "ref_quantile_dims": (st.q_ref_quantile_dims, st.SQL_REF_QUANTILE_DIMS),
     "zscore_recal_values": (st.q_zscore_recal_values, st.SQL_ZSCORE_RECAL_VALUES),
+    # ... and the SHAP-aggregation pair (ml/explainer.py:96-246 —
+    # tests/test_shap_agg.py):
+    "shap_gene_stats_dims": (st.q_shap_gene_stats_dims, st.SQL_SHAP_GENE_STATS_DIMS),
+    "shap_top_genes_dims": (st.q_shap_top_genes_dims, st.SQL_SHAP_TOP_GENES_DIMS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

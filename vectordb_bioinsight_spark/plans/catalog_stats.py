@@ -696,3 +696,82 @@ SELECT e.event_id, e.value,
                   ELSE e.value - s.mu + 0.0 END, 6) AS recalibrated
 FROM events e CROSS JOIN stats s
 """
+
+
+# --- SHAP aggregation (operators/ml_pipeline.py::shap_gene_stats /
+# shap_top_genes_per_sample — ml/explainer.py:96-246) ----------------------
+
+
+def _shap_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings as a planted attribution matrix: vec_id = sample,
+    dimension = gene, the float itself as the SHAP value and its square
+    as the (preprocessed) feature value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    v = F.col("v").cast("double")
+    return m.select(
+        F.col("vec_id").alias("sample_id"),
+        F.concat(F.lit("G"), F.col("pos").cast("string")).alias("gene"),
+        F.round(v, 6).alias("shap_value"),
+        F.round(v * v, 6).alias("feature_value"),
+    )
+
+
+_SQL_SHAP_FRAME = """
+  SELECT vec_id AS sample_id,
+         'G' || (u.e.pos)::VARCHAR AS gene,
+         round(u.e.v::DOUBLE, 6) AS shap_value,
+         round(u.e.v::DOUBLE * u.e.v::DOUBLE, 6) AS feature_value
+  FROM embeddings, unnest(list_transform(embedding, (x, j) -> {'v': x, 'pos': j - 1})) u(e)
+"""
+
+
+def q_shap_gene_stats_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAP gene-level aggregation (explainer.py:96-125, 168-246): mean
+    and mean-|SHAP|, expression mean/std, the strictly-greater global
+    rank, and the status card's direction split."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import shap_gene_stats
+
+    return shap_gene_stats(_shap_frame(spark, sf_dir))
+
+
+SQL_SHAP_GENE_STATS_DIMS = f"""
+WITH m AS ({_SQL_SHAP_FRAME}),
+per_gene AS (
+  SELECT gene,
+         round(avg(shap_value), 6) AS mean_shap,
+         round(avg(abs(shap_value)), 6) AS abs_mean_shap,
+         round(avg(feature_value), 6) AS mean_expr,
+         round(stddev_pop(feature_value), 6) AS std_expr
+  FROM m GROUP BY gene
+)
+SELECT gene, mean_shap, abs_mean_shap, mean_expr, std_expr,
+       rank() OVER (ORDER BY abs_mean_shap DESC) AS rank,
+       CASE WHEN mean_shap > 0 THEN 'up' ELSE 'down' END AS direction
+FROM per_gene
+"""
+
+
+def q_shap_top_genes_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample top-5 |SHAP| genes with direction and the sample's
+    total SHAP (explainer.py:126-167)."""
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        shap_top_genes_per_sample,
+    )
+
+    return shap_top_genes_per_sample(_shap_frame(spark, sf_dir), top_k=5)
+
+
+SQL_SHAP_TOP_GENES_DIMS = f"""
+WITH m AS ({_SQL_SHAP_FRAME}),
+ranked AS (
+  SELECT sample_id, gene, shap_value,
+         CASE WHEN shap_value > 0 THEN 'up' ELSE 'down' END AS direction,
+         feature_value,
+         row_number() OVER (PARTITION BY sample_id
+                            ORDER BY abs(shap_value) DESC, gene ASC) AS rk,
+         round(sum(shap_value) OVER (PARTITION BY sample_id), 6) AS total_shap
+  FROM m
+)
+SELECT * FROM ranked WHERE rk <= 5
+"""
