@@ -301,6 +301,11 @@ _MAX_EXCHANGES = {
     # per-sample top-k shares one sample-keyed shuffle
     "shap_gene_stats_dims": 2,
     "shap_top_genes_dims": 1,
+    # crawler paper scoring: the velocity groupBy (paper-keyed, partial-
+    # aggregable); the query filter's scan windows share one group-keyed
+    # shuffle
+    "paper_trend_scores": 1,
+    "query_filtered_docs": 1,
 }
 
 

@@ -151,6 +151,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_shap_agg.py):
     "shap_gene_stats_dims": (st.q_shap_gene_stats_dims, st.SQL_SHAP_GENE_STATS_DIMS),
     "shap_top_genes_dims": (st.q_shap_top_genes_dims, st.SQL_SHAP_TOP_GENES_DIMS),
+    # ... and the crawler paper-scoring pair (web_crawler_agent.py —
+    # tests/test_paper_scoring.py):
+    "paper_trend_scores": (cit.q_paper_trend_scores, cit.SQL_PAPER_TREND_SCORES),
+    "query_filtered_docs": (cit.q_query_filtered_docs, cit.SQL_QUERY_FILTERED_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

@@ -251,3 +251,195 @@ SELECT center, related_id, relation, relevance,
 FROM dedup WHERE dup = 1
 QUALIFY rk <= 10
 """
+
+
+# --- crawler-side paper scoring (operators/paper_scoring.py —
+# web_crawler_agent.py:126-287, 728-792) -----------------------------------
+
+#: doc_id % 5 title rotation for the query-term filter ('cancer
+#: immunotherapy'): two title hits, two abstract-only hits, one miss.
+_PS_TITLES = [
+    "New cancer therapy shows promise",          # title hit
+    "Immunotherapy outcomes in melanoma",        # title hit
+    "Checkpoint blockade trial results",         # abstract decides
+    "Tumor microenvironment atlas",              # abstract decides
+    "Unrelated metabolic pathway note",          # abstract decides
+]
+_PS_ABSTRACTS = [
+    "broad cancer cohort",                       # hit (irrelevant: title hit)
+    "",                                          # empty
+    "first-line immunotherapy arm",              # abstract hit
+    "no relevant terms here",                    # miss
+    "cancer incidence registry",                 # abstract hit
+]
+_PS_QUERY = "cancer immunotherapy"
+
+
+def q_paper_trend_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PaperScorer (web_crawler_agent.py:142-241): planted per-paper
+    year / citation counts / publication surge plus a 5-year planted
+    citations-by-year series -> recency, citation velocity (with the
+    only-recent -> 5.0 rule) and the 35/25/20/20 trend blend; fallback
+    branches exercised by zero-velocity/zero-surge and zero-citation
+    rotations. current_year pinned 2025."""
+    from vectordb_bioinsight_spark.operators.paper_scoring import (
+        citation_velocity,
+        recency_score,
+        trend_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    papers = docs.select(
+        d.alias("paper_id"),
+        F.when(d % 11 == 0, F.lit(None).cast("int"))
+        .otherwise((F.lit(2016) + (d * 3) % 10).cast("int"))
+        .alias("year"),
+        F.when(d % 7 == 0, F.lit(0)).otherwise((d * 37) % 5000).alias("citation_count"),
+        F.when(d % 6 == 0, F.lit(0.0))
+        .otherwise(F.round(((d * 3) % 40).cast("double") / 10.0, 4))
+        .alias("publication_surge"),
+    )
+    by_year = docs.select(
+        d.alias("paper_id"),
+        F.explode(
+            F.array(*[F.lit(2025 - off) for off in range(5)])
+        ).alias("year"),
+    ).withColumn(
+        "n_citations",
+        F.when(F.col("paper_id") % 4 == 0, F.lit(0)).otherwise(
+            (F.col("paper_id") * (F.lit(2026) - F.col("year"))) % 30
+        ),
+    )
+    vel = citation_velocity(by_year, current_year=2025)
+    out = papers.join(vel, "paper_id", "left").na.fill(0.0, ["citation_velocity"])
+    rec = recency_score(F.col("year"), 2025)
+    return out.select(
+        F.col("paper_id").alias("doc_id"),
+        F.round(rec, 4).alias("recency_score"),
+        "citation_velocity",
+        F.round(
+            trend_score(
+                F.col("citation_velocity"),
+                F.col("publication_surge"),
+                F.col("citation_count"),
+                rec,
+            ),
+            4,
+        ).alias("trend_score"),
+    )
+
+
+SQL_PAPER_TREND_SCORES = """
+WITH papers AS (
+  SELECT doc_id AS paper_id,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              ELSE 2016 + (doc_id * 3) % 10 END AS year,
+         CASE WHEN doc_id % 7 = 0 THEN 0 ELSE (doc_id * 37) % 5000 END AS cc,
+         CASE WHEN doc_id % 6 = 0 THEN 0.0
+              ELSE round(((doc_id * 3) % 40)::DOUBLE / 10.0, 4) END AS surge
+  FROM documents
+), by_year AS (
+  SELECT doc_id AS paper_id, y.year,
+         CASE WHEN doc_id % 4 = 0 THEN 0
+              ELSE (doc_id * (2026 - y.year)) % 30 END AS n
+  FROM documents, (SELECT unnest([2025, 2024, 2023, 2022, 2021]) AS year) y
+), vel AS (
+  SELECT paper_id,
+         round(CASE WHEN sum(CASE WHEN year >= 2022 AND year < 2024 THEN n ELSE 0 END) > 0
+                    THEN sum(CASE WHEN year >= 2024 THEN n ELSE 0 END)::DOUBLE
+                         / sum(CASE WHEN year >= 2022 AND year < 2024 THEN n ELSE 0 END)::DOUBLE
+                    WHEN sum(CASE WHEN year >= 2024 THEN n ELSE 0 END) > 0 THEN 5.0
+                    ELSE 0.0 END, 6) AS velocity
+  FROM by_year GROUP BY paper_id
+), scored AS (
+  SELECT p.paper_id, p.year, p.cc, p.surge,
+         coalesce(v.velocity, 0.0) AS velocity,
+         CASE WHEN p.year IS NULL OR p.year = 0 THEN 0.0
+              ELSE greatest(0.0, 100.0 - (2025 - p.year)::DOUBLE * 20.0) END AS rec,
+         CASE WHEN p.cc > 0 THEN least(100.0, log10(p.cc::DOUBLE + 1.0) * 30.0)
+              ELSE 0.0 END AS cscore
+  FROM papers p LEFT JOIN vel v ON v.paper_id = p.paper_id
+)
+SELECT paper_id AS doc_id,
+       round(rec, 4) AS recency_score,
+       velocity AS citation_velocity,
+       round(CASE WHEN velocity > 0 OR surge > 0
+                  THEN least(100.0, velocity * 20.0) * 0.35
+                       + least(100.0, surge * 25.0) * 0.25
+                       + cscore * 0.20 + rec * 0.20
+                  WHEN cc > 0 THEN cscore * 0.6 + rec * 0.4
+                  ELSE rec * 0.5 END, 4) AS trend_score
+FROM scored
+"""
+
+
+def q_query_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term filter with fill-from-abstract overflow
+    (web_crawler_agent.py:760-792): documents grouped into 50
+    search-result lists, planted title/abstract rotations, max_results 4
+    per list; the stateful while-short loop runs as the prefix-rank
+    reduction (module docstring)."""
+    from vectordb_bioinsight_spark.operators.paper_scoring import (
+        filter_by_query_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frame = docs.select(
+        "doc_id",
+        (d % 50).cast("int").alias("group_id"),
+        F.floor(d / 50).cast("int").alias("scan_order"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _PS_TITLES]), (d % 5 + 1).cast("int")
+        ).alias("title"),
+        F.element_at(
+            F.array(*[F.lit(a) for a in _PS_ABSTRACTS]), (d % 5 + 1).cast("int")
+        ).alias("abstract"),
+        (d % 90).cast("double").alias("trend_score"),
+    )
+    return filter_by_query_terms(
+        frame, _PS_QUERY, max_results=4, group_col="group_id"
+    ).select("group_id", "doc_id", "trend_score", "match_kind")
+
+
+def _sql_query_filtered() -> str:
+    titles = ",".join("'" + t.replace("'", "''") + "'" for t in _PS_TITLES)
+    abstracts = ",".join("'" + a.replace("'", "''") + "'" for a in _PS_ABSTRACTS)
+    terms = _PS_QUERY.lower().split()
+
+    def hits(col: str) -> str:
+        return " OR ".join(f"contains(lower({col}), '{t}')" for t in terms)
+
+    return f"""
+WITH rot(i, title, abstract) AS (
+  SELECT i, t[i + 1], a[i + 1]
+  FROM (SELECT [{titles}] AS t, [{abstracts}] AS a), range(5) r(i)
+), frame AS (
+  SELECT d.doc_id, d.doc_id % 50 AS group_id, d.doc_id // 50 AS scan_order,
+         rot.title, rot.abstract, (d.doc_id % 90)::DOUBLE AS trend_score
+  FROM documents d JOIN rot ON rot.i = d.doc_id % 5
+), flagged AS (
+  SELECT *,
+         ({hits('title')}) AS title_hit,
+         NOT ({hits('title')}) AND abstract IS NOT NULL AND abstract <> ''
+             AND ({hits('abstract')}) AS abs_hit
+  FROM frame
+), staged AS (
+  SELECT *,
+         coalesce(sum(CASE WHEN title_hit THEN 1 ELSE 0 END)
+           OVER (PARTITION BY group_id ORDER BY scan_order
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb,
+         sum(CASE WHEN abs_hit THEN 1 ELSE 0 END)
+           OVER (PARTITION BY group_id ORDER BY scan_order) AS j
+  FROM flagged
+)
+SELECT group_id, doc_id,
+       CASE WHEN abs_hit THEN trend_score - 10.0 ELSE trend_score END AS trend_score,
+       CASE WHEN title_hit THEN 'title' ELSE 'abstract' END AS match_kind
+FROM staged
+WHERE title_hit OR (abs_hit AND tb + (j - 1) < 4)
+"""
+
+
+SQL_QUERY_FILTERED_DOCS = _sql_query_filtered()
