@@ -306,6 +306,9 @@ _MAX_EXCHANGES = {
     # shuffle
     "paper_trend_scores": 1,
     "query_filtered_docs": 1,
+    # PubMed XML parse: pure scan-local xpath expressions — ANY exchange
+    # is a regression
+    "pubmed_parse_docs": 0,
 }
 
 

@@ -155,6 +155,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_paper_scoring.py):
     "paper_trend_scores": (cit.q_paper_trend_scores, cit.SQL_PAPER_TREND_SCORES),
     "query_filtered_docs": (cit.q_query_filtered_docs, cit.SQL_QUERY_FILTERED_DOCS),
+    # ... and the PubMed XML parse layer (its oracle emits ground truth
+    # from the planted fields directly — tests/test_pubmed_xml.py):
+    "pubmed_parse_docs": (cit.q_pubmed_parse_docs, cit.SQL_PUBMED_PARSE_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

@@ -443,3 +443,130 @@ WHERE title_hit OR (abs_hit AND tb + (j - 1) < 4)
 
 
 SQL_QUERY_FILTERED_DOCS = _sql_query_filtered()
+
+
+# --- PubMed XML parse layer (operators/pubmed_xml.py —
+# web_crawler_agent.py:947-1053) --------------------------------------------
+# Oracle design: Spark BUILDS each article's XML from planted modular
+# fields and parses it back with xpath; DuckDB emits the expected output
+# DIRECTLY from the same planted fields — any parse defect breaks the
+# hash without the oracle ever touching XML.
+
+
+def q_pubmed_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PubMed efetch XML parsing (web_crawler_agent.py:963-1053): planted
+    per-doc XML crossing nested-markup titles (itertext flattening),
+    labeled/unlabeled/absent abstracts, missing PMIDs (row dropped),
+    invalid years, and typed ArticleId lists."""
+    from vectordb_bioinsight_spark.operators.pubmed_xml import parse_pubmed_articles
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pmid_xml = F.when(d % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<PMID>10"), d.cast("string"), F.lit("</PMID>"))
+    )
+    title_xml = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("<ArticleTitle>Study of GENE"), (d % 50).cast("string"),
+            F.lit(" <i>in vivo</i> effects</ArticleTitle>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<ArticleTitle>Study of GENE"), (d % 50).cast("string"),
+            F.lit(" effects</ArticleTitle>"),
+        )
+    )
+    abstract_xml = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<Abstract><AbstractText Label="BACKGROUND">bg text '),
+                (d % 9).cast("string"),
+                F.lit('</AbstractText><AbstractText Label="RESULTS">res text '),
+                (d % 9).cast("string"),
+                F.lit("</AbstractText></Abstract>"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("<Abstract><AbstractText>plain abstract "),
+                (d % 9).cast("string"), F.lit("</AbstractText></Abstract>"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    year_xml = F.when(d % 17 == 0, F.lit("<PubDate><Year>n.d.</Year></PubDate>")).otherwise(
+        F.concat(F.lit("<PubDate><Year>"), (F.lit(2000) + d % 26).cast("string"), F.lit("</Year></PubDate>"))
+    )
+    ids_xml = F.concat(
+        F.when(d % 3 != 0, F.concat(F.lit('<ArticleId IdType="doi">10.1000/d'), d.cast("string"), F.lit("</ArticleId>"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit('<ArticleId IdType="pmc">PMC'), d.cast("string"), F.lit("</ArticleId>"))).otherwise(F.lit("")),
+    )
+    kw_xml = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("<KeywordList><Keyword>kw"), (d % 11).cast("string"),
+            F.lit("</Keyword><Keyword>kw"), ((d + 1) % 11).cast("string"),
+            F.lit("</Keyword></KeywordList>"),
+        ),
+    ).otherwise(F.lit(""))
+    pt_xml = F.concat(
+        F.lit("<PublicationTypeList><PublicationType>Journal Article</PublicationType>"),
+        F.when(d % 6 == 0, F.lit("<PublicationType>Review</PublicationType>")).otherwise(F.lit("")),
+        F.lit("</PublicationTypeList>"),
+    )
+    xml = F.concat(
+        F.lit("<PubmedArticle><MedlineCitation>"),
+        pmid_xml,
+        F.lit("<Article>"),
+        title_xml,
+        abstract_xml,
+        F.lit("<AuthorList><Author><ForeName>Ann</ForeName><LastName>Lee"),
+        (d % 8).cast("string"),
+        F.lit("</LastName></Author><Author><ForeName>Bo</ForeName><LastName>Kim"),
+        (d % 8).cast("string"),
+        F.lit("</LastName></Author></AuthorList>"),
+        F.lit("<Journal><Title>Journal of Topic "), (d % 7).cast("string"), F.lit("</Title></Journal>"),
+        year_xml,
+        pt_xml,
+        F.lit("</Article>"),
+        kw_xml,
+        F.lit("</MedlineCitation><PubmedData>"),
+        ids_xml,
+        F.lit("</PubmedData></PubmedArticle>"),
+    )
+    frame = docs.select("doc_id", xml.alias("article_xml"))
+    parsed = parse_pubmed_articles(frame)
+    # re-attach doc_id via the planted pmid (pmid = '10' || doc_id)
+    return parsed.withColumn(
+        "doc_id", F.expr("substring(pmid, 3)").cast("long")
+    )
+
+
+SQL_PUBMED_PARSE_DOCS = """
+SELECT doc_id,
+       '10' || doc_id::VARCHAR AS pmid,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'Study of GENE' || (doc_id % 50)::VARCHAR || ' in vivo effects'
+            ELSE 'Study of GENE' || (doc_id % 50)::VARCHAR || ' effects' END AS title,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'BACKGROUND: bg text ' || (doc_id % 9)::VARCHAR
+                 || chr(10) || 'RESULTS: res text ' || (doc_id % 9)::VARCHAR
+            WHEN doc_id % 3 = 1 THEN 'plain abstract ' || (doc_id % 9)::VARCHAR
+            ELSE '' END AS abstract,
+       'Ann Lee' || (doc_id % 8)::VARCHAR || ' | Bo Kim' || (doc_id % 8)::VARCHAR AS authors,
+       'Journal of Topic ' || (doc_id % 7)::VARCHAR AS journal,
+       CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 2000 + doc_id % 26 END AS year,
+       CASE WHEN doc_id % 3 <> 0 THEN '10.1000/d' || doc_id::VARCHAR ELSE '' END AS doi,
+       CASE WHEN doc_id % 5 = 0 THEN 'PMC' || doc_id::VARCHAR ELSE '' END AS pmcid,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'kw' || (doc_id % 11)::VARCHAR || ' | kw' || ((doc_id + 1) % 11)::VARCHAR
+            ELSE '' END AS keywords,
+       CASE WHEN doc_id % 6 = 0 THEN 'Journal Article | Review'
+            ELSE 'Journal Article' END AS pub_types,
+       'https://pubmed.ncbi.nlm.nih.gov/10' || doc_id::VARCHAR || '/' AS url
+FROM documents
+WHERE doc_id % 13 <> 0
+"""
