@@ -120,15 +120,17 @@ def test_parse_matches_elementtree_port(spark):
     assert len(got) == kept  # the pmid-less article was dropped
 
 
-def test_documented_seams(spark):
-    # seam 1: an author missing ForeName -> whole-row positional zip
-    # falls back to '' (the reference keeps the complete authors)
+def test_per_node_rules_match_reference(spark):
+    # an author missing ForeName is skipped, the complete one kept —
+    # the reference's exact per-author rule (the from_xml struct keeps
+    # names paired per node; the old xpath zip seam is gone)
     mixed_authors = _article(
         pmid="201",
         authors="<Author><LastName>Solo</LastName></Author>"
         "<Author><ForeName>Ann</ForeName><LastName>Lee</LastName></Author>",
     )
-    # seam 2: mixed labeled/unlabeled abstracts -> all-unlabeled join
+    # mixed labeled/unlabeled abstracts label per node, exactly the
+    # reference's branch
     mixed_abs = _article(
         pmid="202",
         abstract='<Abstract><AbstractText Label="AIM">a1</AbstractText>'
@@ -136,5 +138,5 @@ def test_documented_seams(spark):
     )
     df = spark.createDataFrame([(mixed_authors,), (mixed_abs,)], "article_xml string")
     got = {r["pmid"]: r.asDict() for r in parse_pubmed_articles(df).collect()}
-    assert got["201"]["authors"] == ""          # seam 1 (ref: 'Ann Lee')
-    assert got["202"]["abstract"] == "a1\na2"   # seam 2 (ref: 'AIM: a1\na2')
+    assert got["201"]["authors"] == _port(mixed_authors)["authors"] == "Ann Lee"
+    assert got["202"]["abstract"] == _port(mixed_abs)["abstract"] == "AIM: a1\na2"
