@@ -493,6 +493,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     "nelson_aalen_churn", "purchase_gains",
     # limit-then-rank over the k-row MaxSim result (the maxsim_docs shape)
     "maxsim_ivf_docs",
+    # global top-20 rank: Spark's rank-limit pushdown plans a
+    # TakeOrderedAndProject(20) BELOW the window (pinned 0 exchanges +
+    # TakeOrdered asserted above), so the window input is 20 rows
+    "landmark_docs",
 }
 
 
