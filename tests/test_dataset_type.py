@@ -152,3 +152,96 @@ def test_unknown_and_small_bulk_branches(spark):
     assert got["amb"]["recommended_pipeline"] == PIPELINE_UNKNOWN
     assert got["tiny"]["data_type"] == "bulk"
     assert got["tiny"]["recommended_pipeline"] == PIPELINE_BULK_SMALL
+
+
+# --- upload-preprocessing siblings (routes/rnaseq.py:127-438) --------------
+
+def test_infer_condition_matches_port(spark):
+    """Port of generate_metadata_from_count_matrix's ladder
+    (rnaseq.py:159-199), including the case-split regex fallthrough."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.dataset_type import (
+        NORMAL_NAME_KEYWORDS,
+        TUMOR_NAME_KEYWORDS,
+        infer_condition_from_name,
+    )
+
+    def port(sid):
+        su = sid.upper()
+        if su.endswith("T") or "_T" in su or "-T" in su:
+            if re.search(r"[A-Za-z]T$", sid) or re.search(r"_T\d*$", su):
+                return "tumor"
+        if su.endswith("N") or "_N" in su or "-N" in su:
+            if re.search(r"[A-Za-z]N$", sid) or re.search(r"_N\d*$", su):
+                return "normal"
+        if any(kw in su for kw in TUMOR_NAME_KEYWORDS):
+            return "tumor"
+        if any(kw in su for kw in NORMAL_NAME_KEYWORDS):
+            return "normal"
+        if sid.endswith(("T", "t")):
+            return "tumor"
+        if sid.endswith(("N", "n")):
+            return "normal"
+        return "unknown"
+
+    names = [
+        "L400T", "L511N", "GSM2142443", "l400t", "l511n", "x_T3", "y-N",
+        "TUMOR_A", "myCTRL", "AAN", "99T", "zzn", "plain", "_Tx", "12T3",
+        "sample_1T", "TCGA-XX-01T", "healthy9", "ADJACENT_2",
+    ]
+    df = spark.createDataFrame([(s,) for s in names], "sid string")
+    got = {
+        r["sid"]: r["c"]
+        for r in df.select(
+            "sid", infer_condition_from_name(F.col("sid")).alias("c")
+        ).collect()
+    }
+    for s in names:
+        assert got[s] == port(s), (s, got[s], port(s))
+
+
+def test_fix_split_header_matches_port(spark):
+    """Port of fix_split_header (rnaseq.py:383-438): continuation join,
+    blank-line drop in the fixed branch only, intact passthrough."""
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.dataset_type import fix_split_header
+
+    def port(text):
+        lines = text.split("\n")
+        if len(lines) < 2:
+            return text, False
+        if lines[1].startswith(","):
+            header_parts = [lines[0].strip()]
+            data_start = 1
+            for i in range(1, min(10, len(lines))):
+                if lines[i].startswith(","):
+                    header_parts.append(lines[i].strip())
+                    data_start = i + 1
+                else:
+                    break
+            combined = "".join(header_parts)
+            return (
+                "\n".join([combined] + [l for l in lines[data_start:] if l.strip()]),
+                True,
+            )
+        return text, False
+
+    texts = [
+        "gene_id,s1,s2\n,s3,s4\n,s5\nG1,1,2,3,4,5\n\nG2,9,8",
+        "gene_id,a\n,b\n,c\n,d\nG,1,2,3,4",
+        "gene_id,s1,s2\nG1,1,2",
+        "one-line",
+        "h\n" + "\n".join("," + str(i) for i in range(12)) + "\nD,1",  # run caps at 9
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select("i", fix_split_header(F.col("t")).alias("f")).collect()
+    }
+    for i, t in enumerate(texts):
+        wt, wf = port(t)
+        assert (got[i]["text"], bool(got[i]["was_fixed"])) == (wt, wf), (i, got[i])

@@ -309,6 +309,9 @@ _MAX_EXCHANGES = {
     # PubMed XML parse: pure scan-local xpath expressions — ANY exchange
     # is a regression
     "pubmed_parse_docs": 0,
+    # upload preprocessing: pure scan-local ladders / line unrolls
+    "sample_conditions": 0,
+    "split_header_docs": 0,
 }
 
 

@@ -205,3 +205,101 @@ def detect_dataset_type(
         shape_ev.alias("shape_evidence"),
         spars_ev.alias("sparsity_evidence"),
     )
+
+
+# --- upload preprocessing siblings (backend/app/api/routes/rnaseq.py) ------
+
+#: rnaseq.py:183-186 — tumor keyword wall for sample-name inference.
+TUMOR_NAME_KEYWORDS = ["TUMOR", "CANCER", "CARCINOMA", "MALIGNANT"]
+
+#: rnaseq.py:188-191 — normal keyword wall.
+NORMAL_NAME_KEYWORDS = ["NORMAL", "CTRL", "CONTROL", "HEALTHY", "ADJACENT"]
+
+#: rnaseq.py:355-362 — the GEO normalize ladder's (wider) keyword sets.
+TUMOR_COND_KEYWORDS = ["tumor", "cancer", "tumour", "malignant", "carcinoma", "primary", "nsclc"]
+NORMAL_COND_KEYWORDS = ["normal", "healthy", "control", "adjacent", "matched", "non-malignant"]
+
+
+def infer_condition_from_name(sid: Column) -> Column:
+    """Sample-name -> condition ladder
+    (``backend/app/api/routes/rnaseq.py:159-199``,
+    ``generate_metadata_from_count_matrix``): the T/N suffix regexes
+    (``[A-Za-z]T$`` on the ORIGINAL case, ``_T\\d*$`` on the uppercased
+    id — the reference's exact case split, so lowercase ``l400t`` falls
+    through the regex branch to the last-character fallback), the
+    tumor/normal keyword walls, and the bare last-character T/N/t/n
+    fallback, else 'unknown'."""
+    up = F.upper(sid)
+    t_outer = up.endswith("T") | up.contains("_T") | up.contains("-T")
+    t_hit = t_outer & (sid.rlike(r"[A-Za-z]T$") | up.rlike(r"_T\d*$"))
+    n_outer = up.endswith("N") | up.contains("_N") | up.contains("-N")
+    n_hit = n_outer & (sid.rlike(r"[A-Za-z]N$") | up.rlike(r"_N\d*$"))
+    kw_tumor = F.lit(False)
+    for kw in TUMOR_NAME_KEYWORDS:
+        kw_tumor = kw_tumor | up.contains(kw)
+    kw_normal = F.lit(False)
+    for kw in NORMAL_NAME_KEYWORDS:
+        kw_normal = kw_normal | up.contains(kw)
+    return (
+        F.when(t_hit, F.lit("tumor"))
+        .when(n_hit, F.lit("normal"))
+        .when(kw_tumor, F.lit("tumor"))
+        .when(kw_normal, F.lit("normal"))
+        .when(sid.endswith("T") | sid.endswith("t"), F.lit("tumor"))
+        .when(sid.endswith("N") | sid.endswith("n"), F.lit("normal"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def normalize_condition(cond: Column) -> Column:
+    """GEO condition normalizer (``rnaseq.py:353-368``): NULL/'unknown'
+    -> unknown; the (wider) tumor/normal keyword walls on the lowercased
+    value; anything else lowercased with spaces -> underscores."""
+    low = F.lower(cond)
+    kw_tumor = F.lit(False)
+    for kw in TUMOR_COND_KEYWORDS:
+        kw_tumor = kw_tumor | low.contains(kw)
+    kw_normal = F.lit(False)
+    for kw in NORMAL_COND_KEYWORDS:
+        kw_normal = kw_normal | low.contains(kw)
+    return (
+        F.when(cond.isNull() | (cond == "unknown"), F.lit("unknown"))
+        .when(kw_tumor, F.lit("tumor"))
+        .when(kw_normal, F.lit("normal"))
+        .otherwise(F.replace(low, F.lit(" "), F.lit("_")))
+    )
+
+
+def fix_split_header(text: Column, max_continuations: int = 9) -> Column:
+    """Split-header repair (``rnaseq.py:383-438``, ``fix_split_header``)
+    as one expression returning ``struct<text, was_fixed int>``: when
+    line 2 starts with a comma, the maximal comma-prefixed run of up to
+    ``max_continuations`` continuation lines (the reference scans lines
+    1..9) is joined onto the header, blank data lines are dropped, and
+    ``was_fixed`` is set; otherwise the text passes through untouched.
+    The continuation-run length is a chained-AND unroll (line i joins
+    only if every line before it joined), matching the loop's break."""
+    lines = F.split(text, "\n")
+
+    def _line(i: int) -> Column:  # 0-based, null-safe
+        return F.coalesce(F.get(lines, i), F.lit(""))
+
+    inc = []
+    prev = F.lit(True)
+    for i in range(1, max_continuations + 1):
+        prev = prev & _line(i).startswith(",")
+        inc.append(prev)
+    n_cont = sum((c.cast("int") for c in inc), F.lit(0))
+    header = F.trim(_line(0))
+    for i, c in enumerate(inc, start=1):
+        header = F.concat(header, F.when(c, F.trim(_line(i))).otherwise(F.lit("")))
+    data = F.filter(
+        F.slice(lines, n_cont + 2, F.size(lines)),
+        lambda l: F.trim(l) != "",
+    )
+    fixed = F.concat_ws("\n", F.array(header), data)
+    broken = (F.size(lines) >= 2) & _line(1).startswith(",")
+    return F.struct(
+        F.when(broken, fixed).otherwise(text).alias("text"),
+        F.when(broken, 1).otherwise(0).alias("was_fixed"),
+    )

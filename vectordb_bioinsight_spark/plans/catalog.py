@@ -158,6 +158,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # ... and the PubMed XML parse layer (its oracle emits ground truth
     # from the planted fields directly — tests/test_pubmed_xml.py):
     "pubmed_parse_docs": (cit.q_pubmed_parse_docs, cit.SQL_PUBMED_PARSE_DOCS),
+    # ... and the upload-preprocessing siblings (routes/rnaseq.py —
+    # tests/test_dataset_type.py):
+    "sample_conditions": (sc.q_sample_conditions, sc.SQL_SAMPLE_CONDITIONS),
+    "split_header_docs": (sc.q_split_header_docs, sc.SQL_SPLIT_HEADER_DOCS),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

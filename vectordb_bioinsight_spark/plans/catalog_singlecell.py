@@ -496,3 +496,189 @@ FROM typed
 
 
 SQL_DATASET_TYPE = _sql_dataset_type()
+
+
+# --- upload-preprocessing siblings (operators/dataset_type.py —
+# routes/rnaseq.py:127-438) --------------------------------------------------
+
+#: doc_id % 12 sample-name shapes crossing every inference branch: the
+#: case-split regex fallthrough (l400t), suffix regex hits, keyword
+#: walls, bare-letter fallbacks and the unknown default.
+_COND_NAMES = [
+    "L400T", "L511N", "GSM2142443", "l400t", "x_T3", "y-N",
+    "TUMOR_A", "myCTRL", "AAN", "99T", "zzn", "plain",
+]
+
+#: doc_id % 6 raw GEO condition values for the normalize ladder.
+_COND_RAW = [
+    "Primary NSCLC tissue", "adjacent non-malignant", "unknown",
+    "Stage II biopsy", "matched control", "CELL LINE A",
+]
+
+
+def q_sample_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-condition inference + GEO normalization
+    (routes/rnaseq.py:159-199, 353-368): planted sample-name and raw
+    condition rotations through both ladders."""
+    from vectordb_bioinsight_spark.operators.dataset_type import (
+        infer_condition_from_name,
+        normalize_condition,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sid = F.concat(
+        F.element_at(F.array(*[F.lit(n) for n in _COND_NAMES]), (d % 12 + 1).cast("int")),
+        F.lit("_"), (d % 9).cast("string"),
+    )
+    # the suffix matters: rotate whether the numeric tail is present
+    sid = F.when(d % 2 == 0, sid).otherwise(
+        F.element_at(F.array(*[F.lit(n) for n in _COND_NAMES]), (d % 12 + 1).cast("int"))
+    )
+    raw = F.element_at(F.array(*[F.lit(c) for c in _COND_RAW]), (d % 6 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        sid.alias("sample_id"),
+        infer_condition_from_name(sid).alias("inferred"),
+        raw.alias("raw_condition"),
+        normalize_condition(raw).alias("normalized"),
+    )
+
+
+def _sql_sample_conditions() -> str:
+    from vectordb_bioinsight_spark.operators.dataset_type import (
+        NORMAL_COND_KEYWORDS,
+        NORMAL_NAME_KEYWORDS,
+        TUMOR_COND_KEYWORDS,
+        TUMOR_NAME_KEYWORDS,
+    )
+
+    names = ",".join(f"'{n}'" for n in _COND_NAMES)
+    raws = ",".join(f"'{c}'" for c in _COND_RAW)
+    kt = " OR ".join(f"contains(upper(sid), '{k}')" for k in TUMOR_NAME_KEYWORDS)
+    kn = " OR ".join(f"contains(upper(sid), '{k}')" for k in NORMAL_NAME_KEYWORDS)
+    ct = " OR ".join(f"contains(lower(raw), '{k}')" for k in TUMOR_COND_KEYWORDS)
+    cn = " OR ".join(f"contains(lower(raw), '{k}')" for k in NORMAL_COND_KEYWORDS)
+    return f"""
+WITH rot(i, base) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{names}] AS l), range(12) r(i)
+), raws(j, raw) AS (
+  SELECT j, l[j + 1] FROM (SELECT [{raws}] AS l), range(6) r(j)
+), frame AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0
+              THEN rot.base || '_' || (d.doc_id % 9)::VARCHAR
+              ELSE rot.base END AS sid,
+         raws.raw
+  FROM documents d
+  JOIN rot ON rot.i = d.doc_id % 12
+  JOIN raws ON raws.j = d.doc_id % 6
+)
+SELECT doc_id, sid AS sample_id,
+       CASE
+         WHEN (upper(sid) LIKE '%T' OR contains(upper(sid), '_T') OR contains(upper(sid), '-T'))
+              AND (regexp_matches(sid, '[A-Za-z]T$') OR regexp_matches(upper(sid), '_T\\d*$'))
+           THEN 'tumor'
+         WHEN (upper(sid) LIKE '%N' OR contains(upper(sid), '_N') OR contains(upper(sid), '-N'))
+              AND (regexp_matches(sid, '[A-Za-z]N$') OR regexp_matches(upper(sid), '_N\\d*$'))
+           THEN 'normal'
+         WHEN {kt} THEN 'tumor'
+         WHEN {kn} THEN 'normal'
+         WHEN sid LIKE '%T' OR sid LIKE '%t' THEN 'tumor'
+         WHEN sid LIKE '%N' OR sid LIKE '%n' THEN 'normal'
+         ELSE 'unknown' END AS inferred,
+       raw AS raw_condition,
+       CASE WHEN raw IS NULL OR raw = 'unknown' THEN 'unknown'
+            WHEN {ct} THEN 'tumor'
+            WHEN {cn} THEN 'normal'
+            ELSE replace(lower(raw), ' ', '_') END AS normalized
+FROM frame
+"""
+
+
+SQL_SAMPLE_CONDITIONS = _sql_sample_conditions()
+
+#: doc_id % 4 file bodies: 2-continuation split, 3-continuation with a
+#: blank data line, intact two-line, single line.
+_SPLIT_BODIES = [
+    "gene_id,s1,s2\n,s3,s4\n,s5\nG1,1,2,3,4,5\n\nG2,9,8,7,6,5",
+    "gene_id,a\n,b\n,c\n,d\nG,1,2,3,4",
+    "gene_id,s1,s2\nG1,1,2",
+    "one-line",
+]
+
+
+def q_split_header_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-header repair (routes/rnaseq.py:383-438): planted broken and
+    intact file bodies (with a per-doc marker line appended so every
+    hash row differs) through the comma-continuation join."""
+    from vectordb_bioinsight_spark.operators.dataset_type import fix_split_header
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.element_at(F.array(*[F.lit(b) for b in _SPLIT_BODIES]), (d % 4 + 1).cast("int")),
+        F.lit("\nM"), d.cast("string"), F.lit(",0"),
+    )
+    fixed = fix_split_header(body)
+    return docs.select(
+        "doc_id",
+        fixed["text"].alias("fixed_text"),
+        fixed["was_fixed"].alias("was_fixed"),
+    )
+
+
+def _sql_split_header() -> str:
+    bodies = ",".join(
+        "'" + b.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+        for b in _SPLIT_BODIES
+    )
+    return f"""
+WITH rot(i, b) AS (
+  SELECT i, l[i + 1] FROM (SELECT [{bodies}] AS l), range(4) r(i)
+), frame AS (
+  SELECT d.doc_id,
+         rot.b || chr(10) || 'M' || d.doc_id::VARCHAR || ',0' AS body
+  FROM documents d JOIN rot ON rot.i = d.doc_id % 4
+), lined AS (
+  SELECT doc_id, body, string_split(body, chr(10)) AS ls FROM frame
+), staged AS (
+  SELECT doc_id, body, ls,
+         len(ls) >= 2 AND starts_with(coalesce(ls[2], ''), ',') AS broken,
+         -- chained-AND continuation run over lines 2..10 (1-based)
+         (CASE WHEN starts_with(coalesce(ls[2], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') AND starts_with(coalesce(ls[6], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') AND starts_with(coalesce(ls[6], ''), ',') AND starts_with(coalesce(ls[7], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') AND starts_with(coalesce(ls[6], ''), ',') AND starts_with(coalesce(ls[7], ''), ',') AND starts_with(coalesce(ls[8], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') AND starts_with(coalesce(ls[6], ''), ',') AND starts_with(coalesce(ls[7], ''), ',') AND starts_with(coalesce(ls[8], ''), ',') AND starts_with(coalesce(ls[9], ''), ',') THEN 1 ELSE 0 END
+          + CASE WHEN starts_with(coalesce(ls[2], ''), ',') AND starts_with(coalesce(ls[3], ''), ',') AND starts_with(coalesce(ls[4], ''), ',') AND starts_with(coalesce(ls[5], ''), ',') AND starts_with(coalesce(ls[6], ''), ',') AND starts_with(coalesce(ls[7], ''), ',') AND starts_with(coalesce(ls[8], ''), ',') AND starts_with(coalesce(ls[9], ''), ',') AND starts_with(coalesce(ls[10], ''), ',') THEN 1 ELSE 0 END
+         ) AS n_cont
+  FROM lined
+), built AS (
+  SELECT doc_id, body, broken,
+         trim(coalesce(ls[1], ''))
+         || CASE WHEN n_cont >= 1 THEN trim(ls[2]) ELSE '' END
+         || CASE WHEN n_cont >= 2 THEN trim(ls[3]) ELSE '' END
+         || CASE WHEN n_cont >= 3 THEN trim(ls[4]) ELSE '' END
+         || CASE WHEN n_cont >= 4 THEN trim(ls[5]) ELSE '' END
+         || CASE WHEN n_cont >= 5 THEN trim(ls[6]) ELSE '' END
+         || CASE WHEN n_cont >= 6 THEN trim(ls[7]) ELSE '' END
+         || CASE WHEN n_cont >= 7 THEN trim(ls[8]) ELSE '' END
+         || CASE WHEN n_cont >= 8 THEN trim(ls[9]) ELSE '' END
+         || CASE WHEN n_cont >= 9 THEN trim(ls[10]) ELSE '' END AS header,
+         list_filter(ls[n_cont + 2:], x -> trim(x) <> '') AS data
+  FROM staged
+)
+SELECT doc_id,
+       CASE WHEN broken
+            THEN list_aggregate([header] || data, 'string_agg', chr(10))
+            ELSE body END AS fixed_text,
+       CASE WHEN broken THEN 1 ELSE 0 END AS was_fixed
+FROM built
+"""
+
+
+SQL_SPLIT_HEADER_DOCS = _sql_split_header()
