@@ -123,11 +123,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
     # === below the window ===
-    # first in line for r08: the citation-analytics tier (NEW mid-r07,
-    # after the 50-slot window above was already allocated to the
-    # VERDICT r06 contract — 12 new + 5 changed + 33 stale-backfill;
-    # all four verified hash-green locally at sf0.001 AND sf0.01 on
-    # landing, see tests/test_citations_tier.py):
+    # first in line for r08: the TWENTY mid-r07 additions below (eight
+    # tiers: citation analytics, rule-based explainers, QA agent,
+    # summary parsing, domain adaptation, SHAP aggregation, crawler
+    # scoring + PubMed XML, upload preprocessing) — they landed after
+    # the 50-slot window above was already allocated to the VERDICT r06
+    # contract (12 new + 5 changed + 33 stale-backfill). Every one was
+    # verified hash-green locally at sf0.001 AND sf0.01 on landing (the
+    # per-tier test files are cited inline) and probed at 1-15M rows
+    # (SCALING rules 42-43):
     "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
     "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
     "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
