@@ -104,3 +104,46 @@ def test_significant_subset_ordering(spark, counts_fixture):
     sig = significant_degs(deg).toPandas()
     assert (sig.padj.values[:-1] <= sig.padj.values[1:]).all()
     assert sig.direction.notna().all()
+
+
+# --- gene-ID format detection + symbol mapping (agent4_validation.py:249-331)
+
+
+def test_gene_id_format_detection_branches(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.deg import detect_gene_id_format
+
+    # symbol-majority -> pass through (scope 'none')
+    syms = spark.createDataFrame(
+        [("TP53",), ("KRAS",), ("EGFR",), ("ENSG000001",)], "gene_id string"
+    )
+    r = detect_gene_id_format(syms).collect()[0]
+    assert (r["symbol_count"], r["needs_conversion"], r["scope"]) == (3, 0, "none")
+
+    # entrez-majority -> entrezgene scope
+    nums = spark.createDataFrame(
+        [("7157",), ("672",), ("1956",), ("SYM1",)], "gene_id string"
+    )
+    r = detect_gene_id_format(nums).collect()[0]
+    assert (r["numeric_count"], r["needs_conversion"], r["scope"]) == (3, 1, "entrezgene")
+
+    # ensembl beats entrez
+    ens = spark.createDataFrame(
+        [("ENSG01",), ("ENSG02",), ("7157",), ("SYM1",)], "gene_id string"
+    )
+    r = detect_gene_id_format(ens).collect()[0]
+    assert r["scope"] == "ensembl.gene" and r["needs_conversion"] == 1
+
+
+def test_map_gene_symbols_version_strip_and_fallback(spark):
+    from vectordb_bioinsight_spark.operators.deg import map_gene_symbols
+
+    genes = spark.createDataFrame(
+        [(1, "ENSG01.5"), (2, "ENSG01"), (3, "ENSG99"), (4, "TP53")],
+        "id int, gene_id string",
+    )
+    mapping = spark.createDataFrame([("ENSG01", "GENE1")], "query string, symbol string")
+    got = {r["id"]: r["gene_symbol"] for r in map_gene_symbols(genes, mapping).collect()}
+    # versioned and clean forms both resolve; unmapped ids self-map
+    assert got == {1: "GENE1", 2: "GENE1", 3: "ENSG99", 4: "TP53"}

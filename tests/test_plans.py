@@ -312,6 +312,10 @@ _MAX_EXCHANGES = {
     # upload preprocessing: pure scan-local ladders / line unrolls
     "sample_conditions": 0,
     "split_header_docs": 0,
+    # gene-ID pair: the detection head is a bounded top-100 + 1-row agg
+    # (TakeOrdered, no exchange); the mapping is one broadcast dim join
+    "gene_id_format": 0,
+    "gene_symbols_mapped": 0,
 }
 
 

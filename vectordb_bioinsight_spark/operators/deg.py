@@ -70,3 +70,76 @@ def deg_analysis(
 def significant_degs(deg: DataFrame) -> DataFrame:
     """F2+F6: the significant subset, ranked by padj (agent1_deg.py:472-492)."""
     return deg.filter(F.col("direction").isNotNull()).orderBy(F.asc("padj"), F.asc("gene_id"))
+
+
+def detect_gene_id_format(
+    df: DataFrame, gene_col: str = "gene_id", sample_n: int = 100
+) -> DataFrame:
+    """Gene-ID format detection
+    (``rnaseq_pipeline/agents/agent4_validation.py:258-299``,
+    ``_build_gene_id_mapping``'s detection head; the mygene HTTP lookup
+    downstream is the declared S9 snapshot boundary): over the first
+    ``sample_n`` ids (pinned: ascending gene id — the reference samples
+    its DataFrame's head, an input-file order this engine does not
+    preserve), count Ensembl (``ENSG`` prefix), Entrez (all digits) and
+    symbol (neither) forms; ``needs_conversion`` is the symbol-majority
+    rule (> 50% symbols -> pass through), and ``scope`` is the
+    reference's mygene scope pick (ensembl.gene when Ensembl outnumbers
+    Entrez, else entrezgene).
+
+    One bounded head (orderBy + limit over the distinct gene dim) and a
+    1-row aggregate.
+    """
+    sample = (
+        df.select(F.col(gene_col).cast("string").alias("g"))
+        .orderBy("g")
+        .limit(sample_n)
+    )
+    agg = sample.agg(
+        F.sum(F.when(F.col("g").startswith("ENSG"), 1).otherwise(0)).alias("ensembl_count"),
+        F.sum(F.when(F.col("g").rlike(r"^\d+$"), 1).otherwise(0)).alias("numeric_count"),
+        F.sum(
+            F.when(
+                ~F.col("g").startswith("ENSG") & ~F.col("g").rlike(r"^\d+$"), 1
+            ).otherwise(0)
+        ).alias("symbol_count"),
+        F.count("*").alias("n_sampled"),
+    )
+    return agg.select(
+        "ensembl_count",
+        "numeric_count",
+        "symbol_count",
+        "n_sampled",
+        (F.col("symbol_count") <= F.col("n_sampled") * 0.5).cast("int").alias("needs_conversion"),
+        F.when(F.col("symbol_count") > F.col("n_sampled") * 0.5, F.lit("none"))
+        .when(F.col("ensembl_count") > F.col("numeric_count"), F.lit("ensembl.gene"))
+        .otherwise(F.lit("entrezgene"))
+        .alias("scope"),
+    )
+
+
+def map_gene_symbols(
+    df: DataFrame,
+    mapping: DataFrame,
+    gene_col: str = "gene_id",
+    map_id_col: str = "query",
+    symbol_col: str = "symbol",
+    out_col: str = "gene_symbol",
+) -> DataFrame:
+    """Symbol-mapping application (``agent4_validation.py:300-331``):
+    version suffixes are stripped before the lookup (``ENSG...{.5}`` ->
+    ``ENSG...``), the mapping dimension (a mygene snapshot — KB-scale,
+    broadcast) resolves the clean id, and unresolved ids keep themselves
+    (the reference's self-map fallback). One broadcast join."""
+    clean = F.split(F.col(gene_col).cast("string"), r"\.").getItem(0)
+    dim = F.broadcast(
+        mapping.select(
+            F.col(map_id_col).alias("_clean"), F.col(symbol_col).alias("_sym")
+        )
+    )
+    return (
+        df.withColumn("_clean", clean)
+        .join(dim, "_clean", "left")
+        .withColumn(out_col, F.coalesce(F.col("_sym"), F.col(gene_col).cast("string")))
+        .drop("_clean", "_sym")
+    )

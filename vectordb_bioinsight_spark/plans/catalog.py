@@ -166,6 +166,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tests/test_dataset_type.py):
     "sample_conditions": (sc.q_sample_conditions, sc.SQL_SAMPLE_CONDITIONS),
     "split_header_docs": (sc.q_split_header_docs, sc.SQL_SPLIT_HEADER_DOCS),
+    # ... and the gene-ID format/mapping pair (agent4_validation.py:249-331
+    # — tests/test_deg_pipeline.py):
+    "gene_id_format": (st.q_gene_id_format, st.SQL_GENE_ID_FORMAT),
+    "gene_symbols_mapped": (st.q_gene_symbols_mapped, st.SQL_GENE_SYMBOLS_MAPPED),
     # then: the high-impact filter (a 17-LIKE dim
     # filter; its briefing siblings article_type + aggregator_headline
     # are in-window), the pathway sweep (its corpus_enrich

@@ -775,3 +775,91 @@ ranked AS (
 )
 SELECT * FROM ranked WHERE rk <= 5
 """
+
+
+# --- gene-ID format detection + symbol mapping (operators/deg.py —
+# agent4_validation.py:249-331) ---------------------------------------------
+
+
+def _planted_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id % 10 -> 5 Ensembl (two versioned), 3 Entrez-numeric, 2
+    symbols — Ensembl-majority so scope resolves to ensembl.gene and
+    conversion is required."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = (
+        F.when(d % 10 < 3, F.concat(F.lit("ENSG"), F.lpad((d % 997).cast("string"), 11, "0")))
+        .when(d % 10 < 5, F.concat(F.lit("ENSG"), F.lpad((d % 997).cast("string"), 11, "0"), F.lit("."), (d % 9).cast("string")))
+        .when(d % 10 < 8, ((d * 7) % 99999).cast("string"))
+        .otherwise(F.concat(F.lit("SYM"), (d % 50).cast("string")))
+    )
+    return docs.select("doc_id", g.alias("gene_id"))
+
+
+_SQL_PLANTED_GENES = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 3 THEN 'ENSG' || lpad((doc_id % 997)::VARCHAR, 11, '0')
+              WHEN doc_id % 10 < 5 THEN 'ENSG' || lpad((doc_id % 997)::VARCHAR, 11, '0') || '.' || (doc_id % 9)::VARCHAR
+              WHEN doc_id % 10 < 8 THEN ((doc_id * 7) % 99999)::VARCHAR
+              ELSE 'SYM' || (doc_id % 50)::VARCHAR END AS gene_id
+  FROM documents
+"""
+
+
+def q_gene_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene-ID format detection (agent4_validation.py:258-299): Ensembl/
+    Entrez/symbol counts over the first 100 ids (ascending pin), the
+    symbol-majority pass-through rule and the mygene scope pick."""
+    from vectordb_bioinsight_spark.operators.deg import detect_gene_id_format
+
+    return detect_gene_id_format(_planted_genes(spark, sf_dir))
+
+
+SQL_GENE_ID_FORMAT = f"""
+WITH genes AS ({_SQL_PLANTED_GENES}),
+head AS (
+  SELECT gene_id AS g FROM genes ORDER BY g LIMIT 100
+), agg AS (
+  SELECT
+    sum(CASE WHEN starts_with(g, 'ENSG') THEN 1 ELSE 0 END) AS ensembl_count,
+    sum(CASE WHEN regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END) AS numeric_count,
+    sum(CASE WHEN NOT starts_with(g, 'ENSG') AND NOT regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END) AS symbol_count,
+    count(*) AS n_sampled
+  FROM head
+)
+SELECT ensembl_count, numeric_count, symbol_count, n_sampled,
+       (symbol_count <= n_sampled * 0.5)::INT AS needs_conversion,
+       CASE WHEN symbol_count > n_sampled * 0.5 THEN 'none'
+            WHEN ensembl_count > numeric_count THEN 'ensembl.gene'
+            ELSE 'entrezgene' END AS scope
+FROM agg
+"""
+
+
+def q_gene_symbols_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-mapping application (agent4_validation.py:300-331): planted
+    genes through a planted mygene-snapshot dim — version suffixes
+    stripped before the lookup, unresolved ids self-mapped."""
+    from vectordb_bioinsight_spark.operators.deg import map_gene_symbols
+
+    genes = _planted_genes(spark, sf_dir)
+    # the snapshot dim resolves even-numbered Ensembl roots only
+    n = F.col("id")
+    mapping = spark.range(0, 997, 2).select(
+        F.concat(F.lit("ENSG"), F.lpad(n.cast("string"), 11, "0")).alias("query"),
+        F.concat(F.lit("S"), n.cast("string")).alias("symbol"),
+    )
+    return map_gene_symbols(genes, mapping).select("doc_id", "gene_id", "gene_symbol")
+
+
+SQL_GENE_SYMBOLS_MAPPED = f"""
+WITH genes AS ({_SQL_PLANTED_GENES}),
+mapping AS (
+  SELECT 'ENSG' || lpad(n::VARCHAR, 11, '0') AS query, 'S' || n::VARCHAR AS symbol
+  FROM range(0, 997, 2) r(n)
+)
+SELECT g.doc_id, g.gene_id,
+       coalesce(m.symbol, g.gene_id) AS gene_symbol
+FROM genes g
+LEFT JOIN mapping m ON m.query = string_split(g.gene_id, '.')[1]
+"""
