@@ -504,6 +504,10 @@ _GLOBAL_WINDOW_ALLOWED = {
     # TakeOrderedAndProject(20) BELOW the window (pinned 0 exchanges +
     # TakeOrdered asserted above), so the window input is 20 rows
     "landmark_docs",
+    # the status-card rank runs over the PER-GENE aggregate — input
+    # bounded by the gene/feature dimension (64 here, ~20k genes at
+    # most in the domain), never raw attribution rows
+    "shap_gene_stats_dims",
 }
 
 

@@ -704,24 +704,28 @@ FROM events e CROSS JOIN stats s
 
 def _shap_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings as a planted attribution matrix: vec_id = sample,
-    dimension = gene, the float itself as the SHAP value and its square
-    as the (preprocessed) feature value."""
+    dimension = gene. The planted values are INTEGER-VALUED doubles
+    (modular arithmetic on ids, not the embedding floats): sums of
+    integers below 2^53 are exact in ANY accumulation order, so the
+    cross-engine hash of the rounded means cannot flake on FP summation
+    order — the first cut averaged raw floats and flipped a 6-dp
+    boundary (-0.005097 vs -0.005096) depending on partitioning."""
     emb = load_table(spark, sf_dir, "embeddings")
     m = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
-    v = F.col("v").cast("double")
+    s, p = F.col("vec_id"), F.col("pos")
     return m.select(
-        F.col("vec_id").alias("sample_id"),
-        F.concat(F.lit("G"), F.col("pos").cast("string")).alias("gene"),
-        F.round(v, 6).alias("shap_value"),
-        F.round(v * v, 6).alias("feature_value"),
+        s.alias("sample_id"),
+        F.concat(F.lit("G"), p.cast("string")).alias("gene"),
+        ((s * 7 + p * 13) % 2001 - 1000).cast("double").alias("shap_value"),
+        ((s * 11 + p * 3) % 5000).cast("double").alias("feature_value"),
     )
 
 
 _SQL_SHAP_FRAME = """
   SELECT vec_id AS sample_id,
          'G' || (u.e.pos)::VARCHAR AS gene,
-         round(u.e.v::DOUBLE, 6) AS shap_value,
-         round(u.e.v::DOUBLE * u.e.v::DOUBLE, 6) AS feature_value
+         ((vec_id * 7 + u.e.pos * 13) % 2001 - 1000)::DOUBLE AS shap_value,
+         ((vec_id * 11 + u.e.pos * 3) % 5000)::DOUBLE AS feature_value
   FROM embeddings, unnest(list_transform(embedding, (x, j) -> {'v': x, 'pos': j - 1})) u(e)
 """
 
