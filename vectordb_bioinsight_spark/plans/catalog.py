@@ -131,7 +131,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # contract (12 new + 5 changed + 33 stale-backfill). Every one was
     # verified hash-green locally at sf0.001 AND sf0.01 on landing (the
     # per-tier test files are cited inline) and probed at 1-15M rows
-    # (SCALING rules 42-43):
+    # (SCALING rules 42-43). ALSO r08-window-due: garbled_docs — its
+    # kernel gained the rule-40 let-binding mid-r07 (2.7x, hashes
+    # unchanged, SCALING rule 43b) after its r6 driver row:
     "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
     "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
     "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
