@@ -130,3 +130,45 @@ def test_filter_matches_stateful_loop(spark, max_results):
         .collect()
     )
     assert [(r["id"], r["match_kind"], r["trend_score"]) for r in got] == want
+
+
+# --- property: the prefix-rank reduction == the stateful loop ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_paper_kind = st.sampled_from(["title", "abstract", "none"])
+
+
+@given(
+    kinds=st.lists(_paper_kind, min_size=1, max_size=20),
+    max_results=st.integers(min_value=1, max_value=8),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_filter_prefix_reduction_property(spark, kinds, max_results):
+    """For ANY interleaving of title/abstract/none matches and ANY
+    max_results, the window form equals the reference's stateful loop —
+    the prefix argument in the module docstring, checked empirically."""
+    papers = []
+    for i, kind in enumerate(kinds):
+        title = "cancer row" if kind == "title" else f"noise {i}"
+        abstract = "therapy text" if kind == "abstract" else ""
+        papers.append({"id": i, "title": title, "abstract": abstract, "score": float(i)})
+    want = _port_filter(papers, "cancer therapy", max_results)
+    df = spark.createDataFrame(
+        [(p["id"], 0, p["id"], p["title"], p["abstract"], p["score"]) for p in papers],
+        "id int, group_id int, scan_order int, title string, abstract string, trend_score double",
+    )
+    got = (
+        filter_by_query_terms(
+            df, "cancer therapy", max_results, order_col="scan_order",
+            group_col="group_id",
+        )
+        .orderBy("scan_order")
+        .collect()
+    )
+    assert [(r["id"], r["match_kind"], r["trend_score"]) for r in got] == want
