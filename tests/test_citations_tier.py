@@ -207,3 +207,43 @@ def test_yearly_trends_null_year_skipped_and_peak_tie(spark):
     assert set(out) == {2019, 2021}
     assert out[2019]["n_citing"] == 2 and out[2021]["n_citing"] == 2
     assert out[2019]["is_peak"] == 1 and out[2021]["is_peak"] == 0
+
+
+# --- property: the score ladder == the reference port for arbitrary
+# metadata ---------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=1900, max_value=2025)),
+            st.integers(min_value=0, max_value=30000),   # citations
+            st.integers(min_value=0, max_value=30000),   # influential (clamped)
+            st.integers(min_value=0, max_value=8),       # fields
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_landmark_score_property(spark, rows):
+    data = [
+        (i, y, cc, min(infl, cc), nf, oa)
+        for i, (y, cc, infl, nf, oa) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "paper_id long, year int, citation_count long, "
+        "influential_citations long, n_fields int, is_open_access boolean",
+    )
+    got = {r["paper_id"]: r["landmark_score"] for r in landmark_score(df).collect()}
+    for i, y, cc, infl, nf, _oa in data:
+        assert got[i] == pytest.approx(_port_score(y, cc, infl, nf)), (i, y, cc, infl, nf)

@@ -134,3 +134,27 @@ def test_build_context_numbering_and_separator(spark):
         "[Source 2] Section: Methods\nContent: second chunk"
     )
     assert row["context"] == want
+
+
+# --- property: confidence model == the port for generated answers ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_frags = st.sampled_from(
+    ["clear result", "unclear", "may", "might", "possibly", "cannot find",
+     "not mentioned", "[1]", "[2]", "[17]", "solid", "evidence"]
+)
+
+
+@given(parts=st.lists(_frags, min_size=0, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_answer_confidence_property(spark, parts):
+    answer = " ".join(parts)
+    df = spark.createDataFrame([(answer,)], "a string")
+    got = df.select(answer_confidence(F.col("a")).alias("c")).collect()[0]["c"]
+    assert got == pytest.approx(_port_confidence(answer)), answer
