@@ -279,3 +279,69 @@ def test_r06_insights_tier_handles_nulls(spark, dirty_docs):
         docs, trend_dimension(spark), "doc_id", "title", "text"
     ).collect()
     assert prim == []  # nothing qualifies, and nothing throws
+
+
+def test_r07_tiers_handle_nulls(spark, dirty_docs):
+    """The mid-r07 text tiers must degrade, never throw, on null/empty
+    text: explainer, QA junk/confidence, summary parser, garbled stats."""
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.cleaning import garbled_text_stats
+    from vectordb_bioinsight_spark.operators.explainers import rule_based_explain
+    from vectordb_bioinsight_spark.operators.qa_agent import (
+        answer_confidence,
+        junk_flag,
+    )
+    from vectordb_bioinsight_spark.operators.summary_parse import parse_summary
+
+    # explainer: concat_ws bridges the null; every row classifies
+    exp = rule_based_explain(
+        dirty_docs.select("doc_id", F.lit("t").alias("title"), F.col("text").alias("content")),
+        "merge join",
+    ).collect()
+    assert len(exp) == 5
+    assert all(r["study_type"] == "연구 논문" for r in exp)
+
+    # junk/confidence: null text -> null/boolean-null flags, no throw
+    qa = dirty_docs.select(
+        "doc_id",
+        junk_flag(F.col("text")).alias("j"),
+        answer_confidence(F.coalesce(F.col("text"), F.lit(""))).alias("c"),
+    ).collect()
+    assert len(qa) == 5
+    assert all(r["c"] is not None for r in qa)
+
+    # summary parser: one wide row per doc, null text -> text path with
+    # empty sections
+    parsed = parse_summary(
+        dirty_docs.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("summary_text"))
+    ).collect()
+    assert len(parsed) == 5
+    assert all(r["limitations"] == "Not specified" for r in parsed)
+
+    # garbled stats: null text explodes to zero kept lines -> absent from
+    # the stats (documented: stats run on non-empty lines only)
+    stats = garbled_text_stats(dirty_docs, "doc_id", "text").collect()
+    assert {r["id"] for r in stats} <= {1, 5}
+
+
+def test_pubmed_and_citation_tiers_handle_degenerate_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.operators.citations import landmark_score
+    from vectordb_bioinsight_spark.operators.pubmed_xml import parse_pubmed_articles
+
+    # malformed / empty XML rows are dropped (no pmid), never throw
+    xml = spark.createDataFrame(
+        [("<not-xml",), ("",), (None,), ("<PubmedArticle></PubmedArticle>",)],
+        "article_xml string",
+    )
+    assert parse_pubmed_articles(xml).count() == 0
+
+    # landmark: zero citations + null year both take the guarded branches
+    meta = spark.createDataFrame(
+        [(1, None, 0, 0, 0, False)],
+        "paper_id long, year int, citation_count long, "
+        "influential_citations long, n_fields int, is_open_access boolean",
+    )
+    assert landmark_score(meta).collect()[0]["landmark_score"] == 0.0
