@@ -131,3 +131,15 @@ def bpe_token_count(col: Column | str) -> Column:
 def bpe_token_count_duckdb(expr: str) -> str:
     """DuckDB expression matching :func:`bpe_token_count` exactly."""
     return f"len(regexp_extract_all({expr}, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))"
+
+
+def contains_any(col: Column | str, words: "list[str]") -> Column:
+    """OR-fold of substring containment — the shared keyword-wall helper
+    (one definition for the explainer/scoring/QA/upload ladders, which
+    each re-implemented the same fold before the r07 review). Empty word
+    lists are False (no wall matches nothing)."""
+    text = _c(col)
+    expr = F.lit(False)
+    for w in words:
+        expr = expr | text.contains(w)
+    return expr

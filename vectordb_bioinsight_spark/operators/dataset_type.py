@@ -41,7 +41,7 @@ groupBys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: data_type_detector.py:36-41
@@ -234,12 +234,10 @@ def infer_condition_from_name(sid: Column) -> Column:
     t_hit = t_outer & (sid.rlike(r"[A-Za-z]T$") | up.rlike(r"_T\d*$"))
     n_outer = up.endswith("N") | up.contains("_N") | up.contains("-N")
     n_hit = n_outer & (sid.rlike(r"[A-Za-z]N$") | up.rlike(r"_N\d*$"))
-    kw_tumor = F.lit(False)
-    for kw in TUMOR_NAME_KEYWORDS:
-        kw_tumor = kw_tumor | up.contains(kw)
-    kw_normal = F.lit(False)
-    for kw in NORMAL_NAME_KEYWORDS:
-        kw_normal = kw_normal | up.contains(kw)
+    from vectordb_bioinsight_spark.functions.text import contains_any
+
+    kw_tumor = contains_any(up, TUMOR_NAME_KEYWORDS)
+    kw_normal = contains_any(up, NORMAL_NAME_KEYWORDS)
     return (
         F.when(t_hit, F.lit("tumor"))
         .when(n_hit, F.lit("normal"))
@@ -255,13 +253,11 @@ def normalize_condition(cond: Column) -> Column:
     """GEO condition normalizer (``rnaseq.py:353-368``): NULL/'unknown'
     -> unknown; the (wider) tumor/normal keyword walls on the lowercased
     value; anything else lowercased with spaces -> underscores."""
+    from vectordb_bioinsight_spark.functions.text import contains_any
+
     low = F.lower(cond)
-    kw_tumor = F.lit(False)
-    for kw in TUMOR_COND_KEYWORDS:
-        kw_tumor = kw_tumor | low.contains(kw)
-    kw_normal = F.lit(False)
-    for kw in NORMAL_COND_KEYWORDS:
-        kw_normal = kw_normal | low.contains(kw)
+    kw_tumor = contains_any(low, TUMOR_COND_KEYWORDS)
+    kw_normal = contains_any(low, NORMAL_COND_KEYWORDS)
     return (
         F.when(cond.isNull() | (cond == "unknown"), F.lit("unknown"))
         .when(kw_tumor, F.lit("tumor"))

@@ -62,11 +62,7 @@ GENE_EXCLUDE = ["RNA", "DNA", "PCR", "QPCR", "USA", "FDA", "WHO", "THE", "AND", 
 CANCER_MODEL_MAP: dict[str, str] = {"brca": "breast", "paad": "pancreatic"}
 
 
-def _contains_any(text: Column, words: list[str]) -> Column:
-    expr = F.lit(False)
-    for w in words:
-        expr = expr | text.contains(w)
-    return expr
+from vectordb_bioinsight_spark.functions.text import contains_any as _contains_any
 
 
 def rule_based_explain(

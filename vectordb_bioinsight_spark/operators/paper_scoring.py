@@ -116,14 +116,12 @@ def filter_by_query_terms(
     default. ``group_col=None`` reproduces the reference's single-list
     call; its window is global and only valid on a bounded result page.
     """
+    from vectordb_bioinsight_spark.functions.text import contains_any
+
     terms = [t for t in query.lower().split()]
 
     def _hits(col: Column) -> Column:
-        low = F.lower(col)
-        expr = F.lit(False)
-        for t in terms:
-            expr = expr | low.contains(t)
-        return expr
+        return contains_any(F.lower(col), terms)
 
     flagged = papers.withColumn("_title_hit", _hits(F.col(title_col))).withColumn(
         "_abs_hit",

@@ -55,7 +55,9 @@ def parse_pubmed_articles(
     come back pipe-joined (scalar-safe). Rows without a PMID are
     dropped, as the reference does. The bounded per-article arrays
     (authors, abstract sections, ids) are the only lambda sites — each
-    consumed once.
+    consumed once. Every input column EXCEPT ``xml_col`` passes through
+    unchanged (parsed names win on collision), so callers keep their own
+    join keys instead of reverse-engineering them from the PMID.
     """
     parsed = df.withColumn("_p", F.from_xml(F.col(xml_col), PUBMED_ARTICLE_SCHEMA))
     art = F.col("_p.MedlineCitation.Article")
@@ -128,17 +130,24 @@ def parse_pubmed_articles(
         " | ",
     )
 
+    parsed_fields = {
+        "pmid": pmid,
+        "title": title,
+        "abstract": abstract,
+        "authors": authors,
+        "journal": journal,
+        "year": year,
+        "doi": _typed_id("doi"),
+        "pmcid": _typed_id("pmc"),
+        "keywords": keywords,
+        "pub_types": pub_types,
+    }
+    passthrough = [
+        c for c in df.columns if c != xml_col and c not in parsed_fields
+    ]
     out = parsed.select(
-        pmid.alias("pmid"),
-        title.alias("title"),
-        abstract.alias("abstract"),
-        authors.alias("authors"),
-        journal.alias("journal"),
-        year.alias("year"),
-        _typed_id("doi").alias("doi"),
-        _typed_id("pmc").alias("pmcid"),
-        keywords.alias("keywords"),
-        pub_types.alias("pub_types"),
+        *passthrough,
+        *[expr.alias(name) for name, expr in parsed_fields.items()],
     )
     return out.filter(F.col("pmid") != "").withColumn(
         "url", F.concat(F.lit("https://pubmed.ncbi.nlm.nih.gov/"), F.col("pmid"), F.lit("/"))

@@ -61,7 +61,10 @@ _REF_LINE_RE = r"^\d+\.\s+[A-Z][a-z]+\s+[A-Z]{1,2}[,.]"
 
 
 def junk_flag(text: Column) -> Column:
-    """paper_agent.py:39-52 — junk iff >=4 keywords or a reference line."""
+    """paper_agent.py:39-52 — junk iff >=4 keywords or a reference line.
+
+    (The keyword COUNT needs per-word increments, so this stays a sum of
+    whens rather than the shared contains_any boolean fold.)"""
     low = F.lower(text)
     kw_count = sum(
         (F.when(low.contains(kw), 1).otherwise(0) for kw in JUNK_KEYWORDS),
@@ -74,22 +77,20 @@ def question_relevance(content: Column, question: str) -> Column:
     """paper_agent.py:55-66 — >=1 stopword-stripped term match (or an
     empty term set). The question is a plan-time constant, so the term
     sweep compiles to a contains chain."""
+    from vectordb_bioinsight_spark.functions.text import contains_any
+
     terms = sorted(set(question.lower().split()) - set(QA_STOP_WORDS))
     if not terms:
         return F.lit(True)
-    low = F.lower(content)
-    matches = sum(
-        (F.when(low.contains(t), 1).otherwise(0) for t in terms), F.lit(0)
-    )
-    return matches >= 1
+    # 'at least one term matches' IS the shared contains_any fold
+    return contains_any(F.lower(content), terms)
 
 
 def answer_confidence(answer: Column) -> Column:
     """paper_agent.py:82-98 — uncertainty-penalized, citation-boosted."""
-    low = F.lower(answer)
-    uncertain = F.lit(False)
-    for p in UNCERTAINTY_PHRASES:
-        uncertain = uncertain | low.contains(p)
+    from vectordb_bioinsight_spark.functions.text import contains_any
+
+    uncertain = contains_any(F.lower(answer), UNCERTAINTY_PHRASES)
     citations = F.size(F.regexp_extract_all(answer, F.lit(r"(\[\d+\])"), 1))
     conf = (
         F.lit(BASE_CONFIDENCE)
@@ -116,9 +117,12 @@ def filter_results(
     query has no strict survivor, its top-3 results (by the caller's
     ``rank``, the retrieval order) minus junk are returned instead, with
     ``used_fallback = 1``. One query-keyed window computes the any-pass
-    flag; no second scan. (The reference's is_relevant_to_question check
-    feeds the relevance *score* upstream; the ``question`` parameter is
-    kept for the context where scores are absent.)
+    flag; no second scan. The ``question`` parameter is accepted and
+    IGNORED — exactly the reference's own ``_filter_results(self,
+    results, question)`` signature, whose body reads only
+    ``relevance_score`` and the junk flag (paper_agent.py:297-321); it
+    stays for signature parity, and callers wanting term filtering
+    compose :func:`question_relevance` upstream.
     """
     junk = junk_flag(F.col(content_col))
     strict = (F.col(score_col) >= min_relevance) & ~junk

@@ -942,6 +942,7 @@ def zscore_recalibrate(
     target_mean: float = 0.0,
     target_std: float = 0.8,
     out_col: str = "recalibrated",
+    exact_moments: bool = False,
 ) -> DataFrame:
     """Domain adaptation by global z-score recalibration
     (``domain_adapter.py:172-198``, ``DomainAdapter._zscore_recalibrate``):
@@ -950,11 +951,31 @@ def zscore_recalibrate(
     current stats use population std (numpy ``.std()`` is ddof=0); the
     std=0 degenerate branch shifts only. One 1-row global aggregate,
     broadcast back — no second corpus shuffle.
+
+    ``exact_moments=True`` computes the std as sqrt(E[x^2] - mu^2) from
+    plain sums instead of the Welford-streaming ``stddev_pop`` — for
+    integer-valued inputs below 2^53 those sums are EXACT in any
+    accumulation order, making the rounded output partitioning- and
+    engine-independent (SCALING rule 44); the default keeps the
+    numerically-stabler Welford form for real-valued corpora.
     """
-    stats = df.agg(
-        F.avg(value_col).alias("_mu"),
-        F.stddev_pop(value_col).alias("_sd"),
-    )
+    if exact_moments:
+        v = F.col(value_col)
+        stats = df.agg(
+            F.sum(v).alias("_s1"), F.sum(v * v).alias("_s2"),
+            F.count(value_col).alias("_n"),
+        ).select(
+            (F.col("_s1") / F.col("_n")).alias("_mu"),
+            F.sqrt(
+                F.col("_s2") / F.col("_n")
+                - (F.col("_s1") / F.col("_n")) * (F.col("_s1") / F.col("_n"))
+            ).alias("_sd"),
+        )
+    else:
+        stats = df.agg(
+            F.avg(value_col).alias("_mu"),
+            F.stddev_pop(value_col).alias("_sd"),
+        )
     out = df.join(F.broadcast(stats))
     adapted = F.when(
         F.col("_sd") > 0,

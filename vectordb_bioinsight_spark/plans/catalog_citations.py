@@ -538,11 +538,8 @@ def q_pubmed_parse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</PubmedData></PubmedArticle>"),
     )
     frame = docs.select("doc_id", xml.alias("article_xml"))
-    parsed = parse_pubmed_articles(frame)
-    # re-attach doc_id via the planted pmid (pmid = '10' || doc_id)
-    return parsed.withColumn(
-        "doc_id", F.expr("substring(pmid, 3)").cast("long")
-    )
+    # doc_id passes straight through the parser (non-xml columns are kept)
+    return parse_pubmed_articles(frame)
 
 
 SQL_PUBMED_PARSE_DOCS = """

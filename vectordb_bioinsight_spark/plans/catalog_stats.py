@@ -675,26 +675,36 @@ FROM ranked
 
 def q_zscore_recal_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global z-score recalibration (domain_adapter.py:172-198): shift
-    and scale event values so the corpus-wide mean/std hit the TCGA
-    reference stats (0, 0.8); population std, NULL values pass through
-    the shift-scale as NULL."""
+    and scale a planted expression matrix so the corpus-wide mean/std
+    hit the TCGA reference stats (0, 0.8); population std. The planted
+    values are INTEGER-VALUED doubles (SCALING rule 44 — the first cut
+    averaged the raw float events.value, whose FP-summation order is
+    partitioning-dependent and can flip a 6-dp rounding boundary)."""
     from vectordb_bioinsight_spark.operators.stats import zscore_recalibrate
 
     ev = load_table(spark, sf_dir, "events")
-    frame = ev.select("event_id", F.col("value"))
-    return zscore_recalibrate(frame, "value").select(
+    frame = ev.select(
+        "event_id",
+        ((F.col("event_id") * 13) % 4001 - 2000).cast("double").alias("value"),
+    )
+    return zscore_recalibrate(frame, "value", exact_moments=True).select(
         "event_id", "value", "recalibrated"
     )
 
 
 SQL_ZSCORE_RECAL_VALUES = """
-WITH stats AS (
-  SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events
+WITH ev AS (
+  SELECT event_id, ((event_id * 13) % 4001 - 2000)::DOUBLE AS value FROM events
+), stats AS (
+  SELECT sum(value) / count(*) AS mu,
+         sqrt(sum(value * value) / count(*)
+              - (sum(value) / count(*)) * (sum(value) / count(*))) AS sd
+  FROM ev
 )
 SELECT e.event_id, e.value,
        round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd * 0.8 + 0.0
                   ELSE e.value - s.mu + 0.0 END, 6) AS recalibrated
-FROM events e CROSS JOIN stats s
+FROM ev e CROSS JOIN stats s
 """
 
 
