@@ -133,7 +133,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # per-tier test files are cited inline) and probed at 1-15M rows
     # (SCALING rules 42-43). ALSO r08-window-due: garbled_docs — its
     # kernel gained the rule-40 let-binding mid-r07 (2.7x, hashes
-    # unchanged, SCALING rule 43b) after its r6 driver row:
+    # unchanged, SCALING rule 43b) after its r6 driver row — and
+    # seasonal_decompose, whose planted inputs moved to cents-scaled
+    # integers (rule 44; its raw-float daily sum flipped a 4-dp boundary
+    # under full-suite partitioning — new hashes verified stable across
+    # three shuffle-partition settings):
     "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
     "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
     "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),

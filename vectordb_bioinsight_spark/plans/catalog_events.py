@@ -674,14 +674,21 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_bioinsight_spark.operators.trends import seasonal_decompose_daily
 
     ev = load_table(spark, sf_dir, "events")
+    # cents-scaled integer-valued inputs (SCALING rule 44): summing raw
+    # float values made the daily total's 4-dp round partitioning-
+    # dependent — the review's full-suite sweep caught it flipping while
+    # isolated runs passed
+    ev = ev.withColumn("value", F.round(F.col("value") * 100).cast("double"))
     out = seasonal_decompose_daily(ev, "event_type", "ts", "value", period=7)
     return out.withColumn("day", F.col("day").cast("timestamp"))
 
 
 SQL_SEASONAL_DECOMPOSE = """
-WITH daily AS (
+WITH ev AS (
+  SELECT event_type, ts, round(value * 100)::DOUBLE AS value FROM events
+), daily AS (
   SELECT event_type AS key, ts::DATE AS day, round(sum(value), 4) AS total
-  FROM events GROUP BY 1, 2
+  FROM ev GROUP BY 1, 2
 ), tr AS (
   SELECT key, day, total,
          count(total) OVER w AS n,
