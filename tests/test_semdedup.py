@@ -185,8 +185,11 @@ def test_semdedup_auto_matches_fixed_semantics(spark):
     assert 23 in ids and 57 not in ids
     assert len(ids) >= 190  # random normals are far apart; only dups drop
 
-    # the UNDECORATED name defaults to this scale-safe route (VERDICT r03):
-    # no n_clusters -> learned codebook, same pruning decision
+    # the UNDECORATED name routes by corpus size (r08): at N=200 the
+    # min-clusters clamp binds, so the router picks the FIXED smallest-id
+    # clustering — a different codebook than the learned path above, but
+    # the same pruning decision on planted data (near-dups share a cluster
+    # under ANY centroid set since their cosine to every centroid agrees)
     default_ids = {
         r["vec_id"]
         for r in semdedup_survivors(

@@ -103,7 +103,7 @@ def filter_by_query_terms(
     title_col: str = "title",
     abstract_col: str = "abstract",
     score_col: str = "trend_score",
-    group_col: str | None = None,
+    group_col: str = "group_id",
 ) -> DataFrame:
     """web_crawler_agent.py:760-792 — keep every paper with a query term
     in the title; fill with abstract-only matches (at a -10 trend-score
@@ -111,11 +111,19 @@ def filter_by_query_terms(
     ``max_results`` at their scan position (see module docstring for the
     prefix reduction). Adds ``match_kind`` ('title' | 'abstract').
 
-    ``group_col`` partitions the scan windows per search-result list —
-    the batch shape (many searches filtered at once) and the scale-safe
-    default. ``group_col=None`` reproduces the reference's single-list
-    call; its window is global and only valid on a bounded result page.
+    ``group_col`` is REQUIRED and partitions the scan windows per
+    search-result list — the batch shape (many searches filtered at
+    once) and the only scale-safe form. The reference's single-list call
+    is the ``group_col = constant`` special case: add a literal column
+    (``df.withColumn("group_id", F.lit(0))``) for a bounded result page.
+    A ``None``/empty group_col raises rather than silently planning a
+    single-partition global window (tests/test_plans.py gate).
     """
+    if not group_col:
+        raise ValueError(
+            "filter_by_query_terms requires group_col; for a single bounded "
+            "result page add a constant column and pass its name"
+        )
     from vectordb_bioinsight_spark.functions.text import contains_any
 
     terms = [t for t in query.lower().split()]
@@ -130,8 +138,7 @@ def filter_by_query_terms(
         & (F.col(abstract_col) != "")
         & _hits(F.col(abstract_col)),
     )
-    base_w = Window.partitionBy(group_col) if group_col else Window
-    w = base_w.orderBy(F.col(order_col).asc())
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
     titles_before = F.sum(F.col("_title_hit").cast("int")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )

@@ -195,6 +195,12 @@ def semdedup_survivors_fixed(
     return vectors.join(losers, id_col, "left_anti")
 
 
+#: Below this many clusters the scale_aware_n_clusters clamp binds and the
+#: router (semdedup_survivors) prefers the fixed deterministic clustering —
+#: must stay equal to scale_aware_n_clusters' min_clusters default.
+_AUTO_MIN_CLUSTERS = 8
+
+
 def semdedup_survivors(
     vectors: DataFrame,
     id_col: str,
@@ -205,22 +211,39 @@ def semdedup_survivors(
 ) -> DataFrame:
     """The pruned corpus: all input columns, semantic-dup losers removed.
 
-    DEFAULT = the scale-safe route (VERDICT r03 "make the scale-safe paths
-    the defaults"): learned codebook with k chosen from the corpus size so
-    expected cluster size stays ``target_cluster_size`` and total candidate
-    pairs stay LINEAR in N (:func:`semdedup_survivors_auto`). Passing an
-    explicit ``n_clusters`` opts into the fixed smallest-id-centroid
-    clustering (:func:`semdedup_survivors_fixed`) — exactly engine-
-    replayable, quadratic pairs at fixed k, intended for oracle replay and
-    small corpora only.
+    DEFAULT = the scale-aware route (VERDICT r03 "make the scale-safe paths
+    the defaults"), picked from the corpus size:
+
+    * **Small corpora** — where the :func:`scale_aware_n_clusters`
+      min-clusters clamp binds (``ceil(N / target_cluster_size) <=
+      min_clusters``, i.e. N <= 8·1024 by default) — route to the FIXED
+      smallest-id-centroid clustering at ``min_clusters`` cells. The
+      KMeans fit dominates one-shot cost (measured ~8 s of a 9 s
+      single-batch run, operators/vector.py::ivf_build_index) and the
+      clamp forces the same k anyway, so learning a codebook buys
+      nothing here; the fixed path is also exactly hash-replayable,
+      which is what lets the driver oracle this default end-to-end.
+    * **At scale** — learned codebook with k = ceil(N / target) so
+      expected cluster size stays ``target_cluster_size`` and total
+      candidate pairs stay LINEAR in N (:func:`semdedup_survivors_auto`).
+
+    Passing an explicit ``n_clusters`` always opts into the fixed
+    clustering (:func:`semdedup_survivors_fixed`) — quadratic pairs at
+    fixed k, intended for oracle replay and small corpora only.
     """
     if n_clusters is not None:
         return semdedup_survivors_fixed(
             vectors, id_col, vec_col, n_clusters, min_cosine
         )
+    n = vectors.count()
+    k = scale_aware_n_clusters(n, target_cluster_size)
+    if -(-n // max(1, target_cluster_size)) <= _AUTO_MIN_CLUSTERS:
+        return semdedup_survivors_fixed(
+            vectors, id_col, vec_col, _AUTO_MIN_CLUSTERS, min_cosine
+        )
     return semdedup_survivors_auto(
         vectors, id_col, vec_col, min_cosine=min_cosine,
-        target_cluster_size=target_cluster_size,
+        target_cluster_size=target_cluster_size, n_rows=n, n_clusters_hint=k,
     )
 
 
@@ -319,6 +342,8 @@ def semdedup_survivors_auto(
     target_cluster_size: int = 1024,
     fit_sample_fraction: float | None = None,
     seed: int = 42,
+    n_rows: int | None = None,
+    n_clusters_hint: int | None = None,
 ) -> DataFrame:
     """The 100 TB semdedup route: LEARNED codebook (seeded MLlib KMeans via
     ``ivf_build_index``) with the cluster count chosen from the corpus size
@@ -335,8 +360,8 @@ def semdedup_survivors_auto(
     """
     from vectordb_bioinsight_spark.operators.vector import ivf_build_index
 
-    n = vectors.count()
-    k = scale_aware_n_clusters(n, target_cluster_size)
+    n = vectors.count() if n_rows is None else n_rows
+    k = n_clusters_hint or scale_aware_n_clusters(n, target_cluster_size)
     assigned, _cents = ivf_build_index(
         vectors, id_col, vec_col, n_cells=k, seed=seed,
         fit_sample_fraction=fit_sample_fraction,

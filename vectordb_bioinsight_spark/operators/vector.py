@@ -15,7 +15,7 @@ are reproducible across runs/engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -373,6 +373,90 @@ def knn_ivf(
     cost."""
     index = ivf_build_index(vectors, id_col, vec_col, n_cells=n_cells, seed=seed)
     return ivf_search(index, queries, query_id_col, vec_col, k=k, n_probe=n_probe)
+
+
+def ivf_search_replay(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Frozen-centroid IVF search, exactly hash-replayable — the audit
+    variant behind the recall gate (the learned-KMeans index stays the
+    engine default via :func:`knn_ivf`; recall of THAT index is pinned by
+    unit tests, this one by the driver's DuckDB oracle).
+
+    ``centroids`` is a caller-bounded (_cell int, _centroid array<double>)
+    frame — collected and INLINED so cell assignment and probe selection
+    are scan-local expression argmins over an array<struct<dist, cell>>:
+    zero shuffle before the probe equi-join, whole plan replayable.
+    Distances use the direct sum-of-squared-differences fold rounded to
+    6 dp BEFORE the argmin, ties break on ascending cell — the
+    maxsim_ivf replay protocol (the expanded x²-2xy+y² form cancels
+    catastrophically near a centroid and can flip a rounded argmin
+    across engines; ADVICE r06). Scores are cosine rounded to 6 dp with
+    cand-id tie-break, the knn_join contract.
+
+    Output (query_id, cand_id, score, rank), self-matches excluded.
+    """
+    from pyspark.sql import Window
+
+    from vectordb_bioinsight_spark.functions.vector import l2_distance, l2_norm
+
+    rows = sorted(centroids.collect(), key=lambda r: r["_cell"])
+
+    def _cells(col: Column) -> Column:
+        # array<struct<d,c>> sorted lexicographically == (dist asc, cell asc)
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            l2_distance(
+                                col,
+                                F.array(*[F.lit(float(x)) for x in r["_centroid"]]),
+                            ),
+                            6,
+                        ).alias("d"),
+                        F.lit(int(r["_cell"])).alias("c"),
+                    )
+                    for r in rows
+                ]
+            )
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+        F.element_at(_cells(F.col(vec_col)), 1)["c"].alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+        F.explode(
+            F.transform(
+                F.slice(_cells(F.col(vec_col)), 1, n_probe), lambda s: s["c"]
+            )
+        ).alias("_cell"),
+    )
+    pairs = v.join(F.broadcast(q), "_cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(
+        F.col("_cn") * F.col("_qn"), F.lit(0.0)
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", F.round(score, 6).alias("score"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_join_gemm(

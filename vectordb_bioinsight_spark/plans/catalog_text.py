@@ -1425,16 +1425,78 @@ FROM cleaned WHERE length(token) > 0
 SQL_BPE_ENCODE_DOCS = _sql_bpe_encode()
 
 
+_BPE_TRAIN_N = 8
+_BPE_MIN_PAIR = 2
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge learning on the live corpus (rows-only: the argmax loop is
-    driver-iterative, not SQL-expressible): 8 merges, corpus scanned ONCE
+    """BPE merge learning on the live corpus: 8 merges, corpus scanned ONCE
     into the frequency-weighted word vocab, every iteration bounded by
-    vocab size. Output the ordered merge table (rank, left, right)."""
+    vocab size. Output the ordered merge table (rank, left, right).
+
+    Hash-oracled since r08 via the kcore_peel precedent
+    (catalog_network.py::_sql_kcore_parts): the driver-iterative argmax
+    loop is a FIXED 8 rounds here, so the DuckDB twin unrolls it as 8
+    CTE rounds — each round re-derives the pair counts, picks the same
+    deterministic argmax (count desc, left asc, right asc), and applies
+    the same anchored replace via a 1-row cross join."""
     from vectordb_bioinsight_spark.operators.bpe import bpe_train, merges_table
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", n_merges=8)
+    merges = bpe_train(docs, "text", n_merges=_BPE_TRAIN_N, min_pair_count=_BPE_MIN_PAIR)
     return merges_table(spark, merges)
+
+
+def _sql_bpe_train() -> str:
+    """Unrolled-CTE twin of bpe_train (operators/bpe.py:82): v0 is the
+    spaced frequency-weighted vocab; round i computes weighted adjacent-
+    pair counts over v{i}, m{i} is the 1-row argmax (ties broken count
+    desc / left asc / right asc, binary collation on both engines), and
+    v{i+1} applies the anchored replace parameterized by m{i} through a
+    cross join. An early Spark-side stop (argmax count < min_pair_count)
+    maps to m{i} empty -> every later v/m empty: row counts agree."""
+    sep = "\x1f"
+    ss = sep + sep
+    rounds = []
+    for i in range(_BPE_TRAIN_N):
+        rounds.append(f"""
+s{i} AS (SELECT row_number() OVER () AS wid, w, n FROM v{i}),
+x{i} AS (
+  SELECT wid, n,
+         unnest(string_split(trim(w, '{sep}'), '{ss}')) AS sym,
+         generate_subscripts(string_split(trim(w, '{sep}'), '{ss}'), 1) AS pos
+  FROM s{i}
+),
+p{i} AS (
+  SELECT n, sym AS l, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS r
+  FROM x{i}
+),
+m{i} AS (
+  SELECT {i}::INTEGER AS "rank", l, r
+  FROM p{i} WHERE r IS NOT NULL
+  GROUP BY l, r HAVING sum(n) >= {_BPE_MIN_PAIR}
+  ORDER BY sum(n) DESC, l ASC, r ASC LIMIT 1
+),
+v{i + 1} AS (
+  SELECT replace(v.w, '{sep}' || m.l || '{ss}' || m.r || '{sep}',
+                 '{sep}' || m.l || m.r || '{sep}') AS w, v.n
+  FROM v{i} v CROSS JOIN m{i} m
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(_BPE_TRAIN_N))
+    return f"""
+WITH d AS (SELECT {_TOK3} AS tk FROM documents),
+w0 AS (SELECT unnest(tk) AS word FROM d),
+wc AS (SELECT word, count(*)::BIGINT AS n FROM w0 GROUP BY word),
+v0 AS (
+  SELECT '{sep}' || list_aggregate(string_split(word, '') || ['</w>'], 'string_agg', '{ss}') || '{sep}' AS w,
+         n
+  FROM wc
+),{",".join(rounds)}
+SELECT "rank", l AS "left", r AS "right" FROM ({union}) ORDER BY "rank"
+"""
+
+
+SQL_BPE_TRAIN_MERGES = _sql_bpe_train()
 
 
 # --- positional retrieval (operators/phrase.py) -----------------------------
