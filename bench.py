@@ -143,6 +143,12 @@ HEADLINE = [
     "citation_network_docs",
     "explain_docs",
     "summary_parse_docs",
+    # r08: the frozen-centroid IVF recall audit (assignment + probe +
+    # in-cell search + recall join, newly hash-oracled) and the dynamic
+    # keyword-discovery heavyweight on its new Arrow kernel (7.2x over
+    # the interpreted expression tree, SCALING rule 40)
+    "ivf_recall",
+    "discovered_keywords",
 ]
 
 #: The 25 queries benched every round since r01 — kept STABLE so the

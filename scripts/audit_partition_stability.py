@@ -11,6 +11,10 @@ independent of any DuckDB comparison.
 Exits non-zero and lists the unstable queries if any differ.
 r07 result at sf0.001 (settings 5/8cpu vs 29/16cpu): UNSTABLE: [] over
 all 304 entries, after the rule-44 replants.
+
+Since r08 this is a GATE, not a script: tests/test_partition_stability.py
+runs it (subprocess — the audit needs its own SparkSessions) as part of
+the default suite, so the flake guard fires every round by construction.
 """
 
 from __future__ import annotations

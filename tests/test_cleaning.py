@@ -460,6 +460,51 @@ def test_garbled_line_flag_matches_reference_port(spark):
     assert not got[4] and not got[6]
 
 
+def test_garbled_arrow_kernel_matches_expression_kernel(spark):
+    """The Arrow kernel (the garbled stats/strip default since r08) must
+    flag exactly the lines the expression tree flags — the fixed cases
+    plus a fragment/punctuation/case fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectordb_bioinsight_spark.operators.cleaning import (
+        garbled_line_flag,
+        garbled_line_flag_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(GARBLED_CASES)], "i long, line string"
+    )
+    rows = df.select(
+        "i", "line",
+        garbled_line_flag(F.col("line")).alias("e"),
+        garbled_line_flag_arrow(F.col("line")).alias("a"),
+    ).collect()
+    for r in rows:
+        assert r["e"] == r["a"], (r["line"], r["e"], r["a"])
+
+    piece = st.sampled_from(
+        ["lfs", "pdbgk", "hTh", "the", "results", ";", ":", "a", "1/4",
+         "p", "(bgk)", "x<yz>", "bcdfg", "ordinary", "", "  ", "\t"]
+    )
+
+    @given(st.lists(piece, min_size=0, max_size=14))
+    @settings(max_examples=15, deadline=None)
+    def fuzz(parts):
+        line = " ".join(parts)
+        row = (
+            spark.range(1)
+            .select(
+                garbled_line_flag(F.lit(line)).alias("e"),
+                garbled_line_flag_arrow(F.lit(line)).alias("a"),
+            )
+            .first()
+        )
+        assert row["e"] == row["a"], (line, row["e"], row["a"])
+
+    fuzz()
+
+
 def test_strip_garbled_lines_keeps_order_and_drops_junk(spark):
     from vectordb_bioinsight_spark.operators.cleaning import (
         garbled_text_stats,

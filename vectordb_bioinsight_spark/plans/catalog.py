@@ -121,10 +121,17 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
     "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
-    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
+    # (e) kernel-changed THIS round and re-earning in-window: keyword
+    # discovery moved to the Arrow extraction kernel (7.2x, SCALING rule
+    # 40 — values byte-identical, property-pinned); they displace the
+    # last two r02 alphabetical fills (media_features/media_frame_stats,
+    # returned to the r02 block below for r09):
+    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
+    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     # === below the window: stalest driver evidence first ===
     # remaining r02 block — next in line for r09:
+    "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
+    "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
     "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
     "part_assoc_stats": (sc.q_part_assoc_stats, sc.SQL_PART_ASSOC_STATS),
     "pii_redact": (cl.q_pii_redact, cl.SQL_PII_REDACT),
@@ -304,7 +311,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "holt_forecast": (ev.q_holt_forecast, ev.SQL_HOLT_FORECAST),
     "hot_topic_trends": (cov.q_hot_topic_trends, cov.SQL_HOT_TOPIC_TRENDS),
     "kcore_parts": (net.q_kcore_parts, net.SQL_KCORE_PARTS),
-    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     "keyword_topn": (tx.q_keyword_topn, tx.SQL_KEYWORD_TOPN),
     "lagged_correlation": (ev.q_lagged_correlation, ev.SQL_LAGGED_CORRELATION),
     "language_id": (tx.q_language_id, tx.SQL_LANGUAGE_ID),
@@ -349,7 +355,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "customers_without_orders": (rel.q_customers_without_orders, rel.SQL_CUSTOMERS_WITHOUT_ORDERS),
     "daily_event_counts": (ev.q_daily_event_counts, ev.SQL_DAILY_EVENT_COUNTS),
     "dataset_type": (sc.q_dataset_type, sc.SQL_DATASET_TYPE),
-    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
     "driver_tracks": (cov.q_driver_tracks, cov.SQL_DRIVER_TRACKS),
     "embedding_neardup": (net.q_embedding_neardup, net.SQL_EMBEDDING_NEARDUP),
     "event_share_per_day": (ev.q_event_share_per_day, ev.SQL_EVENT_SHARE_PER_DAY),
