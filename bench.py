@@ -64,9 +64,12 @@ HEADLINE = [
     # pair join), ExactSubstr span merge (explode + islands), and the DSIR
     # hashed-ngram double-model fit
     "semdedup",
-    # r04: the scale-default semdedup (learned codebook, linear pairs) benched
-    # NEXT TO the fixed-centroid oracle variant so the scale-shape cost
-    # difference is measured, not asserted
+    # r04: the scale-default semdedup benched NEXT TO the fixed-centroid
+    # oracle variant so the routing cost difference is measured, not
+    # asserted (r08: at bench SF the scale-aware router picks the fixed
+    # deterministic clustering — the KMeans-codebook path only engages
+    # past the min-clusters clamp, ~8k vectors; its fit cost stays
+    # measured via ivf_knn/ivfpq_knn)
     "semdedup_auto",
     "repeated_spans",
     "dsir_scores",
