@@ -193,13 +193,14 @@ _MAX_EXCHANGES = {
     "item_cf_parts": 15,
     # r06 gap-closing tier (audited at pin time). The paper-insights
     # entries are PURE SCAN-LOCAL expression trees — any exchange is a
-    # regression. garbled: the one doc-keyed stats groupBy. trend match:
-    # broadcast 17-row dim cross join, per-doc window (primary), +census
-    # agg. validation: the brand agg's distinct-journal expand pair; the
-    # three dims (part/supplier/orders-at-this-SF) broadcast.
+    # regression. garbled: the one doc-keyed stats groupBy. trend match
+    # (r08 Arrow kernel): the primary pick happens INSIDE the batch
+    # scorer, so primary is shuffle-FREE and census keeps only its
+    # rollup agg. validation: the brand agg's distinct-journal expand
+    # pair; the three dims (part/supplier/orders-at-this-SF) broadcast.
     "garbled_docs": 1,
-    "trend_primary_docs": 1,
-    "trend_census": 2,
+    "trend_primary_docs": 0,
+    "trend_census": 1,
     "paper_quality_docs": 0,
     "paper_outcomes_docs": 0,
     "paper_population_docs": 0,

@@ -135,6 +135,52 @@ def test_census_counts_and_categories(spark, papers_df):
     assert all(r["category"] in TREND_CATEGORIES for r in rows)
 
 
+def test_arrow_kernel_matches_expression_kernel(spark, papers_df):
+    """The Arrow batch scorer (the default since r08) must emit exactly
+    the expression tree's rows — all pairs AND the primary pick — on the
+    crafted papers plus NULL-field edges."""
+    dim = trend_dimension(spark)
+    edge = spark.createDataFrame(
+        [
+            (90, None, "car-t chimeric antigen receptor cd19", None),
+            (91, "kras g12c inhibitor sotorasib", None, ["kras"]),
+            (92, None, None, None),
+            (93, "", "", []),
+        ],
+        "pid long, title string, abstract string, pkws array<string>",
+    )
+    for df in (papers_df, edge):
+        for kws_col in ("pkws", None):
+            a = sorted(
+                (r["id"], r["trend_id"], r["score"], tuple(r["matched_terms"]))
+                for r in trend_match_scores(
+                    df, dim, "pid", "title", "abstract", kws_col, kernel="arrow"
+                ).collect()
+            )
+            e = sorted(
+                (r["id"], r["trend_id"], r["score"], tuple(r["matched_terms"]))
+                for r in trend_match_scores(
+                    df, dim, "pid", "title", "abstract", kws_col,
+                    kernel="expression",
+                ).collect()
+            )
+            assert a == e, (kws_col, a[:3], e[:3])
+            pa = sorted(
+                (r["id"], r["trend_id"], r["score"])
+                for r in primary_trends(
+                    df, dim, "pid", "title", "abstract", kws_col, kernel="arrow"
+                ).collect()
+            )
+            pe = sorted(
+                (r["id"], r["trend_id"], r["score"])
+                for r in primary_trends(
+                    df, dim, "pid", "title", "abstract", kws_col,
+                    kernel="expression",
+                ).collect()
+            )
+            assert pa == pe, (kws_col, pa, pe)
+
+
 def test_seed_rows_shape():
     rows = trend_seed_rows()
     assert len(rows) == len(TREND_SEED) >= 16
