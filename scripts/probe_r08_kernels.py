@@ -12,6 +12,9 @@ Numbers of record (2026-08-16, local[32]):
   high_impact_filter   0.31 s -> 0.16 s per 1M rows    (1.9x, let-bind)
   primary_trends       13.2 s -> 8.1 s per 1M docs     (1.6x, Arrow;
                        window exchange 1 -> 0 - the shuffle-free pick)
+  study_quality        19.8 s -> 6.4 s per 1M docs     (3.1x, Arrow;
+                       the rule ladder runs once per ROW instead of
+                       once per output column - rule 42's no-CSE trap)
 """
 
 from __future__ import annotations
@@ -153,6 +156,18 @@ def main() -> None:
     timed(
         "primary_trends/arrow/1M",
         primary_trends(t_docs, dim, "doc_id", "title", "abstract", kernel="arrow"),
+    )
+
+    # --- study quality: per-column re-evaluated expression vs Arrow (1M)
+    from vectordb_bioinsight_spark.operators.paper_insights import study_quality
+
+    timed(
+        "study_quality/expression/1M",
+        study_quality(t_docs, "doc_id", "title", "abstract", kernel="expression"),
+    )
+    timed(
+        "study_quality/arrow/1M",
+        study_quality(t_docs, "doc_id", "title", "abstract", kernel="arrow"),
     )
     spark.stop()
 

@@ -205,6 +205,23 @@ def test_quality_matches_port(spark, papers_df):
     assert got[2]["bias_risk"] == "High"  # selection bias, no 'adjusted'
 
 
+def test_quality_arrow_matches_expression_kernel(spark, papers_df):
+    """The Arrow rule-ladder kernel (default since r08) must emit exactly
+    the expression tree's rows — the crafted papers plus NULL edges."""
+    edge = spark.createDataFrame(
+        [(90, None, "n = 250 patients randomized double-blind"),
+         (91, "meta-analysis of registered trials", None),
+         (92, None, None)],
+        "pid long, title string, abstract string",
+    )
+    for df in (papers_df, edge):
+        a = sorted(tuple(r) for r in study_quality(
+            df, "pid", "title", "abstract", kernel="arrow").collect())
+        e = sorted(tuple(r) for r in study_quality(
+            df, "pid", "title", "abstract", kernel="expression").collect())
+        assert a == e, (a[:2], e[:2])
+
+
 def test_outcomes_match_port(spark, papers_df):
     rows = key_outcomes(papers_df, "pid", "abstract").collect()
     got = {}

@@ -122,17 +122,152 @@ def sample_size_col(text_lower: Column) -> Column:
     return out
 
 
+def _study_quality_arrow(
+    df: DataFrame, id_col: str, title_col: str, abstract_col: str,
+    text_col: "str | None",
+) -> DataFrame:
+    """Arrow batch kernel behind study_quality (kernel='arrow'): the
+    lowered text is built JVM-side (codegen), each batch then runs the
+    whole rule ladder once per row in python with the design/sample
+    regexes compiled once per worker. The expression form re-evaluates
+    the shared design/sample subtrees once PER OUTPUT COLUMN (rule 42:
+    lambda-bearing projections are interpreted with no CSE — 8 columns
+    reference them); here they run once per ROW."""
+    import re as _re
+
+    designs = [
+        (
+            name,
+            ev,
+            _re.compile(
+                "|".join(f"(?:{p})" for p in pats), _re.IGNORECASE | _re.ASCII
+            ),
+        )
+        for name, ev, pats in DESIGNS
+    ]
+    samples = [_re.compile(p, _re.IGNORECASE | _re.ASCII) for p in SAMPLE_PATTERNS]
+
+    full = F.concat_ws(
+        " ",
+        F.coalesce(F.col(title_col), F.lit("")),
+        F.coalesce(F.col(abstract_col), F.lit("")),
+        F.coalesce(F.col(text_col), F.lit("")) if text_col else F.lit(""),
+    )
+    pre = df.select(F.col(id_col).alias("_sq_id"), F.lower(full).alias("_sq_t"))
+    id_type = pre.schema["_sq_id"].dataType.simpleString()
+    schema = (
+        f"id {id_type}, design string, evidence int, sample_size long, "
+        "quality_score double, bias_risk string, strengths_csv string, "
+        "limitations_csv string"
+    )
+
+    def _row(t: str):
+        design, ev = "Unknown", 0
+        for name, e, rx in designs:
+            if rx.search(t):
+                design, ev = name, e
+                break
+        ss = None
+        for rx in samples:
+            m = rx.search(t)
+            if m:
+                g = m.group(1)
+                # first match per pattern only; invalid -> next pattern
+                if g and len(g) <= 7:
+                    n = int(g)
+                    if 1 <= n <= 1_000_000:
+                        ss = n
+                        break
+        q = float(ev)
+        if ss is not None:
+            if ss >= 1000:
+                q = min(10.0, q + 1)
+            elif ss >= 100:
+                q = min(10.0, q + 0.5)
+            elif ss < 30:
+                q = max(0.0, q - 1)
+        multi = "multicenter" in t or "multi-center" in t
+        dblind = "double-blind" in t
+        if multi:
+            q = min(10.0, q + 0.5)
+        if dblind:
+            q = min(10.0, q + 0.5)
+        strengths = []
+        if multi:
+            strengths.append("Multicenter study")
+        if dblind:
+            strengths.append("Double-blind design")
+        if "intention-to-treat" in t or "itt" in t:
+            strengths.append("Intention-to-treat analysis")
+        if "pre-registered" in t or "registered" in t:
+            strengths.append("Pre-registered")
+        limitations = []
+        if "single-center" in t or "single center" in t:
+            limitations.append("Single-center")
+        if "retrospective" in t and design != "Cohort Study":
+            limitations.append("Retrospective design")
+        if "small sample" in t or (ss is not None and ss < 50):
+            limitations.append("Small sample size")
+        if "selection bias" in t:
+            limitations.append("Potential selection bias noted")
+        if design in ("Randomized Controlled Trial", "Meta-Analysis") and dblind:
+            bias = "Low"
+        elif design in ("Case Report", "Case Series"):
+            bias = "High"
+        elif "bias" in t or "confound" in t:
+            bias = "Medium" if "adjusted" in t else "High"
+        else:
+            bias = "Medium"
+        # q only ever moves in exact 0.5 steps from an int base, so it is
+        # already 1-dp exact — no rounding-mode divergence is possible
+        return design, ev, ss, q, bias, ";".join(strengths), ";".join(limitations)
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = (
+            "id", "design", "evidence", "sample_size", "quality_score",
+            "bias_risk", "strengths_csv", "limitations_csv",
+        )
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for pid, t in zip(pdf["_sq_id"], pdf["_sq_t"]):
+                design, ev, ss, q, bias, s_csv, l_csv = _row(t or "")
+                out["id"].append(pid)
+                out["design"].append(design)
+                out["evidence"].append(ev)
+                out["sample_size"].append(ss)
+                out["quality_score"].append(q)
+                out["bias_risk"].append(bias)
+                out["strengths_csv"].append(s_csv)
+                out["limitations_csv"].append(l_csv)
+            yield pd.DataFrame(
+                {
+                    c: pd.Series(v, dtype="object" if c == "sample_size" else None)
+                    for c, v in out.items()
+                }
+            )
+
+    return pre.mapInPandas(gen, schema=schema)
+
+
 def study_quality(
     df: DataFrame, id_col: str, title_col: str, abstract_col: str,
     text_col: "str | None" = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Per-paper quality profile (extract_quality,
     paper_insights.py:274-345): design base score, sample-size
     adjustment, strength bumps, limitation list, bias-risk ladder.
 
     Output: (id, design, evidence, sample_size, quality_score,
-    bias_risk, strengths_csv, limitations_csv).
-    """
+    bias_risk, strengths_csv, limitations_csv). ``kernel`` picks the
+    Arrow batch scorer (default; the rule ladder runs once per row) or
+    the expression tree it is property-tested against (which
+    re-evaluates the shared design/sample subtrees per output column —
+    SCALING rule 42)."""
+    if kernel == "arrow":
+        return _study_quality_arrow(df, id_col, title_col, abstract_col, text_col)
     full = F.concat_ws(
         " ",
         F.coalesce(F.col(title_col), F.lit("")),

@@ -129,11 +129,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
     "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
     # === below the window: stalest driver evidence first ===
-    # ALSO r09-window-due: trend_primary_docs + trend_census — their
-    # kernel moved to the Arrow batch scorer mid-r08 AFTER the window
-    # above was allocated (values property-pinned identical, parity
-    # re-verified at sf0.001 + sf0.01 on landing, plan pins updated
-    # 1->0 / 2->1; SCALING rule 40 coda).
+    # ALSO r09-window-due: trend_primary_docs + trend_census +
+    # paper_quality_docs — their kernels moved to Arrow batch scorers
+    # mid-r08 AFTER the window above was allocated (values
+    # property-pinned identical, parity re-verified at sf0.001 + sf0.01
+    # on landing; trend plan pins updated 1->0 / 2->1; SCALING rule 40
+    # coda + scripts/probe_r08_kernels.py).
     # remaining r02 block — next in line for r09:
     "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
