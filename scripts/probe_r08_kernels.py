@@ -9,7 +9,10 @@ inputs.
 Numbers of record (2026-08-16, local[32]):
   keyword extraction   4.68 s -> 0.65 s per 50k docs   (7.2x, Arrow)
   garbled line scoring 29.8 s -> 10.8 s per 1M docs    (2.8x, Arrow)
-  high_impact_filter   0.31 s -> 0.16 s per 1M rows    (1.9x, let-bind)
+  high_impact_filter   0.33 s -> 0.18 s per 4M rows    (1.9x, let-bind;
+                       measured at 4M with 5-run medians - at 1M both
+                       forms are inside scheduler noise and a single
+                       median-of-3 can invert)
   primary_trends       13.2 s -> 8.1 s per 1M docs     (1.6x, Arrow;
                        window exchange 1 -> 0 - the shuffle-free pick)
   study_quality        19.8 s -> 6.4 s per 1M docs     (3.1x, Arrow;
@@ -114,7 +117,7 @@ def main() -> None:
     )
 
     journals = (
-        spark.range(1_000_000)
+        spark.range(4_000_000)
         .select(
             F.col("id").alias("doc_id"),
             F.concat(
@@ -136,8 +139,8 @@ def main() -> None:
             cond = cond | j.contains(hj)
         return df.filter(cond)
 
-    timed("high_impact/or-fold/1M", naive_filter(journals, "journal"))
-    timed("high_impact/let-bound/1M", high_impact_filter(journals, "journal"))
+    timed("high_impact/or-fold/4M", naive_filter(journals, "journal"))
+    timed("high_impact/let-bound/4M", high_impact_filter(journals, "journal"))
 
     # --- trend matcher: expression cross join + window vs Arrow (1M docs)
     from vectordb_bioinsight_spark.functions.trend_seed import trend_dimension
