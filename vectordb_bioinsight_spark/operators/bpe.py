@@ -85,7 +85,7 @@ def bpe_train(
     n_merges: int = 100,
     min_pair_count: int = 2,
     eow: bool = True,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 4,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list [(left, right), ...] — driver-side by design (it IS the
@@ -132,7 +132,12 @@ def bpe_train(
         vocab = vocab.select(F.replace(F.col("w"), pat, rep).alias("w"), "n")
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage — an iterative loop otherwise compounds one
-            # replace per merge into a single enormous plan
+            # replace per merge into a single enormous plan. Every 4 (not
+            # 8): the round-8 pair agg over 7 stacked replaces generated a
+            # >64 KB hashAgg method and fell out of codegen entirely
+            # (janino "Code grows beyond 64 KB", caught by the r08 sweep);
+            # cutting at 4 keeps every round's agg inside whole-stage
+            # codegen at the cost of one extra small-vocab materialization
             vocab = vocab.localCheckpoint(eager=True)
     return merges
 
