@@ -53,13 +53,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: kcore_peel precedent), semdedup_auto (scale-aware router pinned:
 #: small corpora route to the fixed replayable clustering), and
 #: ivf_recall (frozen-centroid IVF audit, the maxsim_ivf_docs
-#: discipline); (d) the first 21 of the r02-stale block,
-#: alphabetically. 24+2+3+21 = 50. Below the line: stalest first (the
-#: remaining 24 r02 entries lead and are next in line for r09, then
-#: r03...r07 freshest last); the two rows-only-by-design entries are
-#: parked at the very bottom (label_map_2d: driver-side 2D projection
-#: boundary; compression_ratio: zlib has no DuckDB twin) so no window
-#: slot scores as a no_oracle error.
+#: discipline); (d) the first 16 of the r02-stale block,
+#: alphabetically; (e) the five entries whose kernels moved to Arrow
+#: batch scorers mid-r08 (keyword extraction, keyword growth, trend
+#: primary/census, study quality — values property-pinned identical),
+#: re-earning in the same round as their change. 24+2+3+16+5 = 50.
+#: Below the line: stalest first (the remaining 29 r02 entries lead
+#: and are next in line for r09, then r03...r07 freshest last); the
+#: two rows-only-by-design entries are parked at the very bottom
+#: (label_map_2d: driver-side 2D projection boundary;
+#: compression_ratio: zlib has no DuckDB twin) so no window slot
+#: scores as a no_oracle error.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # === ORDERING: r08 rotation (driver checks roughly the FIRST 50) ===
     # (a) the 24 never-driver-checked mid-r07 additions, in their r07
@@ -100,8 +104,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_train_merges": (tx.q_bpe_train_merges, tx.SQL_BPE_TRAIN_MERGES),
     "semdedup_auto": (vec.q_semdedup_auto, vec.SQL_SEMDEDUP_AUTO),
     "ivf_recall": (vec.q_ivf_recall, vec.SQL_IVF_RECALL),
-    # (d) the r02-stale backfill, first 21 alphabetically (VERDICT r07
-    # task 1; the remaining 24 lead below the line for r09):
+    # (d) the r02-stale backfill, first 16 alphabetically (VERDICT r07
+    # task 1; the remaining 29 lead below the line for r09 — five
+    # alphabetical fills gave their slots to section (e): a kernel-
+    # changed entry re-earning NOW beats one more confirmation of a
+    # 6-round-stable kernel, keeping the "no driver row predates its
+    # kernel change" bar intact through r08):
     "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
     "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
     "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
@@ -118,24 +126,23 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
     "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
     "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
-    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
-    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
-    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
-    # (e) kernel-changed THIS round and re-earning in-window: keyword
-    # discovery moved to the Arrow extraction kernel (7.2x, SCALING rule
-    # 40 — values byte-identical, property-pinned); they displace the
-    # last two r02 alphabetical fills (media_features/media_frame_stats,
+    # (e) kernel-changed THIS round and re-earning in-window — the five
+    # operators that moved to Arrow kernels (SCALING rule 40 coda,
+    # scripts/probe_r08_kernels.py; values property-pinned identical on
+    # every one, parity re-verified at sf0.001 + sf0.01 on landing;
+    # trend plan pins updated 1->0 / 2->1). They displace five r02
+    # alphabetical fills (line_dedup_global .. media_frame_stats,
     # returned to the r02 block below for r09):
     "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
     "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
+    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
+    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
+    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
     # === below the window: stalest driver evidence first ===
-    # ALSO r09-window-due: trend_primary_docs + trend_census +
-    # paper_quality_docs — their kernels moved to Arrow batch scorers
-    # mid-r08 AFTER the window above was allocated (values
-    # property-pinned identical, parity re-verified at sf0.001 + sf0.01
-    # on landing; trend plan pins updated 1->0 / 2->1; SCALING rule 40
-    # coda + scripts/probe_r08_kernels.py).
     # remaining r02 block — next in line for r09:
+    "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
+    "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
+    "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
     "media_features": (mm.q_media_features, mm.SQL_MEDIA_FEATURES),
     "media_frame_stats": (mm.q_media_frame_stats, mm.SQL_MEDIA_FRAME_STATS),
     "mixture_sample": (pk.q_mixture_sample, pk.SQL_MIXTURE_SAMPLE),
@@ -328,7 +335,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
     "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
-    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
     "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
@@ -339,8 +345,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "summary_validation_docs": (cov.q_summary_validation_docs, cov.SQL_SUMMARY_VALIDATION_DOCS),
     "supplier_nation_lookup": (rel.q_supplier_nation_lookup, rel.SQL_SUPPLIER_NATION_LOOKUP),
     "text_stats": (tx.q_text_stats, tx.SQL_TEXT_STATS),
-    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
-    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
     "trend_validation_brands": (cov.q_trend_validation_brands, cov.SQL_TREND_VALIDATION_BRANDS),
     "value_psi_drift": (evl.q_value_psi_drift, evl.SQL_VALUE_PSI_DRIFT),
     "whitened_dim_profile": (vec.q_whitened_dim_profile, vec.SQL_WHITENED_DIM_PROFILE),
