@@ -130,7 +130,9 @@ def bpe_train(
         pat = F.lit(f"{SEP}{left}{SEP}{SEP}{right}{SEP}")
         rep = F.lit(f"{SEP}{left}{right}{SEP}")
         vocab = vocab.select(F.replace(F.col("w"), pat, rep).alias("w"), "n")
-        if (i + 1) % checkpoint_every == 0:
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_merges:
+            # (the final iteration never checkpoints — the vocab is not
+            # read again once the merge list is complete)
             # truncate lineage — an iterative loop otherwise compounds one
             # replace per merge into a single enormous plan. Every 4 (not
             # 8): the round-8 pair agg over 7 stacked replaces generated a

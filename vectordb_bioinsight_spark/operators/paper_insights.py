@@ -266,6 +266,9 @@ def study_quality(
     the expression tree it is property-tested against (which
     re-evaluates the shared design/sample subtrees per output column —
     SCALING rule 42)."""
+    from vectordb_bioinsight_spark.operators import check_kernel
+
+    check_kernel(kernel)
     if kernel == "arrow":
         return _study_quality_arrow(df, id_col, title_col, abstract_col, text_col)
     full = F.concat_ws(

@@ -237,7 +237,9 @@ def semdedup_survivors(
         )
     n = vectors.count()
     k = scale_aware_n_clusters(n, target_cluster_size)
-    if -(-n // max(1, target_cluster_size)) <= _AUTO_MIN_CLUSTERS:
+    # the min-clusters clamp binds exactly when k == its floor, so the
+    # routing condition is the clamp itself — no re-derived ceil-div
+    if k <= _AUTO_MIN_CLUSTERS:
         return semdedup_survivors_fixed(
             vectors, id_col, vec_col, _AUTO_MIN_CLUSTERS, min_cosine
         )

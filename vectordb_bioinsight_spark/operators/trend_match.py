@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectordb_bioinsight_spark.operators import check_kernel
+
 __all__ = ["trend_match_scores", "primary_trends", "trend_category_census"]
 
 
@@ -157,6 +159,8 @@ _OUT_FIELDS = (
 )
 
 
+
+
 def _arrow_match(
     papers: DataFrame,
     dim: DataFrame,
@@ -181,6 +185,16 @@ def _arrow_match(
 
         for pdf in batches:
             out = {c: [] for c in _OUT_FIELDS}
+
+            def emit(pid, t, score, matched):
+                out["id"].append(pid)
+                out["trend_rank"].append(t[0])
+                out["trend_id"].append(t[1])
+                out["trend_name"].append(t[2])
+                out["category"].append(t[3])
+                out["score"].append(score)
+                out["matched_terms"].append(matched)
+
             kws_iter = (
                 pdf["_tm_kws"] if has_kws else [None] * len(pdf)
             )
@@ -203,22 +217,10 @@ def _arrow_match(
                         if best is None or score > best[0]:
                             best = (score, t, matched)
                     else:
-                        out["id"].append(pid)
-                        out["trend_rank"].append(t[0])
-                        out["trend_id"].append(t[1])
-                        out["trend_name"].append(t[2])
-                        out["category"].append(t[3])
-                        out["score"].append(score)
-                        out["matched_terms"].append(matched)
+                        emit(pid, t, score, matched)
                 if best_only and best is not None:
                     score, t, matched = best
-                    out["id"].append(pid)
-                    out["trend_rank"].append(t[0])
-                    out["trend_id"].append(t[1])
-                    out["trend_name"].append(t[2])
-                    out["category"].append(t[3])
-                    out["score"].append(score)
-                    out["matched_terms"].append(matched)
+                    emit(pid, t, score, matched)
             # explicit object dtype: an empty batch otherwise infers
             # float64 for the list column and Arrow refuses the cast
             yield pd.DataFrame(
@@ -249,6 +251,7 @@ def trend_match_scores(
     batch scorer (default; module docstring) or the broadcast-cross-join
     expression tree it is property-tested against.
     """
+    check_kernel(kernel)
     if kernel == "arrow":
         return _arrow_match(
             papers, dim, id_col, title_col, abstract_col, keywords_col,
@@ -290,6 +293,7 @@ def primary_trends(
     Arrow kernel (default) picks the best INSIDE the batch scorer —
     zero shuffle; the expression kernel is the cross join + a per-paper
     window."""
+    check_kernel(kernel)
     if kernel == "arrow":
         return _arrow_match(
             papers, dim, id_col, title_col, abstract_col, keywords_col,
