@@ -39,7 +39,19 @@ def run_all(sf_dir: str, parts: int, cpus: int) -> dict[str, str]:
         try:
             df = fn(spark, sf_dir).toPandas()
             df = df.reindex(sorted(df.columns), axis=1)
-            key = df.astype(str).agg("|".join, axis=1).sort_values().str.cat(sep="\n")
+            if len(df) == 0:
+                # agg(axis=1) on a 0-row frame returns a DataFrame (not a
+                # Series) and sort_values() then needs 'by' — hash empty
+                # results as the column list so an empty-vs-empty compare
+                # still checks the schema
+                key = "|".join(df.columns)
+            else:
+                key = (
+                    df.astype(str)
+                    .agg("|".join, axis=1)
+                    .sort_values()
+                    .str.cat(sep="\n")
+                )
             out[name] = hashlib.md5(key.encode()).hexdigest()
         except Exception as e:  # noqa: BLE001
             out[name] = f"ERR:{str(e)[:80]}"
@@ -52,9 +64,18 @@ def main() -> int:
     a = run_all(sf_dir, parts=5, cpus=8)
     b = run_all(sf_dir, parts=29, cpus=16)
     unstable = sorted(n for n in a if a[n] != b.get(n))
+    # an entry that CRASHES under both settings hashes equal ("ERR:...")
+    # and would otherwise slip past the stability check — fail it
+    # explicitly (it is the only execution gate the two rows-only park
+    # entries get, since test_oracle_parity skips sql=None entries)
+    errors = sorted(
+        n for n in set(a) | set(b)
+        if str(a.get(n, "")).startswith("ERR:") or str(b.get(n, "")).startswith("ERR:")
+    )
     print(f"checked: {len(a)}")
     print(f"UNSTABLE: {unstable}")
-    return 1 if unstable else 0
+    print(f"ERRORS: {errors}")
+    return 1 if (unstable or errors) else 0
 
 
 if __name__ == "__main__":

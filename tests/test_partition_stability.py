@@ -33,7 +33,10 @@ def test_all_catalog_entries_partitioning_stable():
     )
     tail = "\n".join(proc.stdout.splitlines()[-5:])
     assert proc.returncode == 0, (
-        f"partitioning-unstable catalog entries detected:\n{tail}\n"
+        f"partitioning-unstable or erroring catalog entries detected:\n{tail}\n"
         f"stderr tail: {proc.stderr[-500:]}"
     )
     assert "UNSTABLE: []" in proc.stdout, tail
+    # identical crashes hash equal — the script reports them separately
+    # so an entry that raises under BOTH settings still fails the gate
+    assert "ERRORS: []" in proc.stdout, tail
