@@ -53,12 +53,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: kcore_peel precedent), semdedup_auto (scale-aware router pinned:
 #: small corpora route to the fixed replayable clustering), and
 #: ivf_recall (frozen-centroid IVF audit, the maxsim_ivf_docs
-#: discipline); (d) the first 16 of the r02-stale block,
-#: alphabetically; (e) the five entries whose kernels moved to Arrow
-#: batch scorers mid-r08 (keyword extraction, keyword growth, trend
-#: primary/census, study quality — values property-pinned identical),
-#: re-earning in the same round as their change. 24+2+3+16+5 = 50.
-#: Below the line: stalest first (the remaining 29 r02 entries lead
+#: discipline); (d) the first 14 of the r02-stale block,
+#: alphabetically; (d2) the two entries DE-VACUOUSED this round with
+#: new hashes (basket_rules, wealthy_inactive_customers — the zero-row
+#: census found their old thresholds returned no rows at ANY SF, so
+#: every prior green row was vacuous); (e) the five entries whose
+#: kernels moved to Arrow batch scorers mid-r08 (keyword extraction,
+#: keyword growth, trend primary/census, study quality — values
+#: property-pinned identical), re-earning in the same round as their
+#: change. 24+2+3+14+2+5 = 50.
+#: Below the line: stalest first (the remaining 31 r02 entries lead
 #: and are next in line for r09, then r03...r07 freshest last); the
 #: two rows-only-by-design entries are parked at the very bottom
 #: (label_map_2d: driver-side 2D projection boundary;
@@ -104,12 +108,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_train_merges": (tx.q_bpe_train_merges, tx.SQL_BPE_TRAIN_MERGES),
     "semdedup_auto": (vec.q_semdedup_auto, vec.SQL_SEMDEDUP_AUTO),
     "ivf_recall": (vec.q_ivf_recall, vec.SQL_IVF_RECALL),
-    # (d) the r02-stale backfill, first 16 alphabetically (VERDICT r07
-    # task 1; the remaining 29 lead below the line for r09 — five
-    # alphabetical fills gave their slots to section (e): a kernel-
-    # changed entry re-earning NOW beats one more confirmation of a
-    # 6-round-stable kernel, keeping the "no driver row predates its
-    # kernel change" bar intact through r08):
+    # (d) the r02-stale backfill, first 14 alphabetically (VERDICT r07
+    # task 1; the remaining 31 lead below the line for r09 — seven
+    # alphabetical fills gave their slots to sections (d2)/(e): an
+    # entry with CHANGED hashes or a changed kernel re-earning NOW
+    # beats one more confirmation of a 6-round-stable kernel, keeping
+    # the "no driver row predates its kernel change" bar intact
+    # through r08):
     "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
     "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
     "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
@@ -124,8 +129,20 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
     "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
     "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
-    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
+    # (d2) de-vacuoused THIS round with NEW hashes, so they must re-earn
+    # now: the zero-row census found basket_rules (confidence 0.5 >
+    # anything the synthetic baskets produce) and
+    # wealthy_inactive_customers (every synthetic customer has >= 1
+    # order) returned ZERO rows at every SF — their green driver rows
+    # were vacuous. Thresholds re-planted (conf 0.1; lapsed-since-1999
+    # inactivity), both non-empty at sf0.001/0.01/0.1 and parity-green;
+    # they take the last two r02 alphabetical slots (knn_classify /
+    # lens_classify move below the line for r09):
+    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
+    "wealthy_inactive_customers": (
+        th.q_wealthy_inactive_customers,
+        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
+    ),
     # (e) kernel-changed THIS round and re-earning in-window — the five
     # operators that moved to Arrow kernels (SCALING rule 40 coda,
     # scripts/probe_r08_kernels.py; values property-pinned identical on
@@ -140,6 +157,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
     # === below the window: stalest driver evidence first ===
     # remaining r02 block — next in line for r09:
+    "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
+    "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
     "line_quality_stats": (cl.q_line_quality_stats, cl.SQL_LINE_QUALITY_STATS),
     "lognorm_events": (sc.q_lognorm_events, sc.SQL_LOGNORM_EVENTS),
@@ -221,10 +240,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "top_revenue_suppliers": (th.q_top_revenue_suppliers, th.SQL_TOP_REVENUE_SUPPLIERS),
     "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
-    "wealthy_inactive_customers": (
-        th.q_wealthy_inactive_customers,
-        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
-    ),
     "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
     "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
     "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
@@ -310,7 +325,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
     "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
     "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
-    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
     "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
     "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),

@@ -798,14 +798,18 @@ LIMIT 20
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over order baskets (operators/joins.py::
     association_rules): directed part -> part rules with
-    support/confidence/lift, co-orders >= 3, confidence >= 0.5 — the
-    rule-form reading of the same co-occurrence counts item_cf ranks."""
+    support/confidence/lift, co-orders >= 3, confidence >= 0.1 — the
+    rule-form reading of the same co-occurrence counts item_cf ranks.
+    (confidence lowered from 0.5 in r08: the synthetic baskets top out
+    near 0.2, so the old threshold returned ZERO rows at every test SF
+    and the driver hash check was vacuous; 0.1 yields 417/45/1 rules at
+    sf0.001/0.01/0.1 — the detection branch is actually exercised.)"""
     from vectordb_bioinsight_spark.operators.joins import association_rules
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
     )
-    return association_rules(li, "part", "okey", min_cooc=3, min_confidence=0.5)
+    return association_rules(li, "part", "okey", min_cooc=3, min_confidence=0.1)
 
 
 SQL_BASKET_RULES = """
@@ -832,7 +836,7 @@ FROM bo
 JOIN items ia ON ia.i = bo.a
 JOIN items ib ON ib.i = bo.b
 CROSS JOIN tot t
-WHERE w::DOUBLE / ia.n_i >= 0.5
+WHERE w::DOUBLE / ia.n_i >= 0.1
 """
 
 

@@ -204,13 +204,27 @@ WHERE (p.p_type = 'PROMO'   AND p.p_size BETWEEN 1 AND 15  AND l.l_quantity BETW
 """
 
 
+_LAPSE_CUT = "1999-01-01"
+
+
 def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22-shaped: customers richer than the global positive-balance average
-    who never placed an order, counted per nation. Scalar-subquery threshold
-    (one tiny agg, cross-joined = broadcast) + left-anti join against orders.
-    """
+    """Q22-shaped: customers richer than the global positive-balance
+    average with no order since 1999-01-01 (lapsed), counted per nation.
+    Scalar-subquery threshold (one tiny agg, cross-joined = broadcast) +
+    left-anti join against the recent-orders subset.
+
+    (r08: "inactive" moved from never-ordered to lapsed-since-cut — the
+    synthetic generator gives EVERY customer at least one order at every
+    SF, so the original predicate returned zero rows everywhere and the
+    driver hash check was vacuous; the lapse cut yields 2/14/148
+    customers at sf0.001/0.01/0.1 and also pushes a date filter into the
+    anti-join's build side.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_LAPSE_CUT).cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("_thr")
     )
@@ -226,11 +240,12 @@ def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WEALTHY_INACTIVE_CUSTOMERS = """
+SQL_WEALTHY_INACTIVE_CUSTOMERS = f"""
 SELECT c.c_nationkey, count(*)::BIGINT AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{_LAPSE_CUT} 00:00:00')
 GROUP BY 1
 """
 
