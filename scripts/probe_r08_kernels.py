@@ -18,6 +18,11 @@ Numbers of record (2026-08-16, local[32]):
   study_quality        19.8 s -> 6.4 s per 1M docs     (3.1x, Arrow;
                        the rule ladder runs once per ROW instead of
                        once per output column - rule 42's no-CSE trap)
+  bootstrap_rate_ci    1.63 s -> 0.53 s at sf0.1       (3.1x, Arrow;
+                       ALSO fixes a janino 64 KB codegen failure - the
+                       50 md5-chain weight expressions fused into the
+                       upstream keyed agg's output method and dropped
+                       the whole stage to the interpreter)
 """
 
 from __future__ import annotations
@@ -171,6 +176,19 @@ def main() -> None:
     timed(
         "study_quality/arrow/1M",
         study_quality(t_docs, "doc_id", "title", "abstract", kernel="arrow"),
+    )
+
+    # --- bootstrap CI: the shipped Arrow weight kernel (the 50-expression
+    # form it replaced is a codegen trap — see _poisson1_weights_arrow)
+    from vectordb_bioinsight_spark.operators.stats import bootstrap_rate_ci
+
+    ev = load_table(spark, SF_DIR, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    timed(
+        "bootstrap_rate_ci/arrow/sf",
+        bootstrap_rate_ci(users, "conv", "user_id", n_replicates=50),
     )
     spark.stop()
 

@@ -1158,6 +1158,46 @@ def _poisson1_weight(u):  # noqa: ANN001, ANN202 — Column in, Column out
     return w
 
 
+def _poisson1_weights_arrow(id_str_col, seed: int, n_replicates: int):  # noqa: ANN001
+    """All ``n_replicates`` Poisson(1) bootstrap weights for one id as an
+    Arrow-batched array<double> — byte-identical to ``n_replicates``
+    :func:`_poisson1_weight`(:func:`salted_hash64`) column expressions
+    (python hashlib md5 == Spark md5; the int is < 2^60 so the double
+    division rounds identically; bisect_right == the strict-< when
+    ladder; a NULL id yields the ladder's fall-through weight,
+    empirically pinned in tests).
+
+    Why a kernel and not 50 expressions: the expression form's weight
+    projection FUSES into the upstream keyed aggregate's generated
+    output method, which blows janino's 64 KB method limit at 50
+    replicates and drops the ENTIRE stage (including the corpus-sized
+    event aggregation) out of codegen — caught by the r08 sweep error
+    log; the fused stage then ran interpreted at 7.3 s where ~2 s is
+    normal. The kernel also evaluates each md5 chain once in C."""
+    import hashlib
+    from bisect import bisect_right
+
+    salts = [f"{seed * 1000 + j}|" for j in range(n_replicates)]
+    scale = float(1 << 60)
+    cdf = _POISSON1_CDF
+    null_w = float(len(cdf))
+
+    def one(s):
+        if s is None:
+            return [null_w] * len(salts)
+        out = []
+        for salt in salts:
+            h = int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+            out.append(float(bisect_right(cdf, h / scale)))
+        return out
+
+    def _f(*cols):  # no type hints: postponed annotations break
+        (ids,) = cols  # pandas_udf's hint inference under __future__
+        return ids.map(one)
+
+    return F.pandas_udf(_f, "array<double>")(id_str_col)
+
+
 def bootstrap_rate_ci(
     df: DataFrame,
     converted_col: str,
@@ -1190,30 +1230,22 @@ def bootstrap_rate_ci(
 
     Output: one row (n, rate, ci_lo, ci_hi, n_replicates) rounded 6 dp.
     """
-    from vectordb_bioinsight_spark.functions.hashing import salted_hash64
-
     y = F.col(converted_col).cast("double")
-    # project each replicate weight ONCE: the same w_j feeds two sums
-    # (w*y and w), and without the projection the md5 chain evaluates
-    # twice per replicate per row (probe: 4.4 -> ~2 s)
+    # ONE Arrow kernel emits all replicate weights as an array (each md5
+    # chain evaluated once; see _poisson1_weights_arrow for why the
+    # 50-expression form is a codegen trap)
     proj = df.select(
         y.alias("_y"),
-        *[
-            _poisson1_weight(
-                salted_hash64(F.col(id_col).cast("string"), seed * 1000 + j)
-                / F.lit(float(1 << 60))
-            )
-            .cast("double")
-            .alias(f"_w{j}")
-            for j in range(n_replicates)
-        ],
+        _poisson1_weights_arrow(
+            F.col(id_col).cast("string"), seed, n_replicates
+        ).alias("_ws"),
     )
     aggs = [
         F.count("*").cast("long").alias("_n"),
         F.round(F.avg("_y"), 6).alias("rate"),
     ]
     for j in range(n_replicates):
-        w = F.col(f"_w{j}")
+        w = F.element_at(F.col("_ws"), j + 1)
         aggs.append(
             (F.sum(w * F.col("_y")) / F.nullif(F.sum(w), F.lit(0.0))).alias(f"_r{j}")
         )

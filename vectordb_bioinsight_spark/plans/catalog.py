@@ -156,6 +156,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
     "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
     # === below the window: stalest driver evidence first ===
+    # ALSO r09-window-due: bootstrap_purchase_ci — its weight derivation
+    # moved to an Arrow kernel late in r08 AFTER the window above was
+    # full (values hash-identical, parity re-verified at sf0.001 +
+    # sf0.01 on landing; the 50-expression form blew janino's 64 KB
+    # method limit inside the fused stage and ran interpreted — sweep
+    # error log + operators/stats.py::_poisson1_weights_arrow).
     # remaining r02 block — next in line for r09:
     "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
     "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
