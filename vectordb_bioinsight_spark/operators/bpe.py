@@ -131,15 +131,14 @@ def bpe_train(
         rep = F.lit(f"{SEP}{left}{right}{SEP}")
         vocab = vocab.select(F.replace(F.col("w"), pat, rep).alias("w"), "n")
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_merges:
-            # (the final iteration never checkpoints — the vocab is not
-            # read again once the merge list is complete)
             # truncate lineage — an iterative loop otherwise compounds one
             # replace per merge into a single enormous plan. Every 4 (not
-            # 8): the round-8 pair agg over 7 stacked replaces generated a
-            # >64 KB hashAgg method and fell out of codegen entirely
-            # (janino "Code grows beyond 64 KB", caught by the r08 sweep);
-            # cutting at 4 keeps every round's agg inside whole-stage
-            # codegen at the cost of one extra small-vocab materialization
+            # 8) keeps each round's generated pair-agg method comfortably
+            # under janino's 64 KB limit (the silent-fallback failure
+            # class the r08 sweep caught in bootstrap_rate_ci — SCALING
+            # rule 40 coda) at the cost of one extra small-vocab
+            # materialization; the final iteration never checkpoints
+            # (the vocab is not read again once the merge list completes)
             vocab = vocab.localCheckpoint(eager=True)
     return merges
 
