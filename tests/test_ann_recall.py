@@ -389,3 +389,21 @@ class TestMaxSimIVF:
         }
         # multi-token queries probe the union of cells — recall stays high
         assert len(pruned & exact) >= 5
+
+
+def test_replay_oversized_centroids_raise(spark):
+    """ADVICE r08: ivf_search_replay collects AND inlines the centroid
+    frame as expression literals; an unbounded codebook must raise rather
+    than silently pull onto the driver / blow the codegen budget."""
+    from vectordb_bioinsight_spark.operators.semdedup import MAX_INLINE_CENTROIDS
+    from vectordb_bioinsight_spark.operators.vector import ivf_search_replay
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    big_cents = emb.limit(MAX_INLINE_CENTROIDS + 1).select(
+        F.col("vec_id").cast("int").alias("_cell"),
+        F.col("embedding").cast("array<double>").alias("_centroid"),
+    )
+    with pytest.raises(ValueError, match="inlines centroids"):
+        ivf_search_replay(
+            emb, emb.limit(2), "vec_id", "vec_id", "embedding", big_cents
+        )

@@ -289,11 +289,11 @@ _MAX_EXCHANGES = {
     # window, the renumber window, and the context groupBy
     "qa_context_docs": 1,
     "answer_confidence_docs": 0,
-    # summary parser: the line-fold windows, the (doc, inst) groupBy and
-    # the section pivot all share ONE doc-keyed shuffle; the wide join
-    # back to the JSON-routed base broadcasts (measured 1; ceiling 2
-    # allows the broadcast to flip to SMJ at larger inputs)
-    "summary_parse_docs": 2,
+    # summary parser: ZERO exchanges since the r09 Arrow kernel — the
+    # fold is per-document, so the section struct is one more column on
+    # the scan (the expression form paid an explode + doc-keyed window +
+    # pivot + broadcast join to express a per-row computation)
+    "summary_parse_docs": 0,
     # domain adaptation: ONE per-sample rank shuffle + broadcast ref
     # join; the recalibration's global stats row broadcasts back
     "ref_quantile_dims": 1,

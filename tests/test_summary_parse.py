@@ -89,11 +89,15 @@ _TEXTS = [
 ]
 
 
-def test_parse_summary_matches_port(spark):
+import pytest
+
+
+@pytest.mark.parametrize("kernel", ["arrow", "expression"])
+def test_parse_summary_matches_port(spark, kernel):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(_TEXTS)], "doc_id int, summary_text string"
     )
-    got = {r["doc_id"]: r.asDict() for r in parse_summary(df).collect()}
+    got = {r["doc_id"]: r.asDict() for r in parse_summary(df, kernel=kernel).collect()}
     for i, t in enumerate(_TEXTS):
         pfrom, want = _port(t)
         g = got[i]
@@ -110,3 +114,28 @@ def test_parse_summary_matches_port(spark):
         for k, v in exp.items():
             gv = g[k] or ""
             assert (v or "") == gv, (i, k, v, gv)
+
+
+def test_arrow_kernel_matches_expression_kernel(spark):
+    """r09 kernel pin: the shuffle-free Arrow fold and the exploded-window
+    expression tree must agree row-for-row — on the hand cases, on CRLF
+    text (F.trim strips ASCII spaces only; the twin must too), and on
+    adversarial marker/bullet shapes."""
+    from vectordb_bioinsight_spark.operators.summary_parse import parse_summary_text
+
+    extra = [
+        "PURPOSE: x\r\nMETHODS:\r\n- a\r\n",      # CRLF: \r must survive both kernels
+        "RESULTS:\nfirst block\nRESULTS:\n\n",       # later EMPTY instance of a section
+        "  PURPOSE:   spaced   \nKEY FINDINGS:\n• k1\n* k2\n2. k3",
+        "**LIMITATIONS:** bold\nCONCLUSION: alias",
+        "PURPOSE\nno colon marker form",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS + extra)],
+        "doc_id int, summary_text string",
+    )
+    for fn in (parse_summary, parse_summary_text):
+        a = sorted(map(tuple, fn(df, kernel="arrow").collect()))
+        e = sorted(map(tuple, fn(df, kernel="expression").collect()))
+        assert a == e, (fn.__name__, a, e)

@@ -190,3 +190,43 @@ def test_seed_rows_shape():
         assert cat in TREND_CATEGORIES
         assert top3 == kws[:3] and len(kws) >= 4
         assert all(k == k.lower() for k in kws + genes + mesh)
+
+
+def test_oversized_dim_raises_instead_of_driver_collect(spark, papers_df):
+    """ADVICE r08: the Arrow kernel snapshots the dim onto the driver at
+    plan-construction time; past MAX_DIM_ROWS it must raise (pointing at
+    the lazy expression kernel) rather than silently collect."""
+    from vectordb_bioinsight_spark.operators.trend_match import MAX_DIM_ROWS
+
+    big = (
+        spark.range(MAX_DIM_ROWS + 1)
+        .select(
+            F.col("id").cast("int").alias("trend_rank"),
+            F.concat(F.lit("t"), F.col("id")).alias("trend_id"),
+            F.concat(F.lit("trend "), F.col("id")).alias("trend_name"),
+            F.lit("cat").alias("category"),
+            F.array(F.lit("kw")).alias("keywords"),
+            F.array(F.lit("kw")).alias("top3"),
+            F.array().cast("array<string>").alias("genes"),
+            F.array().cast("array<string>").alias("mesh"),
+        )
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        trend_match_scores(papers_df, big, "pid", "title", "abstract").collect()
+
+
+def test_zero_match_batch_keeps_declared_schema(spark):
+    """ADVICE r08: a batch where NO paper matches any trend must still
+    yield the declared schema (all-object empty frame; float64 inference
+    on the id/score columns is pyarrow-version-sensitive)."""
+    dim = trend_dimension(spark)
+    nomatch = spark.createDataFrame(
+        [(9, "sorting algorithms", "radix sort on NVMe", None)],
+        "pid long, title string, abstract string, pkws array<string>",
+    )
+    out = trend_match_scores(nomatch, dim, "pid", "title", "abstract")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "id", "trend_rank", "trend_id", "trend_name", "category",
+        "score", "matched_terms",
+    ]

@@ -103,7 +103,8 @@ def filter_by_query_terms(
     title_col: str = "title",
     abstract_col: str = "abstract",
     score_col: str = "trend_score",
-    group_col: str = "group_id",
+    *,
+    group_col: str,
 ) -> DataFrame:
     """web_crawler_agent.py:760-792 — keep every paper with a query term
     in the title; fill with abstract-only matches (at a -10 trend-score
@@ -111,13 +112,16 @@ def filter_by_query_terms(
     ``max_results`` at their scan position (see module docstring for the
     prefix reduction). Adds ``match_kind`` ('title' | 'abstract').
 
-    ``group_col`` is REQUIRED and partitions the scan windows per
-    search-result list — the batch shape (many searches filtered at
-    once) and the only scale-safe form. The reference's single-list call
-    is the ``group_col = constant`` special case: add a literal column
-    (``df.withColumn("group_id", F.lit(0))``) for a bounded result page.
-    A ``None``/empty group_col raises rather than silently planning a
-    single-partition global window (tests/test_plans.py gate).
+    ``group_col`` is REQUIRED (keyword-only, no default — ADVICE r08:
+    a ``"group_id"`` default would silently hand per-group windows to
+    any caller whose frame happens to carry that column) and partitions
+    the scan windows per search-result list — the batch shape (many
+    searches filtered at once) and the only scale-safe form. The
+    reference's single-list call is the ``group_col = constant`` special
+    case: add a literal column (``df.withColumn("group_id", F.lit(0))``)
+    for a bounded result page. A ``None``/empty group_col raises rather
+    than silently planning a single-partition global window
+    (tests/test_plans.py gate).
     """
     if not group_col:
         raise ValueError(

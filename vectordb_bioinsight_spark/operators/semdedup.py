@@ -36,6 +36,14 @@ from vectordb_bioinsight_spark.operators.vector import similarity_self_join
 #: bigger than this belongs in ivf_build_index's broadcast-join path.
 MAX_INLINE_CENTROIDS = 64
 
+#: The single source of truth for the minimum cluster count: it is both
+#: scale_aware_n_clusters' clamp floor and the router's small-corpus pivot
+#: (semdedup_survivors routes to the fixed deterministic clustering exactly
+#: when the clamp binds), and plans/catalog_vector.py's SEMDEDUP_CLUSTERS
+#: re-exports it into the oracle SQL — one definition, three users, so the
+#: router and the oracle pin cannot drift apart (ADVICE r08).
+MIN_CLUSTERS = 8
+
 
 def assign_fixed_centroids(
     vectors: DataFrame,
@@ -195,12 +203,6 @@ def semdedup_survivors_fixed(
     return vectors.join(losers, id_col, "left_anti")
 
 
-#: Below this many clusters the scale_aware_n_clusters clamp binds and the
-#: router (semdedup_survivors) prefers the fixed deterministic clustering —
-#: must stay equal to scale_aware_n_clusters' min_clusters default.
-_AUTO_MIN_CLUSTERS = 8
-
-
 def semdedup_survivors(
     vectors: DataFrame,
     id_col: str,
@@ -239,9 +241,9 @@ def semdedup_survivors(
     k = scale_aware_n_clusters(n, target_cluster_size)
     # the min-clusters clamp binds exactly when k == its floor, so the
     # routing condition is the clamp itself — no re-derived ceil-div
-    if k <= _AUTO_MIN_CLUSTERS:
+    if k <= MIN_CLUSTERS:
         return semdedup_survivors_fixed(
-            vectors, id_col, vec_col, _AUTO_MIN_CLUSTERS, min_cosine
+            vectors, id_col, vec_col, MIN_CLUSTERS, min_cosine
         )
     return semdedup_survivors_auto(
         vectors, id_col, vec_col, min_cosine=min_cosine,
@@ -315,7 +317,7 @@ def semdedup_survivors_gemm(
 def scale_aware_n_clusters(
     n_rows: int,
     target_cluster_size: int = 1024,
-    min_clusters: int = 8,
+    min_clusters: int = MIN_CLUSTERS,
     max_clusters: int = 1 << 20,
 ) -> int:
     """The SemDeDup cluster-count rule for a corpus of ``n_rows`` vectors:

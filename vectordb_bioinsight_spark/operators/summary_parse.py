@@ -16,17 +16,35 @@ deterministic and is what this module ports:
   later-marker-overwrites rule (``_set_section`` is called once per
   marker occurrence, so a repeated section keeps only its LAST block).
 
-Distributed shape: explode lines with position, one doc-keyed window
-assigns each line to its most recent marker (a running marker count, so
-repeated sections become distinct instances), one groupBy assembles each
-instance's content in line order, and a per-(doc, section) window keeps
-the last instance. All shuffles doc-keyed.
+Distributed shape — two kernels, values pinned identical
+(tests/test_summary_parse.py):
+
+* ``kernel="arrow"`` (default since r09): the fold is per-DOCUMENT, so it
+  needs no explode and no shuffle at all — one Arrow-batched scalar
+  pandas_udf folds each summary into a 6-field section struct in a single
+  scan-local pass (SCALING rule 40 coda: a 28-marker × per-line rule
+  ladder re-evaluated as expression ``when`` chains is exactly the
+  interpreted-HOF shape the Arrow kernels replaced; here the expression
+  form ALSO paid a |corpus|-lines doc-keyed exchange that the kernel
+  deletes outright).
+* ``kernel="expression"``: explode lines with position, one doc-keyed
+  window assigns each line to its most recent marker (a running marker
+  count, so repeated sections become distinct instances), one groupBy
+  assembles each instance's content in line order, and a per-(doc,
+  section) window keeps the last instance. All shuffles doc-keyed. This
+  form is the DuckDB-replay anchor the catalog twin mirrors and the
+  property tests pin the Arrow kernel against.
 """
 
 from __future__ import annotations
 
+import re as _re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from vectordb_bioinsight_spark.operators import check_kernel
 
 #: summarizer.py:426-433 — section marker table (dict order = match
 #: priority; within a section, list order).
@@ -52,6 +70,72 @@ _SECTIONS = ["purpose", "methods", "results", "conclusions", "key_findings", "li
 _BULLET_STRIP = r"^[-•*0-9. ]+"
 
 
+#: python mirror of the expression bullet test / strip (Java and Python
+#: regex agree on these finite classes — the rule-29 argument).
+_BULLET_RE = _re.compile(r"^(-|•|\*|1\.|2\.|3\.)")
+_BULLET_STRIP_RE = _re.compile(_BULLET_STRIP)
+
+#: precompiled (section, MARKER_UPPER, len) rows in reference priority
+#: order — first match wins, same net order as _marker_match's reversed
+#: when-chain.
+_MARKER_ROWS = [
+    (sec, mk.upper(), len(mk))
+    for sec, markers in SECTION_MARKERS.items()
+    for mk in markers
+]
+
+
+def _py_text_sections(text: "str | None") -> "dict[str, str | None]":
+    """The per-document twin of the expression fold. Whitespace handling
+    mirrors the expression form EXACTLY: F.trim strips ASCII spaces only,
+    so this uses ``.strip(' ')``, not ``.strip()`` — a ``\\r`` left by
+    CRLF text must survive (or not) identically in both kernels."""
+    out: dict[str, str | None] = {s: None for s in _SECTIONS}
+    if text is None:
+        return out
+    cur: "str | None" = None
+    buf: list[str] = []
+
+    def flush() -> None:
+        # the expression form emits a block only when the instance has
+        # >= 1 non-empty content line, then keeps the MAX-instance block
+        # per section — forward flush-overwrite-if-nonempty is the same
+        if cur is not None and buf:
+            out[cur] = (" | " if cur == "key_findings" else " ").join(buf)
+
+    for raw in text.split("\n"):
+        line = raw.strip(" ")
+        lu = line.upper()
+        hit = next((m for m in _MARKER_ROWS if lu.startswith(m[1])), None)
+        if hit is not None:
+            flush()
+            cur, buf = hit[0], []
+            rem = line[hit[2]:].strip(" ")
+            if rem:
+                buf.append(rem)
+        elif cur is not None:  # preamble (before any marker) is dropped
+            c = _BULLET_STRIP_RE.sub("", line) if _BULLET_RE.match(line) else line
+            if c:
+                buf.append(c)
+    flush()
+    return out
+
+
+def _sections_struct_udf():
+    """Arrow-batched scalar UDF: summary text -> struct of the 6 sections
+    (NULL field = section absent, the long form's missing row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema = ", ".join(f"{s} string" for s in _SECTIONS)
+
+    @pandas_udf(schema)
+    def _fold(texts: pd.Series) -> pd.DataFrame:
+        rows = [_py_text_sections(t) for t in texts]
+        return pd.DataFrame(rows, columns=_SECTIONS, dtype="object")
+
+    return _fold
+
+
 def _marker_match(line: Column) -> tuple[Column, Column]:
     """First matching (section, marker length) for a line, reference
     order; NULLs when no marker matches."""
@@ -67,11 +151,32 @@ def _marker_match(line: Column) -> tuple[Column, Column]:
 
 
 def parse_summary_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "summary_text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "summary_text",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """summarizer.py:420-469 — the text-path fold, one row per
     (document, section) that actually appeared; content space-joined in
-    line order (key_findings items joined with ' | ')."""
+    line order (key_findings items joined with ' | '). ``kernel`` picks
+    the shuffle-free Arrow fold (default; module docstring) or the
+    exploded-window expression tree it is property-tested against."""
+    check_kernel(kernel)
+    if kernel == "arrow":
+        folded = df.select(
+            id_col, _sections_struct_udf()(F.col(text_col)).alias("_ts")
+        )
+        pairs = F.array(
+            *[
+                F.struct(F.lit(s).alias("section"), F.col("_ts")[s].alias("content"))
+                for s in _SECTIONS
+            ]
+        )
+        return (
+            folded.select(id_col, F.explode(pairs).alias("_p"))
+            .filter(F.col("_p.content").isNotNull())
+            .select(id_col, F.col("_p.section").alias("section"), F.col("_p.content").alias("content"))
+        )
     lines = df.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -124,11 +229,21 @@ def parse_summary_text(
 
 
 def parse_summary(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "summary_text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "summary_text",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """summarizer.py:374-469 — full parser: JSON path first, text-path
     fallback, one WIDE row per document (sections as columns,
-    key_findings pipe-joined, ``parsed_from`` records the path)."""
+    key_findings pipe-joined, ``parsed_from`` records the path).
+
+    ``kernel="arrow"`` (default) computes the text-path sections with the
+    per-document Arrow fold as one more column on the same scan — the
+    whole parser becomes a ZERO-exchange plan (the expression form paid
+    an explode + doc-keyed window + pivot + self-join, all to express a
+    per-row computation)."""
+    check_kernel(kernel)
     fenced = F.regexp_extract(
         F.col(text_col), r"(?s)```(?:json)?\s*(\{.*?\})\s*```", 1
     )
@@ -154,16 +269,23 @@ def parse_summary(
         ).alias("_j_key_findings"),
         F.coalesce(parsed["LIMITATIONS"], F.lit("Not specified")).alias("_j_limitations"),
     )
-    text_rows = parse_summary_text(
-        base.filter(~F.col("_json_ok")), id_col, text_col
-    )
-    text_wide = text_rows.groupBy(id_col).pivot("section", _SECTIONS).agg(
-        F.first("content")
-    )
-    for s in _SECTIONS:
-        if s not in text_wide.columns:  # pragma: no cover - pivot fills all
-            text_wide = text_wide.withColumn(s, F.lit(None).cast("string"))
-    joined = base.join(text_wide, id_col, "left")
+    if kernel == "arrow":
+        # no explode/pivot/join: the section struct is one more column on
+        # the same scan (NULL fields for JSON-path rows are never read)
+        joined = base.withColumn("_ts", _sections_struct_udf()(F.col(text_col)))
+        for s in _SECTIONS:
+            joined = joined.withColumn(s, F.col("_ts")[s])
+    else:
+        text_rows = parse_summary_text(
+            base.filter(~F.col("_json_ok")), id_col, text_col, kernel=kernel
+        )
+        text_wide = text_rows.groupBy(id_col).pivot("section", _SECTIONS).agg(
+            F.first("content")
+        )
+        for s in _SECTIONS:
+            if s not in text_wide.columns:  # pragma: no cover - pivot fills all
+                text_wide = text_wide.withColumn(s, F.lit(None).cast("string"))
+        joined = base.join(text_wide, id_col, "left")
     default_lim = F.lit("Not specified")
     return joined.select(
         id_col,

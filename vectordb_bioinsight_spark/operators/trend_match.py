@@ -107,15 +107,34 @@ def _pre_project(
     return papers.select(*pre_cols)
 
 
+#: The trend dim is a seed table (tens of rows in the reference); the Arrow
+#: kernel snapshots it onto the driver at plan-construction time, so an
+#: unbounded dim would be a silent driver-memory collect. Guarded here —
+#: past this, route through the lazy broadcast-join expression kernel.
+MAX_DIM_ROWS = 512
+
+
 def _compiled_dim(dim: DataFrame) -> "list[tuple]":
     """Collect + precompile the dim for the Arrow kernel: per trend ONE
     \\b-alternation gene regex (genes are asserted alnum by the seed, so
     escaping is identity and overlap is impossible — a \\b-delimited word
     can only equal one gene, and alternation backtracking recovers the
-    longer alternative when one gene prefixes another)."""
+    longer alternative when one gene prefixes another).
+
+    Raises past MAX_DIM_ROWS rather than silently pulling a large dim onto
+    the driver (ADVICE r08) — the limit(MAX+1) probe costs one tiny job
+    and keeps the caller-bounded contract checkable instead of asserted.
+    """
     import re as _re
 
-    rows = sorted(dim.collect(), key=lambda r: r["trend_rank"])
+    rows = dim.limit(MAX_DIM_ROWS + 1).collect()
+    if len(rows) > MAX_DIM_ROWS:
+        raise ValueError(
+            f"trend dim exceeds {MAX_DIM_ROWS} rows; the Arrow kernel "
+            "snapshots the dim onto the driver — use kernel='expr' (lazy "
+            "broadcast join) for large dims"
+        )
+    rows = sorted(rows, key=lambda r: r["trend_rank"])
     out = []
     for r in rows:
         gl = list(r["genes"])
@@ -221,13 +240,14 @@ def _arrow_match(
                 if best_only and best is not None:
                     score, t, matched = best
                     emit(pid, t, score, matched)
-            # explicit object dtype: an empty batch otherwise infers
-            # float64 for the list column and Arrow refuses the cast
+            # explicit object dtype on EVERY column: a zero-match batch
+            # otherwise infers float64 for all of them, and while Arrow
+            # happens to accept empty float64 -> int/string casts today,
+            # that inference is version-sensitive (it already broke the
+            # list column). Object arrays convert per the declared
+            # mapInPandas schema on every pyarrow version (ADVICE r08).
             yield pd.DataFrame(
-                {
-                    c: pd.Series(v, dtype="object" if c == "matched_terms" else None)
-                    for c, v in out.items()
-                }
+                {c: pd.Series(v, dtype="object") for c, v in out.items()}
             )
 
     return pre.mapInPandas(gen, schema=schema)

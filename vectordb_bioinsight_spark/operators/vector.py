@@ -406,8 +406,20 @@ def ivf_search_replay(
     from pyspark.sql import Window
 
     from vectordb_bioinsight_spark.functions.vector import l2_distance, l2_norm
+    from vectordb_bioinsight_spark.operators.semdedup import MAX_INLINE_CENTROIDS
 
-    rows = sorted(centroids.collect(), key=lambda r: r["_cell"])
+    # the centroid frame is collected AND inlined as expression literals,
+    # so an unbounded one is both a silent driver collect and an
+    # uncompilable argmin — enforce the caller-bounded contract with one
+    # tiny limit() job instead of asserting it in prose (ADVICE r08)
+    rows = centroids.limit(MAX_INLINE_CENTROIDS + 1).collect()
+    if len(rows) > MAX_INLINE_CENTROIDS:
+        raise ValueError(
+            f"ivf_search_replay inlines centroids as literals; got more than "
+            f"{MAX_INLINE_CENTROIDS} cells — use knn_ivf (broadcast-join "
+            "index) for large codebooks"
+        )
+    rows = sorted(rows, key=lambda r: r["_cell"])
 
     def _cells(col: Column) -> Column:
         # array<struct<d,c>> sorted lexicographically == (dist asc, cell asc)

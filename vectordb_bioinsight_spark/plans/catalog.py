@@ -36,133 +36,41 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: name -> (query fn, oracle SQL or None for rows-only checks)
 #:
 #: ORDERING CONTRACT: the external driver verifies roughly the FIRST 50
-#: entries per round; r01-r07 cumulatively drove 280 of the 304 entries
-#: (the r06 and r07 windows were both 50/50 hash-green). r08 rotation
-#: (VERDICT r07 tasks 1-3): (a) the 24 mid-r07 additions that landed
-#: after the r07 window was allocated — every one judge-verified
-#: hash-green at sf0.01 during r07, now earning the driver row of
-#: record (citations analytics, rule-based explainers, QA agent,
-#: summary parsing, domain adaptation, SHAP aggregation, crawler
-#: scoring + PubMed XML, upload preprocessing, gene-ID mapping, the
-#: high-impact/pathway/exact-silhouette siblings); (b) two entries
-#: whose KERNEL or PLANTED INPUTS changed mid-r07 after their last
-#: driver row (garbled_docs rule-40 let-binding; seasonal_decompose
-#: cents-scaled integer inputs, new hashes); (c) the three entries
-#: UPGRADED rows-only -> hash oracle this round: bpe_train_merges
-#: (fixed-8-round argmax unrolled as a DuckDB CTE chain, the
-#: kcore_peel precedent), semdedup_auto (scale-aware router pinned:
-#: small corpora route to the fixed replayable clustering), and
-#: ivf_recall (frozen-centroid IVF audit, the maxsim_ivf_docs
-#: discipline); (d) the first 14 of the r02-stale block,
-#: alphabetically; (d2) the two entries DE-VACUOUSED this round with
-#: new hashes (basket_rules, wealthy_inactive_customers — the zero-row
-#: census found their old thresholds returned no rows at ANY SF, so
-#: every prior green row was vacuous); (e) the five entries whose
-#: kernels moved to Arrow batch scorers mid-r08 (keyword extraction,
-#: keyword growth, trend primary/census, study quality — values
-#: property-pinned identical), re-earning in the same round as their
-#: change. 24+2+3+14+2+5 = 50.
-#: Below the line: stalest first (the remaining 31 r02 entries lead
-#: and are next in line for r09, then r03...r07 freshest last); the
-#: two rows-only-by-design entries are parked at the very bottom
-#: (label_map_2d: driver-side 2D projection boundary;
-#: compression_ratio: zlib has no DuckDB twin) so no window slot
-#: scores as a no_oracle error.
+#: entries per round; r01-r08 cumulatively drove all 304 entries at least
+#: once (r06/r07 windows 50/50, r08 49/50 — gene_id_format hash-red on an
+#: oracle-representation bug, fixed and re-earning first in r09). The r09
+#: window retires the staleness backlog: after this round no oracle-backed
+#: entry's driver row of record predates r03. Below the line: stalest
+#: first (remaining r03 block, then r04..r08 freshest last); the two
+#: rows-only-by-design entries are parked at the very bottom so no window
+#: slot scores as a no_oracle error.
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
-    # === ORDERING: r08 rotation (driver checks roughly the FIRST 50) ===
-    # (a) the 24 never-driver-checked mid-r07 additions, in their r07
-    # landing tiers (citations / explainers / QA / summary parse /
-    # domain adaptation / SHAP / crawler+PubMed / upload preprocessing /
-    # gene-ID mapping / in-window siblings):
-    "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
-    "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
-    "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
-    "related_docs": (cit.q_related_docs, cit.SQL_RELATED_DOCS),
-    "explain_docs": (ex.q_explain_docs, ex.SQL_EXPLAIN_DOCS),
-    "gene_confidence_docs": (ex.q_gene_confidence_docs, ex.SQL_GENE_CONFIDENCE_DOCS),
-    "prediction_recs_docs": (ex.q_prediction_recs_docs, ex.SQL_PREDICTION_RECS_DOCS),
-    "qa_context_docs": (ex.q_qa_context_docs, ex.SQL_QA_CONTEXT_DOCS),
-    "answer_confidence_docs": (ex.q_answer_confidence_docs, ex.SQL_ANSWER_CONFIDENCE_DOCS),
-    "summary_parse_docs": (ex.q_summary_parse_docs, ex.SQL_SUMMARY_PARSE_DOCS),
-    "ref_quantile_dims": (st.q_ref_quantile_dims, st.SQL_REF_QUANTILE_DIMS),
-    "zscore_recal_values": (st.q_zscore_recal_values, st.SQL_ZSCORE_RECAL_VALUES),
-    "shap_gene_stats_dims": (st.q_shap_gene_stats_dims, st.SQL_SHAP_GENE_STATS_DIMS),
-    "shap_top_genes_dims": (st.q_shap_top_genes_dims, st.SQL_SHAP_TOP_GENES_DIMS),
-    "paper_trend_scores": (cit.q_paper_trend_scores, cit.SQL_PAPER_TREND_SCORES),
-    "query_filtered_docs": (cit.q_query_filtered_docs, cit.SQL_QUERY_FILTERED_DOCS),
-    "pubmed_parse_docs": (cit.q_pubmed_parse_docs, cit.SQL_PUBMED_PARSE_DOCS),
-    "sample_conditions": (sc.q_sample_conditions, sc.SQL_SAMPLE_CONDITIONS),
-    "split_header_docs": (sc.q_split_header_docs, sc.SQL_SPLIT_HEADER_DOCS),
+    # === ORDERING: r09 rotation (driver checks roughly the FIRST 50) ===
+    # (a) gene_id_format: the one red r08 row, re-earning on the fixed
+    # SQL twin (the three sum(CASE) counters now cast ::BIGINT; DuckDB
+    # HUGEINT surfaced as pandas float64 against Spark bigint and broke
+    # the driver's strict stringify-and-hash on value-identical results
+    # — VERDICT r08 task 1; plans/verify.compare now rejects the class):
+    # (b) bootstrap_purchase_ci: its weight derivation moved to the
+    # Arrow kernel late in r08 AFTER that window was allocated (values
+    # hash-identical, parity re-verified on landing) — the "no driver
+    # row predates its kernel change" bar;
+    # (c) the 31 remaining r02-stale oracle-backed entries (VERDICT r08
+    # task 3 — after r09 no row of record predates r03), alphabetical;
+    # (d) the 16 alphabetically-first r03-stale entries (ivf_knn, the
+    # 17th, gave its slot to the summary_parse kernel re-earn and leads
+    # below the line).
+    # 1 + 1 + 1 + 31 + 16 = 50.
     "gene_id_format": (st.q_gene_id_format, st.SQL_GENE_ID_FORMAT),
-    "gene_symbols_mapped": (st.q_gene_symbols_mapped, st.SQL_GENE_SYMBOLS_MAPPED),
-    "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
-    "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
-    "cluster_silhouette_exact": (evl.q_cluster_silhouette_exact, evl.SQL_CLUSTER_SILHOUETTE_EXACT),
-    # (b) kernel- or input-changed mid-r07 AFTER their latest driver row,
-    # re-earning on the current implementation (rule-40 let-binding;
-    # rule-44 cents-scaled planted inputs -> new hashes):
-    "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
-    "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
-    # (c) rows-only -> hash-oracle upgrades (VERDICT r07 tasks 2-3; see
-    # each entry's docstring for the replay argument):
-    "bpe_train_merges": (tx.q_bpe_train_merges, tx.SQL_BPE_TRAIN_MERGES),
-    "semdedup_auto": (vec.q_semdedup_auto, vec.SQL_SEMDEDUP_AUTO),
-    "ivf_recall": (vec.q_ivf_recall, vec.SQL_IVF_RECALL),
-    # (d) the r02-stale backfill, first 14 alphabetically (VERDICT r07
-    # task 1; the remaining 31 lead below the line for r09 — seven
-    # alphabetical fills gave their slots to sections (d2)/(e): an
-    # entry with CHANGED hashes or a changed kernel re-earning NOW
-    # beats one more confirmation of a 6-round-stable kernel, keeping
-    # the "no driver row predates its kernel change" bar intact
-    # through r08):
-    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
-    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
-    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
-    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
-    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
-    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
-    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
-    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
-    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
-    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
-    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
-    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
-    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
-    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
-    # (d2) de-vacuoused THIS round with NEW hashes, so they must re-earn
-    # now: the zero-row census found basket_rules (confidence 0.5 >
-    # anything the synthetic baskets produce) and
-    # wealthy_inactive_customers (every synthetic customer has >= 1
-    # order) returned ZERO rows at every SF — their green driver rows
-    # were vacuous. Thresholds re-planted (conf 0.1; lapsed-since-1999
-    # inactivity), both non-empty at sf0.001/0.01/0.1 and parity-green;
-    # they take the last two r02 alphabetical slots (knn_classify /
-    # lens_classify move below the line for r09):
-    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
-    "wealthy_inactive_customers": (
-        th.q_wealthy_inactive_customers,
-        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
-    ),
-    # (e) kernel-changed THIS round and re-earning in-window — the five
-    # operators that moved to Arrow kernels (SCALING rule 40 coda,
-    # scripts/probe_r08_kernels.py; values property-pinned identical on
-    # every one, parity re-verified at sf0.001 + sf0.01 on landing;
-    # trend plan pins updated 1->0 / 2->1). They displace five r02
-    # alphabetical fills (line_dedup_global .. media_frame_stats,
-    # returned to the r02 block below for r09):
-    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
-    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
-    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
-    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
-    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
-    # === below the window: stalest driver evidence first ===
-    # ALSO r09-window-due: bootstrap_purchase_ci — its weight derivation
-    # moved to an Arrow kernel late in r08 AFTER the window above was
-    # full (values hash-identical, parity re-verified at sf0.001 +
-    # sf0.01 on landing; the 50-expression form blew janino's 64 KB
-    # method limit inside the fused stage and ran interpreted — sweep
-    # error log + operators/stats.py::_poisson1_weights_arrow).
-    # remaining r02 block — next in line for r09:
+    "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
+    # (b2) summary_parse_docs: its text path moved to the shuffle-free
+    # per-document Arrow fold THIS round (VERDICT r08 task 7; values
+    # property-pinned identical, plan pin 2 -> 0 exchanges) — kernel
+    # changed, so its r08 row predates the kernel and it re-earns now,
+    # displacing the 17th r03 alphabetical fill (ivf_knn, returned below
+    # the line; same precedent as the r08 (e) tier):
+    "summary_parse_docs": (ex.q_summary_parse_docs, ex.SQL_SUMMARY_PARSE_DOCS),
+    # (c) the r02-stale block, alphabetical:
     "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
     "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
     "line_dedup_global": (cl.q_line_dedup_global, cl.SQL_LINE_DEDUP_GLOBAL),
@@ -194,7 +102,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
     "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
     "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    # r03-r07 confirmations, freshest last:
+    # (d) the 16 alphabetically-first r03-stale entries:
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
     "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
@@ -211,6 +119,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
     "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
     "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
+    # === below the window: stalest driver evidence first (remaining
+    # r03 block alphabetical, then r04..r08 freshest last) ===
+    # latest driver row: r03
     "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
     "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
@@ -247,6 +158,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "training_corpus": (tx.q_training_corpus, tx.SQL_TRAINING_CORPUS),
     "waiting_suppliers": (th.q_waiting_suppliers, th.SQL_WAITING_SUPPLIERS),
     "weekly_topic_windows": (ev.q_weekly_topic_windows, ev.SQL_WEEKLY_TOPIC_WINDOWS),
+    # latest driver row: r04
     "bpe_encode_docs": (tx.q_bpe_encode_docs, tx.SQL_BPE_ENCODE_DOCS),
     "cluster_top_terms": (tx.q_cluster_top_terms, tx.SQL_CLUSTER_TOP_TERMS),
     "cms_term_counts": (tx.q_cms_term_counts, tx.SQL_CMS_TERM_COUNTS),
@@ -290,6 +202,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "web_clean_docs": (cl.q_web_clean_docs, cl.SQL_WEB_CLEAN_DOCS),
     "weighted_sample_docs": (tx.q_weighted_sample_docs, tx.SQL_WEIGHTED_SAMPLE_DOCS),
     "winsorize_values": (ev.q_winsorize_values, ev.SQL_WINSORIZE_VALUES),
+    # latest driver row: r05
     "audience_overlap_kmv": (ev.q_audience_overlap_kmv, ev.SQL_AUDIENCE_OVERLAP_KMV),
     "binq_knn": (vec.q_binq_knn, vec.SQL_BINQ_KNN),
     "centroid_importance": (st.q_centroid_importance, st.SQL_CENTROID_IMPORTANCE),
@@ -330,9 +243,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "value_hist_quantiles": (ev.q_value_hist_quantiles, ev.SQL_VALUE_HIST_QUANTILES),
     "value_moments_merged": (ev.q_value_moments_merged, ev.SQL_VALUE_MOMENTS_MERGED),
     "value_percentiles": (vec.q_value_percentiles, vec.SQL_VALUE_PERCENTILES),
+    # latest driver row: r06
     "ab_conversion": (st.q_ab_conversion, st.SQL_AB_CONVERSION),
     "binq_codes": (vec.q_binq_codes, vec.SQL_BINQ_CODES),
-    "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
     "chat_render_docs": (pk.q_chat_render_docs, pk.SQL_CHAT_RENDER_DOCS),
     "claim_support_docs": (cov.q_claim_support_docs, cov.SQL_CLAIM_SUPPORT_DOCS),
     "customer_running_total": (rel.q_customer_running_total, rel.SQL_CUSTOMER_RUNNING_TOTAL),
@@ -370,6 +283,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "whitened_dim_profile": (vec.q_whitened_dim_profile, vec.SQL_WHITENED_DIM_PROFILE),
     "word_cooccurrence": (tx.q_word_cooccurrence, tx.SQL_WORD_COOCCURRENCE),
     "word_triangles": (net.q_word_triangles, net.SQL_WORD_TRIANGLES),
+    # latest driver row: r07
     "aggregator_headline": (cov.q_aggregator_headline, cov.SQL_AGGREGATOR_HEADLINE),
     "approx_distinct_users": (th.q_approx_distinct_users, th.SQL_APPROX_DISTINCT_USERS),
     "article_type_docs": (cov.q_article_type_docs, cov.SQL_ARTICLE_TYPE_DOCS),
@@ -422,6 +336,58 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_event_window_stats": (ev.q_user_event_window_stats, ev.SQL_USER_EVENT_WINDOW_STATS),
     "welch_halves": (ev.q_welch_halves, ev.SQL_WELCH_HALVES),
     "wilcoxon_brand_price": (st.q_wilcoxon_brand_price, st.SQL_WILCOXON_BRAND_PRICE),
+    # latest driver row: r08
+    "anova_brand_quantity": (th.q_anova_brand_quantity, th.SQL_ANOVA_BRAND_QUANTITY),
+    "answer_confidence_docs": (ex.q_answer_confidence_docs, ex.SQL_ANSWER_CONFIDENCE_DOCS),
+    "basket_rules": (net.q_basket_rules, net.SQL_BASKET_RULES),
+    "bh_adjust_windowed": (ev.q_bh_adjust_windowed, ev.SQL_BH_ADJUST),
+    "bigram_logprob": (tx.q_bigram_logprob, tx.SQL_BIGRAM_LOGPROB),
+    "bloom_dedup_batch": (tx.q_bloom_dedup_batch, tx.SQL_BLOOM_DEDUP_BATCH),
+    "bm25_batch": (vec.q_bm25_batch, vec.SQL_BM25_BATCH),
+    "bpe_train_merges": (tx.q_bpe_train_merges, tx.SQL_BPE_TRAIN_MERGES),
+    "cell_cycle_phase": (sc.q_cell_cycle_phase, sc.SQL_CELL_CYCLE_PHASE),
+    "citation_network_docs": (cit.q_citation_network_docs, cit.SQL_CITATION_NETWORK_DOCS),
+    "citation_trends_docs": (cit.q_citation_trends_docs, cit.SQL_CITATION_TRENDS_DOCS),
+    "cluster_silhouette_exact": (evl.q_cluster_silhouette_exact, evl.SQL_CLUSTER_SILHOUETTE_EXACT),
+    "dedup_components": (tx.q_dedup_components, tx.SQL_DEDUP_COMPONENTS),
+    "discovered_keywords": (cov.q_discovered_keywords, cov.SQL_DISCOVERED_KEYWORDS),
+    "doc_chunks": (tx.q_doc_chunks, tx.SQL_DOC_CHUNKS),
+    "doc_rule_scores": (st.q_doc_rule_scores, st.SQL_DOC_RULE_SCORES),
+    "doublet_scores": (sc.q_doublet_scores, sc.SQL_DOUBLET_SCORES),
+    "dsir_scores": (tx.q_dsir_scores, tx.SQL_DSIR_SCORES),
+    "dup_token_fraction": (tx.q_dup_token_fraction, tx.SQL_DUP_TOKEN_FRACTION),
+    "event_value_quantiles": (ev.q_event_value_quantiles, ev.SQL_EVENT_VALUE_QUANTILES),
+    "explain_docs": (ex.q_explain_docs, ex.SQL_EXPLAIN_DOCS),
+    "garbled_docs": (cl.q_garbled_docs, cl.SQL_GARBLED_DOCS),
+    "gene_confidence_docs": (ex.q_gene_confidence_docs, ex.SQL_GENE_CONFIDENCE_DOCS),
+    "gene_symbols_mapped": (st.q_gene_symbols_mapped, st.SQL_GENE_SYMBOLS_MAPPED),
+    "high_impact_docs": (cov.q_high_impact_docs, cov.SQL_HIGH_IMPACT_DOCS),
+    "hvg_parts": (st.q_hvg_parts, st.SQL_HVG_PARTS),
+    "ivf_recall": (vec.q_ivf_recall, vec.SQL_IVF_RECALL),
+    "keyword_growth_docs": (cov.q_keyword_growth_docs, cov.SQL_KEYWORD_GROWTH_DOCS),
+    "landmark_docs": (cit.q_landmark_docs, cit.SQL_LANDMARK_DOCS),
+    "paper_quality_docs": (cov.q_paper_quality_docs, cov.SQL_PAPER_QUALITY_DOCS),
+    "paper_trend_scores": (cit.q_paper_trend_scores, cit.SQL_PAPER_TREND_SCORES),
+    "pathway_mentions_docs": (cov.q_pathway_mentions_docs, cov.SQL_PATHWAY_MENTIONS_DOCS),
+    "prediction_recs_docs": (ex.q_prediction_recs_docs, ex.SQL_PREDICTION_RECS_DOCS),
+    "pubmed_parse_docs": (cit.q_pubmed_parse_docs, cit.SQL_PUBMED_PARSE_DOCS),
+    "qa_context_docs": (ex.q_qa_context_docs, ex.SQL_QA_CONTEXT_DOCS),
+    "query_filtered_docs": (cit.q_query_filtered_docs, cit.SQL_QUERY_FILTERED_DOCS),
+    "ref_quantile_dims": (st.q_ref_quantile_dims, st.SQL_REF_QUANTILE_DIMS),
+    "related_docs": (cit.q_related_docs, cit.SQL_RELATED_DOCS),
+    "sample_conditions": (sc.q_sample_conditions, sc.SQL_SAMPLE_CONDITIONS),
+    "seasonal_decompose": (ev.q_seasonal_decompose, ev.SQL_SEASONAL_DECOMPOSE),
+    "semdedup_auto": (vec.q_semdedup_auto, vec.SQL_SEMDEDUP_AUTO),
+    "shap_gene_stats_dims": (st.q_shap_gene_stats_dims, st.SQL_SHAP_GENE_STATS_DIMS),
+    "shap_top_genes_dims": (st.q_shap_top_genes_dims, st.SQL_SHAP_TOP_GENES_DIMS),
+    "split_header_docs": (sc.q_split_header_docs, sc.SQL_SPLIT_HEADER_DOCS),
+    "trend_census": (cov.q_trend_census, cov.SQL_TREND_CENSUS),
+    "trend_primary_docs": (cov.q_trend_primary_docs, cov.SQL_TREND_PRIMARY_DOCS),
+    "wealthy_inactive_customers": (
+        th.q_wealthy_inactive_customers,
+        th.SQL_WEALTHY_INACTIVE_CUSTOMERS,
+    ),
+    "zscore_recal_values": (st.q_zscore_recal_values, st.SQL_ZSCORE_RECAL_VALUES),
     # rows-only-by-design park (principled exemptions — label_map_2d:
     # the 2D projection is a declared driver-side boundary;
     # compression_ratio: zlib is not expressible in DuckDB SQL, pinned

@@ -835,9 +835,9 @@ head AS (
   SELECT gene_id AS g FROM genes ORDER BY g LIMIT 100
 ), agg AS (
   SELECT
-    sum(CASE WHEN starts_with(g, 'ENSG') THEN 1 ELSE 0 END) AS ensembl_count,
-    sum(CASE WHEN regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END) AS numeric_count,
-    sum(CASE WHEN NOT starts_with(g, 'ENSG') AND NOT regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END) AS symbol_count,
+    sum(CASE WHEN starts_with(g, 'ENSG') THEN 1 ELSE 0 END)::BIGINT AS ensembl_count,
+    sum(CASE WHEN regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END)::BIGINT AS numeric_count,
+    sum(CASE WHEN NOT starts_with(g, 'ENSG') AND NOT regexp_matches(g, '^\\d+$') THEN 1 ELSE 0 END)::BIGINT AS symbol_count,
     count(*) AS n_sampled
   FROM head
 )

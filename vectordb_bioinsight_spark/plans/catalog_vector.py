@@ -422,7 +422,8 @@ def q_label_map_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_2d(centroids, "label", "centroid").withColumnRenamed("id", "label")
 
 
-SEMDEDUP_CLUSTERS = 8
+from vectordb_bioinsight_spark.operators.semdedup import MIN_CLUSTERS as SEMDEDUP_CLUSTERS  # noqa: E402 — single source for the router pivot + oracle LIMIT (ADVICE r08)
+
 SEMDEDUP_MIN_COS = 0.35
 
 
