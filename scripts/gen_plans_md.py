@@ -217,12 +217,13 @@ AUDITS: dict[str, str] = {
         "was removed."
     ),
     "summary_parse_docs": (
-        "JSON routing is scan-local (try_parse_json validity + from_json "
-        "extraction); the text fallback's line fold — running marker "
-        "count, last-section window, instance groupBy, section pivot — "
-        "shares ONE doc-keyed shuffle, and the wide join back to the "
-        "routed base broadcasts. No per-row Python anywhere in a parser "
-        "that replaces a stateful Python loop."
+        "ZERO exchanges: JSON routing is scan-local (try_parse_json "
+        "validity + from_json extraction), and since r09 the text "
+        "fallback is a per-document Arrow fold riding the same scan as "
+        "one struct column — the fold is per-row, so the expression "
+        "form's explode + doc-keyed window + pivot + join bought nothing "
+        "but shuffle. One ArrowEvalPython (vectorized batch), no "
+        "row-at-a-time Python."
     ),
 }
 

@@ -1,0 +1,44 @@
+"""Zero-row vacuity gate (VERDICT r08 task 5): every catalog entry must
+return at least one row at ALL THREE SFs — a hash oracle over an empty
+result proves nothing, and both failure directions have now happened:
+
+* small-SF-empty: the r08 census (sf0.01) caught basket_rules and
+  wealthy_inactive_customers (thresholds nothing in the synthetic data
+  could clear); the r09 census caught dominant_shippers (a single-nation
+  pin over ~10 qualifying suppliers — empty at sf0.001 by lottery).
+* LARGE-SF-empty: the r09 census caught important_parts (a fixed fraction
+  of a growing total selects nothing once the part count dilutes every
+  share) and part_link_prediction (raw-partkey pair collisions fall
+  ~1/parts^2, so the weight>=2 wedge graph vanishes at sf0.1) — entries
+  whose driver rows at sf0.01 were genuine but whose semantics died at
+  10x. Exactly the scale-up class this repo exists to catch.
+
+Runs scripts/audit_zero_rows.py in a SUBPROCESS (its own 32-cpu session,
+like the partitioning-stability gate) over sf0.001 + sf0.01 + sf0.1;
+one isEmpty (limit-1) job per entry per SF.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_catalog_entry_is_empty_at_any_sf():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "scripts", "audit_zero_rows.py")],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=_REPO,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-6:])
+    assert proc.returncode == 0, (
+        f"vacuous (zero-row) or erroring catalog entries detected:\n{tail}\n"
+        f"stderr tail: {proc.stderr[-500:]}"
+    )
+    assert "EMPTY: []" in proc.stdout, tail
+    assert "ERRORS: []" in proc.stdout, tail

@@ -744,12 +744,20 @@ def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds the graph; Liben-Nowell & Kleinberg 2003 scores the absent
     edges). Wedge self-join on the shared-neighbor key, anti-join of
     existing edges; full tiebreak (cn desc, aa desc, pair) keeps the
-    LIMIT deterministic."""
+    LIMIT deterministic.
+
+    Nodes are partkey % 1024 — a BOUNDED catalog (r09 zero-row census):
+    TPC-H grows the part universe with SF, so raw-partkey pair-collision
+    probability falls ~1/parts^2 and the weight>=2 wedge graph is EMPTY
+    at sf0.1 (14314/76/0 qualifying wedges). A real co-purchase catalog
+    is bounded while orders grow, which is exactly what the bucket
+    models — and the bounded node space also caps the wedge join
+    (SCALING rule 27: aggregate onto a bounded key space)."""
     from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges
     from vectordb_bioinsight_spark.operators.network import link_prediction
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("okey")
+        (F.col("l_partkey") % 1024).alias("part"), F.col("l_orderkey").alias("okey")
     )
     edges = cooccurrence_edges(li, "part", "okey", min_weight=2)
     scored = link_prediction(edges, "item1", "item2", min_common=2)
@@ -760,7 +768,7 @@ def q_part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PART_LINK_PREDICTION = """
 WITH dw AS (
-  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+  SELECT DISTINCT l_orderkey AS okey, l_partkey % 1024 AS part FROM lineitem
 ), e AS (
   SELECT a.part AS a, b.part AS b
   FROM dw a JOIN dw b ON a.okey = b.okey AND a.part < b.part

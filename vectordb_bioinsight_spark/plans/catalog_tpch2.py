@@ -363,10 +363,19 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q11-shaped: parts whose NATION_3-supplied revenue exceeds 0.1% of the
-    national total — a HAVING against a global scalar. The scalar is a
-    one-row aggregate of the same grouped intermediate (reused, not
-    rescanned); Spark broadcasts it as a crossJoin'd literal-like row."""
+    """Q11-shaped: parts whose NATION_3-supplied revenue exceeds TWICE the
+    mean per-part revenue — a HAVING against a global scalar. The scalar
+    is a one-row aggregate of the same grouped intermediate (reused, not
+    rescanned); Spark broadcasts it as a crossJoin'd literal-like row.
+
+    The threshold is 2x the MEAN, not a fraction of the TOTAL: TPC-H Q11's
+    own fraction shrinks with SF (0.0001/SF) because a fixed share of a
+    growing total selects nothing once the part count dilutes every share
+    — the r09 zero-row census measured exactly that here (186/364/0 rows
+    above 0.1% at sf0.001/0.01/0.1). A multiple-of-mean threshold is
+    scale-free by construction (15/126/1235 rows at the three SFs). The
+    comparison stays in DECIMAL (n*value > 2*total, no FP mean) so a
+    boundary part cannot flip across engines — the rule-44 flake class."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     n3_supp = (
         t["supplier"]
@@ -382,10 +391,12 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_rev_dec()).alias("_value"))
     )
-    total = per_part.agg(F.sum("_value").cast("double").alias("_total"))
+    total = per_part.agg(
+        F.sum("_value").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("_value").cast("double") > 0.001 * F.col("_total"))
+        .filter(F.col("_value") * F.col("_n") > 2 * F.col("_total"))
         .select("l_partkey", F.round(F.col("_value"), 2).cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("l_partkey"))
     )
@@ -403,7 +414,8 @@ WITH per_part AS (
 )
 SELECT l_partkey, round(_value, 2)::DOUBLE AS value
 FROM per_part
-WHERE _value::DOUBLE > 0.001 * (SELECT sum(_value)::DOUBLE FROM per_part)
+WHERE _value * (SELECT count(*) FROM per_part)
+      > 2 * (SELECT sum(_value) FROM per_part)
 ORDER BY value DESC, l_partkey ASC
 """
 
@@ -453,11 +465,17 @@ ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
 # ---------------------------------------------------------------------------
 
 def q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20-shaped nested-aggregate semi-join: NATION_5 suppliers who shipped
-    more than 30% of some widget part's total 1996 quantity. Inner level
-    aggregates (supplier, part); the part-total is a second aggregate of the
-    SAME intermediate (no rescan); qualifying pairs semi-join back to the
-    supplier dimension. Quantities are integral doubles, so sums are exact."""
+    """Q20-shaped nested-aggregate semi-join: suppliers who shipped more
+    than 30% of some widget part's total 1996 quantity, with their nation.
+    Inner level aggregates (supplier, part); the part-total is a second
+    aggregate of the SAME intermediate (no rescan); qualifying pairs
+    semi-join back to the supplier-nation dimension. Quantities are
+    integral doubles, so sums are exact.
+
+    No single-nation pin (r09 zero-row census): only ~10 dominant
+    suppliers exist at sf0.001 spread over ~10 nations, so any one-nation
+    filter is vacuously empty at small SF by lottery — the nation is an
+    output column instead (10/92/919 rows at the three SFs)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "part"))
     widgets = t["part"].filter(F.col("p_name").like("%widget%")).select("p_partkey")
     li96 = (
@@ -475,16 +493,16 @@ def q_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
         .distinct()
     )
-    n5 = (
+    supp = (
         t["supplier"]
         .join(
-            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_5")),
+            F.broadcast(t["nation"]),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
-        .select("s_suppkey", "s_name")
+        .select("s_suppkey", "s_name", "n_name")
     )
     return (
-        n5.join(dominant, n5.s_suppkey == dominant.l_suppkey, "left_semi")
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .orderBy("s_suppkey")
     )
 
@@ -500,11 +518,10 @@ WITH pair_qty AS (
 ), part_qty AS (
   SELECT l_partkey, sum(pair_qty) AS part_qty FROM pair_qty GROUP BY 1
 )
-SELECT s.s_suppkey, s.s_name
+SELECT s.s_suppkey, s.s_name, n.n_name
 FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE n.n_name = 'NATION_5'
-  AND s.s_suppkey IN (
+WHERE s.s_suppkey IN (
     SELECT pq.l_suppkey
     FROM pair_qty pq JOIN part_qty pt ON pq.l_partkey = pt.l_partkey
     WHERE pq.pair_qty > 0.3 * pt.part_qty
