@@ -57,10 +57,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # row predates its kernel change" bar;
     # (c) the 31 remaining r02-stale oracle-backed entries (VERDICT r08
     # task 3 — after r09 no row of record predates r03), alphabetical;
-    # (d) the 16 alphabetically-first r03-stale entries (ivf_knn, the
-    # 17th, gave its slot to the summary_parse kernel re-earn and leads
-    # below the line).
-    # 1 + 1 + 1 + 31 + 16 = 50.
+    # (d) the 15 alphabetically-first r03-stale entries (ivf_knn and
+    # hub_parts, the 16th/17th, gave their slots to the summary_parse
+    # and part_link_prediction kernel re-earns and lead below the line).
+    # 1 + 1 + 2 + 31 + 15 = 50.
     "gene_id_format": (st.q_gene_id_format, st.SQL_GENE_ID_FORMAT),
     "bootstrap_purchase_ci": (st.q_bootstrap_purchase_ci, st.SQL_BOOTSTRAP_PURCHASE_CI),
     # (b2) summary_parse_docs: its text path moved to the shuffle-free
@@ -70,6 +70,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # displacing the 17th r03 alphabetical fill (ivf_knn, returned below
     # the line; same precedent as the r08 (e) tier):
     "summary_parse_docs": (ex.q_summary_parse_docs, ex.SQL_SUMMARY_PARSE_DOCS),
+    # (b3) part_link_prediction: the zero-row census re-planted its graph
+    # (nodes partkey % 1024 instead of raw partkeys — the weight>=2 wedge
+    # graph was empty at sf0.1) AFTER the rotation above was allocated,
+    # so like important_parts and dominant_shippers (already in the (d)
+    # fill below) its row of record predates the planted-input change and
+    # it re-earns now, displacing the 16th r03 fill (hub_parts, returned
+    # below the line):
+    "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     # (c) the r02-stale block, alphabetical:
     "knn_classify": (st.q_knn_classify, st.SQL_KNN_CLASSIFY),
     "lens_classify": (sc.q_lens_classify, sc.SQL_LENS_CLASSIFY),
@@ -102,7 +110,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "user_profile_argmax": (sc.q_user_profile_argmax, sc.SQL_USER_PROFILE_ARGMAX),
     "user_qc_stats": (sc.q_user_qc_stats, sc.SQL_USER_QC_STATS),
     "winnow_fingerprints": (tx.q_winnow_fingerprints, tx.SQL_WINNOW_FINGERPRINTS),
-    # (d) the 16 alphabetically-first r03-stale entries:
+    # (d) the 15 alphabetically-first r03-stale entries:
     "cnv_deviation": (cov.q_cnv_deviation, cov.SQL_CNV_DEVIATION),
     "contamination_check": (tx.q_contamination_check, tx.SQL_CONTAMINATION_CHECK),
     "cube_orders": (cov.q_cube_orders, cov.SQL_CUBE_ORDERS),
@@ -117,11 +125,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "hash_sample_docs": (th.q_hash_sample_docs, th.SQL_HASH_SAMPLE_DOCS),
     "hash_split_docs": (th.q_hash_split_docs, th.SQL_HASH_SPLIT_DOCS),
     "hub_blend_chain": (net.q_hub_blend_chain, net.SQL_HUB_BLEND_CHAIN),
-    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
     "important_parts": (th2.q_important_parts, th2.SQL_IMPORTANT_PARTS),
     # === below the window: stalest driver evidence first (remaining
     # r03 block alphabetical, then r04..r08 freshest last) ===
     # latest driver row: r03
+    "hub_parts": (net.q_hub_parts, net.SQL_HUB_PARTS),
     "ivf_knn": (th.q_ivf_knn, th.SQL_IVF_KNN),
     "keyword_and_match": (tx.q_keyword_and_match, tx.SQL_KEYWORD_AND_MATCH),
     "knn_lsh_bucketed": (th.q_knn_lsh_bucketed, th.SQL_KNN_LSH_BUCKETED),
@@ -268,7 +276,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_words": (net.q_pagerank_words, net.SQL_PAGERANK_WORDS),
     "paper_consistency_docs": (cov.q_paper_consistency_docs, cov.SQL_PAPER_CONSISTENCY_DOCS),
     "paper_outcomes_docs": (cov.q_paper_outcomes_docs, cov.SQL_PAPER_OUTCOMES_DOCS),
-    "part_link_prediction": (net.q_part_link_prediction, net.SQL_PART_LINK_PREDICTION),
     "part_ppr": (net.q_part_ppr, net.SQL_PART_PPR),
     "preference_pairs_docs": (pk.q_preference_pairs_docs, pk.SQL_PREFERENCE_PAIRS_DOCS),
     "research_gap_priority": (cov.q_research_gap_priority, cov.SQL_RESEARCH_GAP_PRIORITY),
