@@ -169,6 +169,36 @@ SHARED_R01 = [
 ]
 
 
+def _host_sample() -> tuple[int, int, int]:
+    """(total, idle+iowait, steal) jiffies from /proc/stat line 1.
+
+    Telemetry, not timing: r08 and r09 each burned a standalone-probe cycle
+    re-litigating uniform host-noise drifts AFTER the fact (SCALING rule 37)
+    because the artifact carried no load evidence. Recording steal/idle
+    deltas and loadavg per query makes the noise-vs-regression call
+    readable off the artifact at write time (VERDICT r09 task 3).
+    """
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+    except OSError:  # non-Linux fallback: zeros = "no telemetry"
+        return (0, 0, 0)
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    steal = v[7] if len(v) > 7 else 0
+    return (sum(v), idle, steal)
+
+
+def _host_delta(s0: tuple[int, int, int], s1: tuple[int, int, int]) -> dict[str, float]:
+    total = s1[0] - s0[0]
+    if total <= 0:
+        return {"idle_pct": 0.0, "steal_pct": 0.0, "load1": round(os.getloadavg()[0], 1)}
+    return {
+        "idle_pct": round(100.0 * (s1[1] - s0[1]) / total, 1),
+        "steal_pct": round(100.0 * (s1[2] - s0[2]) / total, 2),
+        "load1": round(os.getloadavg()[0], 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -211,9 +241,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     timings_max: dict[str, float] = {}
+    queries_host: dict[str, dict[str, float]] = {}
     cold_total = 0.0
+    suite_s0 = _host_sample()
+    load1_max = 0.0
     for name in HEADLINE:
         fn, _sql = CATALOG[name]
+        q_s0 = _host_sample()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold_total += time.perf_counter() - t0
@@ -226,7 +260,11 @@ def main() -> None:
         timings[name] = round(runs[1], 3)
         timings_min[name] = round(runs[0], 3)
         timings_max[name] = round(runs[2], 3)
+        queries_host[name] = _host_delta(q_s0, _host_sample())
+        load1_max = max(load1_max, queries_host[name]["load1"])
 
+    host = _host_delta(suite_s0, _host_sample())
+    host["load1_max"] = load1_max
     total = round(sum(timings.values()), 3)
     shared = round(sum(timings[q] for q in SHARED_R01 if q in timings), 3)
     full_record = {
@@ -240,6 +278,15 @@ def main() -> None:
         "timing_protocol": "median_of_3",
         "queries_min": timings_min,
         "queries_max": timings_max,
+        # host-load telemetry (VERDICT r09 task 3): per-query and
+        # suite-level /proc/stat idle+steal deltas and loadavg, so a
+        # drifted timing classifies as noise-or-real off the artifact.
+        # Interpretation on local[32]: LOW idle_pct with HIGH load1
+        # (>> 32) or nonzero steal_pct during a drifted query's window
+        # means external contention; a real plan regression shows the
+        # same host picture as its neighbors.
+        "host": host,
+        "queries_host": queries_host,
     }
     # The driver's BENCH_r*.json keeps only the LAST 2000 chars of stdout and
     # tries to parse a JSON line out of that tail. The full record (medians +
@@ -258,6 +305,7 @@ def main() -> None:
         "shared_r01_subset_sec": shared,
         "cold_total_sec": round(cold_total, 3),
         "timing_protocol": "median_of_3",
+        "host": host,
     }
     line = json.dumps(compact, separators=(",", ":"))
     for drop in ("timing_protocol", "cold_total_sec", "shared_r01_subset_sec"):

@@ -12,10 +12,17 @@ result proves nothing, and both failure directions have now happened:
   ~1/parts^2, so the weight>=2 wedge graph vanishes at sf0.1) — entries
   whose driver rows at sf0.01 were genuine but whose semantics died at
   10x. Exactly the scale-up class this repo exists to catch.
+* ALL-NULL COLUMN (r10, VERDICT r09 task 2): the same vacuity one column
+  at a time — the r10 census caught cohort_log_rank (zero log-rank
+  deaths at EVERY SF, so observed_a/expected_a/z/chi2 were NULL
+  everywhere) and ab_conversion (pooled conversion rate 1.0 -> z_stat
+  NULL everywhere), both re-planted with SF-invariant-density arguments
+  (SCALING rule 46 r10 coda).
 
-Runs scripts/audit_zero_rows.py in a SUBPROCESS (its own 32-cpu session,
-like the partitioning-stability gate) over sf0.001 + sf0.01 + sf0.1;
-one isEmpty (limit-1) job per entry per SF.
+Runs scripts/audit_zero_rows.py in a SUBPROCESS (its own 32-cpu session —
+cpus=32 passed explicitly, like the partitioning-stability gate) over
+sf0.001 + sf0.01 + sf0.1; ONE aggregate job per entry per SF covers both
+the zero-row and the all-NULL-column check.
 """
 
 from __future__ import annotations
@@ -41,4 +48,5 @@ def test_no_catalog_entry_is_empty_at_any_sf():
         f"stderr tail: {proc.stderr[-500:]}"
     )
     assert "EMPTY: []" in proc.stdout, tail
+    assert "ALLNULL: []" in proc.stdout, tail
     assert "ERRORS: []" in proc.stdout, tail

@@ -16,6 +16,19 @@ deterministic and is what this module ports:
   later-marker-overwrites rule (``_set_section`` is called once per
   marker occurrence, so a repeated section keeps only its LAST block).
 
+  Two PINNED deviations from the reference fold, shared by both kernels
+  and the DuckDB twin (ADVICE r09 — recorded so a parity audit doesn't
+  rediscover them):
+
+  - **Empty re-instance does not overwrite**: the reference's
+    ``_set_section`` flush fires even with empty content, so
+    ``'RESULTS:\\nfoo\\nRESULTS:'`` ends with ``''`` there; here a block
+    needs >= 1 non-empty content line to overwrite, so it keeps ``'foo'``.
+  - **ASCII-space trim only**: the reference strips all whitespace
+    (``line.strip()``); both kernels strip ASCII spaces (``F.trim`` /
+    ``.strip(' ')``), so a ``\\r`` left by CRLF input survives in content
+    and can defeat a marker match. Feed ``\\n``-normalized text.
+
 Distributed shape — two kernels, values pinned identical
 (tests/test_summary_parse.py):
 
@@ -271,8 +284,14 @@ def parse_summary(
     )
     if kernel == "arrow":
         # no explode/pivot/join: the section struct is one more column on
-        # the same scan (NULL fields for JSON-path rows are never read)
-        joined = base.withColumn("_ts", _sections_struct_udf()(F.col(text_col)))
+        # the same scan. JSON-path rows feed NULL into the fold (the
+        # kernel's text-is-None early-out) so a JSON-heavy corpus doesn't
+        # pay the per-row text parse for rows whose struct fields the
+        # final select never reads (ADVICE r09).
+        joined = base.withColumn(
+            "_ts",
+            _sections_struct_udf()(F.when(~F.col("_json_ok"), F.col(text_col))),
+        )
         for s in _SECTIONS:
             joined = joined.withColumn(s, F.col("_ts")[s])
     else:

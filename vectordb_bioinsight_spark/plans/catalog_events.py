@@ -1443,10 +1443,23 @@ def q_cohort_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-cohort log-rank churn test (operators/trends.py::
     log_rank_test — Mantel 1966): even- vs odd-id users' discrete-week
     lifetimes under the pooled-hazard null; the inferential companion
-    of the KM/Nelson-Aalen curves."""
+    of the KM/Nelson-Aalen curves.
+
+    Planted thinning (r10 all-NULL census): over the RAW stream every
+    user's last event sits within 7 days of the horizon at every SF
+    (~67 events/user/30 days, SF-invariant density), so the test saw
+    zero deaths and observed_a/expected_a/z/chi2 were NULL everywhere —
+    a vacuous green. Lifetimes are therefore measured on the
+    deterministic 1/16 interaction subsample (event_id % 16 = 0, exactly
+    replayable in the twin), which spreads last-seen dates enough for
+    both deaths and censored users in both cohorts at all three SFs
+    (2/6 and 4/3 deaths/censored at sf0.001) and stays mixed under
+    scale-up for the same density argument."""
     from vectordb_bioinsight_spark.operators.trends import log_rank_test
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 16 == 0
+    ).withColumn(
         "cohort",
         F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(
             F.lit("odd")
@@ -1460,7 +1473,7 @@ WITH spans AS (
   SELECT user_id,
          CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
          min(ts)::DATE AS fd, max(ts)::DATE AS ld
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_id % 16 = 0 GROUP BY 1, 2
 ), hz AS (SELECT max(ld) AS md FROM spans),
 per AS (
   SELECT grp, ((ld - fd) // 7)::BIGINT AS week,

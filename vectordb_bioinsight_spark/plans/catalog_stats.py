@@ -485,13 +485,25 @@ FROM cells c JOIN stats t USING (l_partkey)
 
 def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion A/B test over the events stream: users split into
-    arms by id parity, conversion = >= 1 purchase; per-arm rates + pooled
-    z (operators/stats.py::ab_test_summary, closed-form JVM arithmetic)."""
+    arms by id parity, conversion = >= 14 purchases; per-arm rates +
+    pooled z (operators/stats.py::ab_test_summary, closed-form JVM
+    arithmetic).
+
+    Planted threshold (r10 all-NULL census): the original conv =
+    ">= 1 purchase" converted EVERY user at EVERY SF (per-user event
+    density is SF-invariant in the synthetic data, ~13 purchases/user),
+    so the pooled rate was 1.0 and z_stat was NULL everywhere — both
+    engines agreed on a column the expression never computed. 14 is the
+    per-user purchase median, interior at all three SFs (5/8 vs 3/7 at
+    sf0.001), and stays interior under scale-up because density, not
+    user count, drives it."""
     from vectordb_bioinsight_spark.operators.stats import ab_test_summary
 
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("conv")
     )
     armed = users.select(
         F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"), "conv"
@@ -501,7 +513,7 @@ def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AB_CONVERSION = """
 WITH users AS (
-  SELECT user_id, max((event_type = 'purchase')::INT) AS conv
+  SELECT user_id, (sum((event_type = 'purchase')::INT) >= 14)::INT AS conv
   FROM events GROUP BY 1
 ), armed AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, conv FROM users
