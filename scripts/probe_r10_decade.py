@@ -12,6 +12,14 @@ stays out of the timed runs. Protocol: 1 warm + median-of-3 per point,
 all runs printed (the question is the GROWTH RATIO, not +-2%; rule-37
 spikes are visible in the printed spread). noop sink.
 
+CAVEAT (rule 48 x100 coda): the trailing-token salt leaves replicas
+colliding in most LSH bands, so for the two LSH doc entries this probe's
+amplified points measure corpus size AND near-dup multiplicity together
+— at x10 the multiplicity inflation is mild, at x100 it dominates. A
+diversified control (per-replica token in every inter-word gap) isolates
+the corpus axis; both numbers and the axis each measures are recorded in
+SCALING rule 48.
+
 Claims under test (each from the entry's docstring / PLANS.md):
 - ab_conversion         linear  (one user-keyed agg + tiny fan-in)
 - neardup_ingest_batch  linear  (banded LSH: candidates bounded per doc)
