@@ -181,7 +181,7 @@ def _host_sample() -> tuple[int, int, int]:
     try:
         with open("/proc/stat", encoding="ascii") as fh:
             v = [int(x) for x in fh.readline().split()[1:]]
-    except OSError:  # non-Linux fallback: zeros = "no telemetry"
+    except OSError:  # non-Linux: no /proc — delta reports -1 sentinels
         return (0, 0, 0)
     idle = v[3] + (v[4] if len(v) > 4 else 0)
     steal = v[7] if len(v) > 7 else 0
@@ -189,13 +189,19 @@ def _host_sample() -> tuple[int, int, int]:
 
 
 def _host_delta(s0: tuple[int, int, int], s1: tuple[int, int, int]) -> dict[str, float]:
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except (AttributeError, OSError):  # e.g. Windows
+        load1 = -1.0
     total = s1[0] - s0[0]
     if total <= 0:
-        return {"idle_pct": 0.0, "steal_pct": 0.0, "load1": round(os.getloadavg()[0], 1)}
+        # no /proc samples (or no time elapsed): -1 = "no telemetry",
+        # distinguishable from a genuinely 0%-idle contended host
+        return {"idle_pct": -1.0, "steal_pct": -1.0, "load1": load1}
     return {
         "idle_pct": round(100.0 * (s1[1] - s0[1]) / total, 1),
         "steal_pct": round(100.0 * (s1[2] - s0[2]) / total, 2),
-        "load1": round(os.getloadavg()[0], 1),
+        "load1": load1,
     }
 
 
@@ -308,7 +314,8 @@ def main() -> None:
         "host": host,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("timing_protocol", "cold_total_sec", "shared_r01_subset_sec"):
+    # diagnostic telemetry degrades before timing data: drop host first
+    for drop in ("host", "timing_protocol", "cold_total_sec", "shared_r01_subset_sec"):
         if len(line) <= 1950:
             break
         compact.pop(drop, None)

@@ -123,6 +123,8 @@ def main() -> None:
     amp100 = amplify(ev, 100, {"user_id": lambda c, r: c * 100 + r})
     point("ab_conversion", 100, lambda f=amp100: ab(f))
     amp100.unpersist()
+    amp.unpersist()
+    base.unpersist()
 
     # --- neardup_ingest_batch: documents, salted replicas ------------------
     from vectordb_bioinsight_spark.operators.dedup import near_dedup_against_corpus
@@ -158,6 +160,8 @@ def main() -> None:
     point("training_corpus", 10, lambda f=famp: corpus_q(f))
     famp.unpersist()
     damp.unpersist()
+    fbase.unpersist()
+    dbase.unpersist()
 
     # --- hub_parts / part_link_prediction: lineitem, new orders ------------
     from vectordb_bioinsight_spark.operators.joins import cooccurrence_edges

@@ -59,15 +59,26 @@ def main() -> int:
         return 1
 
     values: dict[str, str] = {}
+    rows_only: set[str] = set()
     for key_node, val_node in zip(dict_node.keys, dict_node.values):
         name = ast.literal_eval(key_node)
         seg = ast.get_source_segment(src, val_node)
         # normalize multi-line tuples to one line
         seg = re.sub(r"\s+", " ", seg).strip().rstrip(",")
         values[name] = seg
+        # rows-only park = the tuple's SECOND element is the literal None,
+        # read from the AST (not a source-text heuristic, which a trailing
+        # comma or reformat would break)
+        if (
+            isinstance(val_node, ast.Tuple)
+            and len(val_node.elts) == 2
+            and isinstance(val_node.elts[1], ast.Constant)
+            and val_node.elts[1].value is None
+        ):
+            rows_only.add(name)
 
     fake_catalog = {
-        n: (None, None if seg.endswith("None)") else "x") for n, seg in values.items()
+        n: (None, None if n in rows_only else "x") for n in values
     }
     order = canonical_order(fake_catalog)
     if set(order) != set(values):
@@ -86,7 +97,7 @@ def main() -> int:
             tag = "pinned re-earn"
             if tag != prev_tag:
                 lines.append("    # kernel/planted-input re-earns (gen_window_order.PINNED_FIRST):\n")
-        elif values[name].endswith("None)"):
+        elif name in rows_only:
             tag = "park"
             if tag != prev_tag:
                 lines.append(_PARK_COMMENT)

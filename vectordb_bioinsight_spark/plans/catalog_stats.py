@@ -491,12 +491,14 @@ def q_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Planted threshold (r10 all-NULL census): the original conv =
     ">= 1 purchase" converted EVERY user at EVERY SF (per-user event
-    density is SF-invariant in the synthetic data, ~13 purchases/user),
-    so the pooled rate was 1.0 and z_stat was NULL everywhere — both
-    engines agreed on a column the expression never computed. 14 is the
-    per-user purchase median, interior at all three SFs (5/8 vs 3/7 at
-    sf0.001), and stays interior under scale-up because density, not
-    user count, drives it."""
+    density is SF-invariant in the synthetic data: purchases/user mean
+    ~13.4 at all three SFs, median 14/13/13 at sf0.001/0.01/0.1), so
+    the pooled rate was 1.0 and z_stat was NULL everywhere — both
+    engines agreed on a column the expression never computed. 14 sits
+    at that center, interior at all three SFs (5/8 vs 3/7 at sf0.001,
+    26/75 vs 43/75 at sf0.01, 361/750 vs 336/750 at sf0.1), and stays
+    interior under scale-up because density, not user count, drives
+    it."""
     from vectordb_bioinsight_spark.operators.stats import ab_test_summary
 
     ev = load_table(spark, sf_dir, "events")
