@@ -205,6 +205,59 @@ def _host_delta(s0: tuple[int, int, int], s1: tuple[int, int, int]) -> dict[str,
     }
 
 
+#: The driver's BENCH_r*.json keeps only the LAST 2000 chars of stdout and
+#: parses a JSON line out of that tail; anything longer front-truncates and
+#: the round's artifact records parsed:null (BENCH_r05..r07 were lost this
+#: way). Keep headroom below 2000.
+STDOUT_BUDGET = 1950
+
+
+def compact_line(
+    timings: dict[str, float],
+    total: float,
+    sf,
+    shared: float,
+    cold_total: float,
+    host: dict[str, float],
+) -> str:
+    """ONE stdout JSON line guaranteed to fit the driver's tail window.
+
+    Degradation ladder when the suite grows (unit-tested in
+    tests/test_bench_line.py): diagnostic-before-timing field drops (host
+    first, then timing_protocol / cold_total_sec / shared_r01_subset_sec),
+    then 1-dp medians, then — last resort — keep only the slowest queries
+    that fit, with an explicit queries_truncated_to_slowest marker. Totals
+    stay exact on every rung; the FULL per-query record always goes to the
+    committed SPARK_GRAFT_BENCH_OUT file.
+    """
+    compact = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+        "shared_r01_subset_sec": shared,
+        "cold_total_sec": round(cold_total, 3),
+        "timing_protocol": "median_of_3",
+        "host": host,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("host", "timing_protocol", "cold_total_sec", "shared_r01_subset_sec"):
+        if len(line) <= STDOUT_BUDGET:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > STDOUT_BUDGET:
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > STDOUT_BUDGET and compact["queries"]:
+        keep = sorted(compact["queries"], key=lambda k: -compact["queries"][k])[:-5]
+        compact["queries"] = {k: compact["queries"][k] for k in keep}
+        compact["queries_truncated_to_slowest"] = len(keep)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -294,46 +347,7 @@ def main() -> None:
         "host": host,
         "queries_host": queries_host,
     }
-    # The driver's BENCH_r*.json keeps only the LAST 2000 chars of stdout and
-    # tries to parse a JSON line out of that tail. The full record (medians +
-    # min/max over 70+ queries) is ~6 KB, so printing it front-truncates the
-    # line and the driver records parsed:null (BENCH_r05..r07). Fix: stdout
-    # gets ONE compact line guaranteed to fit the tail window (medians at
-    # 2 dp, no min/max, compact separators — ~1.8 KB at 71 queries, with a
-    # drop-optional-fields guard if the suite grows); the full min/max
-    # record goes to the committed file (SPARK_GRAFT_BENCH_OUT).
-    compact = {
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": full_record["sf"],
-        "shared_r01_subset_sec": shared,
-        "cold_total_sec": round(cold_total, 3),
-        "timing_protocol": "median_of_3",
-        "host": host,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    # diagnostic telemetry degrades before timing data: drop host first
-    for drop in ("host", "timing_protocol", "cold_total_sec", "shared_r01_subset_sec"):
-        if len(line) <= 1950:
-            break
-        compact.pop(drop, None)
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1950:
-        # the queries dict dominates the payload, so field drops alone
-        # stop working once HEADLINE grows past ~80 entries: step down to
-        # 1 dp medians, then (last resort) keep only the slowest queries
-        # that fit — totals stay exact either way, and the FULL per-query
-        # record is in the committed SPARK_GRAFT_BENCH_OUT file
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1950 and compact["queries"]:
-        keep = sorted(compact["queries"], key=lambda k: -compact["queries"][k])[:-5]
-        compact["queries"] = {k: compact["queries"][k] for k in keep}
-        compact["queries_truncated_to_slowest"] = len(keep)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(timings, total, full_record["sf"], shared, cold_total, host))
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:
         with open(out_path, "w", encoding="utf-8") as fh:
