@@ -198,25 +198,47 @@ def cooccurrence_edges(
     """
     pairs = df.select(
         F.col(context_col).alias("_ctx"), F.col(item_col).alias("_item")
-    ).distinct()
+    )
     if max_basket_size is not None:
+        # FUSED dedup + cap in ONE context-keyed shuffle (guide §2.4 — the
+        # r01..r09 form paid a (ctx, item) distinct shuffle AND a ctx window
+        # shuffle): over (partitionBy ctx, orderBy item), duplicates are
+        # adjacent peers, so `first-row-or-item != lag(item)` (null-safe)
+        # IS the distinct, and dense_rank IS the former row_number over the
+        # deduped rows — same survivors, same deterministic first-N-items
+        # truncation, byte-identical in-cap output.
         w = Window.partitionBy("_ctx").orderBy("_item")
-        ranked = pairs.withColumn("_rk", F.row_number().over(w))
-        # row_number gives each over-cap context exactly one row with
-        # _rk == cap+1, so both metrics are plain sums (observe() allows
-        # no distinct aggregates)
+        ranked = pairs.withColumn(
+            "_new",
+            (F.row_number().over(w) == 1)
+            | ~F.col("_item").eqNullSafe(F.lag("_item").over(w)),
+        ).withColumn("_rk", F.dense_rank().over(w))
+        # dense_rank gives each over-cap context exactly one DISTINCT row
+        # with _rk == cap+1, so both metrics are plain sums (observe()
+        # allows no distinct aggregates)
         obs = Observation()
         ranked = ranked.observe(
             obs,
             F.coalesce(
-                F.sum((F.col("_rk") == max_basket_size + 1).cast("long")), F.lit(0)
+                F.sum(
+                    (F.col("_new") & (F.col("_rk") == max_basket_size + 1)).cast("long")
+                ),
+                F.lit(0),
             ).alias("ctxs"),
             F.coalesce(
-                F.sum((F.col("_rk") > max_basket_size).cast("long")), F.lit(0)
+                F.sum(
+                    (F.col("_new") & (F.col("_rk") > max_basket_size)).cast("long")
+                ),
+                F.lit(0),
             ).alias("dropped"),
         )
         _watch_cap_observation(obs, max_basket_size)
-        pairs = ranked.filter(F.col("_rk") <= max_basket_size).drop("_rk")
+        pairs = (
+            ranked.filter(F.col("_new") & (F.col("_rk") <= max_basket_size))
+            .drop("_rk", "_new")
+        )
+    else:
+        pairs = pairs.distinct()
     a = pairs.select("_ctx", F.col("_item").alias("item1"))
     b = pairs.select("_ctx", F.col("_item").alias("item2"))
     return (

@@ -878,7 +878,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     max_iter: int = 10,
-    collect_below: int = 2048,
+    collect_below: int = 8192,
 ) -> DataFrame:
     """PageRank on the symmetrized unweighted graph, fixed iteration count:
 
@@ -900,32 +900,18 @@ def pagerank(
     """
     import numpy as np
 
-    sym = (
-        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
-        .unionByName(
-            edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst"))
-        )
-        .distinct()
-    )
-    sym = sym.localCheckpoint(eager=True)
-    nodes_list = None
-    if collect_below > 0:
-        nodes_list = sorted({r["src"] for r in sym.select("src").distinct().collect()})
-        if len(nodes_list) > collect_below:
-            nodes_list = None
+    sym = _symmetrize(edges)
+    nodes_list, sym_rows = _small_graph_rows(sym, collect_below)
     if nodes_list is not None:
         n = len(nodes_list)
         if n == 0:
             return edges.sparkSession.createDataFrame([], "entity long, pagerank double")
-        idx = {v: i for i, v in enumerate(nodes_list)}
-        m = np.zeros((n, n))
-        for r in sym.collect():
-            m[idx[r["dst"]], idx[r["src"]]] = 1.0
-        degs = m.sum(axis=0)  # out-degree per src column (symmetric graph)
-        m = m / degs[None, :]
+        si, di, inv_deg = _sparse_adjacency(nodes_list, sym_rows, np)
         s = np.full(n, 1.0 / n)
         for _ in range(max_iter):
-            s = (1.0 - damping) / n + damping * (m @ s)
+            s = (1.0 - damping) / n + damping * np.bincount(
+                di, weights=s[si] * inv_deg[si], minlength=n
+            )
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -935,22 +921,103 @@ def pagerank(
             ]
         )
         return edges.sparkSession.createDataFrame(
-            [(v, round(float(s[idx[v]]), 6)) for v in nodes_list], schema
+            [(v, round(float(s[i]), 6)) for i, v in enumerate(nodes_list)], schema
         )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
-    ed = sym.join(deg, "src").localCheckpoint(eager=True)
+    ed = sym.join(deg, "src").localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("entity")).distinct()
     n = nodes.count()
     base = (1.0 - damping) / n
     scores = nodes.withColumn("score", F.lit(1.0 / n))
+    # lazy per-round checkpoints: each round's Catalyst plan is still cut at
+    # the previous round's LogicalRDD, but materialization happens inside the
+    # ONE final action instead of max_iter blocking driver-side jobs —
+    # removes per-round job-submission barriers from the driver (guide §5)
     for _ in range(max_iter):
         scores = (
             ed.join(scores.withColumnRenamed("entity", "src"), "src")
             .groupBy(F.col("dst").alias("entity"))
             .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("score") / F.col("_deg"))).alias("score"))
         )
-        scores = scores.localCheckpoint(eager=True)
+        scores = scores.localCheckpoint(eager=False)
     return scores.select("entity", F.round("score", 6).alias("pagerank"))
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """(entity1, entity2) -> deduped symmetric (src, dst), lazily
+    local-checkpointed.
+
+    Dedup runs on the CANONICAL (least, greatest) pair and expands to both
+    directions afterwards, so the distinct shuffles E rows instead of the
+    2E a dedup after the union would (guide §2.3 — shuffle fewer bytes);
+    parallel edges in either orientation and self-loops dedup identically.
+    """
+    canon = (
+        edges.select(
+            F.least("entity1", "entity2").alias("a"),
+            F.greatest("entity1", "entity2").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    proper = canon.filter(F.col("a") != F.col("b"))
+    return (
+        proper.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(proper.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionByName(
+            canon.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias("src"), F.col("a").alias("dst")
+            )
+        )
+    )
+
+
+def _small_graph_rows(sym: DataFrame, collect_below: int):
+    """(sorted node list, symmetric edge rows) when the graph has at most
+    ``collect_below`` nodes, else (None, None).
+
+    The size probe is a BOUNDED ``limit(collect_below + 1)`` over distinct
+    sources — a huge graph never collects more than collect_below + 1 ids
+    deciding its route (the limit(MAX+1)-then-raise collect discipline) —
+    and the node list is then derived from the single edge collect instead
+    of a second full-distinct job.
+    """
+    if collect_below <= 0:
+        return None, None
+    probe = sym.select("src").distinct().limit(collect_below + 1).collect()
+    if len(probe) > collect_below:
+        return None, None
+    sym_rows = sym.collect()
+    # every node of the symmetrized graph appears as a src (isolated nodes
+    # have no edges at all), so the probe IS the node set
+    return sorted({r["src"] for r in probe}), sym_rows
+
+
+def _sparse_adjacency(nodes_list, sym_rows, np):
+    """Edge-list form of the column-normalized adjacency for the driver-side
+    walk paths: (src idx, dst idx, 1/deg per node), edges LEXSORTED by
+    (dst, src).
+
+    A dense n×n matrix costs O(n²) memory and per-step flops for graphs
+    that are nearly always sparse (the sf0.1 co-purchase graph: 5922 nodes,
+    7146 edges — the dense walk burned ~1.5 s of driver CPU on 280 MB
+    matrices); the bincount matvec is O(E) per step. The lexsort pins the
+    accumulation order regardless of collect() row order, so scores are
+    run-deterministic; per-term math is the same s_j * (1/deg_j) product as
+    the normalized-matrix multiply, summed in (dst, src) order — an
+    accumulation-order float drift << the 6-dp output rounding, the same
+    argument the dense path rested on.
+    """
+    idx = {v: i for i, v in enumerate(nodes_list)}
+    n_e = len(sym_rows)
+    si = np.fromiter((idx[r["src"]] for r in sym_rows), dtype=np.int64, count=n_e)
+    di = np.fromiter((idx[r["dst"]] for r in sym_rows), dtype=np.int64, count=n_e)
+    order = np.lexsort((si, di))
+    si, di = si[order], di[order]
+    degs = np.bincount(si, minlength=len(nodes_list)).astype(np.float64)
+    degs[degs == 0.0] = np.inf  # isolated nodes contribute nothing
+    return si, di, 1.0 / degs
+
 
 
 def triangle_counts(edges: DataFrame, src: str = "item1", dst: str = "item2") -> DataFrame:
@@ -1153,7 +1220,7 @@ def personalized_pagerank(
     source_nodes: "list",
     damping: float = 0.85,
     max_iter: int = 10,
-    collect_below: int = 2048,
+    collect_below: int = 8192,
 ) -> DataFrame:
     """Personalized PageRank — the random walk RESTARTS at the source
     set instead of everywhere:
@@ -1176,37 +1243,24 @@ def personalized_pagerank(
 
     if not source_nodes:
         raise ValueError("source_nodes must be non-empty")
-    sym = (
-        edges.select(F.col("entity1").alias("src"), F.col("entity2").alias("dst"))
-        .unionByName(
-            edges.select(F.col("entity2").alias("src"), F.col("entity1").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _symmetrize(edges)
     r_w = 1.0 / len(source_nodes)
-    nodes_list = None
-    if collect_below > 0:
-        nodes_list = sorted({r["src"] for r in sym.select("src").distinct().collect()})
-        if len(nodes_list) > collect_below:
-            nodes_list = None
+    nodes_list, sym_rows = _small_graph_rows(sym, collect_below)
     if nodes_list is not None:
         n = len(nodes_list)
         if n == 0:
             return edges.sparkSession.createDataFrame([], "entity long, ppr double")
+        si, di, inv_deg = _sparse_adjacency(nodes_list, sym_rows, np)
         idx = {v: i for i, v in enumerate(nodes_list)}
-        m = np.zeros((n, n))
-        for r in sym.collect():
-            m[idx[r["dst"]], idx[r["src"]]] = 1.0
-        degs = m.sum(axis=0)
-        m = m / degs[None, :]
         restart = np.zeros(n)
         for s_node in source_nodes:
             if s_node in idx:
                 restart[idx[s_node]] = r_w
         s = restart.copy()
         for _ in range(max_iter):
-            s = (1.0 - damping) * restart + damping * (m @ s)
+            s = (1.0 - damping) * restart + damping * np.bincount(
+                di, weights=s[si] * inv_deg[si], minlength=n
+            )
         from pyspark.sql import types as T
 
         schema = T.StructType(
@@ -1216,15 +1270,21 @@ def personalized_pagerank(
             ]
         )
         return edges.sparkSession.createDataFrame(
-            [(v, round(float(s[idx[v]]), 6)) for v in nodes_list], schema
+            [(v, round(float(s[i]), 6)) for i, v in enumerate(nodes_list)], schema
         )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
-    ed = sym.join(deg, "src").localCheckpoint(eager=True)
-    nodes = sym.select(F.col("src").alias("entity")).distinct()
+    ed = sym.join(deg, "src").localCheckpoint(eager=False)
+    # checkpointed once: every round's keep-all-nodes LEFT join re-reads this
+    # instead of re-running the distinct-over-sym shuffle per iteration
+    nodes = sym.select(F.col("src").alias("entity")).distinct().localCheckpoint(
+        eager=False
+    )
     restart_col = F.when(
         F.col("entity").isin(list(source_nodes)), F.lit(r_w)
     ).otherwise(F.lit(0.0))
-    scores = nodes.withColumn("score", restart_col).localCheckpoint(eager=True)
+    scores = nodes.withColumn("score", restart_col)
+    # lazy per-round checkpoints: plan still cut per round at the LogicalRDD,
+    # but the max_iter blocking jobs collapse into the final action (guide §5)
     for _ in range(max_iter):
         mass = (
             ed.join(scores.withColumnRenamed("entity", "src"), "src")
@@ -1240,6 +1300,6 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("_m"), F.lit(0.0))
                 ).alias("score"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return scores.select("entity", F.round("score", 6).alias("ppr"))

@@ -405,7 +405,7 @@ def ivf_search_replay(
     """
     from pyspark.sql import Window
 
-    from vectordb_bioinsight_spark.functions.vector import l2_distance, l2_norm
+    from vectordb_bioinsight_spark.functions.vector import l2_norm
     from vectordb_bioinsight_spark.operators.semdedup import MAX_INLINE_CENTROIDS
 
     # the centroid frame is collected AND inlined as expression literals,
@@ -421,31 +421,35 @@ def ivf_search_replay(
         )
     rows = sorted(rows, key=lambda r: r["_cell"])
 
-    def _cells(col: Column) -> Column:
-        # array<struct<d,c>> sorted lexicographically == (dist asc, cell asc)
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        F.round(
-                            l2_distance(
-                                col,
-                                F.array(*[F.lit(float(x)) for x in r["_centroid"]]),
-                            ),
-                            6,
-                        ).alias("d"),
-                        F.lit(int(r["_cell"])).alias("c"),
-                    )
-                    for r in rows
-                ]
+    def _cells(col_name: str) -> Column:
+        # array<struct<d,c>> sorted lexicographically == (dist asc, cell asc).
+        # The whole k-cell argmin is rendered as ONE SQL string and parsed
+        # once: composing it per centroid through the Column API costs
+        # O(cells × dims) py4j round trips (~18k calls, ~2 s of pure
+        # plan-build at 16×64), while one F.expr parse is ~10 ms — the
+        # assign_fixed_centroids discipline (operators/semdedup.py).
+        # Catalyst sees the identical expression tree (power(x-y, 2) is
+        # exactly what Column.__pow__ builds), so values are bit-identical.
+        vq = f"`{col_name}`"
+
+        def _cell_sql(r) -> str:
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in r["_centroid"]) + ")"
+            dist = (
+                f"sqrt(aggregate(zip_with({vq}, {arr},"
+                f" (x, y) -> power(CAST(x AS DOUBLE) - y, 2)),"
+                f" 0.0D, (acc, v) -> acc + v))"
             )
+            return f"struct(round({dist}, 6) AS d, {int(r['_cell'])} AS c)"
+
+        return F.expr(
+            "array_sort(array(" + ",".join(_cell_sql(r) for r in rows) + "))"
         )
 
     v = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-        F.element_at(_cells(F.col(vec_col)), 1)["c"].alias("_cell"),
+        F.element_at(_cells(vec_col), 1)["c"].alias("_cell"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -453,7 +457,7 @@ def ivf_search_replay(
         l2_norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             F.transform(
-                F.slice(_cells(F.col(vec_col)), 1, n_probe), lambda s: s["c"]
+                F.slice(_cells(vec_col), 1, n_probe), lambda s: s["c"]
             )
         ).alias("_cell"),
     )
