@@ -22,14 +22,24 @@ from pyspark.sql import functions as F
 PORTABLE_HASH64_DUCKDB = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+#: Spark SQL text of the exact :func:`portable_hash64` tree — format with a
+#: (quoted) SQL expression; the single-parse fast path for column names.
+PORTABLE_HASH64_SPARK_SQL = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def portable_hash64(col: Column | str) -> Column:
     """60-bit integer hash of a string column, reproducible in DuckDB/Python.
 
     Spark: ``conv(substr(md5(x),1,15),16,10)`` — md5 of UTF-8 bytes, first 15
     hex nibbles as a base-16 number (< 2^60, so it always fits a signed long).
-    """
-    c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    Column-NAME inputs take a single-F.expr-parse fast path — the identical
+    tree at ~1/10 the py4j plan-build cost (the helper is on ~25
+    query-build paths; pinned value-equal in
+    tests/test_sql_fastpath_twins.py)."""
+    if isinstance(col, str):
+        return F.expr(PORTABLE_HASH64_SPARK_SQL.format(expr=f"`{col}`"))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def salted_hash64(col: Column | str, salt: int) -> Column:
@@ -103,6 +113,34 @@ def minhash_perm_family(base_hash: Column, num_hashes: int) -> list[Column]:
         raise ValueError(f"at most {len(MINHASH_PERMS)} permutations available")
     return [
         mulmod_affine_p61(base_hash, a, b) for a, b in MINHASH_PERMS[:num_hashes]
+    ]
+
+
+def mulmod_affine_p61_sql(h_expr: str, a: int, b: int) -> str:
+    """Spark SQL text of the exact :func:`mulmod_affine_p61` tree, for the
+    single-parse fast path (``h_expr`` is a quoted SQL expression). The
+    CASE duplication of subexpressions mirrors F.when's — codegen CSE
+    collapses it at runtime either way; all arithmetic is exact integer
+    math, so the twins are value-identical (pinned in
+    tests/test_sql_fastpath_twins.py)."""
+    if not (0 < a < (1 << 31)):
+        raise ValueError("a must be in (0, 2^31)")
+    t1 = f"({a} * shiftright({h_expr}, 30))"
+    u = f"shiftright({t1}, 31)"
+    v = f"({t1} & {(1 << 31) - 1})"
+    x = f"(({u} + shiftleft({v}, 30)) + ({a} * ({h_expr} & {(1 << 30) - 1})))"
+    x = f"(shiftright({x}, 61) + ({x} & {P61}))"
+    x = f"(CASE WHEN {x} >= {P61} THEN {x} - {P61} ELSE {x} END)"
+    x = f"({x} + {b})"
+    return f"CASE WHEN {x} >= {P61} THEN {x} - {P61} ELSE {x} END"
+
+
+def minhash_perm_family_sql(h_expr: str, num_hashes: int) -> list[str]:
+    """SQL-text twin of :func:`minhash_perm_family` (same constants)."""
+    if num_hashes > len(MINHASH_PERMS):
+        raise ValueError(f"at most {len(MINHASH_PERMS)} permutations available")
+    return [
+        mulmod_affine_p61_sql(h_expr, a, b) for a, b in MINHASH_PERMS[:num_hashes]
     ]
 
 

@@ -30,6 +30,12 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def tokenize_spark_sql(expr: str, min_len: int = 3) -> str:
+    """Spark SQL text computing the exact :func:`tokenize` expression tree —
+    the single-parse fast path (see tokenize's str branch)."""
+    return f"filter(split(lower({expr}), '[^a-z0-9]+'), t -> length(t) >= {min_len})"
+
+
 def tokenize(col: Column | str, min_len: int = 3) -> Column:
     """array<string> of lowercase alnum tokens with length >= min_len.
 
@@ -38,9 +44,18 @@ def tokenize(col: Column | str, min_len: int = 3) -> Column:
     Known divergence outside it: Java ``lower`` maps U+0130 'İ' to
     'i'+combining-dot (splitting the token) where DuckDB maps it to plain
     'i' — locale-sensitive casing is out of the portable contract; strip or
-    transliterate such input upstream when it matters."""
+    transliterate such input upstream when it matters.
+
+    A plain column NAME takes the single-``F.expr``-parse fast path: the
+    py4j-composed filter/split/lower/lambda tree costs ~59 round trips
+    (~15 ms) per call against ~0.5 ms for one parse of the identical tree
+    (r10 microbench; the helper is on ~30 query-build paths). Composed
+    Column inputs keep the Column-API branch — value-identical either way
+    (pinned in tests/test_sql_fastpath_twins.py)."""
+    if isinstance(col, str):
+        return F.expr(tokenize_spark_sql(f"`{col}`", min_len))
     return F.filter(
-        F.split(F.lower(_c(col)), "[^a-z0-9]+"),
+        F.split(F.lower(col), "[^a-z0-9]+"),
         lambda t: F.length(t) >= min_len,
     )
 
@@ -54,8 +69,15 @@ def tokenize_duckdb(expr: str, min_len: int = 3) -> str:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace-token count — the cheap 'token counting' primitive."""
-    return F.size(F.filter(F.split(_c(col), "\\s+"), lambda t: F.length(t) > 0))
+    """Whitespace-token count — the cheap 'token counting' primitive.
+    Column-name inputs take the single-parse fast path (see tokenize)."""
+    if isinstance(col, str):
+        # '\\\\s+' in the SQL text: the SQL string-literal parser unescapes
+        # one level, leaving the \s+ regex the Column branch passes directly
+        return F.expr(
+            f"size(filter(split(`{col}`, '\\\\s+'), t -> length(t) > 0))"
+        )
+    return F.size(F.filter(F.split(col, "\\s+"), lambda t: F.length(t) > 0))
 
 
 #: the exact character set of the regex class [a-z0-9A-Z ] — punct_ratio
@@ -78,10 +100,21 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(F.lit(0.0))
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     """Shingles from a precomputed token-array column (use this when the
     token array is already a named column — avoids re-evaluating the
-    tokenizer regex once per referenced position)."""
+    tokenizer regex once per referenced position). Column-name inputs take
+    the single-parse fast path (see tokenize); integer index arithmetic is
+    exact, so the simplified offsets are value-identical to the Column
+    branch (pinned in tests/test_sql_fastpath_twins.py)."""
+    if isinstance(toks, str):
+        t = f"`{toks}`"
+        parts = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(n))
+        return F.expr(
+            f"CASE WHEN (size({t}) - {n - 1}) <= 0 THEN array() "
+            f"ELSE transform(sequence(0, size({t}) - {n}), "
+            f"i -> concat_ws(' ', {parts})) END"
+        )
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array()).otherwise(
         F.transform(

@@ -20,8 +20,44 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# Column-NAME inputs take a single-F.expr-parse fast path in the kernels
+# below: each py4j-composed fold costs ~100-140 round trips (~20-27 ms of
+# plan-build per call; these kernels sit on ~25 query-build paths and are
+# often instantiated per pair side), against ~0.3 ms for one parse of the
+# IDENTICAL expression tree — same lambdas, same fold order, bit-identical
+# values (pinned in tests/test_sql_fastpath_twins.py). Composed Column
+# inputs keep the Column-API branch.
+
+def dot_product_spark_sql(a: str, b: str) -> str:
+    """Spark SQL text of the exact :func:`dot_product` tree ({a}/{b} are
+    SQL expressions, already quoted as needed)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_spark_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def l2_distance_spark_sql(a: str, b: str) -> str:
+    return (
+        f"sqrt(aggregate(zip_with({a}, {b},"
+        f" (x, y) -> power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)),"
+        f" 0.0D, (acc, v) -> acc + v))"
+    )
+
+
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ — sequential fold, deterministic (matches numpy/DuckDB order)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_product_spark_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -30,6 +66,8 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(l2_norm_spark_sql(f"`{a}`"))
     return F.sqrt(
         F.aggregate(
             F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
@@ -40,6 +78,8 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(l2_distance_spark_sql(f"`{a}`", f"`{b}`"))
     return F.sqrt(
         F.aggregate(
             F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
@@ -53,6 +93,12 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a|·|b|) — the reference's similarity metric
     (vector_store.py:603-606). Zero-norm vectors yield NULL (nullif guard),
     not an ANSI divide-by-zero error — dirty corpora always contain some."""
+    if isinstance(a, str) and isinstance(b, str):
+        aq, bq = f"`{a}`", f"`{b}`"
+        return F.expr(
+            f"{dot_product_spark_sql(aq, bq)}"
+            f" / nullif({l2_norm_spark_sql(aq)} * {l2_norm_spark_sql(bq)}, 0.0D)"
+        )
     return dot_product(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 

@@ -150,9 +150,9 @@ def dedup_against_corpus(
     The corpus is scanned twice and shuffled never; the new batch is never
     shuffled at all.
     """
-    corpus_h = corpus_df.select(portable_hash64(F.col(text_col)).alias("_ch"))
+    corpus_h = corpus_df.select(portable_hash64(text_col).alias("_ch"))
     bitmap = build_bloom(corpus_h, "_ch", num_bits, num_hashes)
-    new_h = new_df.withColumn("_ch", portable_hash64(F.col(text_col)))
+    new_h = new_df.withColumn("_ch", portable_hash64(text_col))
     cand = (
         with_bloom_hit(new_h, "_ch", bitmap, num_bits, num_hashes)
         .filter(F.col("_bloom_hit"))

@@ -36,7 +36,7 @@ B_DEFAULT = 0.75
 def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """postings(doc_id, term, tf) from a document table."""
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -46,7 +46,7 @@ def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """doc_stats(doc_id, dl) — token count per doc (post-tokenizer)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+        F.size(tokenize(text_col)).cast("long").alias("dl"),
     )
 
 
@@ -116,7 +116,7 @@ def bm25_topk(
 
     terms = [t for t in _tokenize_py(query) if t not in STOPWORDS]
     tokens = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
     )
     # ONE heavy aggregation: per-doc length + per-query-term tf (conditional
     # aggregates — query terms are literals, no postings join needed).
@@ -195,7 +195,7 @@ def bm25_batch(
     q_terms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(tokenize(F.col(query_text_col))).alias("term"),
+            F.explode(tokenize(query_text_col)).alias("term"),
         )
         .groupBy("query_id", "term")
         .agg(F.count("*").cast("double").alias("qtf"))

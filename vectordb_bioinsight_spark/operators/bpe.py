@@ -61,7 +61,7 @@ def words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
     from vectordb_bioinsight_spark.functions.text import tokenize
 
     return (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n"))
     )
@@ -180,7 +180,7 @@ def bpe_encode(
         out_col,
         F.flatten(
             F.transform(
-                tokenize(F.col(text_col)),
+                tokenize(text_col),
                 lambda w: F.filter(
                     F.transform(
                         F.split(
@@ -257,4 +257,4 @@ def bpe_encode_udf(
         return words.map(one)
 
     encode = F.pandas_udf(_encode, "array<string>")
-    return df.withColumn(out_col, encode(tokenize(F.col(text_col))))
+    return df.withColumn(out_col, encode(tokenize(text_col)))

@@ -309,7 +309,7 @@ def remove_token_spans(
     """
     from vectordb_bioinsight_spark.functions.text import tokenize
 
-    tok_expr = F.col(tokens_col) if tokens_col is not None else tokenize(F.col(text_col))
+    tok_expr = F.col(tokens_col) if tokens_col is not None else tokenize(text_col)
     toks = df.select(
         F.col(id_col).alias("_id"), F.posexplode(tok_expr).alias("pos", "tok")
     )
@@ -380,7 +380,7 @@ def span_cut_docs(
     from vectordb_bioinsight_spark.operators.dedup import repeated_ngram_spans
 
     toked = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+        F.col(id_col), tokenize(text_col).alias("_toks")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     spans = repeated_ngram_spans(
         toked, id_col, "_toks", n=n, min_docs=min_docs, tokens_col="_toks",

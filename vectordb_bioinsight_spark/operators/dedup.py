@@ -35,7 +35,7 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cheapest possible full-corpus dedup (no text comparison after hashing).
     """
     return (
-        df.select(portable_hash64(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.select(portable_hash64(text_col).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -88,19 +88,25 @@ def minhash_signatures_wide(
     calls is a ~k-fold kernel saving at the same LSH quality. This is the
     production path (the long-form variant exists for oracle symmetry).
     """
-    from vectordb_bioinsight_spark.functions.hashing import minhash_perm_family
+    from vectordb_bioinsight_spark.functions.hashing import minhash_perm_family_sql
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens, tokenize
 
     sh = (
-        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
-        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"))
         # NO distinct: min() is duplicate-insensitive, and a distinct here
         # would shuffle the full (id, shingle) fan-out before the aggregate —
         # the groupBy's map-side combine already collapses everything local
-        .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("_h"))
+        .select(F.col(id_col), portable_hash64("shingle").alias("_h"))
     )
-    hs = minhash_perm_family(F.col("_h"), num_hashes)
-    aggs = [F.min(h).alias(f"mh_{i}") for i, h in enumerate(hs)]
+    # each permutation's affine map is rendered as SQL text and parsed once
+    # (the Column-API composition cost ~2.7k py4j round trips of plan-build
+    # per call at k=16; identical tree — r10 single-parse discipline, twins
+    # pinned in tests/test_sql_fastpath_twins.py)
+    aggs = [
+        F.expr(f"min({sql})").alias(f"mh_{i}")
+        for i, sql in enumerate(minhash_perm_family_sql("`_h`", num_hashes))
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -179,8 +185,8 @@ def ngram_jaccard_pairs(
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
 
     sh = (
-        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
-        .select(F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").cast("long").alias("n_sh"))
@@ -228,19 +234,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Output (doc_id, simhash). Near-dup = small Hamming distance; pairing via
     band-join on bit slices mirrors lsh_candidate_pairs.
     """
-    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"))
-    hashed = toks.withColumn("hv", portable_hash64(F.col("tok")))
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("tok"))
+    hashed = toks.withColumn("hv", portable_hash64("tok"))
+    # per-bit vote aggregates and the reassembly sum are rendered as SQL
+    # text and parsed once each (identical CASE/sum trees; the Column-API
+    # loops cost ~2.5k py4j round trips of plan-build at bits=32 — r10
+    # single-parse discipline)
     votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.col("hv").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"_v_{j}")
+            F.expr(
+                f"sum(CASE WHEN (hv & {1 << j}) != 0 THEN 1 ELSE -1 END)"
+            ).alias(f"_v_{j}")
             for j in range(bits)
         ]
     )
-    total = None
-    for j in range(bits):
-        bitval = F.when(F.col(f"_v_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        total = bitval if total is None else total + bitval
-    return votes.select(F.col(id_col), total.alias("simhash"))
+    total = " + ".join(
+        f"(CASE WHEN _v_{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(total).alias("simhash"))
 
 
 def near_dedup_pipeline(
@@ -275,7 +288,7 @@ def near_dedup_pipeline(
         reps = df.select(id_col, text_col)
     else:
         reps = (
-            df.select(portable_hash64(F.col(text_col)).alias("_ch"), F.col(id_col), F.col(text_col))
+            df.select(portable_hash64(text_col).alias("_ch"), F.col(id_col), F.col(text_col))
             .groupBy("_ch")
             .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
             .drop("_ch")
@@ -333,7 +346,7 @@ def near_dedup_survivors(
     # exact-duplicate non-representatives also lose (near_dedup_pipeline only
     # ever emits the min-id rep of each exact group)
     exact_losers = (
-        df.select(portable_hash64(F.col(text_col)).alias("_ch"), F.col(id_col))
+        df.select(portable_hash64(text_col).alias("_ch"), F.col(id_col))
         .withColumn("_rep", F.min(id_col).over(Window.partitionBy("_ch")))
         .filter(F.col(id_col) != F.col("_rep"))
         .select(id_col)
@@ -367,7 +380,7 @@ def near_dedup_best_survivors(
     from pyspark.sql import Window
 
     keyed = df.select(
-        F.col(id_col), portable_hash64(F.col(text_col)).alias("_ch")
+        F.col(id_col), portable_hash64(text_col).alias("_ch")
     ).withColumn("_erep", F.min(id_col).over(Window.partitionBy("_ch")))
     pairs = near_dedup_pipeline(
         df, id_col, text_col, num_hashes=num_hashes, bands=bands, min_jaccard=min_jaccard
@@ -428,7 +441,7 @@ def repeated_ngram_spans(
     if tokens_col is not None:
         toks = df.select(F.col(id_col), F.col(tokens_col).alias("_toks"))
     else:
-        toks = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        toks = df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
     # The hashed-shingle positions feed BOTH the duplicated-shingle groupBy
     # and the hit join, and AQE does not reuse the exchange across the two
     # consumers — by default, materialize the projection once
@@ -441,9 +454,9 @@ def repeated_ngram_spans(
     # table costs more than recomputing shingle+hash from cached arrays.
     sh = toks.select(
         F.col(id_col),
-        F.posexplode(shingles_from_tokens(F.col("_toks"), n)).alias("pos", "_sh"),
+        F.posexplode(shingles_from_tokens("_toks", n)).alias("pos", "_sh"),
     ).select(
-        id_col, F.col("pos").cast("long").alias("pos"), portable_hash64(F.col("_sh")).alias("_h")
+        id_col, F.col("pos").cast("long").alias("pos"), portable_hash64("_sh").alias("_h")
     )
     if materialize:
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -499,7 +512,7 @@ def duplicated_token_fraction(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
     )
     toks = df.select(
-        F.col(id_col), F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens")
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
     )
     return (
         toks.join(per_doc, id_col, "left")
@@ -560,13 +573,13 @@ def near_dedup_against_corpus(
         .distinct()
     )
     b_sh = (
-        batch.select(F.col(id_col).alias("doc1"), tokenize(F.col(text_col)).alias("_toks"))
-        .select("doc1", F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        batch.select(F.col(id_col).alias("doc1"), tokenize(text_col).alias("_toks"))
+        .select("doc1", F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"))
         .distinct()
     )
     c_sh = (
-        corpus.select(F.col(id_col).alias("doc2"), tokenize(F.col(text_col)).alias("_toks"))
-        .select("doc2", F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"))
+        corpus.select(F.col(id_col).alias("doc2"), tokenize(text_col).alias("_toks"))
+        .select("doc2", F.explode(shingles_from_tokens("_toks", shingle_n)).alias("shingle"))
         .distinct()
     )
     b_sizes = b_sh.groupBy("doc1").agg(F.count("*").cast("long").alias("_n1"))

@@ -370,7 +370,7 @@ def silhouette_exact(
         pts.join(o, F.col("_id") != F.col("_jid"))
         .groupBy("_id", "_lbl", "_jlbl")
         # 6-dp per-pair distances (cross-engine replay; see simplified)
-        .agg(F.avg(F.round(l2_distance(F.col("_v"), F.col("_jv")), 6)).alias("_md"))
+        .agg(F.avg(F.round(l2_distance("_v", "_jv"), 6)).alias("_md"))
     )
     per_point = pair_means.groupBy("_id", "_lbl").agg(
         F.max(F.when(F.col("_jlbl") == F.col("_lbl"), F.col("_md"))).alias("_a"),
@@ -570,7 +570,7 @@ def cluster_variance_indices(
         )
         .localCheckpoint(eager=False)
     )
-    dist = F.round(l2_distance(F.col("_v"), F.col("_cent")), 6)
+    dist = F.round(l2_distance("_v", "_cent"), 6)
     per_label = (
         pts.join(F.broadcast(cent), "_lbl")
         .groupBy("_lbl")
@@ -605,7 +605,7 @@ def cluster_variance_indices(
     grand = totk.crossJoin(F.broadcast(grand_arr))
     stats = per_label.join(cent, "_lbl").crossJoin(F.broadcast(grand))
     b_term = F.col("_n").cast("double") * F.pow(
-        F.round(l2_distance(F.col("_cent"), F.col("_g")), 6), 2
+        F.round(l2_distance("_cent", "_g"), 6), 2
     )
     totals = stats.agg(
         F.sum("_w").alias("W"),
@@ -626,7 +626,7 @@ def cluster_variance_indices(
             "_i",
             (
                 (F.col("_si") + F.col("_sj"))
-                / F.nullif(F.round(l2_distance(F.col("_ci"), F.col("_cj")), 6), F.lit(0.0))
+                / F.nullif(F.round(l2_distance("_ci", "_cj"), 6), F.lit(0.0))
             ).alias("_r"),
         )
         .groupBy("_i")

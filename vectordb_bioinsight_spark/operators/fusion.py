@@ -148,15 +148,15 @@ def pairwise_candidate_sims(
         F.col(query_col).alias("query_id"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        l2_norm(F.col(vec_col)).alias("_na"),
+        l2_norm(vec_col).alias("_na"),
     )
     b = cands.select(
         F.col(query_col).alias("query_id"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        l2_norm(F.col(vec_col)).alias("_nb"),
+        l2_norm(vec_col).alias("_nb"),
     )
-    sim = dot_product(F.col("_va"), F.col("_vb")) / F.nullif(
+    sim = dot_product("_va", "_vb") / F.nullif(
         F.col("_na") * F.col("_nb"), F.lit(0.0)
     )
     return (

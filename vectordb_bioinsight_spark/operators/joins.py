@@ -273,6 +273,12 @@ def item_cf_topk(
     """
     from pyspark.sql import Window
 
+    # NOTE (r10 measured, kept as-is): both union directions and both
+    # broadcast sides re-expand their subtree in the ANALYZED plan (6
+    # lineitem scans at sf0.1), but AQE's runtime exchange reuse collapses
+    # the duplicates — lazy-checkpointing edges/counts to "fix" it was
+    # measured SLOWER (2.9 s vs 1.9 s: two serialized materialization
+    # barriers replace reused in-flight stages)
     edges = cooccurrence_edges(df, item_col, basket_col, min_weight=min_cooc)
     counts = (
         df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item"))

@@ -69,7 +69,7 @@ def with_token_counts(
     elif counter == "ws":
         from vectordb_bioinsight_spark.functions.text import token_count
 
-        n = token_count(F.col(text_col))
+        n = token_count(text_col)
     else:
         raise ValueError(f"unknown counter {counter!r}")
     return df.withColumn("n_tokens", n.cast("long"))
@@ -380,7 +380,7 @@ def shard_manifest(
             F.count("*").cast("long").alias("n_docs"),
             F.sum(n_tokens).cast("long").alias("n_tokens"),
             F.sum(F.octet_length(F.col(text_col))).cast("long").alias("n_bytes"),
-            F.bit_xor(portable_hash64(F.col(text_col))).alias("content_xor"),
+            F.bit_xor(portable_hash64(text_col)).alias("content_xor"),
             F.bit_xor(portable_hash64(F.col(id_col).cast("string"))).alias("id_xor"),
         )
         .orderBy("shard")

@@ -44,7 +44,7 @@ def token_positions(
     postings ever reach a shuffle."""
     pos = docs.select(
         F.col(id_col),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
     )
     return pos.filter(F.col("token").isin(list(keep_terms)))
 

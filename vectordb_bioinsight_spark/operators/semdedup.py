@@ -149,35 +149,25 @@ def semdedup_flags(
 
     Output: (id, cluster_id, centroid_cos, keep).
     """
-    from vectordb_bioinsight_spark.functions.vector import dot_product, l2_norm
-
     # ONE cluster-partitioned materialization of the assignment feeds both
-    # self-join sides and the final flag join, instead of re-running the
-    # k-way centroid argmax once per consumer (3x at fan-out). The explicit
-    # repartition is the shuffle the within-cluster equi-join needs anyway.
+    # the loser kernel and the final flag join, instead of re-running the
+    # k-way centroid argmax once per consumer. The explicit repartition is
+    # the cluster co-location the loser step needs anyway.
     base = assign_fixed_centroids(vectors, id_col, vec_col, n_clusters).select(
-        id_col, "cluster_id", "centroid_cos", vec_col,
-        l2_norm(F.col(vec_col)).alias("_n"),
+        id_col, "cluster_id", "centroid_cos", vec_col
     ).repartition("cluster_id")
-    left = base.select(
-        F.col(id_col).alias("id1"), F.col("cluster_id").alias("_blk"),
-        F.col(vec_col).alias("_v1"), F.col("_n").alias("_n1"),
-    )
-    right = base.select(
-        F.col(id_col).alias("id2"), F.col("cluster_id").alias("_blk2"),
-        F.col(vec_col).alias("_v2"), F.col("_n").alias("_n2"),
-    )
-    cosine = dot_product(F.col("_v1"), F.col("_v2")) / F.nullif(
-        F.col("_n1") * F.col("_n2"), F.lit(0.0)
-    )
-    losers = (
-        left.join(right, F.col("_blk") == F.col("_blk2"))
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(F.round(cosine, 6) >= min_cosine)
-        .select(F.col("id2").alias(id_col))
-        .distinct()
-        .withColumn("_lose", F.lit(True))
-    )
+    # the quadratic within-cluster step runs as per-cluster BLAS
+    # (semdedup_losers_gemm), not the JVM zip_with/aggregate pair fold:
+    # higher-order array functions evaluate interpreted (outside
+    # whole-stage codegen) at ~45 µs/pair on 64-dim vectors — 251k pairs
+    # at sf0.1 burned ~1.4 s in the fold where one rounded C·Cᵀ per
+    # cluster block is milliseconds (guide §4.2: hand whole batches to
+    # vectorized native code). Decision semantics are the fold's exactly:
+    # round(cos, 6) >= min_cosine on the same float64 inputs, oracle
+    # parity re-verified at all three SFs on landing.
+    losers = semdedup_losers_gemm(
+        base, id_col, vec_col, "cluster_id", min_cosine
+    ).withColumn("_lose", F.lit(True))
     return (
         base.select(id_col, "cluster_id", "centroid_cos")
         .join(losers, id_col, "left")
@@ -265,21 +255,25 @@ def semdedup_losers_gemm(
     block is a vectorized matmul). Row-chunked so peak memory is
     O(chunk · cluster_size), never cluster_size².
 
-    A row LOSES iff any smaller-id row in its cluster has cosine >=
-    ``min_cosine`` — identical semantics to the fold path up to float
-    last-ulp (BLAS sum order differs; equivalence-tested with a tolerance
-    margin, the documented GEMM-twin contract).
+    A row LOSES iff any smaller-id row in its cluster has
+    round(cosine, 6) >= ``min_cosine`` — the 6-dp pre-round is the fold
+    path's and the DuckDB twin's exact decision rule, so the only residual
+    difference from the fold is BLAS summation order inside the unrounded
+    cosine (last-ulp; equivalence-tested with a tolerance margin, the
+    documented GEMM-twin contract — and since r10, oracle-parity-verified
+    at all three SFs as semdedup_flags' default loser kernel).
 
-    Output: one column (``id_col``) of losers.
+    Output: one column (``id_col``) of losers, id dtype preserved.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     def find(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = len(pdf)
         if m < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+            return pdf.iloc[0:0][[id_col]]
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = np.nan  # zero vectors match nothing (NULL cosine)
@@ -291,11 +285,14 @@ def semdedup_losers_gemm(
             sims = nm[s:e] @ nm[:e].T
             jj = np.arange(e)[None, :]
             ii = np.arange(s, e)[:, None]
-            hit = (sims >= min_cosine) & (jj < ii)
+            hit = (np.round(sims, 6) >= min_cosine) & (jj < ii)
             lose[s:e] |= np.nan_to_num(hit).any(axis=1)
-        return pd.DataFrame({id_col: pdf.loc[lose, id_col].astype("int64")})
+        return pdf.loc[lose, [id_col]]
 
-    return assigned.groupBy(cluster_col).applyInPandas(find, schema=f"{id_col} long")
+    out_schema = T.StructType([assigned.schema[id_col]])
+    return assigned.select(id_col, vec_col, cluster_col).groupBy(
+        cluster_col
+    ).applyInPandas(find, schema=out_schema)
 
 
 def semdedup_survivors_gemm(

@@ -71,7 +71,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
-        tokenize(F.col(text_col)).alias("_toks"),
+        tokenize(text_col).alias("_toks"),
     )
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -86,7 +86,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select(
         F.col("doc_id"),
         F.length(F.col("_text")).cast("long").alias("n_chars"),
-        token_count(F.col("_text")).cast("long").alias("n_tokens"),
+        token_count("_text").cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.round(avg_len, 6).alias("avg_token_len"),
         F.round(pr, 6).alias("punct_ratio"),
@@ -126,7 +126,7 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output (doc_id, fp). Two docs with identical token streams share fp.
     """
-    normalized = F.concat_ws(" ", tokenize(F.col(text_col)))
+    normalized = F.concat_ws(" ", tokenize(text_col))
     return df.select(F.col(id_col).alias("doc_id"), portable_hash64(normalized).alias("fp"))
 
 
@@ -159,7 +159,7 @@ def winnow_fingerprints(
     projections evaluate each array once per row.
     """
     toks_df = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_toks")
     )
     toks = F.col("_toks")
     grams_df = toks_df.select(
@@ -224,7 +224,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
     )
     if drop_stopwords:
         toks = toks.filter(~F.col("term").isin(*STOPWORDS))
@@ -298,7 +298,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     staged = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_text"),
-        tokenize(F.col(text_col)).alias("_toks"),
+        tokenize(text_col).alias("_toks"),
     )
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -344,7 +344,7 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
     with no tokens are dropped (nothing to score).
     """
     toks = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(text_col)).alias("term")
     )
     postings = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
     vocab = postings.groupBy("term").agg(F.sum("tf").cast("double").alias("_cnt"))
@@ -437,18 +437,18 @@ def dsir_logratio_scores(
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         is_target.alias("_tgt"),
-        tokenize(F.col(text_col)).alias("_toks"),
+        tokenize(text_col).alias("_toks"),
     )
     feats = toks.select(
         "doc_id",
         "_tgt",
         F.explode(
-            F.concat(F.col("_toks"), shingles_from_tokens(F.col("_toks"), 2))
+            F.concat(F.col("_toks"), shingles_from_tokens("_toks", 2))
         ).alias("_feat"),
     ).select(
         "doc_id",
         "_tgt",
-        F.pmod(portable_hash64(F.col("_feat")), F.lit(n_buckets)).alias("_b"),
+        F.pmod(portable_hash64("_feat"), F.lit(n_buckets)).alias("_b"),
     )
     # DSIR is inherently two-pass (fit the bucket model, then score every
     # doc against it), and both passes read the hashed-feature counts.
@@ -553,10 +553,10 @@ def bigram_logprob_scores(
     from vectordb_bioinsight_spark.functions.text import shingles_from_tokens
 
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_toks")
     )
     big = toks.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+        "doc_id", F.explode(shingles_from_tokens("_toks", 2)).alias("bg")
     )
     uni = toks.select("doc_id", F.explode(F.col("_toks")).alias("w"))
     doc_bg = big.groupBy("doc_id", "bg").agg(F.count("*").cast("long").alias("tf"))
@@ -625,11 +625,11 @@ def ngram_decontaminate(
         # element_at reference (no CSE inside higher-order functions,
         # SCALING.md rule 25) — measured 140 s -> 17 s at 1M docs
         toked = df.select(
-            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+            F.col(id_col).alias("doc_id"), tokenize(text_col).alias("_toks")
         )
         return toked.select(
-            "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_g")
-        ).select("doc_id", portable_hash64(F.col("_g")).alias("gh"))
+            "doc_id", F.explode(shingles_from_tokens("_toks", n)).alias("_g")
+        ).select("doc_id", portable_hash64("_g").alias("gh"))
 
     bench_grams = _grams(benchmark).select("gh").distinct()
     # broadcast-join FIRST, dedup after: the (doc_id, gh) distinct then
@@ -703,7 +703,7 @@ def hashed_linear_quality(
     def _w(tok: F.Column) -> F.Column:
         return F.element_at(warr, (portable_hash64(tok) % n_buckets + 1).cast("int"))
 
-    toks = tokenize(F.col(text_col))
+    toks = tokenize(text_col)
     wsum = F.aggregate(F.transform(toks, _w), F.lit(0.0), lambda acc, v: acc + v)
     n = F.size(toks)
     logit = F.round(F.when(n > 0, wsum / n).otherwise(F.lit(0.0)), 6)
@@ -741,7 +741,7 @@ def class_tfidf_top_terms(
     from pyspark.sql import Window
 
     toked = df.select(
-        F.col(class_col).alias("cls"), tokenize(F.col(text_col)).alias("_toks")
+        F.col(class_col).alias("cls"), tokenize(text_col).alias("_toks")
     )
     toks = toked.select("cls", F.explode(F.col("_toks")).alias("term"))
     tf = toks.groupBy("cls", "term").agg(F.count("*").cast("long").alias("tf"))

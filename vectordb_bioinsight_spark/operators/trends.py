@@ -26,7 +26,7 @@ def keyword_frequencies(
 ) -> DataFrame:
     """A7: top-N token frequencies. Output (word, n) ordered desc, word asc
     tiebreak (total order for hash-stable top-N)."""
-    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    words = df.select(F.explode(tokenize(text_col)).alias("word"))
     if drop_stopwords:
         # isin compiles to InSet (hash lookup) — O(1) per token vs the O(|SW|)
         # linear scan an array_contains(literal array) would do

@@ -44,7 +44,7 @@ def knn_brute_force(
     # as the column kernel) instead of re-folding the literal array per row
     q_norm = math.sqrt(sum((float(x) * float(x) for x in query_vec), 0.0))
     if metric == "cosine":
-        score = dot_product(F.col(vec_col), qv) / F.nullif(l2_norm(F.col(vec_col)) * F.lit(q_norm), F.lit(0.0))
+        score = dot_product(F.col(vec_col), qv) / F.nullif(l2_norm(vec_col) * F.lit(q_norm), F.lit(0.0))
         order = [F.desc("score"), F.asc(id_col)]
     elif metric == "dot":
         score = dot_product(F.col(vec_col), qv)
@@ -81,16 +81,16 @@ def similarity_self_join(
     # dot-product fold instead of three folds) — same hoist as knn_join
     a = vectors.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("_v1"),
-        l2_norm(F.col(vec_col)).alias("_n1"),
+        l2_norm(vec_col).alias("_n1"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
     b = vectors.select(
         F.col(id_col).alias("id2"), F.col(vec_col).alias("_v2"),
-        l2_norm(F.col(vec_col)).alias("_n2"),
+        l2_norm(vec_col).alias("_n2"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
     joined = a.join(b, "_blk").drop("_blk") if block_col else a.crossJoin(b)
-    cosine = dot_product(F.col("_v1"), F.col("_v2")) / F.nullif(F.col("_n1") * F.col("_n2"), F.lit(0.0))
+    cosine = dot_product("_v1", "_v2") / F.nullif(F.col("_n1") * F.col("_n2"), F.lit(0.0))
     return (
         joined.filter(F.col("id1") < F.col("id2"))
         .withColumn("cosine", F.round(cosine, 6))
@@ -183,22 +183,22 @@ def knn_join(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        l2_norm(vec_col).alias("_qn"),
     )
     c = candidates.select(
         F.col(cand_id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("cand_id") != F.col("query_id"))
     if metric == "cosine":
-        score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
+        score = dot_product("_cv", "_qv") / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
         order = [F.desc("score"), F.asc("cand_id")]
     elif metric == "dot":
-        score = dot_product(F.col("_cv"), F.col("_qv"))
+        score = dot_product("_cv", "_qv")
         order = [F.desc("score"), F.asc("cand_id")]
     elif metric == "l2":
-        score = l2_distance(F.col("_cv"), F.col("_qv"))
+        score = l2_distance("_cv", "_qv")
         order = [F.asc("score"), F.asc("cand_id")]
     else:
         raise ValueError(f"unknown metric {metric!r}")
@@ -283,7 +283,7 @@ def ivf_build_index(
     prepared = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_mlvec"),
     )
     fit_input = (
@@ -327,14 +327,14 @@ def ivf_search(
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        l2_norm(vec_col).alias("_qn"),
     )
     from pyspark.sql import Window
 
     probe_w = Window.partitionBy("query_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
     probes = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_cdist", l2_distance("_qv", "_centroid"))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "_qv", "_qn", "_cell")
@@ -346,7 +346,7 @@ def ivf_search(
     pairs = assigned.join(probe_side, "_cell").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
+    score = dot_product("_cv", "_qv") / F.nullif(F.col("_cn") * F.col("_qn"), F.lit(0.0))
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
     return (
         pairs.select("query_id", "cand_id", F.round(score, 6).alias("score"))
@@ -448,13 +448,13 @@ def ivf_search_replay(
     v = vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
         F.element_at(_cells(vec_col), 1)["c"].alias("_cell"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        l2_norm(F.col(vec_col)).alias("_qn"),
+        l2_norm(vec_col).alias("_qn"),
         F.explode(
             F.transform(
                 F.slice(_cells(vec_col), 1, n_probe), lambda s: s["c"]
@@ -464,7 +464,7 @@ def ivf_search_replay(
     pairs = v.join(F.broadcast(q), "_cell").filter(
         F.col("cand_id") != F.col("query_id")
     )
-    score = dot_product(F.col("_cv"), F.col("_qv")) / F.nullif(
+    score = dot_product("_cv", "_qv") / F.nullif(
         F.col("_cn") * F.col("_qn"), F.lit(0.0)
     )
     rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
@@ -689,7 +689,7 @@ def ivf_search_gemm(
     probe_w = Window.partitionBy("query_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
     probes = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdist", l2_distance(F.col("_qv"), F.col("_centroid")))
+        .withColumn("_cdist", l2_distance("_qv", "_centroid"))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "_qv", "_cell")
@@ -803,12 +803,12 @@ def ivf_append(
     prepared = new_vectors.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("_cv"),
-        l2_norm(F.col(vec_col)).alias("_cn"),
+        l2_norm(vec_col).alias("_cn"),
     )
     w = Window.partitionBy("cand_id").orderBy(F.asc("_cdist"), F.asc("_cell"))
     newly = (
         prepared.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdist", l2_distance(F.col("_cv"), F.col("_centroid")))
+        .withColumn("_cdist", l2_distance("_cv", "_centroid"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("cand_id", "_cv", "_cn", "_cell")
@@ -1173,7 +1173,7 @@ def maxsim_ivf(
     probe_w = Window.partitionBy("qtok").orderBy(F.asc("_cdist"), F.asc("_cell"))
     probed_cells = (
         q.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdist", F.round(l2_distance(F.col("_qv"), F.col("_centroid")), 6))
+        .withColumn("_cdist", F.round(l2_distance("_qv", "_centroid"), 6))
         .withColumn("_pr", F.row_number().over(probe_w))
         .filter(F.col("_pr") <= n_probe)
         .select("_cell")

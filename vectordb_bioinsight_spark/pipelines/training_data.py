@@ -103,7 +103,7 @@ def prepare_training_data(
     from vectordb_bioinsight_spark.functions.hashing import portable_hash64
 
     reps = (
-        gated.withColumn("_ch", portable_hash64(F.col(text_col)))
+        gated.withColumn("_ch", portable_hash64(text_col))
         .withColumn("_rep", F.min(id_col).over(Window.partitionBy("_ch")))
         .filter(F.col(id_col) == F.col("_rep"))
         .drop("_ch", "_rep")

@@ -69,7 +69,7 @@ def warc_to_documents(
     # before anything else touches the text (doc_id IS the canonical-URL
     # hash, so this is the RefinedWeb stage-1 dedup as a keyed window;
     # the text-hash order makes the survivor partition-independent)
-    w = Window.partitionBy("doc_id").orderBy(portable_hash64(F.col("text")).asc())
+    w = Window.partitionBy("doc_id").orderBy(portable_hash64("text").asc())
     deduped = (
         ok.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -22,7 +22,7 @@ def q_token_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted CSV string so the result stays scalar-typed for hashing."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("token")
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
     )
     return (
         pairs.groupBy("token")

@@ -759,7 +759,7 @@ def q_bloom_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     surv = dedup_against_corpus(batch, corpus, "doc_id", "text", num_bits=1 << 22)
     return surv.select(
-        "doc_id", portable_hash64(F.col("text")).alias("content_hash")
+        "doc_id", portable_hash64("text").alias("content_hash")
     )
 
 
@@ -1206,7 +1206,7 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectordb_bioinsight_spark.functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
     sketch = cms_build(toks, "term", width=_CMS_W, depth=_CMS_D)
     watch = spark.createDataFrame([(t,) for t in _CMS_WATCH], ["term"])
     est = cms_estimate(sketch, watch, "term", width=_CMS_W, depth=_CMS_D)
@@ -1325,7 +1325,7 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
-        F.sum(token_count(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(token_count("text")).cast("long").alias("ws_tokens"),
         F.sum(bpe_token_count(F.col("text"))).cast("long").alias("bpe_tokens"),
     )
     total = agg.agg(F.sum("bpe_tokens").alias("_total_bpe"))

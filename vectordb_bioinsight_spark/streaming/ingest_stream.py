@@ -62,7 +62,7 @@ def quality_gate(
     from vectordb_bioinsight_spark.functions.text import punct_ratio, token_count
 
     return docs.filter(F.col(text_col).isNotNull()).filter(
-        (token_count(F.col(text_col)) >= min_tokens)
+        (token_count(text_col) >= min_tokens)
         & (punct_ratio(F.col(text_col)) <= max_punct_ratio)
     )
 
@@ -73,7 +73,7 @@ def _dedup_within_batch(batch: DataFrame, id_col: str, text_col: str) -> DataFra
 
     w = Window.partitionBy("_ch").orderBy(F.col(id_col).asc())
     return (
-        batch.withColumn("_ch", portable_hash64(F.col(text_col)))
+        batch.withColumn("_ch", portable_hash64(text_col))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_ch", "_rn")

@@ -39,7 +39,7 @@ def cms_term_stream(
     """
     if width * depth > MAX_SKETCH_CELLS:
         raise ValueError(f"sketch too large: {width * depth} > {MAX_SKETCH_CELLS}")
-    toks = stream_df.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    toks = stream_df.select(F.explode(tokenize(text_col)).alias("term"))
     cells = toks.select(
         F.posexplode(_buckets(F.col("term"), width, depth)).alias("j", "bucket")
     )
