@@ -192,11 +192,22 @@ def trend_seed_rows() -> "list[tuple]":
     return rows
 
 
+#: per-session cache of the seed-dim DataFrame: the dim is a CONSTANT from
+#: code (never derived from input data), and createDataFrame of its 16
+#: array-typed rows costs ~0.2-0.3 s of py4j conversion per call (r10).
+_DIM_CACHE: dict[int, DataFrame] = {}
+
+
 def trend_dimension(spark: SparkSession) -> DataFrame:
     """The broadcast-sized trend dimension (~16 rows)."""
-    return spark.createDataFrame(
-        trend_seed_rows(),
-        "trend_rank int, trend_id string, trend_name string, category string, "
-        "keywords array<string>, top3 array<string>, "
-        "genes array<string>, mesh array<string>",
-    )
+    key = id(spark.sparkContext)
+    cached = _DIM_CACHE.get(key)
+    if cached is None:
+        cached = spark.createDataFrame(
+            trend_seed_rows(),
+            "trend_rank int, trend_id string, trend_name string, category string, "
+            "keywords array<string>, top3 array<string>, "
+            "genes array<string>, mesh array<string>",
+        )
+        _DIM_CACHE[key] = cached
+    return cached

@@ -924,22 +924,18 @@ def pagerank(
             [(v, round(float(s[i]), 6)) for i, v in enumerate(nodes_list)], schema
         )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
-    ed = sym.join(deg, "src").localCheckpoint(eager=False)
+    ed = sym.join(deg, "src").localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("entity")).distinct()
     n = nodes.count()
     base = (1.0 - damping) / n
     scores = nodes.withColumn("score", F.lit(1.0 / n))
-    # lazy per-round checkpoints: each round's Catalyst plan is still cut at
-    # the previous round's LogicalRDD, but materialization happens inside the
-    # ONE final action instead of max_iter blocking driver-side jobs —
-    # removes per-round job-submission barriers from the driver (guide §5)
     for _ in range(max_iter):
         scores = (
             ed.join(scores.withColumnRenamed("entity", "src"), "src")
             .groupBy(F.col("dst").alias("entity"))
             .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("score") / F.col("_deg"))).alias("score"))
         )
-        scores = scores.localCheckpoint(eager=False)
+        scores = scores.localCheckpoint(eager=True)
     return scores.select("entity", F.round("score", 6).alias("pagerank"))
 
 
@@ -1273,18 +1269,16 @@ def personalized_pagerank(
             [(v, round(float(s[i]), 6)) for i, v in enumerate(nodes_list)], schema
         )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
-    ed = sym.join(deg, "src").localCheckpoint(eager=False)
+    ed = sym.join(deg, "src").localCheckpoint(eager=True)
     # checkpointed once: every round's keep-all-nodes LEFT join re-reads this
     # instead of re-running the distinct-over-sym shuffle per iteration
     nodes = sym.select(F.col("src").alias("entity")).distinct().localCheckpoint(
-        eager=False
+        eager=True
     )
     restart_col = F.when(
         F.col("entity").isin(list(source_nodes)), F.lit(r_w)
     ).otherwise(F.lit(0.0))
-    scores = nodes.withColumn("score", restart_col)
-    # lazy per-round checkpoints: plan still cut per round at the LogicalRDD,
-    # but the max_iter blocking jobs collapse into the final action (guide §5)
+    scores = nodes.withColumn("score", restart_col).localCheckpoint(eager=True)
     for _ in range(max_iter):
         mass = (
             ed.join(scores.withColumnRenamed("entity", "src"), "src")
@@ -1300,6 +1294,6 @@ def personalized_pagerank(
                     + damping * F.coalesce(F.col("_m"), F.lit(0.0))
                 ).alias("score"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return scores.select("entity", F.round("score", 6).alias("ppr"))

@@ -292,6 +292,8 @@ def doublet_scores(
     # the union below is consumed TWICE (kNN candidates + the is_sim flag
     # join); pin the small simulated frame so its per-bucket windows run
     # once, not per consumer
+    # eager, and measured to stay eager (r10): lazy materialization raced
+    # the two consumers inside one action and measured ~0.3 s SLOWER
     sims = simulate_doublets(
         cells, id_col, vec_col, sim_passes=sim_passes, seed=seed
     ).localCheckpoint(eager=True)

@@ -122,7 +122,8 @@ def bh_adjust_scaled(
 
     1. ``repartitionByRange(p)`` + ``sortWithinPartitions`` — partitions are
        globally ordered, rows sorted inside each; eager localCheckpoint pins
-       partition identity (partition ids are stage-relative otherwise).
+       partition identity (partition ids are stage-relative otherwise;
+       lazy was A/B-measured slower under AQE — r10).
     2. Per-partition row counts (one tiny collect) → rank offsets; a
        mapInPandas pass assigns exact global ranks and raw = p·n/rank.
     3. Per-partition min(raw) (second tiny collect) → driver-side suffix-min

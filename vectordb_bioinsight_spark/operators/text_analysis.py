@@ -655,6 +655,11 @@ def ngram_decontaminate(
     )
 
 
+#: per-process cache of the hashed-linear weight Literal Columns — pure
+#: constants keyed by (n_buckets, seed); see hashed_linear_quality.
+_WEIGHT_LITERALS: dict = {}
+
+
 def hashed_linear_quality(
     df: DataFrame,
     id_col: str,
@@ -686,19 +691,32 @@ def hashed_linear_quality(
     import hashlib
 
     # the weight vector is a pure function of the bucket id, so it is
-    # precomputed driver-side (n_buckets hashes, once per plan) and inlined
-    # as ONE parsed array literal — the scan then pays one md5 per token
-    # (bucket id) + an array lookup, not two md5s (measured ~2x at 1M
-    # docs). This is also the exact shape a TRAINED model takes: swap the
-    # literal for its weight array. Values match the salted-hash formula
-    # bit-for-bit (dyadic rationals), so the SQL twin is unchanged.
+    # precomputed driver-side (n_buckets hashes, once per PROCESS) and
+    # inlined as ONE pre-folded Literal — the scan then pays one md5 per
+    # token (bucket id) + an array lookup, not two md5s (measured ~2x at
+    # 1M docs). This is also the exact shape a TRAINED model takes: swap
+    # the literal for its weight array. Values match the salted-hash
+    # formula bit-for-bit (dyadic rationals), so the SQL twin is
+    # unchanged. The r09 form parsed a 4096-element array(...) SQL string
+    # per call: parsing is ~4 ms, but ANALYSIS walks the 4096-child
+    # CreateArray on every downstream Dataset op (~280 ms per select,
+    # ~0.5 s of the query's build); a single-node Literal (F.lit of the
+    # numpy array — identical values, r10 twin-checked) analyzes in ~0 ms
+    # and is cached per (n_buckets, seed) because its own creation costs
+    # ~0.5 s of py4j element conversion. A cached CONSTANT expression,
+    # never data: the exact MINHASH_PERMS precedent.
     def _bucket_weight(b: int) -> float:
         h = int(hashlib.md5(f"{seed}|{b}".encode()).hexdigest()[:15], 16)
         return ((h % 2001) - 1000) / 1024.0
 
-    warr = F.expr(
-        "array(" + ",".join(f"{_bucket_weight(b)!r}D" for b in range(n_buckets)) + ")"
-    )
+    warr = _WEIGHT_LITERALS.get((n_buckets, seed))
+    if warr is None:
+        import numpy as np
+
+        warr = F.lit(
+            np.array([_bucket_weight(b) for b in range(n_buckets)], dtype=np.float64)
+        )
+        _WEIGHT_LITERALS[(n_buckets, seed)] = warr
 
     def _w(tok: F.Column) -> F.Column:
         return F.element_at(warr, (portable_hash64(tok) % n_buckets + 1).cast("int"))

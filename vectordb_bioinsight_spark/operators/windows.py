@@ -154,7 +154,8 @@ def scaled_row_number_with_total(
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys —
        a PARALLEL shuffle that leaves partitions globally ordered and rows
-       sorted within each (eager localCheckpoint pins partition identity);
+       sorted within each (eager localCheckpoint pins partition identity;
+       lazy was A/B-measured slower under AQE — r10);
     2. per-partition counts (one collect of ``num_partitions`` scalars) →
        rank offsets broadcast back;
     3. one mapInPandas pass adds ``offset + local_position``.

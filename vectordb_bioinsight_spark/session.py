@@ -23,9 +23,30 @@ def get_session(app_name: str = "vectordb_bioinsight_spark", cpus: int | None = 
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Filter-inference rules are excluded by default (overridable via
+    # SPARK_GRAFT_EXCLUDED_RULES, "" re-enables them): both rules only ADD
+    # redundant predicates (rows a join/Generate would drop anyway), so
+    # results are identical — but predicate pushdown SUBSTITUTES the
+    # derived column's full expression into a non-codegen Filter below the
+    # defining Project, so every expensive derived key (the semdedup /
+    # IVF-replay centroid argmins, the BPE encode chain, shingle arrays
+    # feeding explode) was evaluated 3x per row, twice interpreted —
+    # 27-43 KB filter conditions in the r10 'before' plans, +4.1 s on the
+    # 73-query suite (guide §4.4's duplication class, expression form).
+    # The cost is per-row CPU at ANY cluster size; what the exclusion
+    # forgoes is null-key/empty-array pruning pushed to scans, which this
+    # engine's plans don't rely on (derived join keys are non-null by
+    # construction). Re-enable per deployment when data has null-heavy
+    # join keys on direct scan columns.
+    excluded_rules = os.environ.get(
+        "SPARK_GRAFT_EXCLUDED_RULES",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate,"
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints",
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.sql.optimizer.excludedRules", excluded_rules)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
