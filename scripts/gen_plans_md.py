@@ -34,10 +34,12 @@ AUDITS: dict[str, str] = {
     "semdedup": (
         "Fixed-centroid assignment is a scan-local argmax (centroids are "
         "inlined literals — zero shuffle to assign); the only shuffle "
-        "co-locates each cluster for the within-cluster pair join. The "
-        "fixed-k shape is the hash-replayable ORACLE variant; the catalog "
-        "default and scale path is the learned-codebook GEMM route "
-        "(semdedup_auto), measured linear in SCALING.md."
+        "co-locates each cluster, where the quadratic loser step runs as "
+        "per-cluster chunked BLAS (FlatMapGroupsInPandas) with the fold "
+        "path's exact round-6 decision rule — the r10 replacement for the "
+        "interpreted zip_with pair fold (~45 µs/pair), same kernel the "
+        "learned-codebook scale route (semdedup_auto) always used, "
+        "measured linear in SCALING.md."
     ),
     "repeated_spans": (
         "ExactSubstr as relational algebra: shingle+hash projection "

@@ -240,17 +240,19 @@ def meaningful_keywords(counts: DataFrame, min_count: int = 3) -> DataFrame:
     min-count gate, digit/short/stopword/bigram-stopword skips, the
     stopword-boundary rule with its priority-term exception, and the 2x
     priority boost. Output: (keyword, n, score)."""
-    stop = _arr(BIO_STOPWORDS)
     prio = _arr(PRIORITY_TERMS)
-    bstop = _arr(BIGRAM_STOPWORDS)
     kw = F.col("keyword")
     words = F.split(kw, " ", -1)
     has_prio = F.exists(prio, lambda p: F.contains(kw, p))
+    # membership probes are isin (one InSet hash probe), not
+    # array_contains (an O(|stopwords|) array scan per row — and this
+    # filter is pushed below the count aggregate, so it runs once per
+    # exploded keyword OCCURRENCE); same null semantics, same values (r10)
     boundary_bad = (
         (F.size(words) >= 2)
         & (
-            F.array_contains(stop, F.element_at(words, 1))
-            | F.array_contains(stop, F.element_at(words, -1))
+            F.element_at(words, 1).isin(*BIO_STOPWORDS)
+            | F.element_at(words, -1).isin(*BIO_STOPWORDS)
         )
         & ~has_prio
     )
@@ -258,8 +260,8 @@ def meaningful_keywords(counts: DataFrame, min_count: int = 3) -> DataFrame:
         (F.col("n") >= min_count)
         & ~kw.rlike(r"^\d+$")
         & (F.length(kw) >= 4)
-        & ~F.array_contains(stop, kw)
-        & ~F.array_contains(bstop, kw)
+        & ~kw.isin(*BIO_STOPWORDS)
+        & ~kw.isin(*BIGRAM_STOPWORDS)
         & ~boundary_bad
     )
     return counts.filter(keep).select(
@@ -278,14 +280,13 @@ def keyword_growth(
     > +50, and the band label (> +30 emerging / < -30 declining / else
     stable). Output: (keyword, recent_count, previous_count,
     growth_rate, is_emerging, band)."""
-    stop = _arr(BIO_STOPWORDS)
     r = recent.select("keyword", F.col("n").alias("recent_count"))
     p = previous.select("keyword", F.col("n").alias("previous_count"))
     j = (
         r.join(p, "keyword", "full_outer")
         .withColumn("recent_count", F.coalesce("recent_count", F.lit(0)))
         .withColumn("previous_count", F.coalesce("previous_count", F.lit(0)))
-        .filter(~F.array_contains(stop, F.col("keyword")) & (F.length("keyword") >= 4))
+        .filter(~F.col("keyword").isin(*BIO_STOPWORDS) & (F.length("keyword") >= 4))
         .filter(
             (F.col("recent_count") >= min_either)
             | (F.col("previous_count") >= min_either)

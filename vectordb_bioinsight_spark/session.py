@@ -56,6 +56,15 @@ def get_session(app_name: str = "vectordb_bioinsight_spark", cpus: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        # one BLAS thread per python worker: Spark already runs one task
+        # per core, so a numpy/OpenBLAS pool sized to the machine inside
+        # EVERY reused worker oversubscribes cores^2 threads (the r10
+        # suite showed late-session Arrow-UDF queries degrading after the
+        # BLAS kernels had run); per-task single-threaded math is the
+        # standard executor discipline at any cluster size
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     spark = builder.getOrCreate()
