@@ -197,3 +197,27 @@ def test_semdedup_auto_matches_fixed_semantics(spark):
         ).collect()
     }
     assert default_ids == ids
+
+
+def test_gemm_round_half_up_boundary(spark):
+    """ADVICE r10: the GEMM kernel must round like Spark/DuckDB (decimal
+    HALF_UP), not np.round's half-even — a cosine landing exactly on a 6-dp
+    dyadic half must round AWAY from zero. cos(u, v) = 13/128 = 0.1015625
+    exactly (both vectors dyadic unit: norms == 1.0 in float64), so HALF_UP
+    gives 0.101563 >= 0.1015625 (lose) where half-even gave 0.101562 (keep)."""
+    from vectordb_bioinsight_spark.operators.semdedup import semdedup_losers_gemm
+
+    u = [1.0, 0.0, 0.0, 0.0, 0.0]
+    v = [x / 128.0 for x in (13.0, 127.0, 9.0, 2.0, 1.0)]  # 13²+127²+9²+2²+1²=128²
+    df = spark.createDataFrame(
+        [(1, u, 0), (2, v, 0)], "vec_id long, embedding array<double>, cluster_id int"
+    )
+    losers = semdedup_losers_gemm(
+        df, "vec_id", "embedding", "cluster_id", min_cosine=0.1015625
+    ).collect()
+    assert [r["vec_id"] for r in losers] == [2]
+    # and well away from the boundary the decision is unchanged
+    none = semdedup_losers_gemm(
+        df, "vec_id", "embedding", "cluster_id", min_cosine=0.5
+    ).collect()
+    assert none == []

@@ -123,3 +123,38 @@ def test_mulmod_affine_sql_twin(spark):
             F.expr(mulmod_affine_p61_sql("`h`", a, b)),
             mulmod_affine_p61(F.col("h"), a, b),
         )
+
+
+def test_quote_name_escapes_backticks_and_rejects_dots(spark):
+    """ADVICE r10: a backtick in a column name must not break the fast-path
+    parse (escaped by doubling), and dotted names must fall back to the
+    Column branch (F.col('a.b') resolves struct field b, not a literal
+    name) — both branches stay value-identical."""
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64, quote_name
+    from vectordb_bioinsight_spark.functions.text import token_count, tokenize
+
+    assert quote_name("a.b") is None
+    assert quote_name("we`ird") == "`we``ird`"
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None)], "id long, `we``ird` string"
+    )
+    got = df.select(
+        tokenize("we`ird").alias("toks"),
+        token_count("we`ird").alias("n"),
+        portable_hash64("we`ird").alias("h"),
+        tokenize(F.col("`we``ird`")).alias("toks_col"),
+        token_count(F.col("`we``ird`")).alias("n_col"),
+        portable_hash64(F.col("`we``ird`")).alias("h_col"),
+    ).collect()
+    for r in got:
+        assert r["toks"] == r["toks_col"]
+        assert r["n"] == r["n_col"]
+        assert r["h"] == r["h_col"]
+
+    # dotted access keeps struct-field semantics through the helpers
+    s = spark.createDataFrame([(1, ("alpha beta gamma",))], "id long, a struct<b string>")
+    row = s.select(
+        tokenize("a.b").alias("toks"), tokenize(F.col("a.b")).alias("toks_col")
+    ).collect()[0]
+    assert row["toks"] == row["toks_col"] == ["alpha", "beta", "gamma"]

@@ -27,6 +27,23 @@ PORTABLE_HASH64_DUCKDB = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 PORTABLE_HASH64_SPARK_SQL = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def quote_name(name: str) -> str | None:
+    """Backtick-quote a plain column name for the single-parse SQL fast
+    paths; ``None`` when the name must take the Column-API branch instead.
+
+    Embedded backticks are escaped by doubling (the Spark identifier rule —
+    an unescaped backtick would break the parse, effectively injecting SQL
+    into the plan). Dotted names return ``None``: ``F.col("a.b")`` resolves
+    nested field ``b`` of struct ``a``, while a quoted `a.b` resolves only a
+    column literally named "a.b" — the Column branch keeps the established
+    multipart semantics (ADVICE r10).
+    """
+    if "." in name:
+        return None
+    escaped = name.replace("`", "``")
+    return f"`{escaped}`"
+
+
 def portable_hash64(col: Column | str) -> Column:
     """60-bit integer hash of a string column, reproducible in DuckDB/Python.
 
@@ -37,9 +54,10 @@ def portable_hash64(col: Column | str) -> Column:
     tree at ~1/10 the py4j plan-build cost (the helper is on ~25
     query-build paths; pinned value-equal in
     tests/test_sql_fastpath_twins.py)."""
-    if isinstance(col, str):
-        return F.expr(PORTABLE_HASH64_SPARK_SQL.format(expr=f"`{col}`"))
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    if isinstance(col, str) and (q := quote_name(col)) is not None:
+        return F.expr(PORTABLE_HASH64_SPARK_SQL.format(expr=q))
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def salted_hash64(col: Column | str, salt: int) -> Column:

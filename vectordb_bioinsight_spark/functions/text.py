@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from vectordb_bioinsight_spark.functions.hashing import quote_name
+
 #: Minimal deterministic English stopword list (engine-owned; the reference
 #: carries its own ad-hoc list at backend/app/utils/trend_analyzer.py:216-230).
 STOPWORDS = (
@@ -52,10 +54,10 @@ def tokenize(col: Column | str, min_len: int = 3) -> Column:
     (r10 microbench; the helper is on ~30 query-build paths). Composed
     Column inputs keep the Column-API branch — value-identical either way
     (pinned in tests/test_sql_fastpath_twins.py)."""
-    if isinstance(col, str):
-        return F.expr(tokenize_spark_sql(f"`{col}`", min_len))
+    if isinstance(col, str) and (q := quote_name(col)) is not None:
+        return F.expr(tokenize_spark_sql(q, min_len))
     return F.filter(
-        F.split(F.lower(col), "[^a-z0-9]+"),
+        F.split(F.lower(_c(col)), "[^a-z0-9]+"),
         lambda t: F.length(t) >= min_len,
     )
 
@@ -71,13 +73,13 @@ def tokenize_duckdb(expr: str, min_len: int = 3) -> str:
 def token_count(col: Column | str) -> Column:
     """Whitespace-token count — the cheap 'token counting' primitive.
     Column-name inputs take the single-parse fast path (see tokenize)."""
-    if isinstance(col, str):
+    if isinstance(col, str) and (q := quote_name(col)) is not None:
         # '\\\\s+' in the SQL text: the SQL string-literal parser unescapes
         # one level, leaving the \s+ regex the Column branch passes directly
         return F.expr(
-            f"size(filter(split(`{col}`, '\\\\s+'), t -> length(t) > 0))"
+            f"size(filter(split({q}, '\\\\s+'), t -> length(t) > 0))"
         )
-    return F.size(F.filter(F.split(col, "\\s+"), lambda t: F.length(t) > 0))
+    return F.size(F.filter(F.split(_c(col), "\\s+"), lambda t: F.length(t) > 0))
 
 
 #: the exact character set of the regex class [a-z0-9A-Z ] — punct_ratio
@@ -107,8 +109,7 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     the single-parse fast path (see tokenize); integer index arithmetic is
     exact, so the simplified offsets are value-identical to the Column
     branch (pinned in tests/test_sql_fastpath_twins.py)."""
-    if isinstance(toks, str):
-        t = f"`{toks}`"
+    if isinstance(toks, str) and (t := quote_name(toks)) is not None:
         parts = ", ".join(f"element_at({t}, i + {j + 1})" for j in range(n))
         return F.expr(
             f"CASE WHEN (size({t}) - {n - 1}) <= 0 THEN array() "

@@ -25,6 +25,8 @@ Shape notes:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: six high-level categories (oncology_trends.py:21-29 analog)
@@ -195,19 +197,23 @@ def trend_seed_rows() -> "list[tuple]":
 #: per-session cache of the seed-dim DataFrame: the dim is a CONSTANT from
 #: code (never derived from input data), and createDataFrame of its 16
 #: array-typed rows costs ~0.2-0.3 s of py4j conversion per call (r10).
-_DIM_CACHE: dict[int, DataFrame] = {}
+#: Keyed WEAKLY on the live SparkSession object (ADVICE r10: id(sc) values
+#: can be reused after GC, handing a later session a DataFrame bound to a
+#: stopped context, and dead-session entries were never evicted — a weak
+#: key dies with its session); the stopped-context guard covers a session
+#: whose context was stopped while the wrapper object stays alive.
+_DIM_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def trend_dimension(spark: SparkSession) -> DataFrame:
     """The broadcast-sized trend dimension (~16 rows)."""
-    key = id(spark.sparkContext)
-    cached = _DIM_CACHE.get(key)
-    if cached is None:
+    cached = _DIM_CACHE.get(spark)
+    if cached is None or getattr(spark.sparkContext, "_jsc", None) is None:
         cached = spark.createDataFrame(
             trend_seed_rows(),
             "trend_rank int, trend_id string, trend_name string, category string, "
             "keywords array<string>, top3 array<string>, "
             "genes array<string>, mesh array<string>",
         )
-        _DIM_CACHE[key] = cached
+        _DIM_CACHE[spark] = cached
     return cached

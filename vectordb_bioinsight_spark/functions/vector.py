@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from vectordb_bioinsight_spark.functions.hashing import quote_name
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -56,8 +58,11 @@ def l2_distance_spark_sql(a: str, b: str) -> str:
 
 def dot_product(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ — sequential fold, deterministic (matches numpy/DuckDB order)."""
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(dot_product_spark_sql(f"`{a}`", f"`{b}`"))
+    if (
+        isinstance(a, str) and isinstance(b, str)
+        and (aq := quote_name(a)) is not None and (bq := quote_name(b)) is not None
+    ):
+        return F.expr(dot_product_spark_sql(aq, bq))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -66,8 +71,8 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_norm(a: Column | str) -> Column:
-    if isinstance(a, str):
-        return F.expr(l2_norm_spark_sql(f"`{a}`"))
+    if isinstance(a, str) and (aq := quote_name(a)) is not None:
+        return F.expr(l2_norm_spark_sql(aq))
     return F.sqrt(
         F.aggregate(
             F.transform(_c(a), lambda x: x.cast("double") * x.cast("double")),
@@ -78,8 +83,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
-    if isinstance(a, str) and isinstance(b, str):
-        return F.expr(l2_distance_spark_sql(f"`{a}`", f"`{b}`"))
+    if (
+        isinstance(a, str) and isinstance(b, str)
+        and (aq := quote_name(a)) is not None and (bq := quote_name(b)) is not None
+    ):
+        return F.expr(l2_distance_spark_sql(aq, bq))
     return F.sqrt(
         F.aggregate(
             F.zip_with(_c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
@@ -93,8 +101,10 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a|·|b|) — the reference's similarity metric
     (vector_store.py:603-606). Zero-norm vectors yield NULL (nullif guard),
     not an ANSI divide-by-zero error — dirty corpora always contain some."""
-    if isinstance(a, str) and isinstance(b, str):
-        aq, bq = f"`{a}`", f"`{b}`"
+    if (
+        isinstance(a, str) and isinstance(b, str)
+        and (aq := quote_name(a)) is not None and (bq := quote_name(b)) is not None
+    ):
         return F.expr(
             f"{dot_product_spark_sql(aq, bq)}"
             f" / nullif({l2_norm_spark_sql(aq)} * {l2_norm_spark_sql(bq)}, 0.0D)"

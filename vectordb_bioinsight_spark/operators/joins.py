@@ -273,12 +273,16 @@ def item_cf_topk(
     """
     from pyspark.sql import Window
 
-    # NOTE (r10 measured, kept as-is): both union directions and both
-    # broadcast sides re-expand their subtree in the ANALYZED plan (6
-    # lineitem scans at sf0.1), but AQE's runtime exchange reuse collapses
-    # the duplicates — lazy-checkpointing edges/counts to "fix" it was
-    # measured SLOWER (2.9 s vs 1.9 s: two serialized materialization
-    # barriers replace reused in-flight stages)
+    # r11 (VERDICT r10 item 4): symmetrize by EXPLODING each canonical edge
+    # into both directions instead of unioning two copies of the edges
+    # subtree — the union re-expanded the whole cooccurrence self-join in
+    # the analyzed plan (6 lineitem scans; 4 after this change: one edges
+    # subtree + the two count broadcasts). Similarity is computed ONCE per
+    # undirected edge before the explode (it is symmetric:
+    # weight / sqrt(n1*n2) — float-identical for both directions since the
+    # product commutes), halving the join+round work too. A lazy-checkpoint
+    # variant stays rejected (r10 measured 2.9 s vs 1.9 s: serialized
+    # materialization barriers replace AQE's reused in-flight stages).
     edges = cooccurrence_edges(df, item_col, basket_col, min_weight=min_cooc)
     counts = (
         df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("item"))
@@ -286,28 +290,35 @@ def item_cf_topk(
         .groupBy("item")
         .agg(F.count("*").cast("long").alias("n_item"))
     )
-    sym = edges.select(
-        F.col("item1").alias("item"), F.col("item2").alias("neighbor"), "weight"
-    ).unionByName(
-        edges.select(
-            F.col("item2").alias("item"), F.col("item1").alias("neighbor"), "weight"
+    scored = (
+        edges.join(
+            F.broadcast(counts.select(F.col("item").alias("item1"),
+                                      F.col("n_item").alias("_n1"))),
+            "item1",
         )
-    )
-    joined = (
-        sym.join(F.broadcast(counts), "item")
         .join(
-            F.broadcast(counts.select(F.col("item").alias("neighbor"),
-                                      F.col("n_item").alias("n_nb"))),
-            "neighbor",
+            F.broadcast(counts.select(F.col("item").alias("item2"),
+                                      F.col("n_item").alias("_n2"))),
+            "item2",
         )
         .withColumn(
             "similarity",
-            F.round(F.col("weight") / F.sqrt(F.col("n_item") * F.col("n_nb")), 6),
+            F.round(F.col("weight") / F.sqrt(F.col("_n1") * F.col("_n2")), 6),
         )
     )
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("item1").alias("item"), F.col("item2").alias("neighbor")),
+                F.struct(F.col("item2").alias("item"), F.col("item1").alias("neighbor")),
+            )
+        ).alias("_e"),
+        "weight",
+        "similarity",
+    ).select("_e.item", "_e.neighbor", "weight", "similarity")
     w = Window.partitionBy("item").orderBy(F.desc("similarity"), F.asc("neighbor"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("item", "neighbor", F.col("weight").alias("cooc"), "similarity", "rank")
     )

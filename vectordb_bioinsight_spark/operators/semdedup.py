@@ -257,11 +257,17 @@ def semdedup_losers_gemm(
 
     A row LOSES iff any smaller-id row in its cluster has
     round(cosine, 6) >= ``min_cosine`` — the 6-dp pre-round is the fold
-    path's and the DuckDB twin's exact decision rule, so the only residual
-    difference from the fold is BLAS summation order inside the unrounded
-    cosine (last-ulp; equivalence-tested with a tolerance margin, the
-    documented GEMM-twin contract — and since r10, oracle-parity-verified
-    at all three SFs as semdedup_flags' default loser kernel).
+    path's and the DuckDB twin's exact decision rule. The bulk pre-round is
+    vectorized ``np.round`` (half-even on the scaled float), and every
+    element whose decision COULD differ from Spark's decimal HALF_UP
+    ``round()`` — those within two 1e-6 grains of ``min_cosine`` — is
+    re-rounded exactly via ``decimal`` on the shortest float repr, which is
+    bit-for-bit what Spark's ``Round`` (BigDecimal.valueOf + HALF_UP)
+    computes (ADVICE r10: np.round alone can flip a keep/drop on a dyadic
+    6-dp half like 0.1015625). The residual difference from the fold is
+    BLAS summation order inside the unrounded cosine only (last-ulp;
+    oracle-parity-verified at all three SFs as semdedup_flags' default
+    loser kernel).
 
     Output: one column (``id_col``) of losers, id dtype preserved.
     """
@@ -270,6 +276,8 @@ def semdedup_losers_gemm(
     from pyspark.sql import types as T
 
     def find(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from decimal import ROUND_HALF_UP, Decimal
+
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = len(pdf)
         if m < 2:
@@ -279,13 +287,24 @@ def semdedup_losers_gemm(
         norms[norms == 0.0] = np.nan  # zero vectors match nothing (NULL cosine)
         nm = mat / norms
         lose = np.zeros(m, dtype=bool)
+        grain = Decimal("0.000001")
         for s in range(1, m, chunk):
             e = min(s + chunk, m)
             # rows s..e vs ALL earlier rows (j < i enforced by the mask)
             sims = nm[s:e] @ nm[:e].T
+            rounded = np.round(sims, 6)
+            # exact HALF_UP re-round where half-even / float-scaling could
+            # flip the >= decision (NaNs never enter: NaN comparisons are
+            # False, so zero-vector rows keep their no-match semantics)
+            suspect = np.abs(sims - min_cosine) < 2e-6
+            if suspect.any():
+                rounded[suspect] = [
+                    float(Decimal(repr(v)).quantize(grain, rounding=ROUND_HALF_UP))
+                    for v in sims[suspect]
+                ]
             jj = np.arange(e)[None, :]
             ii = np.arange(s, e)[:, None]
-            hit = (np.round(sims, 6) >= min_cosine) & (jj < ii)
+            hit = (rounded >= min_cosine) & (jj < ii)
             lose[s:e] |= np.nan_to_num(hit).any(axis=1)
         return pdf.loc[lose, [id_col]]
 
