@@ -16,9 +16,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.release_gate
 def test_all_catalog_entries_partitioning_stable():
     proc = subprocess.run(
         [

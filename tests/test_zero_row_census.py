@@ -31,9 +31,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.release_gate
 def test_no_catalog_entry_is_empty_at_any_sf():
     proc = subprocess.run(
         [sys.executable, os.path.join(_REPO, "scripts", "audit_zero_rows.py")],
