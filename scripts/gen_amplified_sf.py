@@ -13,8 +13,14 @@ gets a per-replica suffix token and embeddings a per-replica first-component
 nudge so the dedup/similarity tiers don't see 10 exact copies of everything
 (which would measure a degenerate workload, not scale).
 
-Output is written with DuckDB's default row-group size (~122k rows), so
-big tables get tens of row groups -> real multi-task scans.
+Every fact table is written as a DIRECTORY of part files (key-ordered
+contiguous chunks), because Spark's scan parallelism comes from file/byte
+-range boundaries, not parquet row groups inside one small file: the
+first cut wrote one file per table and the doc tier ran its heavy per-row
+expressions on one of 32 cores (probe: idle 96% on a 32-core box) —
+measuring the sf0.1 single-task pathology again, just bigger. Tens of
+modest part files per table is exactly how a 100 TB table presents to a
+scan, minus the zeros.
 
 Usage: python scripts/gen_amplified_sf.py [dest_dir]   (default /root/testdata_amp/sf1a)
 """
@@ -90,6 +96,10 @@ TABLES: dict[str, str] = {
 }
 
 
+#: part files per fact table (dimensions stay single-file)
+N_FILES = 32
+
+
 def main() -> None:
     dest = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_amp/sf1a"
     os.makedirs(dest, exist_ok=True)
@@ -99,10 +109,24 @@ def main() -> None:
         src = os.path.join(SRC, f"{name}.parquet")
         out = os.path.join(dest, f"{name}.parquet")
         q = sql.format(**OFF).replace("FROM src", f"FROM '{src}' src")
-        order = " ORDER BY 1" if name not in ("nation", "region") else ""
-        con.execute(f"COPY ({q}{order}) TO '{out}' (FORMAT PARQUET)")
-        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
-        print(f"{name}: {n} rows -> {out}")
+        if name in ("nation", "region"):
+            con.execute(f"COPY ({q}) TO '{out}' (FORMAT PARQUET)")
+            n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+            print(f"{name}: {n} rows -> {out} (1 file)")
+            continue
+        con.execute(f"CREATE OR REPLACE TABLE amp AS SELECT * FROM ({q}) ORDER BY 1")
+        n = con.execute("SELECT count(*) FROM amp").fetchone()[0]
+        chunk = -(-n // N_FILES)
+        os.makedirs(out, exist_ok=True)
+        for i in range(N_FILES):
+            lo = i * chunk
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_rn) FROM"
+                f" (SELECT *, row_number() OVER () AS _rn FROM amp)"
+                f" WHERE _rn > {lo} AND _rn <= {lo + chunk} ORDER BY _rn)"
+                f" TO '{out}/part-{i:05d}.parquet' (FORMAT PARQUET)"
+            )
+        print(f"{name}: {n} rows -> {out} ({N_FILES} files)")
 
 
 if __name__ == "__main__":
