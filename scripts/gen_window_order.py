@@ -41,23 +41,29 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: this (and re-run scripts/rotate_catalog.py) when rotating for a new
 #: round; leaving it pinned keeps the pytest gate deterministic even after
 #: the driver writes the next CORRECTNESS artifact.
-AS_OF_ROUND = 9
+AS_OF_ROUND = 10
 
 #: Entries whose kernel or planted inputs changed AFTER their latest driver
 #: row, so they re-earn at the head of the next window regardless of
 #: staleness (the rule of record in the verify protocol). name -> reason.
+#: (The r10 pins — summary_parse_docs, cohort_log_rank, ab_conversion —
+#: all re-earned green in CORRECTNESS_r10 and rotate back into staleness
+#: order.)
 PINNED_FIRST: dict[str, str] = {
-    # r10: parse_summary's Arrow path gained the json_ok routing gate
-    # (ADVICE r09 item 2 — JSON-path rows now skip the per-row text fold),
-    # so summary_parse_docs' r09 row predates the kernel and re-earns.
-    "summary_parse_docs": "arrow kernel json_ok routing gate (ADVICE r09)",
-    # r10: the all-NULL-column census (VERDICT r09 task 2) caught both
-    # with degenerate inferential columns at EVERY SF (zero log-rank
-    # deaths / pooled conversion rate 1.0 under SF-invariant per-user
-    # density); re-planted inputs (1/16 event_id thinning; conv =
-    # >= 14 purchases) so their prior rows predate the planted change.
-    "cohort_log_rank": "re-planted lifetimes on the 1/16 event_id subsample (all-NULL census)",
-    "ab_conversion": "re-planted conversion threshold >= 14 purchases (all-NULL census)",
+    # r11: semdedup's GEMM loser kernel now re-rounds decision-boundary
+    # cosines with exact decimal HALF_UP (ADVICE r10 — np.round half-even
+    # could flip keep/drop on a 6-dp dyadic half), so both consumers'
+    # r10 rows predate the kernel and re-earn.
+    "semdedup": "GEMM kernel HALF_UP boundary re-round (ADVICE r10)",
+    "semdedup_auto": "GEMM kernel HALF_UP boundary re-round (ADVICE r10)",
+    # r11: item_cf_topk restructured (score canonical edges once, explode
+    # to both directions — VERDICT r10 item 4).
+    "item_cf_parts": "item_cf_topk union->explode restructure (VERDICT r10 item 4)",
+    # r11: the small-graph driver route gained the 2^22 edge-collect bound
+    # (VERDICT r10 item 2) — routing, not math, but both pagerank
+    # consumers' rows predate the routing kernel and re-earn.
+    "part_ppr": "pagerank driver-route edge bound (VERDICT r10 item 2)",
+    "pagerank_words": "pagerank driver-route edge bound (VERDICT r10 item 2)",
 }
 
 #: The driver verifies roughly this many entries per round.
