@@ -51,6 +51,15 @@ def get_session(app_name: str = "vectordb_bioinsight_spark", cpus: int | None = 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE (r11 measured, rejected): flipping
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
+        # fixes the 32-core wide-agg inversion on the PERSISTING paths
+        # (dsir 1.11->0.56 bench) by letting AQE coalesce cached subtrees,
+        # but regresses the suite 49.2->60.0 s: every other query with a
+        # persisted/checkpointed intermediate gets its cache stored in a
+        # few coalesced partitions and its compute-heavy consumers
+        # serialized (part_ppr +0.64 s, knn_vote_ensemble +0.51 s,
+        # gsea_brand_es +0.46 s). Left at Spark's default.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
