@@ -1284,28 +1284,28 @@ def personalized_pagerank(
         )
     deg = sym.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
     ed = sym.join(deg, "src").localCheckpoint(eager=True)
-    # checkpointed once: every round's keep-all-nodes LEFT join re-reads this
-    # instead of re-running the distinct-over-sym shuffle per iteration
-    nodes = sym.select(F.col("src").alias("entity")).distinct().localCheckpoint(
-        eager=True
-    )
+    nodes = sym.select(F.col("src").alias("entity")).distinct()
     restart_col = F.when(
         F.col("entity").isin(list(source_nodes)), F.lit(r_w)
     ).otherwise(F.lit(0.0))
     scores = nodes.withColumn("score", restart_col).localCheckpoint(eager=True)
+    # r11: the per-round keep-all-nodes LEFT join was redundant — after
+    # _symmetrize every node appears as BOTH src and dst (isolated nodes
+    # carry no rows at all), so the mass aggregation's dst key set IS the
+    # node set and the restart term folds into a projection on the agg
+    # output (the exact shape pagerank's loop already uses). One join and
+    # one eager nodes-checkpoint fewer per query; contributions, grouping,
+    # and the score expression are unchanged. Verified value-identical vs
+    # the join form at sf0.1 and the 10x corpus, oracle parity at all SFs.
     for _ in range(max_iter):
-        mass = (
+        scores = (
             ed.join(scores.withColumnRenamed("entity", "src"), "src")
             .groupBy(F.col("dst").alias("entity"))
             .agg(F.sum(F.col("score") / F.col("_deg")).alias("_m"))
-        )
-        scores = (
-            nodes.join(mass, "entity", "left")
             .select(
                 "entity",
                 (
-                    (1.0 - damping) * restart_col
-                    + damping * F.coalesce(F.col("_m"), F.lit(0.0))
+                    (1.0 - damping) * restart_col + damping * F.col("_m")
                 ).alias("score"),
             )
             .localCheckpoint(eager=True)
