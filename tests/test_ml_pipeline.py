@@ -142,3 +142,70 @@ def test_centroid_permutation_importance_detects_signal_feature(spark):
     assert out[1]["importance"] > 0.3
     assert abs(out[3]["importance"]) < 0.05
     assert out[1]["importance"] > out[3]["importance"]
+
+
+def test_centroid_importance_one_pass_matches_per_pass_reference(spark):
+    """r11 one-pass restructure pin: the feature-tagged single scoring
+    chain must reproduce the per-pass reference EXACTLY — same per-feature
+    accuracies — on data with ties and an untested middle dim (the
+    x_perm-is-NULL band the feature==dim predicate must never select)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+    from vectordb_bioinsight_spark.operators.ml_pipeline import (
+        centroid_permutation_importance,
+    )
+
+    rows = []
+    for i in range(120):
+        label = i % 3
+        # dim0 signal, dim1 untested, dim2 tied-heavy, dim3 anti-signal
+        rows.append(
+            (i, [float(label), (i % 5) / 2.0, float(i % 2), -float(label)], label)
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    dims, n_buckets = [0, 2, 3], 8
+
+    # per-pass reference, computed inline exactly like the pre-r11 operator
+    ex = df.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("y"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    ).select("id", "y", (F.col("dim0") + 1).alias("dim"), "x")
+    centroids = ex.groupBy(F.col("y").alias("label_c"), "dim").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+
+    def accuracy(frame):
+        d2 = (
+            frame.join(F.broadcast(centroids), "dim")
+            .groupBy("id", "y", "label_c")
+            .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("dist"))
+        )
+        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("label_c"))
+        pred = d2.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        return pred.agg(
+            F.round(F.avg((F.col("label_c") == F.col("y")).cast("double")), 6)
+        ).collect()[0][0]
+
+    h = portable_hash64(F.col("id").cast("string"))
+    expected = {}
+    base = accuracy(ex)
+    for d in dims:
+        wp = Window.partitionBy(F.pmod(h, F.lit(n_buckets))).orderBy(h, F.col("id"))
+        sub = ex.filter(F.col("dim") == d + 1).withColumn(
+            "x", F.coalesce(F.lead("x", 1).over(wp), F.first("x").over(wp))
+        )
+        expected[d + 1] = accuracy(ex.filter(F.col("dim") != d + 1).unionByName(sub))
+
+    got = {
+        r["feature"]: r
+        for r in centroid_permutation_importance(
+            df, "vec_id", "embedding", "label", dims=dims, n_buckets=n_buckets
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for f, acc in expected.items():
+        assert got[f]["base_accuracy"] == base
+        assert got[f]["permuted_accuracy"] == acc
+        assert got[f]["importance"] == round(base - acc, 6)

@@ -400,11 +400,20 @@ def centroid_permutation_importance(
     the evaluation column permutes, the standard permutation-importance
     contract.
 
-    Scale shape: explode once; centroids are a (labels × dims) broadcast
-    dimension; every scoring pass shuffles keyed by (id) or (label, dim);
-    the permutation windows are BUCKET-partitioned (no global window).
-    len(dims) is a query parameter — each dim adds one bounded scoring
-    pass over the exploded frame.
+    Scale shape (r11 one-pass form): explode once; centroids are a
+    (labels × dims) broadcast dimension; the permutation windows are
+    BUCKET-partitioned (no data-sized global window). Base and every
+    permuted feature score through ONE join/agg/window chain over a
+    feature-tagged (len(dims)+1)-way frame instead of len(dims)+1
+    re-expanded scoring passes — same total rows aggregated (the old form
+    pushed the full exploded frame through the chain once per pass), but
+    one corpus scan instead of 2·len(dims)+1 (9 → 4 scans, ~15 → 6
+    Exchanges at the catalog parameters), and one argmin window instead of
+    len(dims)+1. Measured 1.9→1.1 s (sf0.1) / 5.0→2.7 s (10× corpus),
+    row-identical output both scales: per (feature,id,label) the distance
+    sums range over exactly the same 64 addends as the per-pass form.
+    The final base-vs-permuted assembly is a window over the ≤len(dims)+1
+    accuracy rows (bounded by the dims parameter, never by data).
 
     Output: (feature, base_accuracy, permuted_accuracy, importance) —
     feature is the 1-BASED dim index (matching SQL generate_subscripts),
@@ -412,60 +421,73 @@ def centroid_permutation_importance(
     """
     from pyspark.sql import Window
 
+    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
+
     ex = df.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("y"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim0", "x"),
     ).select("id", "y", (F.col("dim0") + 1).alias("dim"), "x")
     # labels x dims rows — materialize once (lazy checkpoint) so the
-    # base pass and every per-dim pass share ONE centroid computation
-    # instead of re-scanning the corpus len(dims)+1 times for it
+    # scoring chain's broadcast shares ONE centroid computation
     centroids = (
         ex.groupBy(F.col("y").alias("label_c"), "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
         .localCheckpoint(eager=False)
     )
 
-    def _accuracy(frame: DataFrame):  # -> Column-less 1-row DF (acc double)
-        d2 = (
-            frame.join(F.broadcast(centroids), "dim")
-            .groupBy("id", "y", "label_c")
-            .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6).alias("dist"))
-        )
-        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("label_c"))
-        pred = (
-            d2.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-        )
-        return pred.agg(
-            F.round(F.avg((F.col("label_c") == F.col("y")).cast("double")), 6).alias("acc")
-        )
-
-    from vectordb_bioinsight_spark.functions.hashing import portable_hash64
-
-    base = _accuracy(ex).select(F.col("acc").alias("base_accuracy"))
-    out = None
+    fdims = [d + 1 for d in dims]
     h = portable_hash64(F.col("id").cast("string"))
-    for d in dims:
-        wp = Window.partitionBy(F.pmod(h, F.lit(n_buckets))).orderBy(h, F.col("id"))
-        sub = ex.filter(F.col("dim") == d + 1).withColumn(
-            "x", F.coalesce(F.lead("x", 1).over(wp), F.first("x").over(wp))
+    wp = Window.partitionBy(F.pmod(h, F.lit(n_buckets)), F.col("dim")).orderBy(
+        h, F.col("id")
+    )
+    # x_perm only for the dims under test (same within-(bucket,dim) cyclic
+    # shift the per-dim windows computed); untested dims never pay the
+    # window and carry a NULL x_perm that feature==dim can never select
+    sub = ex.filter(F.col("dim").isin(fdims)).withColumn(
+        "x_perm", F.coalesce(F.lead("x", 1).over(wp), F.first("x").over(wp))
+    )
+    rest = ex.filter(~F.col("dim").isin(fdims)).withColumn(
+        "x_perm", F.lit(None).cast("double")
+    )
+    # feature 0 = base (no dim replaced); feature f replaces dim f only
+    tagged = (
+        rest.unionByName(sub)
+        .select(
+            "*",
+            F.explode(F.array(*[F.lit(f) for f in [0] + fdims])).alias("feature"),
         )
-        permuted = ex.filter(F.col("dim") != d + 1).unionByName(sub)
-        acc = _accuracy(permuted).select(F.col("acc").alias("permuted_accuracy"))
-        row = (
-            base.crossJoin(acc)
-            .select(
-                F.lit(d + 1).alias("feature"),
-                "base_accuracy",
-                "permuted_accuracy",
-                F.round(
-                    F.col("base_accuracy") - F.col("permuted_accuracy"), 6
-                ).alias("importance"),
-            )
+        .withColumn(
+            "x_eff",
+            F.when(F.col("feature") == F.col("dim"), F.col("x_perm")).otherwise(
+                F.col("x")
+            ),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    d2 = (
+        tagged.join(F.broadcast(centroids), "dim")
+        .groupBy("feature", "id", "y", "label_c")
+        .agg(F.round(F.sum((F.col("x_eff") - F.col("c")) ** 2), 6).alias("dist"))
+    )
+    w = Window.partitionBy("feature", "id").orderBy(F.asc("dist"), F.asc("label_c"))
+    pred = d2.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    acc = pred.groupBy("feature").agg(
+        F.round(F.avg((F.col("label_c") == F.col("y")).cast("double")), 6).alias("acc")
+    )
+    wall = Window.partitionBy(F.lit(1))  # ≤ len(dims)+1 rows by construction
+    return (
+        acc.withColumn(
+            "base_accuracy",
+            F.max(F.when(F.col("feature") == 0, F.col("acc"))).over(wall),
+        )
+        .filter(F.col("feature") != 0)
+        .select(
+            F.col("feature"),
+            "base_accuracy",
+            F.col("acc").alias("permuted_accuracy"),
+            F.round(F.col("base_accuracy") - F.col("acc"), 6).alias("importance"),
+        )
+    )
 
 
 def permutation_importance(
