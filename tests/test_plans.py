@@ -509,6 +509,12 @@ _GLOBAL_WINDOW_ALLOWED = {
     # bounded by the gene/feature dimension (64 here, ~20k genes at
     # most in the domain), never raw attribution rows
     "shap_gene_stats_dims",
+    # r11 one-pass permutation importance: the base-vs-permuted assembly
+    # window runs over the PER-FEATURE accuracy rows — ≤ len(dims)+1 rows
+    # (a code parameter, 4 at the catalog entry; ≤ embedding width ever),
+    # never data-sized; the data-sized argmin window stays partitioned by
+    # (feature, id)
+    "centroid_importance",
 }
 
 
